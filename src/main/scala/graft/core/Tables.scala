@@ -1,0 +1,25 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided corpus (TESTDATA.md).
+  *
+  * All tables are plain parquet; explicit schemas are unnecessary because
+  * parquet is self-describing and the driver generates them deterministically.
+  * At 100 TB these would be partitioned directories — the API shape
+  * (`dir/name.parquet`) is unchanged; Spark's vectorized parquet reader,
+  * predicate pushdown and column pruning all apply identically.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every corpus table as a temp view named after the table, so
+    * spark.sql text matches the DuckDB oracle's FROM clauses 1:1. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
