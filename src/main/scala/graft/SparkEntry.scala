@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Every declared operator query (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
-    _root_.graft.queries.Relational.all
+    _root_.graft.queries.Relational.all ++
+    _root_.graft.queries.Joins.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
