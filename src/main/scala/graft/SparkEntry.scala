@@ -13,7 +13,11 @@ object SparkEntry {
   /** Every declared operator query (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
     _root_.graft.queries.Relational.all ++
-    _root_.graft.queries.Joins.all
+    _root_.graft.queries.Joins.all ++
+    _root_.graft.queries.Aggregates.all ++
+    _root_.graft.queries.Windows.all ++
+    _root_.graft.queries.SetsSorts.all ++
+    _root_.graft.queries.Scalars.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables, Exact}
+import Exact._
+
+/** SURVEY.md §2.5 — window functions (W1-W5) + the batch sessionization
+  * idiom (Q25 / T4's batch twin).
+  *
+  * Scale posture: a window = one shuffle on partitionBy keys + an
+  * in-partition sort. All windows here partition on high-cardinality keys
+  * (custkey / user_id / mktsegment), so per-partition state stays small;
+  * rank-based dedup/top-k never materializes the full sorted table the
+  * way orderBy().limit() per group via collect would.
+  *
+  * Determinism: rank/dense_rank depend only on the order-key VALUES (safe
+  * under ties); row_number/ntile additionally need a unique tiebreak in
+  * the ORDER BY — every such window here ends in a unique id column.
+  */
+object Windows {
+
+  /** q25 — ranking family: row_number, rank, dense_rank, ntile (W1). */
+  val q25 = Q(
+    "q25_ranking",
+    (s, dir) => {
+      import s.implicits._
+      val day = to_date($"o_orderdate")
+      // rank/dense_rank over the (tied) day; row_number/ntile over the
+      // unique (day, orderkey) order.
+      val tied = Window.partitionBy($"o_orderstatus").orderBy(day)
+      val uniq = Window.partitionBy($"o_orderstatus").orderBy(day, $"o_orderkey")
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          rank().over(tied).as("rnk"),
+          dense_rank().over(tied).as("drnk"),
+          row_number().over(uniq).as("rn"),
+          ntile(4).over(uniq).as("quartile"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+        rank() OVER (PARTITION BY o_orderstatus ORDER BY CAST(o_orderdate AS DATE)) AS rnk,
+        dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY CAST(o_orderdate AS DATE)) AS drnk,
+        row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn,
+        ntile(4) OVER (PARTITION BY o_orderstatus
+                       ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS quartile
+      FROM orders ORDER BY o_orderkey"""),
+    doc = "W1: one shuffle on o_orderstatus serves all four rank functions")
+
+  /** q26 — lag / lead over per-user event streams (W2). */
+  val q26 = Q(
+    "q26_lag_lead",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          lag($"event_type", 1).over(w).as("prev_type"),
+          lead($"event_type", 1).over(w).as("next_type"),
+          (unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)))
+            .as("secs_since_prev"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type,
+        lag(event_type, 1) OVER w AS prev_type,
+        lead(event_type, 1) OVER w AS next_type,
+        CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS secs_since_prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""),
+    doc = "W2: lag/lead share one window; basis for sessionization (q30)")
+
+  /** q27 — frame aggregates: running ROWS sum + value-RANGE sum (W3). */
+  val q27 = Q(
+    "q27_frames",
+    (s, dir) => {
+      import s.implicits._
+      val running = Window.partitionBy($"o_custkey")
+        .orderBy(to_date($"o_orderdate"), $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // RANGE frame over the numeric totalprice axis: frame membership
+      // depends only on values, deterministic under ties by construction.
+      val band = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+        .rangeBetween(-10000L, 0L)
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          toDbl(sum(money($"o_totalprice")).over(running)).as("run_total"),
+          count(lit(1)).over(band).as("n_in_band"))
+        .orderBy($"o_orderkey")
+    },
+    Some(s"""
+      SELECT o_orderkey, o_custkey,
+        ${sqlToDbl(s"SUM(${sqlMoney("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS run_total,
+        COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                       RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+      FROM orders ORDER BY o_orderkey"""),
+    doc = "W3: ROWS running total (exact decimal) + RANGE value band")
+
+  /** q28 — first/last over the full partition frame (W4). */
+  val q28 = Q(
+    "q28_first_last",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .join(
+          Tables(s, dir, "events").select($"user_id",
+            first($"event_type").over(w).as("first_type"),
+            last($"event_type").over(w).as("last_type")).distinct(),
+          Seq("user_id"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH fl AS (
+        SELECT DISTINCT user_id,
+          first_value(event_type) OVER w AS first_type,
+          last_value(event_type) OVER w AS last_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT n.user_id AS user_id, n.n AS n, fl.first_type, fl.last_type
+      FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) n
+      JOIN fl ON n.user_id = fl.user_id
+      ORDER BY user_id"""),
+    doc = "W4: first/last over explicit full-partition frame (default frame stops at current row)")
+
+  /** q29 — top-k per group via the rank-filter idiom (W5): top 3 orders
+    * by value per market segment. */
+  val q29 = Q(
+    "q29_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select($"c_mktsegment", $"o_orderkey", $"o_totalprice",
+          row_number().over(w).as("rn"))
+        .filter($"rn" <= 3)
+        .orderBy($"c_mktsegment", $"rn")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey) t
+      WHERE rn <= 3 ORDER BY c_mktsegment, rn"""),
+    doc = "W5: row_number<=k — the distributed top-k-per-group; no per-group collect")
+
+  /** q30 — batch sessionization (lag + gap-flag + running sum = session
+    * id), 30-minute gap. The batch twin of T4's session_window. */
+  val q30 = Q(
+    "q30_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("gap",
+          when(unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)) > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum($"gap").over(cum))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"), max($"ts").as("session_end"))
+        .orderBy($"user_id", $"session_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+                    CAST(floor(epoch(lag(ts,1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END AS gap
+        FROM events),
+      s AS (
+        SELECT user_id, ts, event_id,
+          SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""),
+    doc = "Q25/T4 batch twin: gap>30min starts a session; one shuffle + one agg")
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30)
+}
