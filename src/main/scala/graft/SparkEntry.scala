@@ -17,7 +17,9 @@ object SparkEntry {
     _root_.graft.queries.Aggregates.all ++
     _root_.graft.queries.Windows.all ++
     _root_.graft.queries.SetsSorts.all ++
-    _root_.graft.queries.Scalars.all
+    _root_.graft.queries.Scalars.all ++
+    _root_.graft.queries.Text.all ++
+    _root_.graft.queries.Vectors.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

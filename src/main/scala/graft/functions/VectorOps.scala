@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector column math (SURVEY.md §2.10 N11-N12).
+  *
+  * All built from lambda HOFs (`zip_with`/`aggregate`/`transform`) —
+  * codegen-eligible column expressions, no UDFs, array stays unexploded.
+  *
+  * Determinism contract: dot/norm are SEQUENTIAL left folds over the
+  * dimension index, so the double result is a pure function of the
+  * vector values — identical on any partitioning, any cluster size, and
+  * in any engine that folds in index order (the DuckDB oracle uses
+  * list_reduce, which matches). Never replace with a parallel/tree sum.
+  */
+object VectorOps {
+
+  /** Σ a[i]*b[i], float→double widened, sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Σ a[i]^2 (squared L2 norm), sequential fold. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** cosine(a, b) = dot / (sqrt(|a|²) * sqrt(|b|²)). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Deterministic micro-unit quantization: rint(x * 1e6) as BIGINT.
+    * Cross-row sums of doubles are order-dependent; sums of these longs
+    * are exact in any order. rint (round-half-even on the double) is
+    * exactly DuckDB's double→DECIMAL(_,6) conversion, so the oracle can
+    * reproduce it with a cast. */
+  def micros(x: Column): Column = rint(x * lit(1e6)).cast(LongType)
+
+  /** Element-wise micros of a float array. */
+  def microsVec(a: Column): Column =
+    transform(a, x => micros(x.cast(DoubleType)))
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables, Exact}
+import graft.functions.Fixtures
+import Exact._
+
+/** SURVEY.md §2.10 — text / NLP / LLM-pipeline operators (N1-N9).
+  *
+  * These are the reference's core domain (tweet enrichment, reference
+  * README.md:80-97), re-expressed as pure relational computations so the
+  * DuckDB oracle can hash-check them: tokenize = split, sentiment =
+  * lexicon join + sum, NER = gazetteer join, embeddings = deterministic
+  * md5-digit lookup vectors. Zero UDFs — everything is codegen'd column
+  * expressions + explode (the UDTF workhorse, §2.11).
+  *
+  * Scale posture: explode multiplies rows by ~tokens-per-doc BEFORE the
+  * shuffle, so every exploded pipeline here aggregates or joins on a key
+  * immediately after (never shuffles raw exploded text); lexicon/
+  * gazetteer dims are broadcast.
+  */
+object Text {
+
+  /** q42 — tokenization + text stats (N1 N7): token counts, char
+    * classes, stopword ratio — the quality-score feature vector. */
+  val q42 = Q(
+    "q42_tokenize_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .withColumn("tokens", split($"text", " "))
+        .select($"doc_id", $"lang",
+          size($"tokens").as("n_tokens"),
+          size(array_distinct($"tokens")).as("n_unique"),
+          length($"text").as("len"),
+          (length($"text") - length(regexp_replace($"text", " ", ""))).as("n_spaces"),
+          (size(filter($"tokens", t => t.isin("the", "a"))).cast(DoubleType) /
+            size($"tokens")).as("stopword_ratio"),
+          (aggregate($"tokens", lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+            size($"tokens")).as("avg_token_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tokens FROM documents)
+      SELECT doc_id, lang,
+        len(tokens) AS n_tokens,
+        len(list_distinct(tokens)) AS n_unique,
+        length(text) AS len,
+        length(text) - length(replace(text, ' ', '')) AS n_spaces,
+        CAST(len(list_filter(tokens, x -> x IN ('the','a'))) AS DOUBLE) / len(tokens) AS stopword_ratio,
+        CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE) / len(tokens) AS avg_token_len
+      FROM t ORDER BY doc_id"""),
+    doc = "N1 N7: tokenize + quality features; ratios are exact-int/int divides")
+
+  /** q43 — corpus term statistics via explode (N8 first half): collection
+    * frequency, document frequency, rational idf (N/df — exact in IEEE,
+    * unlike log whose libm rounding differs across engines). */
+  val q43 = Q(
+    "q43_term_stats",
+    (s, dir) => {
+      import s.implicits._
+      val n = Tables(s, dir, "documents").count()
+      Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("cf"), countDistinct($"doc_id").as("df"))
+        .withColumn("idf_rational", lit(n.toDouble) / $"df")
+        .orderBy($"term")
+    },
+    Some("""
+      SELECT term, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df,
+             CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / COUNT(DISTINCT doc_id) AS idf_rational
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term ORDER BY term"""),
+    doc = "N8: explode -> agg immediately; shuffle carries (term, partial counts) only")
+
+  /** q44 — TF-IDF, top-3 terms per document (N8 + W5). */
+  val q44 = Q(
+    "q44_tfidf_topk",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val terms = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tfidf".desc, $"term".asc)
+      tf.join(df, "term")
+        .withColumn("tfidf", $"tf" * (lit(n.toDouble) / $"df"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"rn", $"term", $"tf", $"df", $"tfidf")
+        .orderBy($"doc_id", $"rn")
+    },
+    Some("""
+      WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+           df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+           x AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                        tf.tf * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df) AS tfidf
+                 FROM tf JOIN df ON tf.term = df.term),
+           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn FROM x)
+      SELECT doc_id, rn, term, tf, df, tfidf FROM r WHERE rn <= 3
+      ORDER BY doc_id, rn"""),
+    doc = "N8: tf x rational-idf; df side is tiny (vocab) -> broadcast joins back")
+
+  /** q45 — sentiment scoring via lexicon join (N3; replaces Vivekn,
+    * reference README.md:87-88): explode ⋈ broadcast lexicon -> sum. */
+  val q45 = Q(
+    "q45_sentiment",
+    (s, dir) => {
+      import s.implicits._
+      val lex = Fixtures.lexiconDf(s)
+      Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .join(broadcast(lex), Seq("term"), "left_outer")
+        .groupBy($"doc_id")
+        .agg(sum(coalesce($"score", lit(0))).as("sentiment_score"))
+        .withColumn("sentiment",
+          when($"sentiment_score" > 0, "positive")
+            .when($"sentiment_score" < 0, "negative")
+            .otherwise("neutral"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           sc AS (SELECT doc_id, SUM(COALESCE(score, 0)) AS sentiment_score
+                  FROM terms LEFT JOIN ${Fixtures.lexiconSql} ON terms.term = lex.term
+                  GROUP BY doc_id)
+      SELECT doc_id, sentiment_score,
+             CASE WHEN sentiment_score > 0 THEN 'positive'
+                  WHEN sentiment_score < 0 THEN 'negative'
+                  ELSE 'neutral' END AS sentiment
+      FROM sc ORDER BY doc_id"""),
+    doc = "N3: lexicon-join sentiment — pure relational, broadcast dim")
+
+  /** q46 — NER via gazetteer join (N5; replaces the pretrained NER,
+    * reference README.md:60,93): entities as sorted array<struct>. */
+  val q46 = Q(
+    "q46_ner_gazetteer",
+    (s, dir) => {
+      import s.implicits._
+      val gaz = Fixtures.gazetteerDf(s)
+      Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .join(broadcast(gaz), $"term" === gaz("phrase"))
+        .groupBy($"doc_id")
+        .agg(
+          sort_array(collect_set(concat($"tag", lit(":"), $"term"))).as("entities"),
+          count(lit(1)).as("n_mentions"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             list_sort(list(DISTINCT tag || ':' || term)) AS entities,
+             COUNT(*) AS n_mentions
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+      JOIN ${Fixtures.gazetteerSql} ON t.term = gaz.phrase
+      GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "N5: gazetteer NER; generator form = explode (our UDTF surface)")
+
+  /** q47 — word + document embeddings (N4; replaces GloVe, reference
+    * README.md:59,92): each term's vector is its first 8 md5 hex digits
+    * (deterministic, engine-agnostic); doc vector = dimension-wise mean.
+    * Integer-valued dims make the cross-row mean exact in IEEE. */
+  val q47 = Q(
+    "q47_doc_embedding",
+    (s, dir) => {
+      import s.implicits._
+      val dims = (1 to 8).map(i =>
+        conv(substring(md5($"term"), i, 1), 16, 10).cast(DoubleType).as(s"d$i"))
+      val termVecs = Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .select(($"doc_id" +: $"term" +: dims): _*)
+      termVecs.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          array((1 to 8).map(i => sum(col(s"d$i")) / count(lit(1))): _*).as("doc_vec"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           d AS (SELECT doc_id, term, CAST(pos AS INT) AS pos,
+                   CAST(CAST(('0x' || substr(md5(term), CAST(pos AS INT), 1)) AS BIGINT) AS DOUBLE) AS val
+                 FROM terms, (SELECT unnest(range(1, 9)) AS pos)),
+           m AS (SELECT doc_id, pos, SUM(val) / COUNT(*) AS mean_val, COUNT(*) AS n
+                 FROM d GROUP BY doc_id, pos)
+      SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_terms,
+             list(mean_val ORDER BY pos) AS doc_vec
+      FROM m GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "N4: md5-digit lookup vectors; doc vec = exact-int mean per dim")
+
+  /** q48 — language routing + per-language profile (N6). */
+  val q48 = Q(
+    "q48_lang_route",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          countDistinct($"source").as("n_sources"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+             COUNT(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang ORDER BY lang"""),
+    doc = "N6: the partition key for per-lang partitioned writes at scale")
+
+  /** q49 — exact dedup by content hash (N9/U4): the corpus has no exact
+    * dups, so we union a deterministic second copy (doc_id+100000) and
+    * dedup by sha2(text) keeping the min doc_id — proving collapse. */
+  val q49 = Q(
+    "q49_exact_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+      val copy = d.select(($"doc_id" + 100000).as("doc_id"), $"text")
+      d.unionByName(copy)
+        .withColumn("fingerprint", sha2($"text", 256))
+        .groupBy($"fingerprint")
+        .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_dups"))
+        .orderBy($"kept_doc_id")
+    },
+    Some("""
+      WITH u AS (SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id + 100000, text FROM documents)
+      SELECT sha256(text) AS fingerprint, MIN(doc_id) AS kept_doc_id,
+             COUNT(*) AS n_dups
+      FROM u GROUP BY sha256(text) ORDER BY kept_doc_id"""),
+    doc = "N9: content-hash dedup; hash-groupBy shuffles 32-byte keys, not text")
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49)
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables}
+import graft.functions.VectorOps
+
+/** SURVEY.md §2.10 — similarity search / KNN / centroids over the
+  * embeddings table (N11 N12 A10).
+  *
+  * Scale posture: brute-force cosine is O(Q·N) with the small query set
+  * BROADCAST — each executor streams its shard of the N side once; no
+  * shuffle of the corpus. That is the correct exact-search plan at 100 TB
+  * when |Q| is small. For large |Q| the LSH-bucketed path
+  * (graft.operators.MinHashLSH for text; random-hyperplane buckets for
+  * vectors) replaces the cartesian with an equi-join on bucket ids.
+  *
+  * Determinism: all vector math via VectorOps (sequential folds /
+  * micro-quantization) — see its scaladoc for the oracle contract.
+  */
+object Vectors {
+
+  /** DuckDB twin of VectorOps.dot: sequential fold in index order. */
+  private def duckDot(a: String, b: String, dims: Int = 64): String =
+    s"list_reduce(list_transform(range(1, ${dims + 1}), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** q50 — brute-force cosine top-5 neighbors for 5 query vectors (N11). */
+  val q50 = Q(
+    "q50_cosine_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", VectorOps.cosine($"q_vec", $"embedding"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"rn", $"vec_id", $"cos")
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+           pairs AS (
+             SELECT q.q_id, e.vec_id,
+               ${duckDot("q.q_vec", "e.embedding")} /
+                 (sqrt(${duckDot("q.q_vec", "q.q_vec")}) *
+                  sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos
+             FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+           r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+                 FROM pairs)
+      SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 5
+      ORDER BY q_id, rn"""),
+    doc = "N11: exact ANN baseline — broadcast queries, stream corpus, heap top-k")
+
+  /** q51 — KNN classification vote (N12): predict each query vector's
+    * label from its 10 nearest neighbors' majority (ties -> smaller
+    * label), compared against its true label. */
+  val q51 = Q(
+    "q51_knn_vote",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"label".as("true_label"))
+      val wNn = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      val wVote = Window.partitionBy($"q_id").orderBy($"votes".desc, $"label".asc)
+      emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", VectorOps.cosine($"q_vec", $"embedding"))
+        .withColumn("rn", row_number().over(wNn))
+        .filter($"rn" <= 10)
+        .groupBy($"q_id", $"true_label", $"label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter($"vr" === 1)
+        .select($"q_id", $"true_label", $"label".as("predicted"), $"votes")
+        .orderBy($"q_id")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS true_label
+                 FROM embeddings WHERE vec_id < 20),
+           pairs AS (
+             SELECT q.q_id, q.true_label, e.vec_id, e.label,
+               ${duckDot("q.q_vec", "e.embedding")} /
+                 (sqrt(${duckDot("q.q_vec", "q.q_vec")}) *
+                  sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos
+             FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+           nn AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+                  FROM pairs),
+           votes AS (SELECT q_id, true_label, label, COUNT(*) AS votes
+                     FROM nn WHERE rn <= 10 GROUP BY q_id, true_label, label),
+           win AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label ASC) AS vr
+                   FROM votes)
+      SELECT q_id, true_label, label AS predicted, votes FROM win WHERE vr = 1
+      ORDER BY q_id"""),
+    doc = "N12: KNN = N11 + mode-per-group via rank idiom")
+
+  /** q52 — per-label centroids (A10 capability, relational form): the
+    * embedding micro-quantized (VectorOps.micros), summed exactly as
+    * longs per (label, dim), mean rendered in double. One exploded
+    * shuffle keyed (label, dim) — 640 groups regardless of corpus size. */
+  val q52 = Q(
+    "q52_label_centroids",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "embeddings")
+        .select($"label", posexplode(VectorOps.microsVec(slice($"embedding", 1, 8))))
+        .groupBy($"label", ($"pos" + 1).as("dim"))
+        .agg(count(lit(1)).as("n"), sum($"col").as("sum_micros"))
+        .select($"label", $"dim",
+          ($"sum_micros".cast(DoubleType) / 1e6 / $"n").as("centroid"))
+        .orderBy($"label", $"dim")
+    },
+    Some("""
+      WITH d AS (SELECT label, CAST(pos AS INT) AS dim,
+                   CAST(CAST(CAST(embedding[CAST(pos AS INT)] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
+                 FROM embeddings, (SELECT unnest(range(1, 9)) AS pos))
+      SELECT label, dim,
+             CAST(SUM(micros) AS DOUBLE) / 1000000 / COUNT(*) AS centroid
+      FROM d GROUP BY label, dim ORDER BY label, dim"""),
+    doc = "A10 relational twin: exact long sums; VectorMean UDAF is the typed API")
+
+  /** q53 — per-vector norm profile grouped by label (N11 support):
+    * micro-quantized norms summed exactly. */
+  val q53 = Q(
+    "q53_norm_stats",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "embeddings")
+        .select($"label",
+          VectorOps.micros(sqrt(VectorOps.normSq($"embedding"))).as("norm_micros"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          min($"norm_micros").as("min_norm_micros"),
+          max($"norm_micros").as("max_norm_micros"),
+          (sum($"norm_micros").cast(DoubleType) / 1e6 / count(lit(1))).as("avg_norm"))
+        .orderBy($"label")
+    },
+    Some(s"""
+      WITH n AS (SELECT label,
+                   CAST(CAST(sqrt(${duckDot("embedding", "embedding")}) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS norm_micros
+                 FROM embeddings)
+      SELECT label, COUNT(*) AS n,
+             MIN(norm_micros) AS min_norm_micros,
+             MAX(norm_micros) AS max_norm_micros,
+             CAST(SUM(norm_micros) AS DOUBLE) / 1000000 / COUNT(*) AS avg_norm
+      FROM n GROUP BY label ORDER BY label"""),
+    doc = "norm profile: sequential-fold norms, exact micro sums")
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53)
+}
