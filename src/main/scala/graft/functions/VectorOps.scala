@@ -40,4 +40,16 @@ object VectorOps {
   /** Element-wise micros of a float array. */
   def microsVec(a: Column): Column =
     transform(a, x => micros(x.cast(DoubleType)))
+
+  // DuckDB twins (string builders keep the two engines in sync — the
+  // oracle must fold in the same index order as the columns above).
+
+  /** DuckDB twin of `dot`: sequential list_reduce in index order. */
+  def dotSql(a: String, b: String, dims: Int = 64): String =
+    s"list_reduce(list_transform(range(1, ${dims + 1}), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** DuckDB twin of `cosine`. */
+  def cosineSql(a: String, b: String, dims: Int = 64): String =
+    s"${dotSql(a, b, dims)} / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)}))"
 }

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables}
+import graft.functions.VectorOps
+import graft.operators.{MinHashLSH, SimHash, SignLSH}
+
+/** SURVEY.md §2.10 N10 + BASELINE north-star dedup suite: MinHash+LSH,
+  * SimHash, n-gram Jaccard, and sign-LSH embedding near-dup.
+  *
+  * The corpus has no natural duplicates (500 distinct texts at sf0.01),
+  * so each query PLANTS deterministic near-dups — a perturbed copy
+  * (id+100000) of every 5th row — and must rediscover exactly the
+  * planted pairs. Both engines build the same planted corpus, so the
+  * outputs hash-compare. All hashing is md5-derived (engine-agnostic,
+  * seed-free); see the operator scaladocs for the scale arguments.
+  */
+object Dedup {
+
+  /** documents ∪ (every 5th doc with its last 2 tokens dropped). */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+    val tokens = split($"text", " ")
+    val perturbed = d.filter($"doc_id" % 5 === 0).select(
+      ($"doc_id" + 100000).as("doc_id"),
+      concat_ws(" ", slice(tokens, lit(1), size(tokens) - 2)).as("text"))
+    d.unionByName(perturbed)
+  }
+
+  private val plantedDocsSql = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 2], ' ') AS text
+    FROM documents WHERE doc_id % 5 = 0"""
+
+  /** DuckDB twin of MinHashLSH.shingles (k=3). list_distinct reorders,
+    * which is safe: shingle arrays only feed order-insensitive ops
+    * (min, set intersect/size). */
+  private val shinglesSql = """
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))"""
+
+  /** q54 — MinHash + LSH near-dup pairs (N10): shingle → 12-hash
+    * signature → 4 bands × 3 rows → bucket join → exact-Jaccard >= 0.5. */
+  val q54 = Q(
+    "q54_minhash_lsh",
+    (s, dir) => MinHashLSH
+      .nearDupPairs(plantedDocs(s, dir), "doc_id", "text", minJaccard = 0.5)
+      .orderBy(col("a_id"), col("b_id")),
+    Some(s"""
+      WITH corpus AS ($plantedDocsSql),
+      sh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
+      sig AS (SELECT doc_id, sh,
+                list_transform(range(0, 12), j ->
+                  list_min(list_transform(sh, s ->
+                    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+              FROM sh),
+      bands AS (SELECT doc_id, CAST(b AS INT) AS band,
+                  md5(array_to_string(sig[(CAST(b AS INT)*3+1):(CAST(b AS INT)*3+3)], ',')) AS key
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      v AS (SELECT a_id, b_id,
+              CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS DOUBLE) AS inter,
+              len(sa.sh) AS na, len(sb.sh) AS nb
+            FROM cand
+            JOIN sh sa ON cand.a_id = sa.doc_id
+            JOIN sh sb ON cand.b_id = sb.doc_id)
+      SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard
+      FROM v WHERE inter / (na + nb - inter) >= 0.5
+      ORDER BY a_id, b_id"""),
+    doc = "N10: minhash-LSH — shuffles band hashes + doc ids, never raw text")
+
+  /** q55 — SimHash near-dup pairs (N10 variant): 16-bit fingerprint,
+    * hi/lo-byte banding, hamming <= 3. */
+  val q55 = Q(
+    "q55_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val tf = plantedDocs(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val fp = SimHash.fingerprints(tf, "doc_id", "term", "tf")
+      SimHash.nearDupPairs(fp, "doc_id", maxHamming = 3)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some {
+      val sums = (0 until SimHash.Bits)
+        .map(b => s"SUM(tf * (((h >> $b) & 1) * 2 - 1)) AS s$b").mkString(",\n                ")
+      val fpExpr = (0 until SimHash.Bits)
+        .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH corpus AS ($plantedDocsSql),
+      terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+      h AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term), 1, 4)) AS INT) AS h FROM tf),
+      s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+      fp AS (SELECT doc_id, $fpExpr AS simhash FROM s),
+      keyed AS (SELECT doc_id, simhash, simhash >> 8 AS hi, simhash & 255 AS lo FROM fp),
+      cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS sim_a, b.simhash AS sim_b
+        FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+        FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, bit_count(xor(sim_a, sim_b)) AS hamming
+      FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      ORDER BY a_id, b_id"""
+    },
+    doc = "N10: simhash — word-count-shaped agg, byte-banded probe joins")
+
+  /** q56 — character-3-gram Jaccard similarity matrix over a fixed doc
+    * slice (the n-gram-Jaccard dedup primitive, exact form). All pairs
+    * reported with their score; is_near_dup flags the 0.5 threshold. */
+  val q56 = Q(
+    "q56_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables(s, dir, "documents")
+        .filter($"doc_id" < 20)
+        .select($"doc_id",
+          when(length($"text") >= 3,
+            array_distinct(transform(
+              sequence(lit(1), length($"text") - 2),
+              i => $"text".substr(i, lit(3)))))
+            .otherwise(array().cast("array<string>")).as("grams"))
+      val a = grams.select($"doc_id".as("a_id"), $"grams".as("ga"))
+      val b = grams.select($"doc_id".as("b_id"), $"grams".as("gb"))
+      a.join(b, $"a_id" < $"b_id")
+        .withColumn("inter", size(array_intersect($"ga", $"gb")).cast(DoubleType))
+        .select($"a_id", $"b_id",
+          ($"inter" / (size($"ga") + size($"gb") - $"inter")).as("jaccard"),
+          ($"inter" / (size($"ga") + size($"gb") - $"inter") >= 0.5).as("is_near_dup"))
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""
+      WITH g AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                     i -> substr(text, CAST(i AS INT), 3))) AS grams
+                 FROM documents WHERE doc_id < 20),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) AS inter,
+              len(a.grams) AS na, len(b.grams) AS nb
+            FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard,
+             inter / (na + nb - inter) >= 0.5 AS is_near_dup
+      FROM p ORDER BY a_id, b_id"""),
+    doc = "N10 exact form: char-3-gram Jaccard; bounded slice keeps it O(k²)")
+
+  /** q57 — embedding near-dup via sign-LSH buckets (N11 scale path):
+    * plant rescaled copies (cosine ≈ 1, bucket-invariant), bucket on 8
+    * hyperplane signs over the first 16 dims, verify cosine >= 0.999
+    * within buckets only. */
+  val q57 = Q(
+    "q57_embedding_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val planted = e.filter($"vec_id" % 5 === 0).select(
+        ($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => (x.cast(DoubleType) * 0.999).cast(FloatType)).as("embedding"))
+      SignLSH.nearDupPairs(e.unionByName(planted), "vec_id", "embedding", minCosine = 0.999)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 0.999 AS FLOAT))
+        FROM embeddings WHERE vec_id % 5 = 0),
+      keyed AS (SELECT vec_id, embedding, ${SignLSH.bucketSql("embedding")} AS bucket FROM corpus),
+      pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  ${VectorOps.cosineSql("a.embedding", "b.embedding")} AS cos
+                FROM keyed a JOIN keyed b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.999
+      ORDER BY a_id, b_id"""),
+    doc = "N11 scale path: sign-LSH buckets collapse all-pairs cosine to per-bucket joins")
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57)
+}

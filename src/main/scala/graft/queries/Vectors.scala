@@ -21,10 +21,8 @@ import graft.functions.VectorOps
   */
 object Vectors {
 
-  /** DuckDB twin of VectorOps.dot: sequential fold in index order. */
   private def duckDot(a: String, b: String, dims: Int = 64): String =
-    s"list_reduce(list_transform(range(1, ${dims + 1}), i -> " +
-      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    VectorOps.dotSql(a, b, dims)
 
   /** q50 — brute-force cosine top-5 neighbors for 5 query vectors (N11). */
   val q50 = Q(
