@@ -1,0 +1,86 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables, Exact}
+
+/** SURVEY.md §2.1 — non-parquet sources and sinks (S2 JSON, S3 CSV,
+  * S7 batch sinks, S8 partitioned index), proven by ROUNDTRIP: Spark
+  * writes the corpus table out in the target format, reads it back, and
+  * computes an aggregate; the oracle computes the same aggregate from
+  * the original parquet. Identical results ⇒ the format conversion was
+  * lossless for the exercised type surface.
+  */
+object Sources {
+
+  /** Fresh scratch dir per (query, run) — concurrent Verify/Bench runs
+    * at different SFs must not collide. */
+  private def scratch(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString
+
+  /** q58 — JSON write→read roundtrip (S2+S7) over nation (int + string
+    * surface; schema supplied on read — never inference). */
+  val q58 = Q(
+    "q58_json_roundtrip",
+    (s, dir) => {
+      val out = scratch("json")
+      val nation = Tables(s, dir, "nation")
+      nation.write.mode("overwrite").json(out)
+      s.read.schema(nation.schema).json(out)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"),
+          min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    },
+    Some("""
+      SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
+             MIN(n_name) AS first_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+    doc = "S2/S7: JSON sink+scan roundtrip; aggregate must match the parquet original")
+
+  /** q59 — CSV write→read roundtrip (S3+S7) over customer, including a
+    * double column (full-precision text rendering both ways). */
+  val q59 = Q(
+    "q59_csv_roundtrip",
+    (s, dir) => {
+      val out = scratch("csv")
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      cust.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").schema(cust.schema).csv(out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("c_acctbal")).as("bal_sum"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n, ${Exact.sqlDsum("c_acctbal")} AS bal_sum
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    doc = "S3/S7: header CSV sink+scan roundtrip incl. double precision")
+
+  /** q60 — partitioned index roundtrip (S8): write events partitioned by
+    * event_type, read back ONE partition, aggregate per day. The read
+    * prunes to the single event_type directory (PartitionFilters in the
+    * plan — asserted in IndexSinkSpec); this query proves values survive
+    * the partition-column round trip. */
+  val q60 = Q(
+    "q60_partitioned_index",
+    (s, dir) => {
+      val out = scratch("idx")
+      Tables(s, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("value_sum"))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
+             ${Exact.sqlDsum("value")} AS value_sum
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "S8: partitionBy sink + pruned scan; the searchable-index layout")
+
+  val all: Seq[Q] = Seq(q58, q59, q60)
+}

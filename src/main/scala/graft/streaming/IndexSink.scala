@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** S8/T9 — the "searchable index" sink (SURVEY.md §2.1), replacing the
+  * reference's Elasticsearch client (reference
+  * `App/ApiController/ElasticSearchClient/scala.scala:1-5`, an empty
+  * stub; `README.md:102-104` describes query-by-field over the index).
+  *
+  * We reproduce the CAPABILITY — write enriched records so they are
+  * efficiently queryable by the README's access paths (hashtag,
+  * sentiment, user) — not the wire protocol. The index is a
+  * partition-pruned parquet table: `partitionBy` columns become
+  * directory partitions, so a query filtering on them reads only
+  * matching directories (partition pruning), and parquet min/max +
+  * dictionary page stats serve point predicates inside each file. At
+  * 100 TB this is the standard lakehouse layout; swapping in a real ES
+  * writer is a foreachBatch body change, nothing upstream moves.
+  */
+object IndexSink {
+
+  /** Start appending a (possibly streaming) DataFrame into the index. */
+  def start(enriched: DataFrame, path: String, checkpoint: String,
+            partitionCols: Seq[String]): StreamingQuery =
+    enriched.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+      }
+      .start()
+
+  /** Batch path into the same index layout (E2 shares the sink). */
+  def writeBatch(enriched: DataFrame, path: String,
+                 partitionCols: Seq[String]): Unit =
+    enriched.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Query the index — plain DataFrame over the partitioned table;
+    * filters on partition columns prune directories (verify with
+    * .explain: PartitionFilters). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** T7 — arbitrary stateful processing: running per-user counters kept in
+  * the state store across micro-batches (SURVEY.md §2.9).
+  *
+  * Scale posture: state is partitioned by the group key across
+  * executors; memory is O(active users), and the processing-time timeout
+  * evicts idle users so abandoned keys cannot grow the store without
+  * bound. This is the pattern for per-entity accumulators (counters,
+  * rate limits, fraud scores) the windowed-agg operators can't express.
+  */
+object Stateful {
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserRunning(user_id: Long, n: Long, total: Double, avg: Double)
+
+  private def update(evict: Boolean)(userId: Long, events: Iterator[UserEvent],
+                     state: GroupState[UserState]): UserRunning = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      UserRunning(userId, s.n, s.total, if (s.n == 0) 0 else s.total / s.n)
+    } else {
+      val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+      val (n, total) = events.foldLeft((prev.n, prev.total)) {
+        case ((c, t), e) => (c + 1, t + e.value)
+      }
+      state.update(UserState(n, total))
+      if (evict) state.setTimeoutDuration("1 hour")
+      UserRunning(userId, n, total, if (n == 0) 0 else total / n)
+    }
+  }
+
+  /** Running (count, sum, avg) per user, updated each micro-batch.
+    *
+    * `timeout` defaults to NoTimeout. Production deployments with
+    * unbounded key populations should pass ProcessingTimeTimeout (and
+    * the update fn's timed-out branch evicts) — but note that timeout
+    * handling makes Spark schedule no-data batches continuously, so
+    * test harnesses using processAllAvailable() must use NoTimeout or
+    * they never observe quiescence. */
+  def runningUserTotals(events: Dataset[UserEvent],
+                        timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[UserRunning] = {
+    implicit val stateEnc = Encoders.product[UserState]
+    implicit val outEnc = Encoders.product[UserRunning]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(timeout)(
+        update(evict = timeout == GroupStateTimeout.ProcessingTimeTimeout))
+  }
+}

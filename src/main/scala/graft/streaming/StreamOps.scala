@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming transform surface (SURVEY.md §2.9 T2-T6, T8).
+  *
+  * Every builder here is a pure LogicalPlan transform that works on BOTH
+  * a batch DataFrame and a `readStream` DataFrame — Structured
+  * Streaming's core guarantee, and the property that lets the batch
+  * DuckDB oracle vouch for the windowing arithmetic while MemoryStream
+  * tests vouch for the incremental execution (watermarks, state,
+  * late-data handling — things a batch engine cannot model).
+  *
+  * Scale posture: windowed aggregations shuffle on (window, key) — state
+  * store size is bounded by watermark horizon × key cardinality, the
+  * knob that keeps 100 TB/day streams in executor memory. Stream-static
+  * joins broadcast the static dim per micro-batch.
+  */
+object StreamOps {
+
+  /** T2 — tumbling-window counts per key (events/min by type). */
+  def tumblingCounts(df: DataFrame, tsCol: String, keyCol: String,
+                     width: String): DataFrame =
+    df.groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col(keyCol), col("n"))
+
+  /** T3 — sliding-window counts (overlapping windows). */
+  def slidingCounts(df: DataFrame, tsCol: String, keyCol: String,
+                    width: String, slide: String): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col(keyCol), col("n"))
+
+  /** T4 — gap-based session windows per key. The batch-equivalent
+    * lag+cumsum sessionization (W2 idiom) is oracle-checked as
+    * q30_sessionize; this is the streaming-native form. */
+  def sessionAgg(df: DataFrame, tsCol: String, keyCol: String,
+                 gap: String): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col(keyCol), col("n_events"))
+
+  /** T5 — watermarked tumbling counts: rows later than `delay` behind
+    * the max seen ts are dropped and their windows finalized. */
+  def watermarkedCounts(df: DataFrame, tsCol: String, keyCol: String,
+                        width: String, delay: String): DataFrame =
+    tumblingCounts(df.withWatermark(tsCol, delay), tsCol, keyCol, width)
+
+  /** T6 — streaming dedup by id with bounded state. */
+  def dedup(df: DataFrame, tsCol: String, delay: String,
+            idCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicates(idCols :+ tsCol)
+
+  /** T8 — enrich a stream with a static dimension (broadcast per
+    * micro-batch; keys must match by name). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+}

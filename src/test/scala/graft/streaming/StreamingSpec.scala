@@ -1,0 +1,192 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+/** SURVEY.md §2.9: incremental-execution semantics that the batch oracle
+  * cannot model — micro-batches, watermark late-drop, streaming state.
+  * Windowing ARITHMETIC is shared with batch (StreamOps builders run on
+  * both), so the batch-vs-stream agreement tests double as the oracle.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("T2: streaming tumbling counts agree with the same plan run in batch") {
+    val s = spark
+    import s.implicits._
+    val data = Seq(
+      Ev(1, ts(0, 10), 1, "click"), Ev(2, ts(0, 50), 1, "click"),
+      Ev(3, ts(1, 10), 2, "view"), Ev(4, ts(2, 30), 1, "click"))
+    val stream = MemoryStream[Ev](s)
+    stream.addData(data)
+    val q = StreamOps.tumblingCounts(stream.toDF(), "ts", "event_type", "1 minute")
+      .writeStream.format("memory").queryName("t2_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("t2_out").orderBy("win_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSeq
+    val batch = StreamOps.tumblingCounts(data.toDF(), "ts", "event_type", "1 minute")
+      .orderBy("win_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSeq
+    assert(streamed === batch)
+    assert(batch === Seq(
+      (ts(0), "click", 2L), (ts(1), "view", 1L), (ts(2), "click", 1L)))
+  }
+
+  test("T3: sliding windows produce one row per covering window") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Ev(1, ts(5, 30), 1, "click")).toDF()
+    val out = StreamOps.slidingCounts(df, "ts", "event_type", "10 minutes", "5 minutes")
+      .collect()
+    // a point at 00:05:30 falls in windows [00:00,00:10) and [00:05,00:15)
+    assert(out.map(_.getTimestamp(0)).toSet === Set(ts(0), ts(5)))
+  }
+
+  test("T4: session windows split on gap > threshold") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Ev(1, ts(0), 7, "a"), Ev(2, ts(2), 7, "a"),   // session 1 (gap 2min < 5min)
+      Ev(3, ts(20), 7, "a")                          // session 2
+    ).toDF()
+    val out = StreamOps.sessionAgg(df, "ts", "user_id", "5 minutes")
+      .orderBy("sess_start").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(3) === 2L && out(1).getLong(3) === 1L)
+  }
+
+  test("T5: watermark drops data later than the delay") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    val q = StreamOps.watermarkedCounts(stream.toDF(), "ts", "event_type", "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("t5_out").outputMode("append").start()
+    stream.addData(Ev(1, ts(0, 10), 1, "click"))
+    q.processAllAvailable()               // watermark still at 0
+    stream.addData(Ev(2, ts(10), 1, "click"))
+    q.processAllAvailable()               // watermark -> 00:08; [00:00,00:01) finalized+emitted
+    stream.addData(Ev(3, ts(0, 20), 1, "click"))   // LATE: behind watermark -> dropped
+    q.processAllAvailable()
+    stream.addData(Ev(4, ts(20), 1, "click"))
+    q.processAllAvailable()               // advances watermark; [00:10,00:11) emitted
+    q.stop()
+    val rows = s.table("t5_out").orderBy("win_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(3))).toSeq
+    // the late event did NOT bump [00:00,00:01) to 2
+    assert(rows === Seq((ts(0), 1L), (ts(10), 1L)))
+  }
+
+  test("T6: streaming dedup collapses repeated event ids") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Ev](s)
+    val q = StreamOps.dedup(stream.toDF(), "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("t6_out").outputMode("append").start()
+    stream.addData(Ev(1, ts(0), 1, "click"), Ev(1, ts(0), 1, "click"))
+    q.processAllAvailable()
+    stream.addData(Ev(1, ts(0), 1, "click"), Ev(2, ts(1), 1, "view"))
+    q.processAllAvailable()
+    q.stop()
+    assert(s.table("t6_out").select("event_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("T7: mapGroupsWithState keeps running per-user totals across batches") {
+    val s = spark
+    import s.implicits._
+    val stream = MemoryStream[Stateful.UserEvent](s)
+    val q = Stateful.runningUserTotals(stream.toDS())
+      .writeStream.format("memory").queryName("t7_out").outputMode("update").start()
+    stream.addData(Stateful.UserEvent(1, "a", 10.0), Stateful.UserEvent(1, "a", 20.0))
+    q.processAllAvailable()
+    stream.addData(Stateful.UserEvent(1, "b", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    // last update for user 1 must carry state from batch 1 (n=3, total=60)
+    val last = s.table("t7_out").filter($"user_id" === 1)
+      .orderBy($"n".desc).head()
+    assert(last.getLong(1) === 3L && last.getDouble(2) === 60.0)
+  }
+
+  test("T8: stream-static dim join enriches in-flight rows") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[Ev](s)
+    val q = StreamOps.enrichWithDim(stream.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("t8_out").outputMode("append").start()
+    stream.addData(Ev(1, ts(0), 1, "click"), Ev(2, ts(1), 9, "view"))
+    q.processAllAvailable(); q.stop()
+    val rows = s.table("t8_out").select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows === Map(1L -> "gold", 2L -> null))
+  }
+
+  test("T1/T9/S8: file-stream ingest -> enrich -> partitioned index sink; partition filter prunes") {
+    val s = spark
+    val in = tmp("tweets_in"); val idx = tmp("tweets_idx"); val ck = tmp("ck")
+    val tweets = Seq(
+      """{"created_at":"2024-01-01T00:00:00Z","text":"Happy #New Year fast fast","user":{"id":1,"name":"ann"},"geo":{"lat":40.0,"lon":-105.2}}""",
+      """{"created_at":"2024-01-01T00:01:00Z","text":"so slow today","user":{"id":2,"name":"bob"},"geo":null}""")
+    Files.write(java.nio.file.Paths.get(in, "batch0.json"),
+      tweets.mkString("\n").getBytes("UTF-8"))
+    val q = IndexSink.start(
+      TweetPipeline.streamIngest(s, in), idx, ck, Seq("sentiment"))
+    q.awaitTermination()   // AvailableNow terminates when caught up
+    val back = IndexSink.read(s, idx)
+    assert(back.count() === 2)
+    val pos = back.filter(col("sentiment") === "positive")
+    assert(pos.count() === 1)
+    assert(pos.head().getAs[Seq[String]]("hashtags") === Seq("#New"))
+    // partition pruning visible in the physical plan
+    val plan = pos.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sentiment"))
+  }
+
+  test("E1 == E2: HTTP-ingested and batch-file tweets produce identical enriched rows") {
+    val s = spark
+    val payload =
+      """{"created_at":"2024-01-01T06:30:00Z","text":"big #Spark merge is fast","user":{"id":3,"name":"cat"},"geo":{"lat":1.5,"lon":2.5}}"""
+    // E1: HTTP path
+    val http = new HttpIngestForTest(s)
+    try {
+      val out = tmp("e1_out"); val ck = tmp("e1_ck")
+      http.post(payload)
+      val q = http.ingester.enriched.writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val e1 = s.read.parquet(out)
+      // E2: batch path over the same payload written to a file
+      val in = tmp("e2_in")
+      Files.write(java.nio.file.Paths.get(in, "t.json"), payload.getBytes("UTF-8"))
+      val e2 = TweetPipeline.batchIngest(s, in)
+      assert(e1.collect().toSeq === e2.collect().toSeq)
+      assert(e1.head().getAs[String]("sentiment") === "positive")
+    } finally http.close()
+  }
+
+  /** Drives the real HTTP server over a socket — the full E1 boundary. */
+  private class HttpIngestForTest(s: org.apache.spark.sql.SparkSession) {
+    val ingester = new graft.sources.HttpIngest(s, port = 0)
+    def post(body: String): Unit = {
+      val url = java.net.URI.create(s"http://localhost:${ingester.boundPort}/tweets").toURL
+      val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod("POST"); c.setDoOutput(true)
+      c.getOutputStream.write(body.getBytes("UTF-8"))
+      assert(c.getResponseCode === 200)
+      c.disconnect()
+    }
+    def close(): Unit = ingester.stop()
+  }
+}
