@@ -27,6 +27,27 @@ object Fixtures {
   val stopwords: Seq[(String, String)] = Seq(
     "the" -> "en", "a" -> "en")
 
+  /** Language-ID marker profiles: (lang, token, weight). The n-gram
+    * heuristic needs per-language frequency profiles; with a synthetic
+    * shared-vocabulary corpus the profiles are fixture-declared rather
+    * than corpus-learned — the OPERATOR (weighted profile match +
+    * argmax) is what carries to real corpora. */
+  val langProfiles: Seq[(String, String, Int)] = Seq(
+    ("en", "the", 3), ("en", "a", 2), ("en", "row", 1),
+    ("es", "data", 2), ("es", "query", 2), ("es", "line", 1),
+    ("zh", "table", 2), ("zh", "window", 2), ("zh", "key", 1),
+    ("de", "scan", 2), ("de", "merge", 2), ("de", "sort", 1),
+    ("fr", "value", 2), ("fr", "part", 2), ("fr", "group", 1))
+
+  def langProfilesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    langProfiles.toDF("plang", "token", "weight")
+  }
+
+  val langProfilesSql: String =
+    langProfiles.map { case (l, t, w) => s"('$l', '$t', $w)" }
+      .mkString("(VALUES ", ", ", ") prof(plang, token, weight)")
+
   def lexiconDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     sentimentLexicon.toDF("term", "score")

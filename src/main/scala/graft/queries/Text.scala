@@ -234,5 +234,63 @@ object Text {
       FROM u GROUP BY sha256(text) ORDER BY kept_doc_id"""),
     doc = "N9: content-hash dedup; hash-groupBy shuffles 32-byte keys, not text")
 
-  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49)
+  /** q62 — language identification via weighted marker-token profiles
+    * (the n-gram-heuristic langid operator; profiles are fixtures on
+    * this synthetic shared-vocab corpus — see Fixtures.langProfiles).
+    * predicted = argmax over per-language scores, ties to smaller lang. */
+  val q62 = Q(
+    "q62_langid",
+    (s, dir) => {
+      import s.implicits._
+      val prof = Fixtures.langProfilesDf(s)
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang".asc)
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+        .join(broadcast(prof), Seq("token"))
+        .groupBy($"doc_id", $"lang", $"plang")
+        .agg(sum($"weight").as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang".as("declared_lang"),
+          $"plang".as("predicted_lang"), $"score")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+           sc AS (SELECT doc_id, lang, plang, SUM(weight) AS score
+                  FROM t JOIN ${Fixtures.langProfilesSql} ON t.token = prof.token
+                  GROUP BY doc_id, lang, plang),
+           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn FROM sc)
+      SELECT doc_id, lang AS declared_lang, plang AS predicted_lang, score
+      FROM r WHERE rn = 1 ORDER BY doc_id"""),
+    doc = "langid: profile join + argmax rank idiom; profile dim broadcast")
+
+  /** q63 — document fingerprint via polynomial rolling hash over the
+    * token stream: h ← (h·31 + md5₃₂(token)) mod 10¹⁵. Order-sensitive
+    * (unlike the set-based minhash), so token permutations produce
+    * different fingerprints — the content-defined-chunking primitive. */
+  val q63 = Q(
+    "q63_rolling_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          aggregate(
+            split($"text", " "), lit(0L),
+            (acc, t) => (acc * 31 +
+              conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)) % 1000000000000000L)
+            .as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_transform(string_split(text, ' '), t ->
+                 CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
+               (h, x) -> (h * 31 + x) % 1000000000000000) AS fingerprint
+      FROM documents ORDER BY doc_id"""),
+    doc = "rolling hash: sequential fold; list_reduce's first-element seed " +
+      "equals foldLeft(0)'s first step because md5_32 < modulus")
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63)
 }

@@ -150,5 +150,35 @@ object Vectors {
       FROM n GROUP BY label ORDER BY label"""),
     doc = "norm profile: sequential-fold norms, exact micro sums")
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53)
+  /** q64 — label centroids via the typed VectorMean Aggregator (A10,
+    * the UDAF API surface; q52 is the same math in relational form).
+    * The UDAF's long-micro buffer makes it partition-order-invariant,
+    * which is what lets a UDAF be oracle-checked at all. */
+  val q64 = Q(
+    "q64_vector_mean_udaf",
+    (s, dir) => {
+      import s.implicits._
+      implicit val seqFloatEnc =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+      val vecMean = udaf(new graft.functions.VectorMean(8))
+      Tables(s, dir, "embeddings")
+        .groupBy($"label")
+        .agg(vecMean(slice($"embedding", 1, 8)).as("centroid"),
+          count(lit(1)).as("n"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH d AS (SELECT label, CAST(pos AS INT) AS dim,
+                   CAST(CAST(CAST(embedding[CAST(pos AS INT)] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
+                 FROM embeddings, (SELECT unnest(range(1, 9)) AS pos)),
+           m AS (SELECT label, dim,
+                   CAST(SUM(micros) AS DOUBLE) / 1000000 / COUNT(*) AS mean_val,
+                   COUNT(*) AS n
+                 FROM d GROUP BY label, dim)
+      SELECT label, list(mean_val ORDER BY dim) AS centroid,
+             CAST(MIN(n) AS BIGINT) AS n
+      FROM m GROUP BY label ORDER BY label"""),
+    doc = "A10 typed Aggregator: micro-long buffer -> order-invariant, oracle-exact")
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64)
 }
