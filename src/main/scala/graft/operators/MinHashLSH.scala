@@ -1,75 +1,119 @@
 package graft.operators
 
+import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** MinHash + LSH near-duplicate detection (SURVEY.md §2.10 N10).
   *
-  * Classic shingle → minhash → band → bucket-join pipeline (Broder '97),
-  * expressed entirely in codegen'd column expressions:
+  * Classic shingle → minhash → band → bucket-join pipeline (Broder '97).
+  * The formulation is deliberately RELATIONAL, not nested-HOF:
   *
-  *   1. word k-shingles, distinct, per doc           (HOF, no shuffle)
-  *   2. minhash signature: for seed j, min over shingles of
-  *      H(j, s) = first 15 hex digits of md5(j || ':' || s)  (HOF)
-  *   3. band keys: md5 of each `rows`-wide signature slice   (HOF)
-  *   4. candidate pairs: self-equi-join on (band, key)       (ONE shuffle)
-  *   5. verify: exact Jaccard over shingle sets, threshold   (join back)
+  *   1. per row: hashed word k-shingles as one array column — each
+  *      token md5-hashed once, k-grams combined by base-31 polynomial
+  *      (`shingleHashArr`). Built with arrays_zip so every subexpression
+  *      evaluates once per ROW. (A nested-HOF signature formulation
+  *      looks natural but is catastrophic: lambda bodies don't get
+  *      common-subexpression elimination, and CollapseProject inlines
+  *      the array into every element_at reference — measured 144×
+  *      re-evaluation, 95 s for 6 000 docs. The relational form runs
+  *      the same corpus in ~2 s.)
+  *   2. explode → ONE codegen'd hash aggregation per doc computing all
+  *      `numHashes` signature minima AND the distinct shingle set in a
+  *      single shuffle with map-side partial aggregation. Seed j's hash
+  *      is the universal family (a_j·h + b_j) mod P over the base hash
+  *      — md5 count is |tokens|, independent of numHashes. a_j, b_j are
+  *      md5-derived at PLAN time; any engine reproduces them.
+  *   3. band keys: base-31 combine of `rows` signature columns — plain
+  *      attribute arithmetic, overflow-safe under ANSI for rows ≤ 6.
+  *   4. candidate pairs: self-equi-join on (band, key).
+  *   5. verify: exact Jaccard over the hashed shingle sets.
   *
-  * Scale posture: the only shuffles are the band-key equi-join and the
-  * verify join — both on compact keys (16-byte band hash / doc id), never
-  * on raw text. Candidate volume is controlled by (bands, rows): P(pair
-  * surfaces) = 1-(1-j^rows)^bands, the standard S-curve. At 100 TB, band
-  * keys are uniformly distributed md5s, so the bucket join has no
-  * systematic skew; genuinely viral duplicates (>~10^4 copies of one
-  * text) would need a per-bucket count cap upstream.
+  * Scale posture: one shuffle keyed by doc id for the signature agg
+  * (reduced map-side), then equi-joins on compact keys (longs / doc
+  * ids) — raw text never crosses a shuffle. Candidate volume follows
+  * the (bands, rows) S-curve P = 1-(1-j^rows)^bands. Band keys are
+  * uniform, so no systematic bucket skew; genuinely viral duplicates
+  * (>~10^4 copies of one text) would need a per-bucket count cap
+  * upstream.
   *
-  * Determinism: md5 is engine-agnostic (same bytes in Spark, DuckDB, any
-  * engine), so signatures/bands/pairs are reproducible anywhere — no RNG,
-  * no seed state. 15 hex digits = 60 bits, fits a signed long exactly.
+  * Determinism: md5 + integer arithmetic only — reproducible in any
+  * engine (the DuckDB oracle twin mirrors every step). Hash domain is
+  * 2^28, so hashed-shingle Jaccard differs from string Jaccard only on
+  * collisions (~|shingles|²/2^28 per doc pair — negligible, and both
+  * engines collide identically).
   */
 object MinHashLSH {
 
-  /** Deterministic 60-bit hash of `s` under seed `j`. */
-  def seededHash(j: Column, s: Column): Column =
-    conv(substring(md5(concat(j.cast(StringType), lit(":"), s)), 1, 15), 16, 10)
-      .cast(LongType)
+  /** Modulus of the universal hash family: prime < 2^30, so
+    * a·h + b < 2^60 — no ANSI overflow. */
+  val Mod = 999999937L
 
-  /** Distinct word k-shingles of a whitespace-tokenized text column.
-    * Docs with fewer than k tokens yield an empty array (the `when`
-    * guard matters: sequence(1, 0) would step BACKWARDS to [1, 0] and
-    * element_at(tokens, 0) throws under ANSI mode). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val tokens = split(text, " ")
-    when(size(tokens) >= k,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(tokens) - (k - 1)),
-          i => concat_ws(" ", (0 until k).map(o => element_at(tokens, i + o)): _*))))
-      .otherwise(array().cast("array<string>"))
+  /** First 7 md5 hex digits of "tag:j" as a long in [1, 2^28) — the
+    * plan-time constant generator (the oracle renders the same values
+    * as literals; never computed at runtime). */
+  def planConstant(tag: String, j: Int): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$j".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString.take(7)
+    math.max(1L, java.lang.Long.parseLong(hex, 16))
   }
 
-  /** MinHash signature: array<long> of length numHashes. */
-  def signature(shingleCol: Column, numHashes: Int = 12): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleCol, s => seededHash(j, s))))
+  def aConst(n: Int): IndexedSeq[Long] = (0 until n).map(planConstant("a", _))
+  def bConst(n: Int): IndexedSeq[Long] = (0 until n).map(planConstant("b", _))
 
-  /** One md5 band key per `rows`-wide slice of the signature. */
-  def bandKeys(sig: Column, bands: Int = 4, rows: Int = 3): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws(",",
-        transform(slice(sig, b * lit(rows) + 1, lit(rows)), x => x.cast(StringType)))))
+  /** 28-bit md5-derived hash of each whitespace token. */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t =>
+      conv(substring(md5(t), 1, 7), 16, 10).cast(LongType))
+
+  /** Hashed k-shingles as one array<long> per row: base-31 polynomial
+    * of k consecutive token hashes, mod P. arrays_zip aligns the k
+    * shifted views so nothing is re-evaluated per element; docs with
+    * fewer than k tokens yield an empty array (slice length 0). */
+  def shingleHashArr(text: Column, k: Int = 3): Column = {
+    val hts = tokenHashes(text)
+    val len = greatest(size(hts) - (k - 1), lit(0))
+    val zipped = arrays_zip((0 until k).map(o => slice(hts, lit(o + 1), len)): _*)
+    transform(zipped, s =>
+      (0 until k).map(o => s.getField(o.toString))
+        .reduceLeft((acc, x) => acc * 31 + x) % Mod)
+  }
+
+  /** Per-doc signature + shingle set in ONE aggregation:
+    * (idCol, sh: array<long>, sig0..sig{n-1}: long). */
+  def docSignatures(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, numHashes: Int = 12): DataFrame = {
+    val exploded = docs.select(
+      col(idCol), explode(shingleHashArr(col(textCol), k)).as("__shash"))
+    val aggs =
+      collect_set(col("__shash")).as("sh") +:
+        (0 until numHashes).map(j =>
+          min((lit(aConst(numHashes)(j)) * col("__shash") +
+            lit(bConst(numHashes)(j))) % Mod).as(s"sig$j"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band keys from signature columns: key_b = base-31 polynomial of
+    * sig[b·rows .. b·rows+rows-1]. */
+  private def bandKeyArr(bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      (0 until rows).map(r => col(s"sig${b * rows + r}"))
+        .reduceLeft((acc, x) => acc * 31 + x)): _*)
 
   /** Candidate pairs (aId < bId) whose signatures collide in >=1 band.
     * Input must have columns (idCol: long, textCol: string). */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, numHashes: Int = 12,
-                     bands: Int = 4, rows: Int = 3): DataFrame = {
-    val ex = docs
-      .withColumn("__sig", signature(shingles(col(textCol), k), numHashes))
-      .select(col(idCol), posexplode(bandKeys(col("__sig"), bands, rows)).as(Seq("band", "key")))
+                     bands: Int = 4, rows: Int = 3): DataFrame =
+    candidatesFrom(docSignatures(docs, idCol, textCol, k, numHashes),
+      idCol, bands, rows)
+
+  private def candidatesFrom(sigs: DataFrame, idCol: String,
+                             bands: Int, rows: Int): DataFrame = {
+    val ex = sigs.select(col(idCol),
+      posexplode(bandKeyArr(bands, rows)).as(Seq("band", "key")))
     ex.as("a").join(ex.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -77,15 +121,16 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Full pipeline: candidates verified by exact shingle-set Jaccard. */
+  /** Full pipeline: candidates verified by exact Jaccard over the
+    * hashed shingle sets. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, k: Int = 3, numHashes: Int = 12,
                    bands: Int = 4, rows: Int = 3): DataFrame = {
-    val withShingles = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
-    val cands = candidatePairs(docs, idCol, textCol, k, numHashes, bands, rows)
-    cands
-      .join(withShingles.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
-      .join(withShingles.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
+    val sigs = docSignatures(docs, idCol, textCol, k, numHashes)
+    val sets = sigs.select(col(idCol), col("sh"))
+    candidatesFrom(sigs, idCol, bands, rows)
+      .join(sets.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

@@ -37,31 +37,37 @@ object Dedup {
            array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 2], ' ') AS text
     FROM documents WHERE doc_id % 5 = 0"""
 
-  /** DuckDB twin of MinHashLSH.shingles (k=3). list_distinct reorders,
-    * which is safe: shingle arrays only feed order-insensitive ops
-    * (min, set intersect/size). */
-  private val shinglesSql = """
-    list_distinct(list_transform(
-      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))"""
-
-  /** q54 — MinHash + LSH near-dup pairs (N10): shingle → 12-hash
-    * signature → 4 bands × 3 rows → bucket join → exact-Jaccard >= 0.5. */
+  /** q54 — MinHash + LSH near-dup pairs (N10): token md5 hashes →
+    * base-31 hashed 3-shingles → 12 universal-hash signature minima →
+    * 4 bands × 3 rows polynomial keys → bucket join → Jaccard >= 0.5
+    * over the hashed shingle sets. Mirrors MinHashLSH step for step. */
   val q54 = Q(
     "q54_minhash_lsh",
     (s, dir) => MinHashLSH
       .nearDupPairs(plantedDocs(s, dir), "doc_id", "text", minJaccard = 0.5)
       .orderBy(col("a_id"), col("b_id")),
-    Some(s"""
+    Some {
+      val aLit = MinHashLSH.aConst(12).mkString("[", ", ", "]")
+      val bLit = MinHashLSH.bConst(12).mkString("[", ", ", "]")
+      val M = MinHashLSH.Mod
+      s"""
       WITH corpus AS ($plantedDocsSql),
-      sh AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
+      hts AS (SELECT doc_id,
+                list_transform(string_split(text, ' '), t ->
+                  CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS hts
+              FROM corpus),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(hts) - 2, 0) + 1),
+                 i -> ((hts[i] * 31 + hts[i+1]) * 31 + hts[i+2]) % $M)) AS sh
+             FROM hts),
       sig AS (SELECT doc_id, sh,
                 list_transform(range(0, 12), j ->
-                  list_min(list_transform(sh, s ->
-                    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)))) AS sig
+                  list_min(list_transform(sh, h ->
+                    ($aLit[CAST(j AS INT) + 1] * h + $bLit[CAST(j AS INT) + 1]) % $M))) AS sig
               FROM sh),
       bands AS (SELECT doc_id, CAST(b AS INT) AS band,
-                  md5(array_to_string(sig[(CAST(b AS INT)*3+1):(CAST(b AS INT)*3+3)], ',')) AS key
+                  (sig[CAST(b AS INT)*3+1] * 31 + sig[CAST(b AS INT)*3+2]) * 31 + sig[CAST(b AS INT)*3+3] AS key
                 FROM sig, (SELECT unnest(range(0, 4)) AS b)),
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                FROM bands x JOIN bands y
@@ -74,8 +80,10 @@ object Dedup {
             JOIN sh sb ON cand.b_id = sb.doc_id)
       SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard
       FROM v WHERE inter / (na + nb - inter) >= 0.5
-      ORDER BY a_id, b_id"""),
-    doc = "N10: minhash-LSH — shuffles band hashes + doc ids, never raw text")
+      ORDER BY a_id, b_id"""
+    },
+    doc = "N10: minhash-LSH, relational form — one codegen'd agg computes all " +
+      "signature minima + shingle sets; shuffles longs + doc ids, never raw text")
 
   /** q55 — SimHash near-dup pairs (N10 variant): 16-bit fingerprint,
     * hi/lo-byte banding, hamming <= 3. */
