@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Physical-plan assertions (SURVEY.md §4.2): the plans, not just the
+  * results, are part of the contract — these are the properties that
+  * decide whether a query survives a 100 TB corpus. A regression that
+  * silently drops a pushdown or broadcasts the wrong side still passes
+  * value checks at sf0.01; it fails here.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => qe.explainString(m)
+    }
+  }
+
+  test("filters push down to the parquet scan; projection prunes columns") {
+    val df = Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 25)
+      .select("l_orderkey", "l_quantity")
+    val f = formatted(df)
+    assert(f.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"), f)
+    // scan must read exactly the two referenced columns
+    val readSchema = f.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("star join broadcasts the small dimensions, not the fact table") {
+    val q = queries.Joins.all.find(_.name == "q06_join_broadcast_star").get
+    val p = plan(q.build(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("aggregation is two-phase (map-side partial before the shuffle)") {
+    val df = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("orderBy + limit fuses into TakeOrderedAndProject (no global sort)") {
+    val df = Tables(spark, sf, "lineitem")
+      .orderBy(col("l_extendedprice").desc).limit(10)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("relational pipelines run inside WholeStageCodegen") {
+    val df = Tables(spark, sf, "lineitem")
+      .filter(col("l_discount") > 0.01)
+      .groupBy("l_linestatus").agg(count(lit(1)))
+    df.collect()   // AQE finalizes (and codegens) the plan on execution
+    // "*(n)" prefixes are the WholeStageCodegen stage markers; the whole
+    // scan→filter→partial-agg pipeline must sit in stage 1
+    val p = plan(df)
+    assert(p.contains("*(1) Filter") && p.contains("*(1) HashAggregate"), p)
+  }
+
+  test("as-of join shuffles once on the keys (no pair explosion)") {
+    import spark.implicits._
+    val left = Tables(spark, sf, "events").select($"user_id", $"ts", $"event_id")
+    val right = Tables(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val p = plan(graft.operators.AsOf.join(left, right, Seq("user_id"), "ts"))
+    // union + window formulation: no join node at all, so no O(n*m) risk
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("minhash signatures aggregate with map-side partial aggregation") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").select($"doc_id", $"text")
+    val p = plan(graft.operators.MinHashLSH.docSignatures(docs, "doc_id", "text"))
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("partitioned index scan prunes partitions on the filter") {
+    val out = java.nio.file.Files.createTempDirectory("plan_idx").toString
+    Tables(spark, sf, "events").write.mode("overwrite")
+      .partitionBy("event_type").parquet(out)
+    val f = formatted(spark.read.parquet(out).filter(col("event_type") === "purchase"))
+    assert(f.contains("PartitionFilters"), f)
+    val pf = f.linesIterator.find(_.trim.startsWith("PartitionFilters")).get
+    assert(pf.contains("event_type"), pf)
+  }
+}
