@@ -73,6 +73,18 @@ def main():
         elif len(mine) != len(gold):
             errs.append(f"  rows: spark={len(mine)} oracle={len(gold)}")
         else:
+            # Mirror the driver's stricter gate: it sorts on raw columns
+            # (ndarray cells crash it) and hashes dtype-sensitively.
+            for c in mine.columns:
+                for side, df in (("spark", mine), ("oracle", gold)):
+                    if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+                        errs.append(f"  col {c}: {side} cell is array-typed "
+                                    f"(driver sort_values would crash)")
+                # kind-level only: int32 vs int64 hashes identically for the
+                # driver, but object (e.g. DuckDB HUGEINT) vs numeric does not
+                if mine[c].dtype.kind != gold[c].dtype.kind:
+                    errs.append(f"  col {c}: dtype kind spark={mine[c].dtype} "
+                                f"oracle={gold[c].dtype} (driver hash mismatch)")
             for c in mine.columns:
                 cmp_cols(c, mine[c], gold[c], errs)
                 if len(errs) > 8:

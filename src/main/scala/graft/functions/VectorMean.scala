@@ -24,8 +24,13 @@ class VectorMean(dims: Int) extends Aggregator[Seq[Float], VectorMean.Buf, Seq[D
 
   override def reduce(b: Buf, a: Seq[Float]): Buf =
     if (a == null) b
-    else Buf(b.sums.zip(a).map { case (s, x) => s + math.rint(x.toDouble * 1e6).toLong },
-      b.n + 1)
+    else {
+      require(a.length == dims,
+        s"VectorMean($dims): input vector has ${a.length} dims — schema drift " +
+          "must fail loudly, not skew the centroid by zip-truncation")
+      Buf(b.sums.zip(a).map { case (s, x) => s + math.rint(x.toDouble * 1e6).toLong },
+        b.n + 1)
+    }
 
   override def merge(x: Buf, y: Buf): Buf =
     Buf(x.sums.zip(y.sums).map { case (a, b) => a + b }, x.n + y.n)

@@ -25,27 +25,34 @@ object AsOf {
            tieBreak: String = "event_id"): DataFrame = {
     val leftOther = left.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
-    val tsType = right.schema(ts).dataType
 
     def nullAs(src: DataFrame, c: String, as: String): Column =
       lit(null).cast(src.schema(c).dataType).as(as)
+
+    // All right-side payload travels as ONE struct so the window fill can
+    // never tear: a right row whose value column is NULL must still win as
+    // a whole (asof_ts and every asof_* from the SAME row), which per-column
+    // last(ignoreNulls) would violate by reaching further back for the null
+    // column only.
+    val asofStruct = struct(
+      col(ts).as("asof_ts") +: rightVals.map(c => col(c).as(s"asof_$c")): _*)
+    val asofType = right.select(asofStruct.as("__asof")).schema.head.dataType
 
     val lPart = left.select(
       keys.map(col) ++ Seq(
         col(ts),
         lit(1).as("__is_left"),
         col(tieBreak).as("__tie")) ++
-      leftOther.map(col) ++
-      (lit(null).cast(tsType).as("asof_ts") +:
-        rightVals.map(c => nullAs(right, c, s"asof_$c"))): _*)
+      leftOther.map(col) :+
+      lit(null).cast(asofType).as("__asof"): _*)
 
     val rPart = right.select(
       keys.map(col) ++ Seq(
         col(ts),
         lit(0).as("__is_left"),
         col(tieBreak).as("__tie")) ++
-      leftOther.map(c => nullAs(left, c, c)) ++
-      (col(ts).as("asof_ts") +: rightVals.map(c => col(c).as(s"asof_$c"))): _*)
+      leftOther.map(c => nullAs(left, c, c)) :+
+      asofStruct.as("__asof"): _*)
 
     val w = Window
       .partitionBy(keys.map(col): _*)
@@ -53,9 +60,10 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val asofCols = "asof_ts" +: rightVals.map(c => s"asof_$c")
-    val filled = asofCols.foldLeft(lPart.unionByName(rPart)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__is_left") === 1).drop("__is_left", "__tie")
+    lPart.unionByName(rPart)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(col("*") +: asofCols.map(c => col(s"__asof.$c").as(c)): _*)
+      .drop("__is_left", "__tie", "__asof")
   }
 }

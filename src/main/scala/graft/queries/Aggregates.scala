@@ -65,16 +65,19 @@ object Aggregates {
       Tables(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(
-          sort_array(collect_set($"o_orderpriority")).as("priorities"),
-          sort_array(collect_list($"o_orderstatus")).as("statuses"),
+          array_join(sort_array(collect_set($"o_orderpriority")), "|").as("priorities"),
+          array_join(sort_array(collect_list($"o_orderstatus")), "|").as("statuses"),
           count(lit(1)).as("n"))
         .orderBy($"o_custkey")
     },
     Some("""
-      SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
-             list_sort(list(o_orderstatus)) AS statuses, COUNT(*) AS n
+      SELECT o_custkey,
+             array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+             array_to_string(list_sort(list(o_orderstatus)), '|') AS statuses,
+             COUNT(*) AS n
       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
-    doc = "A7: set-like arrays sorted for determinism; lists stay bounded per key")
+    doc = "A7: set-like arrays sorted for determinism then rendered '|'-joined " +
+      "(scalar cells — driver compare can't sort array cells); lists stay bounded per key")
 
   /** q19 — stddev / variance / correlation / percentiles (A8), computed
     * hash-exactly: decimal power sums rendered to double, then the moment

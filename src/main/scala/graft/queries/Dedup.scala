@@ -26,7 +26,7 @@ object Dedup {
     val tokens = split($"text", " ")
     val perturbed = d.filter($"doc_id" % 5 === 0).select(
       ($"doc_id" + 100000).as("doc_id"),
-      concat_ws(" ", slice(tokens, lit(1), size(tokens) - 2)).as("text"))
+      concat_ws(" ", slice(tokens, lit(1), greatest(size(tokens) - 2, lit(0)))).as("text"))
     d.unionByName(perturbed)
   }
 

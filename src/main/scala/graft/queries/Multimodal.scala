@@ -25,7 +25,11 @@ object Multimodal {
     (s, dir) => {
       val media = MediaOps.attachFakeMedia(
         Tables(s, dir, "documents"), "doc_id", "text")
-      MediaOps.mediaFeatures(media).toDF().orderBy(col("doc_id"))
+      MediaOps.mediaFeatures(media).toDF()
+        .withColumn("frame_fingerprints",
+          array_join(transform(col("frame_fingerprints"),
+            f => f.cast(org.apache.spark.sql.types.StringType)), "|"))
+        .orderBy(col("doc_id"))
     },
     Some {
       // frame f (of 8, stride 2 -> f in 0,2,4,6), 8 bytes each:
@@ -34,7 +38,9 @@ object Multimodal {
       def frame(f: Int): String =
         s"list_reduce(list_transform(range(${f * 8 + 1}, ${f * 8 + 9}), i -> " +
           s"CAST(${byteSql("i")} AS BIGINT)), (h, p) -> (h * 31 + p) % 1000000007)"
-      val frames = Seq(0, 2, 4, 6).map(frame).mkString("[", ", ", "]")
+      val frames = Seq(0, 2, 4, 6)
+        .map(f => s"CAST(${frame(f)} AS VARCHAR)")
+        .mkString("array_to_string([", ", ", "], '|')")
       s"""
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'image/png'

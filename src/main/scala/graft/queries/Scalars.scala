@@ -149,10 +149,10 @@ object Scalars {
           size($"tokens").as("n_tokens"),
           size(array_distinct($"tokens")).as("n_unique"),
           array_contains($"tokens", "data").as("has_data"),
-          slice($"tokens", 1, 3).as("first3"),
-          sort_array(array_distinct(slice($"tokens", 1, 5))).as("head_vocab"),
-          transform($"tokens", t => length(t)).as("token_lens"),
-          filter($"tokens", t => length(t) >= 6).as("long_tokens"),
+          array_join(slice($"tokens", 1, 3), "|").as("first3"),
+          array_join(sort_array(array_distinct(slice($"tokens", 1, 5))), "|").as("head_vocab"),
+          array_join(transform($"tokens", t => length(t).cast(StringType)), "|").as("token_lens"),
+          array_join(filter($"tokens", t => length(t) >= 6), "|").as("long_tokens"),
           aggregate($"tokens", lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
           element_at($"tokens", 1).as("first_token"),
           array_position($"tokens", "data").as("data_pos"))
@@ -164,10 +164,10 @@ object Scalars {
         len(tokens) AS n_tokens,
         len(list_distinct(tokens)) AS n_unique,
         list_contains(tokens, 'data') AS has_data,
-        list_slice(tokens, 1, 3) AS first3,
-        list_sort(list_distinct(list_slice(tokens, 1, 5))) AS head_vocab,
-        list_transform(tokens, t -> length(t)) AS token_lens,
-        list_filter(tokens, t -> length(t) >= 6) AS long_tokens,
+        COALESCE(array_to_string(list_slice(tokens, 1, 3), '|'), '') AS first3,
+        COALESCE(array_to_string(list_sort(list_distinct(list_slice(tokens, 1, 5))), '|'), '') AS head_vocab,
+        COALESCE(array_to_string(list_transform(tokens, t -> CAST(length(t) AS VARCHAR)), '|'), '') AS token_lens,
+        COALESCE(array_to_string(list_filter(tokens, t -> length(t) >= 6), '|'), '') AS long_tokens,
         CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) AS total_chars,
         tokens[1] AS first_token,
         CAST(COALESCE(list_position(tokens, 'data'), 0) AS BIGINT) AS data_pos
@@ -184,7 +184,7 @@ object Scalars {
         .select($"event_id",
           get_json_object($"props", "$.k").cast(IntegerType).as("k_json"),
           element_at($"pm", "k").as("k_map"),
-          map_keys($"pm").as("prop_keys"),
+          array_join(map_keys($"pm"), "|").as("prop_keys"),
           size($"pm").as("n_props"),
           to_json(map(lit("id"), $"event_id")).as("as_json"))
         .orderBy($"event_id")
@@ -193,7 +193,7 @@ object Scalars {
       SELECT event_id,
         CAST(json_extract_string(props, '$.k') AS INT) AS k_json,
         CAST(json_extract_string(props, '$.k') AS INT) AS k_map,
-        json_keys(props) AS prop_keys,
+        array_to_string(json_keys(props), '|') AS prop_keys,
         CAST(len(json_keys(props)) AS INT) AS n_props,
         '{"id":' || event_id || '}' AS as_json
       FROM events ORDER BY event_id"""),

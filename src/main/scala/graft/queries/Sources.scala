@@ -15,9 +15,18 @@ import graft.core.{Q, Tables, Exact}
 object Sources {
 
   /** Fresh scratch dir per (query, run) — concurrent Verify/Bench runs
-    * at different SFs must not collide. */
-  private def scratch(name: String): String =
-    Files.createTempDirectory(s"graft_$name").toString
+    * at different SFs must not collide. Deleted on JVM exit so repeated
+    * Verify/Bench runs don't accumulate corpus copies in /tmp. */
+  private def scratch(name: String): String = {
+    val dir = Files.createTempDirectory(s"graft_$name")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(dir.toFile)))
+    dir.toString
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete(): Unit
+  }
 
   /** q58 — JSON write→read roundtrip (S2+S7) over nation (int + string
     * surface; schema supplied on read — never inference). */
@@ -34,7 +43,7 @@ object Sources {
         .orderBy(col("n_regionkey"))
     },
     Some("""
-      SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum,
+      SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
              MIN(n_name) AS first_name
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
     doc = "S2/S7: JSON sink+scan roundtrip; aggregate must match the parquet original")

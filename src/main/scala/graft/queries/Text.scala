@@ -128,7 +128,7 @@ object Text {
     },
     Some(s"""
       WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-           sc AS (SELECT doc_id, SUM(COALESCE(score, 0)) AS sentiment_score
+           sc AS (SELECT doc_id, CAST(SUM(COALESCE(score, 0)) AS BIGINT) AS sentiment_score
                   FROM terms LEFT JOIN ${Fixtures.lexiconSql} ON terms.term = lex.term
                   GROUP BY doc_id)
       SELECT doc_id, sentiment_score,
@@ -150,13 +150,14 @@ object Text {
         .join(broadcast(gaz), $"term" === gaz("phrase"))
         .groupBy($"doc_id")
         .agg(
-          sort_array(collect_set(concat($"tag", lit(":"), $"term"))).as("entities"),
+          array_join(sort_array(collect_set(concat($"tag", lit(":"), $"term"))), "|")
+            .as("entities"),
           count(lit(1)).as("n_mentions"))
         .orderBy($"doc_id")
     },
     Some(s"""
       SELECT doc_id,
-             list_sort(list(DISTINCT tag || ':' || term)) AS entities,
+             array_to_string(list_sort(list(DISTINCT tag || ':' || term)), '|') AS entities,
              COUNT(*) AS n_mentions
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
       JOIN ${Fixtures.gazetteerSql} ON t.term = gaz.phrase
@@ -178,10 +179,14 @@ object Text {
         .select(($"doc_id" +: $"term" +: dims): _*)
       termVecs.groupBy($"doc_id")
         .agg(count(lit(1)).as("n_terms"),
-          array((1 to 8).map(i => sum(col(s"d$i")) / count(lit(1))): _*).as("doc_vec"))
+          (1 to 8).map(i => (sum(col(s"d$i")) / count(lit(1))).as(s"dim$i")): _*)
         .orderBy($"doc_id")
     },
-    Some("""
+    Some {
+      val dims = (1 to 8)
+        .map(i => s"MAX(CASE WHEN pos = $i THEN mean_val END) AS dim$i")
+        .mkString(",\n             ")
+      s"""
       WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
            d AS (SELECT doc_id, term, CAST(pos AS INT) AS pos,
                    CAST(CAST(('0x' || substr(md5(term), CAST(pos AS INT), 1)) AS BIGINT) AS DOUBLE) AS val
@@ -189,9 +194,11 @@ object Text {
            m AS (SELECT doc_id, pos, SUM(val) / COUNT(*) AS mean_val, COUNT(*) AS n
                  FROM d GROUP BY doc_id, pos)
       SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_terms,
-             list(mean_val ORDER BY pos) AS doc_vec
-      FROM m GROUP BY doc_id ORDER BY doc_id"""),
-    doc = "N4: md5-digit lookup vectors; doc vec = exact-int mean per dim")
+             $dims
+      FROM m GROUP BY doc_id ORDER BY doc_id"""
+    },
+    doc = "N4: md5-digit lookup vectors; doc vec = exact-int mean per dim, " +
+      "one scalar column per dimension (driver compare can't sort array cells)")
 
   /** q48 — language routing + per-language profile (N6). */
   val q48 = Q(
@@ -206,7 +213,7 @@ object Text {
         .orderBy($"lang")
     },
     Some("""
-      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              COUNT(DISTINCT source) AS n_sources
       FROM documents GROUP BY lang ORDER BY lang"""),
     doc = "N6: the partition key for per-lang partitioned writes at scale")
@@ -261,7 +268,8 @@ object Text {
                   FROM t JOIN ${Fixtures.langProfilesSql} ON t.token = prof.token
                   GROUP BY doc_id, lang, plang),
            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn FROM sc)
-      SELECT doc_id, lang AS declared_lang, plang AS predicted_lang, score
+      SELECT doc_id, lang AS declared_lang, plang AS predicted_lang,
+             CAST(score AS BIGINT) AS score
       FROM r WHERE rn = 1 ORDER BY doc_id"""),
     doc = "langid: profile join + argmax rank idiom; profile dim broadcast")
 

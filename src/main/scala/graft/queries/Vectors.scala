@@ -165,9 +165,15 @@ object Vectors {
         .groupBy($"label")
         .agg(vecMean(slice($"embedding", 1, 8)).as("centroid"),
           count(lit(1)).as("n"))
+        .select($"label" +: $"n" +:
+          (1 to 8).map(i => element_at($"centroid", i).as(s"c$i")): _*)
         .orderBy($"label")
     },
-    Some("""
+    Some {
+      val dims = (1 to 8)
+        .map(i => s"MAX(CASE WHEN dim = $i THEN mean_val END) AS c$i")
+        .mkString(",\n             ")
+      s"""
       WITH d AS (SELECT label, CAST(pos AS INT) AS dim,
                    CAST(CAST(CAST(embedding[CAST(pos AS INT)] AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
                  FROM embeddings, (SELECT unnest(range(1, 9)) AS pos)),
@@ -175,9 +181,10 @@ object Vectors {
                    CAST(SUM(micros) AS DOUBLE) / 1000000 / COUNT(*) AS mean_val,
                    COUNT(*) AS n
                  FROM d GROUP BY label, dim)
-      SELECT label, list(mean_val ORDER BY dim) AS centroid,
-             CAST(MIN(n) AS BIGINT) AS n
-      FROM m GROUP BY label ORDER BY label"""),
+      SELECT label, CAST(MIN(n) AS BIGINT) AS n,
+             $dims
+      FROM m GROUP BY label ORDER BY label"""
+    },
     doc = "A10 typed Aggregator: micro-long buffer -> order-invariant, oracle-exact")
 
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64)

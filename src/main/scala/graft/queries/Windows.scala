@@ -181,8 +181,8 @@ object Windows {
         FROM events),
       s AS (
         SELECT user_id, ts, event_id,
-          SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM g)
       SELECT user_id, session_id, COUNT(*) AS n_events,
              MIN(ts) AS session_start, MAX(ts) AS session_end

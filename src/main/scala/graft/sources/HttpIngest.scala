@@ -40,7 +40,7 @@ final class HttpIngest(spark: SparkSession, port: Int = 0) {
             stream.addData(body)
             (200, """{"status":"accepted"}""")
           } else (405, """{"error":"POST only"}""")
-        } catch { case e: Exception => (500, s"""{"error":"${e.getMessage}"}""") }
+        } catch { case e: Exception => (500, s"""{"error":"${jsonEscape(e.getMessage)}"}""") }
         val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
         x.getResponseHeaders.set("Content-Type", "application/json")
         x.sendResponseHeaders(resp._1, bytes.length)
@@ -51,6 +51,19 @@ final class HttpIngest(spark: SparkSession, port: Int = 0) {
     s.start()
     s
   }
+
+  /** Escape a string for embedding in a JSON double-quoted literal —
+    * exception messages may contain quotes/backslashes/control chars. */
+  private def jsonEscape(s: String): String =
+    Option(s).getOrElse("null").flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** Bound port (useful when constructed with port=0 for tests). */
   def boundPort: Int = server.getAddress.getPort
