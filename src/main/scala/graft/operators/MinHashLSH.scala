@@ -126,7 +126,12 @@ object MinHashLSH {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, k: Int = 3, numHashes: Int = 12,
                    bands: Int = 4, rows: Int = 3): DataFrame = {
-    val sigs = docSignatures(docs, idCol, textCol, k, numHashes)
+    // The signature aggregate feeds three consumers (band self-join x2,
+    // verify joins) whose plans don't canonicalize identically, so without
+    // materialization the shingle explode+agg runs repeatedly. Persist is
+    // correct at scale too: signatures are ~100 bytes/doc — 1e4x smaller
+    // than the corpus (at cluster scale, checkpoint to parquet instead).
+    val sigs = docSignatures(docs, idCol, textCol, k, numHashes).persist()
     val sets = sigs.select(col(idCol), col("sh"))
     candidatesFrom(sigs, idCol, bands, rows)
       .join(sets.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")

@@ -64,8 +64,10 @@ object SignLSH {
     * verify via graft.functions.VectorOps.cosine. */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double, planes: Int = 8, dims: Int = 16): DataFrame = {
+    // Both self-join sides re-project the bucket (8 planes x 16 dims of
+    // arithmetic per row) and re-scan the vectors; persist computes it once.
     val keyed = vecs.select(col(idCol), col(vecCol),
-      bucket(col(vecCol), planes, dims).as("__bucket"))
+      bucket(col(vecCol), planes, dims).as("__bucket")).persist()
     keyed.as("a").join(keyed.as("b"),
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cos",

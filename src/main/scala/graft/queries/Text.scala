@@ -85,8 +85,10 @@ object Text {
       val n = docs.count()
       val terms = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df = terms.select($"doc_id", $"term").distinct()
-        .groupBy($"term").agg(count(lit(1)).as("df"))
+      // df derives from tf (one row per (doc, term) already) — the raw
+      // token explode is scanned ONCE, and tf's exchange is reused for
+      // both consumers instead of re-exploding the corpus for distinct().
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy($"doc_id")
         .orderBy($"tfidf".desc, $"term".asc)
       tf.join(df, "term")

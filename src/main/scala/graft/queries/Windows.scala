@@ -106,13 +106,19 @@ object Windows {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // Window then same-key aggregate: the groupBy(user_id) reuses the
+      // window's hash(user_id) partitioning, so the whole query is ONE
+      // shuffle — no second scan, no join, no distinct. first() in the
+      // agg is value-deterministic because the window made the column
+      // constant per user.
       Tables(s, dir, "events")
-        .groupBy($"user_id").agg(count(lit(1)).as("n"))
-        .join(
-          Tables(s, dir, "events").select($"user_id",
-            first($"event_type").over(w).as("first_type"),
-            last($"event_type").over(w).as("last_type")).distinct(),
-          Seq("user_id"))
+        .select($"user_id",
+          first($"event_type").over(w).as("first_type"),
+          last($"event_type").over(w).as("last_type"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          first($"first_type").as("first_type"),
+          first($"last_type").as("last_type"))
         .orderBy($"user_id")
     },
     Some("""
@@ -137,9 +143,22 @@ object Windows {
       import s.implicits._
       val o = Tables(s, dir, "orders")
       val c = Tables(s, dir, "customer")
+      // Two-phase (salted) top-k: a window over only |segments| keys
+      // caps parallelism at 5 reducers no matter the cluster — the
+      // 100 TB killer. Phase 1 ranks within (segment, salt) [160 keys,
+      // fully parallel] and keeps k per bucket; phase 2 ranks the
+      // <= segments*salts*k survivors. Global top-k rows are top-k
+      // within their salt bucket, so the result is identical.
+      val salts = 32
+      val salted = Window.partitionBy($"c_mktsegment", $"__salt")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
       val w = Window.partitionBy($"c_mktsegment")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-      o.join(c, o("o_custkey") === c("c_custkey"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select($"c_mktsegment", $"o_orderkey", $"o_totalprice",
+          pmod(hash($"o_orderkey"), lit(salts)).as("__salt"))
+        .withColumn("srn", row_number().over(salted))
+        .filter($"srn" <= 3)
         .select($"c_mktsegment", $"o_orderkey", $"o_totalprice",
           row_number().over(w).as("rn"))
         .filter($"rn" <= 3)
