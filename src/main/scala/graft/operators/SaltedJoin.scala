@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (SURVEY.md §2.3 J11).
+  *
+  * A plain shuffle join on a hot key sends every row of that key to ONE
+  * reducer — at 100 TB a handful of viral keys stall the stage while
+  * hundreds of executors idle. Salting splits each hot key's rows across
+  * `salts` reducers: the fact side gets a per-row salt, the (small) dim
+  * side is replicated once per salt value, and the join key becomes
+  * (key, salt). The result set is exactly the plain join's — salting is
+  * pure physical re-distribution, which is why it oracle-checks against
+  * an unsalted DuckDB join.
+  *
+  * Use when the dim side is too big to broadcast but small enough to
+  * replicate `salts`x, and AQE's skew-join splitting isn't available or
+  * isn't enough (it only splits map outputs; salting also spreads the
+  * probe-side hash buckets).
+  *
+  * The salt comes from a per-row id, NOT from the join key — hashing the
+  * key would put the whole hot key in one salt bucket again, defeating
+  * the point.
+  */
+object SaltedJoin {
+
+  def join(facts: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedFacts = facts.withColumn(
+      "__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val replicatedDim = dim.withColumn(
+      "__salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    saltedFacts.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

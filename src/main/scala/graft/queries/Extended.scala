@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables, Exact}
+import graft.functions.{Profiler, VectorOps}
+import graft.operators.SaltedJoin
+import Exact._
+
+/** Round-2 surface extensions: pivot, subqueries, deterministic dataset
+  * splits, column profiling, IVF-style ANN, skew-salted joins, and
+  * subword token accounting — the remaining operations a reference user
+  * running a large-scale training-data pipeline would reach for
+  * (SURVEY.md §2.12).
+  */
+object Extended {
+
+  /** q65 — pivot: order counts per priority x status (A11). Pivot values
+    * are declared explicitly — at scale, letting Spark discover them is
+    * an extra full pass over the data. */
+  val q65 = Q(
+    "q65_pivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    doc = "A11: pivot with declared values = one aggregate, no discovery pass; " +
+      "missing cells filled 0 to match FILTER-count semantics")
+
+  /** q66 — subquery surface (P7): scalar subquery, correlated EXISTS,
+    * uncorrelated IN. Catalyst decorrelates EXISTS/IN into semi-joins —
+    * asserted in PlanSpec; identical SQL text runs on both engines.
+    * The scalar threshold uses MAX (exact) — an AVG of doubles would be
+    * partition-order-dependent and can never hash-match. */
+  val q66 = Q.sql(
+    "q66_subqueries",
+    """SELECT c_custkey, c_name, c_acctbal
+       FROM customer c
+       WHERE c_acctbal > (SELECT MAX(c_acctbal) FROM customer) * 0.95
+         AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+       ORDER BY c_custkey""",
+    """SELECT c_custkey, c_name, c_acctbal
+       FROM customer c
+       WHERE c_acctbal > (SELECT MAX(c_acctbal) FROM customer) * 0.95
+         AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+       ORDER BY c_custkey""",
+    doc = "P7: scalar + EXISTS + IN subqueries; decorrelated to semi-joins by Catalyst")
+
+  /** q67 — deterministic train/validation/test split (X12): bucket =
+    * md5(doc_id || salt) % 100 → 80/10/10. Hash-based (not random) so
+    * the split is stable across runs, engines, and re-partitioning —
+    * the property a training pipeline needs so examples never migrate
+    * between train and eval sets when data is re-processed. */
+  val q67 = Q(
+    "q67_hash_split",
+    (s, dir) => {
+      import s.implicits._
+      val bucket = (conv(
+        substring(md5(concat($"doc_id".cast(StringType), lit(":split"))), 1, 4),
+        16, 10).cast(IntegerType) % 100).as("bucket")
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", bucket)
+        .withColumn("split",
+          when($"bucket" < 80, "train")
+            .when($"bucket" < 90, "validation")
+            .otherwise("test"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(doc_id || ':split'), 1, 4)) AS INT) % 100 AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5(doc_id || ':split'), 1, 4)) AS INT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(doc_id || ':split'), 1, 4)) AS INT) % 100 < 90 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""),
+    doc = "X12: hash-bucket dataset split — stable under reprocessing, no RNG state")
+
+  /** q68 — single-pass column profiler over customer (X13): null count,
+    * exact distinct, min/max per column; one scan + one shuffle of
+    * partial aggregate states regardless of column count. */
+  val q68 = Q(
+    "q68_profile",
+    (s, dir) => Profiler
+      .profile(Tables(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+      .orderBy(col("column")),
+    Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column",
+               CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT $c) AS n_distinct,
+               CAST(MIN($c) AS VARCHAR) AS min_str,
+               CAST(MAX($c) AS VARCHAR) AS max_str
+            FROM customer"""
+      Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+        .map(one).mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY \"column\"")
+    },
+    doc = "X13: data-quality profile in ONE aggregation (DuckDB twin needs 4 scans)")
+
+  /** q69 — IVF-style ANN (N13, the 100 TB similarity-search path):
+    * 8 deterministic coarse centroids (vec_id < 8), every vector
+    * assigned to its nearest centroid (exact L2, ties to smaller id),
+    * then each query searches ONLY its own cluster — the inverted-file
+    * pruning that replaces an O(N) scan per query with O(N/k).
+    * All distances are sequential folds (VectorOps contract) so
+    * assignment and ranking are bit-identical cross-engine. */
+  val q69 = Q(
+    "q69_ivf_ann",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      // (a - 2b) + c association matches the oracle text exactly.
+      val d2 = (VectorOps.normSq($"embedding") -
+        lit(2.0) * VectorOps.dot($"embedding", $"c_vec")) +
+        VectorOps.normSq($"c_vec")
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"c_id".asc)
+      val assign = emb.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"c_id")
+        .persist() // consumed twice (probe + candidates); tiny vs corpus
+      val queries = assign.filter($"vec_id" >= 8 && $"vec_id" < 12)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"c_id".as("q_cid"))
+      val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      assign.join(broadcast(queries),
+          $"c_id" === $"q_cid" && $"vec_id" =!= $"q_id")
+        .withColumn("cos", VectorOps.cosine($"q_vec", $"embedding"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"rn", $"vec_id", $"cos")
+        .orderBy($"q_id", $"rn")
+    },
+    Some {
+      val dA = s"(${VectorOps.dotSql("e.embedding", "e.embedding")} - 2 * ${VectorOps.dotSql("e.embedding", "c.c_vec")}) + ${VectorOps.dotSql("c.c_vec", "c.c_vec")}"
+      s"""
+      WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+      a AS (SELECT e.vec_id, e.embedding, c.c_id, $dA AS d2
+            FROM embeddings e, cents c),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn FROM a),
+      assign AS (SELECT vec_id, embedding, c_id FROM r WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS q_vec, c_id AS q_cid
+            FROM assign WHERE vec_id >= 8 AND vec_id < 12),
+      cand AS (SELECT q.q_id, a.vec_id,
+                 ${VectorOps.cosineSql("q.q_vec", "a.embedding")} AS cos
+               FROM assign a JOIN q ON a.c_id = q.q_cid AND a.vec_id <> q.q_id),
+      rr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn FROM cand)
+      SELECT q_id, rn, vec_id, cos FROM rr WHERE rn <= 3
+      ORDER BY q_id, rn"""
+    },
+    doc = "N13: IVF coarse quantization — centroid assignment prunes the search " +
+      "to one cluster per query; brute-force q50 is the recall=1 baseline")
+
+  /** q70 — salted skew join (J11): events (5 hot event_type keys
+    * carrying ~20% of all rows EACH) joined to a per-type dim through
+    * SaltedJoin. The result equals the plain join — the oracle runs the
+    * unsalted twin — while the shuffle spreads each hot key over 8
+    * reducers instead of 1. */
+  val q70 = Q(
+    "q70_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val events = Tables(s, dir, "events")
+      val dim = events.select($"event_type").distinct()
+        .withColumn("type_code", length($"event_type"))
+      SaltedJoin.join(events, dim, "event_type", salts = 8)
+        .groupBy($"event_type", $"type_code")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("value_sum"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS type_code FROM events)
+      SELECT e.event_type, d.type_code, COUNT(*) AS n,
+             ${sqlDsum("value")} AS value_sum
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY e.event_type, d.type_code ORDER BY e.event_type"""),
+    doc = "J11: salting = pure physical redistribution; result identical to plain join")
+
+  /** q71 — subword token accounting (N14): word count, word+punct token
+    * count, and a BPE-shaped piece estimate (ceil(len/4) pieces per
+    * word — the 'one piece per ~4 chars' rule of thumb) — the cost
+    * model a pipeline uses to budget LLM training tokens per document. */
+  val q71 = Q(
+    "q71_token_count",
+    (s, dir) => {
+      import s.implicits._
+      val words = regexp_extract_all($"text", lit("\\w+"), lit(0))
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          size(words).as("n_words"),
+          size(regexp_extract_all($"text", lit("\\w+|[^\\w\\s]"), lit(0))).as("n_tokens"),
+          aggregate(words, lit(0L),
+            (acc, t) => acc + floor((length(t) + lit(3)) / lit(4)).cast(LongType))
+            .as("n_pieces"),
+          (length($"text").cast(DoubleType) / size(words)).as("chars_per_word"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\w+') AS words FROM documents)
+      SELECT doc_id,
+             len(words) AS n_words,
+             len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
+             CAST(list_sum(list_transform(words, t -> CAST(floor((length(t) + 3) / 4) AS BIGINT))) AS BIGINT) AS n_pieces,
+             CAST(length(text) AS DOUBLE) / len(words) AS chars_per_word
+      FROM w ORDER BY doc_id"""),
+    doc = "N14: token/piece budgeting — zero-UDF regex + HOF fold, codegen'd")
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71)
+}

