@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables, Exact}
 import graft.functions.{Profiler, VectorOps}
-import graft.operators.SaltedJoin
+import graft.operators.{IntervalJoin, SaltedJoin}
 import Exact._
 
 /** Round-2 surface extensions: pivot, subqueries, deterministic dataset
@@ -221,5 +221,104 @@ object Extended {
       FROM w ORDER BY doc_id"""),
     doc = "N14: token/piece budgeting — zero-UDF regex + HOF fold, codegen'd")
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71)
+  /** q72 — bucketed interval self-join (J9 generic path): overlapping
+    * 30-day windows of high-value orders, counted per start-year. The
+    * Spark side runs graft.operators.IntervalJoin (equi-join on day-grid
+    * cells — no nested-loop, no broadcast of a big side); the oracle
+    * brute-forces the same pairs, proving the bucketing is lossless and
+    * emits each pair exactly once. */
+  val q72 = Q(
+    "q72_interval_bucket_join",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+        .filter($"o_totalprice" > 480000)
+        .select($"o_orderkey", to_date($"o_orderdate").as("start_d"),
+          date_add(to_date($"o_orderdate"), 30).as("end_d"))
+      IntervalJoin.overlap(o, o, "start_d", "end_d", bucketWidthDays = 30)
+        .filter($"a_o_orderkey" < $"b_o_orderkey")
+        .groupBy(year($"a_start_d").as("y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"y")
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_d,
+                        CAST(o_orderdate AS DATE) + 30 AS end_d
+                 FROM orders WHERE o_totalprice > 480000)
+      SELECT CAST(extract(year FROM a.start_d) AS INT) AS y, COUNT(*) AS n_pairs
+      FROM o a JOIN o b
+        ON a.start_d < b.end_d AND b.start_d < a.end_d
+       AND a.o_orderkey < b.o_orderkey
+      GROUP BY 1 ORDER BY 1"""),
+    doc = "J9 generic: day-grid cells turn interval overlap into an equi-join; " +
+      "witness-cell filter dedupes without a global distinct")
+
+  /** q73 — repetition-based quality filters (X14, the Gopher-style
+    * signals): top-token fraction and duplicate-bigram fraction per
+    * document, with the keep/drop verdict. Everything is per-row HOF
+    * math — computed scan-local with ZERO shuffles, which is the right
+    * shape for a 100 TB quality pass. */
+  val q73 = Q(
+    "q73_quality_filters",
+    (s, dir) => {
+      import s.implicits._
+      val tokens = split($"text", " ")
+      val n = size(tokens)
+      val bigrams = zip_with(
+        slice(tokens, lit(1), n - 1), slice(tokens, lit(2), n - 1),
+        (x, y) => concat_ws(" ", x, y))
+      val topTf = array_max(transform(array_distinct(tokens),
+        d => size(filter(tokens, t => t === d))))
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          n.as("n_tokens"),
+          (topTf.cast(DoubleType) / n).as("top_token_frac"),
+          when(size(bigrams) > 0,
+            lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / size(bigrams))
+            .otherwise(0.0).as("dup_bigram_frac"))
+        .withColumn("keep",
+          $"top_token_frac" <= 0.2 && $"dup_bigram_frac" <= 0.3)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+           b AS (SELECT doc_id, tokens, len(tokens) AS n,
+                   list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i + 1]) AS bigrams
+                 FROM t),
+           f AS (SELECT doc_id, n AS n_tokens,
+                   CAST(list_max(list_transform(list_distinct(tokens),
+                     d -> len(list_filter(tokens, t -> t = d)))) AS DOUBLE) / n AS top_token_frac,
+                   CASE WHEN len(bigrams) > 0
+                        THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                        ELSE 0.0 END AS dup_bigram_frac
+                 FROM b)
+      SELECT doc_id, n_tokens, top_token_frac, dup_bigram_frac,
+             top_token_frac <= 0.2 AND dup_bigram_frac <= 0.3 AS keep
+      FROM f ORDER BY doc_id"""),
+    doc = "X14: repetition quality signals, shuffle-free per-row HOF math")
+
+  /** q74 — PII-shaped redaction (X15): mask digit runs and URLs in the
+    * events props payload, counting masked spans. regexp_replace is
+    * per-row and codegen'd — the scrub pass costs one scan. */
+  val q74 = Q(
+    "q74_redact",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"event_id",
+          size(regexp_extract_all($"props", lit("[0-9]+"), lit(0))).as("n_masked"),
+          regexp_replace(
+            regexp_replace($"props", "https?://\\S+", "<url>"),
+            "[0-9]+", "<num>").as("redacted"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+             len(regexp_extract_all(props, '[0-9]+')) AS n_masked,
+             regexp_replace(regexp_replace(props, 'https?://\S+', '<url>', 'g'),
+                            '[0-9]+', '<num>', 'g') AS redacted
+      FROM events ORDER BY event_id"""),
+    doc = "X15: deterministic scrub pass — chained global regex replaces, one scan")
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }

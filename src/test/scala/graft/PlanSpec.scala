@@ -86,6 +86,38 @@ class PlanSpec extends SparkSpecBase {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("IVF ANN broadcasts centroids and queries — corpus never shuffles for assignment") {
+    val df = queries.Extended.q69.build(spark, sf)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("subqueries decorrelate to semi/aggregate joins, never per-row loops") {
+    Tables.registerAll(spark, sf)
+    val p = plan(queries.Extended.q66.build(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // EXISTS and IN both become semi-join shapes after RewritePredicateSubquery
+    assert(p.contains("SemiJoin") || p.contains("LeftSemi"), p)
+  }
+
+  test("top-k per group ranks in two phases so reducers scale past group count") {
+    val df = queries.Windows.q29.build(spark, sf)
+    val p = plan(df)
+    // two Window nodes: (segment, salt) then segment
+    assert("Window".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("profiler computes all column metrics in a single aggregation pass") {
+    val df = graft.functions.Profiler.profile(
+      Tables(spark, sf, "customer"), Seq("c_custkey", "c_name"))
+    val qe = df.queryExecution.executedPlan.toString
+    // one scan of the input regardless of profiled column count
+    assert("Scan parquet".r.findAllIn(qe).size == 1, qe)
+  }
+
   test("partitioned index scan prunes partitions on the filter") {
     val out = java.nio.file.Files.createTempDirectory("plan_idx").toString
     Tables(spark, sf, "events").write.mode("overwrite")

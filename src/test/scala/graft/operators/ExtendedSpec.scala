@@ -68,6 +68,43 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("IntervalJoin equals the brute-force interval join, each pair once") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val iv = Seq(
+      (1L, d("2020-01-01"), d("2020-01-10")),
+      (2L, d("2020-01-09"), d("2020-01-20")),  // overlaps 1 (single day), 3
+      (3L, d("2020-01-15"), d("2020-03-05")),  // long: spans many cells
+      (4L, d("2020-03-01"), d("2020-03-02")),  // overlaps 3 only
+      (5L, d("2020-06-01"), d("2020-06-01")),  // empty interval: no pairs
+      (6L, d("2020-02-01"), d("2020-02-03"))   // inside 3
+    ).toDF("id", "s", "e")
+    val bucketed = IntervalJoin.overlap(iv, iv, "s", "e", bucketWidthDays = 7)
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = iv.as("x").join(iv.as("y"),
+        col("x.s") < col("y.e") && col("y.s") < col("x.e") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bucketed.sorted.toSeq == brute.sorted.toSeq)
+    assert(bucketed.length == bucketed.distinct.length) // exactly-once
+    assert(bucketed.toSet == Set((1L, 2L), (2L, 3L), (3L, 4L), (3L, 6L)))
+  }
+
+  test("quality filters flag a degenerate repeated document") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "a varied document with many distinct tokens inside it")
+    ).toDF("doc_id", "text")
+    val tokens = split($"text", " ")
+    val n = size(tokens)
+    val topTf = array_max(transform(array_distinct(tokens),
+      d => size(filter(tokens, t => t === d))))
+    val out = docs.select($"doc_id", (topTf.cast("double") / n).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0 && out(2L) < 0.2)
+  }
+
   test("pivot fills missing cells with zero (matches FILTER-count oracle)") {
     val out = Extended.q65.build(spark, sf)
     assert(Seq("F", "O", "P").forall(out.columns.contains))
