@@ -1,0 +1,79 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product over two float-array columns
+  * (SURVEY.md §2.11: the one place a custom Catalyst Expression beats
+  * the built-ins).
+  *
+  * The HOF formulation `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+  * allocates the zipped intermediate array per row and evaluates the
+  * lambdas through interpreted HigherOrderFunction plumbing; this
+  * expression compiles to a tight primitive loop inside whole-stage
+  * codegen — no allocation, no virtual calls — which matters when the
+  * dot product sits inside an O(N·Q) similarity-search inner loop.
+  *
+  * Determinism contract (same as VectorOps.dot, which delegates here):
+  * sequential index-order accumulation `acc += a[i] * b[i]` — one
+  * IEEE-ordered fold, bit-identical to DuckDB's `list_reduce` twin and
+  * to the HOF form it replaces. Never reorder into a tree/SIMD-style
+  * reduction.
+  *
+  * Null handling: a null array yields null (BinaryExpression's
+  * null-safe path); null ELEMENTS are not expected (corpus embeddings
+  * are non-null floats) and read as 0.0f per ArrayData semantics.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> inputs, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}

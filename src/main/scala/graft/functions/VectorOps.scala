@@ -17,8 +17,20 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
-  /** Σ a[i]*b[i], float→double widened, sequential fold. */
+  /** Σ a[i]*b[i], float→double widened, sequential fold. Delegates to
+    * the native codegen'd FloatVectorDot expression — a tight primitive
+    * loop in whole-stage codegen instead of the HOF chain's per-row
+    * zipped-array allocation. Fold order (and thus the double result)
+    * is identical to the HOF form and the DuckDB list_reduce twin. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.FloatVectorDot(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** The HOF formulation of `dot` — kept as the portable fallback and
+    * the differential test partner for FloatVectorDot. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,42 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpecBase
+import graft.core.Tables
+import graft.functions.VectorOps
+
+/** The native expression must be bit-identical to the HOF fold it
+  * replaces (the DuckDB oracle contract rides on that). */
+class FloatVectorDotSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  test("codegen dot == HOF dot bit-for-bit on the whole embeddings table") {
+    val e = Tables(spark, sf, "embeddings")
+    val diff = e.select(
+        VectorOps.dot($"embedding", $"embedding").as("native"),
+        VectorOps.dotHof($"embedding", $"embedding").as("hof"))
+      .filter($"native" =!= $"hof") // IEEE equality, not tolerance
+      .count()
+    assert(diff == 0)
+  }
+
+  test("null array yields null; interpreted eval matches codegen") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f, 1.0f)))
+    ).toDF("a", "b")
+    val rows = df.select(VectorOps.dot($"a", $"b").as("d")).collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("the similarity inner loop stays inside whole-stage codegen") {
+    val e = Tables(spark, sf, "embeddings").limit(50)
+    val df = e.crossJoin(broadcast(e.select($"embedding".as("q"))))
+      .select(VectorOps.dot($"embedding", $"q").as("d"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(")) // WholeStageCodegen marker survives
+  }
+}
