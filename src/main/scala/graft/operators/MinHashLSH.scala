@@ -68,18 +68,21 @@ object MinHashLSH {
     transform(split(text, " "), t =>
       conv(substring(md5(t), 1, 7), 16, 10).cast(LongType))
 
-  /** Hashed k-shingles as one array<long> per row: base-31 polynomial
-    * of k consecutive token hashes, mod P. arrays_zip aligns the k
-    * shifted views so nothing is re-evaluated per element; docs with
-    * fewer than k tokens yield an empty array (slice length 0). */
-  def shingleHashArr(text: Column, k: Int = 3): Column = {
-    val hts = tokenHashes(text)
+  /** Hashed k-shingles from a precomputed token-hash array: base-31
+    * polynomial of k consecutive token hashes, mod P. arrays_zip aligns
+    * the k shifted views so nothing is re-evaluated per element; docs
+    * with fewer than k tokens yield an empty array (slice length 0). */
+  def shinglesFromHashes(hts: Column, k: Int = 3): Column = {
     val len = greatest(size(hts) - (k - 1), lit(0))
     val zipped = arrays_zip((0 until k).map(o => slice(hts, lit(o + 1), len)): _*)
     transform(zipped, s =>
       (0 until k).map(o => s.getField(o.toString))
         .reduceLeft((acc, x) => acc * 31 + x) % Mod)
   }
+
+  /** Hashed k-shingles straight from text (md5 per token). */
+  def shingleHashArr(text: Column, k: Int = 3): Column =
+    shinglesFromHashes(tokenHashes(text), k)
 
   /** Per-doc signature + shingle set in ONE aggregation:
     * (idCol, sh: array<long>, sig0..sig{n-1}: long). */
@@ -94,6 +97,25 @@ object MinHashLSH {
             lit(bConst(numHashes)(j))) % Mod).as(s"sig$j"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Signatures only — the shuffle carries 12 longs per doc, never the
+    * shingle sets (those are recomputed per-row for just the candidate
+    * pairs, which at LSH-tuned parameters are ~0.1% of docs). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, numHashes: Int = 12): DataFrame = {
+    val exploded = docs.select(
+      col(idCol), explode(shingleHashArr(col(textCol), k)).as("__shash"))
+    val aggs = (0 until numHashes).map(j =>
+      min((lit(aConst(numHashes)(j)) * col("__shash") +
+        lit(bConst(numHashes)(j))) % Mod).as(s"sig$j"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-row distinct hashed shingle set — a pure projection (NO
+    * shuffle); values identical to docSignatures' collect_set. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3): DataFrame =
+    docs.select(col(idCol), array_distinct(shingleHashArr(col(textCol), k)).as("sh"))
 
   /** Band keys from signature columns: key_b = base-31 polynomial of
     * sig[b·rows .. b·rows+rows-1]. */
@@ -126,13 +148,22 @@ object MinHashLSH {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, k: Int = 3, numHashes: Int = 12,
                    bands: Int = 4, rows: Int = 3): DataFrame = {
-    // The signature aggregate feeds three consumers (band self-join x2,
-    // verify joins) whose plans don't canonicalize identically, so without
-    // materialization the shingle explode+agg runs repeatedly. Persist is
-    // correct at scale too: signatures are ~100 bytes/doc — 1e4x smaller
-    // than the corpus (at cluster scale, checkpoint to parquet instead).
-    val sigs = docSignatures(docs, idCol, textCol, k, numHashes).persist()
-    val sets = sigs.select(col(idCol), col("sh"))
+    // md5 is the per-token unit cost; hash each token exactly ONCE into
+    // a persisted (id, shingle-array) frame that both the signature agg
+    // and the verify-side sets derive from with pure array math. The
+    // frame is ~8 bytes/token — far smaller than the text (at cluster
+    // scale, checkpoint to parquet instead of caching). Shingle sets
+    // never enter the signature aggregate: the shuffle carries 12 longs
+    // per doc, and sets join only the rare candidate pairs.
+    val shingled = docs.select(
+      col(idCol), shingleHashArr(col(textCol), k).as("__sh_arr")).persist()
+    val exploded = shingled.select(col(idCol), explode(col("__sh_arr")).as("__shash"))
+    val sigAggs = (0 until numHashes).map(j =>
+      min((lit(aConst(numHashes)(j)) * col("__shash") +
+        lit(bConst(numHashes)(j))) % Mod).as(s"sig$j"))
+    // persisted too: the band self-join consumes sigs from two sides
+    val sigs = exploded.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*).persist()
+    val sets = shingled.select(col(idCol), array_distinct(col("__sh_arr")).as("sh"))
     candidatesFrom(sigs, idCol, bands, rows)
       .join(sets.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
