@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** T7 — arbitrary stateful processing: running per-user counters kept in
   * the state store across micro-batches (SURVEY.md §2.9).
@@ -33,6 +34,42 @@ object Stateful {
       if (evict) state.setTimeoutDuration("1 hour")
       UserRunning(userId, n, total, if (n == 0) 0 else total / n)
     }
+  }
+
+  /** T7 in the Spark-4-native API: the same running per-user totals as
+    * a `StatefulProcessor` for `transformWithState`. Differences that
+    * matter at scale: typed per-key `ValueState` handles (multiple
+    * independent states per key if needed), native TTL on the state
+    * itself (`TTLConfig`) instead of hand-rolled timeout branches, and
+    * the RocksDB state store requirement — which is also what makes
+    * huge state (billions of keys) spill off-heap instead of OOMing
+    * executors. */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState](
+        "totals", Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserState(0L, 0.0)
+      val (n, total) = rows.foldLeft((prev.n, prev.total)) {
+        case ((c, t), e) => (c + 1, t + e.value)
+      }
+      state.update(UserState(n, total))
+      Iterator.single(UserRunning(userId, n, total, if (n == 0) 0 else total / n))
+    }
+  }
+
+  /** Running totals via transformWithState (requires the RocksDB state
+    * store provider — set `spark.sql.streaming.stateStore.providerClass`
+    * to `...RocksDBStateStoreProvider` before starting the query). */
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    implicit val outEnc = Encoders.product[UserRunning]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Running (count, sum, avg) per user, updated each micro-batch.

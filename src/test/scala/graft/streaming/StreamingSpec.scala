@@ -117,6 +117,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(last.getLong(1) === 3L && last.getDouble(2) === 60.0)
   }
 
+  test("T7b: transformWithState keeps running totals across batches (RocksDB store)") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Stateful.UserEvent](s)
+      val q = Stateful.runningUserTotalsTws(stream.toDS())
+        .writeStream.format("memory").queryName("t7b_out").outputMode("update").start()
+      stream.addData(Stateful.UserEvent(1, "a", 10.0), Stateful.UserEvent(1, "a", 20.0))
+      q.processAllAvailable()
+      stream.addData(Stateful.UserEvent(1, "b", 30.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = s.table("t7b_out").filter($"user_id" === 1)
+        .orderBy($"n".desc).head()
+      assert(last.getLong(1) === 3L && last.getDouble(2) === 60.0)
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("T8: stream-static dim join enriches in-flight rows") {
     val s = spark
     import s.implicits._
