@@ -44,4 +44,20 @@ class AsOfSpec extends SparkSpecBase {
     val (left, right) = fixture
     assert(AsOf.join(left, right, Seq("key"), "ts").count() === left.count())
   }
+
+  test("a right row with a NULL value column wins WHOLE — no torn fields " +
+    "mixing asof_ts and values from different right rows") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("k", 30L)).toDF("key", "ts")
+      .withColumn("event_id", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val right = Seq(
+      ("k", 10L, 100, Some("old")),
+      ("k", 20L, 101, None: Option[String]) // most recent, value is NULL
+    ).toDF("key", "ts", "event_id", "rval")
+    val row = AsOf.join(left, right, Seq("key"), "ts")
+      .select("asof_ts", "asof_rval").head()
+    assert(row.getLong(0) === 20L)  // ts from the latest right row...
+    assert(row.isNullAt(1))         // ...and rval from the SAME row (null), not "old"
+  }
 }
