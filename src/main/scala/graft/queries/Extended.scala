@@ -320,5 +320,36 @@ object Extended {
       FROM events ORDER BY event_id"""),
     doc = "X15: deterministic scrub pass — chained global regex replaces, one scan")
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+  /** q75 — unpivot/melt (A12, the pivot inverse): three lineitem
+    * measures melted to (metric, value) rows, then profiled per metric.
+    * Melt multiplies rows BEFORE the aggregate, but the aggregate keys
+    * on `metric` (3 groups) and partials collapse map-side, so the
+    * shuffle stays tiny at any scale. */
+  val q75 = Q(
+    "q75_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice", $"l_discount")
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+          "metric", "value")
+        .groupBy($"metric")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total"),
+          min($"value").as("vmin"), max($"value").as("vmax"))
+        .orderBy($"metric")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+      SELECT metric, COUNT(*) AS n, ${sqlDsum("value")} AS total,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM u GROUP BY metric ORDER BY metric"""),
+    doc = "A12: unpivot -> 3-group aggregate; map-side partials keep the shuffle tiny")
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

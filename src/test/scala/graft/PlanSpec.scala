@@ -118,6 +118,23 @@ class PlanSpec extends SparkSpecBase {
     assert("Scan parquet".r.findAllIn(qe).size == 1, qe)
   }
 
+  test("bucketed tables sort-merge join with ZERO exchanges (S8 co-located join)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables(spark, sf, "orders").write.mode("overwrite")
+        .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      Tables(spark, sf, "customer").write.mode("overwrite")
+        .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p)
+      // bucketing pre-partitions both sides on the join key: no shuffle
+      assert(!p.contains("Exchange"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned index scan prunes partitions on the filter") {
     val out = java.nio.file.Files.createTempDirectory("plan_idx").toString
     Tables(spark, sf, "events").write.mode("overwrite")
