@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{AsOf, MinHashLSH, SaltedJoin}
+
+/** Property-based algebraic laws (SURVEY.md §5.2 item 3) over seeded
+  * ScalaCheck generators — deterministic (fixed seeds), so failures
+  * reproduce. Each law runs on several generated datasets; DataFrame
+  * row counts stay small because the point is the algebra, not volume.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOfN(30, Gen.zip(
+      Gen.choose(0L, 9L),
+      Gen.oneOf("a", "b", "c", "d"),
+      Gen.choose(-100.0, 100.0)))
+
+  test("law: unionAll count = sum of counts") {
+    samples(rowsGen, 5).foreach { rows =>
+      val half = rows.length / 2
+      val (l, r) = rows.splitAt(half)
+      val (dl, dr) = (l.toDF("k", "s", "v"), r.toDF("k", "s", "v"))
+      assert(dl.unionByName(dr).count() === dl.count() + dr.count())
+    }
+  }
+
+  test("law: filter(p && !p) is empty; filter(p) + filter(!p) partitions the set") {
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("k", "s", "v")
+      val p = col("v") > 0.0
+      assert(df.filter(p && !p).count() === 0)
+      assert(df.filter(p).count() + df.filter(!p).count() === df.count())
+    }
+  }
+
+  test("law: dropDuplicates is idempotent and bounded by distinct key count") {
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("k", "s", "v")
+      val once = df.dropDuplicates(Seq("k", "s"))
+      assert(once.dropDuplicates(Seq("k", "s")).count() === once.count())
+      assert(once.count() === rows.map(r => (r._1, r._2)).distinct.size)
+    }
+  }
+
+  test("law: global sort on a unique key is invariant under repartitioning") {
+    samples(rowsGen, 3).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((k, s, v), i) => (i.toLong, k, s, v) }
+        .toDF("id", "k", "s", "v")
+      val sorted = df.orderBy("id").collect().toSeq
+      Seq(1, 3, 7).foreach { n =>
+        assert(df.repartition(n).orderBy("id").collect().toSeq === sorted)
+      }
+    }
+  }
+
+  test("law: minhash self-similarity — an exact copy always pairs at jaccard 1.0") {
+    val textGen = Gen.listOfN(12,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+      .map(_.mkString(" "))
+    samples(textGen, 5).foreach { text =>
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("law: as-of join preserves the left row count for arbitrary inputs") {
+    val eventsGen = Gen.listOfN(20, Gen.zip(
+      Gen.choose(0L, 3L), Gen.choose(0L, 50L), Gen.choose(0L, 999L)))
+    samples(Gen.zip(eventsGen, eventsGen), 5).foreach { case (l, r) =>
+      val left = l.toDF("key", "ts", "event_id")
+      val right = r.toDF("key", "ts", "event_id")
+        .withColumn("payload", col("ts") * 2)
+      assert(AsOf.join(left, right, Seq("key"), "ts").count() === left.count())
+    }
+  }
+
+  test("law: salted join result set equals the plain join's for any salt count") {
+    samples(Gen.zip(rowsGen, Gen.choose(2, 16)), 5).foreach { case (rows, salts) =>
+      val facts = rows.toDF("k", "s", "v")
+      val dim = Seq(("a", 1), ("b", 2), ("x", 9)).toDF("s", "code")
+      val salted = SaltedJoin.join(facts, dim, "s", salts)
+        .select("k", "s", "v", "code").collect().map(_.toSeq)
+      val plain = facts.join(dim, Seq("s"))
+        .select("k", "s", "v", "code").collect().map(_.toSeq)
+      assert(salted.sortBy(_.toString).toSeq === plain.sortBy(_.toString).toSeq)
+    }
+  }
+}
