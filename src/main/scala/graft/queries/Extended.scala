@@ -351,5 +351,50 @@ object Extended {
       FROM u GROUP BY metric ORDER BY metric"""),
     doc = "A12: unpivot -> 3-group aggregate; map-side partials keep the shuffle tiny")
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+  /** q76 — geo bounding-box + proximity profile (G1; the reference's
+    * lat/lon capability, README.md:84-86): deterministic synthetic
+    * coordinates from customer keys, bbox filter, per-segment counts
+    * and micro-quantized squared-degree proximity sums. Trig-based
+    * haversine lives in graft.functions.Geo under ScalaTest (libm
+    * rounding is not oracle-safe); this query is pure arithmetic. */
+  val q76 = Q(
+    "q76_geo_bbox",
+    (s, dir) => {
+      import s.implicits._
+      // md5-scattered synthetic coordinates: uniform over the globe for
+      // ANY key range (raw `key/100` formulas collapse small corpora
+      // onto one latitude band)
+      val lat = conv(substring(md5(concat($"c_custkey".cast(StringType), lit(":lat"))), 1, 6),
+        16, 10).cast(LongType) % 18000 / 100.0 - 90.0
+      val lon = conv(substring(md5(concat($"c_custkey".cast(StringType), lit(":lon"))), 1, 6),
+        16, 10).cast(LongType) % 36000 / 100.0 - 180.0
+      Tables(s, dir, "customer")
+        .withColumn("lat", lat).withColumn("lon", lon)
+        .filter(graft.functions.Geo.inBBox($"lat", $"lon", -60, -120, 60, 120))
+        .withColumn("dist_sq",
+          graft.functions.Geo.degreeDistSq($"lat", $"lon", lit(0.0), lit(0.0)))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_in_box"),
+          (sum(graft.functions.VectorOps.micros($"dist_sq")).cast(DoubleType) / 1e6)
+            .as("dist_sq_sum"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      WITH g AS (
+        SELECT c_mktsegment,
+               CAST(('0x' || substr(md5(c_custkey || ':lat'), 1, 6)) AS BIGINT) % 18000 / 100.0 - 90.0 AS lat,
+               CAST(('0x' || substr(md5(c_custkey || ':lon'), 1, 6)) AS BIGINT) % 36000 / 100.0 - 180.0 AS lon
+        FROM customer),
+      f AS (
+        SELECT c_mktsegment,
+               (lat - 0.0) * (lat - 0.0) + (lon - 0.0) * (lon - 0.0) AS dist_sq
+        FROM g
+        WHERE lat >= -60 AND lat < 60 AND lon >= -120 AND lon < 120)
+      SELECT c_mktsegment, COUNT(*) AS n_in_box,
+             CAST(SUM(CAST(CAST(dist_sq AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000
+               AS dist_sq_sum
+      FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    doc = "G1: bbox pushdown-able predicate + exact micro-quantized proximity sums")
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }
