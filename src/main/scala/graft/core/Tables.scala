@@ -29,7 +29,14 @@ object Tables {
   }
 
   /** Register every corpus table as a temp view named after the table, so
-    * spark.sql text matches the DuckDB oracle's FROM clauses 1:1. */
+    * spark.sql text matches the DuckDB oracle's FROM clauses 1:1.
+    * Memoized per (session, dir): re-registration re-reads 10 parquet
+    * footers for nothing when several SQL-form queries run in one
+    * session (the common Verify/Bench shape). */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.put(System.identityHashCode(spark), dir) != dir)
+      all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }
