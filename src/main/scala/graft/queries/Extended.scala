@@ -396,5 +396,57 @@ object Extended {
       FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
     doc = "G1: bbox pushdown-able predicate + exact micro-quantized proximity sums")
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+  /** q77 — fuzzy string matching via edit distance (N15): near-identical
+    * customer-name pairs in a bounded slice. Levenshtein is O(len²) per
+    * pair, so the scale posture is ALWAYS candidate-generation first
+    * (LSH/banding, q54-q56) with edit distance as the verify step on the
+    * rare survivors — this query is that verify step in isolation. */
+  val q77 = Q(
+    "q77_fuzzy_match",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer").filter($"c_custkey" < 100)
+        .select($"c_custkey", $"c_name")
+      val a = c.select($"c_custkey".as("a_id"), $"c_name".as("a_name"))
+      val b = c.select($"c_custkey".as("b_id"), $"c_name".as("b_name"))
+      a.join(b, $"a_id" < $"b_id")
+        .withColumn("dist", levenshtein($"a_name", $"b_name"))
+        .filter($"dist" <= 2)
+        .select($"a_id", $"b_id", $"dist")
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""
+      WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100)
+      SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+      ORDER BY a_id, b_id"""),
+    doc = "N15: edit-distance verify step; at scale always behind LSH candidate gen")
+
+  /** q78 — distribution rank functions (W6): percent_rank and cume_dist
+    * are count ratios (exact int/int IEEE divides), so unlike arbitrary
+    * float windows they oracle-hash cleanly. */
+  val q78 = Q(
+    "q78_rank_dist",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""),
+    doc = "W6: distribution ranks — exact count-ratio semantics, one shuffle")
+
+  val all: Seq[Q] =
+    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }
