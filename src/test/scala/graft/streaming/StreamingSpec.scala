@@ -117,6 +117,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(last.getLong(1) === 3L && last.getDouble(2) === 60.0)
   }
 
+  test("T4/Q30 agreement: streaming session_window and the batch lag+cumsum " +
+    "idiom segment the same event vector into the same sessions") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 2 users, gaps straddling the 30-minute threshold (incl. exactly 30m:
+    // session_window treats gap >= threshold as a new session only when
+    // strictly past start+gap; lag-idiom uses > 1800s — 30:00 exactly
+    // continues the session in both)
+    val events = Seq(
+      Ev(1, ts(0), 7, "a"), Ev(2, ts(10), 7, "a"), Ev(3, ts(40, 1), 7, "a"), // 30:01 gap -> new
+      Ev(4, ts(0), 8, "a"), Ev(5, ts(30), 8, "a"), Ev(6, ts(59), 8, "a")     // 30:00 & 29:00 -> same
+    )
+    // batch twin (q30's shape)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = events.toDF()
+      .withColumn("gap",
+        when(unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"gap").over(cum))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n"), min($"ts").as("start"))
+      .select($"user_id", $"start", $"n")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // streaming path
+    val stream = MemoryStream[Ev](s)
+    val q = StreamOps.sessionAgg(stream.toDF(), "ts", "user_id", "30 minutes")
+      .writeStream.format("memory").queryName("t4q30_out").outputMode("complete").start()
+    stream.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("t4q30_out")
+      .select($"user_id", $"sess_start", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.map(t => (t._1, t._3)) === Set((7L, 2L), (7L, 1L), (8L, 3L)))
+  }
+
   test("T7b: transformWithState keeps running totals across batches (RocksDB store)") {
     val s = spark
     import s.implicits._
