@@ -21,15 +21,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val times = (1 to repeat).map { _ =>
+        val times = (1 to repeat).flatMap { _ =>
           // Operators that persist() intermediates register plans in the
           // CacheManager; drop them so every repeat measures real work.
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          // a failed repeat contributes NO time — min over elapsed-to-
+          // failure would report a fast crash as a fast query
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
         }
-        name -> times.min
+        name -> (if (times.nonEmpty) times.min else -1.0)
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -33,10 +33,18 @@ object Tables {
     * Memoized per (session, dir): re-registration re-reads 10 parquet
     * footers for nothing when several SQL-form queries run in one
     * session (the common Verify/Bench shape). */
+  // Weak keys so dead sessions don't pin entries (identity hashes can be
+  // reused after GC); the memo records a dir only AFTER all ten views
+  // registered, so a partial failure retries instead of silently skipping.
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registered.put(System.identityHashCode(spark), dir) != dir)
-      all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    registered.synchronized {
+      if (registered.get(spark) != dir) {
+        all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+        registered.put(spark, dir): Unit
+      }
+    }
 }

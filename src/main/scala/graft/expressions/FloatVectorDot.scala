@@ -23,9 +23,11 @@ import org.apache.spark.sql.types._
   * to the HOF form it replaces. Never reorder into a tree/SIMD-style
   * reduction.
   *
-  * Null handling: a null array yields null (BinaryExpression's
-  * null-safe path); null ELEMENTS are not expected (corpus embeddings
-  * are non-null floats) and read as 0.0f per ArrayData semantics.
+  * Null handling matches the HOF idiom exactly (required for the
+  * RewriteHofDotProduct rule to be semantics-preserving): a null array
+  * yields null; arrays of UNEQUAL length yield null (zip_with would
+  * null-pad and the fold would absorb the null); a null ELEMENT yields
+  * null (null * x = null, acc + null = null).
   */
 case class FloatVectorDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -48,10 +50,12 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -64,12 +68,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -19,7 +19,9 @@ object Geo {
     val dLon = radians(lon2 - lon1) / 2
     val a = pow(sin(dLat), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
-    lit(2 * 6371.0088) * asin(sqrt(a))
+    // clamp: rounding can push a to 1+2ulp for near-antipodal points,
+    // where sqrt(a) > 1 would make asin return NaN
+    lit(2 * 6371.0088) * asin(sqrt(least(a, lit(1.0))))
   }
 
   /** Squared equirectangular distance in degree² — deterministic pure

@@ -98,24 +98,37 @@ object MinHashLSH {
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Signatures only — the shuffle carries 12 longs per doc, never the
-    * shingle sets (those are recomputed per-row for just the candidate
-    * pairs, which at LSH-tuned parameters are ~0.1% of docs). */
-  def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 3, numHashes: Int = 12): DataFrame = {
-    val exploded = docs.select(
-      col(idCol), explode(shingleHashArr(col(textCol), k)).as("__shash"))
+  /** (idCol, __sh_arr) frame — ONE md5 pass per token; the midpoint
+    * both the signature agg and the verify-side sets derive from.
+    * Persist (or checkpoint, at cluster scale) before fanning out. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame =
+    docs.select(col(idCol), shingleHashArr(col(textCol), k).as("__sh_arr"))
+
+  /** Signatures from a shingled frame — the shuffle carries numHashes
+    * longs per doc, never the shingle sets (those join only the rare
+    * candidate pairs). */
+  def signaturesFromShingled(sh: DataFrame, idCol: String,
+                             numHashes: Int = 12): DataFrame = {
+    val exploded = sh.select(col(idCol), explode(col("__sh_arr")).as("__shash"))
     val aggs = (0 until numHashes).map(j =>
       min((lit(aConst(numHashes)(j)) * col("__shash") +
         lit(bConst(numHashes)(j))) % Mod).as(s"sig$j"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, numHashes: Int = 12): DataFrame =
+    signaturesFromShingled(shingled(docs, idCol, textCol, k), idCol, numHashes)
+
   /** Per-row distinct hashed shingle set — a pure projection (NO
     * shuffle); values identical to docSignatures' collect_set. */
+  def shingleSetsFromShingled(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol), array_distinct(col("__sh_arr")).as("sh"))
+
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3): DataFrame =
-    docs.select(col(idCol), array_distinct(shingleHashArr(col(textCol), k)).as("sh"))
+    shingleSetsFromShingled(shingled(docs, idCol, textCol, k), idCol)
 
   /** Band keys from signature columns: key_b = base-31 polynomial of
     * sig[b·rows .. b·rows+rows-1]. */
@@ -148,22 +161,14 @@ object MinHashLSH {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, k: Int = 3, numHashes: Int = 12,
                    bands: Int = 4, rows: Int = 3): DataFrame = {
-    // md5 is the per-token unit cost; hash each token exactly ONCE into
-    // a persisted (id, shingle-array) frame that both the signature agg
-    // and the verify-side sets derive from with pure array math. The
-    // frame is ~8 bytes/token — far smaller than the text (at cluster
-    // scale, checkpoint to parquet instead of caching). Shingle sets
-    // never enter the signature aggregate: the shuffle carries 12 longs
-    // per doc, and sets join only the rare candidate pairs.
-    val shingled = docs.select(
-      col(idCol), shingleHashArr(col(textCol), k).as("__sh_arr")).persist()
-    val exploded = shingled.select(col(idCol), explode(col("__sh_arr")).as("__shash"))
-    val sigAggs = (0 until numHashes).map(j =>
-      min((lit(aConst(numHashes)(j)) * col("__shash") +
-        lit(bConst(numHashes)(j))) % Mod).as(s"sig$j"))
-    // persisted too: the band self-join consumes sigs from two sides
-    val sigs = exploded.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*).persist()
-    val sets = shingled.select(col(idCol), array_distinct(col("__sh_arr")).as("sh"))
+    // One md5 pass per token into a persisted shingle-array midpoint
+    // (~8 bytes/token, far smaller than the text; checkpoint instead of
+    // caching at cluster scale). Caller/session owns the cache lifetime
+    // — Verify and Bench clear the cache between queries. sigs is also
+    // persisted: the band self-join consumes it from two sides.
+    val sh = shingled(docs, idCol, textCol, k).persist()
+    val sigs = signaturesFromShingled(sh, idCol, numHashes).persist()
+    val sets = shingleSetsFromShingled(sh, idCol)
     candidatesFrom(sigs, idCol, bands, rows)
       .join(sets.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")

@@ -208,7 +208,8 @@ object Extended {
           aggregate(words, lit(0L),
             (acc, t) => acc + floor((length(t) + lit(3)) / lit(4)).cast(LongType))
             .as("n_pieces"),
-          (length($"text").cast(DoubleType) / size(words)).as("chars_per_word"))
+          when(size(words) > 0, length($"text").cast(DoubleType) / size(words))
+            .as("chars_per_word"))
         .orderBy($"doc_id")
     },
     Some("""
@@ -217,7 +218,7 @@ object Extended {
              len(words) AS n_words,
              len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
              CAST(list_sum(list_transform(words, t -> CAST(floor((length(t) + 3) / 4) AS BIGINT))) AS BIGINT) AS n_pieces,
-             CAST(length(text) AS DOUBLE) / len(words) AS chars_per_word
+             CASE WHEN len(words) > 0 THEN CAST(length(text) AS DOUBLE) / len(words) END AS chars_per_word
       FROM w ORDER BY doc_id"""),
     doc = "N14: token/piece budgeting — zero-UDF regex + HOF fold, codegen'd")
 

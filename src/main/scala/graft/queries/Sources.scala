@@ -15,11 +15,21 @@ import graft.core.{Q, Tables, Exact}
 object Sources {
 
   /** Fresh scratch dir per (query, run) — concurrent Verify/Bench runs
-    * at different SFs must not collide. Deleted on JVM exit so repeated
-    * Verify/Bench runs don't accumulate corpus copies in /tmp. */
+    * at different SFs must not collide. All dirs drain through ONE
+    * shutdown hook (a hook Thread per call would accumulate without
+    * bound in long-lived sessions that rebuild these queries). */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+
+  private val cleaner: Thread = {
+    val t = new Thread(() => scratchDirs.forEach(delete(_)))
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
   private def scratch(name: String): String = {
+    val _ = cleaner // force registration on first use
     val dir = Files.createTempDirectory(s"graft_$name")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(dir.toFile)))
+    scratchDirs.add(dir.toFile)
     dir.toString
   }
 

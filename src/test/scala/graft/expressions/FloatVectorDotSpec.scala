@@ -21,14 +21,24 @@ class FloatVectorDotSpec extends AnyFunSuite with SparkSpecBase {
     assert(diff == 0)
   }
 
-  test("null array yields null; interpreted eval matches codegen") {
+  test("null semantics match the HOF idiom: null array, unequal lengths, " +
+    "and null elements all yield null") {
     val df = Seq(
-      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
-      (None, Some(Seq(1.0f, 1.0f)))
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),  // 11.0
+      (None, Some(Seq(1.0f, 1.0f))),                   // null array
+      (Some(Seq(1.0f)), Some(Seq(1.0f, 1.0f)))         // unequal length
     ).toDF("a", "b")
-    val rows = df.select(VectorOps.dot($"a", $"b").as("d")).collect()
-    assert(rows(0).getDouble(0) == 11.0)
-    assert(rows(1).isNullAt(0))
+    for (d <- Seq(VectorOps.dot(_, _), VectorOps.dotHof(_, _))) {
+      val rows = df.select(d($"a", $"b").as("d")).collect()
+      assert(rows(0).getDouble(0) == 11.0)
+      assert(rows(1).isNullAt(0))
+      assert(rows(2).isNullAt(0))
+    }
+    // null ELEMENT -> null, both eval paths
+    val withNullElem = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 1.0f)))
+      .toDF("a", "b")
+    for (d <- Seq(VectorOps.dot(_, _), VectorOps.dotHof(_, _)))
+      assert(withNullElem.select(d($"a", $"b")).head().isNullAt(0))
   }
 
   test("the similarity inner loop stays inside whole-stage codegen") {
