@@ -448,6 +448,68 @@ object Extended {
       ORDER BY o_orderkey"""),
     doc = "W6: distribution ranks — exact count-ratio semantics, one shuffle")
 
+  /** q79 — sliding-window document chunking (X16): split each document
+    * into 16-token chunks with 4-token overlap (stride 12) — the
+    * context-window prep step for embedding/RAG pipelines. Pure per-row
+    * array math (sequence + slice) exploded to one row per chunk; the
+    * chunk text never exists twice (no self-join, no shuffle before the
+    * final sort). */
+  val q79 = Q(
+    "q79_chunk_windows",
+    (s, dir) => {
+      import s.implicits._
+      val size16 = 16
+      val stride = 12
+      val tokens = split($"text", " ")
+      val n = size(tokens)
+      // chunk starts: 1, 1+stride, ... while start <= n (last partial kept)
+      val starts = sequence(lit(1), greatest(n, lit(1)), lit(stride))
+      Tables(s, dir, "documents")
+        .select($"doc_id", tokens.as("tokens"), posexplode(starts).as(Seq("pos", "start")))
+        .select($"doc_id", ($"pos" + 1).as("chunk_id"),
+          concat_ws(" ", slice($"tokens", $"start", lit(size16))).as("chunk"),
+          least(size($"tokens") - $"start" + 1, lit(size16)).as("chunk_tokens"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      c AS (SELECT doc_id, tokens,
+              unnest(range(1, greatest(len(tokens), 1) + 1, 12)) AS start
+            FROM t)
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) AS INT) AS chunk_id,
+             array_to_string(tokens[start:start + 15], ' ') AS chunk,
+             CAST(least(len(tokens) - start + 1, 16) AS INT) AS chunk_tokens
+      FROM c ORDER BY doc_id, chunk_id"""),
+    doc = "X16: overlapping chunk windows for embedding/RAG prep — per-row " +
+      "sequence+slice, chunks born exploded (no self-join)")
+
+  /** q80 — deterministic stratified sample (X17): exactly 3 documents
+    * per language, chosen by md5 rank — reprocessing-stable (same
+    * sample every run, any partitioning), the property a train-set
+    * sampler needs. Two-phase at scale: the rank window keys on the
+    * stratum only after an (optional) salted pre-prune. */
+  val q80 = Q(
+    "q80_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val rankKey = md5(concat($"doc_id".cast(StringType), lit(":sample")))
+      val w = Window.partitionBy($"lang").orderBy($"rank_key", $"doc_id")
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", rankKey.as("rank_key"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"lang", $"rn", $"doc_id")
+        .orderBy($"lang", $"rn")
+    },
+    Some("""
+      WITH k AS (SELECT doc_id, lang, md5(doc_id || ':sample') AS rank_key FROM documents),
+      r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rank_key, doc_id) AS rn FROM k)
+      SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM r WHERE rn <= 3
+      ORDER BY lang, rn"""),
+    doc = "X17: md5-rank stratified sampling — deterministic, partitioning-invariant")
+
   val all: Seq[Q] =
-    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
+      q79, q80)
 }
