@@ -59,8 +59,12 @@ object TweetPipeline {
         when(col("sentiment_score") > 0, "positive")
           .when(col("sentiment_score") < 0, "negative")
           .otherwise("neutral"))
-      .select("created_at", "text", "user", "hashtags", "space",
-        "sentiment_score", "sentiment", "n_tokens")
+      .select(("created_at" +: "text" +: "user" +: "hashtags" +: "space" +:
+        "sentiment_score" +: "sentiment" +: "n_tokens" +:
+        // malformed inputs must stay visible downstream, not silently
+        // become all-null enriched rows
+        (if (tweets.columns.contains("_corrupt_record")) Seq("_corrupt_record")
+         else Seq.empty)).map(col): _*)
   }
 
   /** E2 — batch file ingest (reference README.md:105-107). */

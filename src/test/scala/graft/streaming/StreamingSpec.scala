@@ -218,6 +218,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("sentiment"))
   }
 
+  test("S2: malformed JSON rows surface in _corrupt_record, valid rows enrich") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("corrupt")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "in.json"),
+      """{"created_at":"2020-01-01T00:00:00Z","text":"good #row","user":{"name":"u"}}
+        |{not json at all
+        |""".stripMargin)
+    // cache: Spark disallows querying ONLY the corrupt-record column from
+    // a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val out = TweetPipeline.batchIngest(s, dir).cache()
+    assert(out.columns.contains("_corrupt_record"))
+    val bad = out.filter($"_corrupt_record".isNotNull)
+    val good = out.filter($"_corrupt_record".isNull)
+    assert(bad.count() === 1)
+    assert(bad.head().getAs[String]("_corrupt_record").startsWith("{not"))
+    assert(good.count() === 1)
+    assert(good.head().getAs[Seq[String]]("hashtags") === Seq("#row"))
+  }
+
   test("E1 == E2: HTTP-ingested and batch-file tweets produce identical enriched rows") {
     val s = spark
     val payload =
