@@ -509,7 +509,51 @@ object Extended {
       ORDER BY lang, rn"""),
     doc = "X17: md5-rank stratified sampling — deterministic, partitioning-invariant")
 
+  /** q81 — time-series resample + forward fill (X18): per-user hourly
+    * grid spanning each user's activity, hour-bucket aggregates joined
+    * onto the spine, gaps carried forward with last(ignoreNulls). The
+    * spine is generated per key (sequence+explode — no cross join with
+    * a global calendar), and the fill is one window over the grid. */
+  val q81 = Q(
+    "q81_resample_ffill",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").filter($"user_id" < 20)
+      val bounds = ev.groupBy($"user_id")
+        .agg(date_trunc("hour", min($"ts")).as("lo"),
+          date_trunc("hour", max($"ts")).as("hi"))
+      val spine = bounds.select($"user_id",
+        explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("slot"))
+      val hourly = ev
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("slot"))
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("v"))
+      val w = Window.partitionBy($"user_id").orderBy($"slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "slot"), "left_outer")
+        .select($"user_id", $"slot",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          last($"v", ignoreNulls = true).over(w).as("v_ffill"))
+        .orderBy($"user_id", $"slot")
+    },
+    Some(s"""
+      WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+      b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM ev GROUP BY user_id),
+      spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+      h AS (SELECT user_id, date_trunc('hour', ts) AS slot,
+                   COUNT(*) AS n_events, ${sqlDsum("value")} AS v
+            FROM ev GROUP BY 1, 2),
+      j AS (SELECT s.user_id, s.slot, COALESCE(h.n_events, 0) AS n_events, h.v
+            FROM spine s LEFT JOIN h ON s.user_id = h.user_id AND s.slot = h.slot)
+      SELECT user_id, slot, n_events,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      FROM j ORDER BY user_id, slot"""),
+    doc = "X18: per-key spine + hour aggregate + ignoreNulls forward fill — " +
+      "gap filling without a global calendar cross join")
+
   val all: Seq[Q] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q79, q80)
+      q79, q80, q81)
 }
