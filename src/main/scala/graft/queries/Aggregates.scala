@@ -219,7 +219,7 @@ object Aggregates {
   /** q24 — approx distinct (A4): HLL sketch per group. The sketch is the
     * 100 TB path (constant memory per group vs expand-shuffle for exact).
     * No DuckDB oracle — its HLL differs; accuracy is asserted in
-    * AggregatesSpec against the exact count (rsd bound). */
+    * ApproxSpec against the exact count (rsd bound). */
   val q24 = Q(
     "q24_approx_distinct",
     (s, dir) => {
