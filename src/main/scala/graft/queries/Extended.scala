@@ -462,9 +462,15 @@ object Extended {
       val stride = 12
       val tokens = split($"text", " ")
       val n = size(tokens)
-      // chunk starts: 1, 1+stride, ... while start <= n (last partial kept)
-      val starts = sequence(lit(1), greatest(n, lit(1)), lit(stride))
+      // chunk starts: 1, 1+stride, ... A start past n-overlap would yield a
+      // chunk fully contained in the previous one (pure duplicate downstream
+      // embeddings), so the bound is n - overlap; greatest(...,1) keeps one
+      // chunk for short docs. Null text is dropped explicitly — Spark's
+      // sequence(NULL) drops the row but DuckDB's greatest SKIPS nulls, so
+      // without the filter the two sides disagree on row count.
+      val starts = sequence(lit(1), greatest(n - (size16 - stride), lit(1)), lit(stride))
       Tables(s, dir, "documents")
+        .filter($"text".isNotNull)
         .select($"doc_id", tokens.as("tokens"), posexplode(starts).as(Seq("pos", "start")))
         .select($"doc_id", ($"pos" + 1).as("chunk_id"),
           concat_ws(" ", slice($"tokens", $"start", lit(size16))).as("chunk"),
@@ -472,9 +478,10 @@ object Extended {
         .orderBy($"doc_id", $"chunk_id")
     },
     Some(s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+                 FROM documents WHERE text IS NOT NULL),
       c AS (SELECT doc_id, tokens,
-              unnest(range(1, greatest(len(tokens), 1) + 1, 12)) AS start
+              unnest(range(1, greatest(len(tokens) - 4, 1) + 1, 12)) AS start
             FROM t)
       SELECT doc_id,
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) AS INT) AS chunk_id,

@@ -23,6 +23,19 @@ import graft.functions.Fixtures
   */
 object TweetPipeline {
 
+  /** Name of the malformed-input capture column (schema field, reader
+    * option, and enrich passthrough all share it). */
+  val CorruptCol = "_corrupt_record"
+
+  private val baseOutputCols = Seq("created_at", "text", "user", "hashtags",
+    "space", "sentiment_score", "sentiment", "n_tokens")
+
+  /** Enriched output columns: malformed inputs stay visible downstream
+    * (not silently all-null rows) whenever the input carries them. */
+  private def outputCols(inputCols: Seq[String]): Seq[String] =
+    if (inputCols.contains(CorruptCol)) baseOutputCols :+ CorruptCol
+    else baseOutputCols
+
   /** Explicit schema (never inference — determinism; corrupt rows are
     * captured, not dropped). Reference README.md:79. */
   val tweetSchema: StructType = StructType(Seq(
@@ -34,7 +47,7 @@ object TweetPipeline {
     StructField("geo", StructType(Seq(
       StructField("lat", DoubleType),
       StructField("lon", DoubleType)))),
-    StructField("_corrupt_record", StringType)))
+    StructField(CorruptCol, StringType)))
 
   /** Shared enrichment: works identically on batch and streaming frames. */
   def enrich(tweets: DataFrame): DataFrame = {
@@ -59,23 +72,18 @@ object TweetPipeline {
         when(col("sentiment_score") > 0, "positive")
           .when(col("sentiment_score") < 0, "negative")
           .otherwise("neutral"))
-      .select(("created_at" +: "text" +: "user" +: "hashtags" +: "space" +:
-        "sentiment_score" +: "sentiment" +: "n_tokens" +:
-        // malformed inputs must stay visible downstream, not silently
-        // become all-null enriched rows
-        (if (tweets.columns.contains("_corrupt_record")) Seq("_corrupt_record")
-         else Seq.empty)).map(col): _*)
+      .select(outputCols(tweets.columns).map(col): _*)
   }
 
   /** E2 — batch file ingest (reference README.md:105-107). */
   def batchIngest(spark: SparkSession, path: String): DataFrame =
     enrich(spark.read.schema(tweetSchema)
-      .option("columnNameOfCorruptRecord", "_corrupt_record").json(path))
+      .option("columnNameOfCorruptRecord", CorruptCol).json(path))
 
   /** E1 streaming file ingest — same plan, readStream source. */
   def streamIngest(spark: SparkSession, path: String): DataFrame =
     enrich(spark.readStream.schema(tweetSchema)
-      .option("columnNameOfCorruptRecord", "_corrupt_record").json(path))
+      .option("columnNameOfCorruptRecord", CorruptCol).json(path))
 
   /** Parse a column of raw JSON strings (the HTTP body path, E1). */
   def parseJson(raw: DataFrame, jsonCol: String): DataFrame =

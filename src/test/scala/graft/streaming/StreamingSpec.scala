@@ -229,13 +229,15 @@ class StreamingSpec extends SparkSpecBase {
     // cache: Spark disallows querying ONLY the corrupt-record column from
     // a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
     val out = TweetPipeline.batchIngest(s, dir).cache()
-    assert(out.columns.contains("_corrupt_record"))
-    val bad = out.filter($"_corrupt_record".isNotNull)
-    val good = out.filter($"_corrupt_record".isNull)
-    assert(bad.count() === 1)
-    assert(bad.head().getAs[String]("_corrupt_record").startsWith("{not"))
-    assert(good.count() === 1)
-    assert(good.head().getAs[Seq[String]]("hashtags") === Seq("#row"))
+    try {
+      assert(out.columns.contains("_corrupt_record"))
+      val bad = out.filter($"_corrupt_record".isNotNull)
+      val good = out.filter($"_corrupt_record".isNull)
+      assert(bad.count() === 1)
+      assert(bad.head().getAs[String]("_corrupt_record").startsWith("{not"))
+      assert(good.count() === 1)
+      assert(good.head().getAs[Seq[String]]("hashtags") === Seq("#row"))
+    } finally out.unpersist(): Unit
   }
 
   test("E1 == E2: HTTP-ingested and batch-file tweets produce identical enriched rows") {
