@@ -84,6 +84,21 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("law: the flagship decimal-exact aggregate is invariant to shuffle " +
+    "partitioning (the core claim behind the oracle protocol)") {
+    val sfDir = sf
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): Seq[Seq[Any]] =
+      queries.Relational.q01.build(spark, sfDir).collect().map(_.toSeq).toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val one = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val many = run()
+      assert(one === many) // bitwise — doubles included
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("law: salted join result set equals the plain join's for any salt count") {
     samples(Gen.zip(rowsGen, Gen.choose(2, 16)), 5).foreach { case (rows, salts) =>
       val facts = rows.toDF("k", "s", "v")
