@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables}
 import graft.functions.VectorOps
-import graft.operators.{MinHashLSH, SimHash, SignLSH}
+import graft.operators.{ConnectedComponents, MinHashLSH, SimHash, SignLSH}
 
 /** SURVEY.md §2.10 N10 + BASELINE north-star dedup suite: MinHash+LSH,
   * SimHash, n-gram Jaccard, and sign-LSH embedding near-dup.
@@ -37,21 +37,14 @@ object Dedup {
            array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 2], ' ') AS text
     FROM documents WHERE doc_id % 5 = 0"""
 
-  /** q54 — MinHash + LSH near-dup pairs (N10): token md5 hashes →
-    * base-31 hashed 3-shingles → 12 universal-hash signature minima →
-    * 4 bands × 3 rows polynomial keys → bucket join → Jaccard >= 0.5
-    * over the hashed shingle sets. Mirrors MinHashLSH step for step. */
-  val q54 = Q(
-    "q54_minhash_lsh",
-    (s, dir) => MinHashLSH
-      .nearDupPairs(plantedDocs(s, dir), "doc_id", "text", minJaccard = 0.5)
-      .orderBy(col("a_id"), col("b_id")),
-    Some {
-      val aLit = MinHashLSH.aConst(12).mkString("[", ", ", "]")
-      val bLit = MinHashLSH.bConst(12).mkString("[", ", ", "]")
-      val M = MinHashLSH.Mod
-      s"""
-      WITH corpus AS ($plantedDocsSql),
+  /** The full MinHash-LSH pipeline as DuckDB CTEs ending in `v` (pair
+    * candidates with inter/na/nb) — shared by q54 (pairs) and q82
+    * (cluster collapse over those pairs). */
+  private[queries] val minhashOracleCtes: String = {
+    val aLit = MinHashLSH.aConst(12).mkString("[", ", ", "]")
+    val bLit = MinHashLSH.bConst(12).mkString("[", ", ", "]")
+    val M = MinHashLSH.Mod
+    s"""corpus AS ($plantedDocsSql),
       hts AS (SELECT doc_id,
                 list_transform(string_split(text, ' '), t ->
                   CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS hts
@@ -77,11 +70,23 @@ object Dedup {
               len(sa.sh) AS na, len(sb.sh) AS nb
             FROM cand
             JOIN sh sa ON cand.a_id = sa.doc_id
-            JOIN sh sb ON cand.b_id = sb.doc_id)
+            JOIN sh sb ON cand.b_id = sb.doc_id)"""
+  }
+
+  /** q54 — MinHash + LSH near-dup pairs (N10): token md5 hashes →
+    * base-31 hashed 3-shingles → 12 universal-hash signature minima →
+    * 4 bands × 3 rows polynomial keys → bucket join → Jaccard >= 0.5
+    * over the hashed shingle sets. Mirrors MinHashLSH step for step. */
+  val q54 = Q(
+    "q54_minhash_lsh",
+    (s, dir) => MinHashLSH
+      .nearDupPairs(plantedDocs(s, dir), "doc_id", "text", minJaccard = 0.5)
+      .orderBy(col("a_id"), col("b_id")),
+    Some(s"""
+      WITH $minhashOracleCtes
       SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard
       FROM v WHERE inter / (na + nb - inter) >= 0.5
-      ORDER BY a_id, b_id"""
-    },
+      ORDER BY a_id, b_id"""),
     doc = "N10: minhash-LSH, relational form — one codegen'd agg computes all " +
       "signature minima + shingle sets; shuffles longs + doc ids, never raw text")
 
@@ -197,5 +202,41 @@ object Dedup {
       ORDER BY a_id, b_id"""),
     doc = "N11 scale path: sign-LSH buckets collapse all-pairs cosine to per-bucket joins")
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57)
+  /** q82 — near-dup CLUSTER collapse (N16): q54's pairs are only half a
+    * dedup pipeline; chained duplicates (A~B, B~C) must collapse into
+    * one cluster with one kept representative. Spark runs iterative
+    * min-label propagation (graft.operators.ConnectedComponents);
+    * DuckDB computes the same components with a recursive CTE over the
+    * identical MinHash pair CTEs. */
+  val q82 = Q(
+    "q82_dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val docs = plantedDocs(s, dir)
+      val pairs = MinHashLSH
+        .nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5)
+        .select($"a_id", $"b_id")
+      ConnectedComponents
+        .label(docs.select($"doc_id"), "doc_id", pairs, "a_id", "b_id")
+        .select($"doc_id", $"component",
+          ($"doc_id" === $"component").as("is_kept"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashOracleCtes,
+      pairs AS (SELECT a_id, b_id FROM v
+                WHERE inter / (na + nb - inter) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.src, r.lab FROM reach r JOIN edges e ON r.node = e.dst)
+      SELECT node AS doc_id, MIN(lab) AS component,
+             node = MIN(lab) AS is_kept
+      FROM reach GROUP BY node ORDER BY doc_id"""),
+    doc = "N16: connected components by min-label propagation; per-cluster " +
+      "representative = min doc id — the collapse step after pair finding")
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82)
 }

@@ -91,6 +91,16 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     assert(bucketed.toSet == Set((1L, 2L), (2L, 3L), (3L, 4L), (3L, 6L)))
   }
 
+  test("ConnectedComponents: chains collapse transitively, isolated nodes " +
+    "keep themselves, and the representative is the component minimum") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // chain 1-2-3 (via pairs (2,1),(2,3)), pair 4-5, isolated 9
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("a", "b")
+    val out = ConnectedComponents.label(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
   test("quality filters flag a degenerate repeated document") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),
