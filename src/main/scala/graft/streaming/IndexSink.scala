@@ -41,4 +41,18 @@ object IndexSink {
     * .explain: PartitionFilters). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Upsert semantics (the ES "index document by id" behavior,
+    * reference README.md:102-103: re-posting a tweet id replaces it):
+    * rows in `updates` replace same-key rows in `existing`; new keys
+    * append. Pure relational merge — anti-join keeps the untouched
+    * existing rows, union adds every update — so it distributes as two
+    * compact-key shuffles. Plain parquet has no transactional MERGE;
+    * callers rewrite the affected partitions with the returned frame
+    * (at lakehouse scale a table format takes over exactly here). */
+  def upsert(existing: DataFrame, updates: DataFrame,
+             keyCols: Seq[String]): DataFrame =
+    existing.join(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+        keyCols, "left_anti")
+      .unionByName(updates)
 }

@@ -218,6 +218,20 @@ class StreamingSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("sentiment"))
   }
 
+  test("S8: index upsert replaces same-key rows, appends new keys, keeps the rest") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq((1L, "old-1", "x"), (2L, "old-2", "x"), (3L, "old-3", "x"))
+      .toDF("id", "payload", "tag")
+    val updates = Seq((2L, "new-2", "y"), (9L, "new-9", "y"))
+      .toDF("id", "payload", "tag")
+    val merged = IndexSink.upsert(existing, updates, Seq("id"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(merged === Map(
+      1L -> ("old-1", "x"), 2L -> ("new-2", "y"),
+      3L -> ("old-3", "x"), 9L -> ("new-9", "y")))
+  }
+
   test("S2: malformed JSON rows surface in _corrupt_record, valid rows enrich") {
     val s = spark
     import s.implicits._
