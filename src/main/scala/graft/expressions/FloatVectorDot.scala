@@ -45,6 +45,15 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Always nullable: unequal lengths and null ELEMENTS yield null even
+    * when both input arrays are themselves non-nullable, so inheriting
+    * BinaryExpression's `left.nullable || right.nullable` would declare
+    * a non-null contract this expression can violate (and make
+    * nullSafeCodeGen emit `false = true;`). Matches the HOF idiom,
+    * whose ArrayAggregate is likewise always nullable.
+    */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "float_vector_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -22,10 +22,21 @@ object ConnectedComponents {
 
   /** @param edges undirected edge list with long columns (srcCol, dstCol)
     * @param nodes one row per node id (isolated nodes keep themselves)
+    * @param maxRounds hard cap on propagation rounds; exceeding it THROWS
+    *   (an unconverged labeling is silently-wrong clusters — at scale
+    *   prefer a loud failure and a bigger cap over corrupt dedup output)
+    * @param checkpointInterval every this-many rounds the label frame is
+    *   `localCheckpoint`ed instead of persisted. persist() keeps the DATA
+    *   hot but the logical plan still chains through every prior round,
+    *   so the plan grows linearly and a lost partition at round k
+    *   recomputes all k rounds; checkpointing materializes the RDD and
+    *   truncates lineage — standard iterative-algorithm hygiene on a
+    *   real cluster (use checkpoint-with-dir there for executor-loss
+    *   tolerance; localCheckpoint is the single-JVM variant).
     * @return (idCol, "component") — component = min node id reachable */
   def label(nodes: DataFrame, idCol: String,
             edges: DataFrame, srcCol: String, dstCol: String,
-            maxRounds: Int = 20): DataFrame = {
+            maxRounds: Int = 20, checkpointInterval: Int = 5): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct().persist()
@@ -38,9 +49,11 @@ object ConnectedComponents {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("node"), col("component"))
-      val next = labels.unionByName(viaNeighbors)
+      val candidate = labels.unionByName(viaNeighbors)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
-        .persist()
+      val next =
+        if ((round + 1) % checkpointInterval == 0) candidate.localCheckpoint()
+        else candidate.persist()
       val changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
         .filter(col("component") =!= col("prev")).limit(1).count()
       labels.unpersist()
@@ -49,6 +62,10 @@ object ConnectedComponents {
       round += 1
     }
     sym.unpersist()
+    require(converged,
+      s"connected components did not converge within $maxRounds rounds " +
+        "(component diameter exceeds the cap); raise maxRounds — returning " +
+        "partial labels would silently merge/split dedup clusters")
     labels.select(col("node").as(idCol), col("component"))
   }
 }

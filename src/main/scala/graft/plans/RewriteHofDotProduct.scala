@@ -42,11 +42,16 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
-          ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          ZipWith(a, b, LambdaFunction(m @ Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           Literal(0.0, DoubleType),
           LambdaFunction(Add(al, ar, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
         if isFloatArray(a) && isFloatArray(b) &&
+          // Bit-exactness guard: only rewrite when the product itself is
+          // computed in DOUBLE (`(double) x * (double) y`). A bare
+          // `x * y` multiplies in FLOAT and rounds before the add —
+          // differs by ULPs from FloatVectorDot's double*double product.
+          m.dataType == DoubleType &&
           ((sameVar(ml, x) && sameVar(mr, y)) || (sameVar(ml, y) && sameVar(mr, x))) &&
           ((sameVar(al, acc) && sameVar(ar, v)) || (sameVar(al, v) && sameVar(ar, acc))) &&
           sameVar(fin, fv) =>

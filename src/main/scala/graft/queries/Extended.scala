@@ -217,7 +217,7 @@ object Extended {
       SELECT doc_id,
              len(words) AS n_words,
              len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
-             CAST(list_sum(list_transform(words, t -> CAST(floor((length(t) + 3) / 4) AS BIGINT))) AS BIGINT) AS n_pieces,
+             COALESCE(CAST(list_sum(list_transform(words, t -> CAST(floor((length(t) + 3) / 4) AS BIGINT))) AS BIGINT), 0) AS n_pieces,
              CASE WHEN len(words) > 0 THEN CAST(length(text) AS DOUBLE) / len(words) END AS chars_per_word
       FROM w ORDER BY doc_id"""),
     doc = "N14: token/piece budgeting — zero-UDF regex + HOF fold, codegen'd")

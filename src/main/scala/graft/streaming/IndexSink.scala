@@ -49,10 +49,31 @@ object IndexSink {
     * existing rows, union adds every update — so it distributes as two
     * compact-key shuffles. Plain parquet has no transactional MERGE;
     * callers rewrite the affected partitions with the returned frame
-    * (at lakehouse scale a table format takes over exactly here). */
+    * (at lakehouse scale a table format takes over exactly here).
+    *
+    * PRECONDITION: `updates` must be key-unique — every update row
+    * survives verbatim, so duplicate keys within one batch would all
+    * land in the index (unlike ES, where the last write per id wins).
+    * When the batch may carry several versions of a key, use
+    * [[upsertLatest]] to collapse it first. */
   def upsert(existing: DataFrame, updates: DataFrame,
              keyCols: Seq[String]): DataFrame =
     existing.join(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
         keyCols, "left_anti")
       .unionByName(updates)
+
+  /** [[upsert]] for batches that may contain SEVERAL rows per key:
+    * keeps only the latest row per key (max `versionCol`, the caller's
+    * event-time/sequence column — ES last-write-wins), then merges.
+    * One windowed rank over the (small) updates batch, nothing extra on
+    * the big `existing` side. */
+  def upsertLatest(existing: DataFrame, updates: DataFrame,
+                   keyCols: Seq[String], versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    val latest = updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    upsert(existing, latest, keyCols)
+  }
 }

@@ -41,6 +41,26 @@ class FloatVectorDotSpec extends AnyFunSuite with SparkSpecBase {
       assert(withNullElem.select(d($"a", $"b")).head().isNullAt(0))
   }
 
+  test("non-nullable array inputs: expression still declares nullable and " +
+    "returns null on unequal lengths (codegen must not constant-fold isNull)") {
+    // array(lit(...)) columns are non-nullable with non-null elements —
+    // before the `nullable=true` override this shape made nullSafeCodeGen
+    // emit an assignment to literal `false` (codegen compile failure ->
+    // silent interpreted fallback) and violated the non-null contract.
+    val df = spark.range(1).select(
+      array(lit(1.0f), lit(2.0f)).as("a"),
+      array(lit(3.0f)).as("b"),
+      array(lit(3.0f), lit(4.0f)).as("c"))
+    assert(!df.schema("a").nullable)
+    val out = df.select(
+      VectorOps.dot($"a", $"b").as("uneq"),
+      VectorOps.dot($"a", $"c").as("eq"))
+    assert(out.schema("uneq").nullable && out.schema("eq").nullable)
+    val row = out.head()
+    assert(row.isNullAt(0))
+    assert(row.getDouble(1) == 11.0)
+  }
+
   test("the similarity inner loop stays inside whole-stage codegen") {
     val e = Tables(spark, sf, "embeddings").limit(50)
     val df = e.crossJoin(broadcast(e.select($"embedding".as("q"))))

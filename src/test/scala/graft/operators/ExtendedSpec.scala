@@ -101,6 +101,29 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("ConnectedComponents: a 50-node path (diameter 49) converges through " +
+    "the localCheckpoint lineage truncation, label = path minimum") {
+    val n = 50
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    // min-label walks one hop per round -> needs 49 rounds, so the
+    // checkpointInterval=5 truncation path executes ~9 times
+    val out = ConnectedComponents.label(nodes, "id", edges, "a", "b",
+        maxRounds = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == n && out.forall(_._2 == 0L))
+  }
+
+  test("ConnectedComponents: exceeding maxRounds fails loudly instead of " +
+    "returning unconverged labels") {
+    val nodes = (0L until 12L).toDF("id")
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.label(nodes, "id", edges, "a", "b", maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("quality filters flag a degenerate repeated document") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),

@@ -29,6 +29,19 @@ class RewriteHofDotProductSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("a FLOAT-multiply lambda ((x, y) -> x * y, no casts) is NOT rewritten " +
+    "— it rounds each product to float, which differs by ULPs from the " +
+    "double*double product the native expression computes") {
+    withRule {
+      val df = Tables(spark, sf, "embeddings").limit(10)
+        .select(org.apache.spark.sql.functions.expr(
+          "aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)").as("s"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("float_vector_dot"), optimized)
+      assert(df.count() == 10)
+    }
+  }
+
   test("non-matching aggregates are left alone") {
     withRule {
       // sum of (x + y) — not a product fold; must NOT rewrite

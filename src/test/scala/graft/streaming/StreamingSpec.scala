@@ -232,6 +232,20 @@ class StreamingSpec extends SparkSpecBase {
       3L -> ("old-3", "x"), 9L -> ("new-9", "y")))
   }
 
+  test("S8: upsertLatest collapses a multi-version batch to last-write-wins " +
+    "per key before merging (ES 'index by id' semantics)") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq((1L, "old-1", 0L)).toDF("id", "payload", "seq")
+    // key 1 appears three times in ONE batch; plain upsert would keep all
+    val updates = Seq((1L, "v1", 10L), (1L, "v3", 30L), (1L, "v2", 20L),
+      (2L, "only", 5L)).toDF("id", "payload", "seq")
+    val merged = IndexSink.upsertLatest(existing, updates, Seq("id"), "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged === Map(1L -> "v3", 2L -> "only"))
+    assert(IndexSink.upsertLatest(existing, updates, Seq("id"), "seq").count() == 2)
+  }
+
   test("S2: malformed JSON rows surface in _corrupt_record, valid rows enrich") {
     val s = spark
     import s.implicits._
