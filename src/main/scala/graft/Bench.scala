@@ -1,6 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits ONE JSON line with BOTH measurement protocols
+  * plus a machine-contention canary, so a noisy sitting is detectable
+  * from the artifact itself instead of poisoning round-over-round
+  * comparisons (round 2's only "regression" was a contended machine):
+  *
+  *   - `queries`     / `value`     — FIRST-run times (cold plan, the
+  *     protocol the per-round driver has always recorded)
+  *   - `queries_min` / `total_min` — min over `SPARK_GRAFT_REPEAT`
+  *     (default 2) runs, cache cleared between runs (the BASELINE.md
+  *     record protocol; cuts scheduler/GC noise out of A/B work)
+  *   - `canary_before_sec` / `canary_after_sec` / `canary_drift` — a
+  *     fixed single-threaded 10^8-step integer loop timed before and
+  *     after the suite; on an idle machine drift ≈ 1.0, under external
+  *     load it rises with the stolen cycles. `contended: true` when
+  *     drift > 1.5 — treat every number in that file as suspect.
+  */
 object Bench {
+
+  /** Deterministic CPU-bound loop (xorshift accumulate). The result is
+    * returned and folded into an ignored JSON field so the JIT cannot
+    * eliminate the loop. */
+  private def canaryWork(): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < 100000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    acc
+  }
+
+  private def timeCanary(): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val acc = canaryWork()
+    ((System.nanoTime() - t0) / 1e9, acc)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,14 +49,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT-warm the canary loop so `before` measures the machine, not
+    // the interpreter; then take the pre-suite reading.
+    canaryWork(); canaryWork()
+    val (canaryBefore, sink0) = timeCanary()
     // Warm the JVM/codegen/shuffle paths once, untimed, so the first
-    // measured query doesn't absorb cluster start-up cost.
+    // measured query doesn't absorb cluster start-up cost. A FAILED
+    // warm-up means every number below is silently cold — say so.
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARM-UP FAILED (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}) — all times below include JVM/codegen start-up")
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // Local iteration only (driver runs repeat=1): report the min of N
-    // runs to cut scheduler/GC noise out of A/B comparisons.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt max 1
+    // per query: (first-run seconds, min-of-N seconds); -1.0 = failed
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -29,14 +76,27 @@ object Bench {
           // a failed repeat contributes NO time — min over elapsed-to-
           // failure would report a fast crash as a fast query
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}")
+              None
+          }
         }
-        name -> (if (times.nonEmpty) times.min else -1.0)
-      }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        name -> (times.headOption.getOrElse(-1.0),
+                 if (times.nonEmpty) times.min else -1.0)
+      }
+    val (canaryAfter, sink1) = timeCanary()
+    val drift = canaryAfter / canaryBefore
+    def jmap(sel: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    val totalFirst = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$totalFirst,"unit":"sec"""" +
+      s""","protocol":"first-of-$repeat","queries":${jmap(_._1)}""" +
+      s""","total_min":$totalMin,"queries_min":${jmap(_._2)}""" +
+      s""","canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter""" +
+      f""","canary_drift":$drift%.3f,"contended":${drift > 1.5}""" +
+      s""","canary_sink":${(sink0 ^ sink1) & 0xff},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
