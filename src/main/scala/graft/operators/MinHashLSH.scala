@@ -34,9 +34,14 @@ import org.apache.spark.sql.types._
   * (reduced map-side), then equi-joins on compact keys (longs / doc
   * ids) — raw text never crosses a shuffle. Candidate volume follows
   * the (bands, rows) S-curve P = 1-(1-j^rows)^bands. Band keys are
-  * uniform, so no systematic bucket skew; genuinely viral duplicates
-  * (>~10^4 copies of one text) would need a per-bucket count cap
-  * upstream.
+  * uniform, so no systematic bucket skew — EXCEPT genuinely viral
+  * duplicates (10^4+ copies of one boilerplate text put 10^4 docs in
+  * one bucket → O(10^8) pairs from a single key). `maxBucketSize`
+  * drops such buckets before the pair join: a bucket that fat is not
+  * "near"-duplication but mass EXACT duplication, which the exact-hash
+  * dedup pass (q49) removes upstream for a count instead of a
+  * quadratic pair list. Dropped buckets are observable via
+  * [[bucketStats]]; the DuckDB oracle mirrors the cap.
   *
   * Determinism: md5 + integer arithmetic only — reproducible in any
   * engine (the DuckDB oracle twin mirrors every step). Hash domain is
@@ -137,30 +142,60 @@ object MinHashLSH {
       (0 until rows).map(r => col(s"sig${b * rows + r}"))
         .reduceLeft((acc, x) => acc * 31 + x)): _*)
 
+  /** Buckets holding more docs than this are dropped from candidate
+    * generation (and mirrored in the oracle SQL). Far above any honest
+    * near-dup cluster; hit only by mass-duplicated boilerplate. */
+  val DefaultMaxBucket = 1000
+
   /** Candidate pairs (aId < bId) whose signatures collide in >=1 band.
     * Input must have columns (idCol: long, textCol: string). */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, numHashes: Int = 12,
-                     bands: Int = 4, rows: Int = 3): DataFrame =
+                     bands: Int = 4, rows: Int = 3,
+                     maxBucketSize: Int = DefaultMaxBucket): DataFrame =
     candidatesFrom(docSignatures(docs, idCol, textCol, k, numHashes),
-      idCol, bands, rows)
+      idCol, bands, rows, maxBucketSize)
 
   private def candidatesFrom(sigs: DataFrame, idCol: String,
-                             bands: Int, rows: Int): DataFrame = {
+                             bands: Int, rows: Int,
+                             maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = sigs.select(col(idCol),
       posexplode(bandKeyArr(bands, rows)).as(Seq("band", "key")))
-    ex.as("a").join(ex.as("b"),
+    // Viral-bucket cap: one windowed count over (band, key) — the fat
+    // bucket lands on one reducer but only as maxBucketSize+ COUNTED
+    // rows, never as O(n²) joined pairs. Persisted because the pruned
+    // frame feeds both sides of the self-join.
+    val pruned = ex
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+      .persist()
+    pruned.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
       .distinct()
   }
 
+  /** Observability for the cap: one row per (band, key) bucket with its
+    * doc count and whether the pair join skipped it. A pipeline alarms
+    * on `sum(dropped)` — dropped buckets mean mass duplication that the
+    * exact-dedup pass should have absorbed. */
+  def bucketStats(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, numHashes: Int = 12,
+                  bands: Int = 4, rows: Int = 3,
+                  maxBucketSize: Int = DefaultMaxBucket): DataFrame =
+    signatures(docs, idCol, textCol, k, numHashes)
+      .select(col(idCol), posexplode(bandKeyArr(bands, rows)).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("dropped", col("n_docs") > maxBucketSize)
+
   /** Full pipeline: candidates verified by exact Jaccard over the
     * hashed shingle sets. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, k: Int = 3, numHashes: Int = 12,
-                   bands: Int = 4, rows: Int = 3): DataFrame = {
+                   bands: Int = 4, rows: Int = 3,
+                   maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
     // One md5 pass per token into a persisted shingle-array midpoint
     // (~8 bytes/token, far smaller than the text; checkpoint instead of
     // caching at cluster scale). Caller/session owns the cache lifetime
@@ -169,7 +204,7 @@ object MinHashLSH {
     val sh = shingled(docs, idCol, textCol, k).persist()
     val sigs = signaturesFromShingled(sh, idCol, numHashes).persist()
     val sets = shingleSetsFromShingled(sh, idCol)
-    candidatesFrom(sigs, idCol, bands, rows)
+    candidatesFrom(sigs, idCol, bands, rows, maxBucketSize)
       .join(sets.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))

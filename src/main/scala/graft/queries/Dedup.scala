@@ -62,9 +62,12 @@ object Dedup {
       bands AS (SELECT doc_id, CAST(b AS INT) AS band,
                   (sig[CAST(b AS INT)*3+1] * 31 + sig[CAST(b AS INT)*3+2]) * 31 + sig[CAST(b AS INT)*3+3] AS key
                 FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      ok_buckets AS (SELECT band, key FROM bands GROUP BY band, key
+                     HAVING COUNT(*) <= ${MinHashLSH.DefaultMaxBucket}),
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                FROM bands x JOIN bands y
-                 ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+                 ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+               JOIN ok_buckets o ON x.band = o.band AND x.key = o.key),
       v AS (SELECT a_id, b_id,
               CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS DOUBLE) AS inter,
               len(sa.sh) AS na, len(sb.sh) AS nb
@@ -90,8 +93,9 @@ object Dedup {
     doc = "N10: minhash-LSH, relational form — one codegen'd agg computes all " +
       "signature minima + shingle sets; shuffles longs + doc ids, never raw text")
 
-  /** q55 — SimHash near-dup pairs (N10 variant): 16-bit fingerprint,
-    * hi/lo-byte banding, hamming <= 3. */
+  /** q55 — SimHash near-dup pairs (N10 variant): 64-bit fingerprint as
+    * four 16-bit bands (Manku '07), band-equality candidates (exact
+    * recall for hamming <= 3 by pigeonhole), hamming <= 3 verify. */
   val q55 = Q(
     "q55_simhash",
     (s, dir) => {
@@ -99,7 +103,7 @@ object Dedup {
       // sum(tf * sign) over DISTINCT (doc, term) == sum(sign) over raw
       // token instances, so the (doc, term) pre-aggregation — a shuffle
       // keyed on ~|corpus vocab x docs| — is skipped entirely: one
-      // explode, ONE groupBy(doc) with 16 sums. The DuckDB twin keeps
+      // explode, ONE groupBy(doc) with 64 sums. The DuckDB twin keeps
       // the textbook tf formulation; results are identical.
       val instances = plantedDocs(s, dir)
         .select($"doc_id", explode(split($"text", " ")).as("term"),
@@ -109,29 +113,42 @@ object Dedup {
         .orderBy($"a_id", $"b_id")
     },
     Some {
-      val sums = (0 until SimHash.Bits)
-        .map(b => s"SUM(tf * (((h >> $b) & 1) * 2 - 1)) AS s$b").mkString(",\n                ")
-      val fpExpr = (0 until SimHash.Bits)
-        .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val pieces = (0 until SimHash.Bands)
+        .map(k => s"CAST(('0x' || substr(md5(term), ${1 + 4 * k}, 4)) AS INT) AS h$k")
+        .mkString(",\n             ")
+      val sums = (for (k <- 0 until SimHash.Bands; j <- 0 until SimHash.BandBits)
+        yield s"SUM(tf * (((h$k >> $j) & 1) * 2 - 1)) AS s${k}_$j").mkString(",\n                ")
+      val fpCols = (0 until SimHash.Bands).map { k =>
+        (0 until SimHash.BandBits)
+          .map(j => s"(CASE WHEN s${k}_$j > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ") + s" AS f$k"
+      }.mkString(",\n              ")
+      val sideCols = (0 until SimHash.Bands)
+        .map(k => s"a.f$k AS fa$k, b.f$k AS fb$k").mkString(", ")
+      val candBands = (0 until SimHash.Bands).map { k =>
+        s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id, $sideCols
+        FROM fp a JOIN fp b ON a.f$k = b.f$k AND a.doc_id < b.doc_id"""
+      }.mkString("\n        UNION\n        ")
+      val hamming = (0 until SimHash.Bands)
+        .map(k => s"bit_count(xor(fa$k, fb$k))").mkString(" + ")
       s"""
       WITH corpus AS ($plantedDocsSql),
       terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus),
       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
-      h AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term), 1, 4)) AS INT) AS h FROM tf),
+      h AS (SELECT doc_id, tf,
+             $pieces
+            FROM tf),
       s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
-      fp AS (SELECT doc_id, $fpExpr AS simhash FROM s),
-      keyed AS (SELECT doc_id, simhash, simhash >> 8 AS hi, simhash & 255 AS lo FROM fp),
+      fp AS (SELECT doc_id,
+              $fpCols
+             FROM s),
       cand AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS sim_a, b.simhash AS sim_b
-        FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-        FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id)
-      SELECT a_id, b_id, bit_count(xor(sim_a, sim_b)) AS hamming
-      FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        $candBands)
+      SELECT a_id, b_id, $hamming AS hamming
+      FROM cand WHERE $hamming <= 3
       ORDER BY a_id, b_id"""
     },
-    doc = "N10: simhash — word-count-shaped agg, byte-banded probe joins")
+    doc = "N10: simhash 64-bit/4-band — word-count-shaped agg, 65k-bucket band joins")
 
   /** q56 — character-3-gram Jaccard similarity matrix over a fixed doc
     * slice (the n-gram-Jaccard dedup primitive, exact form). All pairs

@@ -42,6 +42,59 @@ class DedupSpec extends SparkSpecBase {
     assert(out.length === 1 && out.head.getAs[Any]("hamming") == 0)
   }
 
+  test("minhash viral-bucket cap: a 1000+-copy boilerplate text generates " +
+    "ZERO candidate pairs while honest near-dups still pair up") {
+    val s = spark
+    import s.implicits._
+    val boiler = "click here to accept cookies and continue to the site content"
+    val viral = (1L to 1200L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val honest = Seq(
+      (5001L, "a perfectly ordinary document about spark shuffle behavior today"),
+      (5002L, "a perfectly ordinary document about spark shuffle behavior")
+    ).toDF("doc_id", "text")
+    val corpus = viral.unionByName(honest)
+    val pairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // without the cap the viral bucket alone is 1200*1199/2 ≈ 719k pairs
+    assert(pairs.toSet === Set((5001L, 5002L)))
+    // the dropped buckets are observable
+    val dropped = MinHashLSH.bucketStats(corpus, "doc_id", "text")
+      .filter($"dropped").count()
+    assert(dropped >= 1)
+  }
+
+  test("simhash 4x16-bit banding: candidate generation is EXACT for " +
+    "hamming <= 3 (pigeonhole over 4 bands) and bucket sizes stay tiny") {
+    val s = spark
+    import s.implicits._
+    val instances = docs.select($"doc_id",
+      explode(split($"text", " ")).as("term"), lit(1L).as("tf"))
+    val fp = SimHash.fingerprints(instances, "doc_id", "term", "tf").persist()
+    // Brute-force ground truth over ALL pairs (fingerprints only — cheap
+    // at test scale): banding must reproduce it exactly, because a pair
+    // differing in <= 3 of 64 bits leaves at least one of the 4 bands
+    // untouched. The verify-step filter never has to rescue recall.
+    val brute = fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        (0 until SimHash.Bands).map(k =>
+          bit_count(col(s"a.f$k").bitwiseXOR(col(s"b.f$k")))).reduce(_ + _).as("h"))
+      .filter($"h" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SimHash.nearDupPairs(fp, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty && banded === brute)
+    // 65,536 buckets per band: the corpus (~600 docs incl. planted dups)
+    // must spread out — a fat bucket would mean the O(N²/buckets)
+    // within-bucket join is back. Planted dups share buckets by design,
+    // so the bound is "tiny", not 1.
+    val maxBucket = (0 until SimHash.Bands).map { k =>
+      fp.groupBy(col(s"f$k")).count().agg(max($"count")).head().getLong(0)
+    }.max
+    val n = fp.count()
+    assert(maxBucket <= n / 10, s"fattest band bucket: $maxBucket of $n docs")
+    fp.unpersist()
+  }
+
   test("sign-LSH: a rescaled vector keeps its bucket (scale invariance)") {
     val s = spark
     import s.implicits._
