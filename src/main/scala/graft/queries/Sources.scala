@@ -101,5 +101,56 @@ object Sources {
       GROUP BY 1 ORDER BY 1"""),
     doc = "S8: partitionBy sink + pruned scan; the searchable-index layout")
 
-  val all: Seq[Q] = Seq(q58, q59, q60)
+  /** q83 — sort-within-partitions write optimization (O4, SURVEY §2.6):
+    * orders is redistributed by priority (ONE hash exchange) and sorted
+    * WITHIN each partition by (priority, date, key) — `sortWithinPartitions`,
+    * no global range exchange. Leading with the partition column matters:
+    * the parquet writer requires its output ordered by the partition
+    * columns, and an ordering that already satisfies that prefix avoids
+    * the writer injecting a second (order-destroying) sort. The read-back
+    * then counts per-FILE ordering violations with a lag window keyed by
+    * the actual parquet file (input_file_name + block start + scan
+    * sequence id), proving the in-partition order physically survived
+    * the round trip: sorted writes are what make parquet min/max page
+    * stats selective for the index's date predicates. The oracle pins
+    * violations at ZERO and checks counts/extrema — a real differential,
+    * since Spark derives its number from the files it wrote. */
+  val q83 = Q(
+    "q83_sorted_write",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val out = scratch("sorted")
+      Tables(s, dir, "orders")
+        .repartition(col("o_orderpriority"))
+        .sortWithinPartitions(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      // __seq increases in scan order within a task; ordering by
+      // (block start, __seq) reconstructs each file's physical row order
+      // even when one task reads several files or a file splits.
+      val seq = s.read.parquet(out)
+        .select(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"),
+          input_file_name().as("__file"),
+          input_file_block_start().as("__block"),
+          monotonically_increasing_id().as("__seq"))
+      val w = Window.partitionBy(col("__file")).orderBy(col("__block"), col("__seq"))
+      seq
+        .withColumn("__pd", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("__pk", lag(col("o_orderkey"), 1).over(w))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__pd") > col("o_orderdate") ||
+              (col("__pd") === col("o_orderdate") && col("__pk") > col("o_orderkey")),
+            1L).otherwise(0L)).as("order_violations"),
+          min(col("o_orderdate")).as("first_day"),
+          max(col("o_orderdate")).as("last_day"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n, CAST(0 AS BIGINT) AS order_violations,
+             MIN(o_orderdate) AS first_day, MAX(o_orderdate) AS last_day
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    doc = "O4: partition-local sort before a partitioned write — zero global " +
+      "sort exchange; per-file order verified from the files themselves")
+
+  val all: Seq[Q] = Seq(q58, q59, q60, q83)
 }

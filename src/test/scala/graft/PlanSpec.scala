@@ -135,6 +135,19 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sortWithinPartitions plans ONE hash exchange and ONE partition-local " +
+    "sort — no global range exchange (O4 write optimization)") {
+    val df = Tables(spark, sf, "orders")
+      .repartition(col("o_orderpriority"))
+      .sortWithinPartitions(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+    val p = plan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the sort is partition-local (global=false renders as "Sort [...], false")
+    val sortLine = p.linesIterator.find(_.trim.stripPrefix("+- ").startsWith("Sort")).get
+    assert(sortLine.contains("false"), sortLine)
+  }
+
   test("partitioned index scan prunes partitions on the filter") {
     val out = java.nio.file.Files.createTempDirectory("plan_idx").toString
     Tables(spark, sf, "events").write.mode("overwrite")
