@@ -19,15 +19,24 @@ import org.apache.spark.sql.functions._
   * isn't enough (it only splits map outputs; salting also spreads the
   * probe-side hash buckets).
   *
-  * The salt comes from a per-row id, NOT from the join key — hashing the
-  * key would put the whole hot key in one salt bucket again, defeating
-  * the point.
+  * The salt is xxhash64 over the fact ROW's columns (or the caller's
+  * `saltCols`), NOT the join key alone — hashing just the key would put
+  * the whole hot key in one salt bucket again, defeating the point. A
+  * row-content hash is also DETERMINISTIC under task retries, unlike
+  * `monotonically_increasing_id()`: with an id-based salt, a lost stage
+  * re-assigns ids, silently re-shuffling rows across reducers mid-query
+  * — same result set, but the skew split can re-skew exactly when the
+  * cluster is already degraded.
   */
 object SaltedJoin {
 
-  def join(facts: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+  /** @param saltCols columns whose combined hash spreads the hot key's
+    *   rows (ideally the fact's primary key); empty = all fact columns */
+  def join(facts: DataFrame, dim: DataFrame, key: String, salts: Int,
+           saltCols: Seq[String] = Nil): DataFrame = {
+    val src = (if (saltCols.nonEmpty) saltCols else facts.columns.toSeq).map(col)
     val saltedFacts = facts.withColumn(
-      "__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      "__salt", pmod(xxhash64(src: _*), lit(salts.toLong)))
     val replicatedDim = dim.withColumn(
       "__salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedFacts.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
