@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** T7 — arbitrary stateful processing: running per-user counters kept in
   * the state store across micro-batches (SURVEY.md §2.9).
@@ -44,12 +46,13 @@ object Stateful {
     * the RocksDB state store requirement — which is also what makes
     * huge state (billions of keys) spill off-heap instead of OOMing
     * executors. */
-  class RunningTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserRunning] {
+  class RunningTotalsProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, UserEvent, UserRunning] {
     @transient private var state: ValueState[UserState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[UserState](
-        "totals", Encoders.product[UserState], TTLConfig.NONE)
+        "totals", Encoders.product[UserState], ttl)
 
     override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
                                  timers: TimerValues): Iterator[UserRunning] = {
@@ -64,12 +67,73 @@ object Stateful {
 
   /** Running totals via transformWithState (requires the RocksDB state
     * store provider — set `spark.sql.streaming.stateStore.providerClass`
-    * to `...RocksDBStateStoreProvider` before starting the query). */
-  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    * to `...RocksDBStateStoreProvider` before starting the query).
+    * A non-NONE `ttl` turns on native state TTL (processing-time based:
+    * a key idle past the TTL reads back as absent, so its totals restart
+    * — the store-side eviction that keeps unbounded key populations from
+    * growing state forever). */
+  def runningUserTotalsTws(events: Dataset[UserEvent],
+                           ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
     implicit val outEnc = Encoders.product[UserRunning]
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .transformWithState(new RunningTotalsProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        timeMode, OutputMode.Update())
+  }
+
+  case class TimedEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionClosed(user_id: Long, n: Long, total: Double,
+                           closed_by_timer: Boolean)
+
+  /** T7 with EVENT-TIME TIMERS: a per-user session that emits NOTHING
+    * while events flow and a single closing record once the watermark
+    * passes (last event time + gap) — the timer-driven eviction pattern
+    * for "emit on inactivity" semantics (session receipts, abandoned-cart
+    * triggers) that windowed aggregation cannot express. Each input
+    * moves the user's single timer forward (delete + re-register);
+    * `handleExpiredTimer` emits the summary and CLEARS the state, so an
+    * idle key costs nothing after its timer fires. */
+  class SessionExpiryProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, TimedEvent, SessionClosed] {
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState](
+        "session", Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[TimedEvent],
+                                 timers: TimerValues): Iterator[SessionClosed] = {
+      val prev = if (state.exists()) state.get() else UserState(0L, 0.0)
+      var n = prev.n; var total = prev.total; var maxTs = Long.MinValue
+      rows.foreach { e =>
+        n += 1; total += e.value; maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      state.update(UserState(n, total))
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionClosed] = {
+      val s = state.get()
+      state.clear()
+      Iterator.single(SessionClosed(userId, s.n, s.total, closed_by_timer = true))
+    }
+  }
+
+  /** Sessions closed by event-time timers; input gains a zero-delay
+    * watermark on `ts` (timers fire when the watermark passes them). */
+  def timerClosedSessions(events: Dataset[TimedEvent],
+                          gapMs: Long): Dataset[SessionClosed] = {
+    implicit val outEnc = Encoders.product[SessionClosed]
+    implicit val inEnc = Encoders.product[TimedEvent]
+    events.withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("value")).as[TimedEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionExpiryProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Running (count, sum, avg) per user, updated each micro-batch.

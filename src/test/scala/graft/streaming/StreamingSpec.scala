@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.SparkSpecBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.TTLConfig
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 
@@ -175,6 +176,87 @@ class StreamingSpec extends SparkSpecBase {
       val last = s.table("t7b_out").filter($"user_id" === 1)
         .orderBy($"n".desc).head()
       assert(last.getLong(1) === 3L && last.getDouble(2) === 60.0)
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("T7c: event-time timers close idle sessions and CLEAR their state " +
+    "(transformWithState timer eviction)") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Stateful.TimedEvent](s)
+      val q = Stateful.timerClosedSessions(stream.toDS(), gapMs = 30000L)
+        .writeStream.format("memory").queryName("t7c_out").outputMode("append").start()
+      // batch 1: user 7's session (2 events); timer lands at 00:01:00 + 30s
+      stream.addData(Stateful.TimedEvent(7, ts(0), 10.0),
+        Stateful.TimedEvent(7, ts(1), 20.0))
+      q.processAllAvailable()
+      // batch 2: user 8 far in the future pushes the watermark to 00:40
+      stream.addData(Stateful.TimedEvent(8, ts(40), 1.0))
+      q.processAllAvailable()
+      // batch 3: the watermark (00:40) now exceeds user 7's timer -> fires
+      stream.addData(Stateful.TimedEvent(8, ts(41), 1.0))
+      q.processAllAvailable()
+      // batch 4+5: user 7 returns; a fresh session proves state was cleared
+      stream.addData(Stateful.TimedEvent(7, ts(50), 5.0))
+      q.processAllAvailable()
+      stream.addData(Stateful.TimedEvent(8, ts(120), 1.0))
+      q.processAllAvailable()
+      stream.addData(Stateful.TimedEvent(8, ts(121), 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val closed7 = s.table("t7c_out").filter($"user_id" === 7)
+        .orderBy($"n".desc)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(closed7.toSeq === Seq((2L, 30.0, true), (1L, 5.0, true)))
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("T7d: native state TTL evicts idle keys — totals restart after the " +
+    "TTL elapses (transformWithState TTLConfig)") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Stateful.UserEvent](s)
+      val q = Stateful.runningUserTotalsTws(stream.toDS(),
+          ttl = TTLConfig(java.time.Duration.ofMillis(1)))
+        .writeStream.format("memory").queryName("t7d_out").outputMode("update").start()
+      // TimeMode.ProcessingTime keeps scheduling no-data batches to advance
+      // the clock for TTL — processAllAvailable never quiesces under it,
+      // so wait on the SINK instead (same caveat as ProcessingTimeTimeout,
+      // see Stateful.runningUserTotals scaladoc).
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (s.table("t7d_out").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(s.table("t7d_out").count() >= n, s"sink never reached $n rows")
+      }
+      stream.addData(Stateful.UserEvent(1, "a", 10.0))
+      awaitRows(1)
+      Thread.sleep(300) // let the 1 ms TTL lapse in processing time
+      stream.addData(Stateful.UserEvent(1, "a", 5.0))
+      awaitRows(2)
+      q.stop()
+      val rows = s.table("t7d_out").filter($"user_id" === 1)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      // without TTL the second batch would read (2, 15.0)
+      assert(rows === Set((1L, 10.0), (1L, 5.0)))
     } finally {
       prev match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
