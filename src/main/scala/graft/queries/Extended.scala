@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables, Exact}
 import graft.functions.{Profiler, VectorOps}
-import graft.operators.{IntervalJoin, SaltedJoin}
+import graft.operators.{BloomPrune, IntervalJoin, SaltedJoin}
 import Exact._
 
 /** Round-2 surface extensions: pivot, subqueries, deterministic dataset
@@ -560,7 +560,59 @@ object Extended {
     doc = "X18: per-key spine + hour aggregate + ignoreNulls forward fill — " +
       "gap filling without a global calendar cross join")
 
+  /** q84 — bloom-pruned semi-join (X19): lineitems restricted to a
+    * selective part subset. BloomPrune builds a ~KB filter over the dim
+    * keys and drops non-matching fact rows BEFORE the exchange; the
+    * exact semi-join then removes bloom false positives, so the result
+    * is the plain semi-join's — which is what the oracle runs. At 100 TB
+    * this is the difference between shuffling the whole fact table and
+    * shuffling the ~10% that survives the probe. */
+  val q84 = Q(
+    "q84_bloom_prune",
+    (s, dir) => {
+      import s.implicits._
+      val dim = Tables(s, dir, "part").filter($"p_size" <= 5)
+      BloomPrune.semiJoin(Tables(s, dir, "lineitem"), dim,
+          "l_partkey", "p_partkey", expectedItems = 100000L)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS revenue
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    doc = "X19: bloom semi-join pruning — MB-scale filter drops fact rows " +
+      "pre-shuffle; exact semi-join scrubs false positives")
+
+  /** q85 — heavy hitters via the Misra-Gries UDAF (X20): top suppliers
+    * by lineitem count. Capacity 2048 ≥ the 1000 distinct suppliers at
+    * sf0.1, so the sketch is in its exact regime and hash-matches the
+    * plain group-count oracle; the lossy-regime guarantees are pinned by
+    * HeavyHittersSpec. One pass, ≤ capacity counters per partition on
+    * the wire — frequency estimation whose shuffle cost is independent
+    * of row count. */
+  val q85 = Q(
+    "q85_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val hh = udaf(new graft.functions.HeavyHitters(2048))
+      Tables(s, dir, "lineitem")
+        .agg(hh($"l_suppkey").as("hits"))
+        .select(explode($"hits").as("h"))
+        .select($"h.key".as("l_suppkey"), $"h.est".as("cnt"))
+        .orderBy($"cnt".desc, $"l_suppkey")
+        .limit(10)
+    },
+    Some("""
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+      ORDER BY cnt DESC, l_suppkey LIMIT 10"""),
+    doc = "X20: mergeable Misra-Gries summary — exact below capacity " +
+      "(oracle-checked), guaranteed-survival heavy hitters above it")
+
   val all: Seq[Q] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q79, q80, q81)
+      q79, q80, q81, q84, q85)
 }
