@@ -152,5 +152,46 @@ object Sources {
     doc = "O4: partition-local sort before a partitioned write — zero global " +
       "sort exchange; per-file order verified from the files themselves")
 
-  val all: Seq[Q] = Seq(q58, q59, q60, q83)
+  /** q86 — z-order clustered write (X21): orders written range-
+    * partitioned + sorted on the Morton interleave of (custkey,
+    * totalprice), then read back. The build REQUIRES the layout
+    * property the operator exists for — per-file min/max boxes bounded
+    * in BOTH dimensions (avg normalized width < 0.6; a single-column
+    * sort leaves the second dimension at ~1.0) — so a layout regression
+    * fails Verify loudly; the oracle then checks the roundtrip lost no
+    * content. ZOrderSpec pins the file-skipping contrast vs the
+    * single-column layout. */
+  val q86 = Q(
+    "q86_zorder_write",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val out = scratch("zorder")
+      graft.operators.ZOrder
+        .cluster(Tables(s, dir, "orders"), "o_custkey", "o_totalprice", numFiles = 16)
+        .write.mode("overwrite").parquet(out)
+      val back = s.read.parquet(out)
+      for (c <- Seq("o_custkey", "o_totalprice")) {
+        val w = back.groupBy(input_file_name())
+          .agg(min(col(c).cast("double")).as("mn"), max(col(c).cast("double")).as("mx"))
+          .agg(avg(col("mx") - col("mn")).as("aw"),
+            (max(col("mx")) - min(col("mn"))).as("gw")).head()
+        require(w.getDouble(0) < 0.6 * w.getDouble(1),
+          s"z-order layout regressed: avg $c file width ${w.getDouble(0)} vs global ${w.getDouble(1)}")
+      }
+      back.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("o_totalprice")).as("price_sum"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ${Exact.sqlDsum("o_totalprice")} AS price_sum,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    doc = "X21: Morton-curve clustered write — per-file stats box both " +
+      "dimensions (required in-build), content preserved (oracle)")
+
+  val all: Seq[Q] = Seq(q58, q59, q60, q83, q86)
 }
