@@ -148,6 +148,40 @@ class PlanSpec extends SparkSpecBase {
     assert(sortLine.contains("false"), sortLine)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true) — the " +
+    "automatic complement to SaltedJoin for post-shuffle skew") {
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // shrink the detection thresholds so test-scale bytes qualify
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // one viral key carrying ~95% of rows (with payload bytes), a tail
+      // of cold keys — the q70 shape, handled here by AQE instead of salt
+      val fact = s.range(20000).select(
+        when($"id" % 20 =!= 0, lit(0L)).otherwise($"id" % 97 + 1).as("k"),
+        repeat(md5($"id".cast("string")), 2).as("payload"))
+      val dim = s.range(98).select($"id".as("k"), ($"id" * 7).as("code"))
+      // keep the payload in the output so pruning can't shrink the
+      // shuffled bytes below the skew threshold
+      val joined = fact.join(dim, "k")
+        .groupBy($"code").agg(count(lit(1)), max($"payload"))
+      joined.collect() // AQE re-plans during execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("partitioned index scan prunes partitions on the filter") {
     val out = java.nio.file.Files.createTempDirectory("plan_idx").toString
     Tables(spark, sf, "events").write.mode("overwrite")

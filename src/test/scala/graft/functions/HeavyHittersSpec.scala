@@ -23,6 +23,25 @@ class HeavyHittersSpec extends SparkSpecBase {
     assert(summarize(items, capacity = 64, parts = 13) === exact)
   }
 
+  test("differential vs Spark's native approx_top_k sketch in the exact " +
+    "regime: same items, same counts") {
+    val s = spark
+    import s.implicits._
+    val items = (1L to 4000L).map(i => i % (i % 13 + 1)) // skewed small-key dist
+    val df = items.toDF("k")
+    df.createOrReplaceTempView("hh_diff")
+    val native = s.sql(
+      "SELECT explode(approx_top_k(k, 5, 1024)) AS h FROM hh_diff")
+      .select($"h.item".cast("long"), $"h.count".cast("long"))
+      .as[(Long, Long)].collect().sortBy(t => (-t._2, t._1))
+    val hh = udaf(new HeavyHitters(1024))
+    val ours = df.agg(hh($"k").as("hits"))
+      .select(explode($"hits").as("h")).select($"h.key", $"h.est")
+      .as[(Long, Long)].collect().sortBy(t => (-t._2, t._1)).take(5)
+    assert(ours.sameElements(native),
+      s"ours=${ours.toSeq} native=${native.toSeq}")
+  }
+
   test("lossy regime: any key above the N/(capacity+1) frequency bound " +
     "survives, with estimate within the MG error bound") {
     // hot key = 40% of a stream over ~1000 distinct cold keys, capacity 16
