@@ -193,5 +193,37 @@ object Sources {
     doc = "X21: Morton-curve clustered write — per-file stats box both " +
       "dimensions (required in-build), content preserved (oracle)")
 
-  val all: Seq[Q] = Seq(q58, q59, q60, q83, q86)
+  /** q87 — small-files compaction (X22): orders shredded into 64 tiny
+    * partitions (the streaming-sink pathology), rewritten through the
+    * REBALANCE + AQE-advisory path. The build REQUIRES the layout win
+    * (≤ 4 files out of 64 in) so a compaction regression fails Verify
+    * loudly; the oracle checks the rewrite lost and changed nothing —
+    * compaction must be a pure physical rewrite. */
+  val q87 = Q(
+    "q87_compacted_write",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val out = scratch("compact")
+      graft.operators.Compaction.rebalanceWrite(
+        Tables(s, dir, "orders").repartition(64), s"$out/c", targetBytes = 8L << 20)
+      val files = new java.io.File(s"$out/c").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      require(files <= 4, s"compaction regressed: 64 tiny partitions wrote $files files")
+      s.read.parquet(s"$out/c")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("o_totalprice")).as("price_sum"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ${Exact.sqlDsum("o_totalprice")} AS price_sum,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    doc = "X22: REBALANCE+advisory compaction — 64 shreds in, few right-" +
+      "sized files out (required in-build), content untouched (oracle)")
+
+  val all: Seq[Q] = Seq(q58, q59, q60, q83, q86, q87)
 }
