@@ -300,6 +300,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("sentiment"))
   }
 
+  test("T10: a restarted query resumes from the checkpoint — committed " +
+    "input is not re-ingested, and the final index equals the batch run") {
+    val s = spark
+    import s.implicits._
+    val in = tmp("restart_in"); val idx = tmp("restart_idx"); val ck = tmp("restart_ck")
+    def tweet(i: Int, text: String) =
+      s"""{"created_at":"2024-01-01T00:0$i:00Z","text":"$text","user":{"id":$i,"name":"u$i"},"geo":null}"""
+    Files.write(java.nio.file.Paths.get(in, "batch0.json"),
+      Seq(tweet(1, "happy fast day"), tweet(2, "so slow today"))
+        .mkString("\n").getBytes("UTF-8"))
+    // run 1: drains batch0, commits it to the checkpoint, terminates
+    IndexSink.start(TweetPipeline.streamIngest(s, in), idx, ck, Seq("sentiment"))
+      .awaitTermination()
+    assert(IndexSink.read(s, idx).count() === 2)
+    // new input lands while no query is running
+    Files.write(java.nio.file.Paths.get(in, "batch1.json"),
+      Seq(tweet(3, "great great #win"), tweet(4, "bad errors again"))
+        .mkString("\n").getBytes("UTF-8"))
+    // run 2: SAME checkpoint — must pick up only batch1
+    IndexSink.start(TweetPipeline.streamIngest(s, in), idx, ck, Seq("sentiment"))
+      .awaitTermination()
+    val streamed = IndexSink.read(s, idx)
+    assert(streamed.count() === 4, "restart re-ingested committed input")
+    // structural batch/stream agreement: same rows as one batch pass
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"user.id", $"text", $"sentiment", $"n_tokens")
+        .collect().map(_.toSeq).sortBy(_.toString)
+    assert(key(streamed).sameElements(key(TweetPipeline.batchIngest(s, in))))
+  }
+
   test("S8: index upsert replaces same-key rows, appends new keys, keeps the rest") {
     val s = spark
     import s.implicits._
