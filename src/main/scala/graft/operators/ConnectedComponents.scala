@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * shuffles on compact long keys. The driver-side loop only checks the
   * convergence COUNT per round, never the data.
   *
+  * One JOB per round: each node's previous label rides through the
+  * aggregate (it is the single non-null `prev` among the grouped rows),
+  * and the changed-node count is an `observe()` metric collected by the
+  * SAME action that materializes the round — not a second join+count
+  * job over the labels. At cluster scale that halves the per-round
+  * stage count and removes a full shuffle per round.
+  *
   * Deterministic: min over longs, no ordering sensitivity anywhere.
   */
 object ConnectedComponents {
@@ -45,17 +52,30 @@ object ConnectedComponents {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // neighbor's current label, pulled across each edge
+      // neighbor's current label, pulled across each edge; `prev` is
+      // null here and non-null exactly once per node (its own row), so
+      // max(prev) reconstructs the previous label group-side for free
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
-        .select(col("src").as("node"), col("component"))
-      val candidate = labels.unionByName(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .select(col("src").as("node"), col("component"),
+          lit(null).cast("long").as("prev"))
+      val candidate = labels
+        .select(col("node"), col("component"), col("component").as("prev"))
+        .unionByName(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"), max(col("prev")).as("prev"))
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$round")
+      val observed = candidate
+        .observe(obs, sum(when(col("component") =!= col("prev"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("node"), col("component"))
+      // materializing action (eager checkpoint / persist+count) also
+      // fills the observation — one job per round, no convergence join
       val next =
-        if ((round + 1) % checkpointInterval == 0) candidate.localCheckpoint()
-        else candidate.persist()
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
-        .filter(col("component") =!= col("prev")).limit(1).count()
+        if ((round + 1) % checkpointInterval == 0) observed.localCheckpoint()
+        else { val p = observed.persist(); p.count(); p }
+      // sum over ZERO rows is null (degenerate empty node set)
+      val changed = Option(obs.get("changed")).fold(0L)(_.asInstanceOf[Long])
       labels.unpersist()
       labels = next
       converged = changed == 0
