@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables, Exact}
 import graft.functions.{Profiler, VectorOps}
-import graft.operators.{BloomPrune, IntervalJoin, SaltedJoin}
+import graft.operators.{BloomPrune, IntervalJoin, SaltedJoin, TableDiff}
 import Exact._
 
 /** Round-2 surface extensions: pivot, subqueries, deterministic dataset
@@ -612,7 +612,45 @@ object Extended {
     doc = "X20: mergeable Misra-Gries summary — exact below capacity " +
       "(oracle-checked), guaranteed-survival heavy hitters above it")
 
+  /** q88 — keyed table diff (X23): orders vs a deterministically edited
+    * version of itself (3 mod-classes of keys removed/changed/added).
+    * TableDiff collapses each side to (key, fingerprint) before the
+    * full-outer join, so the reconciliation of two wide tables shuffles
+    * ~48 B/row; the oracle reproduces the statuses semantically (IS
+    * DISTINCT FROM on the one edited column — equivalent outcomes,
+    * since every other column is identical per key). */
+  val q88 = Q(
+    "q88_table_diff",
+    (s, dir) => {
+      import s.implicits._
+      val left = Tables(s, dir, "orders")
+      val edited = left.filter($"o_orderkey" % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 89 === 1, $"o_totalprice" + lit(1.5))
+            .otherwise($"o_totalprice"))
+      val added = left.filter($"o_orderkey" % 101 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + lit(10000000L))
+      TableDiff.summary(left, edited.unionByName(added), Seq("o_orderkey"))
+    },
+    Some("""
+      WITH rb AS (SELECT o_orderkey,
+                    CASE WHEN o_orderkey % 89 = 1 THEN o_totalprice + 1.5
+                         ELSE o_totalprice END AS p
+                  FROM orders WHERE o_orderkey % 97 <> 0),
+      ra AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice AS p
+             FROM orders WHERE o_orderkey % 101 = 0),
+      r AS (SELECT * FROM rb UNION ALL SELECT * FROM ra),
+      l AS (SELECT o_orderkey, o_totalprice AS p FROM orders),
+      j AS (SELECT CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                        WHEN r.o_orderkey IS NULL THEN 'removed'
+                        WHEN l.p IS DISTINCT FROM r.p THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+      SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status"""),
+    doc = "X23: fingerprint-compressed full-outer reconciliation — " +
+      "added/removed/changed/same counts, payloads never shuffled")
+
   val all: Seq[Q] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q79, q80, q81, q84, q85)
+      q79, q80, q81, q84, q85, q88)
 }
