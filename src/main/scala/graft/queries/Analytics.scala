@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+
+/** Behavioral analytics over the event stream (SURVEY.md §2.11a
+  * X24/X25): ordered-funnel completion and cohort retention — the two
+  * queries every product-analytics workload runs at fact-table scale.
+  */
+object Analytics {
+
+  /** q89 — ordered funnel (X24): how many users progressed through
+    * view → click → purchase IN ORDER (strictly increasing event time).
+    * The Spark side runs a per-user HOF state machine over the
+    * time-sorted event array: one groupBy shuffle, state = (stage,
+    * entry ts), O(events-per-user) per user with no self-joins. The
+    * oracle reaches the same counts via the classic min-timestamp join
+    * chain — greedy earliest-completion equals stage reachability, so
+    * the two formulations are provably the same function. At 100 TB
+    * the HOF form wins: K-stage funnels via join chains are K passes
+    * over the fact table; this is one. */
+  val q89 = Q(
+    "q89_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val stages = Tables(s, dir, "events")
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list(struct($"ts", $"event_id", $"event_type")))
+          .as("evs"))
+        .select(expr("""
+          aggregate(evs,
+            named_struct('stage', 0, 't', CAST(NULL AS TIMESTAMP)),
+            (acc, e) -> CASE
+              WHEN acc.stage = 0 AND e.event_type = 'view'
+                THEN named_struct('stage', 1, 't', e.ts)
+              WHEN acc.stage = 1 AND e.event_type = 'click' AND e.ts > acc.t
+                THEN named_struct('stage', 2, 't', e.ts)
+              WHEN acc.stage = 2 AND e.event_type = 'purchase' AND e.ts > acc.t
+                THEN named_struct('stage', 3, 't', e.ts)
+              ELSE acc END,
+            acc -> acc.stage)""").as("stage"))
+      stages.agg(
+        sum(when($"stage" >= 1, 1L).otherwise(0L)).as("n_view"),
+        sum(when($"stage" >= 2, 1L).otherwise(0L)).as("n_click"),
+        sum(when($"stage" >= 3, 1L).otherwise(0L)).as("n_purchase"))
+    },
+    Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+            JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+            JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase"""),
+    doc = "X24: ordered funnel via per-user HOF state machine — one pass, " +
+      "one shuffle; oracle = the K-pass min-timestamp join chain")
+
+  /** q90 — cohort retention (X25): users grouped by first-seen week,
+    * distinct-user activity per (cohort, week offset). Two shuffles
+    * total (first-seen agg, cohort-offset distinct count); the
+    * first-seen frame is keys+week only, broadcastable at dim scale.
+    * Weeks via date_trunc('week') — Monday-start in both engines — and
+    * the offset divides an exact day multiple, so no calendar drift. */
+  val q90 = Q(
+    "q90_cohort_retention",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select($"user_id", date_trunc("week", $"ts").as("wk"))
+      val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      ev.join(cohort, "user_id")
+        .groupBy($"cohort_wk",
+          (datediff($"wk", $"cohort_wk") / 7).cast("long").as("wk_offset"))
+        .agg(countDistinct($"user_id").as("active_users"))
+        .orderBy($"cohort_wk", $"wk_offset")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1)
+      SELECT c.cohort_wk,
+             CAST(date_diff('day', c.cohort_wk, e.wk) / 7 AS BIGINT) AS wk_offset,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+      FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "X25: cohort retention — first-seen week x activity-week offset, " +
+      "distinct actives; two compact-key shuffles")
+
+  val all: Seq[Q] = Seq(q89, q90)
+}
