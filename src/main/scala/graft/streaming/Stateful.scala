@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** T7 — arbitrary stateful processing: running per-user counters kept in
   * the state store across micro-batches (SURVEY.md §2.9).
@@ -121,6 +121,43 @@ object Stateful {
       state.clear()
       Iterator.single(SessionClosed(userId, s.n, s.total, closed_by_timer = true))
     }
+  }
+
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** T7e — MAP state: per-(user, event-type) running counts. The state
+    * store keys the map entries individually (composite key user ×
+    * map-key), so updating one event type touches ONE store entry —
+    * unlike a ValueState holding a whole Map, which rewrites the full
+    * blob per update and caps out at value-size limits. The right shape
+    * whenever per-key sub-state grows (per-type counters, per-campaign
+    * spend, per-device last-seen). */
+  class PerTypeCountsProcessor extends StatefulProcessor[Long, UserEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(userId, t, counts.getValue(t)))
+    }
+  }
+
+  /** Per-(user, type) running counts via MapState (emits only the
+    * types a micro-batch touched). */
+  def perTypeCounts(events: Dataset[UserEvent]): Dataset[TypeCount] = {
+    implicit val outEnc = Encoders.product[TypeCount]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new PerTypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Sessions closed by event-time timers; input gains a zero-delay

@@ -61,4 +61,24 @@ object StreamOps {
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
                     key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** T11 — stream-stream inner join within an event-time bound: left
+    * rows pair with right rows at most `within` AFTER them (impression →
+    * click attribution, request → response correlation). BOTH sides
+    * carry watermarks and the join condition bounds right.ts to
+    * [left.ts, left.ts + within] — the two constraints Spark needs to
+    * know when a buffered row can never match again, which is what
+    * bounds the join STATE (otherwise both streams buffer forever; at
+    * 100 TB/day an unbounded stream-stream join is an OOM scheduled in
+    * advance). Column names must be disambiguated by the caller via
+    * distinct prefixes. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftTs: String, rightTs: String, key: String,
+                       rightKey: String, within: String,
+                       delay: String): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        col(key) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
 }

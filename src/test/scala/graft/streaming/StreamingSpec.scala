@@ -265,6 +265,63 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T7e: MapState keeps per-(user, event-type) counters — one store " +
+    "entry per map key, only touched types emitted per batch") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Stateful.UserEvent](s)
+      val q = Stateful.perTypeCounts(stream.toDS())
+        .writeStream.format("memory").queryName("t7e_out").outputMode("update").start()
+      stream.addData(Stateful.UserEvent(1, "a", 0), Stateful.UserEvent(1, "a", 0),
+        Stateful.UserEvent(1, "b", 0), Stateful.UserEvent(2, "a", 0))
+      q.processAllAvailable()
+      val batch1 = s.table("t7e_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(batch1 === Set((1L, "a", 2L), (1L, "b", 1L), (2L, "a", 1L)))
+      stream.addData(Stateful.UserEvent(1, "a", 0))
+      q.processAllAvailable()
+      q.stop()
+      val all = s.table("t7e_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // second batch emits ONLY user 1's type a, now at 3
+      assert(all === batch1 + ((1L, "a", 3L)))
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("T11: stream-stream join attributes clicks to impressions within " +
+    "the event-time bound; out-of-window and unmatched rows drop") {
+    val s = spark
+    import s.implicits._
+    val imps = MemoryStream[(Long, Timestamp, Long)](s)
+    val clks = MemoryStream[(Long, Timestamp, Long)](s)
+    val joined = graft.streaming.StreamOps.streamStreamJoin(
+      imps.toDF().toDF("imp_id", "imp_ts", "imp_user"),
+      clks.toDF().toDF("clk_id", "clk_ts", "clk_user"),
+      "imp_ts", "clk_ts", "imp_user", "clk_user",
+      within = "1 MINUTE", delay = "0 seconds")
+    val q = joined.select($"imp_id", $"clk_id")
+      .writeStream.format("memory").queryName("t11_out").outputMode("append").start()
+    imps.addData((1L, ts(0), 1L), (2L, ts(10), 2L))
+    clks.addData(
+      (100L, ts(0, 30), 1L), // in window -> matches imp 1
+      (101L, ts(5), 1L),     // 5 min after imp 1 -> outside the bound
+      (102L, ts(0, 20), 2L)) // before user 2's impression -> no match
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("t11_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L)))
+  }
+
   test("T8: stream-static dim join enriches in-flight rows") {
     val s = spark
     import s.implicits._
