@@ -14,7 +14,7 @@ class RegistrySpec extends SparkSpecBase {
   }
 
   // Global aggregates return exactly one row; ordering is vacuous.
-  private val singleRowQueries = Set("q17_global_agg")
+  private val singleRowQueries = Set("q17_global_agg", "q89_funnel")
 
   test("every oracle query ends with a deterministic ORDER BY") {
     SparkEntry.registry
