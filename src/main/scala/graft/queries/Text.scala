@@ -302,5 +302,77 @@ object Text {
     doc = "rolling hash: sequential fold; list_reduce's first-element seed " +
       "equals foldLeft(0)'s first step because md5_32 < modulus")
 
-  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63)
+  /** q91 — inverted index build (N17): term → postings list
+    * ("doc:pos" entries), the text-retrieval backend of the searchable
+    * index (S8 stores rows; this builds the term-level access path).
+    * posexplode → per-(term, doc) rollup (tf + first position, the
+    * skip-pointer payload a retrieval index stores) → groupBy(term)
+    * postings. Two shuffles, both on compact keys; postings serialize
+    * as a sorted joined string because the driver compare rejects array
+    * cells (a real index writes binary postings here — same plan
+    * shape). Doc-level postings, not positional: the synthetic corpus
+    * has a ~31-term vocabulary, so positional lists would be the whole
+    * corpus re-serialized per term. */
+  val q91 = Q(
+    "q91_inverted_index",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
+        .groupBy($"term")
+        .agg(sum($"tf").as("cf"), count(lit(1)).as("df"),
+          array_join(array_sort(
+            collect_list(concat_ws(":", $"doc_id", $"first_pos"))), ",").as("postings"))
+        .orderBy($"term")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      d AS (SELECT term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+            FROM t GROUP BY term, doc_id)
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS cf, CAST(COUNT(*) AS BIGINT) AS df,
+             string_agg(doc_id || ':' || first_pos, ','
+               ORDER BY doc_id || ':' || first_pos) AS postings
+      FROM d GROUP BY term ORDER BY term"""),
+    doc = "N17: inverted index — explode, (term,doc) rollup, term postings; " +
+      "binary-sortable 'doc:first_pos' keys agree across engines")
+
+  /** q92 — bigram language-model counts (N18): the n-gram statistics a
+    * data pipeline feeds into LM quality filters and contamination
+    * checks. Spark side builds bigrams per row with zip_with over two
+    * array slices — zero joins, zero extra shuffles before the count;
+    * the oracle uses the classic positional self-join, so the two
+    * formulations cross-check each other. */
+  val q92 = Q(
+    "q92_bigrams",
+    (s, dir) => {
+      import s.implicits._
+      val tokens = split($"text", " ")
+      Tables(s, dir, "documents")
+        .filter(size(tokens) >= 2)
+        .select(explode(zip_with(
+          slice(tokens, lit(1), size(tokens) - 1),
+          slice(tokens, lit(2), size(tokens) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram")
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      b AS (SELECT t1.term || ' ' || t2.term AS bigram
+            FROM t t1 JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1)
+      SELECT bigram, COUNT(*) AS n FROM b
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"""),
+    doc = "N18: per-row HOF bigrams vs positional self-join oracle — " +
+      "one count shuffle, text never self-joined")
+
+  val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
+    q91, q92)
 }
