@@ -1,4 +1,6 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Emits ONE JSON line with BOTH measurement protocols
@@ -16,6 +18,13 @@ import org.apache.spark.sql.SparkSession
   *     after the suite; on an idle machine drift ≈ 1.0, under external
   *     load it rises with the stolen cycles. `contended: true` when
   *     drift > 1.5 — treat every number in that file as suspect.
+  *   - `shuffle_mb` / `spill_mb` — per-query shuffle write volume and
+  *     spill bytes (task-metrics totals over the repeats, averaged per
+  *     run). Wall-clock says how long a query took HERE; shuffle bytes
+  *     say what it would cost on a real network — the number that
+  *     actually extrapolates to 100 TB. Listener delivery is async, so
+  *     a query's tail bytes can land on its successor; treat ±a few MB
+  *     as attribution noise.
   */
 object Bench {
 
@@ -64,10 +73,22 @@ object Bench {
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt max 1
-    // per query: (first-run seconds, min-of-N seconds); -1.0 = failed
+    val shuffleBytes = new AtomicLong(0L)
+    val spillBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+        }
+      }
+    })
+    // per query: (first s, min-of-N s, shuffle MB/run, spill MB/run); -1 = failed
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+        val (sh0, sp0) = (shuffleBytes.get(), spillBytes.get())
         val times = (1 to repeat).flatMap { _ =>
           // Operators that persist() intermediates register plans in the
           // CacheManager; drop them so every repeat measures real work.
@@ -82,18 +103,25 @@ object Bench {
               None
           }
         }
+        val runs = times.size max 1
+        val shuffleMb = (shuffleBytes.get() - sh0) / 1e6 / runs
+        val spillMb = (spillBytes.get() - sp0) / 1e6 / runs
         name -> (times.headOption.getOrElse(-1.0),
-                 if (times.nonEmpty) times.min else -1.0)
+                 if (times.nonEmpty) times.min else -1.0,
+                 shuffleMb, spillMb)
       }
     val (canaryAfter, sink1) = timeCanary()
     val drift = canaryAfter / canaryBefore
-    def jmap(sel: ((Double, Double)) => Double): String =
+    def jmap(sel: ((Double, Double, Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    def jmapF(sel: ((Double, Double, Double, Double)) => Double): String =
+      results.map { case (k, v) => f""""$k":${sel(v)}%.2f""" }.mkString("{", ",", "}")
     val totalFirst = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$totalFirst,"unit":"sec"""" +
       s""","protocol":"first-of-$repeat","queries":${jmap(_._1)}""" +
       s""","total_min":$totalMin,"queries_min":${jmap(_._2)}""" +
+      s""","shuffle_mb":${jmapF(_._3)},"spill_mb":${jmapF(_._4)}""" +
       s""","canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter""" +
       f""","canary_drift":$drift%.3f,"contended":${drift > 1.5}""" +
       s""","canary_sink":${(sink0 ^ sink1) & 0xff},"sf":"$sfDir"}""")
