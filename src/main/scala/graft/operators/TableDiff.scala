@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object TableDiff {
 
-  /** One fingerprint column over `cols` of `df` in sorted-name order. */
+  /** One fingerprint column over `cols` of `df` in sorted-name order —
+    * as 16 raw bytes (`unhex`), not the 32-char hex string: the
+    * fingerprint exists to make the shuffle narrow, so it should not
+    * double its own width on the wire. */
   def fingerprint(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column =
-    md5(concat_ws("|",
-      cols.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    unhex(md5(concat_ws("|",
+      cols.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
 
   /** Per-key diff status: (keyCols…, status ∈ added|removed|changed|same).
     * `added` = key only in `right` (the new version); `removed` = only
