@@ -90,5 +90,55 @@ object Analytics {
     doc = "X25: cohort retention — first-seen week x activity-week offset, " +
       "distinct actives; two compact-key shuffles")
 
-  val all: Seq[Q] = Seq(q89, q90)
+  /** q94 — per-key linear trend (X27): closed-form OLS slope of value
+    * over time for each user, in ONE aggregation pass — the "fit a
+    * line per key" primitive behind drift detection and trend scoring,
+    * with no per-key iteration anywhere. Numeric discipline (the whole
+    * trick at any scale): x = whole seconds since the user's first
+    * event, y = exact cents, so Σx, Σy, Σxy, Σx² are exact BIGINTs in
+    * any summation order; the final slope combines those longs in
+    * IEEE double via the TEXTUALLY identical formula in both engines.
+    * Σxy stays under 2^63 because x is centered per key — raw epoch
+    * seconds would overflow; centering is the load-bearing step. */
+  val q94 = Q(
+    "q94_group_trend",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+      val base = Tables(s, dir, "events")
+        .filter($"user_id" < 50)
+        .select($"user_id",
+          (unix_timestamp($"ts") - unix_timestamp(min($"ts").over(w))).as("x"),
+          (($"value").cast(graft.core.Exact.Money) * 100).cast("long").as("y"))
+      base.groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .select($"user_id", $"n",
+          (($"n".cast("double") * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+            nullif($"n".cast("double") * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double"), lit(0.0)))
+            .as("slope_cents_per_sec"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id,
+               date_diff('second', MIN(ts) OVER (PARTITION BY user_id), ts) AS x,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM events WHERE user_id < 50),
+      s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM base GROUP BY user_id)
+      SELECT user_id, n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope_cents_per_sec
+      FROM s ORDER BY user_id"""),
+    doc = "X27: one-pass closed-form OLS per key — exact integer sums " +
+      "(centered x prevents overflow), identical IEEE combine both engines")
+
+  val all: Seq[Q] = Seq(q89, q90, q94)
 }
