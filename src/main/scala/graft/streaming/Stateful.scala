@@ -4,7 +4,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** T7 — arbitrary stateful processing: running per-user counters kept in
   * the state store across micro-batches (SURVEY.md §2.9).
@@ -157,6 +158,39 @@ object Stateful {
     implicit val outEnc = Encoders.product[TypeCount]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new PerTypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  case class RecentWindow(user_id: Long, recent: Seq[Double], mean: Double)
+
+  /** T7f — LIST state: the last `n` values per user (a bounded recent-
+    * events buffer — rolling features, "last 5 transactions" fraud
+    * signals). ListState appends WITHOUT rereading the list (an append
+    * is one store write; a ValueState[Seq[_]] would deserialize and
+    * rewrite the whole buffer per event) — reads happen only when the
+    * buffer must be trimmed or emitted, here once per micro-batch. */
+  class RecentValuesProcessor(n: Int)
+    extends StatefulProcessor[Long, UserEvent, RecentWindow] {
+    @transient private var recent: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Double](
+        "recent", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[RecentWindow] = {
+      rows.foreach(e => recent.appendValue(e.value))
+      val kept = recent.get().toSeq.takeRight(n)
+      recent.put(kept.toArray) // trim once per batch, not per event
+      Iterator.single(RecentWindow(userId, kept, kept.sum / kept.size))
+    }
+  }
+
+  /** Rolling last-`n` window per user via ListState. */
+  def recentValues(events: Dataset[UserEvent], n: Int): Dataset[RecentWindow] = {
+    implicit val outEnc = Encoders.product[RecentWindow]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RecentValuesProcessor(n),
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -297,6 +297,36 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T7f: ListState keeps a bounded last-n buffer per user across " +
+    "micro-batches (append-only writes, trim once per batch)") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Stateful.UserEvent](s)
+      val q = Stateful.recentValues(stream.toDS(), n = 3)
+        .writeStream.format("memory").queryName("t7f_out").outputMode("update").start()
+      stream.addData(Stateful.UserEvent(1, "a", 1.0), Stateful.UserEvent(1, "a", 2.0))
+      q.processAllAvailable()
+      stream.addData(Stateful.UserEvent(1, "a", 3.0), Stateful.UserEvent(1, "a", 4.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = s.table("t7f_out")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      // batch 1: [1,2]; batch 2: buffer [1,2,3,4] trimmed to last 3
+      assert(rows.map(r => (r._1, r._2.toList)).toSet ===
+        Set((1L, List(1.0, 2.0)), (1L, List(2.0, 3.0, 4.0))))
+      assert(rows.find(_._2.size == 3).get._3 === 3.0) // mean of [2,3,4]
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("T11: stream-stream join attributes clicks to impressions within " +
     "the event-time bound; out-of-window and unmatched rows drop") {
     val s = spark
