@@ -29,10 +29,24 @@ class RegistrySpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Queries whose cross/nested-loop join is BY DESIGN: declared tiny
+  // cross join (q12), broadcast-small-side candidate generation (vector
+  // search), or an explicitly bounded verify slice (q56).
+  private val crossByDesign = Set("q12_cross_join", "q50_cosine_topk",
+    "q51_knn_vote", "q56_ngram_jaccard", "q69_ivf_ann", "q77_fuzzy_match",
+    "q15_self_join_banded", "q11_join_range", "q14_interval_join")
+
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs at sf0.001 and returns rows") {
       val df = q.build(spark, sf)
       assert(df.count() > 0, s"${q.name} returned no rows")
+      // plan guard: an unintended cartesian would pass tiny-SF value
+      // checks and detonate at scale — catch it in-repo
+      if (!crossByDesign(q.name)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"${q.name}: unexpected CartesianProduct in plan")
+      }
     }
   }
 }
