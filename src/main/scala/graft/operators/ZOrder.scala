@@ -62,6 +62,7 @@ object ZOrder {
     val r = df.agg(
       min(col(colX).cast("double")), max(col(colX).cast("double")),
       min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    if (r.isNullAt(0)) return df // empty input: nothing to cluster
     val z = zvalue(col(colX), (r.getDouble(0), r.getDouble(1)),
                    col(colY), (r.getDouble(2), r.getDouble(3)))
     df.withColumn("__z", z)

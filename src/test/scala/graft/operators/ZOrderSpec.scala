@@ -43,6 +43,13 @@ class ZOrderSpec extends SparkSpecBase {
     back.select(($"mx" - $"mn") / (gmx - gmn)).as[Double].collect()
   }
 
+  test("clustering an empty frame is a no-op, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("a", "b")
+    assert(ZOrder.cluster(empty, "a", "b", 4).count() === 0L)
+  }
+
   test("z-ordered files bound BOTH columns' ranges; a single-column sort " +
     "leaves the second column unpruned (full-range files)") {
     val s = spark
