@@ -37,6 +37,32 @@ class BloomPruneSpec extends SparkSpecBase {
       s"bloom pruned too little: $survivors of $total (true: $trueMatches)")
   }
 
+  test("the bloom probe evaluates BELOW the join exchange — rows drop " +
+    "before they are shuffled, which is the operator's entire point") {
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val plan = BloomPrune.semiJoin(Tables(s, sf, "lineitem"),
+          Tables(s, sf, "part").filter($"p_size" <= 5),
+          "l_partkey", "p_partkey", expectedItems = 10000L)
+        .queryExecution.executedPlan.toString
+      val exchange = plan.indexOf("Exchange hashpartitioning")
+      val probe = plan.indexOf("might_contain")
+      // the tree prints parents first: deeper (earlier-executing)
+      // operators appear later, so probe must print after the exchange
+      assert(exchange >= 0 && probe > exchange,
+        s"bloom probe not below the exchange:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("Catalyst's own runtime bloom filter injects on a selective " +
     "shuffle join when thresholds allow (the automatic twin)") {
     val s = spark
