@@ -373,6 +373,53 @@ object Text {
     doc = "N18: per-row HOF bigrams vs positional self-join oracle — " +
       "one count shuffle, text never self-joined")
 
+  /** q95 — winnowing fingerprints (N20): the MOSS local-overlap
+    * fingerprint set per document — min k-gram hash of every w-wide
+    * window (see [[graft.operators.Winnowing]] for the guarantee and
+    * the once-per-row evaluation argument). Output is the set's
+    * order-independent summary (count / sum / min / max / 5 smallest
+    * as a string) because the driver compare rejects array cells; the
+    * summary pins the exact set content via sum + extremes + head. */
+  val q95 = Q(
+    "q95_winnow_fingerprints",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          graft.operators.Winnowing.fingerprints($"text", k = 4, w = 4).as("fps"))
+        .select($"doc_id",
+          size($"fps").cast(LongType).as("n_fp"),
+          aggregate($"fps", lit(0L), (acc, x) => acc + x).as("fp_sum"),
+          array_min($"fps").as("fp_min"),
+          array_max($"fps").as("fp_max"),
+          concat_ws("|",
+            transform(slice(array_sort($"fps"), 1, 5), _.cast(StringType)))
+            .as("fp_head"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH hts AS (SELECT doc_id,
+                     list_transform(string_split(text, ' '), t ->
+                       CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS hts
+                   FROM documents),
+      g AS (SELECT doc_id,
+              list_transform(range(1, greatest(len(hts) - 3, 0) + 1), i ->
+                (((hts[i] * 31 + hts[i+1]) * 31 + hts[i+2]) * 31 + hts[i+3])
+                  % ${graft.operators.MinHashLSH.Mod}) AS g
+            FROM hts),
+      fp AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(g) - 3, 0) + 1), i ->
+                   least(g[i], g[i+1], g[i+2], g[i+3]))) AS fps
+             FROM g)
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+             COALESCE(CAST(list_sum(fps) AS BIGINT), 0) AS fp_sum,
+             list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+             COALESCE(array_to_string(list_sort(fps)[1:5], '|'), '') AS fp_head
+      FROM fp ORDER BY doc_id"""),
+    doc = "N20: winnowing (MOSS) fingerprints — window-min of k-gram hashes, " +
+      "zero shuffles; summary columns pin the exact set per doc")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92)
+    q91, q92, q95)
 }
