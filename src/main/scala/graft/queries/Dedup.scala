@@ -296,5 +296,42 @@ object Dedup {
     doc = "N19: benchmark decontamination — cross-side band join only; " +
       "corpus self-pairs never generated")
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93)
+  /** q96 — cluster collapse via the ALTERNATING star algorithm (N16b):
+    * same pairs → clusters semantics as q82, computed by
+    * [[ConnectedComponents.labelStar]] (Kiveris et al. '14) instead of
+    * per-hop label propagation — the variant a 100 TB pipeline uses
+    * when component diameter is not known to be tiny (rounds are
+    * O(log² n), not O(diameter)). Oracle = q82's recursive CTE; the
+    * two Spark formulations plus the oracle triangulate each other. */
+  val q96 = Q(
+    "q96_dedup_clusters_star",
+    (s, dir) => {
+      import s.implicits._
+      val docs = plantedDocs(s, dir)
+      val pairs = MinHashLSH
+        .nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5)
+        .select($"a_id", $"b_id")
+      ConnectedComponents
+        .labelStar(docs.select($"doc_id"), "doc_id", pairs, "a_id", "b_id")
+        .select($"doc_id", $"component",
+          ($"doc_id" === $"component").as("is_kept"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashOracleCtes,
+      pairs AS (SELECT a_id, b_id FROM v
+                WHERE inter / (na + nb - inter) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.src, r.lab FROM reach r JOIN edges e ON r.node = e.dst)
+      SELECT node AS doc_id, MIN(lab) AS component,
+             node = MIN(lab) AS is_kept
+      FROM reach GROUP BY node ORDER BY doc_id"""),
+    doc = "N16b: star-algorithm connected components — edge rewiring toward " +
+      "the component min, O(log^2 n) rounds; oracle shared with q82")
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93, q96)
 }

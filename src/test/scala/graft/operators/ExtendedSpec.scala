@@ -124,6 +124,43 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("labelStar: a 200-node path (diameter 199) converges in <= 12 rounds " +
+    "— edge rewiring, not per-hop propagation") {
+    val n = 200
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    // label() would need 199 rounds here; the star algorithm's
+    // O(log^2 n) bound means maxRounds = 12 must suffice
+    val out = ConnectedComponents.labelStar(nodes, "id", edges, "a", "b",
+        maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == n && out.forall(_._2 == 0L))
+  }
+
+  test("labelStar equals label() on a seeded random graph, and handles " +
+    "self-loops, duplicate and reversed edges") {
+    val rnd = new scala.util.Random(42)
+    val n = 120L
+    val nodes = (0L until n).toDF("id")
+    val base = (1 to 90).map(_ => (rnd.nextLong(n.toInt).abs % n, rnd.nextLong(n.toInt).abs % n))
+    // add noise: self-loops, duplicates, reversed copies
+    val noisy = base ++ base.take(10) ++ base.take(10).map(_.swap) ++ Seq((7L, 7L))
+    val edges = noisy.toDF("a", "b")
+    val exact = ConnectedComponents.label(nodes, "id", edges, "a", "b", maxRounds = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = ConnectedComponents.labelStar(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === exact)
+  }
+
+  test("labelStar: empty edge set labels every node with itself") {
+    val nodes = Seq(3L, 8L, 11L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = ConnectedComponents.labelStar(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(3L -> 3L, 8L -> 8L, 11L -> 11L))
+  }
+
   test("quality filters flag a degenerate repeated document") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),
