@@ -191,4 +191,21 @@ class PlanSpec extends SparkSpecBase {
     val pf = f.linesIterator.find(_.trim.startsWith("PartitionFilters")).get
     assert(pf.contains("event_type"), pf)
   }
+
+  test("composite workload plans: dims broadcast, date filters reach the " +
+    "scans, top-k fuses — the aggregate is never globally sorted") {
+    val q97 = queries.Workload.q97.build(spark, sf)
+    val p97 = formatted(q97)
+    assert(p97.contains("TakeOrderedAndProject"), p97)
+    assert(!p97.contains("CartesianProduct"), p97)
+    // the orders date filter must reach the parquet scan, not run post-join
+    assert(p97.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "LessThan(o_orderdate,"), p97)
+
+    val q98 = queries.Workload.q98.build(spark, sf)
+    val p98 = plan(q98)
+    assert(p98.contains("BroadcastHashJoin"), p98) // nation dim hop
+    assert(p98.contains("TakeOrderedAndProject"), p98)
+    assert(!p98.contains("CartesianProduct"), p98)
+  }
 }
