@@ -98,5 +98,76 @@ object Workload {
     doc = "TPC-H Q10 shape: two fact joins + broadcast nation dim + top-k; " +
       "the dim hop must broadcast, never shuffle the aggregate")
 
-  val all: Seq[Q] = Seq(q97, q98)
+  /** q99 — equi-width histogram (X28): the distribution-shape profile
+    * X13's per-column profiler doesn't give. One aggregation pass;
+    * bucket indices are EXACT integer math (2dp prices → cents →
+    * integer div), never floor-of-double-division, which can land on a
+    * bucket edge one ULP apart across engines. */
+  val q99 = Q(
+    "q99_histogram",
+    (s, dir) => {
+      import s.implicits._
+      // cents div (5000 * 100): width-5000 buckets, exact in BIGINT.
+      // Spark `/` on longs is DOUBLE division; floor+cast is still exact
+      // here because cents < 2^53 and a double quotient's rounding error
+      // (< 1 ulp) cannot cross an integer boundary 2e-6 away.
+      val cents = (money($"l_extendedprice") * 100).cast(LongType)
+      val bucket = floor(cents / lit(500000L)).cast(LongType)
+      Tables(s, dir, "lineitem")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
+        .select(($"bucket" * 5000L).as("lo_edge"), $"n", $"total")
+        .orderBy($"lo_edge")
+    },
+    Some(s"""
+      SELECT bucket * 5000 AS lo_edge, CAST(COUNT(*) AS BIGINT) AS n,
+             ${sqlDsum("l_extendedprice")} AS total
+      FROM (SELECT l_extendedprice,
+              CAST(${sqlMoney("l_extendedprice")} * 100 AS BIGINT) // 500000 AS bucket
+            FROM lineitem)
+      GROUP BY bucket ORDER BY lo_edge"""),
+    doc = "X28: equi-width histogram — exact cent-integer bucketing, one " +
+      "aggregation pass, shuffle carries one row per bucket")
+
+  /** q100 — SCD2 change intervals (X29): compress a per-entity event
+    * stream into slowly-changing-dimension rows — keep only CHANGES of
+    * the tracked value, each with its validity interval
+    * [valid_from, valid_to) and an is_current flag. The warehouse
+    * `MERGE`-history primitive. All window math over the entity
+    * partition: one shuffle on user_id, no self-joins; value
+    * comparisons are raw parquet doubles (no arithmetic), so both
+    * engines compare identical bits. */
+  val q100 = Q(
+    "q100_scd2_intervals",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .filter($"prev_value".isNull || $"value" =!= $"prev_value")
+        .withColumn("valid_to",
+          lead($"ts", 1).over(Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .select($"user_id", $"value", $"ts".as("valid_from"), $"valid_to",
+          $"valid_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"valid_from")
+    },
+    Some("""
+      WITH src AS (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events WHERE event_type = 'purchase'),
+      chg AS (
+        SELECT user_id, ts, event_id, value,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM src WHERE prev_value IS NULL OR value <> prev_value)
+      SELECT user_id, value, ts AS valid_from, valid_to,
+             valid_to IS NULL AS is_current
+      FROM chg ORDER BY user_id, valid_from"""),
+    doc = "X29: SCD2 history build — change filter + validity intervals via " +
+      "lag/lead over the entity partition; one shuffle, zero joins")
+
+  val all: Seq[Q] = Seq(q97, q98, q99, q100)
 }
