@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance (X30): keep a grouped summary
+  * table fresh by folding in a DELTA batch instead of re-aggregating
+  * the full history — the incremental-view-maintenance primitive every
+  * warehouse refresh pipeline needs once the fact table outgrows its
+  * refresh window (at 100 TB a full re-aggregate is a full-table scan;
+  * the merge touches only the delta plus the summary, which is
+  * |distinct keys| rows, not |history| rows).
+  *
+  * Works for any SELF-MERGEABLE aggregate state: count and sum merge
+  * by +, min/max by min/max — `avg` is maintained as (sum, count) and
+  * rendered at read time, the standard decomposition. Non-mergeable
+  * aggregates (exact distinct, median) need sketch states instead
+  * (HLL A4, Misra-Gries X20) — that is a property of the aggregate,
+  * not of this operator.
+  *
+  * Plan shape: aggregate the delta (map-side partial, shuffle carries
+  * one row per delta key), union with the prior summary, and merge
+  * with one more compact aggregation. The prior summary is never
+  * re-derived from facts; `merge(merge(s, d1), d2)` equals the full
+  * re-aggregate by associativity+commutativity of the merge functions
+  * (pinned by ExtendedSpec and the q101 oracle, which IS the full
+  * re-aggregate).
+  */
+object IncrementalAgg {
+
+  /** Summary schema: keyCols ++ (n, sum_<m>, min_<m>, max_<m> per measure). */
+  def summarize(facts: DataFrame, keyCols: Seq[String],
+                measures: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n") +:
+        measures.flatMap(m => Seq(
+          sum(col(m)).as(s"sum_$m"),
+          min(col(m)).as(s"min_$m"),
+          max(col(m)).as(s"max_$m")))
+    facts.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a delta SUMMARY into a prior summary (both from [[summarize]]
+    * with the same keys/measures). Keys new in the delta appear; keys
+    * absent from the delta pass through untouched. */
+  def merge(prior: DataFrame, delta: DataFrame, keyCols: Seq[String],
+            measures: Seq[String]): DataFrame = {
+    val merged: Seq[Column] =
+      sum(col("n")).as("n") +:
+        measures.flatMap(m => Seq(
+          sum(col(s"sum_$m")).as(s"sum_$m"),
+          min(col(s"min_$m")).as(s"min_$m"),
+          max(col(s"max_$m")).as(s"max_$m")))
+    prior.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(merged.head, merged.tail: _*)
+  }
+
+  /** Convenience: maintain the summary given prior summary + raw delta
+    * facts. */
+  def refresh(prior: DataFrame, deltaFacts: DataFrame, keyCols: Seq[String],
+              measures: Seq[String]): DataFrame =
+    merge(prior, summarize(deltaFacts, keyCols, measures), keyCols, measures)
+}

@@ -169,5 +169,87 @@ object Workload {
     doc = "X29: SCD2 history build — change filter + validity intervals via " +
       "lag/lead over the entity partition; one shuffle, zero joins")
 
-  val all: Seq[Q] = Seq(q97, q98, q99, q100)
+  /** q101 — incremental aggregate maintenance (X30): the summary is
+    * built from a base batch and TWO successive delta refreshes via
+    * [[graft.operators.IncrementalAgg]] — never from the full history —
+    * while the oracle aggregates the full table in one pass. Equality
+    * is exactly the incremental-view-maintenance contract. Sums ride
+    * decimal (exact, order-independent) so merge order cannot show
+    * through the doubles. */
+  val q101 = Q(
+    "q101_incremental_agg",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      val keys = Seq("o_orderstatus", "month")
+      val facts = Tables(s, dir, "orders").select(
+        $"o_orderstatus", date_trunc("month", $"o_orderdate").as("month"),
+        money($"o_totalprice").as("price"))
+      val cut1 = lit("1999-01-01").cast(TimestampType)
+      val cut2 = lit("2000-01-01").cast(TimestampType)
+      val base = IncrementalAgg.summarize(
+        facts.filter($"month" < cut1), keys, Seq("price"))
+      val s1 = IncrementalAgg.refresh(base,
+        facts.filter($"month" >= cut1 && $"month" < cut2), keys, Seq("price"))
+      val s2 = IncrementalAgg.refresh(s1,
+        facts.filter($"month" >= cut2), keys, Seq("price"))
+      s2.select($"o_orderstatus", $"month", $"n",
+          toDbl($"sum_price").as("total"),
+          toDbl($"min_price").as("lo"), toDbl($"max_price").as("hi"))
+        .orderBy($"o_orderstatus", $"month")
+    },
+    Some(s"""
+      SELECT o_orderstatus, date_trunc('month', o_orderdate) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ${sqlDsum("o_totalprice")} AS total,
+             ${sqlToDbl(s"MIN(${sqlMoney("o_totalprice")})")} AS lo,
+             ${sqlToDbl(s"MAX(${sqlMoney("o_totalprice")})")} AS hi
+      FROM orders
+      GROUP BY o_orderstatus, month
+      ORDER BY o_orderstatus, month"""),
+    doc = "X30: summary = base ⊕ delta ⊕ delta, oracle = full re-aggregate — " +
+      "refresh cost is |delta| + |summary|, never |history|")
+
+  /** q102 — last-touch attribution (X31): every purchase attributed to
+    * the user's most recent click within a 7-day lookback. One window
+    * pass over the entity partition (ROWS frame + ignoreNulls last) —
+    * no self-join of the event stream against itself, which is the
+    * naive formulation's scale killer. Deterministic under same-ts
+    * events because the ROWS frame orders by (ts, event_id). */
+  val q102 = Q(
+    "q102_attribution",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("last_click_ts",
+          last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts".as("purchase_ts"),
+          when($"last_click_ts" >= $"ts" - expr("INTERVAL 7 DAYS"), $"last_click_ts")
+            .as("attributed_click_ts"))
+        .withColumn("attributed", $"attributed_click_ts".isNotNull)
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        FROM events)
+      SELECT user_id, event_id, ts AS purchase_ts,
+             CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
+                  THEN last_click_ts END AS attributed_click_ts,
+             (CASE WHEN last_click_ts >= ts - INTERVAL 7 DAY
+                   THEN last_click_ts END) IS NOT NULL AS attributed
+      FROM ev WHERE event_type = 'purchase'
+      ORDER BY user_id, event_id"""),
+    doc = "X31: last-touch attribution — ignoreNulls last over a ROWS frame; " +
+      "one shuffle on user_id, the event stream never self-joins")
+
+  val all: Seq[Q] = Seq(q97, q98, q99, q100, q101, q102)
 }

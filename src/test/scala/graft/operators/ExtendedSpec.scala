@@ -153,6 +153,25 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     assert(star === exact)
   }
 
+  test("IncrementalAgg: base ⊕ delta equals the full re-aggregate, keys " +
+    "outside the delta pass through, new delta keys appear") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq("k"); val ms = Seq("v")
+    val base  = Seq(("a", 1L), ("a", 5L), ("b", 2L)).toDF("k", "v")
+    val delta = Seq(("b", 7L), ("c", 4L)).toDF("k", "v")
+    val inc = IncrementalAgg.refresh(
+      IncrementalAgg.summarize(base, keys, ms), delta, keys, ms)
+    val full = IncrementalAgg.summarize(base.unionByName(delta), keys, ms)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(rows(inc) === rows(full))
+    val m = inc.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m("a") === ((2L, 6L, 1L, 5L)))  // untouched by delta
+    assert(m("c") === ((1L, 4L, 4L, 4L)))  // new key from delta
+  }
+
   test("labelStar: empty edge set labels every node with itself") {
     val nodes = Seq(3L, 8L, 11L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
