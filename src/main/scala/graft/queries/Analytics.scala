@@ -140,5 +140,43 @@ object Analytics {
     doc = "X27: one-pass closed-form OLS per key — exact integer sums " +
       "(centered x prevents overflow), identical IEEE combine both engines")
 
-  val all: Seq[Q] = Seq(q89, q90, q94)
+  /** q104 — event-transition matrix (X33): per-user next-event pairs
+    * (Markov transition counts + row-normalized probabilities), the
+    * sequence-feature primitive behind next-action models and
+    * anomaly scoring. One window pass over the user partition for the
+    * `lead`, one compact aggregation over (from, to) — the event
+    * stream is never self-joined. The probability is a single IEEE
+    * divide of two exact BIGINTs, identical in both engines. */
+  val q104 = Q(
+    "q104_transitions",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val counts = Tables(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("p", $"n".cast("double") /
+          sum($"n").over(Window.partitionBy($"from_type")).cast("double"))
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE) /
+               CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM c ORDER BY from_type, to_type"""),
+    doc = "X33: Markov transition counts + probabilities — lead window, " +
+      "compact (from,to) aggregate, one exact IEEE divide; no self-join")
+
+  val all: Seq[Q] = Seq(q89, q90, q94, q104)
 }

@@ -296,42 +296,41 @@ object Dedup {
     doc = "N19: benchmark decontamination — cross-side band join only; " +
       "corpus self-pairs never generated")
 
-  /** q96 — cluster collapse via the ALTERNATING star algorithm (N16b):
-    * same pairs → clusters semantics as q82, computed by
-    * [[ConnectedComponents.labelStar]] (Kiveris et al. '14) instead of
-    * per-hop label propagation — the variant a 100 TB pipeline uses
-    * when component diameter is not known to be tiny (rounds are
-    * O(log² n), not O(diameter)). Oracle = q82's recursive CTE; the
-    * two Spark formulations plus the oracle triangulate each other. */
+  /** q96 — connected components via the ALTERNATING star algorithm
+    * (N16b), exercised on the graph shape that MOTIVATES it: chains.
+    * Nodes are orders; edges link each customer's consecutive orders,
+    * so every component is a PATH with diameter = orders-per-customer
+    * (~100 at sf0.1) — per-hop label propagation ([[label]], q82's
+    * operator) needs one round per hop and would blow its round cap
+    * here, while [[ConnectedComponents.labelStar]] (Kiveris et al.
+    * '14) converges in O(log² n) rounds by rewiring edges toward the
+    * component minimum. The oracle derives the expected labels
+    * INDEPENDENTLY — a chain spans exactly one customer's orders, so
+    * component = min orderkey per customer, no recursion needed. */
   val q96 = Q(
-    "q96_dedup_clusters_star",
+    "q96_chain_components_star",
     (s, dir) => {
       import s.implicits._
-      val docs = plantedDocs(s, dir)
-      val pairs = MinHashLSH
-        .nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5)
-        .select($"a_id", $"b_id")
+      import org.apache.spark.sql.expressions.Window
+      val ord = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val edges = ord
+        .withColumn("nxt", lead($"o_orderkey", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .select($"o_orderkey", $"nxt")
       ConnectedComponents
-        .labelStar(docs.select($"doc_id"), "doc_id", pairs, "a_id", "b_id")
-        .select($"doc_id", $"component",
-          ($"doc_id" === $"component").as("is_kept"))
-        .orderBy($"doc_id")
+        .labelStar(ord.select($"o_orderkey"), "o_orderkey",
+          edges, "o_orderkey", "nxt")
+        .orderBy($"o_orderkey")
     },
-    Some(s"""
-      WITH RECURSIVE $minhashOracleCtes,
-      pairs AS (SELECT a_id, b_id FROM v
-                WHERE inter / (na + nb - inter) >= 0.5),
-      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-                UNION SELECT b_id, a_id FROM pairs),
-      reach(node, lab) AS (
-        SELECT doc_id, doc_id FROM corpus
-        UNION
-        SELECT e.src, r.lab FROM reach r JOIN edges e ON r.node = e.dst)
-      SELECT node AS doc_id, MIN(lab) AS component,
-             node = MIN(lab) AS is_kept
-      FROM reach GROUP BY node ORDER BY doc_id"""),
-    doc = "N16b: star-algorithm connected components — edge rewiring toward " +
-      "the component min, O(log^2 n) rounds; oracle shared with q82")
+    Some("""
+      SELECT o_orderkey,
+             MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+      FROM orders ORDER BY o_orderkey"""),
+    doc = "N16b: star-algorithm connected components on path graphs " +
+      "(diameter ~ orders-per-customer); oracle = independent window-min " +
+      "derivation, no recursion")
 
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93, q96)
 }

@@ -650,7 +650,39 @@ object Extended {
     doc = "X23: fingerprint-compressed full-outer reconciliation — " +
       "added/removed/changed/same counts, payloads never shuffled")
 
+  /** q103 — deterministic weighted sampling (X32): keep each document
+    * with probability proportional to a quality weight (here
+    * min(n_chars, 2000)/2000 — longer docs kept more often), the
+    * importance-sampling step a training-data pipeline runs after
+    * quality scoring. Acceptance is a PURE BIGINT comparison
+    * (u·W < w·2²⁸ with u the md5-28-bit unit draw) — no float
+    * round-trip anywhere, so the sample is bit-identical in any
+    * engine, on any partitioning, on reprocessing. Same determinism
+    * family as q67's split and q80's stratified rank. */
+  val q103 = Q(
+    "q103_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      val u = conv(substring(md5(concat(lit("ws:"), $"doc_id".cast(StringType))),
+        1, 7), 16, 10).cast(LongType)
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"n_chars", u.as("u"),
+          least($"n_chars", lit(2000L)).as("wt"))
+        .filter($"u" * 2000L < $"wt" * 268435456L)
+        .select($"doc_id", $"n_chars", $"wt")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH k AS (SELECT doc_id, n_chars,
+        CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS u,
+        least(n_chars, 2000) AS wt
+      FROM documents)
+      SELECT doc_id, n_chars, wt FROM k
+      WHERE u * 2000 < wt * 268435456 ORDER BY doc_id"""),
+    doc = "X32: weighted sampling by quality weight — md5 unit draw, " +
+      "integer-only acceptance test; deterministic and partitioning-invariant")
+
   val all: Seq[Q] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q79, q80, q81, q84, q85, q88)
+      q79, q80, q81, q84, q85, q88, q103)
 }
