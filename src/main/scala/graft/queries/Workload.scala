@@ -251,5 +251,64 @@ object Workload {
     doc = "X31: last-touch attribution — ignoreNulls last over a ROWS frame; " +
       "one shuffle on user_id, the event stream never self-joins")
 
-  val all: Seq[Q] = Seq(q97, q98, q99, q100, q101, q102)
+  /** q105 — winsorized group means (X34): clamp each group's values at
+    * its exact empirical P05/P95 before averaging — the outlier-robust
+    * aggregation a metrics pipeline runs over heavy-tailed measures.
+    * Boundaries are EXACT rank statistics (value at ceil(q·n), integer
+    * rank math), not interpolated quantiles, so both engines pick the
+    * same 2dp value bit-for-bit. ONE shuffle: the rank window, the
+    * full-partition boundary windows and the clamp all share the same
+    * partitioning, and the final aggregate is map-side combinable.
+    * (At 100 TB the same shape runs with approx_percentile boundaries
+    * — tolerance-checked A8 territory; the exact-rank form is the
+    * oracle-able contract.) */
+  val q105 = Q(
+    "q105_winsorized_mean",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wSort = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      val wFull = Window.partitionBy($"l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        .withColumn("rn", row_number().over(wSort))
+        .withColumn("cnt", count(lit(1)).over(wFull))
+        .withColumn("klo", floor(($"cnt" * 5 + 99) / lit(100L)).cast(LongType))
+        .withColumn("khi", floor(($"cnt" * 95 + 99) / lit(100L)).cast(LongType))
+        .withColumn("lo_v",
+          max(when($"rn" === $"klo", $"l_extendedprice")).over(wFull))
+        .withColumn("hi_v",
+          max(when($"rn" === $"khi", $"l_extendedprice")).over(wFull))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          max($"lo_v").as("lo_v"), max($"hi_v").as("hi_v"),
+          (toDbl(sum(money(least(greatest($"l_extendedprice", $"lo_v"), $"hi_v"))))
+            / count(lit(1))).as("mean_w"))
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+        FROM lineitem),
+      b AS (
+        SELECT l_returnflag, l_extendedprice, rn, cnt,
+               (cnt * 5 + 99) // 100 AS klo, (cnt * 95 + 99) // 100 AS khi,
+               MAX(CASE WHEN rn = (cnt * 5 + 99) // 100 THEN l_extendedprice END)
+                 OVER (PARTITION BY l_returnflag) AS lo_v,
+               MAX(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN l_extendedprice END)
+                 OVER (PARTITION BY l_returnflag) AS hi_v
+        FROM r)
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(lo_v) AS lo_v, MAX(hi_v) AS hi_v,
+             ${sqlToDbl(s"SUM(${sqlMoney("least(greatest(l_extendedprice, lo_v), hi_v)")})")} / COUNT(*) AS mean_w
+      FROM b GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    doc = "X34: winsorized mean — exact rank-statistic clamp boundaries, " +
+      "one shuffle (rank, boundary and clamp share one partitioning)")
+
+  val all: Seq[Q] = Seq(q97, q98, q99, q100, q101, q102, q105)
 }

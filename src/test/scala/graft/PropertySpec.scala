@@ -110,4 +110,26 @@ class PropertySpec extends SparkSpecBase {
       assert(salted.sortBy(_.toString).toSeq === plain.sortBy(_.toString).toSeq)
     }
   }
+
+  test("law: winnowing guarantee — any two docs sharing a >= w+k-1 token run " +
+    "share a fingerprint, for arbitrary generated surroundings") {
+    val k = 4; val w = 4
+    val token: Gen[String] = Gen.chooseNum(0, 9999).map(i => s"t$i")
+    val caseGen: Gen[(List[String], List[String], List[String], List[String], List[String])] =
+      for {
+        run <- Gen.listOfN(w + k - 1, token) // exactly the guarantee minimum
+        a1 <- Gen.listOfN(5, token); a2 <- Gen.listOfN(5, token)
+        b1 <- Gen.listOfN(7, token); b2 <- Gen.listOfN(3, token)
+      } yield (run, a1, a2, b1, b2)
+    samples(caseGen, 8).foreach { case (run, a1, a2, b1, b2) =>
+      val docA = (a1 ++ run ++ a2).mkString(" ")
+      val docB = (b1 ++ run ++ b2).mkString(" ")
+      val fps = Seq((0, docA), (1, docB)).toDF("id", "text")
+        .select(col("id"),
+          graft.operators.Winnowing.fingerprints(col("text"), k, w).as("fps"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(fps(0).intersect(fps(1)).nonEmpty,
+        s"guarantee violated for run=$run")
+    }
+  }
 }
