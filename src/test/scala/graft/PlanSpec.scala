@@ -192,6 +192,15 @@ class PlanSpec extends SparkSpecBase {
     assert(pf.contains("event_type"), pf)
   }
 
+  test("winsorized mean runs on ONE data shuffle: rank window, boundary " +
+    "windows, clamp and aggregate all share the group partitioning") {
+    val p = plan(queries.Workload.q105.build(spark, sf))
+    // one hash exchange for the fact data; the only other exchange is the
+    // range partitioning that sorts the handful of output groups
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("composite workload plans: dims broadcast, date filters reach the " +
     "scans, top-k fuses — the aggregate is never globally sorted") {
     val q97 = queries.Workload.q97.build(spark, sf)
