@@ -81,4 +81,24 @@ object StreamOps {
         col(key) === col(rightKey) &&
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
+  /** T11b — LEFT OUTER stream-stream join, same event-time bound as
+    * [[streamStreamJoin]]: the "impressions with NO click" shape
+    * (conversion-failure feeds, SLA breach detection). Semantics Spark
+    * guarantees here: an unmatched left row is held in state until the
+    * WATERMARK passes the end of its match window — only then can the
+    * engine prove no match will ever arrive — and the null-padded row
+    * emits in a subsequent micro-batch. Same two state-bounding
+    * constraints as the inner form; without them the outer join cannot
+    * emit null rows at all (no way to prove absence). */
+  def streamStreamJoinOuter(left: DataFrame, right: DataFrame,
+                            leftTs: String, rightTs: String, key: String,
+                            rightKey: String, within: String,
+                            delay: String): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        col(key) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+        "left_outer")
 }

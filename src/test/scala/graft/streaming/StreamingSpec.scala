@@ -352,6 +352,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === Set((1L, 100L)))
   }
 
+  test("T11b: left-outer stream-stream join emits unmatched impressions " +
+    "with nulls once the watermark proves no click can arrive") {
+    val s = spark
+    import s.implicits._
+    val imps = MemoryStream[(Long, Timestamp, Long)](s)
+    val clks = MemoryStream[(Long, Timestamp, Long)](s)
+    val joined = graft.streaming.StreamOps.streamStreamJoinOuter(
+      imps.toDF().toDF("imp_id", "imp_ts", "imp_user"),
+      clks.toDF().toDF("clk_id", "clk_ts", "clk_user"),
+      "imp_ts", "clk_ts", "imp_user", "clk_user",
+      within = "1 MINUTE", delay = "0 seconds")
+    val q = joined.select($"imp_id", $"clk_id")
+      .writeStream.format("memory").queryName("t11b_out").outputMode("append").start()
+    imps.addData((1L, ts(0), 1L), (2L, ts(0), 2L)) // user 2 never clicks
+    clks.addData((100L, ts(0, 30), 1L))
+    q.processAllAvailable()
+    // push BOTH watermarks far past imp 2's match window, then run two
+    // more batches: eviction of provably-unmatched state happens in the
+    // batch AFTER the watermark advances
+    imps.addData((9L, ts(60), 9L))
+    clks.addData((900L, ts(60), 8L))
+    q.processAllAvailable()
+    imps.addData((10L, ts(61), 9L))
+    clks.addData((901L, ts(61), 8L))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("t11b_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got.contains((1L, Some(100L))), got)   // matched pair
+    assert(got.contains((2L, None)), got)         // unmatched -> null click
+  }
+
   test("T8: stream-static dim join enriches in-flight rows") {
     val s = spark
     import s.implicits._
