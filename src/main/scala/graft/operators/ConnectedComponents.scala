@@ -34,16 +34,19 @@ object ConnectedComponents {
     *   prefer a loud failure and a bigger cap over corrupt dedup output)
     * @param checkpointInterval every this-many rounds the label frame is
     *   `localCheckpoint`ed instead of persisted. persist() keeps the DATA
-    *   hot but the logical plan still chains through every prior round,
-    *   so the plan grows linearly and a lost partition at round k
-    *   recomputes all k rounds; checkpointing materializes the RDD and
-    *   truncates lineage — standard iterative-algorithm hygiene on a
-    *   real cluster (use checkpoint-with-dir there for executor-loss
-    *   tolerance; localCheckpoint is the single-JVM variant).
+    *   hot but the logical plan still chains through every prior round —
+    *   the plan grows ~3× per round (labels is referenced on both union
+    *   arms), driver-side ANALYSIS re-walks it on every Dataset
+    *   construction, and a lost partition at round k recomputes all k
+    *   rounds; checkpointing materializes the RDD and truncates lineage.
+    *   Default 1 (measured equal-or-faster than 5 even at 3-4 rounds;
+    *   see [[labelStar]]'s scaladoc for the 4×-growth variant where the
+    *   difference is 8×). Use checkpoint-with-dir on a real cluster for
+    *   executor-loss tolerance; localCheckpoint is the single-JVM form.
     * @return (idCol, "component") — component = min node id reachable */
   def label(nodes: DataFrame, idCol: String,
             edges: DataFrame, srcCol: String, dstCol: String,
-            maxRounds: Int = 20, checkpointInterval: Int = 5): DataFrame = {
+            maxRounds: Int = 20, checkpointInterval: Int = 1): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct().persist()

@@ -106,8 +106,8 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     val n = 50
     val nodes = (0L until n.toLong).toDF("id")
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
-    // min-label walks one hop per round -> needs 49 rounds, so the
-    // checkpointInterval=5 truncation path executes ~9 times
+    // min-label walks one hop per round -> needs 49 rounds, exercising
+    // the per-round localCheckpoint truncation path ~49 times
     val out = ConnectedComponents.label(nodes, "id", edges, "a", "b",
         maxRounds = 60)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
