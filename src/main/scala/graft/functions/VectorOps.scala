@@ -53,8 +53,41 @@ object VectorOps {
   def microsVec(a: Column): Column =
     transform(a, x => micros(x.cast(DoubleType)))
 
+  /** max |x_i| over the vector — the per-vector symmetric-quantization
+    * scale. Sequential fold, deterministic. */
+  def absMax(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+
+  /** Symmetric int8 quantization: q_i = round(x_i / amax · 127) as
+    * TINYINT — 4× smaller than float32 on disk and on every shuffle,
+    * the standard storage/recall trade for billion-vector corpora
+    * (|cosine drift| ~ 1e-3 at 64 dims, pinned in VectorOpsSpec).
+    *
+    * Determinism: x/amax·127 is two exactly-rounded IEEE ops, and
+    * `round` ties go AWAY FROM ZERO in both Spark (HALF_UP) and DuckDB
+    * (`round`), so the quantized bytes are engine/partitioning-exact.
+    * Pass a MATERIALIZED `amax` column (from [[absMax]]): referencing
+    * an unmaterialized absMax expression here would inline it into the
+    * lambda and re-fold the vector once per element — the O(d²)
+    * CollapseProject trap MinHashLSH's scaladoc documents. */
+  def quantize8(a: Column, amax: Column): Column =
+    transform(a, x =>
+      when(amax === 0.0, lit(0))
+        .otherwise(round(x.cast(DoubleType) / amax * 127, 0))
+        .cast(ByteType))
+
+  /** Inverse of [[quantize8]]: x̂_i = q_i · amax / 127. Reconstruction
+    * error is bounded by amax/254 + rounding dust per element. */
+  def dequantize8(q: Column, amax: Column): Column =
+    transform(q, v => v.cast(DoubleType) * amax / lit(127.0))
+
   // DuckDB twins (string builders keep the two engines in sync — the
   // oracle must fold in the same index order as the columns above).
+
+  /** DuckDB twin of `absMax` (list_prepend supplies the fold seed). */
+  def absMaxSql(a: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform($a, x -> CAST(abs(x) AS DOUBLE))), " +
+      "(acc, x) -> greatest(acc, x))"
 
   /** DuckDB twin of `dot`: sequential list_reduce in index order. */
   def dotSql(a: String, b: String, dims: Int = 64): String =

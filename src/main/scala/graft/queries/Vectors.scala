@@ -187,5 +187,57 @@ object Vectors {
     },
     doc = "A10 typed Aggregator: micro-long buffer -> order-invariant, oracle-exact")
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64)
+  /** q106 — int8 embedding quantization (N21): symmetric per-vector
+    * quantization to TINYINT — 4× smaller storage/shuffle for a
+    * billion-vector corpus — verified end to end: the oracle recomputes
+    * scale, quantized bytes and the reconstruction cosine with the
+    * identical IEEE ops (see VectorOps.quantize8 for why ties agree).
+    * q_sum pins the exact byte content; recon_cos pins the dequantized
+    * geometry. amax is materialized in its own projection before the
+    * quantize lambda (the O(d²) inlining trap — VectorOps scaladoc). */
+  val q106 = Q(
+    "q106_quantize_int8",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          VectorOps.absMax($"embedding").as("amax"))
+        .select($"vec_id", $"embedding", $"amax",
+          VectorOps.quantize8($"embedding", $"amax").as("qv"))
+        .select($"vec_id", $"amax", $"qv",
+          VectorOps.dequantize8($"qv", $"amax").as("dq"), $"embedding")
+        .select($"vec_id", $"amax",
+          aggregate($"qv", lit(0L), (acc, v) => acc + v.cast(LongType)).as("q_sum"),
+          when($"amax" === 0.0, lit(null).cast(DoubleType))
+            .otherwise(VectorOps.dotHof($"embedding", $"dq") /
+              (sqrt(VectorOps.dotHof($"embedding", $"embedding")) *
+                sqrt(VectorOps.dotHof($"dq", $"dq")))).as("recon_cos"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH k AS (SELECT vec_id, embedding,
+                   ${VectorOps.absMaxSql("embedding")} AS amax
+                 FROM embeddings),
+      q AS (SELECT vec_id, embedding, amax,
+              CASE WHEN amax = 0
+                   THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(embedding, x ->
+                     CAST(round(CAST(x AS DOUBLE) / amax * 127) AS BIGINT))
+              END AS qv
+            FROM k),
+      d AS (SELECT vec_id, embedding, amax, qv,
+              list_transform(qv, v -> CAST(v AS DOUBLE) * amax / 127) AS dq
+            FROM q)
+      SELECT vec_id, amax,
+             CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             CASE WHEN amax = 0 THEN NULL
+                  ELSE ${VectorOps.dotSql("embedding", "dq")} /
+                       (sqrt(${VectorOps.dotSql("embedding", "embedding")}) *
+                        sqrt(${VectorOps.dotSql("dq", "dq")}))
+             END AS recon_cos
+      FROM d ORDER BY vec_id"""),
+    doc = "N21: symmetric int8 quantization — engine-exact bytes (IEEE ops + " +
+      "away-from-zero ties), reconstruction cosine pinned by the oracle")
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106)
 }

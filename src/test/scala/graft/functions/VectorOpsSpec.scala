@@ -49,4 +49,38 @@ class VectorOpsSpec extends SparkSpecBase {
     val m16 = df.repartition(16).agg(sum(VectorOps.micros(col("x")))).head().getLong(0)
     assert(m1 === m16)
   }
+
+  test("int8 quantization: bytes bounded, reconstruction error <= amax/254 " +
+    "+ dust, cosine preserved to ~1e-3, zero vector safe") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f))) :+
+      (99L, Array.fill(64)(0f))
+    val df = vecs.toDF("id", "v")
+      .withColumn("amax", VectorOps.absMax($"v"))
+      .withColumn("q", VectorOps.quantize8($"v", $"amax"))
+      .withColumn("dq", VectorOps.dequantize8($"q", $"amax"))
+    val rows = df.select($"id", $"amax", $"q", $"dq", $"v").collect()
+    rows.foreach { r =>
+      val amax = r.getDouble(1)
+      val q = r.getSeq[Byte](2)
+      val dq = r.getSeq[Double](3)
+      val v = r.getSeq[Float](4)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      if (r.getLong(0) == 99L) assert(q.forall(_ == 0) && dq.forall(_ == 0.0))
+      else {
+        v.zip(dq).foreach { case (x, xr) =>
+          assert(math.abs(x - xr) <= amax / 254.0 + 1e-9,
+            s"err ${math.abs(x - xr)} vs bound ${amax / 254.0}") }
+        val cos = {
+          val d = v.zip(dq).map { case (x, y) => x.toDouble * y }.sum
+          d / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+            math.sqrt(dq.map(y => y * y).sum))
+        }
+        assert(cos > 0.999, s"cosine drift too large: $cos")
+      }
+    }
+  }
 }
