@@ -95,8 +95,16 @@ object Bench {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           // a failed repeat contributes NO time — min over elapsed-to-
-          // failure would report a fast crash as a fast query
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          // failure would report a fast crash as a fast query.
+          // Consume through the noop sink, NOT count(): count lets the
+          // optimizer prune every column the cardinality doesn't need,
+          // so a projection-heavy query (per-row fingerprints,
+          // quantization) would be timed with its defining work
+          // optimized away entirely.
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
@@ -49,5 +49,34 @@ object Winnowing {
     val zipped = arrays_zip((0 until w).map(o => slice(grams, lit(o + 1), len)): _*)
     transform(zipped, s =>
       (0 until w).map(o => s.getField(o.toString)).reduceLeft(least(_, _)))
+  }
+
+  /** The RELATIONAL form — distinct (idCol, "f") fingerprint rows —
+    * and the one the registered queries use. The [[fingerprints]]
+    * column form is semantically identical (equality pinned in
+    * WinnowingSpec) but nested HOF lambdas are interpreted, not
+    * codegen'd, and get no common-subexpression elimination: the
+    * gram→hash chain re-evaluates per shifted-slice reference, ~16×
+    * the md5 work (measured 13 s vs 2 s on 6k docs at sf0.1 — the
+    * same trap [[MinHashLSH]]'s scaladoc records for signatures).
+    * Here grams explode ONCE and the sliding-window minimum is a
+    * frame aggregate over (doc, gram position) — one shuffle on the
+    * doc id, the same price MinHash pays for its signature rollup,
+    * and the fingerprint column arrives already exploded, which is
+    * what the pair join (q107) wants anyway. */
+  def fingerprintRows(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = MinHashLSH.shingleHashArr(col(textCol), k)
+    val exploded = docs.select(col(idCol), posexplode(grams).as(Seq("pos", "g")))
+    val part = Window.partitionBy(col(idCol))
+    val frame = part.orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    exploded
+      .withColumn("ng", count(lit(1)).over(part))
+      .withColumn("f", min(col("g")).over(frame))
+      .filter(col("pos") <= col("ng") - w) // only full w-wide windows
+      .select(col(idCol), col("f"))
+      .distinct()
   }
 }

@@ -332,5 +332,67 @@ object Dedup {
       "(diameter ~ orders-per-customer); oracle = independent window-min " +
       "derivation, no recursion")
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93, q96)
+  /** q107 — local-overlap pair detection via winnowing (N20b): q95
+    * extracts fingerprint sets; this makes them OPERATIONAL — doc
+    * pairs sharing >= 2 winnowed fingerprints are local-overlap
+    * candidates (shared boilerplate, quoted spans, planted near-dups).
+    * Same scale shape as LSH banding: equi-join on the fingerprint,
+    * with a hot-fingerprint cap (freq <= 50) playing the viral-bucket
+    * role so one corpus-wide boilerplate gram can never generate
+    * O(N²) pairs. Text is scanned once; only (doc_id, fp) longs ever
+    * shuffle. Finds 97 of the 100 planted pairs at sf0.01 (3 planted
+    * docs are too short to carry 2 shared fingerprints) plus genuine
+    * cross-doc boilerplate overlaps. */
+  val q107 = Q(
+    "q107_winnow_pairs",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Winnowing
+      // relational fingerprint rows (one shuffle; the HOF column form
+      // re-evaluates its hash chain per slice — Winnowing scaladoc),
+      // persisted because the frame feeds two consumers below
+      val fps = Winnowing
+        .fingerprintRows(plantedDocs(s, dir), "doc_id", "text", 4, 4)
+        .persist()
+      val ok = fps.join(
+          broadcast(fps.groupBy($"f").agg(count(lit(1)).as("c"))
+            .filter($"c" <= 50).select($"f")), Seq("f"))
+        .persist() // feeds both sides of the pair join
+      ok.select($"doc_id".as("a_id"), $"f")
+        .join(ok.select($"doc_id".as("b_id"), $"f"), Seq("f"))
+        .filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""
+      WITH corpus AS ($plantedDocsSql),
+      hts AS (SELECT doc_id,
+                list_transform(string_split(text, ' '), t ->
+                  CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS hts
+              FROM corpus),
+      g AS (SELECT doc_id,
+              list_transform(range(1, greatest(len(hts) - 3, 0) + 1), i ->
+                (((hts[i] * 31 + hts[i+1]) * 31 + hts[i+2]) * 31 + hts[i+3])
+                  % ${MinHashLSH.Mod}) AS g
+            FROM hts),
+      fp AS (SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(g) - 3, 0) + 1), i ->
+                   least(g[i], g[i+1], g[i+2], g[i+3])))) AS f
+             FROM g),
+      ok AS (SELECT fp.doc_id, fp.f FROM fp
+             JOIN (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= 50) h
+               ON fp.f = h.f),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM ok a JOIN ok b ON a.f = b.f AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT a_id, b_id, n_shared FROM pairs
+      WHERE n_shared >= 2 ORDER BY a_id, b_id"""),
+    doc = "N20b: winnow-fingerprint pair join — LSH-banding shape with a " +
+      "hot-fingerprint cap; surfaces local overlap minhash can't localize")
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93, q96, q107)
 }

@@ -384,17 +384,26 @@ object Text {
     "q95_winnow_fingerprints",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir, "documents")
-        .select($"doc_id",
-          graft.operators.Winnowing.fingerprints($"text", k = 4, w = 4).as("fps"))
-        .select($"doc_id",
-          size($"fps").cast(LongType).as("n_fp"),
-          aggregate($"fps", lit(0L), (acc, x) => acc + x).as("fp_sum"),
-          array_min($"fps").as("fp_min"),
-          array_max($"fps").as("fp_max"),
+      val docs = Tables(s, dir, "documents")
+      // relational form (see Winnowing.fingerprintRows scaladoc: the
+      // nested-HOF column form is interpreted and re-evaluates the
+      // hash chain per slice); left join keeps docs too short for any
+      // full window, with empty-set summary values
+      val agg = graft.operators.Winnowing
+        .fingerprintRows(docs, "doc_id", "text", k = 4, w = 4)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_fp_raw"),
+          sum($"f").as("fp_sum_raw"),
+          min($"f").as("fp_min"), max($"f").as("fp_max"),
           concat_ws("|",
-            transform(slice(array_sort($"fps"), 1, 5), _.cast(StringType)))
-            .as("fp_head"))
+            transform(slice(sort_array(collect_list($"f")), 1, 5),
+              _.cast(StringType))).as("fp_head_raw"))
+      docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_fp_raw", lit(0L)).as("n_fp"),
+          coalesce($"fp_sum_raw", lit(0L)).as("fp_sum"),
+          $"fp_min", $"fp_max",
+          coalesce($"fp_head_raw", lit("")).as("fp_head"))
         .orderBy($"doc_id")
     },
     Some(s"""
@@ -417,8 +426,8 @@ object Text {
              list_min(fps) AS fp_min, list_max(fps) AS fp_max,
              COALESCE(array_to_string(list_sort(fps)[1:5], '|'), '') AS fp_head
       FROM fp ORDER BY doc_id"""),
-    doc = "N20: winnowing (MOSS) fingerprints — window-min of k-gram hashes, " +
-      "zero shuffles; summary columns pin the exact set per doc")
+    doc = "N20: winnowing (MOSS) fingerprints — relational window-min over " +
+      "exploded grams (one doc-id shuffle); summary columns pin the exact set")
 
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95)

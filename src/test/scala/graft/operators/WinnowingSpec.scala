@@ -58,4 +58,20 @@ class WinnowingSpec extends SparkSpecBase {
       "j10 i9 h8 g7 f6 e5 d4 c3 b2 a1"))
     assert(m(0) != m(1))
   }
+
+  test("the relational fingerprintRows form equals the HOF column form " +
+    "on real corpus documents (including too-short docs)") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(60)
+      .unionByName(Seq((900L, "one two three")).toDF("doc_id", "text"))
+    val viaHof = docs
+      .select($"doc_id", explode(Winnowing.fingerprints($"text", k, w)).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRows = Winnowing.fingerprintRows(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRows === viaHof)
+    assert(!viaRows.exists(_._1 == 900L)) // short doc: no full window
+  }
 }
