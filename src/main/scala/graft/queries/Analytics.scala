@@ -178,5 +178,51 @@ object Analytics {
     doc = "X33: Markov transition counts + probabilities — lead window, " +
       "compact (from,to) aggregate, one exact IEEE divide; no self-join")
 
-  val all: Seq[Q] = Seq(q89, q90, q94, q104)
+  /** q108 — triangle participation (X35): co-purchase graph (users
+    * purchasing in the same hour, capped to user_id < 100 so graph
+    * density is scale-stable) → per-user triangle counts via the
+    * degree-ordered forward algorithm ([[graft.operators.Triangles]]).
+    * The oracle mirrors the orientation/wedge/closure steps; the
+    * operator's equality with the naive 3-join count is additionally
+    * ScalaTest-pinned on random graphs. */
+  val q108 = Q(
+    "q108_triangles",
+    (s, dir) => {
+      import s.implicits._
+      val hp = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"user_id" < 100)
+        .select(date_trunc("hour", $"ts").as("h"), $"user_id")
+        .distinct()
+      val edges = hp.as("a").join(hp.as("b"),
+          $"a.h" === $"b.h" && $"a.user_id" < $"b.user_id")
+        .select($"a.user_id".as("u"), $"b.user_id".as("v"))
+        .distinct()
+      graft.operators.Triangles.participation(edges, "u", "v")
+        .select($"node".as("user_id"), $"n_triangles")
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH hp AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+                  WHERE event_type = 'purchase' AND user_id < 100),
+      e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM hp a JOIN hp b ON a.h = b.h AND a.user_id < b.user_id),
+      deg AS (SELECT node, COUNT(*) AS d FROM
+                (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node),
+      o AS (SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS s,
+                   CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS t,
+                   CASE WHEN (da.d, e.u) < (db.d, e.v) THEN db.d ELSE da.d END AS td
+            FROM e JOIN deg da ON e.u = da.node JOIN deg db ON e.v = db.node),
+      tri AS (SELECT o1.s AS s, o1.t AS w1, o2.t AS w2
+              FROM o o1 JOIN o o2 ON o1.s = o2.s AND (o1.td, o1.t) < (o2.td, o2.t)
+              JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t),
+      corners AS (SELECT s AS node FROM tri UNION ALL SELECT w1 FROM tri
+                  UNION ALL SELECT w2 FROM tri)
+      SELECT node AS user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM corners GROUP BY node ORDER BY user_id"""),
+    doc = "X35: degree-ordered triangle counting — wedge fan-out bounded by " +
+      "the lower-degree endpoint (O(E^1.5) total), every shuffle a compact " +
+      "equi-join; oracle mirrors orientation/wedge/closure step for step")
+
+  val all: Seq[Q] = Seq(q89, q90, q94, q104, q108)
 }

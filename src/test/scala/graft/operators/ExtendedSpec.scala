@@ -172,6 +172,34 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     assert(m("c") === ((1L, 4L, 4L, 4L)))  // new key from delta
   }
 
+  test("Triangles: K4 gives 3 per node, paths give none, and the ordered " +
+    "count equals the naive 3-join on a seeded random graph") {
+    val s = spark
+    import s.implicits._
+    // K4 has C(4,3)=4 triangles, each node in exactly 3
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)).toDF("u", "v")
+    val m = Triangles.participation(k4, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("u", "v")
+    assert(Triangles.participation(path, "u", "v").count() === 0)
+    // random graph: total triangle count (participation sum / 3) must
+    // equal the naive canonical 3-join
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("u", "v")
+    val part = Triangles.participation(edges, "u", "v")
+      .agg(sum($"n_triangles")).head().getLong(0)
+    val e = edges.select($"u", $"v")
+    val naive = e.as("e1")
+      .join(e.as("e2"), $"e1.v" === $"e2.u")
+      .join(e.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+      .count()
+    assert(part === naive * 3, s"participation=$part naive=$naive")
+  }
+
   test("labelStar: empty edge set labels every node with itself") {
     val nodes = Seq(3L, 8L, 11L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
