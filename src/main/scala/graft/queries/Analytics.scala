@@ -224,5 +224,57 @@ object Analytics {
       "the lower-degree endpoint (O(E^1.5) total), every shuffle a compact " +
       "equi-join; oracle mirrors orientation/wedge/closure step for step")
 
-  val all: Seq[Q] = Seq(q89, q90, q94, q104, q108)
+  /** Unrolled integer-PageRank iteration CTE: i{k} from i{k-1}. */
+  private def prIter(k: Int): String = {
+    val prev = if (k == 1) "r0" else s"i${k - 1}"
+    s"""i$k AS (
+      SELECT nd.node,
+        CAST((SELECT (1000000000000 * 15 // 100) // COUNT(*) FROM nodes) +
+        (COALESCE(s.s, 0) * 85) // 100 AS BIGINT) AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst, CAST(SUM(r.r // od.od) AS BIGINT) AS s
+        FROM e JOIN od ON e.src = od.src JOIN $prev r ON r.node = e.src
+        GROUP BY e.dst) s ON s.dst = nd.node)"""
+  }
+
+  /** q109 — integer-exact PageRank (X36): 5 rounds over the symmetrized
+    * co-purchase graph, all arithmetic in micro-rank longs with
+    * integral division (see [[graft.operators.PageRank]]) — the fixed
+    * point of the usual iterative-double formulation depends on
+    * summation order and can never hash-match across engines; this one
+    * matches bit for bit. */
+  val q109 = Q(
+    "q109_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val hp = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"user_id" < 100)
+        .select(date_trunc("hour", $"ts").as("h"), $"user_id")
+        .distinct()
+      val nodes = hp.select($"user_id").distinct()
+      val e0 = hp.as("a").join(hp.as("b"),
+          $"a.h" === $"b.h" && $"a.user_id" < $"b.user_id")
+        .select($"a.user_id".as("u"), $"b.user_id".as("v"))
+        .distinct()
+      val sym = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
+      graft.operators.PageRank
+        .ranksMicro(nodes, "user_id", sym, "u", "v", iters = 5)
+        .orderBy($"user_id")
+    },
+    Some(s"""
+      WITH hp AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+                  WHERE event_type = 'purchase' AND user_id < 100),
+      nodes AS (SELECT DISTINCT user_id AS node FROM hp),
+      e0 AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+             FROM hp a JOIN hp b ON a.h = b.h AND a.user_id < b.user_id),
+      e AS (SELECT u AS src, v AS dst FROM e0 UNION SELECT v, u FROM e0),
+      od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+      r0 AS (SELECT node, (SELECT 1000000000000 // COUNT(*) FROM nodes) AS r
+             FROM nodes),
+      ${(1 to 5).map(prIter).mkString(",\n      ")}
+      SELECT node AS user_id, r AS rank_micro FROM i5 ORDER BY user_id"""),
+    doc = "X36: PageRank in exact micro-rank integer arithmetic — 5 rounds " +
+      "hash-match across engines; double formulations never can")
+
+  val all: Seq[Q] = Seq(q89, q90, q94, q104, q108, q109)
 }

@@ -200,6 +200,28 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     assert(part === naive * 3, s"participation=$part naive=$naive")
   }
 
+  test("PageRank: star center outranks leaves, mass is conserved up to " +
+    "truncation drift, and ranks are partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    // star: center 0, leaves 1..8, symmetrized
+    val star = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("u", "v")
+    val nodes = (0L to 8L).toDF("id")
+    val ranks = PageRank.ranksMicro(nodes, "id", star, "u", "v", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) > ranks(1L) * 3, ranks.toString) // hub dominates
+    assert((1L to 8L).map(ranks).distinct.size === 1) // leaves symmetric
+    val total = ranks.values.sum
+    // per round: <= 1 micro-unit truncation per donation edge + per node
+    val maxDrift = 5L * (16 + 9 + 9)
+    assert(total <= PageRank.Scale && total >= PageRank.Scale - maxDrift,
+      s"mass $total vs ${PageRank.Scale}")
+    val re = PageRank.ranksMicro(nodes.repartition(7), "id",
+        star.repartition(5), "u", "v", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === ranks) // exact integer arithmetic: bit-equal anywhere
+  }
+
   test("labelStar: empty edge set labels every node with itself") {
     val nodes = Seq(3L, 8L, 11L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
