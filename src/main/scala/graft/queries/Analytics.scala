@@ -276,5 +276,56 @@ object Analytics {
     doc = "X36: PageRank in exact micro-rank integer arithmetic — 5 rounds " +
       "hash-match across engines; double formulations never can")
 
-  val all: Seq[Q] = Seq(q89, q90, q94, q104, q108, q109)
+  /** q111 — chi-square contingency scoring (X37): event type × hour of
+    * day — the independence test behind feature selection and
+    * seasonality detection. All counts and marginals are exact BIGINTs
+    * (one aggregation + three window sums over the tiny cell grid);
+    * expected counts and per-cell contributions are short deterministic
+    * IEEE chains (one divide, one subtract, one multiply, one divide —
+    * explicit multiply, never pow), so every cell hash-matches. The
+    * per-cell rows ARE the deliverable (which cells drive dependence);
+    * a global chi² is one ordered fold away. */
+  val q111 = Q(
+    "q111_chisq",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables(s, dir, "events")
+        .groupBy($"event_type", hour($"ts").as("hr"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy($"event_type")
+      val wc = Window.partitionBy($"hr")
+      val wa = Window.partitionBy()
+      cells
+        .withColumn("ri", sum($"o").over(wr))
+        .withColumn("cj", sum($"o").over(wc))
+        .withColumn("n", sum($"o").over(wa))
+        .withColumn("expected",
+          ($"ri" * $"cj").cast("double") / $"n".cast("double"))
+        .withColumn("contrib",
+          ($"o".cast("double") - $"expected") * ($"o".cast("double") - $"expected")
+            / $"expected")
+        .select($"event_type", $"hr", $"o", $"expected", $"contrib")
+        .orderBy($"event_type", $"hr")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, hr, o,
+              SUM(o) OVER (PARTITION BY event_type) AS ri,
+              SUM(o) OVER (PARTITION BY hr) AS cj,
+              SUM(o) OVER () AS n
+            FROM cells)
+      SELECT event_type, hr, o,
+             CAST(ri * cj AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+             (CAST(o AS DOUBLE) - CAST(ri * cj AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(ri * cj AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(ri * cj AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+      FROM m ORDER BY event_type, hr"""),
+    doc = "X37: chi-square cells — exact integer marginals via window sums, " +
+      "deterministic IEEE per-cell scoring; hash-exact across engines")
+
+  val all: Seq[Q] = Seq(q89, q90, q94, q104, q108, q109, q111)
 }

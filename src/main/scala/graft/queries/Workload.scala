@@ -310,5 +310,38 @@ object Workload {
     doc = "X34: winsorized mean — exact rank-statistic clamp boundaries, " +
       "one shuffle (rank, boundary and clamp share one partitioning)")
 
-  val all: Seq[Q] = Seq(q97, q98, q99, q100, q101, q102, q105)
+  /** q110 — incremental DISTINCT maintenance (X30b): per-month distinct
+    * customers kept fresh across two delta refreshes via HLL sketches
+    * ([[graft.operators.IncrementalAgg.summarizeDistinct]]) — exact
+    * distinct is not mergeable, the sketch's register-wise max is, and
+    * the merged sketch is BIT-EQUAL to a full rebuild (ExtendedSpec).
+    * No DuckDB oracle: DataSketches HLL isn't reproducible there — the
+    * q24/A4 tolerance precedent; the driver records the rows-only
+    * check and ScalaTest pins the math. */
+  val q110 = Q(
+    "q110_incremental_distinct",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      val keys = Seq("month")
+      val facts = Tables(s, dir, "orders").select(
+        date_trunc("month", $"o_orderdate").as("month"), $"o_custkey")
+      val cut1 = lit("1999-01-01").cast(TimestampType)
+      val cut2 = lit("2000-01-01").cast(TimestampType)
+      val base = IncrementalAgg.summarizeDistinct(
+        facts.filter($"month" < cut1), keys, "o_custkey")
+      val s1 = IncrementalAgg.mergeDistinct(base,
+        IncrementalAgg.summarizeDistinct(
+          facts.filter($"month" >= cut1 && $"month" < cut2), keys, "o_custkey"), keys)
+      val s2 = IncrementalAgg.mergeDistinct(s1,
+        IncrementalAgg.summarizeDistinct(
+          facts.filter($"month" >= cut2), keys, "o_custkey"), keys)
+      IncrementalAgg.estimateDistinct(s2, keys).orderBy($"month")
+    },
+    None,
+    doc = "X30b: distinct-count maintenance via mergeable HLL sketches — " +
+      "incremental merge bit-equals the full rebuild; tolerance-checked in " +
+      "ScalaTest (no engine-portable oracle for DataSketches registers)")
+
+  val all: Seq[Q] = Seq(q97, q98, q99, q100, q101, q102, q105, q110)
 }

@@ -222,6 +222,28 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     assert(re === ranks) // exact integer arithmetic: bit-equal anywhere
   }
 
+  test("IncrementalAgg sketches: base ⊕ delta estimate is BIT-EQUAL to the " +
+    "full rebuild (register merge is exact), and close to exact distinct") {
+    val s = spark
+    import s.implicits._
+    val base  = (1 to 3000).map(i => ("a", i % 700)) ++ (1 to 500).map(i => ("b", i))
+    val delta = (1 to 2000).map(i => ("a", 400 + i % 900)) ++ (1 to 100).map(i => ("b", i * 3))
+    val (bdf, ddf) = (base.toDF("k", "v"), delta.toDF("k", "v"))
+    val inc = IncrementalAgg.estimateDistinct(
+      IncrementalAgg.mergeDistinct(
+        IncrementalAgg.summarizeDistinct(bdf, Seq("k"), "v"),
+        IncrementalAgg.summarizeDistinct(ddf, Seq("k"), "v"), Seq("k")), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = IncrementalAgg.estimateDistinct(
+      IncrementalAgg.summarizeDistinct(bdf.unionByName(ddf), Seq("k"), "v"), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc === full) // not approximately: identical sketches
+    val exact = bdf.unionByName(ddf).groupBy("k").agg(countDistinct($"v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(inc(k) - n) <= n * 0.05 + 2, s"$k: est ${inc(k)} vs $n") }
+  }
+
   test("labelStar: empty edge set labels every node with itself") {
     val nodes = Seq(3L, 8L, 11L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
