@@ -343,5 +343,55 @@ object Workload {
       "incremental merge bit-equals the full rebuild; tolerance-checked in " +
       "ScalaTest (no engine-portable oracle for DataSketches registers)")
 
-  val all: Seq[Q] = Seq(q97, q98, q99, q100, q101, q102, q105, q110)
+  /** q112 — MERGE INTO snapshot maintenance (X38): one deterministic
+    * change batch (updates for custkey%10=3, deletes for %10=7,
+    * inserts at +1000000 for %10=0) applied to the customer snapshot
+    * via [[graft.operators.MergeInto]] — one full-outer join, partial-
+    * column update, delete flags honored, inserts carry nulls for
+    * columns the batch doesn't provide. Money math rides Exact
+    * decimals so updated balances hash-match. */
+  val q112 = Q(
+    "q112_merge_into",
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+      val updates = cust.filter($"c_custkey" % 10 === 3)
+        .select($"c_custkey",
+          toDbl(money($"c_acctbal") + 100).as("c_acctbal"),
+          lit(false).as("__del"))
+      val deletes = cust.filter($"c_custkey" % 10 === 7)
+        .select($"c_custkey", lit(null).cast("double").as("c_acctbal"),
+          lit(true).as("__del"))
+      val inserts = cust.filter($"c_custkey" % 10 === 0)
+        .select(($"c_custkey" + 1000000L).as("c_custkey"),
+          lit(500.0).as("c_acctbal"), lit(false).as("__del"))
+      val source = updates.unionByName(deletes).unionByName(inserts)
+      graft.operators.MergeInto
+        .merge(cust, source, Seq("c_custkey"), Seq("c_acctbal"),
+          deleteCol = Some("__del"))
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT c_custkey, ${sqlToDbl(s"${sqlMoney("c_acctbal")} + 100")} AS c_acctbal,
+               FALSE AS del
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey, NULL, TRUE FROM customer WHERE c_custkey % 10 = 7
+        UNION ALL
+        SELECT c_custkey + 1000000, 500.0, FALSE
+        FROM customer WHERE c_custkey % 10 = 0),
+      m AS (SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+              t.c_name,
+              COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+              t.c_mktsegment,
+              COALESCE(s.del, FALSE) AS del
+            FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey)
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM m WHERE NOT del ORDER BY c_custkey"""),
+    doc = "X38: MERGE INTO — full-outer join + per-column resolution; " +
+      "updates, deletes and inserts in one shuffle per side")
+
+  val all: Seq[Q] = Seq(q97, q98, q99, q100, q101, q102, q105, q110, q112)
 }

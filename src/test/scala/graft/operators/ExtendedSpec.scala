@@ -244,6 +244,26 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
       assert(math.abs(inc(k) - n) <= n * 0.05 + 2, s"$k: est ${inc(k)} vs $n") }
   }
 
+  test("MergeInto: updates overwrite only update columns, deletes remove, " +
+    "inserts carry nulls elsewhere, untouched rows pass through") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, "ann", 10.0), (2L, "bob", 20.0), (3L, "cyd", 30.0))
+      .toDF("id", "name", "bal")
+    val source = Seq(
+      (2L, Some(99.0), false),  // update bal only
+      (3L, None, true),         // delete
+      (9L, Some(5.0), false))   // insert
+      .toDF("id", "bal", "del")
+    val out = MergeInto.merge(target, source, Seq("id"), Seq("bal"), Some("del"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(out === Set(
+      (1L, Some("ann"), 10.0),   // untouched
+      (2L, Some("bob"), 99.0),   // bal updated, name kept
+      (9L, None, 5.0)))          // inserted; name null
+  }
+
   test("labelStar: empty edge set labels every node with itself") {
     val nodes = Seq(3L, 8L, 11L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
