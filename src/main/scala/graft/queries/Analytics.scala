@@ -327,5 +327,55 @@ object Analytics {
     doc = "X37: chi-square cells — exact integer marginals via window sums, " +
       "deterministic IEEE per-cell scoring; hash-exact across engines")
 
-  val all: Seq[Q] = Seq(q89, q90, q94, q104, q108, q109, q111)
+  /** q113 — user survival curve (X39): fraction of users still active
+    * d days after their first event, for d in 0..30 — the lifetime
+    * distribution behind churn models (q90's cohort retention measures
+    * week-bucketed ACTIVITY; this measures LIFETIME). Computed from
+    * the bounded lifetime histogram, not a per-user spine: survivors
+    * at d = total − (users whose lifetime ended before d), an
+    * exclusive prefix sum over the 31-row day grid — the whole curve
+    * costs one user aggregate plus window math over a tiny frame at
+    * any corpus size. Fractions are one IEEE divide of exact longs. */
+  val q113 = Q(
+    "q113_survival",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val lif = Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(datediff(max($"ts"), min($"ts")).as("ld"))
+      val hist = lif.groupBy($"ld").agg(count(lit(1)).as("c"))
+      val total = lif.agg(count(lit(1)).as("total"))
+      val spine = s.range(0, 31).select($"id".cast("int").as("d"))
+      val wPrefix = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      spine
+        .join(hist, $"d" === $"ld", "left")
+        .crossJoin(broadcast(total))
+        .withColumn("died_before", coalesce(sum($"c").over(wPrefix), lit(0L)))
+        .select($"d", ($"total" - $"died_before").as("surviving"),
+          (($"total" - $"died_before").cast("double") / $"total".cast("double"))
+            .as("frac"))
+        .orderBy($"d")
+    },
+    Some("""
+      WITH lif AS (SELECT user_id, date_diff('day', MIN(ts), MAX(ts)) AS ld
+                   FROM events GROUP BY user_id),
+      hist AS (SELECT ld, CAST(COUNT(*) AS BIGINT) AS c FROM lif GROUP BY ld),
+      spine AS (SELECT CAST(unnest(range(0, 31)) AS INT) AS d),
+      j AS (SELECT spine.d, hist.c,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lif) AS total
+            FROM spine LEFT JOIN hist ON spine.d = hist.ld),
+      p AS (SELECT d, total,
+              COALESCE(CAST(SUM(c) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                AS died_before
+            FROM j)
+      SELECT d, total - died_before AS surviving,
+             CAST(total - died_before AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+      FROM p ORDER BY d"""),
+    doc = "X39: survival curve from the lifetime histogram — exclusive " +
+      "prefix sum over a 31-row grid; one user aggregate at any scale")
+
+  val all: Seq[Q] = Seq(q89, q90, q94, q104, q108, q109, q111, q113)
 }
