@@ -682,7 +682,40 @@ object Extended {
     doc = "X32: weighted sampling by quality weight — md5 unit draw, " +
       "integer-only acceptance test; deterministic and partitioning-invariant")
 
+  /** q114 — recursive CTE chain walk (P8): WITH RECURSIVE landed in
+    * Spark 4, completing the query surface for hierarchy/reachability
+    * workloads (org charts, referral chains, BOM explosions) that
+    * previously needed driver-side loops. The walk descends each
+    * customer's order chain (capped at 10 hops — recursion depth is a
+    * RESOURCE bound both engines enforce; the cap keeps it under
+    * Spark's recursion limit at any scale factor) computing hop depth.
+    * The SQL text is byte-identical in both engines (Q.sql), and
+    * depth ≡ the window row_number by construction — the recursion is
+    * cross-checked by a non-recursive invariant. */
+  val q114 = {
+    val sqlText = """
+      WITH RECURSIVE base AS (
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_custkey % 20 = 0),
+      lim AS (SELECT * FROM base WHERE rn <= 10),
+      nxt AS (SELECT o_orderkey AS cur,
+                     lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY rn) AS nx
+              FROM lim),
+      walk(node, depth) AS (
+        SELECT cur, CAST(1 AS BIGINT) FROM nxt
+        WHERE cur NOT IN (SELECT nx FROM nxt WHERE nx IS NOT NULL)
+        UNION ALL
+        SELECT n.nx, w.depth + 1 FROM walk w JOIN nxt n ON n.cur = w.node
+        WHERE n.nx IS NOT NULL)
+      SELECT node AS o_orderkey, depth FROM walk ORDER BY o_orderkey"""
+    Q.sql("q114_recursive_chain", sqlText, sqlText,
+      doc = "P8: WITH RECURSIVE chain walk — byte-identical SQL both engines; " +
+        "depth cross-checked by the row_number invariant")
+  }
+
   val all: Seq[Q] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q79, q80, q81, q84, q85, q88, q103)
+      q79, q80, q81, q84, q85, q88, q103, q114)
 }
