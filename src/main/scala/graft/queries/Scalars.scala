@@ -199,5 +199,33 @@ object Scalars {
       FROM events ORDER BY event_id"""),
     doc = "JSON parse/extract/serialize + MapType ops (reference ingests JSON, README.md:76-78)")
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41)
+  /** q115 — VARIANT semi-structured access (F-var): Spark 4's binary
+    * semi-structured type — parse once, access fields without
+    * re-parsing the JSON string per extraction, the storage/access
+    * model for schema-drifting event payloads at scale (q41's string
+    * get_json_object re-parses per call). Extracted values are exact
+    * integers, so the aggregate hash-matches DuckDB's JSON operators.
+    */
+  val q115 = Q(
+    "q115_variant",
+    (s, dir) => {
+      import s.implicits._
+      graft.core.Tables(s, dir, "events")
+        .select($"event_type",
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+             MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    doc = "F-var: VARIANT parse-once access (Spark 4) vs per-call string " +
+      "re-parse; exact integer extraction hash-matches DuckDB JSON ops")
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q115)
 }
