@@ -715,7 +715,27 @@ object Extended {
         "depth cross-checked by the row_number invariant")
   }
 
+  /** q116 — LATERAL correlated subquery (P9): per-row top-k join ("each
+    * customer's two most recent orders") — the query-surface form of
+    * W5's top-k-per-group, which users coming from warehouse SQL write
+    * as LATERAL rather than a window+filter. Catalyst decorrelates the
+    * lateral into a ranked join (DecorrelateInnerQuery); SQL text is
+    * byte-identical in both engines. */
+  val q116 = {
+    val sqlText = """
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
+      WHERE c.c_custkey < 200
+      ORDER BY c.c_custkey, o.o_orderkey"""
+    Q.sql("q116_lateral_topk", sqlText, sqlText,
+      doc = "P9: LATERAL correlated top-k — decorrelated by Catalyst; " +
+        "byte-identical SQL both engines")
+  }
+
   val all: Seq[Q] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q79, q80, q81, q84, q85, q88, q103, q114)
+      q79, q80, q81, q84, q85, q88, q103, q114, q116)
 }
