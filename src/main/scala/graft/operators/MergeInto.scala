@@ -38,13 +38,19 @@ object MergeInto {
     val tCols = target.columns.toSeq
     val del = deleteCol.map(c => coalesce(col(s"__s.$c"), lit(false)))
       .getOrElse(lit(false))
+    // Source presence must be a MARKER column, not a value test:
+    // coalesce(src.col, tgt.col) would make `UPDATE SET col = NULL`
+    // silently keep the target value — SQL MERGE takes the source's
+    // update columns verbatim, NULLs included. The lit(true) marker is
+    // null exactly on target-only rows of the full-outer join.
+    val srcPresent = col("__s.__sp").isNotNull
     val matchedOrInsert = tCols.map { c =>
       if (keyCols.contains(c) || updateCols.contains(c))
-        coalesce(col(s"__s.$c"), col(s"__t.$c")).as(c)
+        when(srcPresent, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
       else col(s"__t.$c").as(c) // nulls stay null for pure inserts
     }
     val joined = target.alias("__t").join(
-      source.alias("__s"),
+      source.withColumn("__sp", lit(true)).alias("__s"),
       keyCols.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _),
       "full_outer")
     joined

@@ -27,14 +27,33 @@ import org.apache.spark.sql.functions._
   * re-assigns ids, silently re-shuffling rows across reducers mid-query
   * — same result set, but the skew split can re-skew exactly when the
   * cluster is already degraded.
+  *
+  * DUPLICATE-ROW CAVEAT: a content hash sends EXACT duplicate rows to
+  * one salt bucket — and wholesale-duplicated rows are a common cause
+  * of the very skew being mitigated. So pass `saltCols = <a unique
+  * key>` whenever the fact table has one: unique key ⇒ full spread AND
+  * strict retry-determinism. When `saltCols` is empty (no unique key
+  * known), the salt additionally folds in the row's (partition id,
+  * in-partition position) so duplicates still spread; that position is
+  * stable for deterministic scan-rooted inputs (same files, same
+  * splits, same order) but can remap rows across salt buckets if a
+  * LOST-STAGE retry replays a nondeterministic upstream — result set
+  * unchanged, spread possibly re-skewed. Spreading the hot key is the
+  * operator's purpose, so the default trades the rarer retry corner
+  * for it; callers wanting both guarantees pass a unique key.
   */
 object SaltedJoin {
 
   /** @param saltCols columns whose combined hash spreads the hot key's
-    *   rows (ideally the fact's primary key); empty = all fact columns */
+    *   rows (ideally the fact's primary key); empty = all fact columns
+    *   plus a per-row position tiebreaker (see duplicate-row caveat) */
   def join(facts: DataFrame, dim: DataFrame, key: String, salts: Int,
            saltCols: Seq[String] = Nil): DataFrame = {
-    val src = (if (saltCols.nonEmpty) saltCols else facts.columns.toSeq).map(col)
+    val src =
+      if (saltCols.nonEmpty) saltCols.map(col)
+      // monotonically_increasing_id = partition id ⋅ 2³³ + row position:
+      // the deterministic-per-scan tiebreaker that spreads exact dups.
+      else facts.columns.toSeq.map(col) :+ monotonically_increasing_id()
     val saltedFacts = facts.withColumn(
       "__salt", pmod(xxhash64(src: _*), lit(salts.toLong)))
     val replicatedDim = dim.withColumn(

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * xxhash64 when cross-engine reproducibility is not needed — same
   * plan, cheaper hash.)
   *
-  * Null sentinel: `coalesce(cast(c AS string), 'NUL')` — a real NULL
-  * and the string "NUL" would collide, but "NUL" cannot appear in
-  * the corpus's text domains; callers with adversarial binary columns
-  * should hash per-column instead.
+  * Encoding: each value renders as `V<charlen>:<chars>` (NULL → `N`)
+  * and the fields concatenate with NO separator. The length prefix
+  * makes the byte stream uniquely decodable, so neither separator
+  * characters inside values (('a|b','c') vs ('a','b|c')) nor a NULL
+  * sentinel appearing as real data can make two different rows
+  * fingerprint equal.
   */
 object TableDiff {
 
@@ -30,8 +32,13 @@ object TableDiff {
     * fingerprint exists to make the shuffle narrow, so it should not
     * double its own width on the wire. */
   def fingerprint(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column =
-    unhex(md5(concat_ws("|",
-      cols.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+    unhex(md5(concat(
+      cols.sorted.map { c =>
+        val v = col(c).cast("string")
+        // concat propagates null: a NULL value collapses the whole
+        // V-term to null and coalesce emits the unambiguous "N" tag.
+        coalesce(concat(lit("V"), length(v), lit(":"), v), lit("N"))
+      }: _*)))
 
   /** Per-key diff status: (keyCols…, status ∈ added|removed|changed|same).
     * `added` = key only in `right` (the new version); `removed` = only

@@ -40,11 +40,14 @@ object Dedup {
   /** The full MinHash-LSH pipeline as DuckDB CTEs ending in `v` (pair
     * candidates with inter/na/nb) over the given corpus SQL — shared by
     * q54 (pairs), q82 (cluster collapse) and q93 (cross-table
-    * decontamination, which filters `v` to cross-boundary pairs; its
-    * operator caps corpus-side buckets only, but a 20-probe set cannot
-    * move a bucket across the 1000-doc cap, so the CTEs' union-side cap
-    * is equivalent here). */
-  private[queries] def minhashCtes(corpusSql: String): String = {
+    * decontamination). `capWhere` restricts WHICH band rows count
+    * toward the viral-bucket cap: q54/q82 cap over the whole input
+    * (TRUE, mirroring `nearDupPairs`), while q93 caps corpus-side
+    * members only (doc_id < 500000), mirroring `crossNearDup` exactly —
+    * the probe side must not be able to push a bucket over the cap at
+    * any scale factor. */
+  private[queries] def minhashCtes(corpusSql: String,
+                                   capWhere: String = "TRUE"): String = {
     val aLit = MinHashLSH.aConst(12).mkString("[", ", ", "]")
     val bLit = MinHashLSH.bConst(12).mkString("[", ", ", "]")
     val M = MinHashLSH.Mod
@@ -66,7 +69,8 @@ object Dedup {
       bands AS (SELECT doc_id, CAST(b AS INT) AS band,
                   (sig[CAST(b AS INT)*3+1] * 31 + sig[CAST(b AS INT)*3+2]) * 31 + sig[CAST(b AS INT)*3+3] AS key
                 FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-      ok_buckets AS (SELECT band, key FROM bands GROUP BY band, key
+      ok_buckets AS (SELECT band, key FROM bands WHERE $capWhere
+                     GROUP BY band, key
                      HAVING COUNT(*) <= ${MinHashLSH.DefaultMaxBucket}),
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                FROM bands x JOIN bands y
@@ -266,8 +270,10 @@ object Dedup {
     * doc standing in for a benchmark eval set). The operator bands
     * corpus and probes separately and joins ACROSS sides only —
     * corpus×corpus candidates are never generated; the oracle reuses
-    * the q54 CTE pipeline over the union and filters to cross-boundary
-    * pairs, which is the same set. */
+    * the q54 CTE pipeline over the union, filters to cross-boundary
+    * pairs, and counts only corpus-side members toward the viral cap
+    * (capWhere), which is the same set at ANY scale factor — probes
+    * can never push a corpus bucket over the cap. */
   val q93 = Q(
     "q93_decontaminate",
     (s, dir) => {
@@ -287,7 +293,8 @@ object Dedup {
         UNION ALL
         SELECT doc_id + 500000 AS doc_id,
                array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 2], ' ') AS text
-        FROM documents WHERE doc_id % 25 = 0""")}
+        FROM documents WHERE doc_id % 25 = 0""",
+        capWhere = "doc_id < 500000")}
       SELECT a_id AS c_id, b_id AS p_id, inter / (na + nb - inter) AS jaccard
       FROM v
       WHERE a_id < 500000 AND b_id >= 500000

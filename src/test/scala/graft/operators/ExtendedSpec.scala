@@ -264,6 +264,33 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
       (9L, None, 5.0)))          // inserted; name null
   }
 
+  test("MergeInto: a matched source row sets an update column to NULL " +
+    "verbatim (SQL MERGE semantics, not coalesce-survival)") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, "ann", Option(10.0)), (2L, "bob", Option(20.0)))
+      .toDF("id", "name", "bal")
+    val source = Seq((2L, None: Option[Double], false)).toDF("id", "bal", "del")
+    val out = MergeInto.merge(target, source, Seq("id"), Seq("bal"), Some("del"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out === Set((1L, "ann", Some(10.0)), (2L, "bob", None)))
+  }
+
+  test("SaltedJoin spreads EXACT duplicate hot rows (empty-saltCols " +
+    "position tiebreaker) and still equals the plain join") {
+    val facts = (1 to 400).map(_ => ("hot", 1)).toDF("k", "v") // identical rows
+    val dim = Seq(("hot", 7)).toDF("k", "code")
+    // mirror of the operator's empty-saltCols salt: content hash alone
+    // would put all 400 identical rows in ONE bucket; the position
+    // tiebreaker must spread them
+    val src = facts.columns.toSeq.map(col) :+ monotonically_increasing_id()
+    val spread = facts.withColumn("__salt", pmod(xxhash64(src: _*), lit(4L)))
+      .select("__salt").distinct().count()
+    assert(spread > 1)
+    assert(SaltedJoin.join(facts, dim, "k", 4).count() == 400)
+  }
+
   test("labelStar: empty edge set labels every node with itself") {
     val nodes = Seq(3L, 8L, 11L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -27,6 +27,25 @@ class TableDiffSpec extends SparkSpecBase {
       4L -> "removed", 5L -> "changed", 6L -> "added"))
   }
 
+  test("fingerprint is separator- and sentinel-unambiguous: ('a|b','c') " +
+    "differs from ('a','b|c'); tag-shaped data differs from a real null") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, Option("a|b"), Option("c")), // separator inside a value
+      (2L, Option("N"), Option("x")),   // value equal to the null tag
+      (3L, Option("V1:x"), None: Option[String]) // value shaped like a V-term
+    ).toDF("k", "x", "y")
+    val right = Seq(
+      (1L, Option("a"), Option("b|c")),
+      (2L, None: Option[String], Option("x")),
+      (3L, Option("V1:x"), None: Option[String])
+    ).toDF("k", "x", "y")
+    val got = TableDiff.diff(left, right, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "changed", 2L -> "changed", 3L -> "same"))
+  }
+
   test("fingerprint compresses the shuffle: the join's exchange carries " +
     "key+hash columns only, never the payload columns") {
     val s = spark
