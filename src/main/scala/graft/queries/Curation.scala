@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables}
+import graft.operators.{Bfs, KMeansInt}
+
+/** Round-4 corpus-curation operators (SURVEY.md §2.11a N22/N23/X40):
+  * C4-style boilerplate line removal, integer-exact k-means semantic
+  * clustering, and bounded multi-source BFS hop distances.
+  *
+  * The documents corpus has no natural line structure or duplicates,
+  * so q117 PLANTS deterministic boilerplate lines (same device as
+  * q54's planted near-dups): both engines build the same corpus, so
+  * outputs hash-compare.
+  */
+object Curation {
+
+  private val B1 = "shared boilerplate footer appended by the exporter"
+  private val B2 = "subscribe to our newsletter for updates"
+
+  /** q117 — boilerplate line removal (N22), the C4 rule: drop every
+    * line that occurs in >= 3 distinct documents, keep survivors in
+    * original order, drop documents left empty. Planted lines: B1 on
+    * doc_id%4 (viral at every scale), B2 on doc_id%10 (viral), and a
+    * doc_id-suffixed unique footer on doc_id%250 (occurs once — must
+    * SURVIVE at every scale, pinning that the threshold tests
+    * distinct-doc frequency, not mere plantedness).
+    *
+    * Scale shape: one posexplode, one line-frequency aggregate, one
+    * anti-join, one doc_id aggregate to reassemble. The viral-line set
+    * is tiny by construction (boilerplate is frequent, so there are
+    * few distinct viral lines), so the anti-join broadcasts it —
+    * documents never shuffle for the filter. At 100 TB, key the
+    * frequency pass and anti-join on md5(line) so raw text stays in
+    * place; same plan shape. */
+  val q117 = Q(
+    "q117_boilerplate_lines",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = Tables(s, dir, "documents").select($"doc_id",
+        // concat_ws skips NULLs in both engines, so absent plants
+        // simply contribute no line
+        concat_ws("\n", $"text",
+          when($"doc_id" % 4 === 0, lit(B1)),
+          when($"doc_id" % 10 === 0, lit(B2)),
+          when($"doc_id" % 250 === 0,
+            concat(lit("unique footer "), $"doc_id"))).as("text"))
+      val lines = corpus.select($"doc_id",
+        posexplode(split($"text", "\n")).as(Seq("pos", "line")))
+      val viral = lines.groupBy($"line")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 3)
+        .select($"line")
+      lines.join(viral, Seq("line"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(
+          array_join(transform(array_sort(collect_list(struct($"pos", $"line"))),
+            c => c.getField("line")), "\n").as("text"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, concat_ws(chr(10), text,
+          CASE WHEN doc_id % 4 = 0 THEN 'shared boilerplate footer appended by the exporter' END,
+          CASE WHEN doc_id % 10 = 0 THEN 'subscribe to our newsletter for updates' END,
+          CASE WHEN doc_id % 250 = 0 THEN 'unique footer ' || CAST(doc_id AS VARCHAR) END) AS text
+        FROM documents),
+      splitd AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+      lines AS (
+        -- multiple unnests in one SELECT zip positionally in DuckDB
+        SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, unnest(l) AS line
+        FROM splitd),
+      viral AS (
+        SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+      kept AS (
+        SELECT * FROM lines WHERE line NOT IN (SELECT line FROM viral))
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             COUNT(*) AS n_lines
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "N22: C4-style boilerplate removal — viral lines (>=3 distinct docs) " +
+      "dropped, survivor order preserved; broadcast anti-join, text never " +
+      "shuffled for the filter")
+
+  /** q118 — integer-exact k-means (N23): 8 clusters, 2 update rounds,
+    * centroids seeded from the 8 smallest vec_ids. Every distance and
+    * centroid mean is exact BIGINT math on a corpus-global quantized
+    * grid (see [[KMeansInt]]), so the full iterative clustering —
+    * assignments, updates, final distances — hash-matches DuckDB
+    * running the same algebra in SQL. */
+  val q118 = Q(
+    "q118_kmeans_int",
+    (s, dir) => {
+      import s.implicits._
+      KMeansInt.cluster(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 2)
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH vq AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cluster, xq AS cq FROM vq WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, cluster, xq, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+          FROM (SELECT vq.vec_id, c0.cluster, vq.xq,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+                FROM vq CROSS JOIN c0))
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cluster, list(q ORDER BY pos) AS cq FROM (
+          SELECT cluster, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS q
+          FROM (SELECT cluster, unnest(range(1, 65)) AS pos, unnest(xq) AS v
+                FROM a1)
+          GROUP BY cluster, pos)
+        GROUP BY cluster),
+      a2 AS (
+        SELECT vec_id, cluster, xq, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+          FROM (SELECT vq.vec_id, c1.cluster, vq.xq,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+                FROM vq CROSS JOIN c1))
+        WHERE rn = 1),
+      c2 AS (
+        SELECT cluster, list(q ORDER BY pos) AS cq FROM (
+          SELECT cluster, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS q
+          FROM (SELECT cluster, unnest(range(1, 65)) AS pos, unnest(xq) AS v
+                FROM a2)
+          GROUP BY cluster, pos)
+        GROUP BY cluster),
+      a3 AS (
+        SELECT vec_id, cluster, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+          FROM (SELECT vq.vec_id, c2.cluster,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+                FROM vq CROSS JOIN c2))
+        WHERE rn = 1)
+      SELECT vec_id, cluster, d AS dist FROM a3 ORDER BY vec_id"""),
+    doc = "N23: integer-exact k-means — iterative ML made hash-reproducible; " +
+      "broadcast centroids, shuffle volume k*dims longs per round")
+
+  /** q119 — bounded multi-source BFS (X40) on the per-nation customer
+    * chain graph (consecutive custkeys within a nation — the same
+    * chain construction as q96, whose diameter defeats naive
+    * propagation). Sources: each nation's smallest custkey; bound: 6
+    * hops. The oracle derives distances INDEPENDENTLY — on a chain,
+    * hop distance from the chain head is just rank-1 — so it checks
+    * the BFS rather than mirroring it (q96's device). */
+  val q119 = Q(
+    "q119_bfs_hops",
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_custkey")
+      val edges = cust.withColumn("nxt", lead($"c_custkey", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .select($"c_custkey".as("src"), $"nxt".as("dst"))
+      val sources = cust.groupBy($"c_nationkey")
+        .agg(min($"c_custkey").as("c_custkey"))
+        .select($"c_custkey")
+      Bfs.distances(sources, "c_custkey", edges, "src", "dst", maxHops = 6)
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      WITH r AS (
+        SELECT c_custkey,
+               CAST(row_number() OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_custkey) - 1 AS BIGINT) AS dist
+        FROM customer)
+      SELECT c_custkey, dist FROM r WHERE dist <= 6 ORDER BY c_custkey"""),
+    doc = "X40: frontier BFS with per-round lineage truncation; oracle is an " +
+      "independent rank-based derivation over the chain graph")
+
+  val all: Seq[Q] = Seq(q117, q118, q119)
+}

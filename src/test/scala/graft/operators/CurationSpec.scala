@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-4 curation operators (SURVEY.md §2.11a N22/N23/X40).
+  * Exact per-row values at corpus scale are the q117–q119 DuckDB oracles'
+  * job; these pin the algorithmic guarantees on adversarial shapes. */
+class CurationSpec extends SparkSpecBase {
+
+  // ---------------------------------------------------------------- KMeansInt
+
+  test("KMeansInt separates two obvious blobs regardless of seed quality") {
+    val s = spark
+    import s.implicits._
+    // ids 0,1 seed the centroids; blob A near 0.1, blob B near 0.9
+    val vecs = Seq(
+      (0L, Array(0.10f, 0.10f)), (1L, Array(0.11f, 0.09f)),
+      (2L, Array(0.09f, 0.12f)), (3L, Array(0.90f, 0.91f)),
+      (4L, Array(0.92f, 0.89f)), (5L, Array(0.88f, 0.90f))
+    ).toDF("vec_id", "embedding")
+    val out = KMeansInt.cluster(vecs, "vec_id", "embedding", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // blob A all share one cluster, blob B the other, and they differ
+    assert(Set(out(0L), out(1L), out(2L)).size == 1)
+    assert(Set(out(3L), out(4L), out(5L)).size == 1)
+    assert(out(0L) != out(3L))
+  }
+
+  test("KMeansInt assignment is invariant under input partitioning") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 13).toFloat / 13f))
+    }.toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      KMeansInt.cluster(df, "vec_id", "embedding", k = 3, rounds = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(vecs.repartition(1)) === run(vecs.repartition(7)))
+  }
+
+  test("KMeansInt quantization shift never changes a squared distance " +
+    "(translation invariance of the +10000 grid offset)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(-0.5f, 0.3f), Array(0.2f, -0.4f))).toDF("a", "b")
+    val shifted = df.select(KMeansInt.sqDist(
+      KMeansInt.quantize($"a"), KMeansInt.quantize($"b")).as("d"))
+    val unshifted = df.select(KMeansInt.sqDist(
+      transform($"a", x => round(x.cast("double") * 10000d).cast("long")),
+      transform($"b", x => round(x.cast("double") * 10000d).cast("long"))).as("d"))
+    assert(shifted.head.getLong(0) === unshifted.head.getLong(0))
+  }
+
+  test("KMeansInt argmin ties break to the smallest cluster id") {
+    val s = spark
+    import s.implicits._
+    // vector 9 is exactly halfway between the two seed centroids
+    val vecs = Seq(
+      (0L, Array(0.0f)), (1L, Array(1.0f)), (9L, Array(0.5f))
+    ).toDF("vec_id", "embedding")
+    val vq = vecs.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+    val cents = vq.filter($"vec_id" < 2)
+      .select($"vec_id".cast("int").as("cluster"), $"xq".as("cq"))
+    val got = KMeansInt.assign(vq, "vec_id", cents)
+      .filter($"vec_id" === 9L).head.getInt(1)
+    assert(got === 0)
+  }
+
+  // ---------------------------------------------------------------------- Bfs
+
+  test("Bfs measures exact hop distances on a path and respects maxHops") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-...-10, source 1, bound 4 → nodes 1..5 at dist 0..4
+    val edges = (1L to 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val sources = Seq(Tuple1(1L)).toDF("id")
+    val got = Bfs.distances(sources, "id", edges, "src", "dst", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("Bfs is undirected, multi-source, and keeps the SHORTEST distance " +
+    "when frontiers meet") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 with sources at both ends: middle node at dist 2
+    val edges = (1L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val sources = Seq(Tuple1(1L), Tuple1(5L)).toDF("id")
+    val got = Bfs.distances(sources, "id", edges, "src", "dst", maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("Bfs never reaches a disconnected component and terminates early " +
+    "on an exhausted frontier") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (7L, 8L)).toDF("src", "dst")
+    val sources = Seq(Tuple1(1L)).toDF("id")
+    // maxHops far beyond the component diameter — the empty-frontier
+    // exit must fire rather than running 100 join rounds
+    val t0 = System.nanoTime()
+    val got = Bfs.distances(sources, "id", edges, "src", "dst", maxHops = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got === Map(1L -> 0L, 2L -> 1L))
+    assert(secs < 60.0, s"early-exit failed to fire: $secs s")
+  }
+}
