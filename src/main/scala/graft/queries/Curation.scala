@@ -177,5 +177,49 @@ object Curation {
     doc = "X40: frontier BFS with per-round lineage truncation; oracle is an " +
       "independent rank-based derivation over the chain graph")
 
-  val all: Seq[Q] = Seq(q117, q118, q119)
+  /** q120 — deterministic negative sampling (N24): for each document,
+    * k=3 "random other documents" from the same language stratum — the
+    * negative-pair generation step of contrastive embedding training.
+    * The device: order each (lang, hash-bucket) partition by a keyed
+    * md5 draw and take the next three doc_ids — hash-shuffled
+    * neighbors ARE a uniform sample, with zero joins, zero RNG state,
+    * and bit-identical output on any engine/partitioning/reprocess
+    * (q67/q80/q103's determinism family).
+    *
+    * Scale shape: ONE window over (lang, bucket). The md5-derived
+    * bucket caps partition size as the corpus grows — a plain
+    * per-lang window would concentrate 90%-English corpora onto a few
+    * reducers; more buckets = more parallelism, same semantics. */
+  val q120 = Q(
+    "q120_negative_sampling",
+    (s, dir) => {
+      import s.implicits._
+      val draw = md5(concat(lit("ns:"), $"doc_id".cast("string")))
+      val bucket = (conv(substring(draw, 1, 2), 16, 10).cast("int") % 4).as("bucket")
+      val w = Window.partitionBy($"lang", $"bucket").orderBy($"draw", $"doc_id")
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", draw.as("draw"), bucket)
+        .select($"doc_id", $"lang",
+          lead($"doc_id", 1).over(w).as("neg1"),
+          lead($"doc_id", 2).over(w).as("neg2"),
+          lead($"doc_id", 3).over(w).as("neg3"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               md5('ns:' || CAST(doc_id AS VARCHAR)) AS draw,
+               CAST(('0x' || substr(md5('ns:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 AS bucket
+        FROM documents)
+      SELECT doc_id, lang,
+             lead(doc_id, 1) OVER w AS neg1,
+             lead(doc_id, 2) OVER w AS neg2,
+             lead(doc_id, 3) OVER w AS neg3
+      FROM d
+      WINDOW w AS (PARTITION BY lang, bucket ORDER BY draw, doc_id)
+      ORDER BY doc_id"""),
+    doc = "N24: contrastive negative sampling — hash-ordered window neighbors " +
+      "as a uniform draw; one bounded window, no joins, no RNG state")
+
+  val all: Seq[Q] = Seq(q117, q118, q119, q120)
 }

@@ -225,5 +225,47 @@ object Sources {
     doc = "X22: REBALANCE+advisory compaction — 64 shreds in, few right-" +
       "sized files out (required in-build), content untouched (oracle)")
 
-  val all: Seq[Q] = Seq(q58, q59, q60, q83, q86, q87)
+  /** q121 — schema-evolution merge read (S14): two parquet generations
+    * of the same table — v1 wrote (doc_id, lang), v2 wrote (doc_id,
+    * n_chars, source) — read together with `mergeSchema`, the
+    * footer-union path every long-lived dataset eventually needs
+    * (columns added or dropped between pipeline versions must not
+    * force a rewrite of petabytes of old files). Absent columns
+    * surface as NULLs; the aggregate over the union proves value and
+    * null semantics survive. The oracle reproduces the union
+    * explicitly from the original table.
+    *
+    * Scale note: mergeSchema unions FOOTERS (a metadata operation per
+    * file, parallelized by Spark) — data pages of absent columns are
+    * never read; with thousands of files, pin a user schema via
+    * `.schema(...)` instead to skip footer reads entirely. */
+  val q121 = Q(
+    "q121_schema_merge",
+    (s, dir) => {
+      val out = scratch("evolve")
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      docs.select(col("doc_id"), col("n_chars"), col("source"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          min(col("source")).as("first_src"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,
+               CAST(NULL AS VARCHAR) AS source
+        FROM documents
+        UNION ALL
+        SELECT doc_id, NULL, n_chars, source FROM documents)
+      SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+             MIN(source) AS first_src
+      FROM m GROUP BY lang ORDER BY lang NULLS FIRST"""),
+    doc = "S14: mergeSchema footer-union read across schema generations; " +
+      "absent columns are NULL, no data rewrite")
+
+  val all: Seq[Q] = Seq(q58, q59, q60, q83, q86, q87, q121)
 }
