@@ -221,5 +221,118 @@ object Curation {
     doc = "N24: contrastive negative sampling — hash-ordered window neighbors " +
       "as a uniform draw; one bounded window, no joins, no RNG state")
 
-  val all: Seq[Q] = Seq(q117, q118, q119, q120)
+  /** q122 — token-distribution Gini impurity (N25): a lexical-diversity
+    * / repetition quality signal per document. Entropy is the textbook
+    * choice but needs log(), whose libm ULPs differ across engines
+    * (the q76 haversine lesson); Gini = 1 − Σpᵢ² carries the same
+    * signal and is pure rational arithmetic: with per-term counts cᵢ
+    * and n = Σcᵢ, gini = (n² − Σcᵢ²)/n² — exact BIGINT numerator and
+    * denominator, one deterministic IEEE divide at the end.
+    *
+    * Scale shape: the word-count shape — one (doc, term) aggregate,
+    * one doc aggregate, both compact-key shuffles. (The per-row HOF
+    * form would be shuffle-free but O(d²) per doc — the nested-lambda
+    * no-CSE trap q95/q106 document; the relational form is the one
+    * that scales.) */
+  val q122 = Q(
+    "q122_token_gini",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n"), sum($"c" * $"c").as("sq"))
+        .select($"doc_id", $"n", $"sq",
+          (($"n" * $"n" - $"sq").cast("double") / ($"n" * $"n").cast("double"))
+            .as("gini"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tc AS (
+        SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        GROUP BY doc_id, t.term),
+      d AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS sq
+        FROM tc GROUP BY doc_id)
+      SELECT doc_id, n, sq,
+             CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+      FROM d ORDER BY doc_id"""),
+    doc = "N25: lexical-diversity Gini — log-free quality scoring; exact " +
+      "integer moments, one IEEE divide; word-count shuffle shape")
+
+  /** q123 — co-occurrence pair mining (X41): which part pairs appear in
+    * the same order — the market-basket / "frequently bought together"
+    * primitive (and, on (doc, term), the co-occurrence matrix behind
+    * PMI embeddings). Per-key self-join with p1 < p2, so fan-out is
+    * C(k,2) with k the per-order item count — bounded by the basket
+    * size, never by the corpus (q108's wedge-bound argument); pairs
+    * then aggregate on a compact (p1, p2) key and global top-50 fuses
+    * into TakeOrderedAndProject. Ties at the cutoff break by (p1, p2)
+    * so the top-k is total-order deterministic. */
+  val q123 = Q(
+    "q123_copurchase",
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      items.as("a").join(items.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"p1", $"p2")
+        .limit(50)
+    },
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 50"""),
+    doc = "X41: market-basket pair counts — basket-bounded self-join fan-out, " +
+      "compact-key aggregate, top-k fusion")
+
+  /** q124 — exact half-life EWMA (X42): per-customer smoothed spend,
+    * s = Σⱼ x₍ₜ₋ⱼ₎·2^−(j+1) over the last 8 orders. α = 1/2 is the
+    * trick: every term is a power-of-two SCALING (exact in binary
+    * floating point — no rounding anywhere), and the remaining sum is
+    * a textually identical left-to-right chain in both engines (q94's
+    * device), so the smoothed value hash-matches bit-for-bit — a
+    * recursive float EWMA never could. Eight lag() columns over one
+    * customer-partitioned window: one shuffle, no self-joins. */
+  val q124 = Q(
+    "q124_ewma",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val terms = (0 to 7).map { j =>
+        coalesce(lag($"o_totalprice", j).over(w), lit(0.0d)) /
+          lit(math.pow(2.0, j + 1))
+      }
+      Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .withColumn("ewma", terms.reduce(_ + _))
+        .select($"o_orderkey", $"o_custkey", $"ewma")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             coalesce(lag(o_totalprice, 0) OVER w, 0) / 2
+           + coalesce(lag(o_totalprice, 1) OVER w, 0) / 4
+           + coalesce(lag(o_totalprice, 2) OVER w, 0) / 8
+           + coalesce(lag(o_totalprice, 3) OVER w, 0) / 16
+           + coalesce(lag(o_totalprice, 4) OVER w, 0) / 32
+           + coalesce(lag(o_totalprice, 5) OVER w, 0) / 64
+           + coalesce(lag(o_totalprice, 6) OVER w, 0) / 128
+           + coalesce(lag(o_totalprice, 7) OVER w, 0) / 256 AS ewma
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_orderkey"""),
+    doc = "X42: half-life EWMA — power-of-two scalings are exact in IEEE, " +
+      "fixed-order sum chain matches across engines; one window shuffle")
+
+  val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124)
 }
