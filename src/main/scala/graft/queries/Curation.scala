@@ -334,5 +334,140 @@ object Curation {
     doc = "X42: half-life EWMA — power-of-two scalings are exact in IEEE, " +
       "fixed-order sum chain matches across engines; one window shuffle")
 
-  val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124)
+  /** q125 — Pareto frontier / skyline (X43): documents not dominated in
+    * (n_chars, distinct-token count) — the multi-objective selection
+    * primitive ("no other doc is at least as long AND at least as
+    * diverse, and strictly better in one").
+    *
+    * The naive skyline needs a GLOBAL sort (the unpartitioned-window
+    * red flag), so this runs the exact two-phase decomposition: x-range
+    * buckets make every dominance check local — a dominator has
+    * x' ≥ x, so it lives in the same bucket (caught by a PER-BUCKET
+    * range window), a strictly higher bucket (caught by a running max
+    * over the ~16-row bucket summary), or the same x (per-x max
+    * window). No approximation — bucket ranges are disjoint, so the
+    * three checks exactly cover the dominator set. The only global
+    * window runs over the bucket SUMMARY (rows = bucket count,
+    * corpus-size independent). The oracle is the independent
+    * NOT-EXISTS definition, so it checks the decomposition rather
+    * than mirroring it. */
+  val q125 = Q(
+    "q125_skyline",
+    (s, dir) => {
+      import s.implicits._
+      val W = 128
+      val m = Tables(s, dir, "documents")
+        .select($"doc_id", $"n_chars".as("x"),
+          size(array_distinct(split($"text", " "))).cast("long").as("y"))
+        .withColumn("b", floor($"x" / W))
+      val wLoc = Window.partitionBy($"b").orderBy($"x")
+        .rangeBetween(1L, Window.unboundedFollowing)
+      // bucket summary: best y in each bucket, then best y over all
+      // strictly HIGHER buckets (tiny frame: one row per bucket)
+      val wRun = Window.orderBy($"b".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hi = m.groupBy($"b").agg(max($"y").as("bm"))
+        .withColumn("hm", max($"bm").over(wRun))
+        .select($"b", $"hm")
+      m.join(broadcast(hi), Seq("b"))
+        .withColumn("lg", max($"y").over(wLoc))
+        .withColumn("sx", max($"y").over(Window.partitionBy($"x")))
+        .filter(($"lg".isNull || $"lg" < $"y") &&
+          ($"hm".isNull || $"hm" < $"y") && $"sx" === $"y")
+        .select($"doc_id", $"x", $"y")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, n_chars AS x,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+        FROM documents)
+      SELECT doc_id, x, y FROM m p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m q
+        WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+      ORDER BY doc_id"""),
+    doc = "X43: exact two-phase skyline — per-bucket range windows + a " +
+      "bucket-summary running max; no global data sort; oracle is the " +
+      "independent NOT-EXISTS definition")
+
+  /** q126 — time-series linear interpolation (X44): q81 forward-fills
+    * gaps; this one fills them on the line between the surrounding
+    * observations — the standard feature-engineering choice when a
+    * sensor value drifts rather than steps. Same per-key spine device
+    * as q81; hour index = row_number on the contiguous spine, so the
+    * interpolation fraction is a ratio of exact BIGINTs and the value
+    * formula `vp + (vn−vp)·frac` is one textually-identical IEEE chain
+    * in both engines (q94's device). Edge slots (no observation on one
+    * side) stay NULL. One window shuffle; no self-joins. */
+  val q126 = Q(
+    "q126_interpolate",
+    (s, dir) => {
+      import s.implicits._
+      import graft.core.Exact.dsum
+      val ev = Tables(s, dir, "events").filter($"user_id" < 20)
+      val bounds = ev.groupBy($"user_id")
+        .agg(date_trunc("hour", min($"ts")).as("lo"),
+          date_trunc("hour", max($"ts")).as("hi"))
+      val spine = bounds.select($"user_id",
+        explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("slot"))
+      val hourly = ev
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("slot"))
+        .agg(dsum($"value").as("v"))
+      val wOrd = Window.partitionBy($"user_id").orderBy($"slot")
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(hourly, Seq("user_id", "slot"), "left_outer")
+        .withColumn("idx", row_number().over(wOrd))
+        .withColumn("vp", last($"v", ignoreNulls = true).over(wPrev))
+        .withColumn("pi", last(when($"v".isNotNull, $"idx"), ignoreNulls = true).over(wPrev))
+        .withColumn("vn", first($"v", ignoreNulls = true).over(wNext))
+        .withColumn("ni", first(when($"v".isNotNull, $"idx"), ignoreNulls = true).over(wNext))
+        .select($"user_id", $"slot",
+          when($"v".isNotNull, lit("obs"))
+            .when($"vp".isNull || $"vn".isNull, lit("edge"))
+            .otherwise(lit("interp")).as("status"),
+          when($"v".isNotNull, $"v".cast("double"))
+            .otherwise($"vp".cast("double") +
+              ($"vn".cast("double") - $"vp".cast("double")) *
+                (($"idx" - $"pi").cast("double") / ($"ni" - $"pi").cast("double")))
+            .as("vi"))
+        .orderBy($"user_id", $"slot")
+    },
+    Some(s"""
+      WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+      b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM ev GROUP BY user_id),
+      spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+      h AS (SELECT user_id, date_trunc('hour', ts) AS slot, ${graft.core.Exact.sqlDsum("value")} AS v
+            FROM ev GROUP BY 1, 2),
+      j AS (SELECT s.user_id, s.slot, h.v,
+              row_number() OVER w AS idx
+            FROM spine s LEFT JOIN h ON s.user_id = h.user_id AND s.slot = h.slot
+            WINDOW w AS (PARTITION BY s.user_id ORDER BY s.slot)),
+      f AS (SELECT user_id, slot, v, idx,
+              last_value(v IGNORE NULLS) OVER wp AS vp,
+              last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wp AS pi,
+              first_value(v IGNORE NULLS) OVER wn AS vn,
+              first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wn AS ni
+            FROM j
+            WINDOW wp AS (PARTITION BY user_id ORDER BY slot
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY user_id ORDER BY slot
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, slot,
+             CASE WHEN v IS NOT NULL THEN 'obs'
+                  WHEN vp IS NULL OR vn IS NULL THEN 'edge'
+                  ELSE 'interp' END AS status,
+             CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                  ELSE CAST(vp AS DOUBLE) +
+                       (CAST(vn AS DOUBLE) - CAST(vp AS DOUBLE)) *
+                         (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+             END AS vi
+      FROM f ORDER BY user_id, slot"""),
+    doc = "X44: per-key spine + two ignoreNulls windows + exact-integer " +
+      "interpolation fraction; gap filling on the line, one window shuffle")
+
+  val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126)
 }
