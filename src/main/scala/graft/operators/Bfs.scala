@@ -55,7 +55,10 @@ object Bfs {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
       frontierSize = newFrontier.count()
-      dist = dist.unionByName(newFrontier).localCheckpoint()
+      // dist is a UNION of already-checkpointed frontiers — depth-1
+      // lineage by construction, so it needs no checkpoint of its own
+      // (one materialization job per round saved vs checkpointing it)
+      dist = dist.unionByName(newFrontier)
       frontier = newFrontier
     }
     und.unpersist()

@@ -469,5 +469,118 @@ object Curation {
     doc = "X44: per-key spine + two ignoreNulls windows + exact-integer " +
       "interpolation fraction; gap filling on the line, one window shuffle")
 
-  val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126)
+  /** q127 — per-group 3σ outlier flags WITHOUT sqrt (X45): a length
+    * outlier is flagged iff (x − μ)² > 9·σ² — algebraically identical
+    * to |x − μ| > 3σ but expressible with exact integer moments and a
+    * short fixed-order IEEE chain (sqrt's libm ULPs differ across
+    * engines; squaring both sides removes it, the q122 log-avoidance
+    * move applied to stddev).
+    *
+    * Scale shape: per-lang moments are a TINY aggregate (one row per
+    * lang) broadcast-joined back — the corpus is scanned, never
+    * shuffled. The window form (`sum over partitionBy(lang)`) would
+    * shuffle every row; the stats-join form is the one that scales. */
+  val q127 = Q(
+    "q127_outlier_flags",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val st = docs.groupBy($"lang").agg(
+        count(lit(1)).as("n"),
+        sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sx2"))
+      val nd = $"n".cast("double")
+      val mean = $"sx".cast("double") / nd
+      val variance = $"sx2".cast("double") / nd - mean * mean
+      val diff = $"n_chars".cast("double") - mean
+      docs.join(broadcast(st), Seq("lang"))
+        .select($"doc_id", $"lang", $"n_chars",
+          (diff * diff > lit(9.0d) * variance).as("is_outlier"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH st AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+        FROM documents GROUP BY lang)
+      SELECT doc_id, d.lang, n_chars,
+             (CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n_chars AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           > 9.0 * (CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS is_outlier
+      FROM documents d JOIN st USING (lang)
+      ORDER BY doc_id"""),
+    doc = "X45: 3-sigma flags via squared comparison — no sqrt, exact integer " +
+      "moments, tiny stats broadcast back; corpus scanned, never shuffled")
+
+  /** q128 — training-mix quota sampling (X46): apportion a 100-doc
+    * budget across sources proportionally to their sizes using
+    * Hamilton's largest-remainder method — floor quotas from exact
+    * integer division, the leftover seats to the largest remainders
+    * (ties by source name) — then fill each source's quota with its
+    * md5-rank top documents (q80's deterministic stratified device).
+    * Every step is BIGINT arithmetic or hash ranking: the mix is
+    * bit-identical on any engine/partitioning/reprocess, which is what
+    * makes a training-data recipe auditable.
+    *
+    * Scale shape: the apportionment runs entirely on the ~20-row
+    * source summary (its unpartitioned windows are tiny-frame by
+    * construction); the corpus sees one rank window per source and a
+    * broadcast quota join. */
+  val q128 = Q(
+    "q128_quota_mix",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val st = docs.groupBy($"source").agg(count(lit(1)).as("ns"))
+      val tot = st.agg(sum($"ns").as("nn"))
+      val wAll = Window.partitionBy()
+      val wRem = Window.orderBy($"rem".desc, $"source")
+      val quotas = st.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(100 * ns) div nn"))
+        .withColumn("rem", lit(100) * $"ns" - $"base" * $"nn")
+        .withColumn("leftover", lit(100) - sum($"base").over(wAll))
+        .withColumn("rk", row_number().over(wRem))
+        .withColumn("quota", $"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+        .select($"source", $"quota")
+      val wPick = Window.partitionBy($"source")
+        .orderBy(md5(concat(lit("qs:"), $"doc_id".cast("string"))), $"doc_id")
+      docs.select($"doc_id", $"source")
+        .withColumn("pick", row_number().over(wPick))
+        .join(broadcast(quotas), Seq("source"))
+        .filter($"pick" <= $"quota")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+                  FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS nn FROM st),
+      q0 AS (SELECT source, ns, nn,
+               (100 * ns) // nn AS base,
+               100 * ns - ((100 * ns) // nn) * nn AS rem
+             FROM st CROSS JOIN tot),
+      q1 AS (SELECT source, base,
+               100 - SUM(base) OVER () AS leftover,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk
+             FROM q0),
+      quotas AS (SELECT source,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+                 FROM q1),
+      ranked AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY md5('qs:' || CAST(doc_id AS VARCHAR)), doc_id) AS pick
+                 FROM documents)
+      SELECT doc_id, r.source
+      FROM ranked r JOIN quotas USING (source)
+      WHERE pick <= quota
+      ORDER BY doc_id"""),
+    doc = "X46: Hamilton largest-remainder apportionment + md5-rank fill — " +
+      "an auditable, bit-reproducible training mix; apportionment math runs " +
+      "on the tiny source summary only")
+
+  val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126,
+    q127, q128)
 }

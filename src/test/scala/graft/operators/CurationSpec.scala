@@ -92,6 +92,24 @@ class CurationSpec extends SparkSpecBase {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
+  // ------------------------------------------------------------- plan shapes
+
+  test("q117 boilerplate filter is a BROADCAST anti-join — document text " +
+    "never shuffles to test viral membership") {
+    val plan = graft.queries.Curation.q117.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q123 top-50 fuses into TakeOrderedAndProject (no global sort of " +
+    "all pairs)") {
+    val plan = graft.queries.Curation.q123.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      plan.linesIterator.take(30).mkString("\n"))
+  }
+
   test("Bfs never reaches a disconnected component and terminates early " +
     "on an exhausted frontier") {
     val s = spark
