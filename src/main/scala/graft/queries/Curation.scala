@@ -581,6 +581,51 @@ object Curation {
       "an auditable, bit-reproducible training mix; apportionment math runs " +
       "on the tiny source summary only")
 
+  /** q129 — spatial proximity self-join (J12): customer pairs within
+    * 0.5° of each other on q76's md5-scattered globe, via
+    * [[graft.operators.SpatialJoin]]'s grid-cell equi-join — never a
+    * cross product. Radius 0.5 = 2⁻¹, so the cell index `floor(x/r)`
+    * is a division by an exact power of two — bit-identical cells in
+    * both engines. The oracle runs the grid construction in SQL; the
+    * distance predicate is q76's oracle-safe squared-degree metric. */
+  val q129 = Q(
+    "q129_geo_cell_join",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val lat = conv(substring(md5(concat($"c_custkey".cast(StringType), lit(":lat"))), 1, 6),
+        16, 10).cast(LongType) % 18000 / 100.0 - 90.0
+      val lon = conv(substring(md5(concat($"c_custkey".cast(StringType), lit(":lon"))), 1, 6),
+        16, 10).cast(LongType) % 36000 / 100.0 - 180.0
+      val pts = Tables(s, dir, "customer")
+        .select($"c_custkey", lat.as("lat"), lon.as("lon"))
+      graft.operators.SpatialJoin
+        .withinRadius(pts, "c_custkey", "lat", "lon", radiusDeg = 0.5)
+        .orderBy($"a_key", $"b_key")
+    },
+    Some("""
+      WITH g AS (
+        SELECT c_custkey AS k,
+               CAST(('0x' || substr(md5(c_custkey || ':lat'), 1, 6)) AS BIGINT) % 18000 / 100.0 - 90.0 AS lat,
+               CAST(('0x' || substr(md5(c_custkey || ':lon'), 1, 6)) AS BIGINT) % 36000 / 100.0 - 180.0 AS lon
+        FROM customer),
+      p AS (SELECT k, lat, lon,
+              CAST(floor(lat / 0.5) AS BIGINT) AS cx,
+              CAST(floor(lon / 0.5) AS BIGINT) AS cy
+            FROM g),
+      o AS (SELECT a.dx, b.dy
+            FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+      pr AS (SELECT k AS a_key, lat AS alat, lon AS alon,
+               cx + dx AS px, cy + dy AS py
+             FROM p CROSS JOIN o)
+      SELECT pr.a_key, p.k AS b_key,
+             (alat - lat) * (alat - lat) + (alon - lon) * (alon - lon) AS dist_sq
+      FROM pr JOIN p ON pr.px = p.cx AND pr.py = p.cy AND pr.a_key < p.k
+      WHERE (alat - lat) * (alat - lat) + (alon - lon) * (alon - lon) < 0.25
+      ORDER BY a_key, b_key"""),
+    doc = "J12: grid-cell spatial join — 9x probe replication, one equi-join, " +
+      "exact distance scrub; linear shuffle, never a cross product")
+
   val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126,
-    q127, q128)
+    q127, q128, q129)
 }

@@ -92,6 +92,29 @@ class CurationSpec extends SparkSpecBase {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
+  // ---------------------------------------------------------------- Spatial
+
+  test("SpatialJoin equals the brute-force cross product on random points " +
+    "(cell decomposition loses no pair, adds no pair)") {
+    val s = spark
+    import s.implicits._
+    // deterministic scatter incl. adjacent-cell and just-over-radius pairs
+    val pts = (1L to 120L).map { i =>
+      (i, ((i * 37) % 100) / 10.0 - 5.0, ((i * 73) % 100) / 10.0 - 5.0)
+    }.toDF("k", "lat", "lon")
+    val r = 0.5
+    val fast = SpatialJoin.withinRadius(pts, "k", "lat", "lon", r)
+      .select("a_key", "b_key").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val a = pts.select($"k".as("a"), $"lat".as("la"), $"lon".as("lo"))
+    val brute = a.crossJoin(pts)
+      .filter($"a" < $"k" &&
+        (($"la" - $"lat") * ($"la" - $"lat") +
+         ($"lo" - $"lon") * ($"lo" - $"lon")) < r * r)
+      .select($"a", $"k").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fast === brute)
+    assert(brute.nonEmpty) // the fixture actually exercises the join
+  }
+
   // ------------------------------------------------------------- plan shapes
 
   test("q117 boilerplate filter is a BROADCAST anti-join — document text " +

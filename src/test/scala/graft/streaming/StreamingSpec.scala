@@ -327,6 +327,42 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T12: foreachBatch maintains an IncrementalAgg summary — the " +
+    "streaming materialized view equals the full batch re-aggregate") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.IncrementalAgg
+    val b1 = Seq(Ev(1, ts(0), 1, "click"), Ev(2, ts(1), 1, "view"),
+      Ev(3, ts(2), 2, "click"))
+    val b2 = Seq(Ev(4, ts(3), 1, "click"), Ev(5, ts(4), 3, "view"))
+    val stream = MemoryStream[Ev](s)
+    // the running summary lives across micro-batches; each batch folds
+    // its DELTA in via the mergeable (n, sum, min, max) state — the
+    // streaming spelling of q101's incremental view maintenance
+    var summary = IncrementalAgg.summarize(
+      Seq.empty[Ev].toDF(), Seq("user_id"), Seq("event_id"))
+      .localCheckpoint()
+    val q = stream.toDF().writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+        summary = IncrementalAgg
+          .refresh(summary, delta, Seq("user_id"), Seq("event_id"))
+          .localCheckpoint() // summary must not retain micro-batch lineage
+      }
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = summary.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val full = IncrementalAgg.summarize(
+        (b1 ++ b2).toDF(), Seq("user_id"), Seq("event_id"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === full)
+    assert(got === Seq((1L, 3L, 7L, 1L, 4L), (2L, 1L, 3L, 3L, 3L),
+      (3L, 1L, 5L, 5L, 5L)))
+  }
+
   test("T11: stream-stream join attributes clicks to impressions within " +
     "the event-time bound; out-of-window and unmatched rows drop") {
     val s = spark
