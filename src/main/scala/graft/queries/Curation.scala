@@ -5,14 +5,21 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables}
 import graft.operators.{Bfs, KMeansInt}
 
-/** Round-4 corpus-curation operators (SURVEY.md §2.11a N22/N23/X40):
-  * C4-style boilerplate line removal, integer-exact k-means semantic
-  * clustering, and bounded multi-source BFS hop distances.
+/** Round-4 corpus-curation operators (SURVEY.md §2.11a N22–N25,
+  * X40–X47, J12): boilerplate line removal, integer-exact k-means,
+  * bounded BFS, negative sampling, token-Gini scoring, co-purchase
+  * mining, exact EWMA, two-phase skyline, linear interpolation,
+  * 3σ outlier flags, Hamilton quota mixing, grid-cell spatial join,
+  * and quantile normalization.
   *
   * The documents corpus has no natural line structure or duplicates,
   * so q117 PLANTS deterministic boilerplate lines (same device as
   * q54's planted near-dups): both engines build the same corpus, so
-  * outputs hash-compare.
+  * outputs hash-compare. A recurring theme across the file: every
+  * formula that must hash-match is either exact integer arithmetic or
+  * a short FIXED-ORDER IEEE chain written textually identically in
+  * both engines — no libm (log/sqrt/trig), no order-dependent float
+  * reductions.
   */
 object Curation {
 
@@ -582,11 +589,13 @@ object Curation {
       "on the tiny source summary only")
 
   /** q129 — spatial proximity self-join (J12): customer pairs within
-    * 0.5° of each other on q76's md5-scattered globe, via
+    * 1° of each other on q76's md5-scattered globe, via
     * [[graft.operators.SpatialJoin]]'s grid-cell equi-join — never a
-    * cross product. Radius 0.5 = 2⁻¹, so the cell index `floor(x/r)`
-    * is a division by an exact power of two — bit-identical cells in
-    * both engines. The oracle runs the grid construction in SQL; the
+    * cross product. Radius 1.0 keeps the cell index `floor(x/r)` a
+    * division by an exact power of two — bit-identical cells in both
+    * engines — and is the smallest such radius that yields pairs at
+    * sf0.001's 150-customer density (the registry's rows>0 smoke
+    * check). The oracle runs the grid construction in SQL; the
     * distance predicate is q76's oracle-safe squared-degree metric. */
   val q129 = Q(
     "q129_geo_cell_join",
@@ -600,7 +609,7 @@ object Curation {
       val pts = Tables(s, dir, "customer")
         .select($"c_custkey", lat.as("lat"), lon.as("lon"))
       graft.operators.SpatialJoin
-        .withinRadius(pts, "c_custkey", "lat", "lon", radiusDeg = 0.5)
+        .withinRadius(pts, "c_custkey", "lat", "lon", radiusDeg = 1.0)
         .orderBy($"a_key", $"b_key")
     },
     Some("""
@@ -610,8 +619,8 @@ object Curation {
                CAST(('0x' || substr(md5(c_custkey || ':lon'), 1, 6)) AS BIGINT) % 36000 / 100.0 - 180.0 AS lon
         FROM customer),
       p AS (SELECT k, lat, lon,
-              CAST(floor(lat / 0.5) AS BIGINT) AS cx,
-              CAST(floor(lon / 0.5) AS BIGINT) AS cy
+              CAST(floor(lat / 1.0) AS BIGINT) AS cx,
+              CAST(floor(lon / 1.0) AS BIGINT) AS cy
             FROM g),
       o AS (SELECT a.dx, b.dy
             FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
@@ -621,11 +630,50 @@ object Curation {
       SELECT pr.a_key, p.k AS b_key,
              (alat - lat) * (alat - lat) + (alon - lon) * (alon - lon) AS dist_sq
       FROM pr JOIN p ON pr.px = p.cx AND pr.py = p.cy AND pr.a_key < p.k
-      WHERE (alat - lat) * (alat - lat) + (alon - lon) * (alon - lon) < 0.25
+      WHERE (alat - lat) * (alat - lat) + (alon - lon) * (alon - lon) < 1.0
       ORDER BY a_key, b_key"""),
     doc = "J12: grid-cell spatial join — 9x probe replication, one equi-join, " +
       "exact distance scrub; linear shuffle, never a cross product")
 
+  /** q130 — within-source quantile normalization (X47): replace each
+    * document's length with its exact percentile position inside its
+    * source, `(rank−1)/(n−1)` — the rank-based feature normalization
+    * that makes quality signals comparable ACROSS sources with
+    * different length distributions (a 2k-char doc is long for tweets,
+    * short for books). `rank()` (not row_number) keeps ties identical;
+    * the position is one IEEE divide of exact BIGINTs (q113's device).
+    * One window shuffle on source; no joins. Single-doc sources emit
+    * 0.0 (the n=1 guard, not a 0/0 NaN). */
+  val q130 = Q(
+    "q130_quantile_norm",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"n_chars")
+      val wn = Window.partitionBy($"source")
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+        .withColumn("rk", rank().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select($"doc_id", $"source", $"n_chars",
+          when($"n" === 1, lit(0.0d))
+            .otherwise(($"rk" - 1).cast("double") / ($"n" - 1).cast("double"))
+            .as("qpos"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source, n_chars,
+               rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT doc_id, source, n_chars,
+             CASE WHEN n = 1 THEN 0.0
+                  ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+             END AS qpos
+      FROM r ORDER BY doc_id"""),
+    doc = "X47: rank-based quantile normalization per source — exact integer " +
+      "rank math, one window shuffle, cross-source comparable scores")
+
   val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126,
-    q127, q128, q129)
+    q127, q128, q129, q130)
 }
