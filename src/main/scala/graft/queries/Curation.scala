@@ -674,6 +674,84 @@ object Curation {
     doc = "X47: rank-based quantile normalization per source — exact integer " +
       "rank math, one window shuffle, cross-source comparable scores")
 
+  /** q131 — fixed-width identifier near-match join (N26): all customer
+    * pairs whose names differ in AT MOST ONE character position — the
+    * entity-resolution shape for typo'd/OCR'd fixed-format identifiers
+    * (SKUs, serials, account numbers). SimHash's band pigeonhole
+    * applied to raw strings: split each 18-char name into two
+    * INTERLEAVED stripes (odd/even positions); one substitution
+    * touches one stripe, so the other stripe matches exactly —
+    * candidate generation by stripe equi-join has EXACT recall for
+    * hamming ≤ 1, and the per-position mismatch count scrubs
+    * candidates that share a stripe but differ twice elsewhere. A pair
+    * differing in exactly one position shares exactly one stripe, so
+    * no dedup pass is needed (identical names would match both, but
+    * names are key-unique).
+    *
+    * Scale shape: 2 stripe rows per name, one equi-join on (stripe id,
+    * stripe text) — never a cross product. Interleaving matters: a
+    * CONTIGUOUS split would put the constant "Customer#" prefix into
+    * one stripe and make its bucket the whole corpus (MinHashLSH's
+    * viral-bucket failure); interleaved stripes each carry varying
+    * digits. For adversarial key distributions apply the same
+    * cap/salt as the LSH operators. */
+  val q131 = Q(
+    "q131_id_near_match",
+    (s, dir) => {
+      import s.implicits._
+      val names = Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_name")
+        .filter(length($"c_name") === 18)
+      val stripes = names.select($"c_custkey", $"c_name",
+        posexplode(array(
+          expr("array_join(transform(sequence(1, 18, 2), p -> substr(c_name, p, 1)), '')"),
+          expr("array_join(transform(sequence(2, 18, 2), p -> substr(c_name, p, 1)), '')")
+        )).as(Seq("sid", "stripe")))
+      val a = stripes.select($"c_custkey".as("a_id"), $"c_name".as("an"),
+        $"sid", $"stripe")
+      val b = stripes.select($"c_custkey".as("b_id"), $"c_name".as("bn"),
+        $"sid", $"stripe")
+      a.join(b, Seq("sid", "stripe"))
+        .filter($"a_id" < $"b_id")
+        .withColumn("hamming", expr(
+          "aggregate(transform(sequence(1, 18), " +
+            "i -> IF(substr(an, i, 1) = substr(bn, i, 1), 0, 1)), 0, (s, x) -> s + x)"))
+        .filter($"hamming" <= 1)
+        .select($"a_id", $"b_id", $"hamming".cast("long").as("hamming"))
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""
+      WITH n AS (SELECT c_custkey, c_name FROM customer WHERE length(c_name) = 18),
+      st AS (
+        SELECT c_custkey, c_name, 0 AS sid,
+               array_to_string(list_transform(range(1, 19, 2),
+                 p -> substr(c_name, CAST(p AS INT), 1)), '') AS stripe
+        FROM n
+        UNION ALL
+        SELECT c_custkey, c_name, 1 AS sid,
+               array_to_string(list_transform(range(2, 19, 2),
+                 p -> substr(c_name, CAST(p AS INT), 1)), '') AS stripe
+        FROM n),
+      cand AS (
+        SELECT a.c_custkey AS a_id, a.c_name AS an,
+               b.c_custkey AS b_id, b.c_name AS bn
+        FROM st a JOIN st b
+          ON a.sid = b.sid AND a.stripe = b.stripe AND a.c_custkey < b.c_custkey)
+      SELECT a_id, b_id,
+             CAST(list_sum(list_transform(range(1, 19),
+               i -> CASE WHEN substr(an, CAST(i AS INT), 1)
+                            = substr(bn, CAST(i AS INT), 1)
+                         THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE list_sum(list_transform(range(1, 19),
+              i -> CASE WHEN substr(an, CAST(i AS INT), 1)
+                           = substr(bn, CAST(i AS INT), 1)
+                        THEN 0 ELSE 1 END)) <= 1
+      ORDER BY a_id, b_id"""),
+    doc = "N26: pigeonhole stripe blocking on raw strings — exact recall for " +
+      "hamming<=1, interleaved stripes dodge the constant-prefix viral bucket; " +
+      "linear stripe shuffle, never a cross product")
+
   val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130)
+    q127, q128, q129, q130, q131)
 }

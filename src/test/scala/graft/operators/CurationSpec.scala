@@ -115,6 +115,52 @@ class CurationSpec extends SparkSpecBase {
     assert(brute.nonEmpty) // the fixture actually exercises the join
   }
 
+  // -------------------------------------------------------- stripe blocking
+
+  test("q131 stripe blocking finds EXACTLY the hamming<=1 pairs (pigeonhole " +
+    "recall is exact; the verify step drops share-a-stripe-but-differ-twice)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    // 18-char ids: planted single-sub pair, double-sub pair (shares the
+    // even stripe but must be rejected), and unrelated ids
+    val ids = Seq(
+      (1L, "Customer#000000042"), (2L, "Customer#000000043"), // hamming 1
+      (3L, "Customer#000011042"), // hamming 2 vs id 1 — same parity stripe
+      (4L, "Customer#999999999")
+    ).toDF("c_custkey", "c_name")
+    def pairs(of: DataFrame) = {
+      // run the q131 pipeline over a substituted table via a temp view
+      of.createOrReplaceTempView("customer_small")
+      s.sql("SELECT c_custkey, c_name FROM customer_small")
+    }
+    val names = pairs(ids)
+    val stripes = names.select($"c_custkey", $"c_name",
+      posexplode(array(
+        expr("array_join(transform(sequence(1, 18, 2), p -> substr(c_name, p, 1)), '')"),
+        expr("array_join(transform(sequence(2, 18, 2), p -> substr(c_name, p, 1)), '')")
+      )).as(Seq("sid", "stripe")))
+    val a = stripes.select($"c_custkey".as("a_id"), $"c_name".as("an"), $"sid", $"stripe")
+    val b = stripes.select($"c_custkey".as("b_id"), $"c_name".as("bn"), $"sid", $"stripe")
+    val got = a.join(b, Seq("sid", "stripe")).filter($"a_id" < $"b_id")
+      .withColumn("h", expr(
+        "aggregate(transform(sequence(1, 18), " +
+          "i -> IF(substr(an, i, 1) = substr(bn, i, 1), 0, 1)), 0, (s, x) -> s + x)"))
+      .filter($"h" <= 1)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs
+    val an = names.select($"c_custkey".as("a_id"), $"c_name".as("an"))
+    val brute = an.crossJoin(names)
+      .filter($"a_id" < $"c_custkey")
+      .withColumn("h", expr(
+        "aggregate(transform(sequence(1, 18), " +
+          "i -> IF(substr(an, i, 1) = substr(c_name, i, 1), 0, 1)), 0, (s, x) -> s + x)"))
+      .filter($"h" <= 1)
+      .select($"a_id", $"c_custkey").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    assert(got === Set((1L, 2L))) // the hamming-2 candidate was scrubbed
+  }
+
   // ------------------------------------------------------------- plan shapes
 
   test("q117 boilerplate filter is a BROADCAST anti-join — document text " +
