@@ -268,8 +268,21 @@ object Extended {
       val bigrams = zip_with(
         slice(tokens, lit(1), n - 1), slice(tokens, lit(2), n - 1),
         (x, y) => concat_ws(" ", x, y))
-      val topTf = array_max(transform(array_distinct(tokens),
-        d => size(filter(tokens, t => t === d))))
+      // top token count = longest equal-run over the SORTED tokens: one
+      // O(n log n) pass per row. The distinct×filter spelling is the
+      // nested-lambda O(n·d) trap (q95/q106's lesson) — HOF lambdas are
+      // interpreted, so the quadratic form costs real seconds at sf0.1
+      // and would be fatal on book-length documents. The DuckDB twin
+      // keeps the textbook distinct-count form; the integers agree.
+      val topTf = expr(
+        """aggregate(array_sort(split(text, ' ')),
+             named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+             (a, t) -> named_struct(
+               'prev', t,
+               'run',  IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1, 1),
+               'best', greatest(a.best,
+                 IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1, 1))),
+             a -> a.best)""")
       Tables(s, dir, "documents")
         .select($"doc_id",
           n.as("n_tokens"),
@@ -296,7 +309,8 @@ object Extended {
       SELECT doc_id, n_tokens, top_token_frac, dup_bigram_frac,
              top_token_frac <= 0.2 AND dup_bigram_frac <= 0.3 AS keep
       FROM f ORDER BY doc_id"""),
-    doc = "X14: repetition quality signals, shuffle-free per-row HOF math")
+    doc = "X14: repetition quality signals, shuffle-free per-row math — " +
+      "run-length top-token count over sorted tokens, linear per row")
 
   /** q74 — PII-shaped redaction (X15): mask digit runs and URLs in the
     * events props payload, counting masked spans. regexp_replace is
