@@ -752,6 +752,122 @@ object Curation {
       "hamming<=1, interleaved stripes dodge the constant-prefix viral bucket; " +
       "linear stripe shuffle, never a cross product")
 
+  /** q132 — GROUP BY ALL (P10): the modern-SQL ergonomic surface —
+    * every non-aggregate select item becomes a grouping key, so adding
+    * a dimension to the report never desynchronizes SELECT and GROUP
+    * BY. Byte-identical SQL text runs on both engines (Q.sql's
+    * device); Spark resolves it in the analyzer, so the physical plan
+    * is the ordinary two-phase hash aggregate. */
+  val q132 = Q.sql(
+    "q132_group_by_all",
+    """SELECT lang, source, COUNT(*) AS n,
+              CAST(SUM(n_chars) AS BIGINT) AS chars
+       FROM documents GROUP BY ALL ORDER BY lang, source""",
+    """SELECT lang, source, COUNT(*) AS n,
+              CAST(SUM(n_chars) AS BIGINT) AS chars
+       FROM documents GROUP BY ALL ORDER BY lang, source""",
+    doc = "P10: GROUP BY ALL — analyzer sugar over the standard two-phase " +
+      "hash aggregate; identical SQL text in both engines")
+
+  /** q133 — maximal marginal relevance selection (N27): pick 4 items
+    * that are RELEVANT to a query vector but DIVERSE from each other —
+    * greedy MMR (Carbonell & Goldstein '98), the retrieval/curation
+    * step that stops a top-k from returning four copies of the same
+    * idea. Round i picks argmax of
+    * `0.5·cos(q,d) − 0.5·max_{s∈selected} cos(d,s)` (ties to smallest
+    * id). Every cosine is a sequential fold (VectorOps contract) and
+    * sqrt is IEEE-exactly-rounded everywhere (unlike log/trig — why
+    * q50's cosine family hash-matches), so the greedy trajectory is
+    * bit-identical cross-engine; the oracle unrolls the four rounds as
+    * CTE stages (q118's device).
+    *
+    * Scale shape per round: selected set is ≤k rows — broadcast against
+    * the candidate corpus, one max-penalty aggregate keyed by
+    * candidate, global argmax fuses to TakeOrdered. k rounds of
+    * linear passes; candidates never self-join. */
+  val q133 = Q(
+    "q133_mmr_select",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val query = emb.filter($"vec_id" === 0)
+        .select($"embedding".as("q_vec"))
+      val cands = emb.filter($"vec_id" > 0)
+        .crossJoin(broadcast(query))
+        .select($"vec_id", $"embedding",
+          graft.functions.VectorOps.cosine($"q_vec", $"embedding").as("rel"))
+        .persist()
+      var selected = s.emptyDataFrame
+      var out = Seq.empty[(Int, org.apache.spark.sql.DataFrame)]
+      for (round <- 1 to 4) {
+        val scored =
+          if (round == 1) cands.withColumn("score", $"rel" * 0.5)
+          else {
+            val sel = broadcast(selected
+              .select($"vec_id".as("s_id"), $"embedding".as("s_vec")))
+            cands.join(sel, $"vec_id" =!= $"s_id")
+              .groupBy($"vec_id", $"embedding", $"rel")
+              .agg(max(graft.functions.VectorOps.cosine($"embedding", $"s_vec"))
+                .as("pen"))
+              .withColumn("score", $"rel" * 0.5 - $"pen" * 0.5)
+          }
+        val pickable = if (round == 1) scored
+          else scored.join(selected.select($"vec_id"), Seq("vec_id"), "left_anti")
+        val pick = pickable
+          .orderBy($"score".desc, $"vec_id")
+          .limit(1)
+          .select($"vec_id", $"embedding", $"score")
+          .localCheckpoint()
+        out = out :+ (round -> pick)
+        selected = if (round == 1) pick else selected.unionByName(pick)
+      }
+      out.map { case (r, df) =>
+        df.select(lit(r).as("rank"), $"vec_id", $"score")
+      }.reduce(_ unionByName _).orderBy($"rank")
+    },
+    Some {
+      import graft.functions.VectorOps.cosineSql
+      def relOf(c: String) = cosineSql("q.q_vec", s"$c.embedding")
+      s"""
+      WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+      cand AS (SELECT e.vec_id, e.embedding, ${relOf("e")} AS rel
+               FROM embeddings e, q WHERE e.vec_id > 0),
+      s1 AS (SELECT vec_id, embedding, rel * 0.5 AS score FROM cand
+             ORDER BY score DESC, vec_id LIMIT 1),
+      p2 AS (SELECT c.vec_id, c.embedding, c.rel,
+               MAX(${cosineSql("c.embedding", "s.embedding")}) AS pen
+             FROM cand c, s1 s WHERE c.vec_id <> s.vec_id
+               AND c.vec_id NOT IN (SELECT vec_id FROM s1)
+             GROUP BY c.vec_id, c.embedding, c.rel),
+      s2 AS (SELECT vec_id, embedding, rel * 0.5 - pen * 0.5 AS score FROM p2
+             ORDER BY score DESC, vec_id LIMIT 1),
+      sel2 AS (SELECT vec_id, embedding FROM s1 UNION ALL
+               SELECT vec_id, embedding FROM s2),
+      p3 AS (SELECT c.vec_id, c.embedding, c.rel,
+               MAX(${cosineSql("c.embedding", "s.embedding")}) AS pen
+             FROM cand c, sel2 s WHERE c.vec_id <> s.vec_id
+               AND c.vec_id NOT IN (SELECT vec_id FROM sel2)
+             GROUP BY c.vec_id, c.embedding, c.rel),
+      s3 AS (SELECT vec_id, embedding, rel * 0.5 - pen * 0.5 AS score FROM p3
+             ORDER BY score DESC, vec_id LIMIT 1),
+      sel3 AS (SELECT vec_id, embedding FROM sel2 UNION ALL
+               SELECT vec_id, embedding FROM s3),
+      p4 AS (SELECT c.vec_id, c.embedding, c.rel,
+               MAX(${cosineSql("c.embedding", "s.embedding")}) AS pen
+             FROM cand c, sel3 s WHERE c.vec_id <> s.vec_id
+               AND c.vec_id NOT IN (SELECT vec_id FROM sel3)
+             GROUP BY c.vec_id, c.embedding, c.rel),
+      s4 AS (SELECT vec_id, embedding, rel * 0.5 - pen * 0.5 AS score FROM p4
+             ORDER BY score DESC, vec_id LIMIT 1)
+      SELECT 1 AS rank, vec_id, score FROM s1 UNION ALL
+      SELECT 2, vec_id, score FROM s2 UNION ALL
+      SELECT 3, vec_id, score FROM s3 UNION ALL
+      SELECT 4, vec_id, score FROM s4
+      ORDER BY rank"""
+    },
+    doc = "N27: greedy MMR diverse selection — broadcast selected set, " +
+      "linear passes, TakeOrdered argmax; bit-identical greedy trajectory")
+
   val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131)
+    q127, q128, q129, q130, q131, q132, q133)
 }

@@ -111,6 +111,30 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("law: SpatialJoin equals the brute-force cross product for any " +
+    "generated point set and any power-of-two radius") {
+    import graft.operators.SpatialJoin
+    val ptsGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(-40.0, 40.0), Gen.choose(-40.0, 40.0)))
+    samples(Gen.zip(ptsGen, Gen.oneOf(0.25, 0.5, 1.0, 2.0)), 4)
+      .foreach { case (coords, r) =>
+        val pts = coords.zipWithIndex
+          .map { case ((la, lo), i) => (i.toLong, la, lo) }
+          .toDF("k", "lat", "lon")
+        val fast = SpatialJoin.withinRadius(pts, "k", "lat", "lon", r)
+          .select("a_key", "b_key").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        val a = pts.select(col("k").as("a"), col("lat").as("la"), col("lon").as("lo"))
+        val brute = a.crossJoin(pts)
+          .filter(col("a") < col("k") &&
+            ((col("la") - col("lat")) * (col("la") - col("lat")) +
+             (col("lo") - col("lon")) * (col("lo") - col("lon"))) < r * r)
+          .select("a", "k").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        assert(fast === brute, s"radius $r")
+      }
+  }
+
   test("law: winnowing guarantee — any two docs sharing a >= w+k-1 token run " +
     "share a fingerprint, for arbitrary generated surroundings") {
     val k = 4; val w = 4
