@@ -678,23 +678,23 @@ object Curation {
     * pairs whose names differ in AT MOST ONE character position — the
     * entity-resolution shape for typo'd/OCR'd fixed-format identifiers
     * (SKUs, serials, account numbers). SimHash's band pigeonhole
-    * applied to raw strings: split each 18-char name into two
-    * INTERLEAVED stripes (odd/even positions); one substitution
-    * touches one stripe, so the other stripe matches exactly —
-    * candidate generation by stripe equi-join has EXACT recall for
-    * hamming ≤ 1, and the per-position mismatch count scrubs
-    * candidates that share a stripe but differ twice elsewhere. A pair
-    * differing in exactly one position shares exactly one stripe, so
-    * no dedup pass is needed (identical names would match both, but
-    * names are key-unique).
+    * applied to raw strings, TWICE, both levels in the join key: one
+    * substitution leaves the opposite-parity stripe intact AND leaves
+    * one position-parity quarter of its own stripe intact, so the
+    * (stripe, quarter) equi-join has EXACT recall for hamming ≤ 1;
+    * a flat codegen'd mismatch count scrubs the rare survivors that
+    * share a key but differ twice. Each hamming-1 pair arises from
+    * exactly one (sid, hid), so no dedup pass is needed.
     *
-    * Scale shape: 2 stripe rows per name, one equi-join on (stripe id,
-    * stripe text) — never a cross product. Interleaving matters: a
-    * CONTIGUOUS split would put the constant "Customer#" prefix into
-    * one stripe and make its bucket the whole corpus (MinHashLSH's
-    * viral-bucket failure); interleaved stripes each carry varying
-    * digits. For adversarial key distributions apply the same
-    * cap/salt as the LSH operators. */
+    * Scale shape: 4 key rows per name, one equi-join — never a cross
+    * product. Interleaving matters at BOTH levels: a contiguous split
+    * would hand one key the constant "Customer#" prefix and zero
+    * discrimination, recreating MinHashLSH's viral-bucket failure
+    * (measured here: stripe-only keys made ~1.9M candidate pairs at
+    * sf0.1 and candidate materialization dominated at ~12–18 s; the
+    * quarter keys collapse buckets and run ~5× faster). For
+    * adversarial key distributions apply the same cap/salt as the
+    * LSH operators. */
   val q131 = Q(
     "q131_id_near_match",
     (s, dir) => {
@@ -702,20 +702,53 @@ object Curation {
       val names = Tables(s, dir, "customer")
         .select($"c_custkey", $"c_name")
         .filter(length($"c_name") === 18)
-      val stripes = names.select($"c_custkey", $"c_name",
-        posexplode(array(
-          expr("array_join(transform(sequence(1, 18, 2), p -> substr(c_name, p, 1)), '')"),
-          expr("array_join(transform(sequence(2, 18, 2), p -> substr(c_name, p, 1)), '')")
-        )).as(Seq("sid", "stripe")))
+      val s0 = expr("array_join(transform(sequence(1, 18, 2), p -> substr(c_name, p, 1)), '')")
+      val s1 = expr("array_join(transform(sequence(2, 18, 2), p -> substr(c_name, p, 1)), '')")
+      // position-parity QUARTERS: classes p ≡ 1,2,3,0 (mod 4)
+      val q1 = expr("array_join(transform(sequence(1, 18, 4), p -> substr(c_name, p, 1)), '')")
+      val q2 = expr("array_join(transform(sequence(2, 18, 4), p -> substr(c_name, p, 1)), '')")
+      val q3 = expr("array_join(transform(sequence(3, 18, 4), p -> substr(c_name, p, 1)), '')")
+      val q4 = expr("array_join(transform(sequence(4, 18, 4), p -> substr(c_name, p, 1)), '')")
+      // DOUBLE pigeonhole in the JOIN KEY: hamming <= 1 puts the single
+      // mismatch at one position p, so (a) the opposite-parity stripe
+      // matches fully, and (b) of the two position-parity QUARTERS that
+      // make up p's own stripe, the one not containing p matches too.
+      // Joining on (sid, hid, stripe, quarter) therefore still has
+      // EXACT recall, and each hamming-1 pair arises from exactly one
+      // (sid, hid) — no dedup pass. Quarters must INTERLEAVE for the
+      // same reason stripes do: a contiguous split would hand one half
+      // the constant "Customer#" letters and zero discrimination (the
+      // first cut of this query did exactly that — candidate volume,
+      // and with it the candidate-MATERIALIZATION cost that dominates
+      // this operator, stayed put). With mod-4 classes every key
+      // carries varying digits and bucket sizes collapse.
+      val stripes = names
+        .select($"c_custkey", $"c_name", s0.as("s0"), s1.as("s1"),
+          q1.as("q1"), q2.as("q2"), q3.as("q3"), q4.as("q4"))
+        .select($"c_custkey", $"c_name",
+          posexplode(array(
+            struct(lit(0).as("sid"), lit(0).as("hid"), $"s0".as("stripe"), $"q2".as("half")),
+            struct(lit(0).as("sid"), lit(1).as("hid"), $"s0".as("stripe"), $"q4".as("half")),
+            struct(lit(1).as("sid"), lit(0).as("hid"), $"s1".as("stripe"), $"q1".as("half")),
+            struct(lit(1).as("sid"), lit(1).as("hid"), $"s1".as("stripe"), $"q3".as("half"))
+          )).as(Seq("ord", "sv")))
+        .select($"c_custkey", $"c_name", $"sv.sid".as("sid"),
+          $"sv.hid".as("hid"), $"sv.stripe".as("stripe"), $"sv.half".as("half"))
       val a = stripes.select($"c_custkey".as("a_id"), $"c_name".as("an"),
-        $"sid", $"stripe")
+        $"sid", $"hid", $"stripe", $"half")
       val b = stripes.select($"c_custkey".as("b_id"), $"c_name".as("bn"),
-        $"sid", $"stripe")
-      a.join(b, Seq("sid", "stripe"))
+        $"sid", $"hid", $"stripe", $"half")
+      // exact verify: hamming as a FLAT 18-term position-compare sum —
+      // codegen'd; an interpreted HOF chain costs ~13x here, and even
+      // native levenshtein (== hamming for <= 1 on equal-length
+      // strings) runs an O(18²) DP per candidate.
+      val hamming = (1 to 18)
+        .map(i => when(substring($"an", i, 1) === substring($"bn", i, 1), 0)
+          .otherwise(1))
+        .reduce(_ + _)
+      a.join(b, Seq("sid", "hid", "stripe", "half"))
         .filter($"a_id" < $"b_id")
-        .withColumn("hamming", expr(
-          "aggregate(transform(sequence(1, 18), " +
-            "i -> IF(substr(an, i, 1) = substr(bn, i, 1), 0, 1)), 0, (s, x) -> s + x)"))
+        .withColumn("hamming", hamming)
         .filter($"hamming" <= 1)
         .select($"a_id", $"b_id", $"hamming".cast("long").as("hamming"))
         .orderBy($"a_id", $"b_id")

@@ -135,17 +135,32 @@ class CurationSpec extends SparkSpecBase {
       s.sql("SELECT c_custkey, c_name FROM customer_small")
     }
     val names = pairs(ids)
-    val stripes = names.select($"c_custkey", $"c_name",
-      posexplode(array(
-        expr("array_join(transform(sequence(1, 18, 2), p -> substr(c_name, p, 1)), '')"),
-        expr("array_join(transform(sequence(2, 18, 2), p -> substr(c_name, p, 1)), '')")
-      )).as(Seq("sid", "stripe")))
-    val a = stripes.select($"c_custkey".as("a_id"), $"c_name".as("an"), $"sid", $"stripe")
-    val b = stripes.select($"c_custkey".as("b_id"), $"c_name".as("bn"), $"sid", $"stripe")
-    val got = a.join(b, Seq("sid", "stripe")).filter($"a_id" < $"b_id")
-      .withColumn("h", expr(
-        "aggregate(transform(sequence(1, 18), " +
-          "i -> IF(substr(an, i, 1) = substr(bn, i, 1), 0, 1)), 0, (s, x) -> s + x)"))
+    // mirror of q131's double-pigeonhole construction: parity stripes
+    // as the join stripe, mod-4 quarter of the OTHER parity as the
+    // second key level — exact recall for hamming <= 1
+    def cut(start: Int, step: Int) = expr(
+      s"array_join(transform(sequence($start, 18, $step), p -> substr(c_name, p, 1)), '')")
+    val stripes = names
+      .select($"c_custkey", $"c_name", cut(1, 2).as("s0"), cut(2, 2).as("s1"),
+        cut(1, 4).as("q1"), cut(2, 4).as("q2"), cut(3, 4).as("q3"), cut(4, 4).as("q4"))
+      .select($"c_custkey", $"c_name",
+        posexplode(array(
+          struct(lit(0).as("sid"), lit(0).as("hid"), $"s0".as("stripe"), $"q2".as("half")),
+          struct(lit(0).as("sid"), lit(1).as("hid"), $"s0".as("stripe"), $"q4".as("half")),
+          struct(lit(1).as("sid"), lit(0).as("hid"), $"s1".as("stripe"), $"q1".as("half")),
+          struct(lit(1).as("sid"), lit(1).as("hid"), $"s1".as("stripe"), $"q3".as("half"))
+        )).as(Seq("ord", "sv")))
+      .select($"c_custkey", $"c_name", $"sv.sid".as("sid"), $"sv.hid".as("hid"),
+        $"sv.stripe".as("stripe"), $"sv.half".as("half"))
+    val a = stripes.select($"c_custkey".as("a_id"), $"c_name".as("an"),
+      $"sid", $"hid", $"stripe", $"half")
+    val b = stripes.select($"c_custkey".as("b_id"), $"c_name".as("bn"),
+      $"sid", $"hid", $"stripe", $"half")
+    val flatHamming = (1 to 18)
+      .map(i => when(substring($"an", i, 1) === substring($"bn", i, 1), 0).otherwise(1))
+      .reduce(_ + _)
+    val got = a.join(b, Seq("sid", "hid", "stripe", "half")).filter($"a_id" < $"b_id")
+      .withColumn("h", flatHamming)
       .filter($"h" <= 1)
       .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute force over all pairs
@@ -178,6 +193,19 @@ class CurationSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"),
       plan.linesIterator.take(30).mkString("\n"))
   }
+
+  test("q127's per-lang stats come back via a BROADCAST join — the corpus " +
+    "is scanned, never shuffled, for the outlier flags") {
+    val plan = graft.queries.Curation.q127.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  // (q133's per-round argmax plans are consumed inside localCheckpoint
+  // materialization — the final plan is a union of checkpointed RDD
+  // scans, so there is no lazy plan left to assert TakeOrdered on.)
 
   test("Bfs never reaches a disconnected component and terminates early " +
     "on an exhausted frontier") {
