@@ -901,6 +901,56 @@ object Curation {
     doc = "N27: greedy MMR diverse selection — broadcast selected set, " +
       "linear passes, TakeOrdered argmax; bit-identical greedy trajectory")
 
+  /** q136 — share-of-parent rollup (X48): each nation's revenue as a
+    * fraction of its region's total — the hierarchical "contribution"
+    * report every BI layer ships. Both levels are EXACT decimal sums
+    * computed independently from the fact rows (never by re-summing
+    * the child DOUBLES — window-summing rendered doubles would make
+    * the total association-order-dependent and unhashable); the share
+    * is one IEEE divide of the two deterministic renderings. Region
+    * totals are 5 rows → broadcast back; the fact table is scanned,
+    * aggregated on compact keys, and never shuffled twice. */
+  val q136 = Q(
+    "q136_share_of_parent",
+    (s, dir) => {
+      import s.implicits._
+      import graft.core.Exact
+      val base = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables(s, dir, "region")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"r_name", $"n_name", $"o_totalprice")
+      val nations = base.groupBy($"r_name", $"n_name")
+        .agg(Exact.dsum($"o_totalprice").as("revenue"))
+      val regions = base.groupBy($"r_name")
+        .agg(Exact.dsum($"o_totalprice").as("region_total"))
+      nations.join(broadcast(regions), Seq("r_name"))
+        .select($"r_name", $"n_name", $"revenue",
+          ($"revenue" / $"region_total").as("share"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT r_name, n_name, o_totalprice
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey),
+      nations AS (
+        SELECT r_name, n_name, ${graft.core.Exact.sqlDsum("o_totalprice")} AS revenue
+        FROM base GROUP BY r_name, n_name),
+      regions AS (
+        SELECT r_name, ${graft.core.Exact.sqlDsum("o_totalprice")} AS region_total
+        FROM base GROUP BY r_name)
+      SELECT n.r_name, n.n_name, n.revenue, n.revenue / r.region_total AS share
+      FROM nations n JOIN regions r ON n.r_name = r.r_name
+      ORDER BY n.r_name, n.n_name"""),
+    doc = "X48: hierarchical contribution report — both levels exact decimal " +
+      "sums from facts, share one IEEE divide; 5-row region totals broadcast")
+
   val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133)
+    q127, q128, q129, q130, q131, q132, q133, q136)
 }

@@ -267,5 +267,65 @@ object Sources {
     doc = "S14: mergeSchema footer-union read across schema generations; " +
       "absent columns are NULL, no data rewrite")
 
-  val all: Seq[Q] = Seq(q58, q59, q60, q83, q86, q87, q121)
+  /** q134 — ORC write→read roundtrip (S15): the other columnar format
+    * Spark bundles natively (orc-core in /opt/spark/jars). Same
+    * roundtrip proof device as q58/q59: write `part` as ORC, read it
+    * back, aggregate; the oracle aggregates the parquet original —
+    * identical results ⇒ the format conversion was lossless for the
+    * int/long/string/double surface. ORC gets the same vectorized
+    * reader + predicate pushdown treatment as parquet, so the engine's
+    * scan posture carries over unchanged. */
+  val q134 = Q(
+    "q134_orc_roundtrip",
+    (s, dir) => {
+      val out = scratch("orc")
+      val part = Tables(s, dir, "part")
+      part.write.mode("overwrite").orc(out)
+      s.read.schema(part.schema).orc(out)
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("key_sum"),
+          min(col("p_name")).as("first_name"),
+          Exact.dsum(col("p_retailprice")).as("price_sum"))
+        .orderBy(col("p_size"))
+    },
+    Some(s"""
+      SELECT p_size, COUNT(*) AS n, CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+             MIN(p_name) AS first_name,
+             ${Exact.sqlDsum("p_retailprice")} AS price_sum
+      FROM part GROUP BY p_size ORDER BY p_size"""),
+    doc = "S15: ORC sink+scan roundtrip — Spark's second native columnar " +
+      "format, same vectorized-scan posture as parquet")
+
+  /** q135 — XML parse/serialize roundtrip (F-xml, Spark 4 native):
+    * `to_xml(struct(...))` → `from_xml(schema)` → fields — the
+    * message-feed surface (XML payloads are the JSON of enterprise
+    * integration). Double columns stay OUT of the XML payload: float
+    * text formatting is not a stable cross-format contract, exactly
+    * why q58's JSON roundtrip pins its schema too. DuckDB has no XML
+    * type, so the oracle computes the same aggregate from the base
+    * table — the roundtrip being lossless IS the assertion. */
+  val q135 = Q(
+    "q135_xml_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val xmlSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      Tables(s, dir, "events")
+        .select(to_xml(struct(col("event_id"), col("user_id"),
+          col("event_type"))).as("xml"))
+        .select(from_xml(col("xml"), xmlSchema).as("r"))
+        .groupBy(col("r.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("r.user_id")).as("user_sum"),
+          max(col("r.event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS user_sum,
+             MAX(event_id) AS max_id
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    doc = "F-xml: native to_xml/from_xml roundtrip — schema-pinned parse, " +
+      "aggregate must match the relational original")
+
+  val all: Seq[Q] = Seq(q58, q59, q60, q83, q86, q87, q121, q134, q135)
 }
