@@ -951,6 +951,51 @@ object Curation {
     doc = "X48: hierarchical contribution report — both levels exact decimal " +
       "sums from facts, share one IEEE divide; 5-row region totals broadcast")
 
+  /** q137 — gaps and islands (X49): group each customer's order DAYS
+    * into maximal runs of consecutive days — the classic SQL pattern
+    * behind activity streaks, outage windows, and contiguous-coverage
+    * reports (q30 sessionizes by TIME GAP on raw events; islands group
+    * by integer ADJACENCY on the distinct-day grid). The whole trick
+    * is one subtraction: within a customer, `day_index − row_number()`
+    * is constant exactly along a consecutive run, so the island id
+    * falls out of a window function with no joins and no iteration.
+    * Exact integer date math end-to-end; one shuffle on customer. */
+  val q137 = Q(
+    "q137_gaps_islands",
+    (s, dir) => {
+      import s.implicits._
+      val days = Tables(s, dir, "orders")
+        .select($"o_custkey", datediff(to_date($"o_orderdate"),
+          lit("1992-01-01").cast("date")).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      days
+        .withColumn("isl", $"day" - row_number().over(w))
+        .groupBy($"o_custkey", $"isl")
+        .agg(min($"day").as("start_day"), max($"day").as("end_day"),
+          count(lit(1)).as("n_days"))
+        .filter($"n_days" >= 2) // streaks, not singletons — keeps output lean
+        .select($"o_custkey", $"start_day", $"end_day", $"n_days")
+        .orderBy($"o_custkey", $"start_day")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT o_custkey,
+               CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        FROM orders),
+      isl AS (
+        SELECT o_custkey, day,
+               day - row_number() OVER (PARTITION BY o_custkey ORDER BY day) AS isl
+        FROM days)
+      SELECT o_custkey, MIN(day) AS start_day, MAX(day) AS end_day,
+             COUNT(*) AS n_days
+      FROM isl GROUP BY o_custkey, isl
+      HAVING COUNT(*) >= 2
+      ORDER BY o_custkey, start_day"""),
+    doc = "X49: consecutive-run grouping via the rank-difference constant — " +
+      "no joins, no iteration; exact integer day math, one customer shuffle")
+
   val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q136)
+    q127, q128, q129, q130, q131, q132, q133, q136, q137)
 }
