@@ -86,7 +86,10 @@ object KMeansInt {
       // instead of nesting every prior round's join into the next
       update(assign(vq, idCol, cents)).localCheckpoint()
     }
-    val out = assign(vq, idCol, finalCents).drop("xq")
+    // Materialize the final (and most expensive) assignment pass while
+    // the quantized corpus is still cached — unpersisting first would
+    // make that pass recompute the quantization it was cached for.
+    val out = assign(vq, idCol, finalCents).drop("xq").localCheckpoint()
     vq.unpersist()
     out
   }

@@ -24,7 +24,15 @@ import org.apache.spark.sql.functions._
   *
   * Precondition (same as SQL MERGE): `source` is key-unique — more
   * than one source row per key makes the SQL statement itself
-  * nondeterministic, so callers dedupe upstream.
+  * nondeterministic, so callers dedupe upstream. The precondition is
+  * ENFORCED, not trusted: a `count() over (partition by key)` window
+  * on the source feeds `raise_error` on any duplicate, so a violating
+  * merge fails loudly at execution instead of silently multiplying
+  * target rows. The guard is free of extra shuffles — the window
+  * hash-partitions the source on exactly the keys the full-outer join
+  * requires, so Catalyst reuses the one exchange the join was going to
+  * perform anyway (cost: one extra in-partition sort on the small
+  * side).
   */
 object MergeInto {
 
@@ -35,6 +43,12 @@ object MergeInto {
     */
   def merge(target: DataFrame, source: DataFrame, keyCols: Seq[String],
             updateCols: Seq[String], deleteCol: Option[String] = None): DataFrame = {
+    // The presence marker is added with withColumn, which would silently
+    // REPLACE a caller's column of the same name and corrupt the merge —
+    // reject the collision loudly instead.
+    val reserved = Seq("__sp", "__kc")
+    require(!source.columns.exists(reserved.contains),
+      s"MergeInto: source must not contain reserved columns ${reserved.mkString("/")}")
     val tCols = target.columns.toSeq
     val del = deleteCol.map(c => coalesce(col(s"__s.$c"), lit(false)))
       .getOrElse(lit(false))
@@ -49,8 +63,22 @@ object MergeInto {
         when(srcPresent, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
       else col(s"__t.$c").as(c) // nulls stay null for pure inserts
     }
+    // Key-uniqueness guard: rides the join's own hash partitioning.
+    // raise_error evaluates lazily per row, so a key-unique source
+    // never pays more than the count itself.
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val guarded = source
+      .withColumn("__kc", count(lit(1)).over(wk))
+      .withColumn("__sp",
+        when(col("__kc") > 1, raise_error(concat(
+          lit(s"MergeInto: source is not key-unique on (${keyCols.mkString(", ")}): key ("),
+          concat_ws(", ", keyCols.map(k => col(k).cast("string")): _*),
+          lit(") occurs "), col("__kc").cast("string"), lit(" times"))))
+          .otherwise(lit(true)))
+      .drop("__kc")
     val joined = target.alias("__t").join(
-      source.withColumn("__sp", lit(true)).alias("__s"),
+      guarded.alias("__s"),
       keyCols.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _),
       "full_outer")
     joined

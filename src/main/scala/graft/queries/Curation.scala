@@ -95,7 +95,15 @@ object Curation {
     * centroid mean is exact BIGINT math on a corpus-global quantized
     * grid (see [[KMeansInt]]), so the full iterative clustering —
     * assignments, updates, final distances — hash-matches DuckDB
-    * running the same algebra in SQL. */
+    * running the same algebra in SQL.
+    *
+    * Oracle-seeding note: [[KMeansInt.cluster]] seeds from the k
+    * SMALLEST ids (`orderBy(id).limit(k)`); the DuckDB twin spells
+    * that `WHERE vec_id < 8`, which coincides only because the
+    * embeddings fixture's vec_ids are 0-based and contiguous. On a
+    * table with id gaps the two seed sets would silently diverge —
+    * port the oracle to `ORDER BY vec_id LIMIT k` (or pass explicit
+    * seed ids to both engines) before reusing this query elsewhere. */
   val q118 = Q(
     "q118_kmeans_int",
     (s, dir) => {
@@ -715,7 +723,13 @@ object Curation {
       // make up p's own stripe, the one not containing p matches too.
       // Joining on (sid, hid, stripe, quarter) therefore still has
       // EXACT recall, and each hamming-1 pair arises from exactly one
-      // (sid, hid) — no dedup pass. Quarters must INTERLEAVE for the
+      // (sid, hid) — no dedup pass. PRECONDITION for that no-dedup
+      // claim: names are unique (TPC-H c_name is). A hamming-0 pair
+      // (two ids with IDENTICAL names) matches all four (sid, hid)
+      // keys and would be emitted 4x here (2x by the two-stripe
+      // oracle) — under duplicate names, add
+      // .dropDuplicates("a_id", "b_id") and mirror a DISTINCT in the
+      // oracle. Quarters must INTERLEAVE for the
       // same reason stripes do: a contiguous split would hand one half
       // the constant "Customer#" letters and zero discrimination (the
       // first cut of this query did exactly that — candidate volume,

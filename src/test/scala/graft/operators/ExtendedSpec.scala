@@ -277,6 +277,37 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
     assert(out === Set((1L, "ann", Some(10.0)), (2L, "bob", None)))
   }
 
+  test("MergeInto: a duplicate-key source fails loudly instead of " +
+    "silently multiplying target rows") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, "ann", 10.0)).toDF("id", "name", "bal")
+    val dupSource = Seq((1L, Some(99.0), false), (1L, Some(98.0), false))
+      .toDF("id", "bal", "del")
+    val ex = intercept[Exception] {
+      MergeInto.merge(target, dupSource, Seq("id"), Seq("bal"), Some("del"))
+        .collect()
+    }
+    // raise_error surfaces wrapped in SparkException; the message must
+    // name the operator and the offending key
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m != null && m.contains("MergeInto") && m.contains("key-unique")))
+  }
+
+  test("MergeInto: a source carrying a reserved marker column is rejected " +
+    "up front (withColumn would silently replace it)") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, 10.0)).toDF("id", "bal")
+    val badSource = Seq((1L, 99.0, true)).toDF("id", "bal", "__sp")
+    val ex = intercept[IllegalArgumentException] {
+      MergeInto.merge(target, badSource, Seq("id"), Seq("bal"))
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+
   test("SaltedJoin spreads EXACT duplicate hot rows (empty-saltCols " +
     "position tiebreaker) and still equals the plain join") {
     val facts = (1 to 400).map(_ => ("hot", 1)).toDF("k", "v") // identical rows
