@@ -648,24 +648,40 @@ object Curation {
     * source, `(rank−1)/(n−1)` — the rank-based feature normalization
     * that makes quality signals comparable ACROSS sources with
     * different length distributions (a 2k-char doc is long for tweets,
-    * short for books). `rank()` (not row_number) keeps ties identical;
+    * short for books). Rank-with-ties keeps tied lengths identical;
     * the position is one IEEE divide of exact BIGINTs (q113's device).
-    * One window shuffle on source; no joins. Single-doc sources emit
-    * 0.0 (the n=1 guard, not a 0/0 NaN). */
+    * Single-doc sources emit 0.0 (the n=1 guard, not a 0/0 NaN).
+    * De-skewed via [[graft.operators.PrefixScan]] over the
+    * distinct-length summary — see the build comment; the oracle SQL
+    * keeps the plain-window spelling (same algebra, DuckDB's scale is
+    * not in question). */
   val q130 = Q(
     "q130_quantile_norm",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"source").orderBy($"n_chars")
-      val wn = Window.partitionBy($"source")
-      Tables(s, dir, "documents")
+      import graft.operators.PrefixScan
+      // rank() OVER (PARTITION BY source) would cap the query at one
+      // task per source (~tens of values over billions of docs at
+      // corpus scale) — the r4-flagged skew family. The measure is
+      // DISCRETE (char lengths), so rank-with-ties(v) = count(v'<v)+1
+      // comes from a distinct-value summary instead: groupBy collapses
+      // the corpus to value-domain size, PrefixScan cumulates the
+      // counts without a per-source sort, and the corpus itself never
+      // shuffles — the qpos table broadcasts back onto the scan.
+      val docs = Tables(s, dir, "documents")
         .select($"doc_id", $"source", $"n_chars")
-        .withColumn("rk", rank().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-        .select($"doc_id", $"source", $"n_chars",
+      val summary = docs.groupBy($"source", $"n_chars")
+        .agg(count(lit(1)).as("cnt"))
+      val scanned = PrefixScan.inclusive(summary, Seq("source"), "n_chars",
+          Nil, "cnt", _.cast("long") / 256L, "cum_le", Some("n"))
+        .withColumn("rk", $"cum_le" - $"cnt" + 1)
+      val pos = scanned
+        .select($"source", $"n_chars",
           when($"n" === 1, lit(0.0d))
             .otherwise(($"rk" - 1).cast("double") / ($"n" - 1).cast("double"))
             .as("qpos"))
+      docs.join(broadcast(pos), Seq("source", "n_chars"))
+        .select($"doc_id", $"source", $"n_chars", $"qpos")
         .orderBy($"doc_id")
     },
     Some("""
@@ -680,7 +696,8 @@ object Curation {
              END AS qpos
       FROM r ORDER BY doc_id"""),
     doc = "X47: rank-based quantile normalization per source — exact integer " +
-      "rank math, one window shuffle, cross-source comparable scores")
+      "rank math via PrefixScan over the distinct-length summary (no " +
+      "per-source single-task window), cross-source comparable scores")
 
   /** q131 — fixed-width identifier near-match join (N26): all customer
     * pairs whose names differ in AT MOST ONE character position — the

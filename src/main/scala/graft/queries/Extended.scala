@@ -441,16 +441,35 @@ object Extended {
 
   /** q78 — distribution rank functions (W6): percent_rank and cume_dist
     * are count ratios (exact int/int IEEE divides), so unlike arbitrary
-    * float windows they oracle-hash cleanly. */
+    * float windows they oracle-hash cleanly.
+    *
+    * Scale shape: `OVER (PARTITION BY o_orderstatus ...)` is a 3-value
+    * partition key — one task per status at any cluster size, the
+    * r4-flagged skew family. The ordering key (price, orderkey) is
+    * unique, so every row's rank is its global position, and
+    * [[graft.operators.PrefixScan]] with weight 1 computes exactly
+    * that: local row counts inside (status, price-bucket) slices plus
+    * broadcast bucket offsets. percent_rank = (rank-1)/(n-1) and
+    * cume_dist = rank/n on the same BIGINTs the window functions would
+    * produce, so the IEEE divides — and the oracle hashes — are
+    * bit-identical. One data-sized shuffle, same as the skewed form,
+    * minus the 3-task cap. */
   val q78 = Q(
     "q78_rank_dist",
     (s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
-      Tables(s, dir, "orders")
+      import graft.operators.PrefixScan
+      val scanned = PrefixScan.inclusive(
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+            lit(1L).as("one")),
+        Seq("o_orderstatus"), "o_totalprice", Seq("o_orderkey"), "one",
+        _ / 10000d, "rk", Some("n"))
+      scanned
         .select($"o_orderkey", $"o_orderstatus",
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cume"))
+          (($"rk" - 1).cast("double") / ($"n" - 1).cast("double"))
+            .as("pct_rank"),
+          ($"rk".cast("double") / $"n".cast("double")).as("cume"))
         .orderBy($"o_orderkey")
     },
     Some("""
@@ -460,7 +479,8 @@ object Extended {
       FROM orders
       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_orderkey"""),
-    doc = "W6: distribution ranks — exact count-ratio semantics, one shuffle")
+    doc = "W6: distribution ranks — exact count-ratio semantics via " +
+      "tie-run row_number + PrefixScan prefix counts (no 3-task status window)")
 
   /** q79 — sliding-window document chunking (X16): split each document
     * into 16-token chunks with 4-token overlap (stride 12) — the

@@ -73,22 +73,51 @@ object Windows {
       ORDER BY user_id, event_id"""),
     doc = "W2: lag/lead share one window; basis for sessionization (q30)")
 
-  /** q27 — frame aggregates: running ROWS sum + value-RANGE sum (W3). */
+  /** q27 — frame aggregates: running ROWS sum + value-RANGE count (W3).
+    *
+    * The running total partitions on o_custkey — high cardinality,
+    * scales with the cluster. The RANGE band (`PARTITION BY
+    * o_orderstatus RANGE 10000 PRECEDING`) is the r4-flagged 3-value
+    * skew key, so it is decomposed instead of windowed: frame
+    * membership depends only on VALUES, so count-in-band(p) =
+    * count(v ≤ p) − count(v < p−10000), two reads of the cumulative
+    * distribution of the distinct-price summary. Both reads ride one
+    * [[graft.operators.PrefixScan]]: data rows carry their value
+    * count, and a zero-weight "query row" pinned at each band's lower
+    * boundary p−10000 — tie-ordered BEFORE equal-valued data rows —
+    * reads the strict prefix count(v < p−10000) as its inclusive
+    * cumulative. The p−10000 subtraction is the same IEEE double op
+    * the RANGE frame evaluates, so boundary placement is bit-identical
+    * to the window form. Shuffles: distinct-price summary aggregate +
+    * the custkey window + one well-distributed (status, price) join —
+    * no 3-task window anywhere. */
   val q27 = Q(
     "q27_frames",
     (s, dir) => {
       import s.implicits._
+      import graft.operators.PrefixScan
       val running = Window.partitionBy($"o_custkey")
         .orderBy(to_date($"o_orderdate"), $"o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // RANGE frame over the numeric totalprice axis: frame membership
-      // depends only on values, deterministic under ties by construction.
-      val band = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
-        .rangeBetween(-10000L, 0L)
-      Tables(s, dir, "orders")
-        .select($"o_orderkey", $"o_custkey",
-          toDbl(sum(money($"o_totalprice")).over(running)).as("run_total"),
-          count(lit(1)).over(band).as("n_in_band"))
+      val orders = Tables(s, dir, "orders")
+      val summary = orders.groupBy($"o_orderstatus", $"o_totalprice")
+        .agg(count(lit(1)).as("cnt"))
+      val pts = summary.select($"o_orderstatus", $"o_totalprice".as("v"),
+          lit(1).as("ord"), $"cnt".as("w"), $"o_totalprice".as("p"))
+        .unionByName(summary.select($"o_orderstatus",
+          ($"o_totalprice" - 10000d).as("v"), lit(0).as("ord"),
+          lit(0L).as("w"), $"o_totalprice".as("p")))
+      val scanned = PrefixScan.inclusive(pts, Seq("o_orderstatus"), "v",
+        Seq("ord"), "w", _ / 10000d, "cum")
+      val band = scanned.groupBy($"o_orderstatus", $"p")
+        .agg((max(when($"ord" === 1, $"cum"))
+          - max(when($"ord" === 0, $"cum"))).as("n_in_band"))
+        .withColumnRenamed("p", "o_totalprice")
+      orders
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          toDbl(sum(money($"o_totalprice")).over(running)).as("run_total"))
+        .join(band, Seq("o_orderstatus", "o_totalprice"))
+        .select($"o_orderkey", $"o_custkey", $"run_total", $"n_in_band")
         .orderBy($"o_orderkey")
     },
     Some(s"""
@@ -97,7 +126,8 @@ object Windows {
         COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                        RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
       FROM orders ORDER BY o_orderkey"""),
-    doc = "W3: ROWS running total (exact decimal) + RANGE value band")
+    doc = "W3: ROWS running total (exact decimal) + RANGE value band via " +
+      "PrefixScan query rows (no 3-task status window)")
 
   /** q28 — first/last over the full partition frame (W4). */
   val q28 = Q(

@@ -256,31 +256,45 @@ object Workload {
     * aggregation a metrics pipeline runs over heavy-tailed measures.
     * Boundaries are EXACT rank statistics (value at ceil(q·n), integer
     * rank math), not interpolated quantiles, so both engines pick the
-    * same 2dp value bit-for-bit. ONE shuffle: the rank window, the
-    * full-partition boundary windows and the clamp all share the same
-    * partitioning, and the final aggregate is map-side combinable.
-    * (At 100 TB the same shape runs with approx_percentile boundaries
-    * — tolerance-checked A8 territory; the exact-rank form is the
-    * oracle-able contract.) */
+    * same 2dp value bit-for-bit.
+    *
+    * Scale shape: the spelled-out form — row_number + boundary windows
+    * PARTITION BY l_returnflag — is a 3-value partition key, one task
+    * per flag at any cluster size (the r4-flagged skew family).
+    * Instead the global row rank comes from [[graft.operators
+    * .PrefixScan]] with weight 1 — one (flag, price-bucket) data
+    * shuffle whose task count scales with the value domain, not the
+    * flag count — the boundary values fall out of one aggregation over
+    * the scan (min value whose rank clears each threshold), and a
+    * 3-row boundary broadcast feeds the map-side-combinable final
+    * mean. (At 100 TB the same shape runs with approx_percentile
+    * boundaries — tolerance-checked A8 territory; the exact-rank form
+    * is the oracle-able contract.) */
   val q105 = Q(
     "q105_winsorized_mean",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val wSort = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-      val wFull = Window.partitionBy($"l_returnflag")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables(s, dir, "lineitem")
-        .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
-        .withColumn("rn", row_number().over(wSort))
-        .withColumn("cnt", count(lit(1)).over(wFull))
-        .withColumn("klo", floor(($"cnt" * 5 + 99) / lit(100L)).cast(LongType))
-        .withColumn("khi", floor(($"cnt" * 95 + 99) / lit(100L)).cast(LongType))
-        .withColumn("lo_v",
-          max(when($"rn" === $"klo", $"l_extendedprice")).over(wFull))
-        .withColumn("hi_v",
-          max(when($"rn" === $"khi", $"l_extendedprice")).over(wFull))
+      import graft.operators.PrefixScan
+      val li = Tables(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_extendedprice")
+      // PrefixScan over raw rows with weight 1: the inclusive cum IS
+      // row_number under the original (price, orderkey, linenumber)
+      // ordering, so the boundary picks are literally "the value at
+      // rank k" — one well-distributed (flag, bucket) data shuffle in
+      // place of the 3-task flag sort. cum >= klo = ceil(5n/100) for
+      // integer cum is exactly 100*cum >= 5n, so the boundaries fall
+      // out of ONE aggregation with no precomputed klo/khi.
+      val scanned = PrefixScan.inclusive(
+        Tables(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+            $"l_linenumber", lit(1L).as("one")),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), "one", _ / 2000d, "rk", Some("n"))
+      val bounds = scanned
+        .groupBy($"l_returnflag")
+        .agg(min(when($"rk" * 100 >= $"n" * 5, $"l_extendedprice")).as("lo_v"),
+          min(when($"rk" * 100 >= $"n" * 95, $"l_extendedprice")).as("hi_v"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
           max($"lo_v").as("lo_v"), max($"hi_v").as("hi_v"),
@@ -307,8 +321,8 @@ object Workload {
              MAX(lo_v) AS lo_v, MAX(hi_v) AS hi_v,
              ${sqlToDbl(s"SUM(${sqlMoney("least(greatest(l_extendedprice, lo_v), hi_v)")})")} / COUNT(*) AS mean_w
       FROM b GROUP BY l_returnflag ORDER BY l_returnflag"""),
-    doc = "X34: winsorized mean — exact rank-statistic clamp boundaries, " +
-      "one shuffle (rank, boundary and clamp share one partitioning)")
+    doc = "X34: winsorized mean — exact rank-statistic clamp boundaries from " +
+      "a PrefixScan'd distinct-price summary; the fact table never shuffles")
 
   /** q110 — incremental DISTINCT maintenance (X30b): per-month distinct
     * customers kept fresh across two delta refreshes via HLL sketches

@@ -192,13 +192,41 @@ class PlanSpec extends SparkSpecBase {
     assert(pf.contains("event_type"), pf)
   }
 
-  test("winsorized mean runs on ONE data shuffle: rank window, boundary " +
-    "windows, clamp and aggregate all share the group partitioning") {
-    val p = plan(queries.Workload.q105.build(spark, sf))
-    // one hash exchange for the fact data; the only other exchange is the
-    // range partitioning that sorts the handful of output groups
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  test("winsorized mean never sorts the fact table: boundaries come from " +
+    "the summary scan and broadcast back; windows only run over aggregates") {
+    val df = queries.Workload.q105.build(spark, sf)
+    val p = plan(df)
+    // boundary table rejoins the facts as a broadcast, never a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // fact rows reach their first exchange only as combined partials
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assertWindowsDeskewed(df, Set("l_returnflag"))
+  }
+
+  /** The r4 skew family's contract: a window whose partition key is
+    * low-cardinality (one partition VALUE = one task at any cluster
+    * size) may only run over an AGGREGATED summary — groups x values /
+    * groups x buckets rows — never over the raw table. High-cardinality
+    * partition keys (custkey, (status, price) tie-runs) are exempt. */
+  private def assertWindowsDeskewed(df: DataFrame, skewKeys: Set[String]): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    for (w <- wins) {
+      val refs = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+      val overSummary = w.child.collect { case a: BaseAggregateExec => a }.nonEmpty
+      assert(!refs.subsetOf(skewKeys) || overSummary,
+        s"window partitioned on low-cardinality $refs over raw data:\n" +
+          df.queryExecution.sparkPlan)
+    }
+  }
+
+  test("de-skewed rank family (q27/q78/q130): no window partitioned solely " +
+    "on a low-cardinality key ever sees the raw table") {
+    assertWindowsDeskewed(queries.Windows.q27.build(spark, sf), Set("o_orderstatus"))
+    assertWindowsDeskewed(queries.Extended.q78.build(spark, sf), Set("o_orderstatus"))
+    assertWindowsDeskewed(queries.Curation.q130.build(spark, sf), Set("source"))
   }
 
   test("composite workload plans: dims broadcast, date filters reach the " +

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Laws for [[PrefixScan]] — the de-skewed running-sum primitive must
+  * agree bit-for-bit with the single-task window it replaces, on every
+  * shape it is used for (ties, multiple groups, zero-weight query
+  * rows), regardless of how the bucketing slices the order axis. */
+class PrefixScanSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Deterministic pseudo-random fixture: 3 groups, tie-heavy values.
+  private lazy val data = {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toDouble, i.toLong,
+        (rnd.nextInt(9) + 1).toLong)
+    }.toDF("g", "v", "tie", "w")
+  }
+
+  test("inclusive cum equals the single-window running sum, for coarse, " +
+    "fine, and degenerate-single bucketings") {
+    val w = Window.partitionBy($"g").orderBy($"v", $"tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = data.withColumn("cum", sum($"w").over(w))
+      .select($"g", $"tie", $"cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (width <- Seq(1d, 7d, 1000000d)) {
+      val got = PrefixScan.inclusive(data, Seq("g"), "v", Seq("tie"), "w",
+          _ / width, "cum")
+        .select($"g", $"tie", $"cum")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"width=$width")
+    }
+  }
+
+  test("zero-weight query rows tie-ordered before data read the strict " +
+    "prefix count (q27's band-boundary device)") {
+    // data rows: ord=1, weight=count; query rows: ord=0 at value x read
+    // count(v < x) — including x values between and beyond data values
+    val pts = Seq(
+      ("a", 10d, 1, 3L), ("a", 10d, 1, 2L), ("a", 20d, 1, 1L),
+      ("b", 5d, 1, 4L)
+    ).toDF("g", "v", "ord", "w")
+    val queries = Seq(
+      ("a", 9d), ("a", 10d), ("a", 15d), ("a", 20d), ("a", 99d),
+      ("b", 5d), ("b", 4d)
+    ).toDF("g", "qv")
+    val unioned = pts.unionByName(
+      queries.select($"g", $"qv".as("v"), lit(0).as("ord"), lit(0L).as("w")))
+    val got = PrefixScan.inclusive(unioned, Seq("g"), "v", Seq("ord"), "w",
+        _ / 8d, "cum")
+      .filter($"ord" === 0)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(4)).toMap
+    assert(got === Map(
+      ("a", 9d) -> 0L, ("a", 10d) -> 0L, ("a", 15d) -> 5L,
+      ("a", 20d) -> 5L, ("a", 99d) -> 6L,
+      ("b", 5d) -> 0L, ("b", 4d) -> 0L))
+  }
+
+  test("the riding totalCol equals the per-group weight sum on every row") {
+    val got = PrefixScan.inclusive(data, Seq("g"), "v", Seq("tie"), "w",
+        _ / 7d, "cum", Some("n"))
+      .select($"g", $"n").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = data.groupBy($"g").agg(sum($"w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exp)
+  }
+
+  test("reserved working columns are rejected up front") {
+    val bad = Seq(("a", 1d, 1L, 1L)).toDF("g", "v", "__pb", "w")
+    val ex = intercept[IllegalArgumentException] {
+      PrefixScan.inclusive(bad, Seq("g"), "v", Nil, "w", _ / 2d, "cum")
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+}
