@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Relay forked runMain output (Bench/Verify) STRAIGHT to stdout, no
+// "[info] " logger prefix: the per-round driver machine-parses the last
+// stdout line of graft.Bench, and the prefix breaks strict JSON parsing
+// (r1-r4 artifacts all record parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

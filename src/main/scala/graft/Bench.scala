@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * its opening brace fell outside the window every round, so no bench
   * was ever machine-parsed). The stdout line therefore carries the
   * totals, the canary, and only the HEADLINE queries (top
-  * `SPARK_GRAFT_HEADLINE`, default 40, by first-run time) at 2-decimal
+  * `SPARK_GRAFT_HEADLINE`, default 30, by first-run time) at 2-decimal
   * precision — worst case ~1.4 KB, safely inside the tail window with
   * sbt's trailer after it. Everything else moves to
   * `SPARK_GRAFT_BENCH_DETAIL` (default `BENCH_FULL.json` in the cwd):
@@ -29,8 +29,28 @@ import org.apache.spark.sql.SparkSession
   *   - `canary_before_sec` / `canary_after_sec` / `canary_drift` — a
   *     fixed single-threaded 10^8-step integer loop timed before and
   *     after the suite; on an idle machine drift ≈ 1.0, under external
-  *     load it rises with the stolen cycles. `contended: true` when
-  *     drift > 1.5 — treat every number in that file as suspect.
+  *     load it rises with the stolen cycles.
+  *   - MID-RUN probe (r2/r4 lesson: two driver sittings were ~2.3x
+  *     inflated by contention that started and ended INSIDE the suite,
+  *     which a bracketing canary provably cannot see): a daemon thread
+  *     samples every ~2 s, recording BOTH (a) the canary loop's
+  *     slowdown vs the pre-suite baseline and (b) FOREIGN CPU load —
+  *     system-wide load minus this JVM's own — via
+  *     `com.sun.management.OperatingSystemMXBean`. (b) is the
+  *     load-bearing signal: a competing Spark suite's parallel bursts
+  *     are intermittent, so a sampled single-thread loop mostly
+  *     schedules clean even at 2x thread oversubscription (measured:
+  *     70%-inflated sitting, probe p95 1.17) — but its CPU seconds
+  *     cannot hide from /proc. A sample is `slow` when the canary
+  *     ratio exceeds 1.5 OR foreign load exceeds 0.2 of the machine;
+  *     `mid_contended` trips at >= 3 slow samples (a lone one is a GC
+  *     pause or a stray cron tick, not a sitting-invalidating event).
+  *     The detail file adds per-query `probe_max_ratio` /
+  *     `foreign_max` and the `probe_contended` list of queries whose
+  *     window overlapped a slow sample. `contended: true` when drift
+  *     > 1.5 OR mid_contended — treat every number in that sitting as
+  *     suspect. Self-noise guard: our own GC/compile threads count as
+  *     THIS process, so foreign load stays ~0 on a solo sitting.
   *   - `shuffle_mb` / `spill_mb` (detail file) — per-query shuffle
   *     write volume and spill bytes (task-metrics totals over the
   *     repeats, averaged per run). Wall-clock says how long a query
@@ -94,6 +114,29 @@ object Bench {
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt max 1
+    // Mid-run contention probe: (endNanos, canarySec, foreignLoad) ~2 s.
+    val probes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Double)]
+    val probeSink = new AtomicLong(0L)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // prime the /proc tick counters so the first real read has a window
+    osBean.getCpuLoad(); osBean.getProcessCpuLoad()
+    @volatile var probeOn = true
+    val probeThread = new Thread(() => {
+      while (probeOn) {
+        val (sec, acc) = timeCanary()
+        val sys = osBean.getCpuLoad()
+        val self = osBean.getProcessCpuLoad()
+        val foreign =
+          if (sys.isNaN || self.isNaN || sys < 0 || self < 0) 0.0
+          else math.max(0.0, sys - self)
+        probeSink.addAndGet(acc): Unit
+        probes.add((System.nanoTime(), sec, foreign)): Unit
+        Thread.sleep(2000)
+      }
+    }, "bench-contention-probe")
+    probeThread.setDaemon(true)
+    probeThread.start()
     val shuffleBytes = new AtomicLong(0L)
     val spillBytes = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -105,10 +148,13 @@ object Bench {
         }
       }
     })
+    // per query: start/end nanos of its measurement window, for probe overlap
+    val windows = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     // per query: (first s, min-of-N s, shuffle MB/run, spill MB/run); -1 = failed
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+        val qStart = System.nanoTime()
         val (sh0, sp0) = (shuffleBytes.get(), spillBytes.get())
         val times = (1 to repeat).flatMap { _ =>
           // Operators that persist() intermediates register plans in the
@@ -135,26 +181,62 @@ object Bench {
         val runs = times.size max 1
         val shuffleMb = (shuffleBytes.get() - sh0) / 1e6 / runs
         val spillMb = (spillBytes.get() - sp0) / 1e6 / runs
+        windows(name) = (qStart, System.nanoTime())
         name -> (times.headOption.getOrElse(-1.0),
                  if (times.nonEmpty) times.min else -1.0,
                  shuffleMb, spillMb)
       }
+    probeOn = false
     val (canaryAfter, sink1) = timeCanary()
     val drift = canaryAfter / canaryBefore
+    // Probe verdicts: canary ratio vs pre-suite baseline + foreign load.
+    val samples = {
+      import scala.jdk.CollectionConverters._
+      probes.asScala.toVector
+        .map { case (t, s, f) => (t, s / canaryBefore, f) }
+    }
+    def isSlow(r: Double, f: Double): Boolean = r > 1.5 || f > 0.2
+    val slowProbes = samples.filter { case (_, r, f) => isSlow(r, f) }
+    val midContended = slowProbes.size >= 3
+    val probeP95 =
+      if (samples.isEmpty) 0.0
+      else samples.map(_._2).sorted.apply(((samples.size - 1) * 95) / 100)
+    val foreignMax = samples.map(_._3).foldLeft(0.0)(_ max _)
+    def within(w: (Long, Long)) =
+      samples.filter { case (t, _, _) => t >= w._1 && t <= w._2 }
+    def probeMaxIn(w: (Long, Long)): Double =
+      within(w).map(_._2).foldLeft(0.0)(_ max _)
+    def foreignMaxIn(w: (Long, Long)): Double =
+      within(w).map(_._3).foldLeft(0.0)(_ max _)
+    val probeContended = windows.collect {
+      case (name, w) if within(w).exists { case (_, r, f) => isSlow(r, f) } => name
+    }.toSeq
     def jmap(sel: ((Double, Double, Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f3(sel(v)) }.mkString("{", ",", "}")
     val totalFirst = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     val canaryFields =
       s""""canary_before_sec":${f3(canaryBefore)},"canary_after_sec":${f3(canaryAfter)}""" +
-      s""","canary_drift":${f3(drift)},"contended":${drift > 1.5}""" +
-      s""","canary_sink":${(sink0 ^ sink1) & 0xff}"""
+      s""","canary_drift":${f3(drift)},"probe_n":${samples.size}""" +
+      s""","probe_slow":${slowProbes.size},"probe_p95":${f3(probeP95)}""" +
+      s""","foreign_max":${f3(foreignMax)},"mid_contended":$midContended""" +
+      s""","contended":${drift > 1.5 || midContended}""" +
+      s""","canary_sink":${(sink0 ^ sink1 ^ probeSink.get()) & 0xff}"""
     // Full detail file: every query, both protocols, shuffle/spill.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL.json")
+    val probeMaxJson = windows
+      .map { case (k, w) => "\"" + k + "\":" + f2(probeMaxIn(w)) }
+      .mkString("{", ",", "}")
+    val foreignMaxJson = windows
+      .map { case (k, w) => "\"" + k + "\":" + f2(foreignMaxIn(w)) }
+      .mkString("{", ",", "}")
+    val probeContJson = probeContended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail = s"""{"metric":"total","value":${f3(totalFirst)},"unit":"sec"""" +
       s""","protocol":"first-of-$repeat","queries":${jmap(_._1)}""" +
       s""","total_min":${f3(totalMin)},"queries_min":${jmap(_._2)}""" +
       s""","shuffle_mb":${jmap(_._3)},"spill_mb":${jmap(_._4)}""" +
+      s""","probe_max_ratio":$probeMaxJson,"foreign_max_by_query":$foreignMaxJson""" +
+      s""","probe_contended":$probeContJson""" +
       s""",$canaryFields,"sf":"$sfDir"}"""
     try Files.write(Paths.get(detailPath), detail.getBytes(StandardCharsets.UTF_8)): Unit
     catch {
@@ -163,7 +245,7 @@ object Bench {
     }
     // Compact stdout line: totals + canary + headline queries only —
     // must stay well under the driver's 2000-char stdout tail window.
-    val headline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "40").toInt
+    val headline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "30").toInt
     val top = results.sortBy { case (_, v) => -(v._1 max v._2) }.take(headline)
       .sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f2(v._1) }.mkString("{", ",", "}")
