@@ -86,6 +86,19 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, acc)
   }
 
+  /** The q111/q113/q125/q128 summaries run intentionally-unpartitioned
+    * windows over <=31-row bucket/source/spine frames — correct at any
+    * scale, but WindowExec logs a per-task warning that ate a third of
+    * the r4 driver's 2000-char stdout tail. A constant partition key
+    * can't silence it (Catalyst folds foldable partition expressions
+    * away, verified), so the harness mains drop that one logger to
+    * ERROR; library users still see the warning on genuinely skewed
+    * windows of their own. */
+  def silenceKnownBenignWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Locale-pinned fixed-point formatting — JSON-valid on any JVM. */
   private def f2(v: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(v))
   private def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
@@ -99,6 +112,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceKnownBenignWarnings()
     // JIT-warm the canary loop so `before` measures the machine, not
     // the interpreter; then take the pre-suite reading.
     canaryWork(); canaryWork()
