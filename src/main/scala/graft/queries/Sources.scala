@@ -235,20 +235,48 @@ object Sources {
     * null semantics survive. The oracle reproduces the union
     * explicitly from the original table.
     *
-    * Scale note: mergeSchema unions FOOTERS (a metadata operation per
-    * file, parallelized by Spark) — data pages of absent columns are
-    * never read; with thousands of files, pin a user schema via
-    * `.schema(...)` instead to skip footer reads entirely. */
+    * Scale note: mergeSchema unions FOOTERS — a metadata job touching
+    * EVERY file before the query can even plan; at 25M files that is
+    * the metadata-store killer q87's compaction fixes elsewhere. The
+    * declared query therefore runs [[pinnedEvolvedRead]] — the evolved
+    * schema pinned via `.schema(...)`, zero footer reads, no inference
+    * job at all — and SourcesSpec pins the two paths value-equal plus
+    * the no-job property; [[mergedEvolvedRead]] stays the discovery
+    * path for when the evolved schema is genuinely unknown. */
+  def mergedEvolvedRead(s: SparkSession, paths: String*): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  def pinnedEvolvedRead(s: SparkSession,
+                        schema: org.apache.spark.sql.types.StructType,
+                        paths: String*): DataFrame =
+    s.read.schema(schema).parquet(paths: _*)
+
+  /** The evolved union schema of the q121 generations — what a catalog
+    * would serve in place of footer discovery. */
+  def evolvedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("source", StringType)))
+  }
+
+  /** Writes the two schema generations of the documents table and
+    * returns their paths — shared by q121 and SourcesSpec. */
+  def writeEvolvedGenerations(s: SparkSession, dir: String): (String, String) = {
+    val out = scratch("evolve")
+    val docs = Tables(s, dir, "documents")
+    docs.select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/v1")
+    docs.select(col("doc_id"), col("n_chars"), col("source"))
+      .write.mode("overwrite").parquet(s"$out/v2")
+    (s"$out/v1", s"$out/v2")
+  }
+
   val q121 = Q(
     "q121_schema_merge",
     (s, dir) => {
-      val out = scratch("evolve")
-      val docs = Tables(s, dir, "documents")
-      docs.select(col("doc_id"), col("lang"))
-        .write.mode("overwrite").parquet(s"$out/v1")
-      docs.select(col("doc_id"), col("n_chars"), col("source"))
-        .write.mode("overwrite").parquet(s"$out/v2")
-      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      val (v1, v2) = writeEvolvedGenerations(s, dir)
+      pinnedEvolvedRead(s, evolvedSchema, v1, v2)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
           min(col("source")).as("first_src"))
@@ -264,8 +292,8 @@ object Sources {
       SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
              MIN(source) AS first_src
       FROM m GROUP BY lang ORDER BY lang NULLS FIRST"""),
-    doc = "S14: mergeSchema footer-union read across schema generations; " +
-      "absent columns are NULL, no data rewrite")
+    doc = "S14: schema-evolution read across generations — pinned user " +
+      "schema, zero footer reads; absent columns are NULL, no data rewrite")
 
   /** q134 — ORC write→read roundtrip (S15): the other columnar format
     * Spark bundles natively (orc-core in /opt/spark/jars). Same
