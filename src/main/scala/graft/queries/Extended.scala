@@ -117,7 +117,13 @@ object Extended {
     * then each query searches ONLY its own cluster — the inverted-file
     * pruning that replaces an O(N) scan per query with O(N/k).
     * All distances are sequential folds (VectorOps contract) so
-    * assignment and ranking are bit-identical cross-engine. */
+    * assignment and ranking are bit-identical cross-engine.
+    *
+    * This fixed 1-probe form is the oracle-able contract; the tunable
+    * scale path is [[graft.operators.IvfAnn]], whose scaladoc carries
+    * the measured probe-count/recall trade-off table and whose spec
+    * pins recall floors (structureless ≥ 0.8·nProbe/k, clustered
+    * ≥ 0.95 at one probe, exactly 1.0 at nProbe = k). */
   val q69 = Q(
     "q69_ivf_ann",
     (s, dir) => {
