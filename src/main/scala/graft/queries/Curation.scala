@@ -560,9 +560,17 @@ object Curation {
         .withColumn("rk", row_number().over(wRem))
         .withColumn("quota", $"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
         .select($"source", $"quota")
-      val wPick = Window.partitionBy($"source")
-        .orderBy(md5(concat(lit("qs:"), $"doc_id".cast("string"))), $"doc_id")
-      docs.select($"doc_id", $"source")
+      // quota <= 100 by construction (quotas sum to 100), so the pick
+      // is a top-100-per-source — q29's two-phase salted device, not a
+      // one-task-per-source window (the r5 audit's skew family)
+      val pickKey = md5(concat(lit("qs:"), $"doc_id".cast("string")))
+      val wSalt = Window.partitionBy($"source", $"__salt")
+        .orderBy($"pick_key", $"doc_id")
+      val wPick = Window.partitionBy($"source").orderBy($"pick_key", $"doc_id")
+      docs.select($"doc_id", $"source", pickKey.as("pick_key"),
+          pmod(hash($"doc_id"), lit(32)).as("__salt"))
+        .withColumn("spick", row_number().over(wSalt))
+        .filter($"spick" <= 100)
         .withColumn("pick", row_number().over(wPick))
         .join(broadcast(quotas), Seq("source"))
         .filter($"pick" <= $"quota")

@@ -541,9 +541,18 @@ object Extended {
     (s, dir) => {
       import s.implicits._
       val rankKey = md5(concat($"doc_id".cast(StringType), lit(":sample")))
+      // q29's two-phase salted top-k: a window over |langs| keys caps
+      // parallelism at a handful of reducers at any cluster size (the
+      // r5 audit's skew family); phase 1 keeps 3 per (lang, salt),
+      // phase 2 ranks the <= langs*salts*3 survivors — identical rows.
+      val salted = Window.partitionBy($"lang", $"__salt")
+        .orderBy($"rank_key", $"doc_id")
       val w = Window.partitionBy($"lang").orderBy($"rank_key", $"doc_id")
       Tables(s, dir, "documents")
-        .select($"doc_id", $"lang", rankKey.as("rank_key"))
+        .select($"doc_id", $"lang", rankKey.as("rank_key"),
+          pmod(hash($"doc_id"), lit(32)).as("__salt"))
+        .withColumn("srn", row_number().over(salted))
+        .filter($"srn" <= 3)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
         .select($"lang", $"rn", $"doc_id")

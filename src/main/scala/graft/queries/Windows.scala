@@ -20,22 +20,48 @@ import Exact._
   */
 object Windows {
 
-  /** q25 — ranking family: row_number, rank, dense_rank, ntile (W1). */
+  /** q25 — ranking family: row_number, rank, dense_rank, ntile (W1).
+    *
+    * De-skewed (r5 audit): `PARTITION BY o_orderstatus` is a 3-value
+    * key — one task per status at any cluster size. All four rank
+    * functions decompose over [[graft.operators.PrefixScan]]:
+    * row_number is the weight-1 scan over raw rows; rank is the
+    * strict-prefix row count of the order-DAY summary + 1; dense_rank
+    * is the day's position among distinct days (a weight-1 scan of the
+    * same summary); ntile(4) is pure integer math on (row_number, n) —
+    * SQL-standard big-buckets-first: with b = n div 4, r = n mod 4,
+    * the first r tiles take b+1 rows. Shuffles: one well-distributed
+    * (status, quarter-bucket) data shuffle + one day-summary aggregate
+    * + a broadcast of the ~2.5k-day summary — same volume as the
+    * single skewed window, minus the 3-task cap. */
   val q25 = Q(
     "q25_ranking",
     (s, dir) => {
       import s.implicits._
-      val day = to_date($"o_orderdate")
-      // rank/dense_rank over the (tied) day; row_number/ntile over the
-      // unique (day, orderkey) order.
-      val tied = Window.partitionBy($"o_orderstatus").orderBy(day)
-      val uniq = Window.partitionBy($"o_orderstatus").orderBy(day, $"o_orderkey")
-      Tables(s, dir, "orders")
+      import graft.operators.PrefixScan
+      val bucket = (c: org.apache.spark.sql.Column) =>
+        datediff(c, lit("1992-01-01").cast("date")) / 90
+      val base = Tables(s, dir, "orders")
         .select($"o_orderkey", $"o_orderstatus",
-          rank().over(tied).as("rnk"),
-          dense_rank().over(tied).as("drnk"),
-          row_number().over(uniq).as("rn"),
-          ntile(4).over(uniq).as("quartile"))
+          to_date($"o_orderdate").as("day"), lit(1L).as("one"))
+      val scanned = PrefixScan.inclusive(base, Seq("o_orderstatus"), "day",
+        Seq("o_orderkey"), "one", bucket, "rn", Some("n"))
+      val summary = scanned.groupBy($"o_orderstatus", $"day")
+        .agg(count(lit(1)).as("cnt"))
+      val ranks = PrefixScan.inclusive(summary, Seq("o_orderstatus"), "day",
+          Nil, "cnt", bucket, "cum_le")
+        .withColumn("rnk", $"cum_le" - $"cnt" + 1)
+        .withColumn("uno", lit(1L))
+      val dense = PrefixScan.inclusive(ranks, Seq("o_orderstatus"), "day",
+          Nil, "uno", bucket, "drnk")
+        .select($"o_orderstatus", $"day", $"rnk", $"drnk")
+      scanned.join(broadcast(dense), Seq("o_orderstatus", "day"))
+        .withColumn("b", expr("n div 4")).withColumn("r", expr("n % 4"))
+        .select($"o_orderkey", $"o_orderstatus",
+          $"rnk".cast("int").as("rnk"), $"drnk".cast("int").as("drnk"),
+          $"rn".cast("int").as("rn"),
+          expr("CAST(CASE WHEN rn <= r * (b + 1) THEN (rn + b) div (b + 1) " +
+            "ELSE r + (rn - r * (b + 1) + b - 1) div b END AS INT)").as("quartile"))
         .orderBy($"o_orderkey")
     },
     Some("""
@@ -47,7 +73,8 @@ object Windows {
         ntile(4) OVER (PARTITION BY o_orderstatus
                        ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS quartile
       FROM orders ORDER BY o_orderkey"""),
-    doc = "W1: one shuffle on o_orderstatus serves all four rank functions")
+    doc = "W1: all four rank functions from one PrefixScan data shuffle + " +
+      "a day-summary broadcast (no one-task-per-status window)")
 
   /** q26 — lag / lead over per-user event streams (W2). */
   val q26 = Q(

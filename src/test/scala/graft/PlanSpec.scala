@@ -229,6 +229,32 @@ class PlanSpec extends SparkSpecBase {
     assertWindowsDeskewed(queries.Curation.q130.build(spark, sf), Set("source"))
   }
 
+  test("REGISTRY-WIDE skew guard: every window partitioned only by known " +
+    "low-cardinality columns runs over an aggregate or phase-2 top-k " +
+    "survivors, never one-task-per-value over raw data") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // columns with O(1)-vs-corpus cardinality in this schema: a window
+    // partitioned ONLY by these caps at one task per value forever
+    val lowCard = Set("o_orderstatus", "l_returnflag", "l_linestatus",
+      "source", "lang", "c_mktsegment", "event_type", "r_name", "n_name")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sf)
+      val bad = df.queryExecution.sparkPlan
+        .collect { case w: WindowExec => w }
+        .filter { w =>
+          val refs = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+          val overAgg = w.child.collect { case a: BaseAggregateExec => a }.nonEmpty
+          // phase-2 of salted top-k: ranks only phase-1 survivors
+          val overWin = w.child.collect { case x: WindowExec => x }.nonEmpty
+          refs.nonEmpty && refs.subsetOf(lowCard) && !overAgg && !overWin
+        }
+      spark.catalog.clearCache()
+      bad.map(w => s"$name: ${w.partitionSpec.mkString(",")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("composite workload plans: dims broadcast, date filters reach the " +
     "scans, top-k fuses — the aggregate is never globally sorted") {
     val q97 = queries.Workload.q97.build(spark, sf)
