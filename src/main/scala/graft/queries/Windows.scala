@@ -266,5 +266,38 @@ object Windows {
       ORDER BY user_id, session_id"""),
     doc = "Q25/T4 batch twin: gap>30min starts a session; one shuffle + one agg")
 
-  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30)
+  /** q138 — GLOBAL running revenue (W9): each order's cumulative
+    * revenue position in the (date, orderkey) total order across the
+    * WHOLE table — `SUM(...) OVER (ORDER BY day, key)` with no
+    * partition at all, the degenerate window Spark executes as a
+    * single-task global sort no matter the cluster ("Moving all data
+    * to a single partition"). [[graft.operators.PrefixScan]] with an
+    * EMPTY group is exactly this computation distributed: quarterly
+    * date buckets shard the sort, bucket subtotal offsets broadcast
+    * back, and the money stays exact DECIMAL through the cumulative
+    * sum (q27's run_total device, globally). The de-skew flagship:
+    * the one-task window family's worst case, oracle-hash-identical. */
+  val q138 = Q(
+    "q138_global_running_revenue",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.PrefixScan
+      val bucket = (c: org.apache.spark.sql.Column) =>
+        datediff(c, lit("1992-01-01").cast("date")) / 90
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey", to_date($"o_orderdate").as("day"),
+          money($"o_totalprice").as("rev"))
+      PrefixScan.inclusive(base, Nil, "day", Seq("o_orderkey"), "rev",
+          bucket, "cum")
+        .select($"o_orderkey", $"day", toDbl($"cum").as("run_revenue"))
+        .orderBy($"o_orderkey")
+    },
+    Some(s"""
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+        ${sqlToDbl(s"SUM(${sqlMoney("o_totalprice")}) OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS run_revenue
+      FROM orders ORDER BY o_orderkey"""),
+    doc = "W9: unpartitioned global running sum via empty-group PrefixScan — " +
+      "no single-task global sort; exact DECIMAL money")
+
+  val all: Seq[Q] = Seq(q25, q26, q27, q28, q29, q30, q138)
 }
