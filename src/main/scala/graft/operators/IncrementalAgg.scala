@@ -88,4 +88,46 @@ object IncrementalAgg {
   def estimateDistinct(summary: DataFrame, keyCols: Seq[String]): DataFrame =
     summary.select(keyCols.map(col) :+
       hll_sketch_estimate(col("sketch")).as("n_distinct_est"): _*)
+
+  // ---- EXACT quantile maintenance via value histograms (X50). Exact
+  // quantiles are not mergeable as scalars (the median of medians is
+  // not the median) — but the per-key VALUE HISTOGRAM (value, count)
+  // is, by plain +, and over a quantized domain (2dp money, integer
+  // lengths, bucketed floats) it is value-domain-sized, not
+  // fact-sized. Quantiles then read out as exact rank statistics: the
+  // value at rank ceil(q·n) is min{v : 100·cum(v) >= q·n}, computed by
+  // a [[PrefixScan]] over the histogram — q105's boundary device, made
+  // incrementally maintainable. Unlike KLL/t-digest sketches
+  // (randomized compaction, merges not bit-reproducible), base ⊕ delta
+  // here IS the full-rebuild histogram, so maintained quantiles equal
+  // the full re-aggregate EXACTLY — they hash-match a DuckDB oracle
+  // (q139), no tolerance gate needed.
+
+  /** (keyCols..., valueCol, cnt) — mergeable histogram summary. */
+  def summarizeHist(facts: DataFrame, keyCols: Seq[String],
+                    valueCol: String): DataFrame =
+    facts.groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold a delta histogram into a prior one (counts add). */
+  def mergeHist(prior: DataFrame, delta: DataFrame, keyCols: Seq[String],
+                valueCol: String): DataFrame =
+    prior.unionByName(delta)
+      .groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Exact percentiles from a histogram: one PrefixScan + one
+    * aggregation. `percentiles` maps output column name -> integer
+    * percent (value at rank ceil(p·n/100), the q105 rank statistic). */
+  def histQuantiles(hist: DataFrame, keyCols: Seq[String], valueCol: String,
+                    bucket: Column => Column,
+                    percentiles: Seq[(String, Int)]): DataFrame = {
+    val scanned = PrefixScan.inclusive(hist, keyCols, valueCol, Nil, "cnt",
+      bucket, "__cum", Some("__n"))
+    val aggs = count(lit(1)).as("n_values") +:
+      percentiles.map { case (name, p) =>
+        min(when(col("__cum") * 100 >= col("__n") * p, col(valueCol))).as(name)
+      }
+    scanned.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -67,10 +67,16 @@ object PrefixScan {
     require(!df.columns.exists(reserved.contains),
       s"PrefixScan: input must not contain reserved columns ${reserved.mkString("/")}")
     val keyCols = groupCols :+ "__pb"
+    // A NULL order value would bucket to NULL and silently vanish at
+    // the offset join (dropped rows, not an error) — the MergeInto
+    // loud-failure precedent: enforce the precondition in-plan.
+    val guardedBucket = when(col(valueCol).isNotNull, bucket(col(valueCol)))
+      .otherwise(raise_error(lit(
+        s"PrefixScan: NULL in order column '$valueCol' — filter or impute upstream")))
     val wLocal = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((valueCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = df.withColumn("__pb", bucket(col(valueCol)).cast("long"))
+    val local = df.withColumn("__pb", guardedBucket.cast("long"))
       .withColumn("__loc", sum(col(weightCol)).over(wLocal))
     // Bucket totals: same (group, bucket) clustering as wLocal, so no
     // second data shuffle; both windows below run over the tiny bucket

@@ -407,5 +407,58 @@ object Workload {
     doc = "X38: MERGE INTO — full-outer join + per-column resolution; " +
       "updates, deletes and inserts in one shuffle per side")
 
-  val all: Seq[Q] = Seq(q97, q98, q99, q100, q101, q102, q105, q110, q112)
+  /** q139 — incremental EXACT quantile maintenance (X50): per-status
+    * P50/P95 of order value kept fresh across two delta refreshes.
+    * Exact quantiles are not mergeable as scalars, but the per-key
+    * VALUE HISTOGRAM is (counts add), and over the 2dp money domain it
+    * is value-domain-sized; quantiles read out as exact rank
+    * statistics via [[graft.operators.PrefixScan]] (q105's boundary
+    * device). Unlike KLL/t-digest (randomized compaction, merges not
+    * bit-reproducible), base ⊕ delta IS the full-rebuild histogram, so
+    * the maintained quantiles hash-match the full-table DuckDB rank
+    * statistic — the oracle never sees the refresh structure at all.
+    * Scale shape: each refresh aggregates only its delta (map-side
+    * combinable) and merges summaries sized by distinct values, never
+    * re-scanning history; the readout is one metadata-sized scan. */
+  val q139 = Q(
+    "q139_incremental_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      val keys = Seq("o_orderstatus")
+      val facts = Tables(s, dir, "orders")
+        .select($"o_orderstatus", $"o_totalprice", $"o_orderdate")
+      val cut1 = lit("1996-01-01").cast(TimestampType)
+      val cut2 = lit("1997-06-01").cast(TimestampType)
+      val base = IncrementalAgg.summarizeHist(
+        facts.filter($"o_orderdate" < cut1), keys, "o_totalprice")
+      val h1 = IncrementalAgg.mergeHist(base,
+        IncrementalAgg.summarizeHist(
+          facts.filter($"o_orderdate" >= cut1 && $"o_orderdate" < cut2),
+          keys, "o_totalprice"), keys, "o_totalprice")
+      val h2 = IncrementalAgg.mergeHist(h1,
+        IncrementalAgg.summarizeHist(
+          facts.filter($"o_orderdate" >= cut2), keys, "o_totalprice"),
+        keys, "o_totalprice")
+      IncrementalAgg.histQuantiles(h2, keys, "o_totalprice", _ / 10000d,
+          Seq("p50" -> 50, "p95" -> 95))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        FROM orders)
+      SELECT o_orderstatus,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_values,
+             MAX(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN o_totalprice END) AS p50,
+             MAX(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN o_totalprice END) AS p95
+      FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    doc = "X50: incremental exact quantile maintenance — mergeable value " +
+      "histogram + PrefixScan rank statistics; base+delta merges hash-match " +
+      "the full-table oracle exactly (no sketch tolerance)")
+
+  val all: Seq[Q] = Seq(q97, q98, q99, q100, q101, q102, q105, q110, q112, q139)
 }

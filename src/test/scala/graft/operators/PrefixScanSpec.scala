@@ -70,6 +70,50 @@ class PrefixScanSpec extends SparkSpecBase {
     assert(got === exp)
   }
 
+  test("a NULL order value fails loudly instead of silently dropping rows") {
+    val withNull = Seq(("a", Some(1d), 1L, 1L), ("a", None, 2L, 1L))
+      .toDF("g", "v", "tie", "w")
+    val ex = intercept[Exception] {
+      PrefixScan.inclusive(withNull, Seq("g"), "v", Seq("tie"), "w", _ / 2d, "cum")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("PrefixScan") &&
+      m.contains("NULL")))
+  }
+
+  test("incremental histogram quantiles: base + deltas merge to EXACTLY the " +
+    "full-rebuild histogram and quantiles (X50 law)") {
+    val full = data.select($"g", $"v")
+    val p0 = data.filter($"tie" % 3 === 0).select($"g", $"v")
+    val p1 = data.filter($"tie" % 3 === 1).select($"g", $"v")
+    val p2 = data.filter($"tie" % 3 === 2).select($"g", $"v")
+    val keys = Seq("g")
+    val merged = IncrementalAgg.mergeHist(
+      IncrementalAgg.mergeHist(
+        IncrementalAgg.summarizeHist(p0, keys, "v"),
+        IncrementalAgg.summarizeHist(p1, keys, "v"), keys, "v"),
+      IncrementalAgg.summarizeHist(p2, keys, "v"), keys, "v")
+    val rebuild = IncrementalAgg.summarizeHist(full, keys, "v")
+    def canonH(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(canonH(merged) === canonH(rebuild))
+    def canonQ(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val qs = Seq("p50" -> 50, "p95" -> 95)
+    assert(canonQ(IncrementalAgg.histQuantiles(merged, keys, "v", _ / 8d, qs))
+      === canonQ(IncrementalAgg.histQuantiles(rebuild, keys, "v", _ / 8d, qs)))
+    // and the rank statistic itself matches percentile_disc semantics:
+    // p50 of each group is a real value with >= 50% of rows at or below
+    val got = IncrementalAgg.histQuantiles(rebuild, keys, "v", _ / 8d, qs)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for ((g, p50) <- got) {
+      val vals = data.filter($"g" === g).select($"v").collect().map(_.getDouble(0)).sorted
+      assert(vals(math.ceil(vals.length * 0.5).toInt - 1) === p50, s"group $g")
+    }
+  }
+
   test("reserved working columns are rejected up front") {
     val bad = Seq(("a", 1d, 1L, 1L)).toDF("g", "v", "__pb", "w")
     val ex = intercept[IllegalArgumentException] {
