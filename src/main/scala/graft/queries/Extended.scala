@@ -784,7 +784,58 @@ object Extended {
         "byte-identical SQL both engines")
   }
 
+  /** q140 — multi-probe IVF ANN (N13b): the [[graft.operators.IvfAnn]]
+    * nProbe=2 path under the oracle gate. Every step is deterministic
+    * exact-fold math (centroid ranking by exact L2 with ties to the
+    * smaller id, candidate cosines as sequential folds), so unlike
+    * real ANN libraries the approximate answer is reproducible enough
+    * to hash-match a SQL twin — the oracle mirrors the probe set
+    * (top-2 centroid cells per query) and re-derives identical top-3
+    * neighbors. Recall floors for arbitrary nProbe live in IvfAnnSpec;
+    * this query pins the operator's end-to-end plumbing cross-engine. */
+  val q140 = Q(
+    "q140_ivf_multiprobe",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.IvfAnn
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      val assigned = IvfAnn.assign(emb, "vec_id", "embedding", cents)
+      val queries = emb.filter($"vec_id" >= 8 && $"vec_id" < 12)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      IvfAnn.topK(assigned, "vec_id", "embedding", queries, cents,
+          k = 3, nProbe = 2)
+        .orderBy($"q_id", $"rn")
+    },
+    Some {
+      val dA = s"(${VectorOps.dotSql("e.embedding", "e.embedding")} - 2 * ${VectorOps.dotSql("e.embedding", "c.c_vec")}) + ${VectorOps.dotSql("c.c_vec", "c.c_vec")}"
+      val dQ = s"(${VectorOps.dotSql("q.q_vec", "q.q_vec")} - 2 * ${VectorOps.dotSql("q.q_vec", "c.c_vec")}) + ${VectorOps.dotSql("c.c_vec", "c.c_vec")}"
+      s"""
+      WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+      a AS (SELECT e.vec_id, e.embedding, c.c_id, $dA AS d2
+            FROM embeddings e, cents c),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn FROM a),
+      assign AS (SELECT vec_id, embedding, c_id FROM r WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+            WHERE vec_id >= 8 AND vec_id < 12),
+      pr AS (SELECT q.q_id, q.q_vec, c.c_id, $dQ AS d2
+             FROM q, cents c),
+      probed AS (SELECT q_id, q_vec, c_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, c_id ASC) AS rn
+          FROM pr) WHERE rn <= 2),
+      cand AS (SELECT p.q_id, a.vec_id,
+                 ${VectorOps.cosineSql("p.q_vec", "a.embedding")} AS cos
+               FROM assign a JOIN probed p ON a.c_id = p.c_id AND a.vec_id <> p.q_id),
+      rr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn FROM cand)
+      SELECT q_id, rn, vec_id, cos FROM rr WHERE rn <= 3
+      ORDER BY q_id, rn"""
+    },
+    doc = "N13b: multi-probe IVF under the oracle gate — deterministic " +
+      "exact-fold math makes even the APPROXIMATE path hash-reproducible " +
+      "cross-engine; tunable-recall operator is IvfAnn (spec-pinned floors)")
+
   val all: Seq[Q] =
     Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-      q79, q80, q81, q84, q85, q88, q103, q114, q116)
+      q79, q80, q81, q84, q85, q88, q103, q114, q116, q140)
 }

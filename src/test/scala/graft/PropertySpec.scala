@@ -156,4 +156,34 @@ class PropertySpec extends SparkSpecBase {
         s"guarantee violated for run=$run")
     }
   }
+
+  test("law: PrefixScan inclusive cum == single-window running sum on " +
+    "generated data, for any bucket width incl. negative values and ties") {
+    import org.apache.spark.sql.expressions.Window
+    val gen: Gen[(List[(String, Double, Long, Long)], Double)] = for {
+      rows <- Gen.listOfN(60, Gen.zip(
+        Gen.oneOf("g1", "g2", "g3"),
+        // coarse value grid forces ties; negatives exercise trunc-bucketing
+        Gen.choose(-20, 20).map(_.toDouble),
+        Gen.choose(0L, 1000000L),
+        Gen.choose(1L, 5L)))
+      width <- Gen.oneOf(1.0, 3.0, 7.5, 1e6)
+    } yield (rows, width)
+    samples(gen, 6).foreach { case (rows, width) =>
+      // tie column must be unique for a well-defined window order
+      val df = rows.zipWithIndex
+        .map { case ((g, v, _, w), i) => (g, v, i.toLong, w) }
+        .toDF("g", "v", "tie", "w")
+      val win = Window.partitionBy(col("g")).orderBy(col("v"), col("tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df.withColumn("cum", sum(col("w")).over(win))
+        .select("g", "tie", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = graft.operators.PrefixScan
+        .inclusive(df, Seq("g"), "v", Seq("tie"), "w", _ / width, "cum")
+        .select("g", "tie", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"width=$width")
+    }
+  }
 }

@@ -363,6 +363,35 @@ class StreamingSpec extends SparkSpecBase {
       (3L, 1L, 5L, 5L, 5L)))
   }
 
+  test("T12b: foreachBatch maintains an EXACT quantile histogram (X50) — " +
+    "streamed P50 equals the full batch rank statistic") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.IncrementalAgg
+    val b1 = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0))
+    val b2 = Seq(("a", 30.0), ("a", 20.0), ("b", 7.0), ("b", 9.0))
+    val stream = MemoryStream[(String, Double)](s)
+    var hist = IncrementalAgg.summarizeHist(
+        Seq.empty[(String, Double)].toDF("g", "v"), Seq("g"), "v")
+      .localCheckpoint()
+    val q = stream.toDF().toDF("g", "v").writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+        hist = IncrementalAgg.mergeHist(hist,
+            IncrementalAgg.summarizeHist(delta, Seq("g"), "v"), Seq("g"), "v")
+          .localCheckpoint()
+      }
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = IncrementalAgg.histQuantiles(hist, Seq("g"), "v", _ / 8d,
+        Seq("p50" -> 50, "p95" -> 95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // a: sorted [10,20,20,30] -> rank ceil(2)=2 -> 20; p95 rank 4 -> 30
+    // b: sorted [5,7,9] -> p50 rank 2 -> 7; p95 rank 3 -> 9
+    assert(got === Map("a" -> ((20.0, 30.0)), "b" -> ((7.0, 9.0))))
+  }
+
   test("T11: stream-stream join attributes clicks to impressions within " +
     "the event-time bound; out-of-window and unmatched rows drop") {
     val s = spark
