@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   *
   * Cost: ONE data-sized shuffle (step 2) + a metadata-sized summary
   * window + a broadcast — exactly what the single window costs, minus
-  * the skew. Callers with tie-heavy order values collapse ties FIRST
+  * the skew. (The bucket-totals branch re-scans the source with column
+  * pruning but shuffles only map-side-combined partials — PlanSpec
+  * pins "exactly one raw-data shuffle" on the whole plan.) Callers with tie-heavy order values collapse ties FIRST
   * (groupBy(group, value).count) and scan the distinct-value summary
   * with the count as weight — then rank-with-ties = exclusive cum + 1
   * and the scan input is value-domain-sized, not data-sized (q78,

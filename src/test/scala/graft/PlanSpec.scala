@@ -229,6 +229,30 @@ class PlanSpec extends SparkSpecBase {
     assertWindowsDeskewed(queries.Curation.q130.build(spark, sf), Set("source"))
   }
 
+  test("PrefixScan shuffles raw data exactly ONCE: every other exchange " +
+    "sits above a map-side partial aggregate (bucket totals, not rows)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), lit(1L).as("one"))
+    // sparkPlan has no exchanges yet (EnsureRequirements inserts them);
+    // disable AQE so executedPlan is a plain tree we can walk
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scanned = operators.PrefixScan.inclusive(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), "one",
+        _ / 2000d, "rk", Some("n"))
+      val plan = scanned.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      val rawDataShuffles = shuffles.filter(e =>
+        e.child.collect { case a: BaseAggregateExec => a }.isEmpty)
+      assert(shuffles.nonEmpty)
+      assert(rawDataShuffles.size === 1,
+        s"expected exactly one raw-data shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("REGISTRY-WIDE skew guard: every window partitioned only by known " +
     "low-cardinality columns runs over an aggregate or phase-2 top-k " +
     "survivors, never one-task-per-value over raw data") {
