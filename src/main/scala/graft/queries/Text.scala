@@ -429,6 +429,53 @@ object Text {
     doc = "N20: winnowing (MOSS) fingerprints — relational window-min over " +
       "exploded grams (one doc-id shuffle); summary columns pin the exact set")
 
+  /** q141 — token-budget shard packing (N28): the concatenate-then-
+    * split shard cut every pretraining pipeline runs — documents are
+    * laid end-to-end in a deterministic order and cut into fixed
+    * token-budget shards, so each doc's shard is its GLOBAL token
+    * offset div the budget (fluid fill; a doc whose span crosses the
+    * cut is flagged `straddles`, the rows a packer re-pads or splits).
+    * The global offset is an unpartitioned running sum — the q138
+    * skew case — computed by empty-group
+    * [[graft.operators.PrefixScan]]: no single-task sort at any
+    * corpus size. Whitespace token counts keep the oracle exact
+    * (q42's tokenizer contract); swap in the BPE-ish regex count for
+    * real budgets — the packing algebra is count-agnostic. */
+  val q141 = Q(
+    "q141_token_shards",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.PrefixScan
+      val budget = 512L
+      val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      PrefixScan.inclusive(docs, Nil, "doc_id", Nil, "n_tok",
+          _ / 1000L, "cum")
+        .select($"doc_id", $"n_tok",
+          expr(s"(cum - n_tok) div $budget").as("shard_id"),
+          expr(s"(cum - n_tok) % $budget").as("tok_offset"),
+          (expr(s"(cum - n_tok) % $budget") + $"n_tok" > budget)
+            .cast("int").as("straddles"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL),
+      c AS (
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM t)
+      SELECT doc_id, n_tok,
+             (cum - n_tok) // 512 AS shard_id,
+             (cum - n_tok) % 512 AS tok_offset,
+             CAST(((cum - n_tok) % 512) + n_tok > 512 AS INT) AS straddles
+      FROM c ORDER BY doc_id"""),
+    doc = "N28: token-budget shard packing — global token offsets via " +
+      "empty-group PrefixScan (no single-task sort), fluid fill with " +
+      "straddle flags")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95)
+    q91, q92, q95, q141)
 }
