@@ -440,7 +440,14 @@ object Text {
     * [[graft.operators.PrefixScan]]: no single-task sort at any
     * corpus size. Whitespace token counts keep the oracle exact
     * (q42's tokenizer contract); swap in the BPE-ish regex count for
-    * real budgets — the packing algebra is count-agnostic. */
+    * real budgets — the packing algebra is count-agnostic.
+    *
+    * Scale note on the bucket width: PrefixScan's precondition is a
+    * BOUNDED bucket count, and unlike the price/date axes elsewhere,
+    * the doc_id axis grows with the corpus — the fixed /1000 here fits
+    * the fixture; at corpus scale derive the width from a cheap
+    * count() (width ≈ N / 10⁴) or pre-bucket by file/partition id.
+    * Same plan either way. */
   val q141 = Q(
     "q141_token_shards",
     (s, dir) => {

@@ -129,4 +129,27 @@ class SpillSpec extends SparkSpecBase {
     info(s"pipeline spilled $bytes bytes under the squeezed budget")
     assert(easy.nonEmpty && tight === easy)
   }
+
+  test("PrefixScan spills its per-bucket window buffer when squeezed and " +
+    "the cumulative sums are bit-identical (de-skew path degrades, not OOMs)") {
+    val s = spark
+    import s.implicits._
+    def cums: Array[(Long, Long)] = {
+      val li = s.read.parquet(s"$sf/lineitem.parquet")
+        .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+          $"l_linenumber", lit(1L).as("one"))
+      operators.PrefixScan.inclusive(li, Seq("l_returnflag"),
+          "l_extendedprice", Seq("l_orderkey", "l_linenumber"), "one",
+          _ / 2000d, "rk", Some("n"))
+        .select($"l_orderkey" * 10 + $"l_linenumber", $"rk")
+        .as[(Long, Long)].collect().sortBy(_._1)
+    }
+    val (inMem, base) = withSpillTracking()(cums)
+    assert(base === 0L, "un-squeezed PrefixScan run unexpectedly spilled")
+    val (spilledRun, bytes) = withSpillTracking(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "16")(cums)
+    assert(bytes > 0L, "squeezed PrefixScan run did not spill")
+    assert(spilledRun.sameElements(inMem))
+  }
 }
