@@ -41,10 +41,13 @@ import org.apache.spark.sql.SparkSession
   *     are intermittent, so a sampled single-thread loop mostly
   *     schedules clean even at 2x thread oversubscription (measured:
   *     70%-inflated sitting, probe p95 1.17) — but its CPU seconds
-  *     cannot hide from /proc. A sample is `slow` when the canary
-  *     ratio exceeds 1.5 OR foreign load exceeds 0.2 of the machine;
-  *     `mid_contended` trips at >= 3 slow samples (a lone one is a GC
-  *     pause or a stray cron tick, not a sitting-invalidating event).
+  *     cannot hide from /proc. A sample is `slow` when FOREIGN load
+  *     exceeds 0.2 of the machine — the canary ratio is deliberately
+  *     NOT part of the verdict (it also counts our own GC pauses and
+  *     self-oversubscription, so long solo sittings would false-
+  *     positive; it ships as a diagnostic only). `mid_contended` trips
+  *     at >= 3 slow samples (a lone one is a stray cron tick, not a
+  *     sitting-invalidating event).
   *     The detail file adds per-query `probe_max_ratio` /
   *     `foreign_max` and the `probe_contended` list of queries whose
   *     window overlapped a slow sample. `contended: true` when drift
@@ -209,7 +212,12 @@ object Bench {
       probes.asScala.toVector
         .map { case (t, s, f) => (t, s / canaryBefore, f) }
     }
-    def isSlow(r: Double, f: Double): Boolean = r > 1.5 || f > 0.2
+    // The CONTENTION verdict keys on foreign load alone: the canary
+    // ratio also counts our own GC pauses and self-oversubscription, so
+    // on a long solo sitting >= 3 ratio-slow samples is expected noise,
+    // not evidence (self-review r5). Ratios stay in the artifact as
+    // diagnostics (probe_p95 / probe_max_ratio).
+    def isSlow(r: Double, f: Double): Boolean = f > 0.2
     val slowProbes = samples.filter { case (_, r, f) => isSlow(r, f) }
     val midContended = slowProbes.size >= 3
     val probeP95 =

@@ -41,18 +41,24 @@ import graft.functions.VectorOps
 object IvfAnn {
 
   /** Nearest-centroid cell per corpus vector: (idCol, vecCol, c_id).
+    * The argmin is a map-side-combinable `min(struct(d2, c_id, vec))`
+    * — lexicographic struct ordering gives exact-L2 ranking with ties
+    * to the smaller centroid id, and the k candidate rows per vector
+    * collapse to one BEFORE any exchange (a row_number window here
+    * would instead shuffle the k-times-expanded candidate set, vector
+    * payloads included). Shuffle: at most one combined row per vector.
     * @param cents (c_id, c_vec) — k rows, broadcast. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              cents: DataFrame): DataFrame = {
     val d2 = (VectorOps.normSq(col(vecCol)) -
       lit(2.0) * VectorOps.dot(col(vecCol), col("c_vec"))) +
       VectorOps.normSq(col("c_vec"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d2").asc, col("c_id").asc)
     corpus.crossJoin(broadcast(cents))
       .withColumn("__d2", d2)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("c_id"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d2").as("d"), col("c_id").as("c"),
+        col(vecCol).as("v"))).as("__m"))
+      .select(col(idCol), col("__m.v").as(vecCol), col("__m.c").as("c_id"))
   }
 
   /** Top-k cosine neighbors per query over the nProbe nearest cells.

@@ -68,10 +68,16 @@ object MergeInto {
     // never pays more than the count itself.
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
+    // NULL-key rows are EXEMPT from the guard: the join's null-unsafe
+    // equality never matches them to anything, so each is a plain
+    // insert — deterministic under SQL MERGE even when several share
+    // the NULL key (the window would lump them into one group and
+    // falsely reject).
+    val keysNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val guarded = source
       .withColumn("__kc", count(lit(1)).over(wk))
       .withColumn("__sp",
-        when(col("__kc") > 1, raise_error(concat(
+        when(keysNonNull && col("__kc") > 1, raise_error(concat(
           lit(s"MergeInto: source is not key-unique on (${keyCols.mkString(", ")}): key ("),
           concat_ws(", ", keyCols.map(k => col(k).cast("string")): _*),
           lit(") occurs "), col("__kc").cast("string"), lit(" times"))))

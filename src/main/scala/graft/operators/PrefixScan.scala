@@ -44,9 +44,12 @@ import org.apache.spark.sql.functions._
   * "query rows" ordered ahead of equal-valued data rows via `tieCols`,
   * so inclusive-cum at a query row reads count(v < x) exactly.
   *
-  * Preconditions: `valueCol` non-null; `bucket` monotone non-decreasing
-  * in the value; buckets-per-group bounded (pick width ~ domain /
-  * desired parallelism — the offset table must stay broadcast-small).
+  * Preconditions: `valueCol` non-null (enforced in-plan — a NULL order
+  * value has no rank); `bucket` monotone non-decreasing in the value;
+  * buckets-per-group bounded (pick width ~ domain / desired
+  * parallelism — the offset table must stay broadcast-small). NULL
+  * group values are fine: the offset join is null-safe, so they form
+  * one ordinary group exactly as PARTITION BY would.
   */
 object PrefixScan {
 
@@ -93,7 +96,18 @@ object PrefixScan {
     val offsets = totalCol.fold(totals)(n =>
         totals.withColumn(n, sum(col("__bt")).over(wAll)))
       .select(keyCols.map(col) ++ (col("__off") +: totalCol.toSeq.map(col)): _*)
-    local.join(broadcast(offsets), keyCols)
+    // NULL-SAFE join on the group keys: groupBy and window functions
+    // both treat NULL as an ordinary group, but a using-columns join is
+    // null-unsafe — it would silently DROP every NULL-group row (the
+    // valueCol guard's failure mode, wearing the group column). <=>
+    // keeps the two semantics aligned; __pb itself is never null (the
+    // valueCol guard raises first).
+    val off = offsets.alias("__ps_off")
+    val lhs = local.alias("__ps_loc")
+    lhs.join(broadcast(off),
+        keyCols.map(k => col(s"__ps_loc.$k") <=> col(s"__ps_off.$k")).reduce(_ && _))
+      .select(local.columns.map(c => col(s"__ps_loc.$c")) ++
+        (col("__ps_off.__off") +: totalCol.toSeq.map(n => col(s"__ps_off.$n"))): _*)
       .withColumn(cumCol, col("__off") + col("__loc"))
       .drop("__pb", "__loc", "__off")
   }

@@ -57,23 +57,32 @@ object SpatialJoin {
       col(keyCol).as("k"), col(latCol).as("lat"), col(lonCol).as("lon"),
       floor(col(latCol) / radiusDeg).cast("long").as("cx"),
       floor(col(lonCol) / radiusDeg).cast("long").as("cy"))
-    val hot = hotCells(p, maxCellSize)
+    // Lazy localCheckpoint: the hot-cell table feeds BOTH broadcast
+    // sites below, and the planner provably does not canonicalize the
+    // two broadcast subtrees to one (measured — the aggregation ran
+    // twice); checkpointing materializes the tiny table once on first
+    // use and the second broadcast reads the same blocks. Non-eager, so
+    // building the query plan stays job-free.
+    val hot = hotCells(p, maxCellSize).localCheckpoint(false)
     val home = p.join(broadcast(hot), Seq("cx", "cy"), "left")
       .withColumn("__g", coalesce(col("g"), lit(1L)))
       .withColumn("__salt", pmod(xxhash64(col("k")), col("__g")))
       .drop("n", "g")
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-    val probes = p.select(
+    val probes0 = p.select(
         col("k").as("a_key"), col("lat").as("alat"), col("lon").as("alon"),
         col("cx"), col("cy"), explode(offsets).as("o"))
       .select(col("a_key"), col("alat"), col("alon"),
         (col("cx") + col("o.dx")).as("px"), (col("cy") + col("o.dy")).as("py"))
-      // fan the probe across the TARGET cell's salt groups (1 for cold)
-      .join(broadcast(hot.withColumnRenamed("cx", "px").withColumnRenamed("cy", "py")),
-        Seq("px", "py"), "left")
+    // fan the probe across the TARGET cell's salt groups (1 for cold);
+    // the rename happens in the join condition so both sides share the
+    // one checkpointed `hot`
+    val probes = probes0
+      .join(broadcast(hot),
+        probes0("px") === hot("cx") && probes0("py") === hot("cy"), "left")
       .withColumn("__salt", explode(sequence(lit(0L), coalesce(col("g"), lit(1L)) - 1)))
-      .drop("n", "g")
+      .drop("cx", "cy", "n", "g")
     val d2 = Geo.degreeDistSq(col("alat"), col("alon"), col("lat"), col("lon"))
     probes.join(home,
         probes("px") === home("cx") && probes("py") === home("cy") &&

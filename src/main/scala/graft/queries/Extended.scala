@@ -473,7 +473,10 @@ object Extended {
         _ / 10000d, "rk", Some("n"))
       scanned
         .select($"o_orderkey", $"o_orderstatus",
-          (($"rk" - 1).cast("double") / ($"n" - 1).cast("double"))
+          // n=1 guard: the window form defines percent_rank = 0.0 for a
+          // single-row partition; the raw divide would be 0/0 = NaN
+          when($"n" === 1, lit(0.0d))
+            .otherwise(($"rk" - 1).cast("double") / ($"n" - 1).cast("double"))
             .as("pct_rank"),
           ($"rk".cast("double") / $"n".cast("double")).as("cume"))
         .orderBy($"o_orderkey")

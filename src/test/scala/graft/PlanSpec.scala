@@ -262,7 +262,21 @@ class PlanSpec extends SparkSpecBase {
     // partitioned ONLY by these caps at one task per value forever
     val lowCard = Set("o_orderstatus", "l_returnflag", "l_linestatus",
       "source", "lang", "c_mktsegment", "event_type", "r_name", "n_name")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // Builds that execute their own jobs just to be planned — iterative
+    // operators (localCheckpoint/persist+count convergence loops) and
+    // sink roundtrips that write scratch files. Walking their plans
+    // would re-run that work on every test; they were covered by the
+    // r5 full-registry audit (no low-card windows over raw data) and
+    // carry their own plan specs. Everything lazy is walked here.
+    val eagerBuilds = Set("q58_json_roundtrip", "q59_csv_roundtrip",
+      "q60_partitioned_index", "q82_dedup_clusters", "q83_sorted_write",
+      "q86_zorder_write", "q87_compacted_write", "q93_decontaminate",
+      "q96_chain_components_star", "q109_pagerank", "q114_recursive_chain",
+      "q118_kmeans_int", "q119_bfs_hops", "q121_schema_merge",
+      "q133_mmr_select", "q134_orc_roundtrip", "q135_xml_roundtrip")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => eagerBuilds.contains(name) }
+      .flatMap { case (name, fn) =>
       val df = fn(spark, sf)
       val bad = df.queryExecution.sparkPlan
         .collect { case w: WindowExec => w }

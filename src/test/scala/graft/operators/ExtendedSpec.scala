@@ -296,6 +296,21 @@ class ExtendedSpec extends AnyFunSuite with SparkSpecBase {
       m != null && m.contains("MergeInto") && m.contains("key-unique")))
   }
 
+  test("MergeInto: multiple NULL-key source rows are plain inserts, not a " +
+    "key-uniqueness violation (the join never matches them)") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((Option(1L), "ann", 10.0)).toDF("id", "name", "bal")
+    val src = Seq(
+      (None: Option[Long], Some(5.0), false),
+      (None: Option[Long], Some(6.0), false))
+      .toDF("id", "bal", "del")
+    val out = MergeInto.merge(target, src, Seq("id"), Seq("bal"), Some("del"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getDouble(2))).toSet
+    assert(out === Set((Some(1L), 10.0), (None, 5.0), (None, 6.0)))
+  }
+
   test("MergeInto: a source carrying a reserved marker column is rejected " +
     "up front (withColumn would silently replace it)") {
     val s = spark

@@ -70,6 +70,23 @@ class PrefixScanSpec extends SparkSpecBase {
     assert(got === exp)
   }
 
+  test("NULL group values form one ordinary group (null-safe offset join " +
+    "— PARTITION BY semantics, no silent row loss)") {
+    val withNullGroup = Seq(
+      (Option("a"), 1d, 1L, 2L), (Option("a"), 2d, 2L, 3L),
+      (None, 1d, 3L, 5L), (None, 2d, 4L, 7L), (None, 3d, 5L, 11L)
+    ).toDF("g", "v", "tie", "w")
+    val got = PrefixScan.inclusive(withNullGroup, Seq("g"), "v", Seq("tie"),
+        "w", _ / 2d, "cum", Some("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2)) ->
+        (r.getAs[Long]("cum"), r.getAs[Long]("n"))).toMap
+    assert(got.size === 5) // nothing dropped
+    assert(got((None, 3L)) === ((5L, 23L)))
+    assert(got((None, 4L)) === ((12L, 23L)))
+    assert(got((None, 5L)) === ((23L, 23L)))
+    assert(got((Some("a"), 2L)) === ((5L, 5L)))
+  }
+
   test("a NULL order value fails loudly instead of silently dropping rows") {
     val withNull = Seq(("a", Some(1d), 1L, 1L), ("a", None, 2L, 1L))
       .toDF("g", "v", "tie", "w")
