@@ -1035,6 +1035,55 @@ object Curation {
     doc = "X49: consecutive-run grouping via the rank-difference constant — " +
       "no joins, no iteration; exact integer day math, one customer shuffle")
 
+  /** q142 — robust scaling per source (X51): `(x − median) / IQR`, the
+    * outlier-immune cousin of the z-score (q127's 3σ device breaks on
+    * heavy-tailed lengths; median/IQR do not). Boundaries are EXACT
+    * rank statistics from the [[graft.operators.IncrementalAgg]] value
+    * histogram (X50's mergeable summary — a warehouse can maintain it
+    * incrementally and re-scale nightly without re-scanning history),
+    * read out by one [[graft.operators.PrefixScan]]; the scale itself
+    * is one IEEE divide of exact BIGINTs, hash-safe. Degenerate
+    * IQR = 0 (constant-length sources) emits 0.0, not a 0/0 NaN.
+    * Corpus never shuffles: the 3-quantile table broadcasts back. */
+  val q142 = Q(
+    "q142_robust_scale",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.IncrementalAgg
+      val docs = Tables(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+      val hist = IncrementalAgg.summarizeHist(docs, Seq("source"), "n_chars")
+      val qs = IncrementalAgg.histQuantiles(hist, Seq("source"), "n_chars",
+          _.cast("long") / 256L, Seq("p25" -> 25, "p50" -> 50, "p75" -> 75))
+        .select($"source", $"p25", $"p50", $"p75")
+      docs.join(broadcast(qs), Seq("source"))
+        .select($"doc_id", $"source", $"n_chars",
+          when($"p75" === $"p25", lit(0.0d))
+            .otherwise(($"n_chars" - $"p50").cast("double")
+              / ($"p75" - $"p25").cast("double")).as("robust_z"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM documents),
+      b AS (
+        SELECT source,
+               MAX(CASE WHEN rn = (cnt * 25 + 99) // 100 THEN n_chars END) AS p25,
+               MAX(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN n_chars END) AS p50,
+               MAX(CASE WHEN rn = (cnt * 75 + 99) // 100 THEN n_chars END) AS p75
+        FROM r GROUP BY source)
+      SELECT d.doc_id, d.source, d.n_chars,
+             CASE WHEN p75 = p25 THEN 0.0
+                  ELSE CAST(d.n_chars - p50 AS DOUBLE) / CAST(p75 - p25 AS DOUBLE)
+             END AS robust_z
+      FROM documents d JOIN b USING (source) ORDER BY d.doc_id"""),
+    doc = "X51: median/IQR robust scaling — exact rank-statistic boundaries " +
+      "from the mergeable X50 histogram, 3-row-per-source broadcast back; " +
+      "corpus never shuffles")
+
   val all: Seq[Q] = Seq(q117, q118, q119, q120, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q136, q137)
+    q127, q128, q129, q130, q131, q132, q133, q136, q137, q142)
 }
