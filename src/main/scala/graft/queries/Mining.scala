@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables}
+import graft.functions.VectorOps
+
+/** SURVEY.md §2.11a continued — corpus/graph mining operators a
+  * training-data pipeline runs between ingestion and sampling: hybrid
+  * retrieval fusion, importance weighting, eval-set decontamination,
+  * graph-core curation, collocation mining, and a k-anonymity audit.
+  * The reference's query surface is analytics over tweets/documents
+  * (`/root/reference/README.md:24-38`); these extend that surface with
+  * the published pipeline stages its data model implies.
+  *
+  * Shared determinism contract: every score is exact BIGINT arithmetic
+  * (integer DIV, md5-derived buckets — the q67 device), so results are
+  * bit-identical across engines, partitionings, and reruns.
+  */
+object Mining {
+
+  private def duckDot(a: String, b: String): String = VectorOps.dotSql(a, b)
+
+  /** q143 — hybrid retrieval with reciprocal-rank fusion (Cormack,
+    * Clarke & Büttcher 2009): a keyword retriever (query-term
+    * occurrence count) and a vector retriever (cosine to a query
+    * embedding) each produce a bounded top-50 candidate list; fused
+    * score = Σ 1e6 DIV (60 + rank), integer-exact.
+    *
+    * Scale: each retriever's candidate generation is its own bounded
+    * top-k (TakeOrdered here; inverted-index postings / ANN probes —
+    * q91/q69 — at corpus scale). Fusion only ever joins two K-row
+    * lists, so the fused stage is constant-size no matter the corpus;
+    * ranks are computed by a window over the K survivors, never the
+    * raw table. */
+  val q143 = Q(
+    "q143_hybrid_rrf",
+    (s, dir) => {
+      import s.implicits._
+      val kw = Tables(s, dir, "documents")
+        .select($"doc_id",
+          size(filter(split($"text", " "),
+            t => t.isin("spark", "table", "join"))).as("kw"))
+        .filter($"kw" > 0)
+        .orderBy($"kw".desc, $"doc_id".asc).limit(50)
+        .withColumn("kw_rank",
+          row_number().over(Window.orderBy($"kw".desc, $"doc_id".asc)))
+        .select($"doc_id", $"kw_rank")
+      val emb = Tables(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
+      val vec = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .select($"vec_id".as("doc_id"),
+          VectorOps.cosine($"q_vec", $"embedding").as("cos"))
+        .orderBy($"cos".desc, $"doc_id".asc).limit(50)
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy($"cos".desc, $"doc_id".asc)))
+        .select($"doc_id", $"vec_rank")
+      kw.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000 DIV (60 + kw_rank)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + vec_rank)"), lit(0L)))
+        .select($"doc_id", $"kw_rank", $"vec_rank", $"rrf")
+        .orderBy($"rrf".desc, $"doc_id".asc).limit(20)
+    },
+    Some(s"""
+      WITH kw AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('spark', 'table', 'join'))) AS kw
+        FROM documents),
+      kr0 AS (SELECT doc_id,
+                row_number() OVER (ORDER BY kw DESC, doc_id) AS kw_rank
+              FROM kw WHERE kw > 0),
+      kr AS (SELECT * FROM kr0 WHERE kw_rank <= 50),
+      q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+      vs AS (SELECT e.vec_id AS doc_id,
+               ${duckDot("q.q_vec", "e.embedding")} /
+                 (sqrt(${duckDot("q.q_vec", "q.q_vec")}) *
+                  sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos
+             FROM embeddings e, q WHERE e.vec_id <> 0),
+      vr0 AS (SELECT doc_id,
+                row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+              FROM vs),
+      vr AS (SELECT * FROM vr0 WHERE vec_rank <= 50),
+      f AS (SELECT COALESCE(kr.doc_id, vr.doc_id) AS doc_id,
+                   kr.kw_rank, vr.vec_rank,
+                   COALESCE(1000000 // (60 + kr.kw_rank), 0) +
+                   COALESCE(1000000 // (60 + vr.vec_rank), 0) AS rrf
+            FROM kr FULL OUTER JOIN vr ON kr.doc_id = vr.doc_id)
+      SELECT doc_id, kw_rank, vec_rank, rrf FROM f
+      ORDER BY rrf DESC, doc_id LIMIT 20"""),
+    doc = "RRF hybrid search — bounded per-retriever top-k, constant-size fusion")
+
+  /** q144 — DSIR-style importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * hash every bigram into 256 md5 buckets, estimate target-vs-raw
+    * bucket ratios from a target-domain sample (source = 'src18'), and
+    * score every out-of-target document by its mean bucket importance.
+    * DSIR's log-likelihood ratio is replaced by an integer ratio
+    * (tgt_n * 1e6 DIV raw_n, averaged by DIV) so scores hash-match —
+    * the same monotone ranking signal without IEEE log drift.
+    *
+    * Scale: text reduces to (doc_id, bucket) ints before any shuffle;
+    * the bucket-weight table is 256 rows and broadcasts; scoring is
+    * one groupBy(doc_id). Two passes over the corpus (weights, then
+    * scores) — at 100 TB persist the exploded bucket frame or fold the
+    * weight estimate into a prior sample, both scan-bound. */
+  val q144 = Q(
+    "q144_dsir_importance",
+    (s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val buckets = Tables(s, dir, "documents")
+        .select($"doc_id", $"source", explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .select($"doc_id", $"source",
+          (conv(substring(md5($"bigram"), 1, 4), 16, 10)
+            .cast(IntegerType) % 256).as("bucket"))
+      val weights = buckets.groupBy($"bucket").agg(
+        count(lit(1)).as("raw_n"),
+        count(when($"source" === "src18", 1)).as("tgt_n"))
+      buckets.filter($"source" =!= "src18")
+        .join(broadcast(weights), "bucket")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("CAST(sum((tgt_n * 1000000) DIV raw_n) DIV count(1) AS BIGINT)")
+            .as("score"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+                       FROM documents)),
+      b AS (SELECT t1.doc_id, t1.source,
+              CAST(('0x' || substr(md5(t1.term || ' ' || t2.term), 1, 4)) AS INT)
+                % 256 AS bucket
+            FROM t t1 JOIN t t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+      w AS (SELECT bucket, COUNT(*) AS raw_n,
+              COUNT(*) FILTER (WHERE source = 'src18') AS tgt_n
+            FROM b GROUP BY 1)
+      SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM((w.tgt_n * 1000000) // w.raw_n) // COUNT(*) AS BIGINT) AS score
+      FROM b JOIN w ON b.bucket = w.bucket
+      WHERE b.source <> 'src18'
+      GROUP BY b.doc_id ORDER BY b.doc_id"""),
+    doc = "DSIR importance weights — hashed-bucket ratios, integer-exact scores")
+
+  /** q145 — exact n-gram eval-set decontamination (the GPT-3 appendix-C
+    * / Lee et al. 2022 protocol): flag every training document sharing
+    * any exact 5-gram with the held-out eval slice (source = 'src1').
+    *
+    * Scale: grams leave the scan as 60-bit md5 prefixes (BIGINT), never
+    * text; the eval side is the small side by construction (eval sets
+    * are thousands of docs), so its distinct gram-hash set broadcasts
+    * and the corpus is scanned once with no shuffle of gram data at
+    * all — the count aggregate shuffles (doc_id, n) pairs only. */
+  val q145 = Q(
+    "q145_ngram_decontam",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 5)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, size(toks) - 5),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""))
+          .as("gram"))
+        .select($"doc_id",
+          conv(substring(md5($"gram"), 1, 15), 16, 10).cast(LongType).as("gh"))
+      val evalGrams = grams(docs.filter($"source" === "src1"))
+        .select($"gh").distinct()
+      val hits = grams(docs.filter($"source" =!= "src1"))
+        .join(broadcast(evalGrams), "gh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.filter($"source" =!= "src1").select($"doc_id")
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)) > 0).as("tainted"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+                       FROM documents)),
+      g AS (SELECT t1.doc_id, t1.source,
+              CAST(('0x' || substr(md5(t1.term || ' ' || t2.term || ' ' ||
+                t3.term || ' ' || t4.term || ' ' || t5.term), 1, 15)) AS BIGINT) AS gh
+            FROM t t1
+            JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            JOIN t t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+            JOIN t t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+            JOIN t t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+      ev AS (SELECT DISTINCT gh FROM g WHERE source = 'src1'),
+      hits AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+               FROM g JOIN ev ON g.gh = ev.gh
+               WHERE g.source <> 'src1' GROUP BY 1)
+      SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+             COALESCE(h.n_hits, 0) > 0 AS tainted
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.source <> 'src1' ORDER BY d.doc_id"""),
+    doc = "exact 5-gram decontamination — hashed grams, broadcast eval side")
+
+  /** q146 — k-core curation of the co-purchase graph (same hourly
+    * clique-union edges as q108/q109): every user with their raw
+    * degree, whether they survive the 3-core peel, and their degree
+    * inside the core. See [[graft.operators.KCore]] for the peel's
+    * convergence contract; the DuckDB twin unrolls 6 peel rounds,
+    * which equals the fixpoint because peeling rounds past convergence
+    * are no-ops (Spark asserts convergence within the same bound). */
+  val q146 = Q(
+    "q146_kcore_curation",
+    (s, dir) => {
+      import s.implicits._
+      val hp = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"user_id" < 100)
+        .select(date_trunc("hour", $"ts").as("h"), $"user_id")
+        .distinct()
+      val edges = hp.as("a").join(hp.as("b"),
+          $"a.h" === $"b.h" && $"a.user_id" < $"b.user_id")
+        .select($"a.user_id".as("u"), $"b.user_id".as("v"))
+        .distinct()
+      val core = graft.operators.KCore.peel(edges, "u", "v", k = 3, maxRounds = 6)
+      val deg0 = edges.select($"u".as("node"))
+        .unionByName(edges.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg0"))
+      deg0.join(core, Seq("node"), "left_outer")
+        .select($"node".as("user_id"), $"deg0",
+          $"core_deg".isNotNull.as("in_core"),
+          coalesce($"core_deg", lit(0L)).as("core_deg"))
+        .orderBy($"user_id")
+    },
+    Some {
+      val peelRound = (i: Int) => {
+        val prev = if (i == 1) "a0" else s"a${i - 1}"
+        s"""a$i AS (SELECT s.u AS node FROM sym s
+             JOIN $prev x ON s.u = x.node JOIN $prev y ON s.v = y.node
+             GROUP BY 1 HAVING COUNT(*) >= 3)"""
+      }
+      s"""
+      WITH hp AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+                  WHERE event_type = 'purchase' AND user_id < 100),
+      e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM hp a JOIN hp b ON a.h = b.h AND a.user_id < b.user_id),
+      sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      a0 AS (SELECT DISTINCT u AS node FROM sym),
+      ${(1 to 6).map(peelRound).mkString(",\n      ")},
+      fd AS (SELECT s.u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM sym s
+             JOIN a6 x ON s.u = x.node JOIN a6 y ON s.v = y.node GROUP BY 1),
+      d0 AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg0 FROM sym GROUP BY 1)
+      SELECT d0.node AS user_id, d0.deg0, fd.node IS NOT NULL AS in_core,
+             COALESCE(fd.core_deg, 0) AS core_deg
+      FROM d0 LEFT JOIN fd ON d0.node = fd.node ORDER BY user_id"""
+    },
+    doc = "3-core peel over the co-purchase graph — unrolled-round oracle twin")
+
+  /** q147 — collocation mining by integer lift (Church & Hanks 1990's
+    * association ratio, with PMI's log dropped so the statistic is
+    * exact): lift = P(w1 w2) / (P(w1)·P(w2)) scaled to
+    * (n_ab · N · 1000) DIV (n_a · n_b), min support 5, top 50.
+    *
+    * Scale: ONE corpus scan emits tagged unigrams and bigrams through
+    * a single (typ, gram) count shuffle; unigram counts then join the
+    * bigram counts (broadcast here; at a billion-term vocabulary this
+    * becomes an equi-join on the gram's first/second word — still
+    * compact aggregates, never raw text). The 1000-scaled integer lift
+    * overflows BIGINT only past ~1e15 tokens; at that scale move the
+    * product to DECIMAL(38,0) — noted, not needed at any test SF. */
+  val q147 = Q(
+    "q147_collocations",
+    (s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val counts = Tables(s, dir, "documents")
+        .select(explode(concat(
+          transform(toks, t => struct(lit("u").as("typ"), t.as("gram"))),
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(lit("b").as("typ"),
+              concat_ws(" ", a, b).as("gram"))))).as("g"))
+        .select($"g.typ".as("typ"), $"g.gram".as("gram"))
+        .groupBy($"typ", $"gram").agg(count(lit(1)).as("n"))
+      val uni = counts.filter($"typ" === "u").select($"gram".as("term"), $"n".as("nw"))
+      val tot = uni.agg(sum($"nw").as("n_total"))
+      counts.filter($"typ" === "b" && $"n" >= 5)
+        .select($"gram".as("bigram"), $"n".as("n_ab"),
+          split($"gram", " ").getItem(0).as("w1"),
+          split($"gram", " ").getItem(1).as("w2"))
+        .join(broadcast(uni.select($"term".as("w1"), $"nw".as("nw1"))), "w1")
+        .join(broadcast(uni.select($"term".as("w2"), $"nw".as("nw2"))), "w2")
+        .crossJoin(broadcast(tot))
+        .select($"bigram", $"n_ab",
+          expr("(n_ab * n_total * 1000) DIV (nw1 * nw2)").as("lift"))
+        .orderBy($"lift".desc, $"bigram".asc).limit(50)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      uni AS (SELECT term, COUNT(*) AS nw FROM t GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n_total FROM t),
+      big AS (SELECT t1.term AS w1, t2.term AS w2, COUNT(*) AS n_ab
+              FROM t t1 JOIN t t2
+                ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+              GROUP BY 1, 2)
+      SELECT w1 || ' ' || w2 AS bigram, CAST(n_ab AS BIGINT) AS n_ab,
+             CAST((n_ab * n_total * 1000) // (a.nw * b.nw) AS BIGINT) AS lift
+      FROM big JOIN uni a ON big.w1 = a.term JOIN uni b ON big.w2 = b.term
+      CROSS JOIN tot
+      WHERE n_ab >= 5 ORDER BY lift DESC, bigram LIMIT 50"""),
+    doc = "collocation lift — one tagged explode, one count shuffle, integer lift")
+
+  /** q148 — k-anonymity generalization audit (Sweeney 2002): for each
+    * quasi-identifier combo (nation, market segment, account-balance
+    * band) report its population and the minimal generalization level
+    * at which it meets k = 5 — 0: full combo, 1: drop the band,
+    * 2: nation only, 3: unmeetable below global. The release-prep
+    * audit a pipeline runs before publishing user-derived data.
+    *
+    * Scale: three aggregates over progressively coarser keys (the
+    * coarser two are value-domain-sized and broadcast back); the fact
+    * table shuffles once on the finest key. */
+  val q148 = Q(
+    "q148_k_anonymity",
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+        .select($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000.0).cast(LongType).as("bal_band"))
+      val l0 = cust.groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(count(lit(1)).as("n0"))
+      val l1 = cust.groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n1"))
+      val l2 = cust.groupBy($"c_nationkey").agg(count(lit(1)).as("n2"))
+      l0.join(broadcast(l1), Seq("c_nationkey", "c_mktsegment"))
+        .join(broadcast(l2), Seq("c_nationkey"))
+        .select($"c_nationkey", $"c_mktsegment", $"bal_band", $"n0",
+          when($"n0" >= 5, 0).when($"n1" >= 5, 1).when($"n2" >= 5, 2)
+            .otherwise(3).as("anon_level"))
+        .orderBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+    },
+    Some("""
+      WITH c AS (SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+                 FROM customer),
+      l0 AS (SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS n0
+             FROM c GROUP BY 1, 2, 3),
+      l1 AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n1 FROM c GROUP BY 1, 2),
+      l2 AS (SELECT c_nationkey, COUNT(*) AS n2 FROM c GROUP BY 1)
+      SELECT l0.c_nationkey, l0.c_mktsegment, l0.bal_band,
+             CAST(l0.n0 AS BIGINT) AS n0,
+             CASE WHEN l0.n0 >= 5 THEN 0 WHEN l1.n1 >= 5 THEN 1
+                  WHEN l2.n2 >= 5 THEN 2 ELSE 3 END AS anon_level
+      FROM l0 JOIN l1 ON l0.c_nationkey = l1.c_nationkey
+                     AND l0.c_mktsegment = l1.c_mktsegment
+              JOIN l2 ON l0.c_nationkey = l2.c_nationkey
+      ORDER BY l0.c_nationkey, l0.c_mktsegment, l0.bal_band"""),
+    doc = "k-anonymity ladder — three coarsening aggregates, one fact shuffle")
+
+  val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148)
+}

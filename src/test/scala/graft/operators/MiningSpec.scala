@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.queries.Mining
+
+/** Invariants behind the q143–q148 mining family that the differential
+  * oracle cannot express: k-core's fixpoint/maximality contract, the
+  * decontamination hash device's no-false-positive property, and the
+  * bounded-fusion / support-floor contracts.
+  */
+class MiningSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // path 1-2-3-4-5 peels away entirely under k=2; triangle+tail keeps
+  // the triangle: the crafted graph exercises cascade removal
+  private def craftedEdges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),      // path: no 2-core
+    (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L) // triangle + pendant 13
+  ).toDF("u", "v")
+
+  test("KCore.peel equals the brute-force peel fixpoint on a crafted graph") {
+    val core = KCore.peel(craftedEdges, "u", "v", k = 2, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 2-core is exactly the triangle, each member with degree 2 in it
+    assert(core === Map(10L -> 2L, 11L -> 2L, 12L -> 2L))
+  }
+
+  test("KCore maximality: no removed node has >= k neighbors inside the core " +
+    "(otherwise the returned set would not be THE k-core)") {
+    val hp = graft.core.Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase" && $"user_id" < 100)
+      .select(date_trunc("hour", $"ts").as("h"), $"user_id").distinct()
+    val edges = hp.as("a").join(hp.as("b"),
+        $"a.h" === $"b.h" && $"a.user_id" < $"b.user_id")
+      .select($"a.user_id".as("u"), $"b.user_id".as("v")).distinct()
+      .persist()
+    val core = KCore.peel(edges, "u", "v", k = 3, maxRounds = 6).persist()
+    // min-degree contract inside the core
+    assert(core.filter($"core_deg" < 3).isEmpty)
+    // maximality: count each NON-core node's neighbors that are in the core
+    val sym = edges.select($"u".as("a"), $"v".as("b"))
+      .unionByName(edges.select($"v".as("a"), $"u".as("b")))
+    val intoCore = sym
+      .join(core.select($"node".as("b")), Seq("b"))
+      .join(core.select($"node".as("a")), Seq("a"), "left_anti")
+      .groupBy($"a").agg(count(lit(1)).as("d"))
+    assert(intoCore.filter($"d" >= 3).isEmpty,
+      "a peeled node still has >= k core neighbors — peel stopped early")
+    core.unpersist(); edges.unpersist()
+  }
+
+  test("KCore refuses to return a part-peeled set: non-convergence is loud") {
+    // path of 9 nodes with k=1... use k=2 on a long path: ends peel off
+    // one per round from each side -> needs ~4 rounds; bound at 1
+    val path = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(6L,7L),(7L,8L),(8L,9L))
+      .toDF("u", "v")
+    val e = intercept[IllegalStateException] {
+      KCore.peel(path, "u", "v", k = 2, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("q145's 60-bit gram-hash device admits no false positives at test " +
+    "scale: hash-join taint set == raw-string-join taint set") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 5)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks) - 5),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""))
+        .as("gram"))
+    val evalG = grams(docs.filter($"source" === "src1")).select($"gram").distinct()
+    val stringTaint = grams(docs.filter($"source" =!= "src1"))
+      .join(evalG, "gram").select($"doc_id").distinct()
+      .as[Long].collect().toSet
+    val hashedTaint = Mining.q145.build(spark, sf)
+      .filter($"tainted").select($"doc_id").as[Long].collect().toSet
+    assert(hashedTaint === stringTaint)
+    assert(stringTaint.nonEmpty, "fixture should contain planted 5-gram overlap")
+  }
+
+  test("q143 fusion contract: rrf is exactly the sum of the two reciprocal " +
+    "ranks, and single-list docs still rank") {
+    val rows = Mining.q143.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val kwR = Option(r.getAs[Any]("kw_rank")).map(_.asInstanceOf[Int])
+      val vecR = Option(r.getAs[Any]("vec_rank")).map(_.asInstanceOf[Int])
+      val expected = kwR.map(k => 1000000L / (60 + k)).getOrElse(0L) +
+        vecR.map(v => 1000000L / (60 + v)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf") === expected)
+      assert(kwR.isDefined || vecR.isDefined)
+    }
+  }
+
+  test("q147 respects the support floor and the declared integer lift") {
+    val rows = Mining.q147.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_ab") >= 5))
+    // lift is monotone-decreasing down the returned ranking
+    val lifts = rows.map(_.getAs[Long]("lift")).toSeq
+    assert(lifts === lifts.sorted.reverse)
+  }
+}
