@@ -64,4 +64,42 @@ object Bfs {
     und.unpersist()
     dist.withColumnRenamed("node", idCol)
   }
+
+  /** Per-source BFS distances in ONE traversal: every frontier row
+    * carries its origin tag, so k sources cost the same 6 rounds as
+    * one (frontier rows multiply by k, jobs do not). This is the
+    * closeness/ego-network form — `distances` above answers "how far
+    * from the NEAREST seed", this answers "how far from EACH seed".
+    *
+    * Scale: frontier cardinality is bounded by |sources| x |nodes|;
+    * keep the source set bounded (centrality samples, ego queries) —
+    * all-pairs BFS is O(V^2) state no engine should materialize.
+    *
+    * @return (tagCol, idCol, dist) — one row per (source, reachable node) */
+  def distancesPerSource(sources: DataFrame, tagCol: String, idCol: String,
+                         edges: DataFrame, srcCol: String, dstCol: String,
+                         maxHops: Int): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .persist()
+    var dist = sources
+      .select(col(tagCol).as("tag"), col(idCol).as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    var frontierSize = frontier.count()
+    while (hop < maxHops && frontierSize > 0) {
+      hop += 1
+      val nbrs = frontier.join(und, frontier("node") === und("a"))
+        .select(col("tag"), und("b").as("node"), lit(hop.toLong).as("dist"))
+      val newFrontier = nbrs.join(dist, Seq("tag", "node"), "left_anti")
+        .groupBy(col("tag"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      frontierSize = newFrontier.count()
+      dist = dist.unionByName(newFrontier)
+      frontier = newFrontier
+    }
+    und.unpersist()
+    dist.withColumnRenamed("tag", tagCol).withColumnRenamed("node", idCol)
+  }
 }

@@ -365,5 +365,181 @@ object Mining {
       ORDER BY l0.c_nationkey, l0.c_mktsegment, l0.bal_band"""),
     doc = "k-anonymity ladder — three coarsening aggregates, one fact shuffle")
 
-  val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148)
+  /** q149 — sampled closeness centrality (Lin's index form, integer):
+    * exact hop distances from a seed sample (every 20th user) over the
+    * co-purchase graph via ONE tagged multi-source BFS
+    * ([[graft.operators.Bfs.distancesPerSource]]), then per seed:
+    * nodes reached within 6 hops, total distance, and scaled closeness
+    * (n_reached·1e6 DIV total_dist). The oracle derives distances
+    * independently through a recursive BFS CTE — it checks the
+    * traversal, not a mirror of it (q119's independence principle).
+    *
+    * Scale: one BFS costs 6 rounds regardless of seed count (frontier
+    * rows carry the seed tag); state is bounded by seeds x nodes, so
+    * keep seeds a sample — which is exactly how closeness is estimated
+    * on large graphs (Eppstein–Wang). */
+  val q149 = Q(
+    "q149_closeness_sample",
+    (s, dir) => {
+      import s.implicits._
+      val hp = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"user_id" < 100)
+        .select(date_trunc("hour", $"ts").as("h"), $"user_id")
+        .distinct()
+      val edges = hp.as("a").join(hp.as("b"),
+          $"a.h" === $"b.h" && $"a.user_id" < $"b.user_id")
+        .select($"a.user_id".as("u"), $"b.user_id".as("v"))
+        .distinct()
+      val seeds = edges.select($"u".as("node"))
+        .unionByName(edges.select($"v".as("node")))
+        .distinct()
+        .filter($"node" % 20 === 0)
+        .select($"node".as("seed"), $"node")
+      graft.operators.Bfs
+        .distancesPerSource(seeds, "seed", "node", edges, "u", "v", maxHops = 6)
+        .groupBy($"seed")
+        .agg((count(lit(1)) - 1).as("n_reached"), sum($"dist").as("total_dist"))
+        .select($"seed", $"n_reached", $"total_dist",
+          expr("(n_reached * 1000000) DIV total_dist").as("closeness_micro"))
+        .orderBy($"seed")
+    },
+    Some("""
+      WITH RECURSIVE hp AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+                            FROM events WHERE event_type = 'purchase' AND user_id < 100),
+      e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM hp a JOIN hp b ON a.h = b.h AND a.user_id < b.user_id),
+      sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      seeds AS (SELECT DISTINCT u AS seed FROM sym WHERE u % 20 = 0),
+      bfs AS (
+        SELECT seed, seed AS node, 0 AS dist FROM seeds
+        UNION
+        SELECT b.seed, s.v AS node, b.dist + 1 AS dist
+        FROM bfs b JOIN sym s ON b.node = s.u
+        WHERE b.dist < 6),
+      d AS (SELECT seed, node, MIN(dist) AS dist FROM bfs GROUP BY 1, 2)
+      SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+             CAST(SUM(dist) AS BIGINT) AS total_dist,
+             CAST(CAST((COUNT(*) - 1) * 1000000 AS BIGINT) //
+                  CAST(SUM(dist) AS BIGINT) AS BIGINT) AS closeness_micro
+      FROM d GROUP BY seed ORDER BY seed"""),
+    doc = "sampled closeness — one tagged BFS for all seeds, recursive-CTE oracle")
+
+  /** q150 — per-source dataset datasheet (Gebru et al. 2021,
+    * "Datasheets for Datasets" — the stats block): one pass emits doc
+    * count, token count, exact median tokens, intra-source exact-dup
+    * doc count, and integer chars-per-token. The release artifact a
+    * corpus pipeline publishes next to every training mix.
+    *
+    * Scale: everything aggregates before any wide operation — the
+    * median comes from a (source, n_tokens) distinct-value summary
+    * (the q130 device; the window runs over the summary, never rows),
+    * dups from a (source, md5) count. Raw text never shuffles. */
+  val q150 = Q(
+    "q150_source_datasheet",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "documents")
+        .select($"source", $"n_chars",
+          size(split($"text", " ")).as("ntok"), md5($"text").as("th"))
+      val totals = base.groupBy($"source").agg(
+        count(lit(1)).as("doc_count"),
+        sum($"ntok").as("token_count"),
+        sum($"n_chars").as("char_count"))
+      val dups = base.groupBy($"source", $"th")
+        .agg(count(lit(1)).as("c"))
+        .filter($"c" >= 2)
+        .groupBy($"source").agg(sum($"c").as("dup_docs"))
+      val lens = base.groupBy($"source", $"ntok").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"source").orderBy($"ntok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val p50 = lens
+        .withColumn("cum", sum($"c").over(w))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"source")))
+        .filter($"cum" * 2 >= $"n")
+        .groupBy($"source").agg(min($"ntok").as("p50_tokens"))
+      totals.join(p50, Seq("source"))
+        .join(dups, Seq("source"), "left_outer")
+        .select($"source", $"doc_count", $"token_count", $"p50_tokens",
+          coalesce($"dup_docs", lit(0L)).as("dup_docs"),
+          expr("(char_count * 1000) DIV token_count").as("chars_per_token_milli"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH base AS (SELECT source, n_chars,
+                      len(string_split(text, ' ')) AS ntok, md5(text) AS th
+                    FROM documents),
+      totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count,
+                   CAST(SUM(ntok) AS BIGINT) AS token_count,
+                   CAST(SUM(n_chars) AS BIGINT) AS char_count
+                 FROM base GROUP BY 1),
+      dups AS (SELECT source, CAST(SUM(c) AS BIGINT) AS dup_docs FROM
+                 (SELECT source, th, COUNT(*) AS c FROM base GROUP BY 1, 2)
+               WHERE c >= 2 GROUP BY 1),
+      lens AS (SELECT source, ntok, COUNT(*) AS c FROM base GROUP BY 1, 2),
+      cums AS (SELECT source, ntok,
+                 SUM(c) OVER (PARTITION BY source ORDER BY ntok
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY source) AS n
+               FROM lens),
+      p50 AS (SELECT source, MIN(ntok) AS p50_tokens FROM cums
+              WHERE cum * 2 >= n GROUP BY 1)
+      SELECT t.source, t.doc_count, t.token_count, p50.p50_tokens,
+             COALESCE(d.dup_docs, 0) AS dup_docs,
+             (t.char_count * 1000) // t.token_count AS chars_per_token_milli
+      FROM totals t JOIN p50 ON t.source = p50.source
+      LEFT JOIN dups d ON t.source = d.source
+      ORDER BY t.source"""),
+    doc = "dataset datasheet — summary-only aggregation, text never shuffles")
+
+  /** q151 — cross-source contamination matrix: for every source pair,
+    * how many DISTINCT exact 5-grams they share — the provenance audit
+    * behind "which crawls copied which" and mix-deduplication planning
+    * (the pairwise generalization of q145's one-vs-eval protocol).
+    *
+    * Scale: grams reduce to distinct (source, 60-bit hash) pairs before
+    * the self-join, so join input is bounded by vocabulary x sources,
+    * not corpus size; a gram shared by s sources fans out to s·(s-1)/2
+    * pairs — bounded by the SOURCE count squared per gram, never by
+    * corpus size (20 sources → ≤190 rows per gram; cap or sample
+    * sources if a deployment has millions of them). */
+  val q151 = Q(
+    "q151_source_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val grams = Tables(s, dir, "documents")
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 5)
+        .select($"source", explode(expr(
+          """transform(sequence(0, size(toks) - 5),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""))
+          .as("gram"))
+        .select($"source",
+          conv(substring(md5($"gram"), 1, 15), 16, 10).cast(LongType).as("gh"))
+        .distinct()
+      grams.as("a").join(grams.as("b"),
+          $"a.gh" === $"b.gh" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+                       FROM documents)),
+      g AS (SELECT DISTINCT t1.source,
+              CAST(('0x' || substr(md5(t1.term || ' ' || t2.term || ' ' ||
+                t3.term || ' ' || t4.term || ' ' || t5.term), 1, 15)) AS BIGINT) AS gh
+            FROM t t1
+            JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            JOIN t t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+            JOIN t t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+            JOIN t t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4)
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "source-pair 5-gram overlap — distinct compact hashes, bounded fan-out")
+
+  val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150, q151)
 }

@@ -96,6 +96,59 @@ class MiningSpec extends SparkSpecBase {
     }
   }
 
+  test("Bfs.distancesPerSource == one Bfs.distances run per seed (tagged " +
+    "single-traversal vs k independent traversals)") {
+    val edges = craftedEdges
+    val nodes = Seq(1L, 10L, 13L)
+    val seeds = nodes.map(n => (n, n)).toDF("seed", "node")
+    val tagged = Bfs.distancesPerSource(seeds, "seed", "node",
+        edges, "u", "v", maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val perSeed = nodes.flatMap { n =>
+      Bfs.distances(Seq(n).toDF("node"), "node", edges, "u", "v", maxHops = 4)
+        .collect().map(r => (n, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(tagged === perSeed)
+    // sanity: the path component is invisible from the triangle component
+    assert(!tagged.contains((10L, 1L)))
+  }
+
+  test("q150's summary-derived exact median equals the brute-force per-source " +
+    "median of token counts") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select($"source", size(split($"text", " ")).as("ntok"))
+    val brute = docs.collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        val sorted = rows.map(_.getInt(1)).sorted
+        // lower median: smallest x with 2*rank(x) >= n
+        src -> sorted((sorted.length - 1) / 2)
+      }
+    val fromQuery = Mining.q150.build(spark, sf)
+      .select($"source", $"p50_tokens")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(fromQuery === brute)
+  }
+
+  test("q151's hashed overlap matrix equals the raw-string-gram matrix") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val grams = docs
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 5)
+      .select($"source", explode(expr(
+        """transform(sequence(0, size(toks) - 5),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""))
+        .as("gram"))
+      .distinct()
+    val brute = grams.as("a").join(grams.as("b"),
+        $"a.gram" === $"b.gram" && $"a.source" < $"b.source")
+      .groupBy($"a.source", $"b.source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hashed = Mining.q151.build(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hashed === brute)
+  }
+
   test("q147 respects the support floor and the declared integer lift") {
     val rows = Mining.q147.build(spark, sf).collect()
     assert(rows.nonEmpty)
