@@ -62,4 +62,52 @@ object PageRank {
     }
     ranks.select(col("node").as(idCol), col("r").as("rank_micro"))
   }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): personalized
+    * PageRank whose teleport mass lands ONLY on a trusted seed set —
+    * rank then measures proximity-to-trust, the published device for
+    * demoting spam domains in a crawl corpus. Same exact integer
+    * fixed-point contract as [[ranksMicro]] (micro-units, `div`
+    * truncation, bounded drift), so a fixed iteration count is
+    * bit-reproducible and oracle-checkable: init mass Scale/|seeds| on
+    * seeds (0 elsewhere), teleport base (Scale·15/100)/|seeds| on
+    * seeds (0 elsewhere).
+    *
+    * @return (idCol, "trust_micro") after `iters` rounds */
+  def trustMicro(nodes: DataFrame, idCol: String,
+                 edges: DataFrame, srcCol: String, dstCol: String,
+                 seeds: DataFrame, seedCol: String,
+                 iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nd = nodes.select(col(idCol).cast("long").as("node")).distinct()
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val ndFlag = nd
+      .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val k = ndFlag.filter(col("is_seed")).count()
+    require(k > 0, "TrustRank needs at least one seed inside the node set")
+    val init = Scale / k
+    val base = (Scale * 15L / 100L) / k
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val donors = e.join(outdeg, "src").localCheckpoint()
+    var ranks = ndFlag.select(col("node"),
+      when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("r"))
+    (1 to iters).foreach { _ =>
+      val received = donors
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div od").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = ndFlag
+        .join(received.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(coalesce(s, 0L) * 85) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as(idCol), col("r").as("trust_micro"))
+  }
 }

@@ -541,5 +541,126 @@ object Mining {
       GROUP BY 1, 2 ORDER BY 1, 2"""),
     doc = "source-pair 5-gram overlap — distinct compact hashes, bounded fan-out")
 
-  val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150, q151)
+  /** Unrolled integer-TrustRank iteration CTE: i{k} from i{k-1} —
+    * q109's prIter device with the teleport restricted to seeds. */
+  private def trIter(k: Int): String = {
+    val prev = if (k == 1) "r0" else s"i${k - 1}"
+    s"""i$k AS (
+      SELECT nd.node,
+        CAST(CASE WHEN nd.node < 10
+               THEN ((1000000000000 * 15) // 100) // (SELECT COUNT(*) FROM seeds)
+               ELSE 0 END +
+             (COALESCE(s.s, 0) * 85) // 100 AS BIGINT) AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst, CAST(SUM(r.r // od.od) AS BIGINT) AS s
+        FROM ed e JOIN od ON e.src = od.src JOIN $prev r ON r.node = e.src
+        GROUP BY e.dst) s ON s.dst = nd.node)"""
+  }
+
+  /** q152 — TrustRank over the co-purchase graph (Gyöngyi et al. 2004):
+    * trusted seeds = users 0–9; after 5 exact integer rounds every
+    * user carries trust mass proportional to their link-proximity to
+    * the seed set — the spam-demotion signal a crawl-corpus pipeline
+    * feeds into source quality weighting (q128/q144's inputs). See
+    * [[graft.operators.PageRank.trustMicro]] for the integer contract;
+    * the oracle unrolls the same 5 rounds (q109's device). */
+  val q152 = Q(
+    "q152_trustrank",
+    (s, dir) => {
+      import s.implicits._
+      val hp = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"user_id" < 100)
+        .select(date_trunc("hour", $"ts").as("h"), $"user_id")
+        .distinct()
+      val edges = hp.as("a").join(hp.as("b"),
+          $"a.h" === $"b.h" && $"a.user_id" < $"b.user_id")
+        .select($"a.user_id".as("u"), $"b.user_id".as("v"))
+        .distinct()
+      val sym = edges.unionByName(edges.select($"v".as("u"), $"u".as("v")))
+      val nodes = sym.select($"u".as("user_id")).distinct()
+      val seeds = nodes.filter($"user_id" < 10)
+      graft.operators.PageRank
+        .trustMicro(nodes, "user_id", sym, "u", "v", seeds, "user_id", iters = 5)
+        .orderBy($"user_id")
+    },
+    Some(s"""
+      WITH hp AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+                  WHERE event_type = 'purchase' AND user_id < 100),
+      e0 AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+             FROM hp a JOIN hp b ON a.h = b.h AND a.user_id < b.user_id),
+      ed AS (SELECT u AS src, v AS dst FROM e0
+             UNION ALL SELECT v, u FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM ed),
+      seeds AS (SELECT node FROM nodes WHERE node < 10),
+      od AS (SELECT src, COUNT(*) AS od FROM ed GROUP BY 1),
+      r0 AS (SELECT node,
+               CASE WHEN node < 10
+                 THEN 1000000000000 // (SELECT COUNT(*) FROM seeds)
+                 ELSE 0 END AS r
+             FROM nodes),
+      ${(1 to 5).map(trIter).mkString(",\n      ")}
+      SELECT node AS user_id, r AS trust_micro FROM i5 ORDER BY user_id"""),
+    doc = "TrustRank — personalized integer PageRank, unrolled-round oracle")
+
+  /** q153 — link prediction by resource allocation (Zhou, Lü & Zhang
+    * 2009 — Adamic–Adar's log-free sibling, hence exactly computable):
+    * for every 2-hop non-adjacent pair, RA = Σ_{z ∈ common nbrs}
+    * 1e6 DIV deg(z); top 50 predicted links. The "users who should
+    * know each other" / related-item candidate generator.
+    *
+    * Scale: wedge generation through middle z costs Σ deg(z)² — the
+    * q108 wedge bound without the degree-orientation rescue (RA needs
+    * BOTH neighbors of z). At power-law scale, cap or sample hot
+    * middles (MinHashLSH's viral-bucket device) — a hub's wedges carry
+    * near-zero RA weight (1e6 DIV deg ≈ 0) precisely when they explode,
+    * so capping them is principled, not just expedient. All shuffles
+    * carry compact ids; the anti-join removes existing edges before
+    * scoring. */
+  val q153 = Q(
+    "q153_link_prediction",
+    (s, dir) => {
+      import s.implicits._
+      val hp = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"user_id" < 100)
+        .select(date_trunc("hour", $"ts").as("h"), $"user_id")
+        .distinct()
+      val edges = hp.as("a").join(hp.as("b"),
+          $"a.h" === $"b.h" && $"a.user_id" < $"b.user_id")
+        .select($"a.user_id".as("u"), $"b.user_id".as("v"))
+        .distinct()
+      val sym = edges.unionByName(edges.select($"v".as("u"), $"u".as("v")))
+      val deg = sym.groupBy($"u").agg(count(lit(1)).as("d"))
+        .select($"u".as("z"), $"d")
+      val wedges = sym.as("s1").join(sym.as("s2"),
+          $"s1.v" === $"s2.u" && $"s1.u" < $"s2.v")
+        .select($"s1.u".as("a"), $"s1.v".as("z"), $"s2.v".as("b"))
+      wedges
+        .join(edges, wedges("a") === edges("u") && wedges("b") === edges("v"),
+          "left_anti")
+        .join(deg, "z")
+        .groupBy($"a", $"b")
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000 DIV d")).as("ra_micro"))
+        .orderBy($"ra_micro".desc, $"a".asc, $"b".asc).limit(50)
+    },
+    Some("""
+      WITH hp AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+                  WHERE event_type = 'purchase' AND user_id < 100),
+      e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM hp a JOIN hp b ON a.h = b.h AND a.user_id < b.user_id),
+      sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      deg AS (SELECT u AS z, COUNT(*) AS d FROM sym GROUP BY 1),
+      w AS (SELECT s1.u AS a, s1.v AS z, s2.v AS b
+            FROM sym s1 JOIN sym s2 ON s1.v = s2.u AND s1.u < s2.v),
+      cand AS (SELECT w.a, w.z, w.b FROM w
+               WHERE NOT EXISTS (SELECT 1 FROM e
+                                 WHERE e.u = w.a AND e.v = w.b))
+      SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(1000000 // d.d) AS BIGINT) AS ra_micro
+      FROM cand c JOIN deg d ON c.z = d.z
+      GROUP BY 1, 2 ORDER BY ra_micro DESC, a, b LIMIT 50"""),
+    doc = "resource-allocation link prediction — wedge join, integer RA weights")
+
+  val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150,
+    q151, q152, q153)
 }

@@ -149,6 +149,49 @@ class MiningSpec extends SparkSpecBase {
     assert(hashed === brute)
   }
 
+  test("TrustRank: trust reaches only seed-connected components, seeds " +
+    "outrank distant nodes, and ranks are partitioning-invariant") {
+    // two components: triangle containing seed 1; path 10-11-12 with no seed
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("u", "v")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    val trust = PageRank.trustMicro(nodes, "id", edges, "u", "v", seeds, "id", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the seedless component gets EXACTLY zero — no uniform teleport leaks in
+    assert(Seq(10L, 11L, 12L).forall(trust(_) === 0L), trust.toString)
+    assert(trust(1L) > trust(2L), trust.toString) // seed keeps the teleport
+    assert(trust(2L) === trust(3L)) // symmetric non-seeds tie exactly
+    val re = PageRank.trustMicro(nodes.repartition(5), "id",
+        edges.repartition(3), "u", "v", seeds, "id", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === trust) // exact integer arithmetic: bit-equal anywhere
+  }
+
+  test("q153's RA scores equal a brute-force common-neighbor computation") {
+    val rows = graft.queries.Mining.q153.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the graph exactly as the query does, in local Scala
+    val hp = graft.core.Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase" && $"user_id" < 100)
+      .select(date_trunc("hour", $"ts").as("h"), $"user_id")
+      .distinct().collect().map(r => (r.get(0), r.getLong(1)))
+    val edges = hp.groupBy(_._1).values.flatMap { g =>
+      val us = g.map(_._2).sorted
+      for (i <- us.indices; j <- i + 1 until us.length) yield (us(i), us(j))
+    }.toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    for (r <- rows) {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(!edges.contains((a, b)), s"($a,$b) already adjacent")
+      val common = nbrs(a) intersect nbrs(b)
+      assert(r.getAs[Long]("n_common") === common.size)
+      assert(r.getAs[Long]("ra_micro") ===
+        common.toSeq.map(z => 1000000L / nbrs(z).size).sum)
+    }
+  }
+
   test("q147 respects the support floor and the declared integer lift") {
     val rows = Mining.q147.build(spark, sf).collect()
     assert(rows.nonEmpty)
