@@ -294,6 +294,20 @@ class PlanSpec extends SparkSpecBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("mining-family plans: q145's eval grams and q144's bucket weights " +
+    "BROADCAST (the corpus side never shuffles gram data); retriever top-ks " +
+    "fuse to TakeOrdered in q143; no cartesian anywhere") {
+    val p145 = formatted(queries.Mining.q145.build(spark, sf))
+    assert(p145.contains("BroadcastHashJoin"), p145)
+    val p144 = formatted(queries.Mining.q144.build(spark, sf))
+    assert(p144.contains("BroadcastHashJoin"), p144)
+    val p143 = formatted(queries.Mining.q143.build(spark, sf))
+    assert(p143.contains("TakeOrderedAndProject"), p143)
+    for (p <- Seq(p144, p145)) assert(!p.contains("CartesianProduct"), p)
+    val p151 = formatted(queries.Mining.q151.build(spark, sf))
+    assert(!p151.contains("CartesianProduct"), p151)
+  }
+
   test("composite workload plans: dims broadcast, date filters reach the " +
     "scans, top-k fuses — the aggregate is never globally sorted") {
     val q97 = queries.Workload.q97.build(spark, sf)
