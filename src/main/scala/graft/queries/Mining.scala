@@ -661,6 +661,209 @@ object Mining {
       GROUP BY 1, 2 ORDER BY ra_micro DESC, a, b LIMIT 50"""),
     doc = "resource-allocation link prediction — wedge join, integer RA weights")
 
+  /** SQL-standard ntile(t) from (rn, n) by big-buckets-first integer
+    * math (q25's device): b = n div t, r = n mod t. */
+  private def ntileExpr(rn: String, t: Int): org.apache.spark.sql.Column =
+    expr(s"CAST(CASE WHEN $rn <= r * (b + 1) THEN ($rn + b) div (b + 1) " +
+      s"ELSE r + ($rn - r * (b + 1) + b - 1) div b END AS INT)")
+
+  /** q154 — RFM quintile scoring (Hughes 1994's segmentation staple):
+    * per purchasing user, recency days / frequency / monetary cents,
+    * each scored into ascending quintiles (invert per convention at
+    * the call site). Money is rounded to cents PER EVENT before the
+    * sum, so the total is an exact integer in any aggregation order.
+    *
+    * Scale: the user frame is aggregate-sized; each quintile rank is a
+    * weight-1 [[graft.operators.PrefixScan]] (q138's empty-group
+    * global form) — three data shuffles of (user, measures), never a
+    * one-task global ntile window. */
+  val q154 = Q(
+    "q154_rfm_scores",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.PrefixScan
+      val users = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(
+          datediff(lit("2024-02-01").cast("date"), to_date(max($"ts")))
+            .cast(LongType).as("r_days"),
+          count(lit(1)).as("f_n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("m_cents"))
+        .withColumn("one", lit(1L))
+      val s1 = PrefixScan.inclusive(users, Nil, "r_days", Seq("user_id"),
+        "one", _ / 4, "rn_r", Some("n"))
+      val s2 = PrefixScan.inclusive(s1, Nil, "f_n", Seq("user_id"),
+        "one", _ / 4, "rn_f")
+      val s3 = PrefixScan.inclusive(s2, Nil, "m_cents", Seq("user_id"),
+        "one", _ / 65536, "rn_m")
+      s3.withColumn("b", expr("n div 5")).withColumn("r", expr("n % 5"))
+        .select($"user_id", $"r_days", $"f_n", $"m_cents",
+          ntileExpr("rn_r", 5).as("r_q"),
+          ntileExpr("rn_f", 5).as("f_q"),
+          ntileExpr("rn_m", 5).as("m_q"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+          CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01') AS BIGINT) AS r_days,
+          CAST(COUNT(*) AS BIGINT) AS f_n,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT user_id, r_days, f_n, m_cents,
+        ntile(5) OVER (ORDER BY r_days, user_id) AS r_q,
+        ntile(5) OVER (ORDER BY f_n, user_id) AS f_q,
+        ntile(5) OVER (ORDER BY m_cents, user_id) AS m_q
+      FROM u ORDER BY user_id"""),
+    doc = "RFM quintiles — per-event cent rounding, PrefixScan global ranks")
+
+  /** q155 — smoothed target encoding (the Micci-Barreca 2001 device
+    * behind CatBoost-style categorical features): encode each
+    * (nation, segment) by (Σ target + m·prior) DIV (n + m), m = 10,
+    * prior = global mean — all in exact integer cents, so the encoding
+    * is reproducible across engines and reprocessing runs (a feature
+    * store requirement). Truncating DIV agrees between Spark (`div`)
+    * and DuckDB (`//`): both truncate toward zero, negatives included.
+    *
+    * Scale: one fact aggregate + a 1-row global prior broadcast. */
+  val q155 = Q(
+    "q155_target_encoding",
+    (s, dir) => {
+      import s.implicits._
+      val g = Tables(s, dir, "customer")
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("sum_cents"))
+      val prior = g.agg(
+        expr("CAST(sum(sum_cents) DIV sum(n) AS BIGINT)").as("prior_cents"))
+      g.crossJoin(broadcast(prior))
+        .select($"c_nationkey", $"c_mktsegment", $"n",
+          expr("CAST((sum_cents + 10 * prior_cents) DIV (n + 10) AS BIGINT)")
+            .as("enc_cents"))
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    },
+    Some("""
+      WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM customer GROUP BY 1, 2),
+      p AS (SELECT CAST(SUM(sum_cents) // SUM(n) AS BIGINT) AS prior_cents FROM g)
+      SELECT c_nationkey, c_mktsegment, n,
+        CAST((sum_cents + 10 * prior_cents) // (n + 10) AS BIGINT) AS enc_cents
+      FROM g CROSS JOIN p ORDER BY 1, 2"""),
+    doc = "smoothed target encoding — exact cents, one aggregate + 1-row prior")
+
+  /** q156 — KNN calibration audit (the reliability-diagram counts of
+    * Niculescu-Mizil & Caruana 2005): predict every embedding's label
+    * from its 10 nearest neighbors (q51's vote), then bin by vote
+    * count and report accuracy per confidence bin — does 9/10 votes
+    * actually mean ~90%? The model-eval gate a labeling pipeline runs
+    * before trusting KNN-propagated labels.
+    *
+    * Scale: exact all-pairs KNN is O(N²) BY DESIGN here — calibration
+    * runs on an eval-set-sized sample (audit data, not corpus); the
+    * corpus-scale path swaps the crossJoin for IVF probes (q69). The
+    * vote/bin stages are aggregate-sized. */
+  val q156 = Q(
+    "q156_knn_calibration",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("true_label"))
+      val wNn = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+      val wVote = Window.partitionBy($"q_id").orderBy($"votes".desc, $"label".asc)
+      emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", VectorOps.cosine($"q_vec", $"embedding"))
+        .withColumn("rn", row_number().over(wNn)).filter($"rn" <= 10)
+        .groupBy($"q_id", $"true_label", $"label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote)).filter($"vr" === 1)
+        .groupBy($"votes".as("vote_n"))
+        .agg(count(lit(1)).as("n"),
+          count(when($"label" === $"true_label", 1)).as("n_correct"))
+        .select($"vote_n", $"n", $"n_correct",
+          expr("(n_correct * 1000) DIV n").as("acc_milli"))
+        .orderBy($"vote_n")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS true_label
+                 FROM embeddings),
+      pairs AS (SELECT q.q_id, q.true_label, e.vec_id, e.label,
+                  ${duckDot("q.q_vec", "e.embedding")} /
+                    (sqrt(${duckDot("q.q_vec", "q.q_vec")}) *
+                     sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos
+                FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      nn AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, vec_id ASC) AS rn FROM pairs),
+      votes AS (SELECT q_id, true_label, label, COUNT(*) AS votes
+                FROM nn WHERE rn <= 10 GROUP BY 1, 2, 3),
+      win AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY votes DESC, label ASC) AS vr FROM votes)
+      SELECT votes AS vote_n, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE label = true_label) AS BIGINT) AS n_correct,
+             CAST((COUNT(*) FILTER (WHERE label = true_label) * 1000)
+                  // COUNT(*) AS BIGINT) AS acc_milli
+      FROM win WHERE vr = 1 GROUP BY votes ORDER BY vote_n"""),
+    doc = "KNN reliability diagram — audit-sized exact KNN, aggregate bins")
+
+  /** q157 — distribution drift report (the total-variation sibling of
+    * PSI — PSI's log term can't hash-match, TV distance is exact
+    * integer ppm): compare event-type mix and value-band mix between
+    * the first and second half of the month; per (feature, key):
+    * counts, shares in ppm, absolute drift in ppm. The monitoring
+    * gate a pipeline evaluates before auto-retraining on new data.
+    *
+    * Scale: two value-domain-sized aggregates + per-feature totals
+    * broadcast back; the fact table is scanned once and shuffles only
+    * combined (feature, key, half) partials. */
+  val q157 = Q(
+    "q157_drift_report",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .withColumn("half",
+          when($"ts" < lit("2024-01-16 00:00:00").cast("timestamp"), 1)
+            .otherwise(2))
+      val typed = ev.select(lit("event_type").as("feature"),
+        $"event_type".as("key"), $"half")
+      val banded = ev.select(lit("value_band").as("feature"),
+        floor($"value" / 50).cast(LongType).cast(StringType).as("key"), $"half")
+      val counts = typed.unionByName(banded)
+        .groupBy($"feature", $"key")
+        .agg(sum(when($"half" === 1, 1L).otherwise(0L)).as("n_first"),
+          sum(when($"half" === 2, 1L).otherwise(0L)).as("n_second"))
+      val totals = counts.groupBy($"feature")
+        .agg(sum($"n_first").as("t1"), sum($"n_second").as("t2"))
+      counts.join(broadcast(totals), "feature")
+        .select($"feature", $"key", $"n_first", $"n_second",
+          expr("(n_first * 1000000) DIV t1").as("p_first_ppm"),
+          expr("(n_second * 1000000) DIV t2").as("p_second_ppm"))
+        .withColumn("drift_ppm", abs($"p_first_ppm" - $"p_second_ppm"))
+        .orderBy($"feature", $"key")
+    },
+    Some("""
+      WITH ev AS (SELECT *, CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 2 END AS half FROM events),
+      u AS (SELECT 'event_type' AS feature, event_type AS key, half FROM ev
+            UNION ALL
+            SELECT 'value_band', CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR),
+                   half FROM ev),
+      counts AS (SELECT feature, key,
+          CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+          CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+        FROM u GROUP BY 1, 2),
+      totals AS (SELECT feature, SUM(n_first) AS t1, SUM(n_second) AS t2
+                 FROM counts GROUP BY 1)
+      SELECT c.feature, c.key, c.n_first, c.n_second,
+             CAST((c.n_first * 1000000) // t.t1 AS BIGINT) AS p_first_ppm,
+             CAST((c.n_second * 1000000) // t.t2 AS BIGINT) AS p_second_ppm,
+             CAST(abs((c.n_first * 1000000) // t.t1 -
+                      (c.n_second * 1000000) // t.t2) AS BIGINT) AS drift_ppm
+      FROM counts c JOIN totals t ON c.feature = t.feature
+      ORDER BY c.feature, c.key"""),
+    doc = "TV-distance drift report — domain-sized summaries, single fact scan")
+
   val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153)
+    q151, q152, q153, q154, q155, q156, q157)
 }

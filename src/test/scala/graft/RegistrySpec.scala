@@ -35,7 +35,8 @@ class RegistrySpec extends SparkSpecBase {
   private val crossByDesign = Set("q12_cross_join", "q50_cosine_topk",
     "q51_knn_vote", "q56_ngram_jaccard", "q69_ivf_ann", "q77_fuzzy_match",
     "q15_self_join_banded", "q11_join_range", "q14_interval_join",
-    "q143_hybrid_rrf", "q147_collocations")
+    "q143_hybrid_rrf", "q147_collocations", "q155_target_encoding",
+    "q156_knn_calibration")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs at sf0.001 and returns rows") {

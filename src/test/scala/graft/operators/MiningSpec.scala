@@ -192,6 +192,56 @@ class MiningSpec extends SparkSpecBase {
     }
   }
 
+  test("q154 quintiles satisfy the ntile contract: sizes differ by at most " +
+    "one and larger measure values never land in a smaller bucket") {
+    val rows = graft.queries.Mining.q154.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for ((qCol, mCol) <- Seq("r_q" -> "r_days", "f_q" -> "f_n", "m_q" -> "m_cents")) {
+      val sizes = rows.groupBy(_.getAs[Int](qCol)).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$qCol sizes $sizes")
+      val byBucket = rows.groupBy(_.getAs[Int](qCol))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long](mCol)) }
+      for (q <- byBucket.keys if byBucket.contains(q + 1))
+        assert(byBucket(q).max <= byBucket(q + 1).min,
+          s"$qCol bucket $q overlaps ${q + 1}")
+    }
+  }
+
+  test("q157 shares are a distribution: per feature and half, ppm sums land " +
+    "within truncation slack of 1e6") {
+    val rows = graft.queries.Mining.q157.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (feature <- rows.map(_.getString(0)).distinct;
+         col <- Seq("p_first_ppm", "p_second_ppm")) {
+      val fr = rows.filter(_.getString(0) == feature)
+      val sum = fr.map(_.getAs[Long](col)).sum
+      assert(sum <= 1000000L && sum >= 1000000L - fr.length,
+        s"$feature $col ppm sum $sum")
+    }
+  }
+
+  test("q155 encodings shrink toward the prior: every encoding lies between " +
+    "the raw group mean and the global prior") {
+    val g = graft.core.Tables(spark, sf, "customer")
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("s"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    val prior = g.values.map(_._2).sum / g.values.map(_._1).sum
+    val rows = graft.queries.Mining.q155.build(spark, sf).collect()
+    for (r <- rows) {
+      val key = (r.getAs[Number](0).longValue(), r.getString(1))
+      val (n, s) = g(key)
+      val mean = s.toDouble / n
+      val enc = r.getAs[Long]("enc_cents").toDouble
+      val (lo, hi) = (math.min(mean, prior.toDouble), math.max(mean, prior.toDouble))
+      assert(enc >= lo - 1 && enc <= hi + 1, s"$key enc $enc outside [$lo, $hi]")
+    }
+  }
+
   test("q147 respects the support floor and the declared integer lift") {
     val rows = Mining.q147.build(spark, sf).collect()
     assert(rows.nonEmpty)
