@@ -22,6 +22,19 @@ object Mining {
 
   private def duckDot(a: String, b: String): String = VectorOps.dotSql(a, b)
 
+  /** Two-proportion z, micro-rounded — ONE textual formula evaluated by
+    * BOTH engines (q94's fixed-order-IEEE-chain device). Every operand
+    * is explicitly CAST to DOUBLE because bare `1.0` is DOUBLE in Spark
+    * but DECIMAL in DuckDB, and DECIMAL division truncates (measured:
+    * 2e-4 relative drift before these casts). */
+  private[queries] val zMicroSql: String =
+    """CAST(round(((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) -
+       (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+       sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+            (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+            (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) *
+       1000000) AS BIGINT)""".replaceAll("\\s+", " ")
+
   /** q143 — hybrid retrieval with reciprocal-rank fusion (Cormack,
     * Clarke & Büttcher 2009): a keyword retriever (query-term
     * occurrence count) and a vector retriever (cosine to a query
@@ -864,6 +877,164 @@ object Mining {
       ORDER BY c.feature, c.key"""),
     doc = "TV-distance drift report — domain-sized summaries, single fact scan")
 
+  /** q158 — A/B experiment report with a two-proportion z-score: arms
+    * assigned by hash bucket (md5(user) % 2 — the q67 split device,
+    * which IS how production experiment assignment works: sticky,
+    * stateless, uniform), conversion = a purchase over 150 (a
+    * non-saturating event — pooled p in {0,1} makes z undefined, and
+    * "any purchase" saturates on this corpus). Counts are exact
+    * integers; the z statistic is one FIXED-ORDER IEEE chain written
+    * textually identically in both engines (q94's device — sqrt is
+    * exactly rounded, so the whole chain is bit-identical), then
+    * micro-rounded to a BIGINT.
+    *
+    * Scale: two aggregates over (user, arm) — assignment is a pure
+    * projection, no experiment-assignment table to join. */
+  val q158 = Q(
+    "q158_ab_test",
+    (s, dir) => {
+      import s.implicits._
+      val zExpr = Mining.zMicroSql
+      Tables(s, dir, "events")
+        .select($"user_id", $"event_type", $"value",
+          (conv(substring(md5(concat($"user_id".cast(StringType), lit(":ab"))),
+            1, 4), 16, 10).cast(IntegerType) % 2).as("arm"))
+        .groupBy($"user_id", $"arm")
+        .agg(max(when($"event_type" === "purchase" && $"value" > 150, 1L)
+          .otherwise(0L)).as("conv"))
+        .agg(
+          count(when($"arm" === 0, 1)).as("n1"),
+          sum(when($"arm" === 0, $"conv").otherwise(0L)).as("c1"),
+          count(when($"arm" === 1, 1)).as("n2"),
+          sum(when($"arm" === 1, $"conv").otherwise(0L)).as("c2"))
+        .select($"n1", $"c1", $"n2", $"c2",
+          expr("(c1 * 1000000) DIV n1").as("p1_ppm"),
+          expr("(c2 * 1000000) DIV n2").as("p2_ppm"),
+          expr(zExpr).as("z_micro"))
+    },
+    Some(s"""
+      WITH u AS (SELECT user_id,
+          CAST(('0x' || substr(md5(user_id || ':ab'), 1, 4)) AS INT) % 2 AS arm,
+          MAX(CASE WHEN event_type = 'purchase' AND value > 150
+              THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2),
+      agg AS (SELECT
+          CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n1,
+          CAST(SUM(conv) FILTER (WHERE arm = 0) AS BIGINT) AS c1,
+          CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n2,
+          CAST(SUM(conv) FILTER (WHERE arm = 1) AS BIGINT) AS c2
+        FROM u)
+      SELECT n1, c1, n2, c2,
+        (c1 * 1000000) // n1 AS p1_ppm,
+        (c2 * 1000000) // n2 AS p2_ppm,
+        ${Mining.zMicroSql} AS z_micro
+      FROM agg"""),
+    doc = "A/B report — hash-bucket arms, exact counts, IEEE-chain z-score")
+
+  /** q159 — golden-record survivorship (the MDM merge step that follows
+    * entity resolution): cluster documents whose 5-gram overlap is
+    * strong (>= 10 distinct shared grams — true near-dup copies, not
+    * chance collisions) with [[graft.operators.ConnectedComponents]],
+    * then resolve each cluster to ONE record by survivorship rules:
+    * canonical id = min, source/lang = majority (ties lexicographic),
+    * n_chars = max. Complements q82 (which finds clusters) with the
+    * attribute-resolution step a warehouse actually ships.
+    *
+    * Scale: the pair graph is built from distinct (doc, gram-hash)
+    * pairs with a support floor — candidate edges are overlap-heavy
+    * near-dups only, so the CC input is a tiny fraction of the corpus;
+    * majority rules are mode-per-group rank idioms over cluster-sized
+    * aggregates. */
+  val q159 = Q(
+    "q159_golden_record",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val grams = docs
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 5)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, size(toks) - 5),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""))
+          .as("gram"))
+        .select($"doc_id",
+          conv(substring(md5($"gram"), 1, 15), 16, 10).cast(LongType).as("gh"))
+        .distinct()
+      val pairs = grams.as("a").join(grams.as("b"),
+          $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+        .agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= 10)
+        .select($"a_id", $"b_id")
+      val nodes = pairs.select($"a_id".as("doc_id"))
+        .unionByName(pairs.select($"b_id".as("doc_id"))).distinct()
+      val comp = graft.operators.ConnectedComponents
+        .label(nodes, "doc_id", pairs, "a_id", "b_id")
+      val members = comp.join(docs, "doc_id")
+      val mode = (attr: String) => {
+        val w = Window.partitionBy($"component")
+          .orderBy($"cnt".desc, col(attr).asc)
+        members.groupBy($"component", col(attr))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("vr", row_number().over(w))
+          .filter($"vr" === 1)
+          .select($"component", col(attr).as(s"${attr}_win"))
+      }
+      members.groupBy($"component")
+        .agg(min($"doc_id").as("canonical_id"),
+          count(lit(1)).as("members"),
+          max($"n_chars").as("n_chars"))
+        .join(mode("source"), "component")
+        .join(mode("lang"), "component")
+        .select($"canonical_id", $"members",
+          $"source_win".as("source"), $"lang_win".as("lang"), $"n_chars")
+        .orderBy($"canonical_id")
+    },
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      g AS (SELECT DISTINCT t1.doc_id,
+              CAST(('0x' || substr(md5(t1.term || ' ' || t2.term || ' ' ||
+                t3.term || ' ' || t4.term || ' ' || t5.term), 1, 15)) AS BIGINT) AS gh
+            FROM t t1
+            JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            JOIN t t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+            JOIN t t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+            JOIN t t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM reach r JOIN edges e ON r.node = e.dst),
+      comp AS (SELECT node AS doc_id, MIN(lab) AS component
+               FROM reach GROUP BY node),
+      mem AS (SELECT c.component, d.doc_id, d.source, d.lang, d.n_chars
+              FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+      srcw AS (SELECT component, source FROM (
+                 SELECT component, source,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY COUNT(*) DESC, source ASC) AS vr
+                 FROM mem GROUP BY component, source) WHERE vr = 1),
+      langw AS (SELECT component, lang FROM (
+                 SELECT component, lang,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY COUNT(*) DESC, lang ASC) AS vr
+                 FROM mem GROUP BY component, lang) WHERE vr = 1)
+      SELECT m.canonical_id, m.members, s.source, l.lang, m.n_chars FROM
+        (SELECT component, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+                CAST(COUNT(*) AS BIGINT) AS members,
+                CAST(MAX(n_chars) AS BIGINT) AS n_chars
+         FROM mem GROUP BY component) m
+        JOIN srcw s ON m.component = s.component
+        JOIN langw l ON m.component = l.component
+      ORDER BY m.canonical_id"""),
+    doc = "MDM survivorship — support-floored pair graph, CC label, mode rules")
+
   val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159)
 }

@@ -274,7 +274,8 @@ class PlanSpec extends SparkSpecBase {
       "q96_chain_components_star", "q109_pagerank", "q114_recursive_chain",
       "q118_kmeans_int", "q119_bfs_hops", "q121_schema_merge",
       "q133_mmr_select", "q134_orc_roundtrip", "q135_xml_roundtrip",
-      "q146_kcore_curation", "q149_closeness_sample", "q152_trustrank")
+      "q146_kcore_curation", "q149_closeness_sample", "q152_trustrank",
+      "q159_golden_record")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eagerBuilds.contains(name) }
       .flatMap { case (name, fn) =>

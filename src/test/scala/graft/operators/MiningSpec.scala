@@ -242,6 +242,53 @@ class MiningSpec extends SparkSpecBase {
     }
   }
 
+  test("q158's z-score agrees with a local recomputation from its own " +
+    "integer counts, and its sign tracks the rate difference") {
+    val r = graft.queries.Mining.q158.build(spark, sf).collect().head
+    val (n1, c1, n2, c2) = (r.getAs[Long]("n1"), r.getAs[Long]("c1"),
+      r.getAs[Long]("n2"), r.getAs[Long]("c2"))
+    val (p1, p2) = (c1.toDouble / n1, c2.toDouble / n2)
+    val pp = (c1 + c2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    val zMicro = r.getAs[Long]("z_micro")
+    assert(math.abs(zMicro - math.round(z * 1e6)) <= 1, s"$zMicro vs $z")
+    assert((zMicro > 0) === (p1 > p2) || zMicro === 0L)
+  }
+
+  test("q159's golden records equal a local union-find + survivorship " +
+    "recomputation over the same pair graph") {
+    // local rebuild: 5-gram sets per doc, pairs sharing >= 10 grams
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text", $"source", $"lang", $"n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" "),
+        r.getString(2), r.getString(3), r.getLong(4)))
+    val gramSets = docs.filter(_._2.length >= 5).map { case (id, t, _, _, _) =>
+      id -> t.sliding(5).map(_.mkString(" ")).toSet
+    }.toMap
+    val ids = gramSets.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      if ((gramSets(a) intersect gramSets(b)).size >= 10)
+        parent(find(a)) = find(b)
+    }
+    val attrs = docs.map(d => d._1 -> (d._3, d._4, d._5)).toMap
+    val expected = ids.groupBy(find).values.filter(_.length >= 2).map { m =>
+      def mode(f: Long => String) = m.groupBy(f).toSeq
+        .map { case (v, xs) => (-xs.length, v) }.min._2
+      (m.min, m.length.toLong, mode(attrs(_)._1), mode(attrs(_)._2),
+        m.map(attrs(_)._3).max)
+    }.toSet
+    val got = graft.queries.Mining.q159.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("q147 respects the support floor and the declared integer lift") {
     val rows = Mining.q147.build(spark, sf).collect()
     assert(rows.nonEmpty)
