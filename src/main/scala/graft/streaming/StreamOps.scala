@@ -101,4 +101,34 @@ object StreamOps {
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
         "left_outer")
+
+  /** T13 — streaming drift monitor, the incremental form of q157's
+    * total-variation report: the STREAM carries only the stateful
+    * windowed count (one aggregation — Structured Streaming's
+    * single-stateful-agg rule), and [[finishDrift]] completes the
+    * share/drift arithmetic per micro-batch inside foreachBatch (the
+    * T9 sink pattern), where window totals are batch-local and free.
+    * Baseline shares are a static (key, base_ppm) frame broadcast per
+    * batch. State is bounded by watermark horizon x key cardinality. */
+  def windowedKeyCounts(df: DataFrame, tsCol: String, keyCol: String,
+                        width: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+
+  /** Finishing step for [[windowedKeyCounts]] — pure batch transform
+    * (exactly q157's integer-ppm arithmetic), usable identically on a
+    * foreachBatch micro-batch or a full batch frame: per (window, key),
+    * observed share in ppm vs the baseline's, drift = |obs - base|. */
+  def finishDrift(counts: DataFrame, keyCol: String,
+                  baseline: DataFrame): DataFrame = {
+    val totals = counts.groupBy(col("win_start"))
+      .agg(sum(col("n")).as("win_total"))
+    counts.join(broadcast(totals), "win_start")
+      .join(broadcast(baseline), keyCol)
+      .select(col("win_start"), col(keyCol), col("n"),
+        expr("(n * 1000000) DIV win_total").as("obs_ppm"), col("base_ppm"))
+      .withColumn("drift_ppm", abs(col("obs_ppm") - col("base_ppm")))
+  }
 }

@@ -327,6 +327,44 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T13: streaming drift monitor — foreachBatch-finished shares agree " +
+    "with the full batch pass and with hand-computed ppm") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    val baseline = Seq(("click", 500000L), ("view", 500000L))
+      .toDF("event_type", "base_ppm")
+    val data = Seq(
+      Ev(1, ts(0, 10), 1, "click"), Ev(2, ts(0, 20), 2, "click"),
+      Ev(3, ts(0, 30), 3, "click"), Ev(4, ts(0, 40), 4, "view"),
+      Ev(5, ts(1, 10), 1, "click"), Ev(6, ts(1, 20), 2, "view"))
+    val stream = MemoryStream[Ev](s)
+    stream.addData(data)
+    var last: Seq[(java.sql.Timestamp, String, Long, Long, Long)] = Nil
+    val q = StreamOps.windowedKeyCounts(stream.toDF(), "ts", "event_type",
+        "1 minute", "0 seconds")
+      .writeStream.outputMode("complete")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        last = StreamOps.finishDrift(b, "event_type", baseline)
+          .orderBy("win_start", "event_type")
+          .collect().map(r => (r.getTimestamp(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getAs[Long]("drift_ppm"))).toSeq
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val batch = StreamOps.finishDrift(
+        StreamOps.tumblingCounts(data.toDF(), "ts", "event_type", "1 minute")
+          .select($"win_start", $"event_type", $"n"),
+        "event_type", baseline)
+      .orderBy("win_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getAs[Long]("drift_ppm"))).toSeq
+    assert(last === batch)
+    // window 0: 3 clicks + 1 view -> click 750000 ppm, drift 250000
+    assert(last.find(x => x._1 == ts(0) && x._2 == "click")
+      .map(x => (x._4, x._5)) === Some((750000L, 250000L)))
+  }
+
   test("T12: foreachBatch maintains an IncrementalAgg summary — the " +
     "streaming materialized view equals the full batch re-aggregate") {
     val s = spark
