@@ -1041,6 +1041,67 @@ object Mining {
       ORDER BY m.canonical_id"""),
     doc = "MDM survivorship — support-floored pair graph, CC label, mode rules")
 
+  /** q160 — exact two-sample Kolmogorov–Smirnov statistic between the
+    * purchase-value distributions of q158's two hash arms: D = max over
+    * values of |F1(v) - F2(v)|, the numeric-drift companion to q157's
+    * categorical TV distance (and the experimentation guardrail for
+    * "same conversion rate, different spend shape"). Exact integers
+    * throughout: the max runs over |cum1·n2 - cum2·n1| (cross-scaled
+    * cumulative counts — no division until the final ppm render), and
+    * the report names the value where the gap peaks.
+    *
+    * Scale: cents collapse to a distinct-value summary FIRST (q130's
+    * device), so the [[graft.operators.PrefixScan]] cumulations run on
+    * a value-domain-sized frame and the max is a TakeOrdered(1) — no
+    * global sort of raw purchases anywhere. Cross-products cum·n
+    * overflow BIGINT only past ~3e9 rows per side; the summary is
+    * where you'd move to DECIMAL(38) at that scale. */
+  val q160 = Q(
+    "q160_ks_test",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.PrefixScan
+      val summary = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select(
+          (conv(substring(md5(concat($"user_id".cast(StringType), lit(":ab"))),
+            1, 4), 16, 10).cast(IntegerType) % 2).as("arm"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy($"cents")
+        .agg(count(when($"arm" === 0, 1)).as("c1"),
+          count(when($"arm" === 1, 1)).as("c2"))
+      val s1 = PrefixScan.inclusive(summary, Nil, "cents", Nil, "c1",
+        _ / 5000, "cum1", Some("n1"))
+      val s2 = PrefixScan.inclusive(s1, Nil, "cents", Nil, "c2",
+        _ / 5000, "cum2", Some("n2"))
+      s2.select($"cents", $"n1", $"n2",
+          abs($"cum1" * $"n2" - $"cum2" * $"n1").as("gap"))
+        .orderBy($"gap".desc, $"cents".asc).limit(1)
+        .select($"n1", $"n2", $"cents".as("at_cents"),
+          expr("CAST((gap * 1000000) DIV (n1 * n2) AS BIGINT)").as("ks_ppm"))
+    },
+    Some("""
+      WITH p AS (SELECT
+          CAST(('0x' || substr(md5(user_id || ':ab'), 1, 4)) AS INT) % 2 AS arm,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT cents,
+          CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS c1,
+          CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS c2
+        FROM p GROUP BY 1),
+      c AS (SELECT cents,
+          SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+          SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2,
+          SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        FROM v),
+      g AS (SELECT cents, n1, n2, abs(cum1 * n2 - cum2 * n1) AS gap FROM c
+            ORDER BY gap DESC, cents ASC LIMIT 1)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             cents AS at_cents,
+             CAST((gap * 1000000) // (n1 * n2) AS BIGINT) AS ks_ppm
+      FROM g"""),
+    doc = "exact two-sample KS — value-domain summary, PrefixScan cums, TakeOrdered max")
+
   val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 }

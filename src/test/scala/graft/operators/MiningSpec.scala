@@ -289,6 +289,29 @@ class MiningSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("q160's KS statistic equals a local brute-force computation over " +
+    "the same arm split") {
+    val purch = graft.core.Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (conv(substring(md5(concat($"user_id".cast("string"), lit(":ab"))),
+          1, 4), 16, 10).cast("int") % 2).as("arm"))
+      .collect().map(r => (r.getInt(2), r.getLong(1)))
+    val a0 = purch.filter(_._1 == 0).map(_._2).sorted
+    val a1 = purch.filter(_._1 == 1).map(_._2).sorted
+    val (n1, n2) = (a0.length.toLong, a1.length.toLong)
+    val values = (a0 ++ a1).distinct.sorted
+    val best = values.map { v =>
+      val c1 = a0.count(_ <= v).toLong; val c2 = a1.count(_ <= v).toLong
+      (math.abs(c1 * n2 - c2 * n1), v)
+    }.maxBy(g => (g._1, -g._2))
+    val r = graft.queries.Mining.q160.build(spark, sf).collect().head
+    assert(r.getAs[Long]("n1") === n1)
+    assert(r.getAs[Long]("n2") === n2)
+    assert(r.getAs[Long]("at_cents") === best._2)
+    assert(r.getAs[Long]("ks_ppm") === best._1 * 1000000L / (n1 * n2))
+  }
+
   test("q147 respects the support floor and the declared integer lift") {
     val rows = Mining.q147.build(spark, sf).collect()
     assert(rows.nonEmpty)
