@@ -1102,6 +1102,134 @@ object Mining {
       FROM g"""),
     doc = "exact two-sample KS — value-domain summary, PrefixScan cums, TakeOrdered max")
 
+  /** Benford first-digit expectations, log10(1+1/d) in ppm — public
+    * constants (Benford 1938), hardcoded identically in both engines
+    * so no log is ever evaluated. */
+  private val benfordPpm =
+    Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+      6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** q161 — Benford's-law conformance audit (Benford 1938; Nigrini's
+    * fraud-detection staple): first-digit distribution of purchase
+    * cents vs the log-law expectation, per digit in exact ppm. The
+    * data-quality tripwire for fabricated or truncated numeric feeds —
+    * a pipeline runs it per source before trusting amounts.
+    *
+    * Scale: one fact scan → 9-row digit aggregate; the expectation
+    * table is a 9-row literal. Nothing else. */
+  val q161 = Q(
+    "q161_benford_audit",
+    (s, dir) => {
+      import s.implicits._
+      val expected = benfordPpm.toDF("digit", "benford_ppm")
+      val digits = Tables(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .filter($"cents" > 0)
+        .select(substring($"cents".cast(StringType), 1, 1)
+          .cast(IntegerType).as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum($"n").as("total"))
+      digits.crossJoin(broadcast(tot))
+        .join(broadcast(expected), "digit")
+        .select($"digit", $"n",
+          expr("(n * 1000000) DIV total").as("obs_ppm"), $"benford_ppm")
+        .withColumn("diff_ppm", abs($"obs_ppm" - $"benford_ppm"))
+        .orderBy($"digit")
+    },
+    Some(s"""
+      WITH d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase')
+            WHERE cents > 0 GROUP BY 1),
+      tot AS (SELECT SUM(n) AS total FROM d),
+      b AS (SELECT digit, ppm AS benford_ppm FROM (VALUES
+          ${benfordPpm.map { case (d, p) => s"($d, CAST($p AS BIGINT))" }
+            .mkString(", ")}) AS t(digit, ppm))
+      SELECT d.digit, d.n, CAST((d.n * 1000000) // tot.total AS BIGINT) AS obs_ppm,
+             b.benford_ppm,
+             CAST(abs((d.n * 1000000) // tot.total - b.benford_ppm) AS BIGINT)
+               AS diff_ppm
+      FROM d CROSS JOIN tot JOIN b ON d.digit = b.digit
+      ORDER BY d.digit"""),
+    doc = "Benford audit — hardcoded log-law ppm constants, 9-row aggregate")
+
+  /** Ring positions for consistent hashing: `vnodes` virtual nodes per
+    * shard at md5-derived 60-bit points (Karger et al. 1997). */
+  private def ringSql(shards: Int, vnodes: Int): String =
+    s"""SELECT s AS shard, CAST(('0x' || substr(md5('shard' || s || ':' || v), 1, 15))
+          AS BIGINT) AS pos
+        FROM (SELECT unnest(range($shards)) AS s),
+             (SELECT unnest(range($vnodes)) AS v)"""
+
+  /** q162 — consistent-hash reshard audit (Karger et al. 1997): assign
+    * every document a position on the md5 ring, map it to its
+    * clockwise-next virtual node under an 8-shard and a 12-shard ring,
+    * and emit the movement matrix — the storage-planning proof that
+    * growing the cluster moves ~new/total of the data, not the ~90% a
+    * modulo reshard would (ScalaTest pins exactly that comparison).
+    *
+    * Scale: rings are shards x vnodes rows — always broadcast; the
+    * assignment is a broadcast min-over-qualifying-vnodes per doc (an
+    * as-of-join shape against a constant table); docs shuffle once per
+    * ring on their own ids for the final matrix count. */
+  val q162 = Q(
+    "q162_reshard_audit",
+    (s, dir) => {
+      import s.implicits._
+      def ring(shards: Int): org.apache.spark.sql.DataFrame =
+        (0 until shards).flatMap(sh => (0 until 16).map(v => (sh, sh + ":" + v)))
+          .toDF("shard", "sv")
+          .select($"shard",
+            conv(substring(md5(concat(lit("shard"), $"sv")), 1, 15), 16, 10)
+              .cast(LongType).as("pos"))
+      def assign(docs: org.apache.spark.sql.DataFrame, shards: Int,
+                 outCol: String): org.apache.spark.sql.DataFrame = {
+        val r = ring(shards)
+        val wrap = r.orderBy($"pos".asc, $"shard".asc).limit(1)
+          .select($"shard".as("wrap_shard"))
+        val best = docs.select($"doc_id", $"p").join(broadcast(r), $"pos" >= $"p")
+          .groupBy($"doc_id")
+          .agg(min(struct($"pos", $"shard")).as("m"))
+          .select($"doc_id", $"m.shard".as(outCol))
+        docs.join(best, Seq("doc_id"), "left_outer")
+          .crossJoin(broadcast(wrap))
+          .withColumn(outCol, coalesce(col(outCol), $"wrap_shard"))
+          .drop("wrap_shard")
+      }
+      val docs = Tables(s, dir, "documents")
+        .select($"doc_id",
+          conv(substring(md5(concat(lit("doc"), $"doc_id".cast(StringType))),
+            1, 15), 16, 10).cast(LongType).as("p"))
+      assign(assign(docs, 8, "shard_old"), 12, "shard_new")
+        .groupBy($"shard_old", $"shard_new")
+        .agg(count(lit(1)).as("docs"))
+        .orderBy($"shard_old", $"shard_new")
+    },
+    Some(s"""
+      WITH r8 AS (${ringSql(8, 16)}),
+      r12 AS (${ringSql(12, 16)}),
+      d AS (SELECT doc_id,
+              CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT) AS p
+            FROM documents),
+      w8 AS (SELECT shard FROM r8 ORDER BY pos, shard LIMIT 1),
+      w12 AS (SELECT shard FROM r12 ORDER BY pos, shard LIMIT 1),
+      a8 AS (SELECT d.doc_id, COALESCE(
+               (SELECT r.shard FROM r8 r WHERE r.pos >= d.p
+                ORDER BY r.pos, r.shard LIMIT 1),
+               (SELECT shard FROM w8)) AS shard_old
+             FROM d),
+      a12 AS (SELECT d.doc_id, COALESCE(
+               (SELECT r.shard FROM r12 r WHERE r.pos >= d.p
+                ORDER BY r.pos, r.shard LIMIT 1),
+               (SELECT shard FROM w12)) AS shard_new
+             FROM d)
+      SELECT a8.shard_old, a12.shard_new, CAST(COUNT(*) AS BIGINT) AS docs
+      FROM a8 JOIN a12 ON a8.doc_id = a12.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "consistent-hash reshard matrix — broadcast rings, as-of-shaped assignment")
+
   val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 }

@@ -37,7 +37,7 @@ class RegistrySpec extends SparkSpecBase {
     "q51_knn_vote", "q56_ngram_jaccard", "q69_ivf_ann", "q77_fuzzy_match",
     "q15_self_join_banded", "q11_join_range", "q14_interval_join",
     "q143_hybrid_rrf", "q147_collocations", "q155_target_encoding",
-    "q156_knn_calibration")
+    "q156_knn_calibration", "q161_benford_audit", "q162_reshard_audit")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs at sf0.001 and returns rows") {

@@ -312,6 +312,22 @@ class MiningSpec extends SparkSpecBase {
     assert(r.getAs[Long]("ks_ppm") === best._1 * 1000000L / (n1 * n2))
   }
 
+  test("q162: consistent hashing moves FAR less data on reshard than " +
+    "modulo assignment — the property that justifies the ring") {
+    val matrix = graft.queries.Mining.q162.build(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val total = matrix.map(_._3).sum
+    val moved = matrix.filter(x => x._1 != x._2).map(_._3).sum
+    // ring expectation: ~ new_shards/total_shards = 4/12 of docs move
+    assert(moved.toDouble / total < 0.55, s"ring moved $moved/$total")
+    // modulo reshard 8 -> 12 on the same ids moves ~everything
+    val ids = graft.core.Tables(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    val modMoved = ids.count(i => i % 8 != i % 12)
+    assert(moved.toDouble / total < 0.8 * modMoved.toDouble / ids.length,
+      s"ring $moved/$total vs modulo $modMoved/${ids.length}")
+  }
+
   test("q147 respects the support floor and the declared integer lift") {
     val rows = Mining.q147.build(spark, sf).collect()
     assert(rows.nonEmpty)
