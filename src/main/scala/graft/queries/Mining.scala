@@ -1230,6 +1230,187 @@ object Mining {
       GROUP BY 1, 2 ORDER BY 1, 2"""),
     doc = "consistent-hash reshard matrix — broadcast rings, as-of-shaped assignment")
 
+  /** q163 — within-document repetition signals (Rae et al. 2021,
+    * Gopher Table A1): per doc, the character fraction covered by the
+    * most frequent word 2-gram and the fraction of 5-grams that are
+    * duplicates; docs exceeding the published thresholds (20% / 15%)
+    * are flagged, reported per source. The self-repetition filter
+    * complements q73's length/punct gates and the CROSS-doc dedup
+    * family (q54/q55/q82) — a doc can be unique corpus-wide and still
+    * be degenerate internally (boilerplate loops, scraper stutter).
+    *
+    * Scale: two explodes over one scan, both collapsing to per-doc
+    * aggregates before any join; the top-2-gram argmax is a
+    * `max(struct)` (no per-doc window), and the report is
+    * source-cardinality rows. All ratios exact integer ppm. */
+  val q163 = Q(
+    "q163_repetition_signals",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select($"doc_id", split($"text", " ").as("toks"))
+      val topBi = base.filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+             i -> concat_ws(' ', toks[i], toks[i+1]))""")).as("gram"))
+        .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id")
+        .agg(max(struct($"cnt", length($"gram").as("glen"), $"gram")).as("m"))
+        .select($"doc_id", $"m.cnt".as("top_cnt"), $"m.glen".as("top_len"))
+      val dup5 = base.filter(size($"toks") >= 5)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, size(toks) - 5),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""))
+          .as("g5"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n5"), countDistinct($"g5").as("d5"))
+      docs.select($"doc_id", $"source", length($"text").cast(LongType).as("nc"))
+        .join(topBi, Seq("doc_id"), "left_outer")
+        .join(dup5, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"source",
+          coalesce(expr("(top_cnt * top_len * 1000000) DIV nc"), lit(0L))
+            .as("top2_ppm"),
+          coalesce(expr("((n5 - d5) * 1000000) DIV n5"), lit(0L)).as("dup5_ppm"))
+        .withColumn("flagged",
+          ($"top2_ppm" > 200000L || $"dup5_ppm" > 150000L).cast(IntegerType))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"flagged").cast(LongType).as("n_flagged"),
+          expr("CAST(sum(top2_ppm) DIV count(1) AS BIGINT)").as("avg_top2_ppm"),
+          expr("CAST(sum(dup5_ppm) DIV count(1) AS BIGINT)").as("avg_dup5_ppm"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      bi AS (SELECT t1.doc_id, t1.term || ' ' || t2.term AS gram
+             FROM t t1 JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+      bc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM bi GROUP BY 1, 2),
+      tb AS (SELECT doc_id, cnt AS top_cnt, length(gram) AS top_len FROM (
+               SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rr FROM bc)
+             WHERE rr = 1),
+      fg AS (SELECT t1.doc_id, t1.term || ' ' || t2.term || ' ' || t3.term || ' ' ||
+                    t4.term || ' ' || t5.term AS g5
+             FROM t t1
+             JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             JOIN t t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+             JOIN t t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+             JOIN t t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+      d5 AS (SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT g5) AS d5
+             FROM fg GROUP BY 1),
+      per AS (SELECT d.doc_id, d.source,
+               COALESCE((tb.top_cnt * tb.top_len * 1000000) // length(d.text), 0)
+                 AS top2_ppm,
+               COALESCE(((d5.n5 - d5.d5) * 1000000) // d5.n5, 0) AS dup5_ppm
+             FROM documents d
+             LEFT JOIN tb ON d.doc_id = tb.doc_id
+             LEFT JOIN d5 ON d.doc_id = d5.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) FILTER (WHERE top2_ppm > 200000 OR dup5_ppm > 150000)
+          AS BIGINT) AS n_flagged,
+        CAST(SUM(top2_ppm) // COUNT(*) AS BIGINT) AS avg_top2_ppm,
+        CAST(SUM(dup5_ppm) // COUNT(*) AS BIGINT) AS avg_dup5_ppm
+      FROM per GROUP BY source ORDER BY source"""),
+    doc = "Gopher repetition gates — per-doc aggregates, max(struct) argmax, ppm-exact")
+
+  /** q164 — temperature-smoothed mixture reweighting (the α = 1/2
+    * resampling of Conneau & Lample 2019 / multilingual-corpus
+    * practice): per source, natural token share vs the
+    * sqrt-temperature share w = floor(sqrt(tokens)), and the boost
+    * each source's sampling rate gets. The mixture designer's table —
+    * how much the head is suppressed and the tail amplified before an
+    * epoch is drawn (Hamilton quota mixing, q112, then realizes the
+    * draw).
+    *
+    * Determinism: IEEE-754 sqrt is correctly rounded in both engines,
+    * so floor(sqrt(BIGINT)) is bit-exact cross-engine; every share is
+    * integer ppm. Scale: one fact scan to a source-cardinality
+    * aggregate; totals broadcast back. */
+  val q164 = Q(
+    "q164_mixture_reweight",
+    (s, dir) => {
+      import s.implicits._
+      val g = Tables(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split($"text", " ")).cast(LongType)).as("n_tok"))
+        .withColumn("w", floor(sqrt($"n_tok".cast(DoubleType))).cast(LongType))
+      val tot = g.agg(sum($"n_tok").as("t_tok"), sum($"w").as("t_w"))
+      g.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tok",
+          expr("(n_tok * 1000000) DIV t_tok").as("nat_ppm"),
+          expr("(w * 1000000) DIV t_w").as("samp_ppm"))
+        .withColumn("boost_milli",
+          expr("(samp_ppm * 1000) DIV greatest(nat_ppm, 1)"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        FROM documents GROUP BY 1),
+      w AS (SELECT *, CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS w FROM g),
+      tot AS (SELECT SUM(n_tok) AS t_tok, SUM(w) AS t_w FROM w)
+      SELECT source, n_docs, n_tok,
+        CAST((n_tok * 1000000) // t_tok AS BIGINT) AS nat_ppm,
+        CAST((w * 1000000) // t_w AS BIGINT) AS samp_ppm,
+        CAST((((w * 1000000) // t_w) * 1000) //
+             greatest((n_tok * 1000000) // t_tok, 1) AS BIGINT) AS boost_milli
+      FROM w CROSS JOIN tot ORDER BY source"""),
+    doc = "sqrt-temperature mixture shares — source-sized aggregate, ppm-exact")
+
+  /** q165 — stratified exact train/val/test split: within every
+    * (lang, source) stratum, rank docs by a salted md5 of their id and
+    * cut at exactly 80/10/10 by integer rank arithmetic — every
+    * stratum's class balance is preserved to the row, unlike the
+    * per-row hash-threshold split (q49 family) whose per-stratum
+    * counts are only correct in expectation. Report per stratum.
+    *
+    * Scale: the within-stratum rank is the weight-1
+    * [[graft.operators.PrefixScan]] scan (q25's device) — strata are
+    * LOW-cardinality keys (~langs x sources), so a
+    * `Window.partitionBy(lang, source)` would cap the sort at one
+    * task per stratum at any cluster size; the scan shuffles on
+    * (stratum, 64 hash buckets) instead. Output is strata-sized. */
+  val q165 = Q(
+    "q165_stratified_split",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.PrefixScan
+      val d = Tables(s, dir, "documents")
+        .select($"lang", $"source", $"doc_id",
+          conv(substring(md5(concat(lit("split:"), $"doc_id".cast(StringType))),
+            1, 15), 16, 10).cast(LongType).as("h"),
+          lit(1L).as("one"))
+      val scanned = PrefixScan.inclusive(d, Seq("lang", "source"), "h",
+        Seq("doc_id"), "one", c => floor(c / lit(1L << 54)), "rn", Some("n"))
+      scanned.groupBy($"lang", $"source")
+        .agg(max($"n").as("n"),
+          count(when(expr("rn * 10 <= n * 8"), 1)).as("n_train"),
+          count(when(expr("rn * 10 > n * 8 AND rn * 10 <= n * 9"), 1)).as("n_val"),
+          count(when(expr("rn * 10 > n * 9"), 1)).as("n_test"))
+        .withColumn("train_ppm", expr("(n_train * 1000000) DIV n"))
+        .orderBy($"lang", $"source")
+    },
+    Some("""
+      WITH d AS (SELECT lang, source, doc_id,
+          CAST(('0x' || substr(md5('split:' || doc_id), 1, 15)) AS BIGINT) AS h
+        FROM documents),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY lang, source) AS n FROM d)
+      SELECT lang, source, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(COUNT(*) FILTER (WHERE rn * 10 <= n * 8) AS BIGINT) AS n_train,
+        CAST(COUNT(*) FILTER (WHERE rn * 10 > n * 8 AND rn * 10 <= n * 9)
+          AS BIGINT) AS n_val,
+        CAST(COUNT(*) FILTER (WHERE rn * 10 > n * 9) AS BIGINT) AS n_test,
+        CAST((COUNT(*) FILTER (WHERE rn * 10 <= n * 8) * 1000000) // MAX(n)
+          AS BIGINT) AS train_ppm
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "exact 80/10/10 stratified split — weight-1 PrefixScan rank, no stratum window")
+
   val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
+    q163, q164, q165)
 }

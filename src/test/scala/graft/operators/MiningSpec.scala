@@ -328,6 +328,72 @@ class MiningSpec extends SparkSpecBase {
       s"ring $moved/$total vs modulo $modMoved/${ids.length}")
   }
 
+  test("q163 repetition signals equal a local per-doc brute force") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val per = docs.map { case (_, text, src) =>
+      val toks = text.split(" ")
+      val top2 = if (toks.length < 2) 0L else {
+        val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).toSeq.map { case (g, xs) => (xs.length.toLong, g) }
+        // argmax (cnt, len, gram) — the max(struct) tie-break order
+        val (cnt, gram) = counts.maxBy { case (c, g) => (c, g.length, g) }
+        Math.floorDiv(cnt * gram.length * 1000000L, text.length.toLong)
+      }
+      val dup5 = if (toks.length < 5) 0L else {
+        val g5 = toks.sliding(5).map(_.mkString(" ")).toSeq
+        Math.floorDiv((g5.length - g5.distinct.length) * 1000000L, g5.length.toLong)
+      }
+      (src, top2, dup5)
+    }
+    val expected = per.groupBy(_._1).map { case (src, xs) =>
+      (src, xs.length.toLong,
+        xs.count(x => x._2 > 200000L || x._3 > 150000L).toLong,
+        xs.map(_._2).sum / xs.length, xs.map(_._3).sum / xs.length)
+    }.toSet
+    val got = Mining.q163.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q164 mixture shares: sampling ppm sums to ~1e6 and sqrt-temperature " +
+    "compresses the mix toward uniform") {
+    val rows = Mining.q164.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val sampSum = rows.map(_._4).sum
+    assert(sampSum > 1000000L - rows.length && sampSum <= 1000000L)
+    // temperature flattens RATIOS (samp_i/samp_j = sqrt(nat_i/nat_j)), so
+    // the spread compresses; per-source "samp between nat and uniform" is
+    // NOT a theorem (near-uniform sources overshoot by rounding-scale
+    // amounts), but order preservation and spread compression are.
+    val byTok = rows.sortBy(_._2)
+    byTok.sliding(2).foreach {
+      case Array((s1, _, _, p1), (s2, _, _, p2)) =>
+        assert(p2 >= p1 - 1, s"order broken: $s1=$p1 vs $s2=$p2")
+      case _ =>
+    }
+    val natSpread = rows.map(_._3).max.toDouble / rows.map(_._3).min
+    val sampSpread = rows.map(_._4).max.toDouble / rows.map(_._4).min
+    assert(sampSpread <= natSpread + 1e-9,
+      s"spread not compressed: samp $sampSpread vs nat $natSpread")
+  }
+
+  test("q165 stratified split cuts every stratum at exactly floor(8n/10) / " +
+    "floor(9n/10) and covers all docs") {
+    val rows = Mining.q165.build(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows.foreach { case (n, tr, va, te) =>
+      assert(tr === n * 8 / 10)
+      assert(va === n * 9 / 10 - n * 8 / 10)
+      assert(te === n - n * 9 / 10)
+    }
+    val totalDocs = graft.core.Tables(spark, sf, "documents").count()
+    assert(rows.map(_._1).sum === totalDocs)
+  }
+
   test("q147 respects the support floor and the declared integer lift") {
     val rows = Mining.q147.build(spark, sf).collect()
     assert(rows.nonEmpty)
