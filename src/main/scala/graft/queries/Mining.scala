@@ -1410,7 +1410,201 @@ object Mining {
       FROM r GROUP BY 1, 2 ORDER BY 1, 2"""),
     doc = "exact 80/10/10 stratified split — weight-1 PrefixScan rank, no stratum window")
 
+  /** q166 — vocabulary richness estimate (Chao 1984; Good-Turing
+    * coverage): observed distinct tokens, singleton/doubleton counts,
+    * the Chao1 lower bound on TRUE vocabulary size
+    * D + f1(f1−1)/(2(f2+1)), and Good-Turing sample coverage
+    * 1 − f1/N — the "how much bigger should the tokenizer's vocab be,
+    * and have we seen enough data" planning numbers.
+    *
+    * Scale: token counts map-side combine into a vocabulary-sized
+    * aggregate; the f1/f2/D readout is a second aggregate over that
+    * summary. One row out, exact integer arithmetic throughout. */
+  val q166 = Q(
+    "q166_vocab_richness",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("d_obs"), sum($"c").as("n_tok"),
+          count(when($"c" === 1, 1)).as("f1"),
+          count(when($"c" === 2, 1)).as("f2"))
+        .select($"n_tok", $"d_obs", $"f1", $"f2",
+          expr("d_obs + (f1 * (f1 - 1)) DIV (2 * (f2 + 1))").as("chao1"),
+          expr("((n_tok - f1) * 1000000) DIV n_tok").as("coverage_ppm"))
+    },
+    Some("""
+      WITH c AS (SELECT term, COUNT(*) AS c FROM (
+                   SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+                 GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_obs,
+               CAST(SUM(c) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+               CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+             FROM c)
+      SELECT n_tok, d_obs, f1, f2,
+        CAST(d_obs + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS chao1,
+        CAST(((n_tok - f1) * 1000000) // n_tok AS BIGINT) AS coverage_ppm
+      FROM st"""),
+    doc = "Chao1 + Good-Turing coverage — vocabulary-sized aggregate, 1 row out")
+
+  /** q167 — vocabulary growth curve (Heaps' law empirically, no law
+    * fitted — the curve itself): corpus split into 10 equal doc-id
+    * deciles; per decile, docs added, FIRST-occurrence tokens added,
+    * and both cumulatives. Flattening growth ⇒ more same-distribution
+    * data stops paying for tokenizer/vocab coverage.
+    *
+    * Scale: first occurrence = min(doc_id) per token — one
+    * vocabulary-sized aggregate (no ordered scan of the corpus); the
+    * cumulative runs on the 10-row decile summary (q113's
+    * tiny-summary window idiom — the unpartitioned window is 10 rows
+    * by construction at any corpus size). */
+  val q167 = Q(
+    "q167_vocab_growth",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val mx = docs.agg(max($"doc_id").as("mx"))
+      val firsts = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+        .crossJoin(broadcast(mx))
+        .select(expr("(first_doc * 10) DIV (mx + 1)").as("decile"))
+        .groupBy($"decile").agg(count(lit(1)).as("new_tokens"))
+      val perDecile = docs.crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) DIV (mx + 1)").as("decile"))
+        .groupBy($"decile").agg(count(lit(1)).as("n_docs"))
+      val w = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDecile.join(firsts, Seq("decile"), "left_outer")
+        .withColumn("new_tokens", coalesce($"new_tokens", lit(0L)))
+        .withColumn("cum_docs", sum($"n_docs").over(w))
+        .withColumn("cum_vocab", sum($"new_tokens").over(w))
+        .select($"decile".cast(IntegerType).as("decile"), $"n_docs",
+          $"new_tokens", $"cum_docs", $"cum_vocab")
+        .orderBy($"decile")
+    },
+    Some("""
+      WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      f AS (SELECT term, MIN(doc_id) AS first_doc FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) GROUP BY 1),
+      nt AS (SELECT (first_doc * 10) // (mx + 1) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS new_tokens
+             FROM f CROSS JOIN mx GROUP BY 1),
+      nd AS (SELECT (doc_id * 10) // (mx + 1) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM documents CROSS JOIN mx GROUP BY 1)
+      SELECT CAST(nd.decile AS INT) AS decile, nd.n_docs,
+        COALESCE(nt.new_tokens, 0) AS new_tokens,
+        CAST(SUM(nd.n_docs) OVER (ORDER BY nd.decile
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+        CAST(SUM(COALESCE(nt.new_tokens, 0)) OVER (ORDER BY nd.decile
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      FROM nd LEFT JOIN nt ON nd.decile = nt.decile
+      ORDER BY decile"""),
+    doc = "vocab growth deciles — min-doc-id first occurrence, 10-row summary cum")
+
+  /** q168 — duplicate-cluster size histogram (the dedup PLANNING
+    * number q53's exact dedup implies but never reports): group docs
+    * by exact text hash, histogram the cluster sizes, and report per
+    * size how many docs sit in such clusters and how many a
+    * keep-one-per-cluster pass would remove. "What fraction of the
+    * corpus is copies, and is it many pairs or a few viral blobs" —
+    * the answer decides between hash-dedup and LSH spend.
+    *
+    * Scale: two key-collapsing aggregates (doc → cluster → size
+    * histogram); text leaves the scan as a 128-bit hash. */
+  val q168 = Q(
+    "q168_dup_cluster_histogram",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .groupBy(md5($"text").as("h")).agg(count(lit(1)).as("sz"))
+        .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+        .select($"sz", $"n_clusters",
+          ($"sz" * $"n_clusters").as("n_docs"),
+          (($"sz" - 1) * $"n_clusters").as("removable"))
+        .orderBy($"sz")
+    },
+    Some("""
+      WITH cl AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS sz
+                  FROM documents GROUP BY 1)
+      SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+        CAST((sz - 1) * COUNT(*) AS BIGINT) AS removable
+      FROM cl GROUP BY sz ORDER BY sz"""),
+    doc = "dup-cluster size histogram — doc→cluster→size aggregates, hash-only shuffle")
+
+  /** q169 — containment decontamination (the asymmetric companion of
+    * q145; Lee et al. '22 §4 use containment for unequal-length
+    * pairs): for every (train doc, eval doc) pair, the fraction of
+    * the EVAL doc's distinct 5-grams the train doc contains; pairs
+    * over 30% are contamination q145's any-single-gram flag would
+    * drown in false positives and Jaccard (q56's device) would miss
+    * when the train doc is much longer than the eval doc.
+    *
+    * Scale: eval side (≪ corpus by construction) broadcasts as
+    * distinct (doc, gram-hash); train grams join it hash-to-hash, so
+    * the pair aggregate sees only co-occurring (train, eval, gram)
+    * rows — candidate-pair-sized, not corpus²; the ≥30% floor is
+    * applied before the (tiny) eval-size join. */
+  val q169 = Q(
+    "q169_containment_decontam",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 5)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, size(toks) - 5),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""))
+          .as("gram"))
+        .select($"doc_id",
+          conv(substring(md5($"gram"), 1, 15), 16, 10).cast(LongType).as("gh"))
+        .distinct()
+      val ev = grams(docs.filter($"source" === "src1"))
+        .select($"doc_id".as("eval_id"), $"gh")
+      val evSz = ev.groupBy($"eval_id").agg(count(lit(1)).as("eval_n"))
+      grams(docs.filter($"source" =!= "src1"))
+        .join(broadcast(ev), "gh")
+        .groupBy($"doc_id".as("train_id"), $"eval_id")
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(evSz), "eval_id")
+        .filter($"shared" * 10 >= $"eval_n" * 3)
+        .select($"train_id", $"eval_id", $"shared", $"eval_n",
+          expr("(shared * 1000000) DIV eval_n").as("containment_ppm"))
+        .orderBy($"train_id", $"eval_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+                       FROM documents)),
+      g AS (SELECT DISTINCT t1.doc_id, t1.source,
+              CAST(('0x' || substr(md5(t1.term || ' ' || t2.term || ' ' ||
+                t3.term || ' ' || t4.term || ' ' || t5.term), 1, 15)) AS BIGINT) AS gh
+            FROM t t1
+            JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            JOIN t t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+            JOIN t t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+            JOIN t t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+      ev AS (SELECT doc_id AS eval_id, gh FROM g WHERE source = 'src1'),
+      sz AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS eval_n
+             FROM ev GROUP BY 1),
+      sh AS (SELECT g.doc_id AS train_id, ev.eval_id,
+               CAST(COUNT(*) AS BIGINT) AS shared
+             FROM g JOIN ev ON g.gh = ev.gh
+             WHERE g.source <> 'src1' GROUP BY 1, 2)
+      SELECT sh.train_id, sh.eval_id AS eval_id, sh.shared, sz.eval_n,
+        CAST((sh.shared * 1000000) // sz.eval_n AS BIGINT) AS containment_ppm
+      FROM sh JOIN sz ON sh.eval_id = sz.eval_id
+      WHERE sh.shared * 10 >= sz.eval_n * 3
+      ORDER BY sh.train_id, sh.eval_id"""),
+    doc = "asymmetric 5-gram containment — broadcast eval grams, floored pair agg")
+
   val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165)
+    q163, q164, q165, q166, q167, q168, q169)
 }

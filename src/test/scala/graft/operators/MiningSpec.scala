@@ -394,6 +394,83 @@ class MiningSpec extends SparkSpecBase {
     assert(rows.map(_._1).sum === totalDocs)
   }
 
+  test("q166 Chao1/coverage equal a local token-count brute force") {
+    val toks = graft.core.Tables(spark, sf, "documents")
+      .select($"text").as[String].collect().flatMap(_.split(" "))
+    val counts = toks.groupBy(identity).map(_._2.length.toLong).toSeq
+    val (d, n) = (counts.length.toLong, counts.sum)
+    val f1 = counts.count(_ == 1L).toLong
+    val f2 = counts.count(_ == 2L).toLong
+    val r = Mining.q166.build(spark, sf).collect().head
+    assert(r.getAs[Long]("n_tok") === n)
+    assert(r.getAs[Long]("d_obs") === d)
+    assert(r.getAs[Long]("f1") === f1)
+    assert(r.getAs[Long]("f2") === f2)
+    assert(r.getAs[Long]("chao1") === d + (f1 * (f1 - 1)) / (2 * (f2 + 1)))
+    assert(r.getAs[Long]("coverage_ppm") === (n - f1) * 1000000L / n)
+  }
+
+  test("q167 growth curve: cumulatives cover the whole corpus and vocabulary") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mx = docs.map(_._1).max
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      text.split(" ").foreach(t => if (!firstDoc.contains(t)) firstDoc(t) = id)
+    }
+    val expNew = firstDoc.values.groupBy(id => id * 10 / (mx + 1))
+      .map { case (dec, xs) => dec -> xs.size.toLong }
+    val rows = Mining.q167.build(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.foreach { case (dec, _, nt, _, _) =>
+      assert(nt === expNew.getOrElse(dec.toLong, 0L), s"decile $dec")
+    }
+    assert(rows.map(_._2).sum === docs.length.toLong)
+    assert(rows.last._4 === docs.length.toLong)
+    assert(rows.last._5 === firstDoc.size.toLong)
+    assert(rows.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("q168 histogram partitions the corpus: sum(n_docs) = corpus, " +
+    "removable = docs minus clusters") {
+    val texts = graft.core.Tables(spark, sf, "documents")
+      .select($"text").as[String].collect()
+    val sizes = texts.groupBy(identity).map(_._2.length.toLong).toSeq
+    val expected = sizes.groupBy(identity).map { case (sz, xs) =>
+      (sz, xs.length.toLong, sz * xs.length, (sz - 1) * xs.length)
+    }.toSet
+    val got = Mining.q168.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.map(_._3).sum === texts.length.toLong)
+  }
+
+  test("q169 containment equals an all-pairs local brute force at the " +
+    "declared floor") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    def g5(t: Array[String]): Set[String] =
+      if (t.length < 5) Set.empty else t.sliding(5).map(_.mkString(" ")).toSet
+    val ev = docs.filter(_._2 == "src1").map(d => (d._1, g5(d._3)))
+      .filter(_._2.nonEmpty)
+    val tr = docs.filter(_._2 != "src1").map(d => (d._1, g5(d._3)))
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (tid, tg) <- tr; (eid, eg) <- ev
+      shared = (tg intersect eg).size.toLong
+      if shared * 10 >= eg.size.toLong * 3
+    } yield (tid, eid, shared, eg.size.toLong,
+      shared * 1000000L / eg.size)).toSet
+    val got = Mining.q169.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("q147 respects the support floor and the declared integer lift") {
     val rows = Mining.q147.build(spark, sf).collect()
     assert(rows.nonEmpty)
