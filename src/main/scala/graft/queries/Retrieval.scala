@@ -1,0 +1,571 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables}
+
+/** SURVEY.md §2.11a continued — retrieval scoring and sketch/sampling
+  * operators the reference's search-serving side implies (its index sink
+  * feeds a keyword search surface, `/root/reference/README.md:34-38,66`)
+  * plus the corpus-statistics operators a training-data pipeline runs on
+  * top of that index: BM25 ranking, a count-min frequency sketch, χ²
+  * keyness, fixed-size weighted sampling, and the embedding-covariance
+  * Gram matrix.
+  *
+  * Shared determinism contract (the registry-wide one): scores are exact
+  * BIGINT arithmetic (integer DIV, md5-derived randomness) wherever
+  * possible; where a ratio genuinely needs floating point, ONE textual
+  * IEEE formula over exact-integer inputs is evaluated by both engines
+  * (q94's fixed-order-chain device), then micro-rounded.
+  */
+object Retrieval {
+
+  /** The χ² micro formula — ONE textual IEEE chain evaluated by BOTH
+    * engines over exact-BIGINT contingency cells (a, rt, ct, n). Every
+    * operand CAST to DOUBLE (bare literals are DECIMAL in DuckDB — the
+    * zMicroSql lesson); (ad−bc) squared by self-multiplication, not
+    * pow(). χ² ≥ 0, so Spark HALF_UP and DuckDB half-away round
+    * identically. */
+  private[queries] val chi2MicroSql: String =
+    """CAST(round(CAST(n AS DOUBLE) *
+       (CAST(a AS DOUBLE) * CAST(n - rt - ct + a AS DOUBLE) -
+        CAST(rt - a AS DOUBLE) * CAST(ct - a AS DOUBLE)) *
+       (CAST(a AS DOUBLE) * CAST(n - rt - ct + a AS DOUBLE) -
+        CAST(rt - a AS DOUBLE) * CAST(ct - a AS DOUBLE)) /
+       (CAST(rt AS DOUBLE) * CAST(n - rt AS DOUBLE) *
+        CAST(ct AS DOUBLE) * CAST(n - ct AS DOUBLE)) *
+       1000000) AS BIGINT)""".replaceAll("\\s+", " ")
+
+  /** Cov micro formula — shared textual IEEE chain over exact sums
+    * (sp = Σ micros(x_i·x_j), si/sj = Σ micros(x), nn = rows):
+    * cov_micro = round(sp/n − si·sj/(n²·10⁶)). Inputs exact ⇒ the
+    * double chain is bit-identical cross-engine; negatives round
+    * away-from-zero in both (Spark HALF_UP, DuckDB half-away). */
+  private[queries] val covMicroSql: String =
+    """CAST(round(CAST(sp AS DOUBLE) / CAST(nn AS DOUBLE) -
+       (CAST(si AS DOUBLE) / CAST(nn AS DOUBLE)) *
+       (CAST(sj AS DOUBLE) / CAST(nn AS DOUBLE)) / 1000000.0)
+       AS BIGINT)""".replaceAll("\\s+", " ")
+
+  /** q170 — BM25 document ranking (Robertson et al., TREC-3), log-free
+    * rational form: with k1 = 6/5 and b = 3/4, the per-term score
+    *   idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * clears denominators to pure BIGINT arithmetic,
+    *   (22·tf·adl·(2N−2df+1)·10⁶) DIV ((10·tf·adl+3·adl+9·dl)·(2df+1)),
+    * using the raw-ratio RSJ idf (N−df+½)/(df+½) instead of its log —
+    * same ranking direction, no libm (the q122 entropy→Gini lesson) —
+    * and adl = L DIV N (integer-truncated avgdl, a documented spec
+    * choice so both engines share one exact value).
+    *
+    * Scale: query terms filter BEFORE any shuffle (the posting-list
+    * selectivity an inverted index gives for free — q90's index is the
+    * serving-side twin); df and corpus stats are term-count-sized and
+    * broadcast. One compact-key aggregate + top-k. */
+  val q170 = Q(
+    "q170_bm25",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val qTerms = Seq("spark", "window", "merge", "stream")
+      val toks = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"),
+        explode(split($"text", " ")).as("term"))
+      val hits = toks.filter($"term".isin(qTerms: _*))
+      val tf = hits.groupBy($"doc_id", $"term", $"dl")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = hits.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val stats = docs
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(size(split($"text", " "))).cast(LongType).as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('spark', 'window', 'merge', 'stream')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents)
+      SELECT tf.doc_id,
+        CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+          // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))) AS BIGINT)
+          AS score_ppm
+      FROM tf JOIN dfr USING (term) CROSS JOIN st
+      GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT 20"""),
+    doc = "BM25 top-20, log-free rational idf — pre-shuffle term filter, " +
+      "broadcast df/stats, exact BIGINT score")
+
+  /** q171 — count-min sketch (Cormode & Muthukrishnan 2005): d = 4 hash
+    * rows × w = 64 buckets over the token stream, point-estimate =
+    * min over rows of the landed counter. The sketch is the relational
+    * core itself — a (row, bucket) aggregate — so it is mergeable
+    * across partitions/days for free (counters add), the property that
+    * matters at 100 TB where per-term exact counts are a vocabulary-
+    * sized shuffle but the sketch is 256 cells. Buckets are md5-derived
+    * (the q67 device) so both engines compute identical lanes; the
+    * CMS guarantee est ≥ exact is visible in the overcount column
+    * (and pinned in RetrievalSpec).
+    *
+    * Output: the 20 most frequent terms with exact count, sketch
+    * estimate, and overcount. */
+  val q171 = Q(
+    "q171_count_min",
+    (s, dir) => {
+      import s.implicits._
+      def bucket(r: org.apache.spark.sql.Column, term: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(r.cast(StringType), lit(":"), term)), 1, 15),
+          16, 10).cast(LongType) % 64
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("term"))
+      val counters = toks
+        .select($"term", explode(sequence(lit(0), lit(3))).as("r"))
+        .select($"r", bucket($"r", $"term").as("bucket"))
+        .groupBy($"r", $"bucket").agg(count(lit(1)).as("cnt"))
+      toks.groupBy($"term").agg(count(lit(1)).as("exact"))
+        .select($"term", $"exact", explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("bucket", bucket($"r", $"term"))
+        .join(broadcast(counters), Seq("r", "bucket"))
+        .groupBy($"term", $"exact").agg(min($"cnt").as("cms_est"))
+        .select($"term", $"exact", $"cms_est",
+          ($"cms_est" - $"exact").as("overcount"))
+        .orderBy($"exact".desc, $"term")
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+      lanes AS (SELECT term, r,
+                  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term),
+                    1, 15)) AS BIGINT) % 64 AS bucket
+                FROM toks, range(0, 4) t(r)),
+      counters AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM lanes GROUP BY 1, 2),
+      exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact
+                FROM toks GROUP BY 1),
+      probes AS (SELECT e.term, e.exact, r,
+                   CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || e.term),
+                     1, 15)) AS BIGINT) % 64 AS bucket
+                 FROM exact e, range(0, 4) t(r))
+      SELECT p.term, p.exact, CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+        CAST(MIN(c.cnt) - p.exact AS BIGINT) AS overcount
+      FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+      GROUP BY 1, 2 ORDER BY exact DESC, term LIMIT 20"""),
+    doc = "count-min sketch d=4 w=64 — 256-cell mergeable counter table, " +
+      "md5 lanes, est>=exact pinned")
+
+  /** q172 — χ² keyness (Dunning-style keyword extraction with the χ²
+    * statistic instead of log-likelihood G² — G² needs log(), whose
+    * libm ULPs differ across engines; χ² over a 2×2 contingency table
+    * is one fixed-order IEEE chain over exact BIGINT cells): for each
+    * (source, term), a = term-in-source tokens, b/c/d the complements,
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)); top 5 terms per source.
+    * This is "what vocabulary distinguishes this source" — the audit
+    * run before mixture reweighting (q164) to see WHAT differs, not
+    * just how much.
+    *
+    * Scale: two vocabulary-sized aggregates + a per-source top-k
+    * window over a (sources × vocab)-sized frame — all compact keys;
+    * the corpus leaves the scan as (source, term) counts. */
+  val q172 = Q(
+    "q172_chi2_keyness",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("term"))
+      val cell = toks.groupBy($"source", $"term").agg(count(lit(1)).as("a"))
+      val rowt = toks.groupBy($"source").agg(count(lit(1)).as("rt"))
+      val colt = toks.groupBy($"term").agg(count(lit(1)).as("ct"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val scored = cell
+        .join(broadcast(rowt), "source")
+        .join(broadcast(colt), "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("chi2_micro", expr(chi2MicroSql))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"source")
+            .orderBy($"chi2_micro".desc, $"term")))
+        .filter($"rn" <= 5)
+        .select($"source", $"term", $"a".as("tokens"), $"chi2_micro")
+        .orderBy($"source", $"chi2_micro".desc, $"term")
+    },
+    Some(s"""
+      WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+      cell AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+               FROM toks GROUP BY 1, 2),
+      rowt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS rt
+               FROM toks GROUP BY 1),
+      colt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ct
+               FROM toks GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+      scored AS (SELECT source, term, a, $chi2MicroSql AS chi2_micro
+                 FROM cell JOIN rowt USING (source) JOIN colt USING (term)
+                 CROSS JOIN tot),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY chi2_micro DESC, term) AS rn
+                 FROM scored)
+      SELECT source, term, a AS tokens, chi2_micro
+      FROM ranked WHERE rn <= 5
+      ORDER BY source, chi2_micro DESC, term"""),
+    doc = "chi-square keyness top-5 per source — 2x2 cells as exact BIGINTs, " +
+      "one shared IEEE chain, log-free")
+
+  /** q173 — fixed-size weighted sample: sequential Poisson sampling
+    * (Ohlsson 1998, the Swedish-survey πps estimator): rank every
+    * order by u/w — u an md5-derived uniform, w the order value in
+    * cents — and keep the k = 100 smallest ranks. Inclusion is
+    * weight-proportional; unlike q103's Bernoulli design the output
+    * size is EXACTLY k, the contract a "sample n docs proportional to
+    * quality" pipeline stage needs. The rank is pure integer,
+    * (u31 · 10⁶) DIV cents — no pow/ln of the textbook A-ES form
+    * (exponential keys need log), no cross-engine float ordering.
+    *
+    * Scale: one global top-k (TakeOrderedAndProject — per-partition
+    * heaps, no full sort, no shuffle of the corpus). */
+  val q173 = Q(
+    "q173_sequential_poisson",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .select($"o_orderkey",
+          expr("CAST(rint(o_totalprice * 100) AS BIGINT)").as("w_cents"),
+          (conv(substring(md5(concat(lit("sps:"), $"o_orderkey".cast(StringType))),
+            1, 15), 16, 10).cast(LongType) % 2147483648L).as("u31"))
+        .withColumn("rank_ppm", expr("(u31 * 1000000) DIV w_cents"))
+        .select($"o_orderkey", $"w_cents", $"rank_ppm")
+        .orderBy($"rank_ppm", $"o_orderkey")
+        .limit(100)
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+        (CAST(('0x' || substr(md5('sps:' || CAST(o_orderkey AS VARCHAR)),
+           1, 15)) AS BIGINT) % 2147483648)
+          * 1000000 // CAST(round(o_totalprice * 100) AS BIGINT) AS rank_ppm
+      FROM orders
+      ORDER BY rank_ppm, o_orderkey LIMIT 100"""),
+    doc = "sequential Poisson pps sample, exactly k=100 — integer u/w ranks, " +
+      "global top-k heap, no RNG state")
+
+  /** q174 — embedding covariance matrix (the Gram-matrix statistic
+    * under PCA/whitening/drift diagnostics): Cov(i,j) for all 0 ≤ i ≤
+    * j < 64 over the corpus embeddings. Cross-row float sums are
+    * order-dependent, so every per-row product x_i·x_j (one exactly-
+    * rounded IEEE multiply) is micro-quantized to BIGINT first
+    * (VectorOps.micros — sums of longs are exact in any order, the
+    * X29 device); the final Cov = E[xy] − E[x]E[y] is one shared
+    * textual IEEE chain over those exact sums.
+    *
+    * Scale: the map-side outer-product shape — each row emits its
+    * d(d+1)/2 = 2080 pair products (the O(d²) work IS the statistic),
+    * and the only shuffle is the 2080-key aggregate; means are a
+    * 64-key aggregate broadcast back. No self-join of the corpus.
+    * BIGINT headroom: Σ|micros| per cell ≤ 10⁶·n ⇒ exact to n ≈ 9·10¹²
+    * rows. */
+  val q174 = Q(
+    "q174_embedding_covariance",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val means = emb
+        .select(posexplode(graft.functions.VectorOps.microsVec($"embedding"))
+          .as(Seq("i", "m")))
+        .groupBy($"i").agg(sum($"m").as("s"))
+      val pairs = emb
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 63), i ->
+               transform(sequence(i, 63), j ->
+                 named_struct('i', i, 'j', j, 'p',
+                   CAST(rint(CAST(embedding[i] AS DOUBLE) *
+                             CAST(embedding[j] AS DOUBLE) * 1000000.0)
+                     AS BIGINT)))))""")).as("pr"))
+        .select($"pr.i", $"pr.j", $"pr.p")
+        .groupBy($"i", $"j").agg(sum($"p").as("sp"))
+      pairs
+        .join(broadcast(means.select($"i", $"s".as("si"))), "i")
+        .join(broadcast(means.select($"i".as("j"), $"s".as("sj"))), "j")
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("nn"))))
+        .select($"i", $"j", expr(covMicroSql).as("cov_micro"))
+        .orderBy($"i", $"j")
+    },
+    Some(s"""
+      WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings),
+      m AS (SELECT CAST(i AS INT) AS i,
+              CAST(SUM(CAST(CAST(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s
+            FROM embeddings, range(0, 64) t(i) GROUP BY 1),
+      p AS (SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+              CAST(SUM(CAST(CAST(
+                CAST(embedding[CAST(ti.i + 1 AS INT)] AS DOUBLE) *
+                CAST(embedding[CAST(tj.j + 1 AS INT)] AS DOUBLE)
+                AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sp
+            FROM embeddings, range(0, 64) ti(i), range(0, 64) tj(j)
+            WHERE tj.j >= ti.i GROUP BY 1, 2)
+      SELECT p.i, p.j, $covMicroSql AS cov_micro
+      FROM p JOIN (SELECT i, s AS si FROM m) mi USING (i)
+             JOIN (SELECT i AS j, s AS sj FROM m) mj USING (j)
+             CROSS JOIN nn
+      ORDER BY i, j"""),
+    doc = "64x64 covariance Gram matrix — map-side outer product, " +
+      "micro-quantized exact sums, 2080-key shuffle only")
+
+  /** q175 — PCA leading component by power iteration over q174's
+    * covariance matrix: 20 FIXED iterations of v ← Cv/|Cv| from
+    * v₀ = (1/8,…,1/8), then the Rayleigh eigenvalue vᵀCv. A spec'd
+    * computation, not a convergence loop — both engines execute the
+    * identical IEEE chain (matvec inner fold j-ascending, norm fold
+    * i-ascending, seed-0 fold equals DuckDB's seedless list_reduce
+    * because 0.0 + x ≡ x), so the result is bit-deterministic whether
+    * or not 20 iterations have converged. Sign canonicalized: flip so
+    * the largest-|·| loading (smallest index on ties) is positive.
+    *
+    * Scale: the corpus pass is q174's map-side outer product; the
+    * iteration runs on the COLLECTED d×d statistic (2080 cells — a
+    * reduced aggregate, not data; the one place driver-local compute
+    * is the right call). DuckDB twin: recursive CTE carrying the
+    * vector as a DOUBLE[64] list. */
+  val q175 = Q(
+    "q175_pca_power",
+    (s, dir) => {
+      import s.implicits._
+      val d = 64
+      val cells = q174.build(s, dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2).toDouble))
+      val m = Array.ofDim[Double](d, d)
+      cells.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+      def matvec(v: Array[Double]): Array[Double] =
+        Array.tabulate(d) { i =>
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += m(i)(j) * v(j); j += 1 }; acc
+        }
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < d) { acc += a(i) * b(i); i += 1 }; acc
+      }
+      var v = Array.fill(d)(0.125)
+      for (_ <- 0 until 20) {
+        val w = matvec(v)
+        val nrm = math.sqrt(dot(w, w))
+        v = w.map(_ / nrm)
+      }
+      val eig = dot(v, matvec(v))
+      val kStar = v.indices.minBy(i => (-math.abs(v(i)), i))
+      val sg = if (v(kStar) < 0) -1.0 else 1.0
+      // round away-from-zero (Spark SQL round / DuckDB round semantics)
+      def awayMicro(x: Double): Long = {
+        val y = x * 1000000.0
+        (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+      }
+      def away(x: Double): Long =
+        (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      s.createDataFrame(v.indices.map(i =>
+          (i, awayMicro(sg * v(i)), away(eig))))
+        .toDF("i", "loading_micro", "eigval_micro")
+        .orderBy($"i")
+    },
+    Some(s"""
+      WITH RECURSIVE nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings),
+      mm AS (SELECT CAST(i AS INT) AS i,
+               CAST(SUM(CAST(CAST(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                 AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s
+             FROM embeddings, range(0, 64) t(i) GROUP BY 1),
+      p AS (SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+              CAST(SUM(CAST(CAST(
+                CAST(embedding[CAST(ti.i + 1 AS INT)] AS DOUBLE) *
+                CAST(embedding[CAST(tj.j + 1 AS INT)] AS DOUBLE)
+                AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sp
+            FROM embeddings, range(0, 64) ti(i), range(0, 64) tj(j)
+            WHERE tj.j >= ti.i GROUP BY 1, 2),
+      cov AS (SELECT p.i, p.j, $covMicroSql AS cov_micro
+              FROM p JOIN (SELECT i, s AS si FROM mm) mi USING (i)
+                     JOIN (SELECT i AS j, s AS sj FROM mm) mj USING (j)
+                     CROSS JOIN nn),
+      fullm AS (SELECT i, j, CAST(cov_micro AS DOUBLE) AS c FROM cov
+                UNION ALL
+                SELECT j, i, CAST(cov_micro AS DOUBLE) FROM cov WHERE i <> j),
+      rowsm AS (SELECT i, list(c ORDER BY j) AS rw FROM fullm GROUP BY i),
+      mat AS (SELECT list(rw ORDER BY i) AS m FROM rowsm),
+      it(k, v) AS (
+        SELECT 0, list_transform(range(0, 64), x -> CAST(0.125 AS DOUBLE))
+        UNION ALL
+        SELECT k + 1, list_transform(w, x -> x / sqrt(
+          list_reduce(list_transform(w, y -> y * y), (a, b) -> a + b)))
+        FROM (SELECT k, list_transform(range(1, 65), i ->
+                list_reduce(list_transform(range(1, 65), j -> m[i][j] * v[j]),
+                  (a, b) -> a + b)) AS w
+              FROM it, mat WHERE k < 20) t),
+      fin AS (SELECT v FROM it WHERE k = 20),
+      eig AS (SELECT list_reduce(list_transform(range(1, 65), i ->
+                v[i] * list_reduce(list_transform(range(1, 65),
+                  j -> m[i][j] * v[j]), (a, b) -> a + b)),
+                (a, b) -> a + b) AS e
+              FROM fin, mat),
+      sg AS (SELECT CASE WHEN f.v[t.p] < 0 THEN -1.0 ELSE 1.0 END AS sg
+             FROM fin f,
+               (SELECT CAST(r.p AS INT) AS p FROM fin f2, range(1, 65) r(p)
+                ORDER BY abs(f2.v[CAST(r.p AS INT)]) DESC, p LIMIT 1) t)
+      SELECT CAST(r.p - 1 AS INT) AS i,
+        CAST(round(sg.sg * f.v[CAST(r.p AS INT)] * 1000000) AS BIGINT)
+          AS loading_micro,
+        CAST(round(e.e) AS BIGINT) AS eigval_micro
+      FROM fin f, range(1, 65) r(p), sg, eig e
+      ORDER BY i"""),
+    doc = "PCA leading component — 20 fixed power iterations on the collected " +
+      "64x64 micro-cov statistic, recursive-CTE twin, sign-canonicalized")
+
+  /** q176 — spectral effective rank (participation ratio): how many
+    * dimensions the embedding space REALLY uses. Via trace identities —
+    * Σλ = tr C and Σλ² = tr C² = Σᵢⱼ Cᵢⱼ² for symmetric C — so
+    * PR = (Σλ)²/Σλ² needs NO eigendecomposition, just two exact BIGINT
+    * sums over q174's cells (off-diagonals counted twice), and one
+    * shared IEEE divide at the end. PR ∈ [1, 64]; anisotropic
+    * embedding collapse (Ethayarajh '19) shows up as PR ≪ d.
+    *
+    * Scale: inherits q174's shape (2080-key aggregate), then a 1-row
+    * readout. */
+  val q176 = Q(
+    "q176_effective_rank",
+    (s, dir) => {
+      import s.implicits._
+      q174.build(s, dir)
+        .agg(
+          sum(when($"i" === $"j", $"cov_micro").otherwise(lit(0L)))
+            .as("tr_micro"),
+          sum(when($"i" === $"j", lit(1L)).otherwise(lit(2L)) *
+            $"cov_micro" * $"cov_micro").as("tr2"))
+        .select($"tr_micro", $"tr2", expr(
+          """CAST(round(CAST(tr_micro AS DOUBLE) * CAST(tr_micro AS DOUBLE)
+             / CAST(tr2 AS DOUBLE) * 1000000) AS BIGINT)""")
+          .as("eff_rank_micro"))
+    },
+    Some(s"""
+      WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings),
+      mm AS (SELECT CAST(i AS INT) AS i,
+               CAST(SUM(CAST(CAST(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                 AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s
+             FROM embeddings, range(0, 64) t(i) GROUP BY 1),
+      p AS (SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+              CAST(SUM(CAST(CAST(
+                CAST(embedding[CAST(ti.i + 1 AS INT)] AS DOUBLE) *
+                CAST(embedding[CAST(tj.j + 1 AS INT)] AS DOUBLE)
+                AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sp
+            FROM embeddings, range(0, 64) ti(i), range(0, 64) tj(j)
+            WHERE tj.j >= ti.i GROUP BY 1, 2),
+      cov AS (SELECT p.i, p.j, $covMicroSql AS cov_micro
+              FROM p JOIN (SELECT i, s AS si FROM mm) mi USING (i)
+                     JOIN (SELECT i AS j, s AS sj FROM mm) mj USING (j)
+                     CROSS JOIN nn)
+      SELECT CAST(SUM(CASE WHEN i = j THEN cov_micro ELSE 0 END) AS BIGINT)
+          AS tr_micro,
+        CAST(SUM((CASE WHEN i = j THEN 1 ELSE 2 END)
+          * cov_micro * cov_micro) AS BIGINT) AS tr2,
+        CAST(round(CAST(SUM(CASE WHEN i = j THEN cov_micro ELSE 0 END) AS DOUBLE)
+          * CAST(SUM(CASE WHEN i = j THEN cov_micro ELSE 0 END) AS DOUBLE)
+          / CAST(SUM((CASE WHEN i = j THEN 1 ELSE 2 END)
+              * cov_micro * cov_micro) AS DOUBLE)
+          * 1000000) AS BIGINT) AS eff_rank_micro
+      FROM cov"""),
+    doc = "spectral effective rank (Σλ)²/Σλ² via trace identities — " +
+      "no eigendecomposition, exact BIGINT traces, 1 row out")
+
+  /** q177 — standardized outlier score (diagonal Mahalanobis): per
+    * embedding, Σᵢ (xᵢ−μᵢ)²/σᵢ² against per-dimension corpus moments —
+    * the cheap anomaly gate run before admitting vectors to an index
+    * or training mix (full-Σ Mahalanobis needs the inverse; the
+    * diagonal form is the standard first gate and needs only q174's
+    * diagonal). μ/σ² derive from exact BIGINT sums via one shared
+    * textual chain; the per-row score folds dimension-ascending
+    * (sequential, so partitioning-independent), micro-rounds, top-20.
+    *
+    * Scale: moments are a 64-key aggregate broadcast back as sorted
+    * arrays; the corpus pass is one fold per row + a global top-k
+    * heap. No shuffle of the vectors. */
+  val q177 = Q(
+    "q177_mahalanobis_outliers",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      // one pass per (row, dim): ma = micros(x), qa = micros(x*x)
+      val stats = emb
+        .select(
+          graft.functions.VectorOps.microsVec($"embedding").as("ma"),
+          org.apache.spark.sql.functions.transform($"embedding",
+            x => graft.functions.VectorOps.micros(
+              x.cast(DoubleType) * x.cast(DoubleType))).as("qa"))
+        .select(posexplode(arrays_zip($"ma", $"qa")).as(Seq("i", "mq")))
+        .groupBy($"i")
+        .agg(sum($"mq.ma").as("s"), sum($"mq.qa").as("sq"))
+      val arrays = stats
+        .groupBy()
+        .agg(array_sort(collect_list(struct($"i", $"s", $"sq"))).as("st"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("nn"))))
+        .select(
+          expr("""transform(st, e ->
+            CAST(e.s AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0)""").as("mus"),
+          expr("""transform(st, e ->
+            CAST(e.sq AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0 -
+            (CAST(e.s AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0) *
+            (CAST(e.s AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0))""")
+            .as("vars"))
+      emb.crossJoin(broadcast(arrays))
+        .select($"vec_id", expr(
+          """CAST(round(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+               (acc, i) -> acc + (CASE WHEN vars[i] <= 0.0 THEN 0.0 ELSE
+                 (CAST(embedding[i] AS DOUBLE) - mus[i]) *
+                 (CAST(embedding[i] AS DOUBLE) - mus[i]) / vars[i] END))
+             * 1000000) AS BIGINT)""").as("score_micro"))
+        .orderBy($"score_micro".desc, $"vec_id")
+        .limit(20)
+    },
+    Some("""
+      WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings),
+      st AS (SELECT CAST(i AS INT) AS i,
+               CAST(SUM(CAST(CAST(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                 AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(
+                 CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) *
+                 CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                 AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sq
+             FROM embeddings, range(0, 64) t(i) GROUP BY 1),
+      arrs AS (SELECT
+          list(CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0
+               ORDER BY i) AS mus,
+          list(CAST(sq AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0 -
+               (CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0) *
+               (CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0)
+               ORDER BY i) AS vars
+        FROM st CROSS JOIN nn GROUP BY nn.nn)
+      SELECT vec_id,
+        CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 65), i ->
+            CASE WHEN vars[CAST(i AS INT)] <= 0.0 THEN 0.0 ELSE
+              (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - mus[CAST(i AS INT)]) *
+              (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - mus[CAST(i AS INT)])
+              / vars[CAST(i AS INT)] END)),
+          (acc, x) -> acc + x) * 1000000) AS BIGINT) AS score_micro
+      FROM embeddings CROSS JOIN arrs
+      ORDER BY score_micro DESC, vec_id LIMIT 20"""),
+    doc = "diagonal-Mahalanobis outlier top-20 — broadcast exact moments, " +
+      "dimension-ascending fold per row, global top-k heap")
+
+  val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177)
+}

@@ -15,7 +15,8 @@ class RegistrySpec extends SparkSpecBase {
 
   // Global aggregates return exactly one row; ordering is vacuous.
   private val singleRowQueries = Set("q17_global_agg", "q89_funnel",
-    "q158_ab_test", "q160_ks_test")
+    "q158_ab_test", "q160_ks_test", "q166_vocab_richness",
+    "q176_effective_rank")
 
   test("every oracle query ends with a deterministic ORDER BY") {
     SparkEntry.registry

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** Invariants for the retrieval/sketch/sampling family (q170-q174)
+  * beyond the DuckDB value gate: the CMS overestimate guarantee, BM25
+  * ordering, pps sample-size and weight-bias contracts, covariance
+  * diagonal positivity, and the q173 top-k physical shape.
+  */
+class RetrievalSpec extends SparkSpecBase {
+
+  test("q171 count-min estimate never undercounts (CMS guarantee)") {
+    val rows = Retrieval.q171.build(spark, sf)
+      .select("overcount").collect().map(_.getLong(0))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_ >= 0L), "CMS min-of-counters fell below exact count")
+  }
+
+  test("q170 BM25 scores are positive and output is rank-ordered") {
+    val scores = Retrieval.q170.build(spark, sf)
+      .select("score_ppm").collect().map(_.getLong(0))
+    assert(scores.nonEmpty)
+    assert(scores.forall(_ > 0L))
+    assert(scores.sameElements(scores.sortBy(-_)), "top-k not score-descending")
+  }
+
+  test("q172 chi-square keyness is non-negative, 5 rows per source") {
+    val df = Retrieval.q172.build(spark, sf).cache()
+    try {
+      assert(df.select("chi2_micro").collect().map(_.getLong(0)).forall(_ >= 0L))
+      val perSource = df.groupBy("source").count().collect().map(_.getLong(1))
+      assert(perSource.forall(_ <= 5L))
+    } finally df.unpersist()
+  }
+
+  test("q173 pps sample is exactly k and oversamples heavy orders") {
+    val df = Retrieval.q173.build(spark, sf).cache()
+    try {
+      assert(df.count() === 100L)
+      val sampleMean = df.agg(org.apache.spark.sql.functions.avg("w_cents"))
+        .collect()(0).getDouble(0)
+      val popMean = graft.core.Tables(spark, sf, "orders")
+        .selectExpr("avg(o_totalprice * 100) AS m").collect()(0).getDouble(0)
+      // πps inclusion is weight-proportional: the fixed-hash draw must
+      // land a heavier-than-average sample (deterministic, so pinnable)
+      assert(sampleMean > popMean,
+        s"pps sample mean $sampleMean not above population mean $popMean")
+    } finally df.unpersist()
+  }
+
+  test("q173 plan is a global top-k (TakeOrderedAndProject), not a full sort") {
+    val plan = Retrieval.q173.build(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k heap plan, got:\n$plan")
+  }
+
+  test("q174 covariance diagonal is non-negative (variances)") {
+    import spark.implicits._
+    val diag = Retrieval.q174.build(spark, sf)
+      .filter($"i" === $"j").select("cov_micro").collect().map(_.getLong(0))
+    assert(diag.length === 64)
+    assert(diag.forall(_ >= 0L), "negative variance on the diagonal")
+  }
+}
