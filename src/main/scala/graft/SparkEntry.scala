@@ -28,7 +28,8 @@ object SparkEntry {
     _root_.graft.queries.Workload.all ++
     _root_.graft.queries.Curation.all ++
     _root_.graft.queries.Mining.all ++
-    _root_.graft.queries.Retrieval.all
+    _root_.graft.queries.Retrieval.all ++
+    _root_.graft.queries.Selection.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

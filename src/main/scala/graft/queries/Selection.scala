@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables}
+
+/** SURVEY.md §2.11a continued — scoring/selection operators that decide
+  * WHICH rows enter a training mix or serving index: recency-decayed
+  * engagement, rank-based surprisal quality, Neyman stratified
+  * allocation, grouped k-fold assignment, and the Pareto skyline.
+  *
+  * Determinism contract as Mining/Retrieval: exact BIGINT arithmetic
+  * (integer DIV on non-negative operands — Spark DIV truncates toward
+  * zero, DuckDB // floors; they agree only on non-negatives, which every
+  * DIV below guarantees), md5-derived randomness, and shared textual
+  * IEEE chains where a sqrt is irreducible.
+  */
+object Selection {
+
+  /** The Neyman weight N_h·S_h micro-rounded — ONE textual chain over
+    * exact BIGINT (nh, s1, s2); population variance (s2·n − s1²)/n²
+    * under one correctly-rounded sqrt. Non-negative, so the two
+    * engines' round modes agree. */
+  private[queries] val neymanWMicroSql: String =
+    """CAST(round(CAST(nh AS DOUBLE) * sqrt(
+       (CAST(s2 AS DOUBLE) * CAST(nh AS DOUBLE) -
+        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+       (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE))) *
+       1000000) AS BIGINT)""".replaceAll("\\s+", " ")
+
+  /** q178 — time-decayed engagement score: per user, Σ value·2⁻ᵏ with
+    * k = age-in-weeks at the corpus' max timestamp. The textbook form
+    * exp(−λ·age) needs libm exp (the q122 lesson); half-life decay
+    * with a power-of-two base is the same signal and stays exact:
+    * 2ᵏ is an exactly-representable double for k ≤ 62 (capped), so
+    * micros(value) DIV 2ᵏ is pure BIGINT. Week ages come from
+    * second-diffs (both engines floor to whole seconds identically).
+    *
+    * Scale: one narrow projection + one user-keyed aggregate; the
+    * anchor is a 1-row broadcast. Decay-at-read beats decay-at-write
+    * (no rewrite as the anchor advances). */
+  val q178 = Q(
+    "q178_time_decay",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val anchor = ev.agg(max(unix_timestamp($"ts")).as("anchor_s"))
+      ev.select($"user_id", $"value", unix_timestamp($"ts").as("ts_s"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("k", least(expr("(anchor_s - ts_s) DIV 604800"), lit(62L)))
+        .withColumn("contrib",
+          expr("""CAST(rint(value * 1000000.0) AS BIGINT)
+                  DIV CAST(pow(2.0, k) AS BIGINT)"""))
+        .groupBy($"user_id")
+        .agg(sum($"contrib").as("score_micro"), count(lit(1)).as("n_events"))
+        .orderBy($"score_micro".desc, $"user_id")
+        .limit(50)
+    },
+    Some("""
+      WITH anchor AS (SELECT MAX(ts) AS a FROM events),
+      c AS (SELECT user_id,
+              LEAST(date_diff('second', ts, a) // 604800, 62) AS k,
+              CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+            FROM events CROSS JOIN anchor)
+      SELECT user_id,
+        CAST(SUM(vm // CAST(power(2.0, k) AS BIGINT)) AS BIGINT) AS score_micro,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM c GROUP BY 1 ORDER BY score_micro DESC, user_id LIMIT 50"""),
+    doc = "half-life decayed engagement — 2^-k rational decay (no exp), " +
+      "one user-keyed aggregate, broadcast anchor")
+
+  /** q179 — rank-based surprisal quality score: a unigram-LM quality
+    * proxy with NO log and NO float — each token's cost is its corpus
+    * frequency RANK (dense_rank by count desc), a doc's score is its
+    * mean token rank, plus the OOV fraction against the top-20
+    * vocabulary. High mean rank = rare-heavy/degenerate text, the
+    * cheap stand-in for LM perplexity filtering (Wenzek et al. '19
+    * CCNet) when no model may be in the loop.
+    *
+    * Scale: the rank window runs on the VOCABULARY aggregate, not the
+    * corpus (single-task at extreme vocab — the PrefixScan bucket trick
+    * applies if vocab outgrows one task; noted, not needed at any test
+    * SF); docs then join the tiny rank table broadcast. */
+  val q179 = Q(
+    "q179_rank_surprisal",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val ranks = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", dense_rank().over(
+          Window.orderBy($"cnt".desc, $"term")).cast(LongType))
+      toks.join(broadcast(ranks.select($"term", $"rnk")), "term")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"rnk").as("rank_sum"),
+          sum(when($"rnk" > 20, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tok",
+          expr("(rank_sum * 1000000) DIV n_tok").as("mean_rank_ppm"),
+          expr("(n_oov * 1000000) DIV n_tok").as("oov_ppm"))
+        .orderBy($"mean_rank_ppm".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+      v AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      r AS (SELECT term, CAST(dense_rank() OVER (ORDER BY cnt DESC, term)
+              AS BIGINT) AS rnk FROM v),
+      d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+              CAST(SUM(rnk) AS BIGINT) AS rank_sum,
+              CAST(SUM(CASE WHEN rnk > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+            FROM toks JOIN r USING (term) GROUP BY 1)
+      SELECT doc_id, n_tok,
+        CAST((rank_sum * 1000000) // n_tok AS BIGINT) AS mean_rank_ppm,
+        CAST((n_oov * 1000000) // n_tok AS BIGINT) AS oov_ppm
+      FROM d ORDER BY mean_rank_ppm DESC, doc_id LIMIT 20"""),
+    doc = "rank surprisal + OOV quality gate — vocab-sized rank window, " +
+      "broadcast rank table, integer ppm scores")
+
+  /** q180 — Neyman stratified allocation (Neyman 1934): split a budget
+    * of k = 1000 sample slots across sources proportional to N_h·S_h
+    * (stratum size × stddev of n_chars) — the variance-minimizing
+    * allocation for a stratified mean estimate, i.e. "spend labeling
+    * budget where the data varies". S_h needs one sqrt: the weight is
+    * computed by ONE shared textual chain over exact BIGINT (N, Σx,
+    * Σx²) then micro-rounded, so the BIGINT weight total is exact and
+    * the largest-remainder finish (Hamilton apportionment) hits
+    * EXACTLY k — fractional-share DIV + top-deficit +1 by (remainder
+    * desc, source).
+    *
+    * Scale: everything after the one stratum-keyed aggregate runs on
+    * a strata-sized frame (20 rows; the windows are harmless by
+    * construction). */
+  val q180 = Q(
+    "q180_neyman_allocation",
+    (s, dir) => {
+      import s.implicits._
+      val st = Tables(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("nh"), sum($"n_chars").as("s1"),
+          sum($"n_chars" * $"n_chars").as("s2"))
+        .withColumn("w_micro", expr(neymanWMicroSql))
+      val tot = Window.partitionBy(lit(1))
+      val ranked = st
+        .withColumn("wtot", sum($"w_micro").over(tot))
+        .withColumn("base", expr("(1000 * w_micro) DIV wtot"))
+        .withColumn("rem", expr("(1000 * w_micro) % wtot"))
+        .withColumn("deficit", lit(1000L) - sum($"base").over(tot))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(lit(1)).orderBy($"rem".desc, $"source"))
+          .cast(LongType))
+      ranked
+        .select($"source", $"nh".as("n_docs"), $"w_micro",
+          ($"base" + when($"rn" <= $"deficit", 1L).otherwise(0L)).as("alloc"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+                    CAST(SUM(n_chars) AS BIGINT) AS s1,
+                    CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+                  FROM documents GROUP BY 1),
+      w AS (SELECT source, nh, $neymanWMicroSql AS w_micro FROM st),
+      t AS (SELECT *, CAST(SUM(w_micro) OVER () AS BIGINT) AS wtot FROM w),
+      b AS (SELECT *, (1000 * w_micro) // wtot AS base,
+              (1000 * w_micro) % wtot AS rem FROM t),
+      r AS (SELECT *, CAST(SUM(base) OVER () AS BIGINT) AS base_tot,
+              CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+                AS rn
+            FROM b)
+      SELECT source, nh AS n_docs, w_micro,
+        CAST(base + (CASE WHEN rn <= 1000 - base_tot THEN 1 ELSE 0 END)
+          AS BIGINT) AS alloc
+      FROM r ORDER BY source"""),
+    doc = "Neyman allocation to exactly k=1000 — shared sqrt chain to " +
+      "micro weights, Hamilton largest-remainder finish, 20-row frames")
+
+  /** q181 — grouped k-fold assignment audit (GroupKFold): folds keyed
+    * by the GROUP (customer), not the row, so no customer's orders
+    * straddle train/test — the leakage row-level splits (N6/q67,
+    * X69/q165) cannot prevent when rows of one entity correlate.
+    * fold(c) = md5-bucket % 5 of the customer key alone; orders derive
+    * their fold from o_custkey DIRECTLY — a pure function, so the
+    * audit needs NO customer⋈orders join at any scale. Reports per
+    * fold: customers, orders, revenue share.
+    *
+    * Scale: two independent aggregates (customer-keyed, order-keyed)
+    * joined on the 5-row fold axis. */
+  val q181 = Q(
+    "q181_group_kfold",
+    (s, dir) => {
+      import s.implicits._
+      def fold(key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit("gkf:"), key.cast(StringType))), 1, 15),
+          16, 10).cast(LongType) % 5
+      val cust = Tables(s, dir, "customer")
+        .select(fold($"c_custkey").as("fold"))
+        .groupBy($"fold").agg(count(lit(1)).as("n_customers"))
+      val ord = Tables(s, dir, "orders")
+        .select(fold($"o_custkey").as("fold"),
+          expr("CAST(rint(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy($"fold")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("rev_cents"))
+      cust.join(ord, "fold")
+        .withColumn("rev_share_ppm", expr(
+          "(rev_cents * 1000000) DIV CAST(sum(rev_cents) OVER () AS BIGINT)"))
+        .select($"fold", $"n_customers", $"n_orders", $"rev_cents",
+          $"rev_share_ppm")
+        .orderBy($"fold")
+    },
+    Some("""
+      WITH cf AS (SELECT CAST(('0x' || substr(md5('gkf:' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold
+                  FROM customer),
+      cust AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_customers
+               FROM cf GROUP BY 1),
+      ofd AS (SELECT CAST(('0x' || substr(md5('gkf:' ||
+                CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+      ord AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(cents) AS BIGINT) AS rev_cents
+              FROM ofd GROUP BY 1)
+      SELECT fold, n_customers, n_orders, rev_cents,
+        CAST((rev_cents * 1000000) //
+          CAST(SUM(rev_cents) OVER () AS BIGINT) AS BIGINT) AS rev_share_ppm
+      FROM cust JOIN ord USING (fold)
+      ORDER BY fold"""),
+    doc = "GroupKFold audit — fold is a pure function of the group key " +
+      "(no join to assign), per-fold size/revenue shares")
+
+  /** q182 — Pareto skyline (Börzsönyi et al. '01 "The Skyline
+    * Operator"): the parts no other part beats on BOTH price and size
+    * (minimize both). The textbook NOT-EXISTS is O(n²); this is the
+    * sort-based O(n log n) form made distributed via the PrefixScan
+    * bucket idiom: dedup to distinct (price, size) points, bucket the
+    * price axis deterministically, running-min of size inside each
+    * bucket (exclusive frame), per-bucket min prefix-scanned on the
+    * bucket summary (tiny by construction) and broadcast back — a
+    * point survives iff its size < the exclusive running min over all
+    * (price, size)-earlier points. The oracle IS the O(n²)
+    * NOT-EXISTS, proving the decomposition lossless.
+    *
+    * Scale: one data shuffle (the dedup aggregate), windows only on
+    * bucket slices and the bucket summary. */
+  val q182 = Q(
+    "q182_skyline",
+    (s, dir) => {
+      import s.implicits._
+      val pts = Tables(s, dir, "part")
+        .select(expr("CAST(rint(p_retailprice * 100) AS BIGINT)").as("a"),
+          $"p_size".cast(LongType).as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_parts"))
+        .withColumn("bk", expr("a DIV 1000"))
+      val wLoc = Window.partitionBy($"bk").orderBy($"a", $"b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val loc = pts.withColumn("lmin", min($"b").over(wLoc))
+      val offs = pts.groupBy($"bk").agg(min($"b").as("bmin"))
+        .withColumn("off", min($"bmin").over(
+          Window.orderBy($"bk").rowsBetween(Window.unboundedPreceding, -1)))
+        .select($"bk", $"off")
+      loc.join(broadcast(offs), "bk")
+        .withColumn("pmin", least(
+          coalesce($"lmin", lit(Long.MaxValue)),
+          coalesce($"off", lit(Long.MaxValue))))
+        .filter($"b" < $"pmin")
+        .select($"a".as("price_cents"), $"b".as("p_size"), $"n_parts")
+        .orderBy($"price_cents", $"p_size")
+    },
+    Some("""
+      WITH pr AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS a,
+                    CAST(p_size AS BIGINT) AS b,
+                    CAST(COUNT(*) AS BIGINT) AS n_parts
+                  FROM part GROUP BY 1, 2)
+      SELECT a AS price_cents, b AS p_size, n_parts
+      FROM pr x
+      WHERE NOT EXISTS (SELECT 1 FROM pr y
+                        WHERE y.a <= x.a AND y.b <= x.b
+                          AND (y.a < x.a OR y.b < x.b))
+      ORDER BY price_cents, p_size"""),
+    doc = "Pareto skyline, sort-based distributed form — bucketed exclusive " +
+      "running min, tiny bucket-summary scan, O(n^2)-free; oracle is the " +
+      "brute-force NOT EXISTS")
+
+  val all: Seq[Q] = Seq(q178, q179, q180, q181, q182)
+}
