@@ -29,7 +29,8 @@ object SparkEntry {
     _root_.graft.queries.Curation.all ++
     _root_.graft.queries.Mining.all ++
     _root_.graft.queries.Retrieval.all ++
-    _root_.graft.queries.Selection.all
+    _root_.graft.queries.Selection.all ++
+    _root_.graft.queries.Inference.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -8,7 +8,8 @@ import graft.core.{Q, Tables}
 /** SURVEY.md §2.11a continued — scoring/selection operators that decide
   * WHICH rows enter a training mix or serving index: recency-decayed
   * engagement, rank-based surprisal quality, Neyman stratified
-  * allocation, grouped k-fold assignment, and the Pareto skyline.
+  * allocation, and grouped k-fold assignment. (A Pareto-skyline variant
+  * was dropped here — X43/q125 already covers the operator class.)
   *
   * Determinism contract as Mining/Retrieval: exact BIGINT arithmetic
   * (integer DIV on non-negative operands — Spark DIV truncates toward
@@ -229,58 +230,5 @@ object Selection {
     doc = "GroupKFold audit — fold is a pure function of the group key " +
       "(no join to assign), per-fold size/revenue shares")
 
-  /** q182 — Pareto skyline (Börzsönyi et al. '01 "The Skyline
-    * Operator"): the parts no other part beats on BOTH price and size
-    * (minimize both). The textbook NOT-EXISTS is O(n²); this is the
-    * sort-based O(n log n) form made distributed via the PrefixScan
-    * bucket idiom: dedup to distinct (price, size) points, bucket the
-    * price axis deterministically, running-min of size inside each
-    * bucket (exclusive frame), per-bucket min prefix-scanned on the
-    * bucket summary (tiny by construction) and broadcast back — a
-    * point survives iff its size < the exclusive running min over all
-    * (price, size)-earlier points. The oracle IS the O(n²)
-    * NOT-EXISTS, proving the decomposition lossless.
-    *
-    * Scale: one data shuffle (the dedup aggregate), windows only on
-    * bucket slices and the bucket summary. */
-  val q182 = Q(
-    "q182_skyline",
-    (s, dir) => {
-      import s.implicits._
-      val pts = Tables(s, dir, "part")
-        .select(expr("CAST(rint(p_retailprice * 100) AS BIGINT)").as("a"),
-          $"p_size".cast(LongType).as("b"))
-        .groupBy($"a", $"b").agg(count(lit(1)).as("n_parts"))
-        .withColumn("bk", expr("a DIV 1000"))
-      val wLoc = Window.partitionBy($"bk").orderBy($"a", $"b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val loc = pts.withColumn("lmin", min($"b").over(wLoc))
-      val offs = pts.groupBy($"bk").agg(min($"b").as("bmin"))
-        .withColumn("off", min($"bmin").over(
-          Window.orderBy($"bk").rowsBetween(Window.unboundedPreceding, -1)))
-        .select($"bk", $"off")
-      loc.join(broadcast(offs), "bk")
-        .withColumn("pmin", least(
-          coalesce($"lmin", lit(Long.MaxValue)),
-          coalesce($"off", lit(Long.MaxValue))))
-        .filter($"b" < $"pmin")
-        .select($"a".as("price_cents"), $"b".as("p_size"), $"n_parts")
-        .orderBy($"price_cents", $"p_size")
-    },
-    Some("""
-      WITH pr AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS a,
-                    CAST(p_size AS BIGINT) AS b,
-                    CAST(COUNT(*) AS BIGINT) AS n_parts
-                  FROM part GROUP BY 1, 2)
-      SELECT a AS price_cents, b AS p_size, n_parts
-      FROM pr x
-      WHERE NOT EXISTS (SELECT 1 FROM pr y
-                        WHERE y.a <= x.a AND y.b <= x.b
-                          AND (y.a < x.a OR y.b < x.b))
-      ORDER BY price_cents, p_size"""),
-    doc = "Pareto skyline, sort-based distributed form — bucketed exclusive " +
-      "running min, tiny bucket-summary scan, O(n^2)-free; oracle is the " +
-      "brute-force NOT EXISTS")
-
-  val all: Seq[Q] = Seq(q178, q179, q180, q181, q182)
+  val all: Seq[Q] = Seq(q178, q179, q180, q181)
 }

@@ -16,7 +16,7 @@ class RegistrySpec extends SparkSpecBase {
   // Global aggregates return exactly one row; ordering is vacuous.
   private val singleRowQueries = Set("q17_global_agg", "q89_funnel",
     "q158_ab_test", "q160_ks_test", "q166_vocab_richness",
-    "q176_effective_rank")
+    "q176_effective_rank", "q184_cohens_kappa", "q185_poisson_bootstrap")
 
   test("every oracle query ends with a deterministic ORDER BY") {
     SparkEntry.registry

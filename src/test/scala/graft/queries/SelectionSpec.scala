@@ -3,9 +3,9 @@ package graft.queries
 import graft.SparkSpecBase
 import org.apache.spark.sql.functions._
 
-/** Invariants for the selection/scoring family (q178-q182) beyond the
-  * DuckDB value gate: decay boundedness, allocation exactness, fold
-  * coverage, and skyline == brute-force non-domination.
+/** Invariants for the selection/scoring family (q178-q181) beyond the
+  * DuckDB value gate: decay boundedness, allocation exactness, and fold
+  * coverage.
   */
 class SelectionSpec extends SparkSpecBase {
 
@@ -39,22 +39,6 @@ class SelectionSpec extends SparkSpecBase {
       val nCust = df.agg(sum("n_customers")).collect()(0).getLong(0)
       assert(nCust === graft.core.Tables(spark, sf, "customer").count())
     } finally df.unpersist()
-  }
-
-  test("q182 skyline equals brute-force non-domination") {
-    import spark.implicits._
-    val pts = graft.core.Tables(spark, sf, "part")
-      .select(expr("CAST(rint(p_retailprice * 100) AS BIGINT)").as("a"),
-        $"p_size".cast("long").as("b"))
-      .groupBy("a", "b").count()
-      .as[(Long, Long, Long)].collect()
-    val brute = pts.filter { case (a, b, _) =>
-      !pts.exists { case (a2, b2, _) =>
-        a2 <= a && b2 <= b && (a2 < a || b2 < b) }
-    }.map { case (a, b, n) => (a, b, n) }.sortBy(p => (p._1, p._2))
-    val got = Selection.q182.build(spark, sf)
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(got === brute.toSeq, "bucketed skyline diverged from brute force")
   }
 
   test("q179 oov fraction is a valid ppm and docs are worst-first") {
