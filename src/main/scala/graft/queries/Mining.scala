@@ -125,7 +125,13 @@ object Mining {
     (s, dir) => {
       import s.implicits._
       val toks = split($"text", " ")
-      val buckets = Tables(s, dir, "documents")
+      // ONE corpus explode, collapsed immediately to (doc, source,
+      // bucket, n) — both the bucket weights and the doc scores derive
+      // from this compact table, so the bigram stream (and its md5) is
+      // materialized once, not twice. Σ over occurrences of a
+      // per-bucket constant == Σ over buckets of n·constant, so scores
+      // are bit-identical to the per-occurrence form.
+      val counts = Tables(s, dir, "documents")
         .select($"doc_id", $"source", explode(zip_with(
           slice(toks, lit(1), size(toks) - 1),
           slice(toks, lit(2), size(toks) - 1),
@@ -133,14 +139,16 @@ object Mining {
         .select($"doc_id", $"source",
           (conv(substring(md5($"bigram"), 1, 4), 16, 10)
             .cast(IntegerType) % 256).as("bucket"))
-      val weights = buckets.groupBy($"bucket").agg(
-        count(lit(1)).as("raw_n"),
-        count(when($"source" === "src18", 1)).as("tgt_n"))
-      buckets.filter($"source" =!= "src18")
+        .groupBy($"doc_id", $"source", $"bucket")
+        .agg(count(lit(1)).as("n"))
+      val weights = counts.groupBy($"bucket").agg(
+        sum($"n").as("raw_n"),
+        sum(when($"source" === "src18", $"n").otherwise(0L)).as("tgt_n"))
+      counts.filter($"source" =!= "src18")
         .join(broadcast(weights), "bucket")
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("CAST(sum((tgt_n * 1000000) DIV raw_n) DIV count(1) AS BIGINT)")
+        .agg(sum($"n").as("n_bigrams"),
+          expr("CAST(sum(n * ((tgt_n * 1000000) DIV raw_n)) DIV sum(n) AS BIGINT)")
             .as("score"))
         .orderBy($"doc_id")
     },
@@ -789,12 +797,21 @@ object Mining {
         sqrt(VectorOps.normSq($"embedding")).as("qn"))
       val corpus = emb.select($"vec_id", $"label", $"embedding",
         sqrt(VectorOps.normSq($"embedding")).as("en"))
-      val wNn = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
       val wVote = Window.partitionBy($"q_id").orderBy($"votes".desc, $"label".asc)
+      // top-10 via the bounded TopKScored aggregate, NOT a window: the
+      // window form shuffles all N² candidate pairs to sort each
+      // q_id's 5k candidates; the aggregate keeps 10 per (q_id,
+      // mapper) map-side, so the shuffle is ~N·10 rows. Total order
+      // (cos DESC, vec_id ASC) makes it bit-identical to the window.
+      implicit val inEnc = org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long, Long)]()
+      val topk = udaf(new graft.functions.TopKScored(10))
       corpus.crossJoin(broadcast(queries))
         .filter($"vec_id" =!= $"q_id")
         .withColumn("cos", VectorOps.dot($"q_vec", $"embedding") / ($"qn" * $"en"))
-        .withColumn("rn", row_number().over(wNn)).filter($"rn" <= 10)
+        .groupBy($"q_id", $"true_label")
+        .agg(topk($"cos", $"vec_id", $"label".cast(LongType)).as("nn"))
+        .select($"q_id", $"true_label", explode($"nn.tag").as("label"))
         .groupBy($"q_id", $"true_label", $"label")
         .agg(count(lit(1)).as("votes"))
         .withColumn("vr", row_number().over(wVote)).filter($"vr" === 1)
