@@ -275,35 +275,31 @@ object Retrieval {
     * X29 device); the final Cov = E[xy] − E[x]E[y] is one shared
     * textual IEEE chain over those exact sums.
     *
-    * Scale: the map-side outer-product shape — each row emits its
-    * d(d+1)/2 = 2080 pair products (the O(d²) work IS the statistic),
-    * and the only shuffle is the 2080-key aggregate; means are a
-    * 64-key aggregate broadcast back. No self-join of the corpus.
-    * BIGINT headroom: Σ|micros| per cell ≤ 10⁶·n ⇒ exact to n ≈ 9·10¹²
-    * rows. */
+    * Scale: ONE corpus pass through the map-side `GramMicros` typed
+    * Aggregator (the O(d²) per-row arithmetic IS the statistic, run as
+    * a tight primitive loop inside the partial aggregate) — no per-row
+    * 2080-struct explode, no generator, no row blow-up; the shuffle
+    * carries one 2145-long buffer per partition, and the 2080 output
+    * rows are unfolded from the single reduced buffer. BIGINT headroom:
+    * Σ|micros| per cell ≤ 10⁶·n ⇒ exact to n ≈ 9·10¹² rows. */
   val q174 = Q(
     "q174_embedding_covariance",
     (s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      val means = emb
-        .select(posexplode(graft.functions.VectorOps.microsVec($"embedding"))
-          .as(Seq("i", "m")))
-        .groupBy($"i").agg(sum($"m").as("s"))
-      val pairs = emb
-        .select(explode(expr(
+      val g = emb.select($"embedding").as[Seq[Float]]
+        .select(new graft.functions.GramMicros(64).toColumn.name("g"))
+        .toDF("g")
+      // unfold the reduced buffer: pairs at i*64 − i(i−1)/2 + (j−i),
+      // means at 2080+i, count at 2144 (GramMicros layout)
+      g.select(explode(expr(
           """flatten(transform(sequence(0, 63), i ->
                transform(sequence(i, 63), j ->
-                 named_struct('i', i, 'j', j, 'p',
-                   CAST(rint(CAST(embedding[i] AS DOUBLE) *
-                             CAST(embedding[j] AS DOUBLE) * 1000000.0)
-                     AS BIGINT)))))""")).as("pr"))
-        .select($"pr.i", $"pr.j", $"pr.p")
-        .groupBy($"i", $"j").agg(sum($"p").as("sp"))
-      pairs
-        .join(broadcast(means.select($"i", $"s".as("si"))), "i")
-        .join(broadcast(means.select($"i".as("j"), $"s".as("sj"))), "j")
-        .crossJoin(broadcast(emb.agg(count(lit(1)).as("nn"))))
+                 named_struct('i', i, 'j', j,
+                   'sp', g[CAST(i * 64 - (i * (i - 1)) DIV 2 + (j - i) AS INT)],
+                   'si', g[2080 + i], 'sj', g[2080 + j],
+                   'nn', g[2144]))))""")).as("pr"))
+        .select($"pr.*")
         .select($"i", $"j", expr(covMicroSql).as("cov_micro"))
         .orderBy($"i", $"j")
     },
