@@ -21,9 +21,17 @@ import graft.core.{Q, Tables}
 object Inference {
 
   /** κ micro — ONE textual IEEE chain over exact BIGINT cells.
-    * pₒ = (c11+c00)/n, pₑ = (rowA₁·colB₁ + rowA₀·colB₀)/n². */
+    * pₒ = (c11+c00)/n, pₑ = (rowA₁·colB₁ + rowA₀·colB₀)/n².
+    * Degenerate-rater guard (ADVICE r5): pₑ = 1 (both raters constant,
+    * e.g. every document on the same side of both gates) makes the
+    * denominator 0 — Spark would CAST the NaN to 0 while DuckDB errors
+    * on the cast, a silent cross-engine divergence. pₑ = 1 is an
+    * INTEGER-exact condition (rowA₁·colB₁ + rowA₀·colB₀ = n²), so both
+    * engines gate it identically and return NULL as the κ-undefined
+    * sentinel. */
   private[queries] val kappaMicroSql: String =
-    """CAST(round((
+    """CASE WHEN (c11 + c10) * (c11 + c01) + (c01 + c00) * (c10 + c00) = n * n
+       THEN CAST(NULL AS BIGINT) ELSE CAST(round((
        (CAST(c11 + c00 AS DOUBLE) / CAST(n AS DOUBLE)) -
        (CAST(c11 + c10 AS DOUBLE) * CAST(c11 + c01 AS DOUBLE) +
         CAST(c01 + c00 AS DOUBLE) * CAST(c10 + c00 AS DOUBLE)) /
@@ -31,7 +39,7 @@ object Inference {
        (CAST(c11 + c10 AS DOUBLE) * CAST(c11 + c01 AS DOUBLE) +
         CAST(c01 + c00 AS DOUBLE) * CAST(c10 + c00 AS DOUBLE)) /
        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1000000)
-       AS BIGINT)""".replaceAll("\\s+", " ")
+       AS BIGINT) END""".replaceAll("\\s+", " ")
 
   /** Poisson(1) sampling weight from a 31-bit uniform — inverse CDF
     * with embedded thresholds ⌊2³¹·F(k)⌋ for k = 0..7 (tail mass
@@ -82,6 +90,19 @@ object Inference {
         .agg(count(lit(1)).as("n")).collect()
         .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
       val states = Seq("__start", "click", "error", "signup", "view")
+      // Loud domain guard (ADVICE r5): the state list is hard-coded in
+      // BOTH engines (the DuckDB twin embeds the same literals), so an
+      // unexpected event_type would be silently dropped from the
+      // transition matrix on both sides — masking exactly the
+      // divergence the oracle exists to catch. Fail instead (the
+      // MergeInto loud-failure precedent).
+      val observed = counts.keysIterator
+        .flatMap { case (f, t) => Iterator(f, t) }
+        .filterNot(Set("__start", "__drop", "purchase")).toSet
+      require(observed.subsetOf(states.drop(1).toSet),
+        s"q183: event_type domain grew beyond the hard-coded channel list: " +
+          s"unexpected ${observed -- states.drop(1).toSet} — extend the state " +
+          "list in BOTH the Spark build and the DuckDB twin")
       val d = states.length
       val totals = states.map(f =>
         counts.collect { case ((`f`, _), n) => n }.sum.toDouble)
@@ -109,6 +130,11 @@ object Inference {
         (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
       }
       val baseM = awayMicro(solve("__none"))
+      // A corpus with zero purchases has no conversion to attribute:
+      // removal_effect_ppm divides by baseM — fail loudly, not by zero.
+      require(baseM > 0L,
+        "q183: no purchase conversions in the corpus — removal-effect " +
+          "attribution is undefined (division by base conversion 0)")
       val rows = states.drop(1).map { ch =>
         val remM = awayMicro(solve(ch))
         (ch, baseM, remM, (baseM - remM) * 1000000L / baseM)

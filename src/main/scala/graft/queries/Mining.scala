@@ -287,13 +287,17 @@ object Mining {
     * exact): lift = P(w1 w2) / (P(w1)·P(w2)) scaled to
     * (n_ab · N · 1000) DIV (n_a · n_b), min support 5, top 50.
     *
-    * Scale: ONE corpus scan emits tagged unigrams and bigrams through
-    * a single (typ, gram) count shuffle; unigram counts then join the
-    * bigram counts (broadcast here; at a billion-term vocabulary this
-    * becomes an equi-join on the gram's first/second word — still
-    * compact aggregates, never raw text). The 1000-scaled integer lift
-    * overflows BIGINT only past ~1e15 tokens; at that scale move the
-    * product to DECIMAL(38,0) — noted, not needed at any test SF. */
+    * Scale (r5 verdict item, implemented): ONE corpus scan emits tagged
+    * unigrams and bigrams through a single (typ, gram) count shuffle;
+    * unigram counts then join the bigram counts as a plain equi-join on
+    * the gram's first/second word with NO broadcast hint — AQE ships
+    * the vocabulary while it fits the broadcast threshold (every test
+    * SF) and falls back to a shuffle equi-join on compact (word, count)
+    * aggregates when a billion-term vocabulary outgrows executor
+    * memory. Only the 1-row corpus total keeps an unconditional hint.
+    * The 1000-scaled integer lift overflows BIGINT only past ~1e15
+    * tokens; at that scale move the product to DECIMAL(38,0) — noted,
+    * not needed at any test SF. */
   val q147 = Q(
     "q147_collocations",
     (s, dir) => {
@@ -315,8 +319,8 @@ object Mining {
         .select($"gram".as("bigram"), $"n".as("n_ab"),
           split($"gram", " ").getItem(0).as("w1"),
           split($"gram", " ").getItem(1).as("w2"))
-        .join(broadcast(uni.select($"term".as("w1"), $"nw".as("nw1"))), "w1")
-        .join(broadcast(uni.select($"term".as("w2"), $"nw".as("nw2"))), "w2")
+        .join(uni.select($"term".as("w1"), $"nw".as("nw1")), "w1")
+        .join(uni.select($"term".as("w2"), $"nw".as("nw2")), "w2")
         .crossJoin(broadcast(tot))
         .select($"bigram", $"n_ab",
           expr("(n_ab * n_total * 1000) DIV (nw1 * nw2)").as("lift"))

@@ -40,7 +40,14 @@ object Selection {
     *
     * Scale: one narrow projection + one user-keyed aggregate; the
     * anchor is a 1-row broadcast. Decay-at-read beats decay-at-write
-    * (no rewrite as the anchor advances). */
+    * (no rewrite as the anchor advances).
+    *
+    * Precondition (ADVICE r5): events.value >= 0. The DIV-agreement
+    * contract above holds only for non-negative operands — a negative
+    * value would truncate toward zero in Spark but floor in DuckDB,
+    * diverging by 1 micro per event. SelectionSpec asserts the fixture
+    * domain; a caller with signed values must clamp or split sign
+    * upstream. */
   val q178 = Q(
     "q178_time_decay",
     (s, dir) => {
@@ -79,20 +86,50 @@ object Selection {
     * cheap stand-in for LM perplexity filtering (Wenzek et al. '19
     * CCNet) when no model may be in the loop.
     *
-    * Scale: the rank window runs on the VOCABULARY aggregate, not the
-    * corpus (single-task at extreme vocab — the PrefixScan bucket trick
-    * applies if vocab outgrows one task; noted, not needed at any test
-    * SF); docs then join the tiny rank table broadcast. */
+    * Scale (r5 verdict item, implemented): terms are unique after the
+    * vocab aggregate, so dense_rank(cnt desc, term) ≡ row_number, and
+    * it decomposes into two [[graft.operators.PrefixScan]]s with NO
+    * vocabulary-sized single-task window:
+    *   (a) the strict-prefix term count comes from the count HISTOGRAM
+    *       (groupBy cnt — value-domain-sized, O(√tokens) rows for a
+    *       Zipf corpus, so the hapax tie-mass collapses to ONE weighted
+    *       row instead of half the vocabulary in one sort task);
+    *   (b) the within-count term position is a weight-1 scan grouped by
+    *       cnt and bucketed by the term's 2-char prefix — the cnt=1
+    *       group (half of any web-scale vocabulary) spreads over
+    *       ~alphabet² tasks instead of one.
+    *   rnk = (a) + (b), bit-identical to the window form.
+    * The doc⋈rank join is deliberately UNHINTED: AQE's size-gated
+    * auto-broadcast ships the rank table while it fits (every test SF)
+    * and falls back to a shuffle equi-join when a 10⁹-term vocabulary
+    * outgrows executor memory — the gate the old unconditional
+    * broadcast() lacked. */
   val q179 = Q(
     "q179_rank_surprisal",
     (s, dir) => {
       import s.implicits._
+      import graft.operators.PrefixScan
       val toks = Tables(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("term"))
-      val ranks = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", dense_rank().over(
-          Window.orderBy($"cnt".desc, $"term")).cast(LongType))
-      toks.join(broadcast(ranks.select($"term", $"rnk")), "term")
+      val vocab = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val hist = vocab.groupBy($"cnt").agg(count(lit(1)).as("w"))
+        .withColumn("negcnt", -$"cnt")
+      val strictPrefix = PrefixScan.inclusive(hist, Nil, "negcnt", Nil,
+          "w", v => -floor(log2(-v)), "cum_le")
+        .select($"cnt", ($"cum_le" - $"w").as("base"))
+      // First-two-codepoint bucket, each CLAMPED to 255: ascii() yields
+      // full codepoints (8364 for a euro sign) and UTF-8 binary string
+      // order — PrefixScan's order — agrees with codepoint order, so
+      // the clamp keeps the bucket monotone for non-ASCII terms instead
+      // of letting a high second codepoint outrank a later first char.
+      val byte = (c: org.apache.spark.sql.Column) => least(ascii(c), lit(255))
+      val within = PrefixScan.inclusive(
+        vocab.withColumn("one", lit(1L)), Seq("cnt"), "term", Nil, "one",
+        v => byte(substring(v, 1, 1)) * 256 + byte(substring(v, 2, 1)),
+        "pos")
+      val ranks = within.join(strictPrefix, "cnt")
+        .select($"term", ($"base" + $"pos").as("rnk"))
+      toks.join(ranks, "term")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tok"), sum($"rnk").as("rank_sum"),
           sum(when($"rnk" > 20, 1L).otherwise(0L)).as("n_oov"))
@@ -116,8 +153,9 @@ object Selection {
         CAST((rank_sum * 1000000) // n_tok AS BIGINT) AS mean_rank_ppm,
         CAST((n_oov * 1000000) // n_tok AS BIGINT) AS oov_ppm
       FROM d ORDER BY mean_rank_ppm DESC, doc_id LIMIT 20"""),
-    doc = "rank surprisal + OOV quality gate — vocab-sized rank window, " +
-      "broadcast rank table, integer ppm scores")
+    doc = "rank surprisal + OOV quality gate — two-PrefixScan vocab rank " +
+      "(histogram base + prefix-bucketed tiebreak), AQE size-gated " +
+      "rank join, integer ppm scores")
 
   /** q180 — Neyman stratified allocation (Neyman 1934): split a budget
     * of k = 1000 sample slots across sources proportional to N_h·S_h

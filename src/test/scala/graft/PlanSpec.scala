@@ -295,6 +295,43 @@ class PlanSpec extends SparkSpecBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q179 vocab rank is de-skewed (r5 verdict item): every window that " +
+    "orders by the vocabulary axis is bucket-partitioned, and the doc-rank " +
+    "join is UNHINTED so AQE size-gates the broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = queries.Selection.q179.build(spark, sf)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    for (w <- wins) {
+      val orderRefs = w.orderSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+      if (orderRefs.contains("term")) {
+        val parts = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+        assert(parts.contains("__pb"),
+          s"vocabulary-axis window not bucket-partitioned ($parts):\n$w")
+      }
+    }
+    // The only broadcast hints are PrefixScan's two metadata-sized
+    // offset tables; the rank table itself reaches the token join with
+    // no hint — shipped while it fits, shuffle equi-join when a
+    // web-scale vocabulary outgrows the AQE threshold.
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size === 2,
+      s"expected exactly PrefixScan's two offset broadcasts, got ${hints.size}")
+  }
+
+  test("q147 vocabulary joins are UNHINTED (r5 verdict item): only the " +
+    "1-row corpus total carries a broadcast hint; the unigram table is " +
+    "AQE size-gated") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = queries.Mining.q147.build(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size === 1,
+      s"expected exactly the 1-row total broadcast, got ${hints.size}")
+    val p = formatted(df)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("mining-family plans: q145's eval grams and q144's bucket weights " +
     "BROADCAST (the corpus side never shuffles gram data); retriever top-ks " +
     "fuse to TakeOrdered in q143; no cartesian anywhere") {

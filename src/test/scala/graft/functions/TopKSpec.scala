@@ -10,9 +10,15 @@ import scala.util.Random
 class TopKSpec extends AnyFunSuite {
   import TopKScored.Entry
 
+  // The oracle order is Spark's sort order for score DESC: NaN first,
+  // 0.0 before -0.0 — java.lang.Double.compare, NOT a negated sortBy
+  // key (negation flips which zero wins and where NaN lands).
   private def brute(xs: Seq[(Double, Long, Long)], k: Int): Seq[Entry] =
     xs.map(t => Entry(t._1, t._2, t._3))
-      .sortBy(e => (-e.score, e.id)).take(k)
+      .sortWith { (a, b) =>
+        val c = java.lang.Double.compare(b.score, a.score)
+        if (c != 0) c < 0 else a.id < b.id
+      }.take(k)
 
   test("reduce-then-merge equals brute force under arbitrary splits") {
     val rnd = new Random(42)
@@ -28,6 +34,26 @@ class TopKSpec extends AnyFunSuite {
         .foldLeft(agg.zero)(agg.merge)
       assert(agg.finish(merged) === brute(xs, 10),
         s"split seed $seed diverged from brute force")
+    }
+  }
+
+  test("mixed -0.0/0.0/NaN scores at the k boundary are split-invariant " +
+    "and follow the total order (ADVICE r5: one order for reduce AND merge)") {
+    val xs = Seq((0.0, 1L, 0L), (-0.0, 2L, 0L), (Double.NaN, 3L, 0L),
+      (0.0, 4L, 0L), (-0.0, 5L, 0L), (1.0, 6L, 0L), (-1.0, 7L, 0L))
+    val agg = new TopKScored(4)
+    val expected = brute(xs, 4)
+    // NaN greatest, then 1.0, then the +0.0s by id — the -0.0s fall out
+    assert(expected.map(_.id) === Seq(3L, 6L, 1L, 4L))
+    for (seed <- 1 to 30) {
+      val r = new Random(seed)
+      val parts = r.shuffle(xs).grouped(1 + r.nextInt(4)).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged).map(e => (java.lang.Double.doubleToRawLongBits(e.score), e.id)) ===
+        expected.map(e => (java.lang.Double.doubleToRawLongBits(e.score), e.id)),
+        s"split seed $seed diverged on the ±0.0/NaN boundary")
     }
   }
 

@@ -26,6 +26,21 @@ class InferenceSpec extends SparkSpecBase {
     assert(kappa <= 1000000L)
   }
 
+  test("q184 degenerate raters (pe = 1) yield the NULL sentinel, not a " +
+    "NaN-to-0 cast (ADVICE r5)") {
+    // every document on the same side of both gates: pe = 1 exactly
+    val df = spark.sql(
+        "SELECT 10L AS n, 10L AS c11, 0L AS c10, 0L AS c01, 0L AS c00")
+      .selectExpr(s"${Inference.kappaMicroSql} AS kappa_micro")
+    assert(df.collect().head.isNullAt(0),
+      "pe = 1 must produce NULL kappa in both engines")
+    // and the guard must NOT fire for a regular contingency table
+    val ok = spark.sql(
+        "SELECT 10L AS n, 4L AS c11, 2L AS c10, 1L AS c01, 3L AS c00")
+      .selectExpr(s"${Inference.kappaMicroSql} AS kappa_micro")
+    assert(!ok.collect().head.isNullAt(0))
+  }
+
   test("q185 bootstrap CI is ordered and brackets the point estimate") {
     import spark.implicits._
     val (n, mean, lo, hi) = Inference.q185.build(spark, sf)

@@ -41,6 +41,47 @@ class SelectionSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("q178 precondition: fixture event values are non-negative") {
+    // The Spark DIV (truncate) vs DuckDB // (floor) agreement q178's
+    // header declares holds only for value >= 0 (ADVICE r5). Enforce
+    // the declared domain so a fixture change surfaces loudly here
+    // instead of as a silent 1-micro-per-event oracle divergence.
+    val negs = graft.core.Tables(spark, sf, "events")
+      .filter(col("value") < 0).count()
+    assert(negs === 0L, s"$negs events with value < 0 violate the q178 DIV contract")
+  }
+
+  test("q179 PrefixScan rank is bit-identical to the single-window dense_rank form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val toks = graft.core.Tables(spark, sf, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val windowForm = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", dense_rank().over(
+        Window.orderBy($"cnt".desc, $"term")).cast(LongType))
+      .select($"term", $"rnk").as[(String, Long)].collect().toMap
+    // Rebuild the two-scan rank exactly as q179 does, via the public
+    // query output: join back through the doc scores is lossy, so
+    // assert on the full q179 result against a window-form recompute.
+    val expected = toks.join(
+        toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", dense_rank().over(
+            Window.orderBy($"cnt".desc, $"term")).cast(LongType))
+          .select($"term", $"rnk"), "term")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum($"rnk").as("rank_sum"),
+        sum(when($"rnk" > 20, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tok",
+        expr("(rank_sum * 1000000) DIV n_tok").as("mean_rank_ppm"),
+        expr("(n_oov * 1000000) DIV n_tok").as("oov_ppm"))
+      .orderBy($"mean_rank_ppm".desc, $"doc_id")
+      .limit(20).collect().toSeq
+    val actual = Selection.q179.build(spark, sf).collect().toSeq
+    assert(windowForm.nonEmpty)
+    assert(actual === expected)
+  }
+
   test("q179 oov fraction is a valid ppm and docs are worst-first") {
     import spark.implicits._
     val rows = Selection.q179.build(spark, sf)
