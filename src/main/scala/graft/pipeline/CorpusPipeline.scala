@@ -28,7 +28,14 @@ import graft.operators.{ConnectedComponents, MinHashLSH}
   */
 object CorpusPipeline {
 
-  final case class Prepared(result: DataFrame, counts: () => Map[String, Long])
+  /** `input`/`quality`/`exact` expose the stage frames LAZILY so a
+    * caller can audit them declaratively (the q186 oracle query counts
+    * them in one job); `counts` stays the zero-extra-pass path — it
+    * reads the observe() metrics of whatever action materialized
+    * `result`. */
+  final case class Prepared(result: DataFrame, counts: () => Map[String, Long],
+                            input: DataFrame, quality: DataFrame,
+                            exact: DataFrame)
 
   /** @param docs (idCol: long, textCol: string) corpus
     * @param minWords/maxWords Gopher-style length gate
@@ -89,6 +96,7 @@ object CorpusPipeline {
       "exact_dedup" -> obsExact.get("n").asInstanceOf[Long],
       // the CC loop materialized labels, so this count is served from
       // the persisted/checkpointed frames, not a corpus re-scan
-      "near_dedup" -> kept.count()))
+      "near_dedup" -> kept.count()),
+      input = input, quality = quality, exact = exact)
   }
 }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables}
+import graft.pipeline.CorpusPipeline
+
+/** SURVEY.md §2.11a X26, promoted to the oracle registry (r5 verdict
+  * item 6): the composed corpus-preparation pipeline — quality filter →
+  * exact dedup → near-dup cluster collapse → token accounting — checked
+  * end to end against a DuckDB twin, not just stage by stage. The
+  * composition is the product surface a reference user actually runs
+  * (`graft.pipeline.CorpusPipeline`); its stages were each
+  * oracle-checked alone (q73/q49/q54+q82/q71), but stage composition
+  * has its own failure modes (a survivor set fed to the wrong stage, an
+  * off-by-one in the keep rule) that only an end-to-end hash can catch.
+  */
+object Pipeline {
+
+  /** q186 — pipeline output: 4 stage-count rows + the survivor set in
+    * ONE frame, (kind, id, n):
+    *   - `stage_*` rows carry id = -1 and n = the stage's surviving
+    *     doc count (input → quality → exact dedup → near-dup collapse,
+    *     monotone non-increasing);
+    *   - `doc` rows carry the surviving doc_id and its n_tokens.
+    * Both engines compose the SAME stage definitions the per-stage
+    * oracles use: the Gopher word-count/mean-word-length gate, min-id
+    * representative per sha256(lower(text)), and the shared MinHash
+    * CTE pipeline + recursive-CTE components (q54/q82's twins) over
+    * the exact-dedup survivors.
+    *
+    * Scale: the Spark side IS CorpusPipeline.prepare — one corpus scan
+    * through the gates, LSH banding with the viral-bucket cap, O(log²)
+    * CC rounds; the stage counts here are declarative aggregates over
+    * the exposed stage frames (the production path reads observe()
+    * metrics instead — zero extra passes; see CorpusPipeline scaladoc). */
+  val q186 = Q(
+    "q186_corpus_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+      val p = CorpusPipeline.prepare(docs, "doc_id", "text")
+      val stages = Seq(
+        "stage_0_input" -> p.input,
+        "stage_1_quality" -> p.quality,
+        "stage_2_exact" -> p.exact,
+        "stage_3_near" -> p.result)
+        .map { case (k, df) =>
+          df.agg(count(lit(1)).as("n"))
+            .select(lit(k).as("kind"), lit(-1L).as("id"), $"n")
+        }
+        .reduce(_ unionByName _)
+      val survivors = p.result.select(lit("doc").as("kind"),
+        $"doc_id".as("id"), $"n_tokens".cast(LongType).as("n"))
+      stages.unionByName(survivors).orderBy($"kind", $"id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      corpus0 AS (SELECT doc_id, text FROM documents),
+      q AS (SELECT doc_id, text,
+              len(regexp_split_to_array(text, '\\s+')) AS n_words
+            FROM corpus0
+            WHERE len(regexp_split_to_array(text, '\\s+')) BETWEEN 5 AND 5000
+              AND length(regexp_replace(text, '\\s+', '', 'g')) /
+                  len(regexp_split_to_array(text, '\\s+')) <= 12.0),
+      ex AS (SELECT doc_id, text FROM (
+               SELECT doc_id, text,
+                 MIN(doc_id) OVER (PARTITION BY sha256(lower(text))) AS rep
+               FROM q) z
+             WHERE doc_id = rep),
+      ${Dedup.minhashCtes("SELECT doc_id, text FROM ex")},
+      pairs AS (SELECT a_id, b_id FROM v
+                WHERE inter / (na + nb - inter) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM ex
+        UNION
+        SELECT e.src, r.lab FROM reach r JOIN edges e ON r.node = e.dst),
+      kept AS (SELECT ex.doc_id, ex.text FROM ex
+               JOIN (SELECT node, MIN(lab) AS component FROM reach GROUP BY 1) c
+                 ON ex.doc_id = c.node
+               WHERE ex.doc_id = c.component),
+      stages AS (
+        SELECT 'stage_0_input' AS kind, CAST(-1 AS BIGINT) AS id,
+               CAST((SELECT COUNT(*) FROM corpus0) AS BIGINT) AS n
+        UNION ALL
+        SELECT 'stage_1_quality', -1, CAST((SELECT COUNT(*) FROM q) AS BIGINT)
+        UNION ALL
+        SELECT 'stage_2_exact', -1, CAST((SELECT COUNT(*) FROM ex) AS BIGINT)
+        UNION ALL
+        SELECT 'stage_3_near', -1, CAST((SELECT COUNT(*) FROM kept) AS BIGINT)),
+      docs_out AS (SELECT 'doc' AS kind, CAST(doc_id AS BIGINT) AS id,
+                     CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n
+                   FROM kept)
+      SELECT kind, id, n FROM stages
+      UNION ALL
+      SELECT kind, id, n FROM docs_out
+      ORDER BY kind, id"""),
+    doc = "X26 composed corpus pipeline end-to-end — quality gate, min-id " +
+      "exact dedup, MinHash+CC near-dup collapse, token accounting; stage " +
+      "counts + survivor set in one hash-checked frame")
+
+  val all: Seq[Q] = Seq(q186)
+}
