@@ -80,10 +80,28 @@ object TweetPipeline {
     enrich(spark.read.schema(tweetSchema)
       .option("columnNameOfCorruptRecord", CorruptCol).json(path))
 
-  /** E1 streaming file ingest — same plan, readStream source. */
-  def streamIngest(spark: SparkSession, path: String): DataFrame =
-    enrich(spark.readStream.schema(tweetSchema)
-      .option("columnNameOfCorruptRecord", CorruptCol).json(path))
+  /** E1 streaming file ingest — same plan, readStream source.
+    *
+    * `maxFilesPerTrigger` (None = unthrottled) bounds how many NEW files
+    * one micro-batch admits — the operational knob that keeps a backlog
+    * burst (a producer dumping 10⁵ files after an outage, or the first
+    * start against months of history) from becoming one giant
+    * micro-batch that blows executor memory and holds the checkpoint
+    * hostage for hours. Recovery drains the backlog as a SEQUENCE of
+    * bounded batches instead, each committing its own offsets — steady
+    * forward progress, bounded state, and `Trigger.AvailableNow` still
+    * terminates after the backlog (unlike legacy `Trigger.Once`, which
+    * ignores source rate limits and swallows everything in one batch).
+    * StreamingSpec pins the bound: a file burst under this knob never
+    * admits more than the configured files' rows in any micro-batch. */
+  def streamIngest(spark: SparkSession, path: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(tweetSchema)
+      .option("columnNameOfCorruptRecord", CorruptCol)
+    val throttled = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+    enrich(throttled.json(path))
+  }
 
   /** Parse a column of raw JSON strings (the HTTP body path, E1). */
   def parseJson(raw: DataFrame, jsonCol: String): DataFrame =

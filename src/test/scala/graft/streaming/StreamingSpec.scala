@@ -522,6 +522,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("sentiment"))
   }
 
+  test("S4b: maxFilesPerTrigger bounds every micro-batch under a file " +
+    "burst — the backlog drains as a sequence of bounded batches, " +
+    "nothing is lost (r5 verdict item 8)") {
+    val s = spark
+    val in = tmp("burst_in"); val out = tmp("burst_out"); val ck = tmp("burst_ck")
+    // a producer dump: 12 files land BEFORE the query first starts
+    val rowsPerFile = 5
+    for (f <- 0 until 12) {
+      val lines = (0 until rowsPerFile).map(r =>
+        f"""{"created_at":"2024-01-01T00:$f%02d:0$r%01dZ","text":"burst #f$f r$r","user":{"id":$f,"name":"u$f"},"geo":null}""")
+      Files.write(java.nio.file.Paths.get(in, f"burst$f%02d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val q = TweetPipeline.streamIngest(s, in, maxFilesPerTrigger = Some(3))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    // the bound: NO micro-batch ever admitted more than 3 files' rows
+    assert(progress.nonEmpty)
+    for (p <- progress)
+      assert(p.numInputRows <= 3L * rowsPerFile,
+        s"micro-batch admitted ${p.numInputRows} rows (> ${3 * rowsPerFile})")
+    // the backlog really was split, not swallowed in one batch ...
+    assert(progress.length >= 4,
+      s"expected >= 4 bounded batches for 12 files at 3/trigger, got ${progress.length}")
+    // ... and drained completely, exactly once
+    assert(s.read.parquet(out).count() === 12L * rowsPerFile)
+  }
+
   test("T10: a restarted query resumes from the checkpoint — committed " +
     "input is not re-ingested, and the final index equals the batch run") {
     val s = spark
