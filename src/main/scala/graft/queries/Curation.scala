@@ -90,30 +90,12 @@ object Curation {
       "dropped, survivor order preserved; broadcast anti-join, text never " +
       "shuffled for the filter")
 
-  /** q118 — integer-exact k-means (N23): 8 clusters, 2 update rounds,
-    * centroids seeded from the 8 smallest vec_ids. Every distance and
-    * centroid mean is exact BIGINT math on a corpus-global quantized
-    * grid (see [[KMeansInt]]), so the full iterative clustering —
-    * assignments, updates, final distances — hash-matches DuckDB
-    * running the same algebra in SQL.
-    *
-    * Oracle-seeding note: [[KMeansInt.cluster]] seeds from the k
-    * SMALLEST ids (`orderBy(id).limit(k)`); the DuckDB twin spells
-    * that `WHERE vec_id < 8`, which coincides only because the
-    * embeddings fixture's vec_ids are 0-based and contiguous. On a
-    * table with id gaps the two seed sets would silently diverge —
-    * port the oracle to `ORDER BY vec_id LIMIT k` (or pass explicit
-    * seed ids to both engines) before reusing this query elsewhere. */
-  val q118 = Q(
-    "q118_kmeans_int",
-    (s, dir) => {
-      import s.implicits._
-      KMeansInt.cluster(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 8, rounds = 2)
-        .orderBy($"vec_id")
-    },
-    Some("""
-      WITH vq AS (
+  /** DuckDB twin of `KMeansInt.cluster(embeddings, k = 8, rounds = 2)` as
+    * a reusable CTE chain ending in `a3(vec_id, cluster, d)` — the final
+    * assignment. Shared by q118 (the k-means oracle itself) and q187
+    * (SemDeDup, which prunes within these clusters). Seeding caveat: see
+    * the q118 scaladoc (`WHERE vec_id < 8` assumes contiguous 0-based ids). */
+  private[queries] val kmeansCtes8x2: String = """vq AS (
         SELECT vec_id, list_transform(embedding,
           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
         FROM embeddings),
@@ -155,7 +137,32 @@ object Curation {
                   CAST(list_sum(list_transform(range(1, 65),
                     i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
                 FROM vq CROSS JOIN c2))
-        WHERE rn = 1)
+        WHERE rn = 1)"""
+
+  /** q118 — integer-exact k-means (N23): 8 clusters, 2 update rounds,
+    * centroids seeded from the 8 smallest vec_ids. Every distance and
+    * centroid mean is exact BIGINT math on a corpus-global quantized
+    * grid (see [[KMeansInt]]), so the full iterative clustering —
+    * assignments, updates, final distances — hash-matches DuckDB
+    * running the same algebra in SQL.
+    *
+    * Oracle-seeding note: [[KMeansInt.cluster]] seeds from the k
+    * SMALLEST ids (`orderBy(id).limit(k)`); the DuckDB twin spells
+    * that `WHERE vec_id < 8`, which coincides only because the
+    * embeddings fixture's vec_ids are 0-based and contiguous. On a
+    * table with id gaps the two seed sets would silently diverge —
+    * port the oracle to `ORDER BY vec_id LIMIT k` (or pass explicit
+    * seed ids to both engines) before reusing this query elsewhere. */
+  val q118 = Q(
+    "q118_kmeans_int",
+    (s, dir) => {
+      import s.implicits._
+      KMeansInt.cluster(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 2)
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH $kmeansCtes8x2
       SELECT vec_id, cluster, d AS dist FROM a3 ORDER BY vec_id"""),
     doc = "N23: integer-exact k-means — iterative ML made hash-reproducible; " +
       "broadcast centroids, shuffle volume k*dims longs per round")

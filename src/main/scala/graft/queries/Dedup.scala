@@ -401,5 +401,77 @@ object Dedup {
     doc = "N20b: winnow-fingerprint pair join — LSH-banding shape with a " +
       "hot-fingerprint cap; surfaces local overlap minhash can't localize")
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93, q96, q107)
+  /** q187 — SemDeDup (Abbas et al. '23): semantic deduplication scoped
+    * by k-means clusters — drop every vector that has a LOWER-id
+    * neighbor in its own cluster at cosine ≥ τ; output the full
+    * (vec_id, cluster, kept) decision table. This differs from q57's
+    * sign-LSH near-dup (which targets near-IDENTICAL vectors at
+    * cos ≥ 0.999): SemDeDup prunes merely-SIMILAR examples inside
+    * semantic clusters, trading recall for diversity — the paper's
+    * LAION result is that this cut speeds training at equal quality.
+    * Clustering is [[KMeansInt]] (q118's exact integer k-means, same
+    * k=8/rounds=2 parameters so the oracle CTEs are shared verbatim);
+    * the cosine is the q50-contract chain (sequential-fold dot, one
+    * sqrt·sqrt product, textually identical in both engines) so the
+    * τ comparison is bit-identical.
+    *
+    * τ = 0.35 because the fixture embeddings are isotropic-random
+    * (pairwise cos ∈ [-0.6, 0.6], no planted semantic pairs), so the
+    * spec threshold sits in the distribution's upper tail to exercise
+    * hundreds of drops at every SF; production corpora cluster tightly
+    * and use τ ≈ 0.9+. The plan is threshold-independent.
+    *
+    * Scale: assignment is k broadcast centroids (no corpus shuffle);
+    * the pair stage shuffles each vector ONCE on its cluster id and
+    * compares within clusters only — the paper's own algorithmic bound
+    * (k is chosen ∝ N/target-cluster-size, keeping per-cluster pair
+    * work constant). A viral-cluster cap (MinHashLSH's device) applies
+    * if a degenerate corpus collapses into one cluster. The per-pair
+    * dot is the codegen'd FloatVectorDot primitive loop; norms are
+    * computed once per vector BEFORE the pair join, not per pair. */
+  val q187 = Q(
+    "q187_semdedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.KMeansInt
+      val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val vecs = KMeansInt.cluster(emb, "vec_id", "embedding", k = 8, rounds = 2)
+        .select($"vec_id", $"cluster")
+        .join(emb, "vec_id")
+        .withColumn("nrm", sqrt(VectorOps.normSq($"embedding")))
+        .persist() // three consumers: both pair-join sides + decision table
+      val dropped = vecs
+        .select($"cluster", $"vec_id".as("a_id"), $"embedding".as("a_vec"),
+          $"nrm".as("a_nrm"))
+        .join(vecs.select($"cluster", $"vec_id".as("b_id"),
+          $"embedding".as("b_vec"), $"nrm".as("b_nrm")), Seq("cluster"))
+        .filter($"a_id" < $"b_id" &&
+          VectorOps.dot($"a_vec", $"b_vec") / ($"a_nrm" * $"b_nrm") >= 0.35)
+        .select($"b_id".as("vec_id")).distinct()
+        .withColumn("dropped", lit(true))
+      vecs.join(dropped, Seq("vec_id"), "left_outer")
+        .select($"vec_id", $"cluster",
+          coalesce(!$"dropped", lit(true)).as("kept"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH ${Curation.kmeansCtes8x2},
+      vecs AS (
+        SELECT e.vec_id, a3.cluster, e.embedding,
+               sqrt(${VectorOps.dotSql("e.embedding", "e.embedding")}) AS nrm
+        FROM embeddings e JOIN a3 ON e.vec_id = a3.vec_id),
+      dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM vecs x JOIN vecs y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE ${VectorOps.dotSql("x.embedding", "y.embedding")} /
+              (x.nrm * y.nrm) >= 0.35)
+      SELECT v.vec_id, v.cluster, d.vec_id IS NULL AS kept
+      FROM vecs v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+      ORDER BY v.vec_id"""),
+    doc = "SemDeDup: k-means-cluster-scoped cosine pruning, min-id survivor " +
+      "— semantic diversity cut, not just near-identical removal; " +
+      "cluster-id equi-join bounds pair work")
+
+  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93, q96, q107, q187)
 }

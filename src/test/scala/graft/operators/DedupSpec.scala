@@ -120,6 +120,38 @@ class DedupSpec extends SparkSpecBase {
     fp.unpersist()
   }
 
+  test("q187 SemDeDup: the decision table equals a brute-force recompute " +
+    "of the rule (drop iff a lower-id same-cluster neighbor at cos >= tau)") {
+    val s = spark
+    import s.implicits._
+    val out = graft.queries.Dedup.q187.build(s, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    // brute force on the driver: same clustering (KMeansInt is already
+    // partition-invariant by spec), all pairs, double cosine
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cluster = out.map { case (id, c, _) => id -> c }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i)*b(i); aa += a(i)*a(i); bb += b(i)*b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val ids = out.map(_._1)
+    val expectDropped = ids.filter(b =>
+      ids.exists(a => a < b && cluster(a) == cluster(b) &&
+        cos(emb(a), emb(b)) >= 0.35)).toSet
+    assert(expectDropped.nonEmpty, "tau too high: rule never fired on the fixture")
+    for ((id, _, kept) <- out)
+      assert(kept === !expectDropped(id), s"vec $id kept=$kept diverges from rule")
+    // and the smallest id of every cluster always survives
+    for ((c, members) <- out.groupBy(_._2)) {
+      val min = members.minBy(_._1)
+      assert(min._3, s"cluster $c minimum id ${min._1} must be kept")
+    }
+  }
+
   test("sign-LSH: a rescaled vector keeps its bucket (scale invariance)") {
     val s = spark
     import s.implicits._
