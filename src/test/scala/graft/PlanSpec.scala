@@ -332,6 +332,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q187 SemDeDup plan: the pair stage is an equi-join on the cluster " +
+    "id (never a cartesian), and the corpus shuffles at most once for it") {
+    val df = queries.Dedup.q187.build(spark, sf)
+    val p = formatted(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the within-cluster self-join keys on the cluster assignment
+    assert(p.contains("cluster"), p)
+  }
+
   test("mining-family plans: q145's eval grams and q144's bucket weights " +
     "BROADCAST (the corpus side never shuffles gram data); retriever top-ks " +
     "fuse to TakeOrdered in q143; no cartesian anywhere") {
