@@ -17,14 +17,27 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects. Read nanos as long and truncate to micros — the
-      // same truncation DuckDB applies, so oracle timestamps agree.
+      // events.ts has shipped as three different parquet types across
+      // corpus generations: TIMESTAMP(NANOS) (vectorized reader rejects
+      // it — read nanos as long, truncate to micros, exactly DuckDB's
+      // conversion), TIMESTAMP(MICROS) without tz (reads as
+      // TIMESTAMP_NTZ), and plain TIMESTAMP. Normalize ALL of them to
+      // the session-tz TIMESTAMP every downstream query was written
+      // against. The mains pin the session to UTC, so the NTZ→LTZ cast
+      // reinterprets the stored wall-clock as the same instant the
+      // oracle's naive TIMESTAMP arithmetic sees.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$dir/$name.parquet")
-        // integral `div`: double division would lose precision at ~1.7e18 ns
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // integral `div`: double division would lose precision at ~1.7e18 ns
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -409,7 +409,8 @@ object Dedup {
     * cos ≥ 0.999): SemDeDup prunes merely-SIMILAR examples inside
     * semantic clusters, trading recall for diversity — the paper's
     * LAION result is that this cut speeds training at equal quality.
-    * Clustering is [[KMeansInt]] (q118's exact integer k-means, same
+    * The whole algorithm lives in [[graft.operators.SemDeDup]];
+    * clustering is [[KMeansInt]] (q118's exact integer k-means, same
     * k=8/rounds=2 parameters so the oracle CTEs are shared verbatim);
     * the cosine is the q50-contract chain (sequential-fold dot, one
     * sqrt·sqrt product, textually identical in both engines) so the
@@ -423,35 +424,25 @@ object Dedup {
     *
     * Scale: assignment is k broadcast centroids (no corpus shuffle);
     * the pair stage shuffles each vector ONCE on its cluster id and
-    * compares within clusters only — the paper's own algorithmic bound
-    * (k is chosen ∝ N/target-cluster-size, keeping per-cluster pair
-    * work constant). A viral-cluster cap (MinHashLSH's device) applies
-    * if a degenerate corpus collapses into one cluster. The per-pair
-    * dot is the codegen'd FloatVectorDot primitive loop; norms are
-    * computed once per vector BEFORE the pair join, not per pair. */
+    * compares within clusters only. The declared k=8 is the ORACLE's
+    * constraint (DuckDB recomputes the same 2-round clustering as
+    * CTEs; k is baked into those), not the operator's — production
+    * calls size k via [[graft.operators.SemDeDup.chooseK]] (k ∝
+    * N/target, the paper's linear-work bound). The viral-cluster cap
+    * IS live here: maxClusterSize = 4096 excludes any degenerate
+    * mega-cluster from the pair stage (members all kept — mass
+    * duplication is q49/q54's job upstream), mirrored in the oracle's
+    * `csize` gate and observable via SemDeDup.clusterStats. At the
+    * fixture's 500–2000 vectors over k=8 the cap never binds, so the
+    * decision table is identical to the uncapped r6 output. */
   val q187 = Q(
     "q187_semdedup",
     (s, dir) => {
       import s.implicits._
-      import graft.operators.KMeansInt
       val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
-      val vecs = KMeansInt.cluster(emb, "vec_id", "embedding", k = 8, rounds = 2)
-        .select($"vec_id", $"cluster")
-        .join(emb, "vec_id")
-        .withColumn("nrm", sqrt(VectorOps.normSq($"embedding")))
-        .persist() // three consumers: both pair-join sides + decision table
-      val dropped = vecs
-        .select($"cluster", $"vec_id".as("a_id"), $"embedding".as("a_vec"),
-          $"nrm".as("a_nrm"))
-        .join(vecs.select($"cluster", $"vec_id".as("b_id"),
-          $"embedding".as("b_vec"), $"nrm".as("b_nrm")), Seq("cluster"))
-        .filter($"a_id" < $"b_id" &&
-          VectorOps.dot($"a_vec", $"b_vec") / ($"a_nrm" * $"b_nrm") >= 0.35)
-        .select($"b_id".as("vec_id")).distinct()
-        .withColumn("dropped", lit(true))
-      vecs.join(dropped, Seq("vec_id"), "left_outer")
-        .select($"vec_id", $"cluster",
-          coalesce(!$"dropped", lit(true)).as("kept"))
+      graft.operators.SemDeDup
+        .dedup(emb, "vec_id", "embedding", k = 8, rounds = 2,
+          tau = 0.35, maxClusterSize = 4096L)
         .orderBy($"vec_id")
     },
     Some(s"""
@@ -460,10 +451,13 @@ object Dedup {
         SELECT e.vec_id, a3.cluster, e.embedding,
                sqrt(${VectorOps.dotSql("e.embedding", "e.embedding")}) AS nrm
         FROM embeddings e JOIN a3 ON e.vec_id = a3.vec_id),
+      ok AS (SELECT cluster FROM vecs GROUP BY cluster
+             HAVING COUNT(*) <= 4096),
       dropped AS (
         SELECT DISTINCT y.vec_id
         FROM vecs x JOIN vecs y
           ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        JOIN ok ON x.cluster = ok.cluster
         WHERE ${VectorOps.dotSql("x.embedding", "y.embedding")} /
               (x.nrm * y.nrm) >= 0.35)
       SELECT v.vec_id, v.cluster, d.vec_id IS NULL AS kept
@@ -471,7 +465,7 @@ object Dedup {
       ORDER BY v.vec_id"""),
     doc = "SemDeDup: k-means-cluster-scoped cosine pruning, min-id survivor " +
       "— semantic diversity cut, not just near-identical removal; " +
-      "cluster-id equi-join bounds pair work")
+      "cluster-id equi-join + viral-cluster cap bound pair work")
 
   val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93, q96, q107, q187)
 }

@@ -282,27 +282,40 @@ object Retrieval {
     * carries one 2145-long buffer per partition, and the 2080 output
     * rows are unfolded from the single reduced buffer. BIGINT headroom:
     * Σ|micros| per cell ≤ 10⁶·n ⇒ exact to n ≈ 9·10¹² rows. */
+  /** q174's plan as a function of the embeddings frame — factored out
+    * so the empty-corpus contract is directly testable. A GLOBAL typed
+    * Aggregator always emits one buffer row even on empty input, so
+    * without the `nn > 0` gate an empty corpus would unfold into 2080
+    * rows of 0/0 (NaN, CAST → 0 in Spark) while the DuckDB twin's
+    * grouped aggregate returns zero rows — a cross-engine divergence
+    * on exactly the edge the oracle can't see (ADVICE r6). The gate
+    * filters the unfolded buffer BEFORE the cov arithmetic, so an
+    * empty corpus is an EMPTY frame in both engines. */
+  private[queries] def covarianceMicro(s: org.apache.spark.sql.SparkSession,
+                                       emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val g = emb.select($"embedding").as[Seq[Float]]
+      .select(new graft.functions.GramMicros(64).toColumn.name("g"))
+      .toDF("g")
+    // unfold the reduced buffer: pairs at i*64 − i(i−1)/2 + (j−i),
+    // means at 2080+i, count at 2144 (GramMicros layout)
+    g.select(explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+             transform(sequence(i, 63), j ->
+               named_struct('i', i, 'j', j,
+                 'sp', g[CAST(i * 64 - (i * (i - 1)) DIV 2 + (j - i) AS INT)],
+                 'si', g[2080 + i], 'sj', g[2080 + j],
+                 'nn', g[2144]))))""")).as("pr"))
+      .select($"pr.*")
+      .filter($"nn" > 0L)
+      .select($"i", $"j", expr(covMicroSql).as("cov_micro"))
+      .orderBy($"i", $"j")
+  }
+
   val q174 = Q(
     "q174_embedding_covariance",
-    (s, dir) => {
-      import s.implicits._
-      val emb = Tables(s, dir, "embeddings")
-      val g = emb.select($"embedding").as[Seq[Float]]
-        .select(new graft.functions.GramMicros(64).toColumn.name("g"))
-        .toDF("g")
-      // unfold the reduced buffer: pairs at i*64 − i(i−1)/2 + (j−i),
-      // means at 2080+i, count at 2144 (GramMicros layout)
-      g.select(explode(expr(
-          """flatten(transform(sequence(0, 63), i ->
-               transform(sequence(i, 63), j ->
-                 named_struct('i', i, 'j', j,
-                   'sp', g[CAST(i * 64 - (i * (i - 1)) DIV 2 + (j - i) AS INT)],
-                   'si', g[2080 + i], 'sj', g[2080 + j],
-                   'nn', g[2144]))))""")).as("pr"))
-        .select($"pr.*")
-        .select($"i", $"j", expr(covMicroSql).as("cov_micro"))
-        .orderBy($"i", $"j")
-    },
+    (s, dir) => covarianceMicro(s, Tables(s, dir, "embeddings")),
     Some(s"""
       WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings),
       m AS (SELECT CAST(i AS INT) AS i,

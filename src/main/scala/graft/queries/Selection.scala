@@ -19,6 +19,29 @@ import graft.core.{Q, Tables}
   */
 object Selection {
 
+  /** q179's PrefixScan bucket over term strings — MUST be monotone
+    * non-decreasing in UTF8-binary term order (PrefixScan's stated
+    * precondition; Spark and DuckDB both sort strings by UTF-8 bytes,
+    * and UTF-8 byte order equals codepoint order).
+    *
+    * Terms whose FIRST codepoint is < 255 bucket on
+    * (cp1 · 256 + min(cp2, 255)) — max 254·256+255 = 65279; every term
+    * whose first codepoint is ≥ 255 collapses into one bucket 65280
+    * with NO second-codepoint component. The r6 form clamped BOTH
+    * codepoints independently (min(cp1,255)·256 + min(cp2,255)), which
+    * silently inverted order across distinct first codepoints ≥ U+00FF:
+    * "Āz" (0x100,'z') → 65402 sorted BEFORE "Ła" (0x141,'a') → 65377 —
+    * wrong ranks on any Latin-Extended/Cyrillic vocabulary (ADVICE r6;
+    * SelectionSpec pins the monotonicity property on exactly that
+    * counterexample). Collapsing the ≥255 tail costs only bucket
+    * balance (those terms share one scan bucket), never correctness. */
+  private[queries] val termBucket: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column = { term =>
+    val cp1 = ascii(substring(term, 1, 1))
+    val cp2 = ascii(substring(term, 2, 1))
+    when(cp1 < 255, cp1 * 256 + least(cp2, lit(255))).otherwise(lit(65280))
+  }
+
   /** The Neyman weight N_h·S_h micro-rounded — ONE textual chain over
     * exact BIGINT (nh, s1, s2); population variance (s2·n − s1²)/n²
     * under one correctly-rounded sqrt. Non-negative, so the two
@@ -117,16 +140,9 @@ object Selection {
       val strictPrefix = PrefixScan.inclusive(hist, Nil, "negcnt", Nil,
           "w", v => -floor(log2(-v)), "cum_le")
         .select($"cnt", ($"cum_le" - $"w").as("base"))
-      // First-two-codepoint bucket, each CLAMPED to 255: ascii() yields
-      // full codepoints (8364 for a euro sign) and UTF-8 binary string
-      // order — PrefixScan's order — agrees with codepoint order, so
-      // the clamp keeps the bucket monotone for non-ASCII terms instead
-      // of letting a high second codepoint outrank a later first char.
-      val byte = (c: org.apache.spark.sql.Column) => least(ascii(c), lit(255))
       val within = PrefixScan.inclusive(
         vocab.withColumn("one", lit(1L)), Seq("cnt"), "term", Nil, "one",
-        v => byte(substring(v, 1, 1)) * 256 + byte(substring(v, 2, 1)),
-        "pos")
+        Selection.termBucket, "pos")
       val ranks = within.join(strictPrefix, "cnt")
         .select($"term", ($"base" + $"pos").as("rnk"))
       toks.join(ranks, "term")

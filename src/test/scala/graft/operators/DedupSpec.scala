@@ -176,4 +176,55 @@ class DedupSpec extends SparkSpecBase {
       .filter($"b_id" === $"a_id" + 100000).count()
     assert(n > 0 && found >= n * 0.9, s"recall $found/$n")
   }
+
+  test("semdedup viral-cluster cap: a degenerate one-cluster corpus keeps " +
+    "EVERY vector (zero pair work) while honest semantic dups in small " +
+    "clusters still drop") {
+    val s = spark
+    import s.implicits._
+    // 300 identical vectors — k-means puts them all in one cluster, and
+    // without the cap that is 300·299/2 ≈ 45k pairs from a single key
+    // (at corpus scale: 10^6 copies of boilerplate → 10^12 pairs).
+    val boiler = (1L to 300L).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(8)), i => (i * lit(0.1f)).cast("float")))
+    val capped = SemDeDup
+      .dedup(boiler, "vec_id", "embedding", k = 4, rounds = 1,
+        tau = 0.9, maxClusterSize = 100L)
+      .collect()
+    // the viral cluster is excluded from the pair stage → all kept
+    assert(capped.length === 300 && capped.forall(_.getAs[Boolean]("kept")))
+    // …and the exclusion is loud, not silent
+    val stats = SemDeDup.clusterStats(boiler, "vec_id", "embedding",
+      k = 4, rounds = 1, maxClusterSize = 100L)
+    assert(stats.filter($"capped").count() >= 1)
+    // Honest case: two orthogonal families of 4, each with one planted
+    // near-dup (cos = 1 within the pair, 0 across families). Clusters
+    // stay under the cap, so the planted dup (higher id) drops and the
+    // min-id survivor is kept.
+    val a = Seq.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
+    val b = Seq.tabulate(8)(i => if (i >= 4) 1.0f else 0.0f)
+    val honest = Seq(
+      (1L, a), (2L, b), (11L, a), (12L, b)
+    ).toDF("vec_id", "embedding")
+    val out = SemDeDup
+      .dedup(honest, "vec_id", "embedding", k = 2, rounds = 2,
+        tau = 0.9, maxClusterSize = 100L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("kept")).toMap
+    assert(out(1L) && out(2L) && !out(11L) && !out(12L))
+  }
+
+  test("semdedup chooseK: k grows linearly with N (the paper's bound), " +
+    "clamped to [minK, maxK]") {
+    assert(SemDeDup.chooseK(0L) === 8)
+    assert(SemDeDup.chooseK(100L) === 8)                   // minK floor
+    assert(SemDeDup.chooseK(1024L * 100) === 100)          // exact ratio
+    assert(SemDeDup.chooseK(1024L * 100 + 1) === 101)      // ceil, not floor
+    assert(SemDeDup.chooseK(5_000_000_000L) === (1 << 16)) // maxK broadcast cap
+    // scale invariance: 10× the corpus at the same target = 10× the k,
+    // so per-cluster pair work stays constant — linear total work
+    val k1 = SemDeDup.chooseK(1_000_000L, 1000L)
+    val k10 = SemDeDup.chooseK(10_000_000L, 1000L)
+    assert(k1 === 1000 && k10 === k1 * 10)
+  }
 }

@@ -62,4 +62,15 @@ class RetrievalSpec extends SparkSpecBase {
     assert(diag.length === 64)
     assert(diag.forall(_ >= 0L), "negative variance on the diagonal")
   }
+
+  test("q174 empty corpus yields an EMPTY frame, not 2080 NaN-cast-to-0 " +
+    "rows (ADVICE r6: global Aggregator zero-buffer vs DuckDB's zero " +
+    "grouped rows)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Retrieval.covarianceMicro(spark, empty).count() === 0L)
+    // and the populated path still unfolds the full upper triangle
+    val one = Seq((1L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    assert(Retrieval.covarianceMicro(spark, one).count() === 2080L)
+  }
 }

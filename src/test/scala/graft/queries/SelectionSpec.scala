@@ -91,4 +91,35 @@ class SelectionSpec extends SparkSpecBase {
     val ranks = rows.map(_._1)
     assert(ranks.sameElements(ranks.sortBy(-_)))
   }
+
+  test("q179 termBucket is monotone non-decreasing in UTF8-binary term " +
+    "order — incl. the Latin-Extended counterexample that inverted the " +
+    "r6 double-clamp (ADVICE r6)") {
+    import spark.implicits._
+    // "Āz" (U+0100) sorts before "Ła" (U+0141), but the r6 bucket
+    // min(cp1,255)*256+min(cp2,255) mapped them to 65402 > 65377 —
+    // an order inversion PrefixScan silently turns into wrong ranks.
+    val terms = Seq("a", "aa", "az", "zz", "~~", "þ", "ÿ",
+      "ÿz", "Āz", "Ła", "Ба", "€", "zĀ")
+    val rows = terms.toDF("term")
+      .select($"term", Selection.termBucket($"term").as("b"))
+      .orderBy($"term") // Spark string sort = UTF-8 byte order
+      .collect().map(r => r.getString(0) -> r.getAs[Number](1).longValue)
+    val buckets = rows.map(_._2)
+    assert(buckets.zip(buckets.tail).forall { case (x, y) => x <= y },
+      rows.map { case (t, b) => s"$t:$b" }.mkString(" "))
+    // End-to-end: the within-cnt PrefixScan position must equal the
+    // window row_number on the same mixed-script vocabulary.
+    import org.apache.spark.sql.expressions.Window
+    val vocab = terms.toDF("term")
+      .withColumn("cnt", lit(1L)).withColumn("one", lit(1L))
+    val scanned = graft.operators.PrefixScan.inclusive(
+        vocab, Seq("cnt"), "term", Nil, "one", Selection.termBucket, "pos")
+      .select($"term", $"pos").as[(String, Long)].collect().toMap
+    val expect = vocab.withColumn("rn",
+        row_number().over(Window.partitionBy($"cnt").orderBy($"term"))
+          .cast("long"))
+      .select($"term", $"rn").as[(String, Long)].collect().toMap
+    assert(scanned === expect)
+  }
 }
