@@ -51,32 +51,36 @@ object Winnowing {
       (0 until w).map(o => s.getField(o.toString)).reduceLeft(least(_, _)))
   }
 
-  /** The RELATIONAL form — distinct (idCol, "f") fingerprint rows —
-    * and the one the registered queries use. The [[fingerprints]]
-    * column form is semantically identical (equality pinned in
-    * WinnowingSpec) but nested HOF lambdas are interpreted, not
-    * codegen'd, and get no common-subexpression elimination: the
-    * gram→hash chain re-evaluates per shifted-slice reference, ~16×
-    * the md5 work (measured 13 s vs 2 s on 6k docs at sf0.1 — the
-    * same trap [[MinHashLSH]]'s scaladoc records for signatures).
-    * Here grams explode ONCE and the sliding-window minimum is a
-    * frame aggregate over (doc, gram position) — one shuffle on the
-    * doc id, the same price MinHash pays for its signature rollup,
-    * and the fingerprint column arrives already exploded, which is
-    * what the pair join (q107) wants anyway. */
+  /** Exploded (idCol, "f") fingerprint rows — the form the pair join
+    * (q107) and the extraction query (q95) consume.
+    *
+    * Shape history (the measurements live in BASELINE.md): the naive
+    * column form straight off `text` re-evaluates the md5→gram chain
+    * per shifted-slice reference (~16× the hash work, 13 s vs 2 s on
+    * 6k docs — the CollapseProject/no-lambda-CSE trap [[MinHashLSH]]'s
+    * scaladoc records). Round 6 shipped a relational rewrite
+    * (posexplode + frame-min window) that computes hashes once but
+    * pays a doc-keyed shuffle + per-doc sort for the window AND a
+    * second (doc, f) shuffle for the distinct. This form gets both
+    * properties at once: materialize the gram ARRAYS one time
+    * (localCheckpoint — an optimizer barrier, so the shifted-slice
+    * references below read the stored column instead of inlining the
+    * md5 chain; eager, blocks freed by the ContextCleaner, never a
+    * CacheManager entry), then take the per-ROW sliding minima +
+    * array_distinct and explode. ZERO shuffles before the pair join —
+    * the window sort and the distinct exchange both vanish (measured
+    * 4.6 → 1.9 s min on q107, 3.5 → 1.0 s on q95 at sf0.1).
+    *
+    * Scale: the checkpoint stores one long array per doc (≈ the token
+    * count) — the same bytes the r6 posexplode SHUFFLED, written to
+    * executor-local storage instead of the wire, and winnowing stays
+    * embarrassingly parallel (per-row math, no co-location needed). */
   def fingerprintRows(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 4, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = MinHashLSH.shingleHashArr(col(textCol), k)
-    val exploded = docs.select(col(idCol), posexplode(grams).as(Seq("pos", "g")))
-    val part = Window.partitionBy(col(idCol))
-    val frame = part.orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    exploded
-      .withColumn("ng", count(lit(1)).over(part))
-      .withColumn("f", min(col("g")).over(frame))
-      .filter(col("pos") <= col("ng") - w) // only full w-wide windows
-      .select(col(idCol), col("f"))
-      .distinct()
+    val grams = docs
+      .select(col(idCol), MinHashLSH.shingleHashArr(col(textCol), k).as("__g"))
+      .localCheckpoint()
+    grams.select(col(idCol),
+      explode(array_distinct(windowMinima(col("__g"), w))).as("f"))
   }
 }

@@ -343,28 +343,42 @@ object Dedup {
     * extracts fingerprint sets; this makes them OPERATIONAL — doc
     * pairs sharing >= 2 winnowed fingerprints are local-overlap
     * candidates (shared boilerplate, quoted spans, planted near-dups).
-    * Same scale shape as LSH banding: equi-join on the fingerprint,
-    * with a hot-fingerprint cap (freq <= 50) playing the viral-bucket
-    * role so one corpus-wide boilerplate gram can never generate
-    * O(N²) pairs. Text is scanned once; only (doc_id, fp) longs ever
-    * shuffle. Finds 97 of the 100 planted pairs at sf0.01 (3 planted
-    * docs are too short to carry 2 shared fingerprints) plus genuine
-    * cross-doc boilerplate overlaps. */
+    * Same scale shape as LSH banding, with a hot-fingerprint cap
+    * (freq <= 50) playing the viral-bucket role so one corpus-wide
+    * boilerplate gram can never generate O(N²) pairs.
+    *
+    * r7 rework (1.7× — 4.6 → 2.7 s min at sf0.1, BASELINE.md): the
+    * fingerprint rows come off [[Winnowing.fingerprintRows]]'s new
+    * zero-shuffle column form and are localCheckpointed ONCE for the
+    * two consumers (hot count + pair join) — the r6 form paid a
+    * doc-keyed window sort plus a (doc,f) distinct exchange before
+    * pairing, and persisted two frames. The cap now runs as an
+    * ANTI-join against the broadcast HOT list (viral fingerprints —
+    * tiny by definition), where r6 broadcast the entire ok-list — at
+    * corpus scale the ok set is nearly ALL fingerprints, far beyond
+    * broadcast limits, while the hot set stays bounded by
+    * construction. (A groupBy(f).collect_list + per-group pair
+    * unfold — one f-shuffle instead of the join's two — measured 15%
+    * SLOWER here: the array build beats the second exchange only when
+    * groups are fat, and the cap keeps them thin.) Text is scanned
+    * once; only (doc_id, fp) longs ever shuffle. Finds 97 of the 100
+    * planted pairs at sf0.01 (3 planted docs are too short to carry 2
+    * shared fingerprints) plus genuine cross-doc boilerplate
+    * overlaps. */
   val q107 = Q(
     "q107_winnow_pairs",
     (s, dir) => {
       import s.implicits._
       import graft.operators.Winnowing
-      // relational fingerprint rows (one shuffle; the HOF column form
-      // re-evaluates its hash chain per slice — Winnowing scaladoc),
-      // persisted because the frame feeds two consumers below
+      // exploded fingerprint rows off the checkpointed gram arrays
+      // (Winnowing scaladoc) — two consumers below, both reading the
+      // materialized arrays, so no persist needed here
       val fps = Winnowing
         .fingerprintRows(plantedDocs(s, dir), "doc_id", "text", 4, 4)
-        .persist()
-      val ok = fps.join(
-          broadcast(fps.groupBy($"f").agg(count(lit(1)).as("c"))
-            .filter($"c" <= 50).select($"f")), Seq("f"))
-        .persist() // feeds both sides of the pair join
+        .localCheckpoint() // two consumers; rows ≈ 0.4× the gram volume
+      val hot = fps.groupBy($"f").agg(count(lit(1)).as("c"))
+        .filter($"c" > 50).select($"f")
+      val ok = fps.join(broadcast(hot), Seq("f"), "left_anti")
       ok.select($"doc_id".as("a_id"), $"f")
         .join(ok.select($"doc_id".as("b_id"), $"f"), Seq("f"))
         .filter($"a_id" < $"b_id")

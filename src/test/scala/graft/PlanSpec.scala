@@ -332,6 +332,44 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q186 corpus-pipeline plan (r6 verdict item 5): stage counts ride " +
+    "observe() CollectMetrics only, the gated corpus is scanned once and " +
+    "reused from cache, and the RESULT plan re-aggregates nothing") {
+    import org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val p = graft.pipeline.CorpusPipeline.prepare(docs, "doc_id", "text")
+    try {
+      // stage metrics are observe() nodes in the result lineage — they
+      // are computed BY the materializing job, never by extra count()
+      // aggregations (the zero-extra-pass contract of the scaladoc)
+      val metrics = p.result.queryExecution.analyzed
+        .collect { case c: CollectMetrics => c.name }
+      assert(metrics.toSet === Set("cp_input", "cp_quality", "cp_exact"),
+        s"observe() nodes: $metrics")
+      val phys = p.result.queryExecution.sparkPlan
+      // the quality+exact gate chain is persisted and every downstream
+      // consumer (LSH signatures ran inside prepare; the keep-join here)
+      // reads the CACHE — a parquet re-scan below the gate frame would
+      // re-run the whole gate chain per consumer at 100 TB
+      assert(phys.collect { case f: FileSourceScanExec => f }.isEmpty,
+        s"corpus re-scanned from parquet downstream of the persisted gate:\n$phys")
+      assert(phys.collect { case c: InMemoryTableScanExec => c }.nonEmpty,
+        s"expected the persisted gate frame in the result plan:\n$phys")
+      // no re-aggregation between stages: the near-dup labels were
+      // materialized by the CC loop (checkpointed), so the survivor
+      // frame is gate-cache ⋈ labels — zero aggregate operators
+      assert(phys.collect { case a: BaseAggregateExec => a }.isEmpty,
+        s"result plan re-aggregates between stages:\n$phys")
+      val pstr = formatted(p.result)
+      assert(!pstr.contains("CartesianProduct") &&
+        !pstr.contains("BroadcastNestedLoopJoin"), pstr)
+    } finally { p.exact.unpersist(): Unit }
+  }
+
   test("q187 SemDeDup plan: the pair stage is an equi-join on the cluster " +
     "id (never a cartesian), and the corpus shuffles at most once for it") {
     val df = queries.Dedup.q187.build(spark, sf)
