@@ -132,7 +132,7 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, acc.get())
   }
 
-  private def readFs(p: String): Option[String] =
+  private[graft] def readFs(p: String): Option[String] =
     try Some(new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8))
     catch { case _: Throwable => None }
 
@@ -142,7 +142,7 @@ object Bench {
     * ratios up to 108 with ZERO foreign /proc load — the signature of a
     * quota, which no load probe can see. Reading the quota directly
     * either proves or clears that hypothesis in one field. */
-  private def cgroupCpuLimit(): Double = {
+  private[graft] def cgroupCpuLimit(): Double = {
     val v2 = readFs("/sys/fs/cgroup/cpu.max").map(_.trim.split("\\s+")).collect {
       case Array(q, p) if q != "max" && p.toDouble > 0 => q.toDouble / p.toDouble
     }
@@ -157,7 +157,7 @@ object Bench {
     * unreadable. Deltas across a window tell whether the kernel paused
     * our runnable threads during it — the direct evidence for (or
     * against) the quota-throttling read of an inflated query. */
-  private def cgroupThrottle(): (Long, Long) = {
+  private[graft] def cgroupThrottle(): (Long, Long) = {
     val txt = readFs("/sys/fs/cgroup/cpu.stat")
       .orElse(readFs("/sys/fs/cgroup/cpu/cpu.stat"))
     txt.map { s =>
@@ -178,7 +178,7 @@ object Bench {
     * a requeue suspect even when every load probe reads clean — the
     * q10-anti case from the r6 driver sitting: a trivial unchanged
     * query 20× inflated with foreign load 0.0. */
-  private def loadHistory(path: String): Map[String, Double] =
+  private[graft] def loadHistory(path: String): Map[String, Double] =
     readFs(path).flatMap { txt =>
       "\"queries_min\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).map { m =>
         val body = txt.substring(m.end, txt.indexOf('}', m.end))
