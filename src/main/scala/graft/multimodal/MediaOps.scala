@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The container has no codec libraries, so `FakeCodec.decode` is a
   * clearly-marked deterministic STAND-IN for a real decoder (it derives
-  * "pixels" from the bytes themselves). Everything around it — the
-  * media schema, the typed Dataset API, the per-partition batch shape,
-  * the partitioning story — is real Spark and really tested:
+  * "pixels" from the bytes themselves). Since r7 that caveat applies
+  * only to formats that genuinely need native libs (JPEG/H.264/FLAC):
+  * RIFF/WAVE PCM and binary PPM have REAL pure-JVM decoders in
+  * [[RealCodecs]], oracle-gated end to end by q188. Everything around
+  * the codec — the media schema, the typed Dataset API, the
+  * per-partition batch shape, the partitioning story — is real Spark
+  * and really tested:
   *
   *  - decode/feature-extract run in `mapPartitions` (the Scala analogue
   *    of a vectorized-batch UDF): one codec init per PARTITION, not per

@@ -55,5 +55,81 @@ object Multimodal {
     doc = "multimodal: binary payload -> mapPartitions decode (stub codec) -> features; " +
       "payload bytes never cross a shuffle")
 
-  val all: Seq[Q] = Seq(q61)
+  /** q188 — REAL binary decode (r7): WAV and PPM are the two media
+    * formats that need no native codec library, so this path decodes
+    * genuine on-spec files — a 44-byte-header RIFF/WAVE PCM chunk walk
+    * and an ASCII-header P6 parse ([[graft.multimodal.RealCodecs]]) —
+    * where q61's FakeCodec only reinterprets raw bytes. Payloads are
+    * synthesized per partition from md5(text) (the corpus ships no real
+    * media), parsed back in the same partition pass, and reduced to
+    * features: (sample_rate, n_samples, mean-square energy, peak) for
+    * audio; (width, height, Σ rgb, max byte) for images, in uniform
+    * columns. The DuckDB twin recomputes every feature from the SAME
+    * md5 arithmetic WITHOUT parsing bytes — any header-layout,
+    * endianness, or chunk-walk bug in synthesis or parse breaks the
+    * hash match, so the decode path itself is oracle-gated.
+    *
+    * Scale posture: synth+decode+reduce in ONE mapPartitions pass —
+    * payload bytes never leave the partition, features are 5 longs a
+    * row; the 100 TB shape is identical with real files in the binary
+    * column and the codec init amortized per partition. */
+  val q188 = Q(
+    "q188_media_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.RealCodecs.{PpmCodec, WavCodec}
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            if (id % 2 == 0) {
+              val wav = WavCodec.parse(WavCodec.synthesize(seed))
+                .getOrElse(sys.error(s"q188: undecodable wav for doc $id"))
+              val n = wav.samples.length
+              (id, "audio/wav", wav.sampleRate.toLong, n.toLong,
+                wav.samples.map(x => x.toLong * x).sum / n,
+                wav.samples.map(x => math.abs(x).toLong).max)
+            } else {
+              val ppm = PpmCodec.parse(PpmCodec.synthesize(seed))
+                .getOrElse(sys.error(s"q188: undecodable ppm for doc $id"))
+              (id, "image/ppm", ppm.width.toLong, ppm.height.toLong,
+                ppm.rgb.map(_.toLong).sum, ppm.rgb.max.toLong)
+            }
+          }
+        }
+        .toDF("doc_id", "mime", "dim_a", "dim_b", "feat_sum", "feat_max")
+        .orderBy($"doc_id")
+    },
+    Some {
+      // seed byte j (1-based, of the 16 md5 bytes)
+      val b = byteSql("i")
+      s"""
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/ppm' END AS mime,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 8 END AS BIGINT) AS dim_a,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 8 END AS BIGINT) AS dim_b,
+        CASE WHEN doc_id % 2 = 0
+          -- 64 samples = 16 seed bytes x4; s = (b-128)*256; mean square
+          THEN CAST((4 * list_sum(list_transform(range(1, 17), i ->
+                 CAST(($b - 128) * 256 AS BIGINT) *
+                 CAST(($b - 128) * 256 AS BIGINT)))) // 64 AS BIGINT)
+          -- 192 rgb bytes = 16 seed bytes x12
+          ELSE CAST(12 * list_sum(list_transform(range(1, 17), i ->
+                 CAST($b AS BIGINT))) AS BIGINT)
+        END AS feat_sum,
+        CASE WHEN doc_id % 2 = 0
+          THEN CAST(256 * list_max(list_transform(range(1, 17), i ->
+                 abs($b - 128))) AS BIGINT)
+          ELSE CAST(list_max(list_transform(range(1, 17), i ->
+                 $b)) AS BIGINT)
+        END AS feat_max
+      FROM documents ORDER BY doc_id"""
+    },
+    doc = "multimodal REAL decode: on-spec RIFF/WAVE PCM + P6 PPM built and " +
+      "parsed in one partition pass; oracle recomputes features from the " +
+      "seed arithmetic, gating the binary decode itself")
+
+  val all: Seq[Q] = Seq(q61, q188)
 }

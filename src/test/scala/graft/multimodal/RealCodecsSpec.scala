@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.RealCodecs.{PpmCodec, WavCodec}
+
+/** The real-codec contract: synthesized files are on-spec (every header
+  * field round-trips through the parser), sample/pixel values follow the
+  * documented seed formula (what q188's DuckDB twin recomputes), and
+  * malformed input degrades to None — never a throw, never a mis-read.
+  */
+class RealCodecsSpec extends AnyFunSuite {
+
+  private val seed = Array.tabulate(16)(i => ((i * 37 + 11) % 256).toByte)
+
+  test("wav synthesize -> parse roundtrips header fields and the seed " +
+    "sample formula s_i = (seed[i%16]-128)*256") {
+    val bytes = WavCodec.synthesize(seed, nSamples = 64, sampleRate = 8000)
+    assert(bytes.length === 44 + 128)
+    val wav = WavCodec.parse(bytes).get
+    assert(wav.sampleRate === 8000 && wav.channels === 1 && wav.bits === 16)
+    assert(wav.samples.length === 64)
+    val expect = Array.tabulate(64)(i => ((seed(i % 16) & 0xff) - 128) * 256)
+    assert(wav.samples.sameElements(expect))
+  }
+
+  test("wav parser walks unknown chunks and even-padding instead of " +
+    "assuming data at offset 36") {
+    // splice a 3-byte junk chunk (padded to 4) between fmt and data
+    val base = WavCodec.synthesize(seed, nSamples = 4)
+    val junk = "jnk ".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0)
+    val spliced = base.slice(0, 36) ++ junk ++ base.slice(36, base.length)
+    // fix the RIFF size field (bytes 4-7, LE)
+    val riffSize = spliced.length - 8
+    for (k <- 0 until 4) spliced(4 + k) = ((riffSize >> (8 * k)) & 0xff).toByte
+    val wav = WavCodec.parse(spliced).get
+    assert(wav.samples.length === 4 && wav.sampleRate === 8000)
+  }
+
+  test("wav parser returns None on malformed input: wrong magic, " +
+    "truncation, non-PCM, stereo/8-bit") {
+    val good = WavCodec.synthesize(seed)
+    assert(WavCodec.parse(Array.empty[Byte]).isEmpty)
+    assert(WavCodec.parse("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    assert(WavCodec.parse(good.take(30)).isEmpty)   // truncated mid-fmt
+    val nonPcm = good.clone(); nonPcm(20) = 3       // audioFormat = IEEE float
+    assert(WavCodec.parse(nonPcm).isEmpty)
+    val stereo = good.clone(); stereo(22) = 2       // channels = 2
+    assert(WavCodec.parse(stereo).isEmpty)
+  }
+
+  test("ppm synthesize -> parse roundtrips dimensions and the repeated " +
+    "seed plane") {
+    val bytes = PpmCodec.synthesize(seed, w = 8, h = 8)
+    val ppm = PpmCodec.parse(bytes).get
+    assert(ppm.width === 8 && ppm.height === 8 && ppm.maxVal === 255)
+    assert(ppm.rgb.length === 192)
+    assert(ppm.rgb.sameElements(Array.tabulate(192)(i => seed(i % 16) & 0xff)))
+  }
+
+  test("ppm parser tolerates comments and arbitrary header whitespace " +
+    "(the format allows both)") {
+    val body = Array.tabulate(2 * 2 * 3)(i => (i * 7).toByte)
+    val header = "P6 # comment after magic\n# full comment line\n  2\t2 # dims\n255\n"
+    val ppm = PpmCodec.parse(header.getBytes("US-ASCII") ++ body).get
+    assert(ppm.width === 2 && ppm.height === 2)
+    assert(ppm.rgb.sameElements(body.map(_ & 0xff)))
+  }
+
+  test("ppm parser returns None on wrong magic, short body, or 2-byte " +
+    "maxval") {
+    val good = PpmCodec.synthesize(seed, 4, 4)
+    assert(PpmCodec.parse("P5\n4 4\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(PpmCodec.parse(good.take(good.length - 1)).isEmpty)
+    assert(PpmCodec.parse(("P6\n4 4\n65535\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](4 * 4 * 6)(1))).isEmpty)
+  }
+}
