@@ -206,7 +206,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine, not a constant: the canonical env is
+    // local[32]/128 GiB, and an unset var silently benching at
+    // local[4] would overstate every CPU-parallel query ~8×.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -506,7 +510,7 @@ object Bench {
       s""","pcanary_threads":$pcanaryThreads,"pcanary_before_sec":${f3(pcanaryBefore)}""" +
       s""","pcanary_after_sec":${f3(pcanaryAfter)}""" +
       s""","pcanary_ratio_before":${f3(pratioBefore)},"pcanary_ratio_after":${f3(pratioAfter)}""" +
-      s""","avail_procs":$availProcs,"cgroup_cpus":${f2(cgroupCpus)}""" +
+      s""","cpus":$cpus,"avail_procs":$availProcs,"cgroup_cpus":${f2(cgroupCpus)}""" +
       s""","nr_throttled_delta":$thrNDelta,"throttled_usec_delta":$thrUsDelta""" +
       s""","capacity_starved":$capacityStarved,"throttled":$throttledSitting""" +
       s""","contended":$contended""" +
