@@ -750,28 +750,33 @@ object Curation {
         .select($"c_custkey", $"c_name")
         .filter(length($"c_name") === 18)
       // 18 wildcard masks per name: position p replaced by chr(1), a
-      // character that cannot occur in the data — (p, mask) is the key
+      // character that cannot occur in the data — (p, mask) is the key.
+      // `c` = the MASKED-OUT character: mask equality already proves
+      // agreement at every position ≠ p, so hamming reduces to ONE char
+      // compare (r7 — the r6 form re-ran the full 18-substring compare
+      // per candidate, ~60% of the query on TPC-H's dense hamming-1
+      // name space; identical output, incl. the 18×-emission behavior
+      // for precondition-violating duplicate names where c matches)
       val masks = names
-        .select($"c_custkey", $"c_name", explode(expr(
+        .select($"c_custkey", explode(expr(
           """transform(sequence(1, 18), p -> named_struct(
                'p', p,
                'm', concat(substring(c_name, 1, p - 1), chr(1),
-                           substring(c_name, p + 1, 18 - p))))"""))
+                           substring(c_name, p + 1, 18 - p)),
+               'c', substring(c_name, p, 1)))"""))
           .as("mk"))
-        .select($"c_custkey", $"c_name", $"mk.p".as("p"), $"mk.m".as("m"))
-      val a = masks.select($"c_custkey".as("a_id"), $"c_name".as("an"),
-        $"p", $"m")
-      val b = masks.select($"c_custkey".as("b_id"), $"c_name".as("bn"),
-        $"p", $"m")
-      val hamming = (1 to 18)
-        .map(i => when(substring($"an", i, 1) === substring($"bn", i, 1), 0)
-          .otherwise(1))
-        .reduce(_ + _)
+        .select($"c_custkey", $"mk.p".as("p"), $"mk.m".as("m"), $"mk.c".as("c"))
+      val a = masks.select($"c_custkey".as("a_id"), $"p", $"m", $"c".as("ca"))
+      val b = masks.select($"c_custkey".as("b_id"), $"p", $"m", $"c".as("cb"))
       a.join(b, Seq("p", "m"))
         .filter($"a_id" < $"b_id")
-        .withColumn("hamming", hamming)
+        .withColumn("hamming",
+          when($"ca" === $"cb", 0L).otherwise(1L))
         .filter($"hamming" <= 1)
-        .select($"a_id", $"b_id", $"hamming".cast("long").as("hamming"))
+        .select($"a_id", $"b_id", $"hamming")
+        // a global sort runs a range-sampling pass that would replay
+        // the whole pair join a second time; materialize first
+        .localCheckpoint()
         .orderBy($"a_id", $"b_id")
     },
     Some("""
