@@ -247,6 +247,7 @@ object Dedup {
         .label(docs.select($"doc_id"), "doc_id", pairs, "a_id", "b_id")
         .select($"doc_id", $"component",
           ($"doc_id" === $"component").as("is_kept"))
+        .localCheckpoint() // sort sampling must not replay the CC join
         .orderBy($"doc_id")
     },
     Some(s"""
@@ -385,6 +386,7 @@ object Dedup {
         .groupBy($"a_id", $"b_id")
         .agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= 2)
+        .localCheckpoint() // sort sampling must not replay the pair join
         .orderBy($"a_id", $"b_id")
     },
     Some(s"""

@@ -52,7 +52,10 @@ object Pipeline {
         .reduce(_ unionByName _)
       val survivors = p.result.select(lit("doc").as("kind"),
         $"doc_id".as("id"), $"n_tokens".cast(LongType).as("n"))
-      stages.unionByName(survivors).orderBy($"kind", $"id")
+      // the global sort's range-sampling pass would re-run every stage
+      // branch (4 corpus-scanning aggregates + the survivor chain) a
+      // second time; materialize the small result first
+      stages.unionByName(survivors).localCheckpoint().orderBy($"kind", $"id")
     },
     Some(s"""
       WITH RECURSIVE
