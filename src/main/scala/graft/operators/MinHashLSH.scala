@@ -177,6 +177,48 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** PER-ROW banded signature — array of `bands` band keys as one
+    * column expression, for contexts where the explode+groupBy
+    * signature rollup ([[docSignatures]]) is unavailable or unwanted:
+    * STREAMING projections (a stateless map before stateful banding —
+    * [[graft.streaming.StreamingNearDup]]) and one-pass per-row use.
+    *
+    * Everything happens inside ONE `aggregate` fold over the hashed
+    * shingle array: the accumulator carries all `numHashes` running
+    * minima, and the FINISH lambda combines them into the band keys.
+    * That structure is what makes it safe: the shingle array is
+    * referenced exactly once (CollapseProject cannot re-inline the md5
+    * chain per seed — the ~16× trap in this file's scaladoc), and the
+    * 12 sig references in the band-key polynomial hit the fold's
+    * accumulator variable, not a recomputed expression. Values are
+    * IDENTICAL to docSignatures + bandKeyArr (same aConst/bConst/Mod
+    * arithmetic; min over the same multiset — equality is pinned in
+    * DedupSpec). Docs with fewer than k tokens yield an EMPTY array
+    * (no shingle ⇒ no bands), matching docSignatures' no-rows
+    * behavior — callers posexplode, so such docs simply vanish. */
+  def bandedSignatureArr(text: Column, k: Int = 3, numHashes: Int = 12,
+                         bands: Int = 4, rows: Int = 3): Column = {
+    require(bands * rows == numHashes, "bands*rows must equal numHashes")
+    val aArr = array(aConst(numHashes).map(lit): _*)
+    val bArr = array(bConst(numHashes).map(lit): _*)
+    val seed = array(Seq.fill(numHashes)(lit(Mod)): _*)
+    val keys = aggregate(
+      shingleHashArr(text, k),
+      seed,
+      (acc, h) =>
+        transform(sequence(lit(0), lit(numHashes - 1)), j =>
+          least(element_at(acc, j + 1),
+            (element_at(aArr, j + 1) * h + element_at(bArr, j + 1)) % Mod)),
+      acc =>
+        array((0 until bands).map(b =>
+          (0 until rows).map(r => element_at(acc, lit(b * rows + r + 1)))
+            .reduceLeft((x, y) => x * 31 + y)): _*))
+    // tokens < k ⇒ zero shingles ⇒ the fold never ran and every "min"
+    // is still the Mod sentinel — emit no bands at all (cheap gate on
+    // the token count, NOT on the md5 chain)
+    when(size(split(text, " ")) >= k, keys).otherwise(array())
+  }
+
   /** Observability for the cap: one row per (band, key) bucket with its
     * doc count and whether the pair join skipped it. A pipeline alarms
     * on `sum(dropped)` — dropped buckets mean mass duplication that the

@@ -227,4 +227,31 @@ class DedupSpec extends SparkSpecBase {
     val k10 = SemDeDup.chooseK(10_000_000L, 1000L)
     assert(k1 === 1000 && k10 === k1 * 10)
   }
+
+  test("per-row bandedSignatureArr equals the explode+groupBy signature " +
+    "rollup's band keys exactly (the streaming projection's contract)") {
+    val s = spark
+    import s.implicits._
+    val corpus = docs.limit(200)
+    val perRow = corpus
+      .select($"doc_id", MinHashLSH.bandedSignatureArr($"text").as("bk"))
+      .filter(size($"bk") > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // reconstruct the batch band keys from docSignatures' sig columns
+    // with the documented base-31/rows=3 polynomial
+    val agg = MinHashLSH.docSignatures(corpus, "doc_id", "text")
+      .collect().map { r =>
+        val sigs = (0 until 12).map(j => r.getAs[Long](s"sig$j"))
+        r.getAs[Long]("doc_id") -> (0 until 4).map(b =>
+          (0 until 3).map(x => sigs(b * 3 + x))
+            .reduceLeft((a, y) => a * 31 + y)).toVector
+      }.toMap
+    assert(agg.nonEmpty && perRow === agg)
+    // short docs (< k tokens) emit NO bands, matching the rollup's
+    // no-rows behavior
+    val short = Seq((1L, "just two")).toDF("doc_id", "text")
+      .select(size(MinHashLSH.bandedSignatureArr($"text")))
+      .head().getInt(0)
+    assert(short === 0)
+  }
 }

@@ -670,4 +670,69 @@ class StreamingSpec extends SparkSpecBase {
     }
     def close(): Unit = ingester.stop()
   }
+
+  test("T14: streaming near-dup discovers CROSS-BATCH pairs — a doc " +
+    "arriving in batch 3 pairs with its near-copy from batch 1, and the " +
+    "accumulated candidate set equals the batch LSH run") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, t: String) = (id, t)
+    val base = Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog tonight"),
+      doc(2, "spark streaming state stores scale across many executors"),
+      doc(3, "completely unrelated text about cooking pasta with garlic"),
+      doc(4, "another unrelated document describing mountain hiking trails"))
+    val nearOf1 = doc(101, "the quick brown fox jumps over the lazy dog")
+    val nearOf2 = doc(102, "spark streaming state stores scale across many")
+    val lateNearOf1 = doc(201, "the quick brown fox jumps over the lazy")
+    val stream = MemoryStream[(Long, String)](s)
+    val q = StreamingNearDup
+      .candidates(stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("t14_out")
+      .outputMode("append").start()
+    stream.addData(base: _*); q.processAllAvailable()
+    stream.addData(nearOf1, nearOf2); q.processAllAvailable()
+    val afterB2 = s.table("t14_out").select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB2.contains((1L, 101L)) && afterB2.contains((2L, 102L)))
+    stream.addData(lateNearOf1); q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("t14_out").select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch-1 original AND the batch-2 near-copy both pair with the
+    // batch-3 arrival — membership persisted across batches
+    assert(streamed.contains((1L, 201L)) && streamed.contains((101L, 201L)))
+    // distinct accumulated candidates == one batch LSH pass over the
+    // same corpus (cap not binding) — same signature math, same bands
+    val corpus = (base ++ Seq(nearOf1, nearOf2, lateNearOf1))
+      .toDF("doc_id", "text")
+    val batch = graft.operators.MinHashLSH.candidatePairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
+  test("T14b: a saturated bucket stops emitting AND stops growing state " +
+    "— the streaming viral cap truncates instead of exploding") {
+    val s = spark
+    import s.implicits._
+    val boiler = "click here to accept cookies and continue to the site"
+    val stream = MemoryStream[(Long, String)](s)
+    val q = StreamingNearDup
+      .candidates(stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        maxBucketSize = 5)
+      .writeStream.format("memory").queryName("t14b_out")
+      .outputMode("append").start()
+    stream.addData((1L to 30L).map(i => (i, boiler)): _*)
+    q.processAllAvailable()
+    stream.addData((31L to 40L).map(i => (i, boiler)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = s.table("t14b_out").select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs share ALL 4 band buckets; distinct pairs are capped
+    // at C(5,2) = 10 no matter how many copies arrive, and the ids that
+    // made it in are deterministically the 5 smallest of the first batch
+    assert(pairs === (1L to 5L).combinations(2)
+      .map { case Seq(a, b) => (a, b) }.toSet)
+  }
 }
