@@ -27,6 +27,21 @@ class RegistrySpec extends SparkSpecBase {
       }
   }
 
+  test("scalar-UDF policy: no ScalaUDF in any registered query's plan " +
+    "(SURVEY §2.11 — column exprs/HOFs or a native Expression; typed " +
+    "Aggregators and the mapPartitions codec boundary are separate nodes " +
+    "and remain allowed)") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    SparkEntry.registry.foreach { q =>
+      val plan = q.build(spark, sf).queryExecution.analyzed
+      val udfs = plan.flatMap(_.expressions.flatMap(_.collect {
+        case u: ScalaUDF => u
+      }))
+      assert(udfs.isEmpty,
+        s"${q.name} evaluates a codegen-opaque ScalaUDF: $udfs")
+    }
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
