@@ -179,13 +179,20 @@ object Bench {
     * q10-anti case from the r6 driver sitting: a trivial unchanged
     * query 20× inflated with foreign load 0.0. */
   private[graft] def loadHistory(path: String): Map[String, Double] =
-    readFs(path).flatMap { txt =>
-      "\"queries_min\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).map { m =>
-        val body = txt.substring(m.end, txt.indexOf('}', m.end))
-        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(body)
-          .map(g => g.group(1) -> g.group(2).toDouble).toMap
-      }
-    }.getOrElse(Map.empty)
+    try {
+      readFs(path).flatMap { txt =>
+        "\"queries_min\"\\s*:\\s*\\{".r.findFirstMatchIn(txt).flatMap { m =>
+          // a run killed mid-write can truncate the file before the
+          // closing brace — degrade to "no history", never abort the
+          // suite over its own prior crash
+          val close = txt.indexOf('}', m.end)
+          if (close < 0) None
+          else Some("\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r
+            .findAllMatchIn(txt.substring(m.end, close))
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+        }
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
 
   /** The q111/q113/q125/q128 summaries run intentionally-unpartitioned
     * windows over <=31-row bucket/source/spine frames — correct at any
@@ -214,6 +221,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables' TIMESTAMP_NTZ normalization (and every ts-keyed query)
+      // assumes the session tz Verify pins; a non-UTC JVM default here
+      // would bench DIFFERENT work than the oracle verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -376,14 +387,21 @@ object Bench {
       case (n, us) if us > 100000L => n
     }.toSeq
     // Sitting-level capacity verdict: a full-width parallel canary that
-    // takes >3× the scalar time on a machine whose availableProcessors
-    // covers the thread count means ≥2/3 of the claimed capacity was
+    // takes >3× the scalar time means ≥2/3 of the claimed capacity was
     // absent at that instant — quota or siblings, either way the
-    // parallel queries in this sitting are suspect.
+    // parallel queries in this sitting are suspect. The verdict needs a
+    // capacity witness so deliberate self-oversubscription (cpus=32 on
+    // an honest 4-core box with no quota evidence) doesn't false-flag:
+    // EITHER availableProcessors covers the thread count, OR the cgroup
+    // itself declares a quota below it — the container-aware-JVM case
+    // where availableProcessors ALREADY reflects the quota and would
+    // otherwise disable the exact detection this canary exists for.
     val availProcs = Runtime.getRuntime.availableProcessors
     val pratioBefore = pcanaryBefore / canaryBefore
     val pratioAfter = pcanaryAfter / canaryAfter
-    val capacityStarved = availProcs >= pcanaryThreads &&
+    val capacityWitness = availProcs >= pcanaryThreads ||
+      (cgroupCpus > 0 && cgroupCpus < pcanaryThreads)
+    val capacityStarved = capacityWitness &&
       (pratioBefore > 3.0 || pratioAfter > 3.0)
     val throttledSitting = thrUsDelta > 1000000L || capacityStarved
     val contended = drift > 1.5 || midContended || throttledSitting
@@ -453,16 +471,19 @@ object Bench {
           // delta, so even a sub-500 ms re-run (shorter than the probe
           // period) carries at least one real foreign-load observation
           // instead of certifying itself clean on an empty sample set.
-          val syncF = {
+          // A NaN/negative MXBean result is NOT a sample — fabricating
+          // 0.0 would be exactly the evidence-free default `clean` this
+          // block exists to prevent.
+          val syncF: Option[Double] = {
             val sysL = osBean.getCpuLoad(); val selfL = osBean.getProcessCpuLoad()
-            if (sysL.isNaN || selfL.isNaN || sysL < 0 || selfL < 0) 0.0
-            else math.max(0.0, sysL - selfL)
+            if (sysL.isNaN || selfL.isNaN || sysL < 0 || selfL < 0) None
+            else Some(math.max(0.0, sysL - selfL))
           }
           val inWin = {
             import scala.jdk.CollectionConverters._
             rqProbes.asScala.toVector
               .collect { case (t, f) if t >= w0 && t <= w1 => f }
-          } :+ syncF
+          } ++ syncF
           val fmax = inWin.foldLeft(0.0)(_ max _)
           val thrUs = if (rqThr0 >= 0 && rqThr1 >= 0) rqThr1 - rqThr0 else -1L
           (name, if (times.nonEmpty) times.min else -1.0, fmax, times.size,

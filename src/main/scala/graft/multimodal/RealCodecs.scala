@@ -81,7 +81,9 @@ object RealCodecs {
             val bits = buf.getShort & 0xffff
             if (audioFormat != 1) return None // PCM only
             fmt = Some((channels, rate, bits))
-            buf.position(p0 + sz + (sz & 1)) // skip extension + pad
+            // a chunk ending exactly at EOF has no room for its pad
+            // byte — clamp, don't throw past the limit
+            buf.position(math.min(p0 + sz + (sz & 1), buf.limit()))
           case "data" =>
             val d = new Array[Byte](sz); buf.get(d)
             if ((sz & 1) == 1 && buf.remaining() > 0) buf.get() // pad byte
@@ -150,9 +152,13 @@ object RealCodecs {
         _ <- if (pos < bytes.length && bytes(pos).toChar.isWhitespace) {
           pos += 1; Some(())
         } else None
-        if bytes.length - pos >= w * h * 3
+        // Long math: a malicious "50000 50000" header wraps w*h*3
+        // negative (crash) or — worse — to 0 (silent empty mis-read)
+        // in Int; either way it must be a None, per the contract above
+        nPx = w.toLong * h * 3L
+        if nPx <= bytes.length - pos
       } yield Ppm(w, h, maxVal,
-        Array.tabulate(w * h * 3)(i => bytes(pos + i) & 0xff))
+        Array.tabulate(nPx.toInt)(i => bytes(pos + i) & 0xff))
     }
   }
 }

@@ -39,6 +39,12 @@ class BenchHelpersSpec extends AnyFunSuite {
     assert(Bench.loadHistory(tmp("""{"queries":{"q01":1.0}}""")) === Map.empty)
   }
 
+  test("loadHistory survives a mid-write-truncated history file (a prior " +
+    "run killed during Files.write must not abort the next suite)") {
+    assert(Bench.loadHistory(tmp("""{"queries_min":{"q01":1.2""")) === Map.empty)
+    assert(Bench.loadHistory(tmp("""{"queries_min":{""")) === Map.empty)
+  }
+
   test("cgroup readers degrade to their unknown sentinels instead of " +
     "throwing when the files are absent") {
     // the machine may or may not run in a cgroup; both readers must

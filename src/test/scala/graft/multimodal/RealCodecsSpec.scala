@@ -75,4 +75,29 @@ class RealCodecsSpec extends AnyFunSuite {
     assert(PpmCodec.parse(("P6\n4 4\n65535\n".getBytes("US-ASCII") ++
       Array.fill[Byte](4 * 4 * 6)(1))).isEmpty)
   }
+
+  test("ppm parser rejects dimension headers whose pixel count overflows " +
+    "Int — including the w*h*3 = 2^32 wrap that would mis-read as empty") {
+    val junk = Array.fill[Byte](64)(7)
+    // 50000*50000*3 wraps negative in Int
+    assert(PpmCodec.parse("P6\n50000 50000\n255\n".getBytes("US-ASCII") ++ junk).isEmpty)
+    // 65536*65536*3 wraps to exactly 0 — the silent-empty case
+    assert(PpmCodec.parse("P6\n65536 65536\n255\n".getBytes("US-ASCII") ++ junk).isEmpty)
+  }
+
+  test("wav parser tolerates an odd-size fmt chunk ending exactly at EOF " +
+    "(no room for the pad byte) instead of throwing past the limit") {
+    // hand-build RIFF/WAVE whose LAST chunk is "fmt " with sz=17 and
+    // exactly 17 bytes remaining — parses the fields, finds no data
+    // chunk, returns None without an exception
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 17)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 17)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(17)
+    bb.putShort(1.toShort).putShort(1.toShort).putInt(8000)
+    bb.putInt(16000).putShort(2.toShort).putShort(16.toShort)
+    bb.put(0.toByte) // the 17th byte (fmt extension), EOF right after
+    assert(WavCodec.parse(bb.array()).isEmpty)
+  }
 }
