@@ -56,20 +56,42 @@ object StreamingNearDup {
 
   case class CandidatePair(a_id: Long, b_id: Long, band: Int)
 
-  /** Streaming candidate pairs. `docs` must be a STREAMING frame with
-    * (idCol: long, textCol: string); output is append-mode candidate
-    * pairs (a_id < b_id, with the band that matched). */
+  /** Streaming candidate pairs over TEXT. `docs` must be a STREAMING
+    * frame with (idCol: long, textCol: string); output is append-mode
+    * candidate pairs (a_id < b_id, with the band that matched). */
   def candidates(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, numHashes: Int = 12,
                  bands: Int = 4, rows: Int = 3,
                  maxBucketSize: Int = MinHashLSH.DefaultMaxBucket)
-      : Dataset[CandidatePair] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      : Dataset[CandidatePair] =
+    candidatesFromBands(
+      docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(MinHashLSH.bandedSignatureArr(
-          col(textCol), k, numHashes, bands, rows)).as(Seq("band", "key")))
+          col(textCol), k, numHashes, bands, rows)).as(Seq("band", "key"))),
+      maxBucketSize)
+
+  /** Streaming candidate pairs over EMBEDDINGS — the same stateful
+    * bucket membership, keyed by [[graft.operators.SignLSH]]'s
+    * hyperplane-sign bucket (per-row column math, scale-invariant:
+    * Charikar '02). One "band" (the full sign pattern), so pairs never
+    * repeat; with b planes cosine-close vectors collide on all signs
+    * exactly as in the batch q57 path. */
+  def embeddingCandidates(docs: DataFrame, idCol: String, vecCol: String,
+                          planes: Int = 8, dims: Int = 16,
+                          maxBucketSize: Int = MinHashLSH.DefaultMaxBucket)
+      : Dataset[CandidatePair] =
+    candidatesFromBands(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        lit(0).as("band"),
+        graft.operators.SignLSH.bucket(col(vecCol), planes, dims).as("key")),
+      maxBucketSize)
+
+  /** The stateful stage, for any (doc_id, band, key) banding scheme. */
+  def candidatesFromBands(banded: DataFrame, maxBucketSize: Int)
+      : Dataset[CandidatePair] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
       .as[(Long, Int, Long)]
       .map { case (id, band, key) => DocBand(band, key, id) }
       .groupByKey(r => (r.band, r.key))

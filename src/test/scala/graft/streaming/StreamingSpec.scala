@@ -735,4 +735,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(pairs === (1L to 5L).combinations(2)
       .map { case Seq(a, b) => (a, b) }.toSet)
   }
+
+  test("T15: streaming embedding near-dup — a RESCALED copy arriving two " +
+    "batches later pairs with its original (sign-LSH buckets are " +
+    "scale-invariant and membership persists)") {
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed); Seq.fill(16)(r.nextFloat() - 0.5f)
+    }
+    val base = (1L to 8L).map(i => (i, vec(i.toInt)))
+    val rescaled = (101L, vec(1).map(x => x * 0.37f)) // same direction as id 1
+    val stream = MemoryStream[(Long, Seq[Float])](s)
+    val q = StreamingNearDup
+      .embeddingCandidates(stream.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .writeStream.format("memory").queryName("t15_out")
+      .outputMode("append").start()
+    stream.addData(base: _*); q.processAllAvailable()
+    stream.addData((50L, vec(50))); q.processAllAvailable()
+    stream.addData(rescaled); q.processAllAvailable()
+    q.stop()
+    val pairs = s.table("t15_out").select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 101L)),
+      s"rescaled copy did not pair with its batch-1 original: $pairs")
+  }
 }
