@@ -459,7 +459,6 @@ object Dedup {
       graft.operators.SemDeDup
         .dedup(emb, "vec_id", "embedding", k = 8, rounds = 2,
           tau = 0.35, maxClusterSize = 4096L)
-        .localCheckpoint() // sort sampling must not replay the pair join
         .orderBy($"vec_id")
     },
     Some(s"""
