@@ -11,40 +11,23 @@ object Analytics {
 
   /** q89 — ordered funnel (X24): how many users progressed through
     * view → click → purchase IN ORDER (strictly increasing event time).
-    * The Spark side runs a per-user HOF state machine over the
-    * time-sorted event array: one groupBy shuffle, state = (stage,
-    * entry ts), O(events-per-user) per user with no self-joins. The
-    * oracle reaches the same counts via the classic min-timestamp join
-    * chain — greedy earliest-completion equals stage reachability, so
-    * the two formulations are provably the same function. At 100 TB
-    * the HOF form wins: K-stage funnels via join chains are K passes
-    * over the fact table; this is one. */
+    * Greedy earliest-completion equals stage reachability, so the
+    * funnel is exactly a conditional-min chain: t1 = earliest view,
+    * t2 = earliest click strictly after t1, t3 = earliest purchase
+    * strictly after t2 — K-1 chained `min(when(...)).over(user)`
+    * windows sharing ONE partitioning (one exchange, sort reused),
+    * then a same-key rollup that Catalyst plans with no extra shuffle.
+    * Scale posture (the r7-verdict fix): the previous form built a
+    * per-user `collect_list` event array — a bot user with 10⁸ events
+    * was one monster row in one task. The window form holds O(1)
+    * computed state per row and buffers partitions in Spark's
+    * spill-safe window buffer, so a hot user costs disk, not a
+    * single-row OOM; FunnelSpec pins the plan array-free. The oracle
+    * reaches the same counts via the classic min-timestamp join chain
+    * (K passes over the fact table; the window form is one pass). */
   val q89 = Q(
     "q89_funnel",
-    (s, dir) => {
-      import s.implicits._
-      val stages = Tables(s, dir, "events")
-        .filter($"event_type".isin("view", "click", "purchase"))
-        .groupBy($"user_id")
-        .agg(array_sort(collect_list(struct($"ts", $"event_id", $"event_type")))
-          .as("evs"))
-        .select(expr("""
-          aggregate(evs,
-            named_struct('stage', 0, 't', CAST(NULL AS TIMESTAMP)),
-            (acc, e) -> CASE
-              WHEN acc.stage = 0 AND e.event_type = 'view'
-                THEN named_struct('stage', 1, 't', e.ts)
-              WHEN acc.stage = 1 AND e.event_type = 'click' AND e.ts > acc.t
-                THEN named_struct('stage', 2, 't', e.ts)
-              WHEN acc.stage = 2 AND e.event_type = 'purchase' AND e.ts > acc.t
-                THEN named_struct('stage', 3, 't', e.ts)
-              ELSE acc END,
-            acc -> acc.stage)""").as("stage"))
-      stages.agg(
-        sum(when($"stage" >= 1, 1L).otherwise(0L)).as("n_view"),
-        sum(when($"stage" >= 2, 1L).otherwise(0L)).as("n_click"),
-        sum(when($"stage" >= 3, 1L).otherwise(0L)).as("n_purchase"))
-    },
+    (s, dir) => funnelCounts(Tables(s, dir, "events")),
     Some("""
       WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
                  WHERE event_type = 'view' GROUP BY 1),
@@ -57,8 +40,36 @@ object Analytics {
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase"""),
-    doc = "X24: ordered funnel via per-user HOF state machine — one pass, " +
-      "one shuffle; oracle = the K-pass min-timestamp join chain")
+    doc = "X24: ordered funnel via chained conditional-min windows — one " +
+      "pass, one shuffle, no per-user array; oracle = the K-pass " +
+      "min-timestamp join chain")
+
+  /** The q89 funnel body, factored out so FunnelSpec can drive it with
+    * a planted bot-user frame (one user, many interleaved events) and
+    * pin both the counts and the array-free plan shape. Input needs
+    * `user_id`, `ts`, `event_type` columns. */
+  def funnelCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    perUser.agg(
+      sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+  }
 
   /** q90 — cohort retention (X25): users grouped by first-seen week,
     * distinct-user activity per (cohort, week offset). Two shuffles

@@ -302,44 +302,59 @@ object Text {
     doc = "rolling hash: sequential fold; list_reduce's first-element seed " +
       "equals foldLeft(0)'s first step because md5_32 < modulus")
 
-  /** q91 — inverted index build (N17): term → postings list
+  /** q91 — inverted index build (N17): term → SHARDED postings blocks
     * ("doc:pos" entries), the text-retrieval backend of the searchable
     * index (S8 stores rows; this builds the term-level access path).
     * posexplode → per-(term, doc) rollup (tf + first position, the
-    * skip-pointer payload a retrieval index stores) → groupBy(term)
-    * postings. Two shuffles, both on compact keys; postings serialize
-    * as a sorted joined string because the driver compare rejects array
-    * cells (a real index writes binary postings here — same plan
-    * shape). Doc-level postings, not positional: the synthetic corpus
-    * has a ~31-term vocabulary, so positional lists would be the whole
-    * corpus re-serialized per term. */
+    * skip-pointer payload a retrieval index stores) → per-(term,
+    * bucket) postings block where bucket = floor(doc_id / 100).
+    * Scale posture (the r7-verdict fix): the previous form
+    * collect_list'ed ALL of a term's postings into one row, so a
+    * stop word's row grew with the corpus — the hot-key blow-up every
+    * other pair/bucket path here caps. Sharding by fixed doc-id RANGE
+    * (not a fixed shard COUNT, which would still scale per shard)
+    * bounds every block at ≤ 100 entries no matter the corpus size;
+    * a reader scans a term's blocks in (term, bucket) order — exactly
+    * how a real index lays out postings in fixed-size blocks with
+    * skip pointers, and the same two-level-key device as q131. Two
+    * shuffles, both on compact keys; blocks serialize as sorted joined
+    * strings because the driver compare rejects array cells. */
   val q91 = Q(
     "q91_inverted_index",
-    (s, dir) => {
-      import s.implicits._
-      Tables(s, dir, "documents")
-        .select($"doc_id", posexplode(split($"text", " ")))
-        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
-        .groupBy($"term", $"doc_id")
-        .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
-        .groupBy($"term")
-        .agg(sum($"tf").as("cf"), count(lit(1)).as("df"),
-          array_join(array_sort(
-            collect_list(concat_ws(":", $"doc_id", $"first_pos"))), ",").as("postings"))
-        .orderBy($"term")
-    },
+    (s, dir) => invertedIndex(Tables(s, dir, "documents")),
     Some("""
       WITH t AS (SELECT doc_id, unnest(l) AS term,
                    unnest(range(1, len(l) + 1)) AS pos
                  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
       d AS (SELECT term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
             FROM t GROUP BY term, doc_id)
-      SELECT term, CAST(SUM(tf) AS BIGINT) AS cf, CAST(COUNT(*) AS BIGINT) AS df,
+      SELECT term, CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+             CAST(SUM(tf) AS BIGINT) AS cf, CAST(COUNT(*) AS BIGINT) AS df,
              string_agg(doc_id || ':' || first_pos, ','
                ORDER BY doc_id || ':' || first_pos) AS postings
-      FROM d GROUP BY term ORDER BY term"""),
-    doc = "N17: inverted index — explode, (term,doc) rollup, term postings; " +
-      "binary-sortable 'doc:first_pos' keys agree across engines")
+      FROM d GROUP BY term, bucket ORDER BY term, bucket"""),
+    doc = "N17: inverted index — explode, (term,doc) rollup, postings " +
+      "sharded into ≤100-doc blocks by doc-id range (bounded rows at any " +
+      "corpus size); binary-sortable 'doc:first_pos' keys agree across engines")
+
+  /** The q91 index build, factored out so TextOpsSpec can plant a
+    * stop word in every document of a synthetic corpus and pin that no
+    * postings block exceeds `bucketWidth` entries (the hot-key bound).
+    * Input needs `doc_id`, `text`; blocks shard on
+    * bucket = floor(doc_id / bucketWidth). */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame,
+      bucketWidth: Int = 100): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), min(col("pos")).as("first_pos"))
+      .groupBy(col("term"), floor(col("doc_id") / bucketWidth).as("bucket"))
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"),
+        array_join(array_sort(
+          collect_list(concat_ws(":", col("doc_id"), col("first_pos")))), ",")
+          .as("postings"))
+      .orderBy(col("term"), col("bucket"))
 
   /** q92 — bigram language-model counts (N18): the n-gram statistics a
     * data pipeline feeds into LM quality filters and contamination
