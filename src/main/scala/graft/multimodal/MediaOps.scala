@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns (BASELINE north-star): image/audio/video as opaque
   * `binary` columns with typed metadata, processed per-partition.
   *
-  * The container has no codec libraries, so `FakeCodec.decode` is a
-  * clearly-marked deterministic STAND-IN for a real decoder (it derives
-  * "pixels" from the bytes themselves). Since r7 that caveat applies
-  * only to formats that genuinely need native libs (JPEG/H.264/FLAC):
-  * RIFF/WAVE PCM and binary PPM have REAL pure-JVM decoders in
-  * [[RealCodecs]], oracle-gated end to end by q188. Everything around
+  * `FakeCodec.decode` is a clearly-marked deterministic STAND-IN for a
+  * real decoder (it derives "pixels" from the bytes themselves). Since
+  * r8 that caveat applies only to LOSSY codecs: RIFF/WAVE PCM and
+  * binary PPM have REAL hand-written pure-JVM decoders (r7), and PNG +
+  * BMP decode through the JDK's own `javax.imageio` readers (r8) — all
+  * oracle-gated end to end by q188/q189. JPEG is also decodable with
+  * zero external jars (`java.desktop` ships a reader), but its IDCT is
+  * implementation-defined — not bit-deterministic across decoders — so
+  * it stays behind the stub until it gets a tolerance gate rather than
+  * a hash oracle; H.264/FLAC genuinely need codec jars. Everything around
   * the codec — the media schema, the typed Dataset API, the
   * per-partition batch shape, the partitioning story — is real Spark
   * and really tested:

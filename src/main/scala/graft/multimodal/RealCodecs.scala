@@ -2,12 +2,17 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL media codecs for the two formats that need no native library —
-  * RIFF/WAVE PCM audio and binary PPM (P6) images — upgrading the
-  * multimodal path from "all decode is a stub" ([[MediaOps.FakeCodec]])
-  * to "real decode where the container allows it, stub only for
-  * formats that genuinely need codec jars" (JPEG/H.264/FLAC stay
-  * stubbed — documented in MediaOps).
+/** REAL media codecs needing no library beyond the JDK — RIFF/WAVE PCM
+  * audio and binary PPM (P6) images parsed by hand (r7), plus PNG and
+  * BMP encoded by hand and decoded through `javax.imageio.ImageIO`
+  * (r8; `java.desktop` ships PNG/BMP/GIF/JPEG readers, zero external
+  * jars) — upgrading the multimodal path from "all decode is a stub"
+  * ([[MediaOps.FakeCodec]]) to "real decode for every LOSSLESS format".
+  * Only lossy codecs whose decode is implementation-defined stay
+  * stubbed (JPEG's IDCT, H.264, lossy audio): they are decodable on
+  * the JVM but not bit-deterministic across implementations, so they
+  * belong behind a tolerance gate, not a hash oracle — documented in
+  * MediaOps.
   *
   * Both parsers are defensive: any malformed input — wrong magic,
   * truncated chunk, unsupported encoding — returns None rather than
@@ -159,6 +164,142 @@ object RealCodecs {
         if nPx <= bytes.length - pos
       } yield Ppm(w, h, maxVal,
         Array.tabulate(nPx.toInt)(i => bytes(pos + i) & 0xff))
+    }
+  }
+
+  /** Decoded image in canonical form: row-major `[r,g,b, r,g,b, ...]`
+    * components, extracted via `BufferedImage.getRGB` so the layout is
+    * independent of the on-disk row order / channel order — which is
+    * exactly what lets the q189 oracle catch a bottom-up or BGR mix-up
+    * in the encoders below. */
+  final case class Img(width: Int, height: Int, comps: Array[Int])
+
+  /** The JDK's own image decoder (`javax.imageio`), wrapped to the same
+    * defensive contract as the hand parsers: any malformed input —
+    * wrong magic, truncated stream, no registered reader — is a None,
+    * never a throw. This is a genuinely INDEPENDENT decode
+    * implementation from the encoders in [[PngCodec]]/[[BmpCodec]], so
+    * encode-by-hand → ImageIO-decode is a real differential test, not
+    * a library talking to itself. */
+  object ImageIoCodec {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp-file scratch per decode
+
+    def decode(bytes: Array[Byte]): Option[Img] =
+      scala.util.Try(
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))).toOption.flatten
+        .map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val comps = new Array[Int](w * h * 3)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              comps(i) = (v >> 16) & 0xff
+              comps(i + 1) = (v >> 8) & 0xff
+              comps(i + 2) = v & 0xff
+              i += 3
+              x += 1
+            }
+            y += 1
+          }
+          Img(w, h, comps)
+        }
+  }
+
+  /** Hand-rolled PNG encoder (RFC 2083): signature + IHDR + one IDAT +
+    * IEND, each chunk CRC32-sealed; 8-bit truecolor (color type 2), no
+    * interlace, every scanline filter 0, zlib via `java.util.Deflater`.
+    * Pixel plane = seed bytes repeated row-major across the image, the
+    * same arithmetic the q189 DuckDB twin recomputes. */
+  object PngCodec {
+    private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(12 + body.length) // PNG is big-endian
+      buf.putInt(body.length)
+      val tb = tag.getBytes("US-ASCII")
+      buf.put(tb).put(body)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb)
+      crc.update(body)
+      buf.putInt(crc.getValue.toInt)
+      buf.array()
+    }
+
+    def synthesize(seed: Array[Byte], w: Int = 9, h: Int = 7): Array[Byte] = {
+      require(seed.nonEmpty, "seed must be non-empty")
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+        0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val ihdr = ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte)             // bit depth 8, truecolor
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      // raw image stream: per scanline, 1 filter byte (0 = None) + w*3
+      // samples; sample index runs row-major across the WHOLE image so
+      // pixel content is seed(i % len) exactly like PpmCodec
+      val raw = new Array[Byte](h * (1 + w * 3))
+      var p = 0
+      var px = 0
+      var y = 0
+      while (y < h) {
+        raw(p) = 0
+        p += 1
+        var x = 0
+        while (x < w * 3) {
+          raw(p) = seed(px % seed.length)
+          p += 1; px += 1; x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw)
+      deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](512)
+      while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+  }
+
+  /** Hand-rolled 24-bit uncompressed BMP (BITMAPINFOHEADER): rows
+    * stored BOTTOM-UP in BGR order, padded to 4-byte boundaries — three
+    * container quirks the decoder must undo, all caught by q189's
+    * position/channel-sensitive pixel hash if either side gets one
+    * wrong. Logical (top-down, RGB) pixel content = seed bytes repeated
+    * row-major, identical to [[PngCodec]]. */
+  object BmpCodec {
+    def synthesize(seed: Array[Byte], w: Int = 9, h: Int = 7): Array[Byte] = {
+      require(seed.nonEmpty, "seed must be non-empty")
+      val rowSize = ((w * 3 + 3) / 4) * 4 // each stored row pads to 4 bytes
+      val dataLen = rowSize * h
+      val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+        .putShort(0).putShort(0).putInt(54)      // reserved, pixel offset
+      buf.putInt(40).putInt(w).putInt(h)         // positive height = bottom-up
+        .putShort(1).putShort(24)                // planes, bpp
+        .putInt(0).putInt(dataLen)               // BI_RGB, image size
+        .putInt(2835).putInt(2835)               // 72 dpi
+        .putInt(0).putInt(0)                     // palette unused
+      var sy = h - 1                             // stored order: last logical row first
+      while (sy >= 0) {
+        var x = 0
+        while (x < w) {
+          val base = (sy * w + x) * 3
+          val r = seed(base % seed.length)
+          val g = seed((base + 1) % seed.length)
+          val b = seed((base + 2) % seed.length)
+          buf.put(b).put(g).put(r)               // stored channel order is BGR
+          x += 1
+        }
+        var pad = rowSize - w * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        sy -= 1
+      }
+      buf.array()
     }
   }
 }

@@ -131,5 +131,69 @@ object Multimodal {
       "parsed in one partition pass; oracle recomputes features from the " +
       "seed arithmetic, gating the binary decode itself")
 
-  val all: Seq[Q] = Seq(q61, q188)
+  /** q189 — REAL image decode through the JDK's own reader (r8): PNG
+    * and BMP files are hand-ENCODED from seed bytes
+    * ([[graft.multimodal.RealCodecs.PngCodec]] — chunked, CRC32-sealed,
+    * Deflater-compressed; [[graft.multimodal.RealCodecs.BmpCodec]] —
+    * bottom-up, BGR, 4-byte row padding) and decoded by
+    * `javax.imageio.ImageIO` — two genuinely independent
+    * implementations meeting over a real binary format, in one
+    * mapPartitions pass like q188. Features: (width, height,
+    * position-and-channel-sensitive polynomial pixel hash, max
+    * component). The pixel hash folds row-major r,g,b components, so a
+    * row-order flip (BMP bottom-up mishandled), a BGR swap, a padding
+    * slip, or a filter/deflate bug on the PNG side all change the
+    * hash; the DuckDB twin recomputes it from the seed arithmetic
+    * without touching bytes. Lossless decode is bit-exact, which is
+    * what makes a hash oracle possible here and not for JPEG.
+    *
+    * Scale posture: identical to q188 — synth+decode+reduce per
+    * partition, payload bytes never leave the partition, ImageIO's
+    * tmp-file cache disabled so decode is pure in-memory compute. */
+  val q189 = Q(
+    "q189_image_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.RealCodecs.{BmpCodec, ImageIoCodec, PngCodec}
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val (mime, bytes) =
+              if (id % 2 == 0) ("image/png", PngCodec.synthesize(seed))
+              else ("image/bmp", BmpCodec.synthesize(seed))
+            val img = ImageIoCodec.decode(bytes)
+              .getOrElse(sys.error(s"q189: undecodable $mime for doc $id"))
+            val pixHash = img.comps
+              .foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+            (id, mime, img.width.toLong, img.height.toLong, pixHash,
+              img.comps.max.toLong)
+          }
+        }
+        .toDF("doc_id", "mime", "width", "height", "pix_hash", "comp_max")
+        .orderBy($"doc_id")
+    },
+    Some {
+      // 9x7 image = 189 components; component i (1-based, row-major
+      // r,g,b) = seed byte ((i-1) mod 16) — same repetition arithmetic
+      // as the PPM twin; list_reduce's implicit first-element seed
+      // equals foldLeft(0)'s first step because every component < 256.
+      val b = byteSql("i")
+      s"""
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS mime,
+        CAST(9 AS BIGINT) AS width,
+        CAST(7 AS BIGINT) AS height,
+        list_reduce(list_transform(range(1, 190), i -> CAST($b AS BIGINT)),
+          (h, p) -> (h * 31 + p) % 1000000007) AS pix_hash,
+        CAST(list_max(list_transform(range(1, 17), i -> $b)) AS BIGINT) AS comp_max
+      FROM documents ORDER BY doc_id"""
+    },
+    doc = "multimodal REAL image decode: hand-encoded PNG (CRC32+Deflater) " +
+      "and BMP (bottom-up BGR, padded rows) decoded by the independent JDK " +
+      "ImageIO reader; row-major pixel hash gates layout end to end")
+
+  val all: Seq[Q] = Seq(q61, q188, q189)
 }

