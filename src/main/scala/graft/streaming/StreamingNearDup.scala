@@ -42,17 +42,41 @@ import graft.operators.MinHashLSH
   * Candidates, not verified pairs: like the batch pipeline, a Jaccard
   * verify (stream-static join against the shingle store, or a batch
   * backfill) confirms candidates; LSH banding's false-positive rate is
-  * the verify stage's input contract, unchanged from batch.
+  * the verify stage's input contract, unchanged from batch
+  * ([[StreamingVerifiedDedup]] composes exactly that).
+  *
+  * State lifetime — two modes:
+  *  - [[candidates]]/[[embeddingCandidates]]: remember-all-history.
+  *    Per-bucket state is capped, but the bucket COUNT grows with all
+  *    distinct content ever streamed — unbounded over an infinite
+  *    stream BY DESIGN (a doc must be able to pair with one ingested
+  *    months ago). Deployments that outlive their state store must
+  *    either restart/compact the query or use the retention mode.
+  *  - [[candidatesWithRetention]] (r8): bounded retention via
+  *    event-time timeouts — a bucket idle past `retention` (no member
+  *    arrivals, event time) is EVICTED when the watermark passes.
+  *    Semantic change, documented loudly: an evicted bucket re-seeds
+  *    empty, so a near-copy arriving after the gap does NOT pair with
+  *    pre-eviction members (bounded recall loss in exchange for
+  *    bounded state — the deduplicate-against-the-last-N-days
+  *    contract); pairs already emitted are never retracted.
   */
 object StreamingNearDup {
 
   case class DocBand(band: Int, key: Long, doc_id: Long)
+
+  case class DocBandTs(band: Int, key: Long, doc_id: Long,
+                       ts: java.sql.Timestamp)
 
   /** Bucket membership + saturation accounting. `ids` is insertion-
     * ordered (latest first); `dropped` counts suppressed arrivals after
     * saturation — nonzero dropped means mass duplication upstream
     * exact-dedup should have absorbed (the bucketStats contract). */
   case class BucketState(ids: List[Long], dropped: Long)
+
+  /** Retention-mode state: membership + the latest member event time,
+    * from which the eviction deadline (`lastMs + retention`) derives. */
+  case class TimedBucketState(ids: List[Long], dropped: Long, lastMs: Long)
 
   case class CandidatePair(a_id: Long, b_id: Long, band: Int)
 
@@ -86,6 +110,44 @@ object StreamingNearDup {
         graft.operators.SignLSH.bucket(col(vecCol), planes, dims).as("key")),
       maxBucketSize)
 
+  /** Streaming candidate pairs over TEXT with BOUNDED state (r8): same
+    * signature math and bucket admission as [[candidates]], plus an
+    * event-time eviction deadline per bucket — the T7 timer device.
+    * `docs` must be a streaming frame with (idCol: long,
+    * textCol: string, tsCol: timestamp); the operator applies the
+    * watermark (`watermarkDelay` of event-time slack for late rows).
+    * A bucket whose members have all gone quiet for `retention` of
+    * EVENT time is dropped from the state store once the watermark
+    * passes its deadline; see the object scaladoc for the recall
+    * semantics. */
+  def candidatesWithRetention(docs: DataFrame, idCol: String,
+                              textCol: String, tsCol: String,
+                              retention: java.time.Duration,
+                              k: Int = 3, numHashes: Int = 12,
+                              bands: Int = 4, rows: Int = 3,
+                              maxBucketSize: Int = MinHashLSH.DefaultMaxBucket,
+                              watermarkDelay: String = "0 seconds")
+      : Dataset[CandidatePair] = {
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        posexplode(MinHashLSH.bandedSignatureArr(
+          col(textCol), k, numHashes, bands, rows)).as(Seq("band", "key")))
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+      .map { case (id, ts, band, key) => DocBandTs(band, key, id, ts) }
+      // the typed map mints fresh attributes, so the event-time tag must
+      // be (re)applied HERE, on the object-serialized ts field, for the
+      // EventTimeTimeout below to see a watermark
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateWithRetention(maxBucketSize, retention.toMillis))
+  }
+
   /** The stateful stage, for any (doc_id, band, key) banding scheme. */
   def candidatesFromBands(banded: DataFrame, maxBucketSize: Int)
       : Dataset[CandidatePair] = {
@@ -100,26 +162,65 @@ object StreamingNearDup {
         update(maxBucketSize))
   }
 
+  /** Shared admission core: dedup arrivals against membership (Set
+    * lookup, not a list scan — O(1) per arrival), admit up to the cap
+    * emitting a pair per existing member, count the rest as dropped.
+    * Arrivals are sorted so emission (and the admitted set under
+    * saturation) never depends on partition-internal row order. */
+  private def admit(band: Int, prevIds: List[Long], prevDropped: Long,
+                    rawArrivals: Array[Long], maxBucketSize: Int)
+      : (List[Long], Long, Vector[CandidatePair]) = {
+    val seen = prevIds.toSet
+    val arrivals = rawArrivals.distinct.sorted.filterNot(seen)
+    var ids = prevIds
+    var size = ids.length
+    var dropped = prevDropped
+    val out = Vector.newBuilder[CandidatePair]
+    arrivals.foreach { id =>
+      if (size < maxBucketSize) {
+        ids.foreach { o =>
+          out += CandidatePair(math.min(o, id), math.max(o, id), band)
+        }
+        ids = id :: ids
+        size += 1
+      } else dropped += 1
+    }
+    (ids, dropped, out.result())
+  }
+
   private def update(maxBucketSize: Int)(
       bucket: (Int, Long), rows: Iterator[DocBand],
       state: GroupState[BucketState]): Iterator[CandidatePair] = {
     val prev = state.getOption.getOrElse(BucketState(Nil, 0L))
-    // ids sorted within the batch: emission order (and the pair set
-    // under saturation) must not depend on partition-internal row order
-    val arrivals = rows.map(_.doc_id).toArray.distinct.sorted
-      .filterNot(prev.ids.contains)
-    var ids = prev.ids
-    var dropped = prev.dropped
-    val out = Vector.newBuilder[CandidatePair]
-    arrivals.foreach { id =>
-      if (ids.length < maxBucketSize) {
-        ids.foreach { o =>
-          out += CandidatePair(math.min(o, id), math.max(o, id), bucket._1)
-        }
-        ids = id :: ids
-      } else dropped += 1
-    }
+    val (ids, dropped, out) = admit(bucket._1, prev.ids, prev.dropped,
+      rows.map(_.doc_id).toArray, maxBucketSize)
     state.update(BucketState(ids, dropped))
-    out.result().iterator
+    out.iterator
+  }
+
+  private def updateWithRetention(maxBucketSize: Int, retentionMs: Long)(
+      bucket: (Int, Long), rows: Iterator[DocBandTs],
+      state: GroupState[TimedBucketState]): Iterator[CandidatePair] = {
+    if (state.hasTimedOut) {
+      // idle past retention: drop the bucket. The next arrival on this
+      // key re-seeds an empty bucket (documented recall loss).
+      state.remove()
+      Iterator.empty
+    } else {
+      val prev = state.getOption.getOrElse(TimedBucketState(Nil, 0L, 0L))
+      val rs = rows.toArray
+      val (ids, dropped, out) = admit(bucket._1, prev.ids, prev.dropped,
+        rs.map(_.doc_id), maxBucketSize)
+      val lastMs = math.max(prev.lastMs, rs.iterator.map(_.ts.getTime).max)
+      state.update(TimedBucketState(ids, dropped, lastMs))
+      // deadline = last member activity + retention, in EVENT time; a
+      // late batch can land with the watermark already past that sum,
+      // and Spark rejects deadlines at/behind the watermark — clamp
+      // forward one ms (the bucket then expires at the next watermark
+      // advance, which is the intent)
+      state.setTimeoutTimestamp(
+        math.max(lastMs + retentionMs, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
   }
 }

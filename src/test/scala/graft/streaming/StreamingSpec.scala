@@ -736,6 +736,93 @@ class StreamingSpec extends SparkSpecBase {
       .map { case Seq(a, b) => (a, b) }.toSet)
   }
 
+  test("T14c: retention mode evicts idle buckets on event time — a " +
+    "near-copy arriving after the gap re-seeds instead of pairing with " +
+    "the evicted original; within-retention pairing is unchanged") {
+    val s = spark
+    import s.implicits._
+    // +1000s base: the initial watermark is epoch 0 and the stateful-op
+    // late filter drops rows AT the watermark, so t=0 events would be
+    // discarded before the state function ever saw them
+    def ts(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)](s)
+    val q = StreamingNearDup.candidatesWithRetention(
+        stream.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+        retention = java.time.Duration.ofSeconds(60))
+      .writeStream.format("memory").queryName("t14c_out")
+      .outputMode("append").start()
+    // batch 1 at t=0: the two originals
+    stream.addData(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", ts(0)),
+      (2L, "spark streaming state stores scale across many executors", ts(0)))
+    q.processAllAvailable()
+    // batch 2 at t=30 (inside retention): near-copy of doc 2 pairs
+    stream.addData(
+      (102L, "spark streaming state stores scale across many", ts(30)))
+    q.processAllAvailable()
+    // batches 3-4: unrelated far-future docs advance the watermark to
+    // 300s, then let the t<=30 buckets (deadline <=90s) time out
+    stream.addData(
+      (9L, "completely unrelated text about cooking pasta with garlic", ts(300)))
+    q.processAllAvailable()
+    stream.addData(
+      (10L, "another unrelated document describing mountain hiking trails", ts(310)))
+    q.processAllAvailable()
+    // batch 5: near-copy of doc 1 — its bucket was EVICTED, so no pair
+    stream.addData(
+      (101L, "the quick brown fox jumps over the lazy dog", ts(320)))
+    q.processAllAvailable()
+    // batch 6: near-copy of 101 pairs within the re-seeded epoch
+    stream.addData(
+      (103L, "the quick brown fox jumps over the lazy", ts(330)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = s.table("t14c_out").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 102L)), s"within-retention pair lost: $pairs")
+    assert(!pairs.exists(_._1 == 1L),
+      s"near-copy paired with the evicted original: $pairs")
+    assert(pairs.contains((101L, 103L)),
+      s"re-seeded bucket did not pair the new epoch: $pairs")
+  }
+
+  test("T16: streaming VERIFIED pairs — candidates + stream-static " +
+    "Jaccard verify against the shingle store emit exactly the batch " +
+    "nearDupPairs set over the same corpus") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark streaming state stores scale across many executors"),
+      (3L, "completely unrelated text about cooking pasta with garlic"),
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "spark streaming state stores scale across many"),
+      (201L, "the quick brown fox jumps over the lazy"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    // the steady-state S11 index: every ingested doc's shingle set
+    val store = graft.operators.MinHashLSH
+      .shingleSets(corpusDf, "doc_id", "text").cache()
+    val stream = MemoryStream[(Long, String)](s)
+    val q = StreamingVerifiedDedup.verified(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        store, "doc_id", "sh", minJaccard = 0.5)
+      .writeStream.format("memory").queryName("t16_out")
+      .outputMode("append").start()
+    corpus.grouped(2).foreach { batch =>
+      stream.addData(batch: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.table("t16_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = graft.operators.MinHashLSH
+      .nearDupPairs(corpusDf, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(batch.nonEmpty) // the corpus must actually exercise the verify
+    assert(streamed === batch,
+      s"streamed verified pairs != batch: $streamed vs $batch")
+    store.unpersist()
+  }
+
   test("T15: streaming embedding near-dup — a RESCALED copy arriving two " +
     "batches later pairs with its original (sign-LSH buckets are " +
     "scale-invariant and membership persists)") {
