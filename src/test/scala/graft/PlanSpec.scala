@@ -394,6 +394,48 @@ class PlanSpec extends SparkSpecBase {
     assert(!p151.contains("CartesianProduct"), p151)
   }
 
+  test("dynamic partition pruning: a dim-filtered join against a " +
+    "partitioned table plants a DPP subquery in the scan and reads only " +
+    "the surviving partitions at runtime") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString +
+      "/docs"
+    val langs = Seq("en", "de", "fr", "es", "it")
+    (0 until 1000).map(i => (i.toLong, s"synthetic document body $i", langs(i % 5)))
+      .toDF("doc_id", "text", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    val fact = s.read.parquet(dir)
+    // the dim must come from a SOURCE, not a LocalRelation: the optimizer
+    // folds a filter over local rows into the relation itself, leaving no
+    // selective predicate for the DPP rule to find
+    val dimDir = dir + "_dim"
+    langs.map(l => (l, if (l == "en" || l == "de") "keep" else "drop"))
+      .toDF("lang", "verdict").write.parquet(dimDir)
+    val dim = s.read.parquet(dimDir)
+    // AQE off so the executed plan is a plain walkable tree (same device
+    // as the PrefixScan test); DPP itself is orthogonal to AQE
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = fact.join(broadcast(dim).filter($"verdict" === "keep"), "lang")
+        .select("doc_id", "lang")
+      val p = joined.queryExecution.executedPlan
+      // plan-shape: the fact scan's partition filters carry the runtime
+      // pruning subquery, not just the static IsNotNull
+      assert(p.toString.toLowerCase.contains("dynamicpruning"), p.toString)
+      // collect() drives THIS queryExecution (count() would plan its own),
+      // so the captured scan node's metrics populate
+      assert(joined.collect().length === 400)
+      // runtime: the scan touched 2 of the 5 lang partitions
+      val scan = p.collectLeaves().collectFirst {
+        case f: FileSourceScanExec if f.metrics.contains("numPartitions") => f
+      }.get
+      assert(scan.metrics("numPartitions").value === 2,
+        s"partitions read: ${scan.metrics("numPartitions").value}")
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("composite workload plans: dims broadcast, date filters reach the " +
     "scans, top-k fuses — the aggregate is never globally sorted") {
     val q97 = queries.Workload.q97.build(spark, sf)
