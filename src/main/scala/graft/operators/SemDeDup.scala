@@ -74,7 +74,9 @@ object SemDeDup {
     * persist) keeps the reuse out of the session CacheManager, so
     * library callers don't leak a cache entry per invocation; the
     * blocks are freed by the ContextCleaner when the result frame is
-    * garbage-collected. */
+    * garbage-collected. Local checkpoints are not fault-tolerant —
+    * see the tradeoff note in [[Winnowing.fingerprintRows]] (use
+    * reliable checkpoint() for long jobs on preemptible nodes). */
   private def clustered(emb: DataFrame, idCol: String, vecCol: String,
                         k: Int, rounds: Int): DataFrame = {
     val vecs = emb.select(col(idCol), col(vecCol))

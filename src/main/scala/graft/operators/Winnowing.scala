@@ -74,7 +74,19 @@ object Winnowing {
     * Scale: the checkpoint stores one long array per doc (≈ the token
     * count) — the same bytes the r6 posexplode SHUFFLED, written to
     * executor-local storage instead of the wire, and winnowing stays
-    * embarrassingly parallel (per-row math, no co-location needed). */
+    * embarrassingly parallel (per-row math, no co-location needed).
+    *
+    * Fault-tolerance tradeoff (r8, ADVICE — applies to every
+    * localCheckpoint barrier in this library: here, SemDeDup.clustered,
+    * the CC/k-means round barriers, the q186/q190 pre-sort): a LOCAL
+    * checkpoint truncates lineage without replicating blocks, so on a
+    * cluster an executor loss makes its blocks unrecoverable and FAILS
+    * the job rather than recomputing — acceptable for interactive and
+    * short-batch work (rerun the query), wrong for long multi-hour
+    * jobs on preemptible nodes. There, set a checkpoint dir and use
+    * reliable `checkpoint()` (same barrier semantics, blocks in fault-
+    * tolerant storage) — the operators' plan shapes are unchanged; the
+    * eager materialization job at build time is inherent to either. */
   def fingerprintRows(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 4, w: Int = 4): DataFrame = {
     val grams = docs

@@ -99,4 +99,50 @@ object CorpusPipeline {
       "near_dedup" -> kept.count()),
       input = input, quality = quality, exact = exact)
   }
+
+  /** [[prepare]]'s stage frames plus the near-dup survivor frame and
+    * the semantically pruned result. */
+  final case class PreparedSem(result: DataFrame,
+                               counts: () => Map[String, Long],
+                               input: DataFrame, quality: DataFrame,
+                               exact: DataFrame, near: DataFrame)
+
+  /** r8: [[prepare]] extended with the OPTIONAL semantic-prune stage —
+    * [[graft.operators.SemDeDup]] over the near-dup survivors'
+    * embeddings (quality → exact → near-dup → SemDeDup), the full
+    * Abbas-'23 recipe where syntactic dedup feeds the semantic
+    * diversity cut. The stage consumes a SEPARATE (embIdCol, vecCol)
+    * embedding table joined on id; a surviving doc with no embedding
+    * row passes through unjudged (an anti-join against the DROPPED
+    * decision rows, so missing embeddings never silently delete docs).
+    *
+    * Scale: the near-dup survivor frame is persisted once and feeds
+    * the embedding join, the anti-join, and the final projection;
+    * SemDeDup broadcasts centroids and pairs within clusters only
+    * (its own cap applies) — the embedding table is touched exactly
+    * once, filtered down to survivors BEFORE clustering, so the
+    * semantic stage's cost scales with what dedup kept, not with the
+    * raw corpus. */
+  def prepareSemantic(docs: DataFrame, idCol: String, textCol: String,
+                      emb: DataFrame, embIdCol: String, vecCol: String,
+                      minWords: Int = 5, maxWords: Int = 5000,
+                      maxMeanWordLen: Double = 12.0,
+                      minJaccard: Double = 0.5,
+                      k: Int = 8, rounds: Int = 2,
+                      tau: Double = 0.35,
+                      maxClusterSize: Long = 4096L): PreparedSem = {
+    val p = prepare(docs, idCol, textCol, minWords, maxWords,
+      maxMeanWordLen, minJaccard)
+    val near = p.result.persist()
+    val survivorEmb = emb.select(col(embIdCol), col(vecCol))
+      .join(near.select(col(idCol).as(embIdCol)), Seq(embIdCol))
+    val decisions = graft.operators.SemDeDup.dedup(
+      survivorEmb, embIdCol, vecCol, k, rounds, tau, maxClusterSize)
+    val droppedIds = decisions.filter(!col("kept"))
+      .select(col(embIdCol).as(idCol))
+    val result = near.join(droppedIds, Seq(idCol), "left_anti")
+    PreparedSem(result,
+      () => p.counts() + ("semantic" -> result.count()),
+      input = p.input, quality = p.quality, exact = p.exact, near = near)
+  }
 }

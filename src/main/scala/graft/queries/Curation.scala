@@ -90,16 +90,28 @@ object Curation {
       "dropped, survivor order preserved; broadcast anti-join, text never " +
       "shuffled for the filter")
 
-  /** DuckDB twin of `KMeansInt.cluster(embeddings, k = 8, rounds = 2)` as
-    * a reusable CTE chain ending in `a3(vec_id, cluster, d)` — the final
-    * assignment. Shared by q118 (the k-means oracle itself) and q187
-    * (SemDeDup, which prunes within these clusters). Seeding caveat: see
-    * the q118 scaladoc (`WHERE vec_id < 8` assumes contiguous 0-based ids). */
-  private[queries] val kmeansCtes8x2: String = """vq AS (
+  /** DuckDB twin of `KMeansInt.cluster(src, k = 8, rounds = 2)` as a
+    * reusable CTE chain ending in `a3(vec_id, cluster, d)` — the final
+    * assignment — over any `(vec_id, embedding)` source SQL. Shared by
+    * q118 (the k-means oracle itself), q187 (SemDeDup, which prunes
+    * within these clusters) and q190 (the composed pipeline, which
+    * clusters only the near-dedup survivors' embeddings — an id set
+    * WITH gaps, which is why seeding spells the operator's
+    * `orderBy(id).limit(k)` literally instead of the old `vec_id < 8`
+    * shortcut that assumed contiguous 0-based ids; r8, closing the
+    * q118 scaladoc caveat). */
+  private[queries] def kmeansCtes8x2From(srcSql: String): String = s"""vq AS (
         SELECT vec_id, list_transform(embedding,
           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
-        FROM embeddings),
-      c0 AS (SELECT CAST(vec_id AS INT) AS cluster, xq AS cq FROM vq WHERE vec_id < 8),
+        FROM ($srcSql)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cluster, xq AS cq FROM vq
+             ORDER BY vec_id LIMIT 8),""" + kmeansRounds8x2
+
+  // lazy: forces after kmeansRounds8x2 below is initialized
+  private[queries] lazy val kmeansCtes8x2: String =
+    kmeansCtes8x2From("SELECT vec_id, embedding FROM embeddings")
+
+  private val kmeansRounds8x2: String = """
       a1 AS (
         SELECT vec_id, cluster, xq, d FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
@@ -146,13 +158,12 @@ object Curation {
     * assignments, updates, final distances — hash-matches DuckDB
     * running the same algebra in SQL.
     *
-    * Oracle-seeding note: [[KMeansInt.cluster]] seeds from the k
-    * SMALLEST ids (`orderBy(id).limit(k)`); the DuckDB twin spells
-    * that `WHERE vec_id < 8`, which coincides only because the
-    * embeddings fixture's vec_ids are 0-based and contiguous. On a
-    * table with id gaps the two seed sets would silently diverge —
-    * port the oracle to `ORDER BY vec_id LIMIT k` (or pass explicit
-    * seed ids to both engines) before reusing this query elsewhere. */
+    * Oracle seeding: [[KMeansInt.cluster]] seeds from the k SMALLEST
+    * ids (`orderBy(id).limit(k)`), and since r8 the DuckDB twin spells
+    * exactly that (`ORDER BY vec_id LIMIT 8`), so the two engines agree
+    * on ANY id set — including the gap-ridden survivor subsets q190
+    * clusters (the old `vec_id < 8` shortcut assumed contiguous
+    * 0-based ids and would have silently diverged there). */
   val q118 = Q(
     "q118_kmeans_int",
     (s, dir) => {

@@ -354,11 +354,18 @@ object Dedup {
     * two consumers (hot count + pair join) — the r6 form paid a
     * doc-keyed window sort plus a (doc,f) distinct exchange before
     * pairing, and persisted two frames. The cap now runs as an
-    * ANTI-join against the broadcast HOT list (viral fingerprints —
-    * tiny by definition), where r6 broadcast the entire ok-list — at
-    * corpus scale the ok set is nearly ALL fingerprints, far beyond
-    * broadcast limits, while the hot set stays bounded by
-    * construction. (A groupBy(f).collect_list + per-group pair
+    * ANTI-join against the broadcast HOT list (viral fingerprints),
+    * where r6 broadcast the entire ok-list — at corpus scale the ok
+    * set is nearly ALL fingerprints, far beyond broadcast limits. The
+    * freq > 50 filter bounds the hot set to ≤ N/50 DISTINCT
+    * fingerprints — 50× smaller than the ok-list but still linear in
+    * corpus size on a heavily templated corpus. The hot side therefore
+    * carries NO broadcast hint (r8, ADVICE): AQE sees its runtime size
+    * and plans a broadcast anti-join while it fits (measured identical
+    * to the hinted plan at sf0.1) but falls back to a shuffle
+    * anti-join past the threshold instead of failing the build — a
+    * hint would force the broadcast regardless.
+    * (A groupBy(f).collect_list + per-group pair
     * unfold — one f-shuffle instead of the join's two — measured 15%
     * SLOWER here: the array build beats the second exchange only when
     * groups are fat, and the cap keeps them thin.) Text is scanned
@@ -379,7 +386,9 @@ object Dedup {
         .localCheckpoint() // two consumers; rows ≈ 0.4× the gram volume
       val hot = fps.groupBy($"f").agg(count(lit(1)).as("c"))
         .filter($"c" > 50).select($"f")
-      val ok = fps.join(broadcast(hot), Seq("f"), "left_anti")
+      // no broadcast hint: AQE broadcasts while hot fits, degrades to a
+      // shuffle anti-join on a templated corpus where it would not
+      val ok = fps.join(hot, Seq("f"), "left_anti")
       ok.select($"doc_id".as("a_id"), $"f")
         .join(ok.select($"doc_id".as("b_id"), $"f"), Seq("f"))
         .filter($"a_id" < $"b_id")

@@ -52,4 +52,45 @@ class CorpusPipelineSpec extends SparkSpecBase {
       .select($"n_tokens").as[Int].head()
     assert(t > 0)
   }
+
+  test("prepareSemantic: stage 4 prunes only embedding-judged docs — " +
+    "counts stay monotone, a planted same-direction pair collapses to " +
+    "its min id, and docs WITHOUT an embedding row pass through") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // corpus = documents plus one doc (900100) with NO embedding row;
+    // embeddings plus a rescaled copy of vec 1's embedding under a new
+    // id (900200) paired with a doc of unrelated text so only the
+    // SEMANTIC stage can collapse it
+    val extraDoc = Seq(
+      (900100L, "a perfectly ordinary document with no embedding attached here"),
+      (900200L, "unrelated wording that the syntactic stages will never collapse"))
+      .toDF("doc_id", "text")
+    val corpus = docs.unionByName(extraDoc)
+    val extraEmb = emb.filter($"vec_id" === 1L)
+      .select(lit(900200L).as("vec_id"),
+        transform($"embedding", x => x * 0.5f).as("embedding"))
+    val embAll = emb.unionByName(extraEmb)
+
+    val p = CorpusPipeline.prepareSemantic(
+      corpus, "doc_id", "text", embAll, "vec_id", "embedding",
+      tau = 0.999999)
+    val counts = p.counts()
+    assert(counts("near_dedup") >= counts("semantic"),
+      s"semantic stage grew the corpus: $counts")
+    val kept = p.result.select($"doc_id").as[Long].collect().toSet
+    assert(counts("semantic") === kept.size.toLong)
+    // the no-embedding doc survives every stage (anti-join semantics)
+    assert(kept.contains(900100L))
+    // the rescaled same-direction copy (cos == 1 with vec 1) dropped to
+    // its min-id original, which survived — at tau just under 1 the
+    // isotropic fixture vectors never collide, so exactly this planted
+    // pair exercises the stage
+    assert(!kept.contains(900200L) && kept.contains(1L))
+    assert(counts("near_dedup") - counts("semantic") === 1L)
+  }
 }
