@@ -492,5 +492,108 @@ object Dedup {
       "— semantic diversity cut, not just near-identical removal; " +
       "cluster-id equi-join + viral-cluster cap bound pair work")
 
-  val all: Seq[Q] = Seq(q54, q55, q56, q57, q82, q93, q96, q107, q187)
+  /** Shared DuckDB CTE chain for the ExactSubstr pair (q191/q192):
+    * k-gram occurrences → duplicated hashes → gaps-and-islands merge,
+    * ending in `spans(doc_id, span_start, span_end)`. Mirrors
+    * [[graft.operators.ExactSubstr]] hash-for-hash (same md5-prefix
+    * gram scheme as q145). k is baked in because the oracle must be a
+    * closed SQL string. */
+  private def substrCtes(k: Int): String = s"""
+      corpus AS ($plantedDocsSql),
+      t AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+      p AS (SELECT doc_id, l,
+              unnest(range(1, greatest(len(l) - ${k - 1}, 0) + 1)) AS pos
+            FROM t),
+      o AS (SELECT doc_id, pos,
+              CAST(('0x' || substr(md5(array_to_string(l[pos:pos+${k - 1}], ' ')), 1, 15))
+                AS BIGINT) AS gh
+            FROM p),
+      dup AS (SELECT gh FROM o GROUP BY gh HAVING COUNT(*) > 1),
+      h AS (SELECT o.doc_id, o.pos FROM o JOIN dup ON o.gh = dup.gh),
+      brks AS (SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+                      THEN 1 ELSE 0 END AS brk
+               FROM h),
+      isls AS (SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+               FROM brks),
+      spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                  MAX(pos) + ${k - 1} AS span_end
+                FROM isls GROUP BY doc_id, isl)"""
+
+  /** q191 — exact-substring duplicated spans (Lee et al. '22
+    * ExactSubstr, §4.1): every maximal token span occurring more than
+    * once anywhere in the planted corpus, located per document. The
+    * planted every-5th copy is the original minus its last 2 tokens,
+    * so the operator must rediscover span [1, n-2] on each original
+    * and full coverage [1, n-2] on each copy — plus whatever natural
+    * k-gram repeats the corpus carries (both engines see the same).
+    * k = 8 tokens here (production uses ~50 BPE tokens); algorithm,
+    * scale posture, and the Bloom-filter scale path are documented in
+    * [[graft.operators.ExactSubstr]].
+    *
+    * Scale: the gram-frequency aggregate is the dominant shuffle
+    * (8-byte keys, map-side partial counts absorb viral boilerplate);
+    * the occurrence semi-join cannot fan out; the islands window is
+    * document-partitioned, never global. */
+  val q191 = Q(
+    "q191_repeated_spans",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.ExactSubstr
+        .duplicatedSpans(plantedDocs(s, dir), "doc_id", "text", k = 8)
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some(s"""
+      WITH ${substrCtes(8)}
+      SELECT doc_id, span_start, span_end,
+             span_end - span_start + 1 AS span_tokens
+      FROM spans ORDER BY doc_id, span_start"""),
+    doc = "N34: ExactSubstr duplicated-span detection — gram-frequency " +
+      "semi-join + per-doc gaps-and-islands merge; localizes the repeated " +
+      "bytes memorization rides on (Lee et al. '22)")
+
+  /** q192 — ExactSubstr scrub: drop-all removal of every duplicated
+    * span from q191's corpus, reconstructing the cleaned training text
+    * per document. Every corpus row survives as a row: sub-k documents
+    * pass through untouched, fully-covered copies keep an empty
+    * clean_text (callers decide drop-vs-backfill — losing the row
+    * silently would un-count the scrub). The drop-all-vs-keep-one
+    * policy choice is documented on [[graft.operators.ExactSubstr]].
+    *
+    * Scale: adds one document-keyed anti-join (spans per document are
+    * few and bounded by length) and one per-document reassembly
+    * aggregate (bounded by document length — a row the document
+    * already owned) on top of q191's plan. */
+  val q192 = Q(
+    "q192_substr_scrub",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.ExactSubstr
+        .scrub(plantedDocs(s, dir), "doc_id", "text", k = 8)
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH ${substrCtes(8)},
+      tk AS (SELECT doc_id, unnest(l) AS w,
+               unnest(range(1, len(l) + 1)) AS pos
+             FROM t),
+      kept AS (SELECT tk.doc_id, tk.pos, tk.w FROM tk
+               WHERE NOT EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = tk.doc_id
+                   AND tk.pos BETWEEN s.span_start AND s.span_end)),
+      a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              string_agg(w, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+      SELECT c.doc_id,
+             CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             COALESCE(a.clean_text, '') AS clean_text
+      FROM corpus c LEFT JOIN a ON c.doc_id = a.doc_id
+      ORDER BY c.doc_id"""),
+    doc = "N34b: ExactSubstr drop-all scrub — duplicated spans removed " +
+      "from the text itself, cleaned corpus reconstructed per document")
+
+  val all: Seq[Q] =
+    Seq(q54, q55, q56, q57, q82, q93, q96, q107, q187, q191, q192)
 }
