@@ -302,4 +302,77 @@ object RealCodecs {
       buf.array()
     }
   }
+
+  /** Hand-rolled GIF89a (the CompuServe spec): logical screen
+    * descriptor + 16-entry global color table + one image with a REAL
+    * LZW-coded data stream — emitted in the spec's "literal" regime
+    * (a CLEAR code before every run of <= 12 root codes keeps the
+    * variable code width pinned at minCodeSize + 1, so the encoder
+    * never tracks a string table yet produces a fully conformant
+    * stream any LZW decoder must table-decode). Sub-block framing,
+    * LSB-first bit packing, and the 5-bit code boundary are all
+    * exercised for the ImageIO reader to undo.
+    *
+    * Pixel content: GIF is palette-indexed, and the shared seed
+    * arithmetic (component i = seed((i-1) mod 16), row-major r,g,b,
+    * [[PngCodec]]/[[BmpCodec]]) makes pixel p's triple a function of
+    * p mod 16 only (3·16 ≡ 0 mod 16) — exactly 16 distinct triples, so
+    * a 16-entry palette with index p mod 16 reproduces the SAME image
+    * the q189 DuckDB twin recomputes, unchanged, from seed bytes. */
+  object GifCodec {
+    def synthesize(seed: Array[Byte], w: Int = 9, h: Int = 7): Array[Byte] = {
+      require(seed.nonEmpty, "seed must be non-empty")
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      u16(w); u16(h)
+      out.write(0xf3) // GCT present, 8-bit color res, GCT size 2^(3+1)=16
+      out.write(0)    // background color index
+      out.write(0)    // square pixels
+      var j = 0
+      while (j < 16) { // palette entry j = triple of any pixel p ≡ j (mod 16)
+        out.write(seed((3 * j) % seed.length) & 0xff)
+        out.write(seed((3 * j + 1) % seed.length) & 0xff)
+        out.write(seed((3 * j + 2) % seed.length) & 0xff)
+        j += 1
+      }
+      out.write(0x2c) // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0)    // no local table, not interlaced
+      val minCode = 4 // 16 roots
+      out.write(minCode)
+      val clear = 1 << minCode
+      val end = clear + 1
+      val width = minCode + 1
+      // LSB-first bit packer over the code stream
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nAcc = 0
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nAcc
+        nAcc += width
+        while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+      }
+      var p = 0
+      val n = w * h
+      while (p < n) {
+        emit(clear) // reset the decoder's table: width stays at 5 bits
+        var run = 0
+        while (run < 12 && p < n) { emit(p % 16); run += 1; p += 1 }
+      }
+      emit(end)
+      if (nAcc > 0) bits.write((acc & 0xff).toInt)
+      val stream = bits.toByteArray
+      var off = 0
+      while (off < stream.length) { // 255-byte-max length-prefixed sub-blocks
+        val len = math.min(255, stream.length - off)
+        out.write(len)
+        out.write(stream, off, len)
+        off += len
+      }
+      out.write(0)    // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+  }
 }

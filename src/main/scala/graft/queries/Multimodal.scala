@@ -131,21 +131,28 @@ object Multimodal {
       "parsed in one partition pass; oracle recomputes features from the " +
       "seed arithmetic, gating the binary decode itself")
 
-  /** q189 — REAL image decode through the JDK's own reader (r8): PNG
-    * and BMP files are hand-ENCODED from seed bytes
+  /** q189 — REAL image decode through the JDK's own reader (r8): PNG,
+    * BMP and GIF files are hand-ENCODED from seed bytes
     * ([[graft.multimodal.RealCodecs.PngCodec]] — chunked, CRC32-sealed,
     * Deflater-compressed; [[graft.multimodal.RealCodecs.BmpCodec]] —
-    * bottom-up, BGR, 4-byte row padding) and decoded by
-    * `javax.imageio.ImageIO` — two genuinely independent
-    * implementations meeting over a real binary format, in one
+    * bottom-up, BGR, 4-byte row padding;
+    * [[graft.multimodal.RealCodecs.GifCodec]] — palette-indexed,
+    * LZW-coded, sub-block-framed) and decoded by
+    * `javax.imageio.ImageIO` — genuinely independent
+    * implementations meeting over real binary formats, in one
     * mapPartitions pass like q188. Features: (width, height,
     * position-and-channel-sensitive polynomial pixel hash, max
     * component). The pixel hash folds row-major r,g,b components, so a
     * row-order flip (BMP bottom-up mishandled), a BGR swap, a padding
-    * slip, or a filter/deflate bug on the PNG side all change the
-    * hash; the DuckDB twin recomputes it from the seed arithmetic
-    * without touching bytes. Lossless decode is bit-exact, which is
-    * what makes a hash oracle possible here and not for JPEG.
+    * slip, a filter/deflate bug on the PNG side, or an LZW
+    * code-boundary slip on the GIF side all change the hash; the
+    * DuckDB twin recomputes it from the seed arithmetic without
+    * touching bytes (GIF's 16-triple palette reproduces the SAME pixel
+    * plane — see GifCodec). Lossless decode is bit-exact, which is
+    * what makes a hash oracle possible here and not for JPEG
+    * (ImageIO decodes JPEG too, but its IDCT is
+    * implementation-defined — tolerance-gated in RealCodecsSpec, never
+    * hash-oracled).
     *
     * Scale posture: identical to q188 — synth+decode+reduce per
     * partition, payload bytes never leave the partition, ImageIO's
@@ -154,16 +161,18 @@ object Multimodal {
     "q189_image_decode",
     (s, dir) => {
       import s.implicits._
-      import graft.multimodal.RealCodecs.{BmpCodec, ImageIoCodec, PngCodec}
+      import graft.multimodal.RealCodecs.{BmpCodec, GifCodec, ImageIoCodec, PngCodec}
       Tables(s, dir, "documents").select($"doc_id", $"text")
         .as[(Long, String)]
         .mapPartitions { rows =>
           val md = java.security.MessageDigest.getInstance("MD5")
           rows.map { case (id, text) =>
             val seed = md.digest(text.getBytes("UTF-8"))
-            val (mime, bytes) =
-              if (id % 2 == 0) ("image/png", PngCodec.synthesize(seed))
-              else ("image/bmp", BmpCodec.synthesize(seed))
+            val (mime, bytes) = (id % 3) match {
+              case 0 => ("image/png", PngCodec.synthesize(seed))
+              case 1 => ("image/bmp", BmpCodec.synthesize(seed))
+              case _ => ("image/gif", GifCodec.synthesize(seed))
+            }
             val img = ImageIoCodec.decode(bytes)
               .getOrElse(sys.error(s"q189: undecodable $mime for doc $id"))
             val pixHash = img.comps
@@ -183,7 +192,9 @@ object Multimodal {
       val b = byteSql("i")
       s"""
       SELECT doc_id,
-        CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS mime,
+        CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+             WHEN doc_id % 3 = 1 THEN 'image/bmp'
+             ELSE 'image/gif' END AS mime,
         CAST(9 AS BIGINT) AS width,
         CAST(7 AS BIGINT) AS height,
         list_reduce(list_transform(range(1, 190), i -> CAST($b AS BIGINT)),
@@ -191,9 +202,10 @@ object Multimodal {
         CAST(list_max(list_transform(range(1, 17), i -> $b)) AS BIGINT) AS comp_max
       FROM documents ORDER BY doc_id"""
     },
-    doc = "multimodal REAL image decode: hand-encoded PNG (CRC32+Deflater) " +
-      "and BMP (bottom-up BGR, padded rows) decoded by the independent JDK " +
-      "ImageIO reader; row-major pixel hash gates layout end to end")
+    doc = "multimodal REAL image decode: hand-encoded PNG (CRC32+Deflater), " +
+      "BMP (bottom-up BGR, padded rows) and GIF (palette LZW, sub-blocks) " +
+      "decoded by the independent JDK ImageIO reader; row-major pixel hash " +
+      "gates layout end to end")
 
   val all: Seq[Q] = Seq(q61, q188, q189)
 }

@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.RealCodecs.{BmpCodec, ImageIoCodec, PngCodec, PpmCodec, WavCodec}
+import graft.multimodal.RealCodecs.{BmpCodec, GifCodec, ImageIoCodec, PngCodec, PpmCodec, WavCodec}
 
 /** The real-codec contract: synthesized files are on-spec (every header
   * field round-trips through the parser), sample/pixel values follow the
@@ -146,5 +146,53 @@ class RealCodecsSpec extends AnyFunSuite {
     png(idx) = (png(idx) ^ 0x5a).toByte
     val out = ImageIoCodec.decode(png)
     assert(out.isEmpty || !out.get.comps.sameElements(expectedComps(9, 7)))
+  }
+
+  // ---- r8b: GIF (palette LZW) and the JPEG tolerance boundary ----
+
+  test("gif synthesize -> ImageIO decode recovers dimensions and the exact " +
+    "row-major seed pixel plane through a REAL LZW table decode") {
+    val img = ImageIoCodec.decode(GifCodec.synthesize(seed)).get
+    assert(img.width === 9 && img.height === 7)
+    assert(img.comps.sameElements(expectedComps(9, 7)))
+  }
+
+  test("gif and png of the same seed decode to the same canonical pixels, " +
+    "including a width that exercises the sub-block and bit boundaries") {
+    for ((w, h) <- Seq((5, 3), (16, 16), (9, 7))) {
+      val g = ImageIoCodec.decode(GifCodec.synthesize(seed, w, h)).get
+      val p = ImageIoCodec.decode(PngCodec.synthesize(seed, w, h)).get
+      assert(g.comps.sameElements(p.comps), s"${w}x$h")
+    }
+  }
+
+  test("truncated gif body degrades to None or wrong pixels, never a throw") {
+    val gif = GifCodec.synthesize(seed)
+    val out = ImageIoCodec.decode(gif.slice(0, gif.length / 2))
+    assert(out.isEmpty || !out.get.comps.sameElements(expectedComps(9, 7)))
+  }
+
+  test("JPEG: the JDK decodes it too (the format needs no native libs) but " +
+    "only within tolerance — lossy IDCT output is implementation-defined, " +
+    "which is why q189 hash-oracles only the lossless formats") {
+    // smooth gradient compresses near-losslessly; encode with the JDK's
+    // own writer, decode with its reader, gate mean abs error
+    val w = 16; val h = 16
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 8 + y * 4) & 0xff
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+    val img = ImageIoCodec.decode(bos.toByteArray).get
+    assert(img.width === w && img.height === h)
+    val err = (0 until w * h * 3).map { i =>
+      val x = (i / 3) % w; val y = i / (3 * w)
+      math.abs(img.comps(i) - ((x * 8 + y * 4) & 0xff))
+    }
+    assert(err.sum.toDouble / err.size < 8.0,
+      s"mean abs error ${err.sum.toDouble / err.size}")
   }
 }
