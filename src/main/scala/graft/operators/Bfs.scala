@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Barriers._
 
 /** Bounded multi-source BFS distances (SURVEY.md §2.11a X40) — the
   * hop-distance primitive behind influence radius, blast-radius
@@ -42,7 +43,7 @@ object Bfs {
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .persist()
     var dist = sources.select(col(idCol).as("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .barrier()
     var frontier = dist
     var hop = 0
     var frontierSize = frontier.count()
@@ -53,7 +54,7 @@ object Bfs {
       // nodes seen in an earlier (therefore shorter) round never re-enter
       val newFrontier = nbrs.join(dist, Seq("node"), "left_anti")
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .barrier()
       frontierSize = newFrontier.count()
       // dist is a UNION of already-checkpointed frontiers — depth-1
       // lineage by construction, so it needs no checkpoint of its own
@@ -84,7 +85,7 @@ object Bfs {
       .persist()
     var dist = sources
       .select(col(tagCol).as("tag"), col(idCol).as("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .barrier()
     var frontier = dist
     var hop = 0
     var frontierSize = frontier.count()
@@ -94,7 +95,7 @@ object Bfs {
         .select(col("tag"), und("b").as("node"), lit(hop.toLong).as("dist"))
       val newFrontier = nbrs.join(dist, Seq("tag", "node"), "left_anti")
         .groupBy(col("tag"), col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .barrier()
       frontierSize = newFrontier.count()
       dist = dist.unionByName(newFrontier)
       frontier = newFrontier

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Barriers._
 
 /** Connected components by iterative min-label propagation — the
   * cluster-collapse step of a dedup pipeline (near-dup PAIRS from
@@ -75,7 +76,7 @@ object ConnectedComponents {
       // materializing action (eager checkpoint / persist+count) also
       // fills the observation — one job per round, no convergence join
       val next =
-        if ((round + 1) % checkpointInterval == 0) observed.localCheckpoint()
+        if ((round + 1) % checkpointInterval == 0) observed.barrier()
         else { val p = observed.persist(); p.count(); p }
       // sum over ZERO rows is null (degenerate empty node set)
       val changed = Option(obs.get("changed")).fold(0L)(_.asInstanceOf[Long])
@@ -182,7 +183,7 @@ object ConnectedComponents {
           col("m").as("v"))
         .distinct() // no self-edges possible: m ≤ v < u on every row
       val next =
-        if ((round + 1) % checkpointInterval == 0) small.localCheckpoint()
+        if ((round + 1) % checkpointInterval == 0) small.barrier()
         else small.persist()
       val nextSig = sig(next)
       e.unpersist()

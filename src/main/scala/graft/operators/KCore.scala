@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Barriers._
 
 /** k-core decomposition by iterative peeling (Seidman 1983; the
   * distributed peel is Matula–Beck bucketing restricted to one k) —
@@ -44,7 +45,7 @@ object KCore {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .persist()
-    var alive = sym.select(col("a").as("node")).distinct().localCheckpoint()
+    var alive = sym.select(col("a").as("node")).distinct().barrier()
     var aliveN = alive.count()
     var rounds = 0
     var stable = false
@@ -53,7 +54,7 @@ object KCore {
       val next = aliveDegrees(sym, alive)
         .filter(col("core_deg") >= k)
         .select(col("node"))
-        .localCheckpoint()
+        .barrier()
       val n = next.count()
       // the alive set only shrinks, so equal cardinality == equal set
       stable = n == aliveN

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Barriers._
 
 /** Integer-exact k-means over embedding vectors (SURVEY.md §2.11a N23)
   * — the semantic-clustering step a training-data pipeline runs for
@@ -84,12 +85,12 @@ object KMeansInt {
     val finalCents = (1 to rounds).foldLeft(init) { (cents, _) =>
       // k·dims longs — localCheckpoint keeps the per-round plan flat
       // instead of nesting every prior round's join into the next
-      update(assign(vq, idCol, cents)).localCheckpoint()
+      update(assign(vq, idCol, cents)).barrier()
     }
     // Materialize the final (and most expensive) assignment pass while
     // the quantized corpus is still cached — unpersisting first would
     // make that pass recompute the quantization it was cached for.
-    val out = assign(vq, idCol, finalCents).drop("xq").localCheckpoint()
+    val out = assign(vq, idCol, finalCents).drop("xq").barrier()
     vq.unpersist()
     out
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Barriers._
 
 /** PageRank in EXACT integer fixed-point arithmetic — the canonical
   * iterative graph computation, formulated so a fixed iteration count
@@ -38,7 +39,7 @@ object PageRank {
                  iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val nd = nodes.select(col(idCol).cast("long").as("node")).distinct()
-      .localCheckpoint()
+      .barrier()
     val n = nd.count()
     require(n > 0, "PageRank over an empty node set")
     val init = Scale / n
@@ -47,7 +48,7 @@ object PageRank {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val donors = e.join(outdeg, "src").localCheckpoint() // static per run
+    val donors = e.join(outdeg, "src").barrier() // static per run
     var ranks = nd.select(col("node"), lit(init).as("r"))
     (1 to iters).foreach { _ =>
       val received = donors
@@ -58,7 +59,7 @@ object PageRank {
         .join(received.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(coalesce(s, 0L) * 85) div 100")).as("r"))
-        .localCheckpoint()
+        .barrier()
     }
     ranks.select(col("node").as(idCol), col("r").as("rank_micro"))
   }
@@ -84,7 +85,7 @@ object PageRank {
     val ndFlag = nd
       .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint()
+      .barrier()
     val k = ndFlag.filter(col("is_seed")).count()
     require(k > 0, "TrustRank needs at least one seed inside the node set")
     val init = Scale / k
@@ -93,7 +94,7 @@ object PageRank {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val donors = e.join(outdeg, "src").localCheckpoint()
+    val donors = e.join(outdeg, "src").barrier()
     var ranks = ndFlag.select(col("node"),
       when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("r"))
     (1 to iters).foreach { _ =>
@@ -106,7 +107,7 @@ object PageRank {
         .select(col("node"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr("(coalesce(s, 0L) * 85) div 100")).as("r"))
-        .localCheckpoint()
+        .barrier()
     }
     ranks.select(col("node").as(idCol), col("r").as("trust_micro"))
   }

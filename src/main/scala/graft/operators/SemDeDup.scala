@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
+import graft.core.Barriers._
 
 /** SemDeDup — semantic deduplication scoped by k-means clusters
   * (Abbas et al. '23, SURVEY.md §2.11a N33): drop every vector that has
@@ -84,7 +85,7 @@ object SemDeDup {
       .select(col(idCol), col("cluster"))
       .join(vecs, idCol)
       .withColumn("nrm", sqrt(VectorOps.normSq(col(vecCol))))
-      .localCheckpoint()
+      .barrier()
   }
 
   /** Decision table (idCol, cluster, kept) over the whole corpus:

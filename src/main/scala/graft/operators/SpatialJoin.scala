@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Geo
+import graft.core.Barriers._
 
 /** Cell-bucketed spatial proximity join (SURVEY.md §2.3 J12) — all
   * point pairs within a radius, without the O(n²) cross product: the
@@ -63,7 +64,7 @@ object SpatialJoin {
     // twice); checkpointing materializes the tiny table once on first
     // use and the second broadcast reads the same blocks. Non-eager, so
     // building the query plan stays job-free.
-    val hot = hotCells(p, maxCellSize).localCheckpoint(false)
+    val hot = hotCells(p, maxCellSize).barrier(eager = false)
     val home = p.join(broadcast(hot), Seq("cx", "cy"), "left")
       .withColumn("__g", coalesce(col("g"), lit(1L)))
       .withColumn("__salt", pmod(xxhash64(col("k")), col("__g")))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Barriers._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
   * SIGMOD '03 — the MOSS algorithm): k-gram rolling hashes reduced to
@@ -83,15 +84,18 @@ object Winnowing {
     * cluster an executor loss makes its blocks unrecoverable and FAILS
     * the job rather than recomputing — acceptable for interactive and
     * short-batch work (rerun the query), wrong for long multi-hour
-    * jobs on preemptible nodes. There, set a checkpoint dir and use
-    * reliable `checkpoint()` (same barrier semantics, blocks in fault-
-    * tolerant storage) — the operators' plan shapes are unchanged; the
-    * eager materialization job at build time is inherent to either. */
+    * jobs on preemptible nodes. There, set
+    * `spark.graft.reliableCheckpoints=true` plus a durable checkpoint
+    * dir and EVERY `.barrier()` in the library becomes a reliable
+    * `checkpoint()` (same barrier semantics, blocks in fault-tolerant
+    * storage — [[graft.core.Barriers]]); the operators' plan shapes are
+    * unchanged; the eager materialization job at build time is
+    * inherent to either. */
   def fingerprintRows(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 4, w: Int = 4): DataFrame = {
     val grams = docs
       .select(col(idCol), MinHashLSH.shingleHashArr(col(textCol), k).as("__g"))
-      .localCheckpoint()
+      .barrier()
     grams.select(col(idCol),
       explode(array_distinct(windowMinima(col("__g"), w))).as("f"))
   }

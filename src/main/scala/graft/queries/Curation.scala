@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables}
 import graft.operators.{Bfs, KMeansInt}
+import graft.core.Barriers._
 
 /** Round-4 corpus-curation operators (SURVEY.md §2.11a N22–N25,
   * X40–X47, J12): boilerplate line removal, integer-exact k-means,
@@ -787,7 +788,7 @@ object Curation {
         .select($"a_id", $"b_id", $"hamming")
         // a global sort runs a range-sampling pass that would replay
         // the whole pair join a second time; materialize first
-        .localCheckpoint()
+        .barrier()
         .orderBy($"a_id", $"b_id")
     },
     Some("""
@@ -887,7 +888,7 @@ object Curation {
           .orderBy($"score".desc, $"vec_id")
           .limit(1)
           .select($"vec_id", $"embedding", $"score")
-          .localCheckpoint()
+          .barrier()
         out = out :+ (round -> pick)
         selected = if (round == 1) pick else selected.unionByName(pick)
       }

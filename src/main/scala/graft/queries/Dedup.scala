@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import graft.core.{Q, Tables}
 import graft.functions.VectorOps
 import graft.operators.{ConnectedComponents, MinHashLSH, SimHash, SignLSH}
+import graft.core.Barriers._
 
 /** SURVEY.md §2.10 N10 + BASELINE north-star dedup suite: MinHash+LSH,
   * SimHash, n-gram Jaccard, and sign-LSH embedding near-dup.
@@ -247,7 +248,7 @@ object Dedup {
         .label(docs.select($"doc_id"), "doc_id", pairs, "a_id", "b_id")
         .select($"doc_id", $"component",
           ($"doc_id" === $"component").as("is_kept"))
-        .localCheckpoint() // sort sampling must not replay the CC join
+        .barrier() // sort sampling must not replay the CC join
         .orderBy($"doc_id")
     },
     Some(s"""
@@ -383,7 +384,7 @@ object Dedup {
       // materialized arrays, so no persist needed here
       val fps = Winnowing
         .fingerprintRows(plantedDocs(s, dir), "doc_id", "text", 4, 4)
-        .localCheckpoint() // two consumers; rows ≈ 0.4× the gram volume
+        .barrier() // two consumers; rows ≈ 0.4× the gram volume
       val hot = fps.groupBy($"f").agg(count(lit(1)).as("c"))
         .filter($"c" > 50).select($"f")
       // no broadcast hint: AQE broadcasts while hot fits, degrades to a
@@ -395,7 +396,7 @@ object Dedup {
         .groupBy($"a_id", $"b_id")
         .agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= 2)
-        .localCheckpoint() // sort sampling must not replay the pair join
+        .barrier() // sort sampling must not replay the pair join
         .orderBy($"a_id", $"b_id")
     },
     Some(s"""

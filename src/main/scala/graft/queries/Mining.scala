@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables}
 import graft.functions.VectorOps
+import graft.core.Barriers._
 
 /** SURVEY.md §2.11a continued — corpus/graph mining operators a
   * training-data pipeline runs between ingestion and sampling: hybrid
@@ -996,11 +997,11 @@ object Mining {
       // barrier CollapseProject inlines the md5 chain into every slice
       val hts = docs
         .select($"doc_id", MinHashLSH.tokenHashes($"text").as("hts"))
-        .localCheckpoint()
+        .barrier()
       val grams = hts
         .select($"doc_id", explode(array_distinct(
           MinHashLSH.shinglesFromHashes($"hts", 5))).as("gh"))
-        .localCheckpoint() // two pair-join consumers; polynomial runs once
+        .barrier() // two pair-join consumers; polynomial runs once
       val pairs = grams.as("a").join(grams.as("b"),
           $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables}
 import graft.pipeline.CorpusPipeline
+import graft.core.Barriers._
 
 /** SURVEY.md §2.11a X26, promoted to the oracle registry (r5 verdict
   * item 6): the composed corpus-preparation pipeline — quality filter →
@@ -55,7 +56,7 @@ object Pipeline {
       // the global sort's range-sampling pass would re-run every stage
       // branch (4 corpus-scanning aggregates + the survivor chain) a
       // second time; materialize the small result first
-      stages.unionByName(survivors).localCheckpoint().orderBy($"kind", $"id")
+      stages.unionByName(survivors).barrier().orderBy($"kind", $"id")
     },
     Some(s"""
       WITH RECURSIVE
@@ -144,7 +145,7 @@ object Pipeline {
       // same device as q186: materialize the small result before the
       // global sort so orderBy's sampling pass cannot replay the stage
       // branches
-      stages.unionByName(survivors).localCheckpoint().orderBy($"kind", $"id")
+      stages.unionByName(survivors).barrier().orderBy($"kind", $"id")
     },
     Some(s"""
       WITH RECURSIVE
