@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Barriers._
+
+/** Product Quantization ANN (SURVEY.md §2.11a N35) — Jégou, Douze &
+  * Schmid, "Product Quantization for Nearest Neighbor Search" (TPAMI
+  * 2011): split each d-dim vector into `m` subvectors, train an
+  * independent k-centroid codebook per subspace, store each vector as
+  * `m` small codes, and answer queries with Asymmetric Distance
+  * Computation (ADC) — the query stays exact, every corpus vector's
+  * distance is the sum of `m` precomputed query→centroid distances
+  * looked up by code.
+  *
+  * Why it matters at 100 TB: a 64-dim float corpus is 256 bytes/vector;
+  * PQ with m=8, k=4 is EIGHT codes of 2 bits — the codes table for the
+  * whole corpus fits in a fraction of the raw size, the codebooks are
+  * k·d longs (broadcast), and the scoring pass is a pure PROJECTION
+  * over the codes (a per-query lookup-table sum) — zero shuffle of
+  * vectors, zero shuffle of candidates until the bounded top-k
+  * aggregate. IVF (q69/q140) prunes WHICH vectors are scored; PQ
+  * shrinks WHAT is stored and scored — production ANN composes both
+  * (IVF-PQ). Here each piece is its own audited operator.
+  *
+  * Determinism (the q118 contract, per subspace): vectors land on the
+  * corpus-global integer grid (`round(x·10⁴)+10⁴` — [[KMeansInt]]
+  * scaladoc for why that exact form), codebooks train with integer-
+  * exact grouped k-means (truncating-div centroid means, argmin ties
+  * to the smallest code), and ADC distances are exact BIGINT sums —
+  * the full train→encode→search pipeline hash-matches a DuckDB twin
+  * running the same algebra.
+  *
+  * Codebook training shape: ONE grouped k-means trains all `m`
+  * codebooks simultaneously — (id, sub, sxq) rows join the broadcast
+  * (sub, cluster, cq) centroid table on `sub`, argmin per (id, sub),
+  * update aggregates (sub, cluster, pos) — shuffle volume m·k·subDims
+  * longs per round, independent of corpus size. A per-subspace loop
+  * would run m sequential Spark jobs for no better plan.
+  */
+object ProductQuantizer {
+
+  /** (idCol, sub, sxq): the quantized corpus sliced into `m` subspaces
+    * of `subDims` dims each. Slicing is a projection (posexplode over
+    * a precomputed slice array) — the vector never shuffles. */
+  def subVectors(vecs: DataFrame, idCol: String, vecCol: String,
+                 m: Int, subDims: Int): DataFrame = {
+    val xq = KMeansInt.quantize(col(vecCol))
+    vecs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(xq, s * subDims + 1, lit(subDims)))).as(Seq("sub", "sxq")))
+  }
+
+  /** Grouped k-means: `k` centroids per subspace, seeded per sub from
+    * the `k` smallest ids (cluster id = seed rank 0..k-1 — id VALUES
+    * need not be contiguous), `rounds` assign/update cycles. Returns
+    * the codebook table (sub, cluster, cq). Empty clusters drop
+    * (KMeansInt's documented semantic, per subspace). */
+  def trainCodebooks(sub: DataFrame, idCol: String,
+                     k: Int, rounds: Int): DataFrame = {
+    val wSeed = Window.partitionBy(col("sub")).orderBy(col(idCol))
+    val init = sub.withColumn("__rn", row_number().over(wSeed))
+      .filter(col("__rn") <= k)
+      .select(col("sub"), (col("__rn") - 1).cast("int").as("cluster"),
+        col("sxq").as("cq"))
+    (1 to rounds).foldLeft(init) { (cents, _) =>
+      // m·k·subDims longs — checkpoint keeps per-round plans flat
+      updateCents(assignCodes(sub, idCol, cents)).barrier()
+    }
+  }
+
+  private def assignCodes(sub: DataFrame, idCol: String,
+                          cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("__d"), col("cluster"))
+    sub.join(broadcast(cents), "sub")
+      .withColumn("__d", KMeansInt.sqDist(col("sxq"), col("cq")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("sub"), col("cluster"), col("__d").as("dist"),
+        col("sxq"))
+  }
+
+  private def updateCents(assigned: DataFrame): DataFrame =
+    assigned.select(col("sub"), col("cluster"),
+        posexplode(col("sxq")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("cluster"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("q", expr("s div n"))
+      .groupBy(col("sub"), col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("q")))),
+        c => c.getField("q")).as("cq"))
+
+  /** Encode the corpus: (idCol, codes array<int>, one code per
+    * subspace in sub order). This is the m-byte representation the
+    * 100 TB corpus actually stores. */
+  def encode(sub: DataFrame, idCol: String, cents: DataFrame): DataFrame =
+    assignCodes(sub, idCol, cents)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cluster")))),
+        c => c.getField("cluster")).as("codes"))
+
+  /** ADC top-k: exact per-query lookup tables over the codebooks, then
+    * ONE zero-shuffle projection scores every encoded vector against
+    * every query; the bounded [[graft.functions.TopKScored]] aggregate
+    * ships ≤ partitions·|Q|·k entries to the final top-k. Returns
+    * (q_id, rn, idCol, adist) — rank by (adist ASC, id ASC).
+    *
+    * The lookup tables (|Q|·m·k BIGINTs) are collected to the driver
+    * and inlined as a literal — the sanctioned reduced-aggregate
+    * collect (VERDICT r7 §What's-wrong 5): they are k-means-output-
+    * sized, never corpus-sized.
+    */
+  def adcTopK(codes: DataFrame, idCol: String,
+              querySub: DataFrame, qIdCol: String,
+              cents: DataFrame, m: Int, k: Int, topK: Int): DataFrame = {
+    // dtab rows: (q_id, sub, cluster, d)
+    val dtab = querySub.join(broadcast(cents), "sub")
+      .select(col(qIdCol), col("sub"), col("cluster"),
+        KMeansInt.sqDist(col("sxq"), col("cq")).as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val qIds = dtab.map(_._1).distinct.sorted
+    // per query: flat lookup array indexed sub*k + code
+    val luts: Map[Long, Array[Long]] = qIds.map { q =>
+      val a = Array.fill(m * k)(Long.MaxValue) // dropped empty cluster = never assigned
+      dtab.filter(_._1 == q).foreach { case (_, s, c, d) => a(s * k + c) = d }
+      q -> a
+    }.toMap
+    implicit val inEnc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Double, Long, Long)]()
+    val topk = udaf(new graft.functions.TopKScored(topK))
+    // one literal column per query; adist = Σ_sub lut[sub*k + code]
+    val scored = qIds.map { q =>
+      val lut = array(luts(q).map(lit): _*)
+      struct(lit(q).as("q_id"),
+        aggregate(
+          zip_with(sequence(lit(0), lit(m - 1)), col("codes"),
+            (s, c) => element_at(lut, (s * k + c + 1).cast("int"))),
+          lit(0L), _ + _).as("adist"))
+    }
+    codes.select(col(idCol), explode(array(scored: _*)).as("qa"))
+      .select(col(idCol), col("qa.q_id").as("q_id"), col("qa.adist").as("adist"))
+      .filter(col(idCol) =!= col("q_id"))
+      // score DESC in TopKScored == adist ASC via negation: adist is an
+      // exact BIGINT ≤ m·subDims·(2·10⁴)² ≈ 2.6e10 ≪ 2⁵³, so the Double
+      // negation is exact and the order identical to (adist ASC, id ASC)
+      .groupBy(col("q_id"))
+      .agg(topk((-col("adist")).cast("double"), col(idCol), col("adist")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).as("rn"),
+        col("e.id").as(idCol), col("e.tag").as("adist"))
+  }
+}

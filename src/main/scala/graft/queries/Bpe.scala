@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.operators.BpeVocab
+
+/** SURVEY.md §2.11a N37 — BPE tokenizer training over the documents
+  * corpus, the vocabulary-induction step of an LLM data pipeline
+  * (Sennrich '16). See [[graft.operators.BpeVocab]] for the scale
+  * shape (one corpus pass, then rounds over the distinct-word table)
+  * and the fixed-width-hashed-symbol device that makes the iterative
+  * merge loop hash-match a DuckDB twin exactly.
+  */
+object Bpe {
+
+  private val Rounds = 6
+
+  /** chr(31) = U+001F, [[BpeVocab.Sep]]. */
+  private val sepSql = "chr(31)"
+
+  /** Initial word table CTE: (w, freq, repr). */
+  private val wordCtes: String = s"""wf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      w0 AS (SELECT w, freq,
+               array_to_string(list_transform(range(1, len(w) + 1),
+                 i -> $sepSql || substr(md5(substr(w, CAST(i AS INT), 1)), 1, 8)),
+                 '') AS repr
+             FROM wf)"""
+
+  /** One merge round r: pair counts from w{r-1}, argmax pair t{r}
+    * (count DESC, a, b — BpeVocab's tie-break), merged table w{r}. */
+  private def roundCtes(r: Int): String = s"""
+      s$r AS (SELECT freq, list_filter(string_split(repr, $sepSql),
+                       x -> x <> '') AS sy
+              FROM w${r - 1} WHERE len(repr) >= 18),
+      p$r AS (SELECT a, b, SUM(freq) AS cnt FROM (
+                SELECT freq,
+                       unnest(list_slice(sy, 1, len(sy) - 1)) AS a,
+                       unnest(list_slice(sy, 2, len(sy))) AS b
+                FROM s$r WHERE len(sy) >= 2)
+              GROUP BY a, b),
+      t$r AS (SELECT a, b, substr(md5(a || b), 1, 8) AS m, CAST(cnt AS BIGINT) AS cnt
+              FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+      w$r AS (SELECT w, freq,
+                replace(repr, $sepSql || a || $sepSql || b, $sepSql || m) AS repr
+              FROM w${r - 1} CROSS JOIN t$r)"""
+
+  private val trainCtes: String =
+    wordCtes + (1 to Rounds).map(roundCtes).mkString(",", ",", "")
+
+  /** q194 — BPE vocabulary induction (N37): 6 merge rounds over the
+    * corpus word-frequency table; output = the learned merge table
+    * (round, pair, merged id, support). The oracle replays the exact
+    * same greedy algebra as chained CTEs — iterative tokenizer
+    * training made hash-reproducible. */
+  val q194 = Q(
+    "q194_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val words = BpeVocab.wordTable(Tables(s, dir, "documents"), "text")
+      val (merges, _) = BpeVocab.train(words, Rounds)
+      BpeVocab.mergesDf(s, merges).orderBy($"round")
+    },
+    Some(s"""
+      WITH $trainCtes
+      ${(1 to Rounds).map(r =>
+        s"SELECT $r AS round, a, b, m AS merged, cnt FROM t$r")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY round"""),
+    doc = "N37: distributed BPE training (Sennrich '16) — one corpus pass to " +
+      "the word-freq table, then per-round map-combined pair counts + a " +
+      "1-row argmax collect + a zero-shuffle merge projection")
+
+  /** q195 — BPE segmentation audit (N37b): apply the learned vocabulary
+    * back to the corpus; per document, token count and post-merge
+    * symbol count (the compression the 6 merges bought). The corpus
+    * joins the final word table on the word key — a plain shuffle
+    * equi-join; the word table is Heaps'-law-sized, never corpus-sized. */
+  val q195 = Q(
+    "q195_bpe_encode",
+    (s, dir) => {
+      import s.implicits._
+      val words = BpeVocab.wordTable(Tables(s, dir, "documents"), "text")
+      val (_, finalWords) = BpeVocab.train(words, Rounds)
+      val vocab = finalWords
+        .select($"w", size(BpeVocab.syms($"repr")).as("ns"))
+      Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .join(vocab, "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"ns").as("n_sym"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $trainCtes,
+      vocab AS (SELECT w, len(list_filter(string_split(repr, $sepSql),
+                          x -> x <> '')) AS ns
+                FROM w$Rounds),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(v.ns) AS BIGINT) AS n_sym
+      FROM toks t JOIN vocab v ON t.w = v.w
+      WHERE len(t.w) > 0
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+    doc = "N37b: tokenize-with-learned-vocab — corpus ⋈ word-table on the word " +
+      "key; per-doc compression audit of the trained merges")
+
+  val all: Seq[Q] = Seq(q194, q195)
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables}
 import graft.functions.VectorOps
+import graft.core.Barriers._
 
 /** SURVEY.md §2.10 — similarity search / KNN / centroids over the
   * embeddings table (N11 N12 A10).
@@ -239,5 +240,92 @@ object Vectors {
     doc = "N21: symmetric int8 quantization — engine-exact bytes (IEEE ops + " +
       "away-from-zero ties), reconstruction cosine pinned by the oracle")
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106)
+  /** DuckDB twin of the grouped integer k-means PQ codebook training
+    * (m=8 subspaces × 8 dims, k=4 codes, 2 rounds) ending in `c2`
+    * (sub, cluster, cq) + `sv` (vec_id, sub, sxq) — the q118 CTE
+    * device generalized with a `sub` grouping key. */
+  private def pqRound(prev: String, a: String, c: String): String = s"""
+      $a AS (SELECT vec_id, sub, cluster, sxq, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT sv.vec_id, sv.sub, c.cluster, sv.sxq,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM sv JOIN $prev c ON sv.sub = c.sub))
+        WHERE rn = 1),
+      $c AS (SELECT sub, cluster, list(q ORDER BY pos) AS cq FROM (
+        SELECT sub, cluster, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS q
+        FROM (SELECT sub, cluster, unnest(range(1, 9)) AS pos, unnest(sxq) AS v
+              FROM $a)
+        GROUP BY sub, cluster, pos)
+        GROUP BY sub, cluster)"""
+
+  private val pqCtes: String = s"""vq AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings),
+      sv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+               list_slice(xq, CAST(s.sub AS INT) * 8 + 1,
+                              CAST(s.sub AS INT) * 8 + 8) AS sxq
+             FROM vq CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      c0 AS (SELECT sub, CAST(rn - 1 AS INT) AS cluster, sxq AS cq FROM (
+               SELECT sub, sxq,
+                      row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+               FROM sv) WHERE rn <= 4),
+      ${pqRound("c0", "a1", "c1")},
+      ${pqRound("c1", "a2", "c2")},
+      af AS (SELECT vec_id, sub, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT sv.vec_id, sv.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM sv JOIN c2 c ON sv.sub = c.sub))
+        WHERE rn = 1),
+      dt AS (SELECT sv.vec_id AS q_id, c.sub, c.cluster,
+               CAST(list_sum(list_transform(range(1, 9),
+                 i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+             FROM sv JOIN c2 c ON sv.sub = c.sub
+             WHERE sv.vec_id < 4),
+      ad AS (SELECT dt.q_id, af.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+             FROM af JOIN dt ON af.sub = dt.sub AND af.cluster = dt.cluster
+             WHERE af.vec_id <> dt.q_id
+             GROUP BY dt.q_id, af.vec_id)"""
+
+  /** q193 — Product Quantization ANN, train→encode→search (N35): m=8
+    * subspace codebooks of k=4 integer-exact centroids (2 grouped
+    * k-means rounds), corpus encoded to 8 codes/vector, ADC top-5 for
+    * 4 query vectors. The whole PQ pipeline — codebook training,
+    * encoding, asymmetric-distance search — is exact BIGINT algebra on
+    * the q118 grid, so it hash-matches the DuckDB twin end to end.
+    * See [[graft.operators.ProductQuantizer]] for the 100 TB shape
+    * (codes are the stored corpus; scoring is a zero-shuffle
+    * projection + bounded TopKScored). */
+  val q193 = Q(
+    "q193_pq_adc",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.ProductQuantizer
+      val emb = Tables(s, dir, "embeddings")
+      val sub = ProductQuantizer
+        .subVectors(emb, "vec_id", "embedding", m = 8, subDims = 8)
+        .persist()
+      val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      val codes = ProductQuantizer.encode(sub, "vec_id", cents)
+      val qSub = sub.filter($"vec_id" < 4)
+      val out = ProductQuantizer
+        .adcTopK(codes, "vec_id", qSub, "vec_id", cents, m = 8, k = 4, topK = 5)
+        .orderBy($"q_id", $"rn")
+        .barrier()
+      sub.unpersist()
+      out
+    },
+    Some(s"""
+      WITH $pqCtes,
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY adist, vec_id) AS rn FROM ad)
+      SELECT q_id, rn, vec_id, adist FROM r WHERE rn <= 5
+      ORDER BY q_id, rn"""),
+    doc = "N35: PQ-ANN (Jégou '11) — grouped integer k-means codebooks, m-byte " +
+      "codes, ADC as a zero-shuffle LUT projection + bounded top-k aggregate")
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193)
 }
