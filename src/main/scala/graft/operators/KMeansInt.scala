@@ -78,7 +78,15 @@ object KMeansInt {
     * (deterministic, engine-agnostic), `rounds` assign/update cycles,
     * one final assignment. Returns (idCol, cluster, dist). */
   def cluster(vecs: DataFrame, idCol: String, vecCol: String,
-              k: Int, rounds: Int): DataFrame = {
+              k: Int, rounds: Int): DataFrame =
+    clusterWithCents(vecs, idCol, vecCol, k, rounds)._1
+
+  /** [[cluster]], also returning the trained centroid table
+    * (cluster, cq) — callers that probe AGAINST the centroids (IVF-PQ
+    * coarse cells, q196) need the table itself, not just the
+    * assignments. */
+  def clusterWithCents(vecs: DataFrame, idCol: String, vecCol: String,
+                       k: Int, rounds: Int): (DataFrame, DataFrame) = {
     val vq = vecs.select(col(idCol), quantize(col(vecCol)).as("xq")).persist()
     val init = vq.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("int").as("cluster"), col("xq").as("cq"))
@@ -92,6 +100,6 @@ object KMeansInt {
     // make that pass recompute the quantization it was cached for.
     val out = assign(vq, idCol, finalCents).drop("xq").barrier()
     vq.unpersist()
-    out
+    (out, finalCents)
   }
 }

@@ -112,25 +112,44 @@ object ProductQuantizer {
     * collect (VERDICT r7 §What's-wrong 5): they are k-means-output-
     * sized, never corpus-sized.
     */
-  def adcTopK(codes: DataFrame, idCol: String,
-              querySub: DataFrame, qIdCol: String,
-              cents: DataFrame, m: Int, k: Int, topK: Int): DataFrame = {
-    // dtab rows: (q_id, sub, cluster, d)
+  /** Per-query ADC lookup tables: q_id → flat array indexed
+    * `sub*k + code` of exact query→centroid BIGINT distances. |Q|·m·k
+    * longs, collected to the driver (the sanctioned reduced-aggregate
+    * collect — k-means-output-sized, never corpus-sized). */
+  def buildLuts(querySub: DataFrame, qIdCol: String, cents: DataFrame,
+                m: Int, k: Int): Map[Long, Array[Long]] = {
     val dtab = querySub.join(broadcast(cents), "sub")
       .select(col(qIdCol), col("sub"), col("cluster"),
         KMeansInt.sqDist(col("sxq"), col("cq")).as("d"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
-    val qIds = dtab.map(_._1).distinct.sorted
-    // per query: flat lookup array indexed sub*k + code
-    val luts: Map[Long, Array[Long]] = qIds.map { q =>
+    dtab.map(_._1).distinct.sorted.map { q =>
       val a = Array.fill(m * k)(Long.MaxValue) // dropped empty cluster = never assigned
       dtab.filter(_._1 == q).foreach { case (_, s, c, d) => a(s * k + c) = d }
       q -> a
     }.toMap
-    implicit val inEnc = org.apache.spark.sql.catalyst.encoders
-      .ExpressionEncoder[(Double, Long, Long)]()
-    val topk = udaf(new graft.functions.TopKScored(topK))
+  }
+
+  /** ADC distance as a pure projection over a (q_id, codes) row: the
+    * LUTs inline as ONE map literal keyed by query id, so a candidate
+    * stream carrying mixed query ids (the IVF-PQ probe join, q196)
+    * scores without any shuffle or per-query plan duplication. */
+  def adcExpr(luts: Map[Long, Array[Long]], qId: Column, codes: Column,
+              m: Int, k: Int): Column = {
+    val entries = luts.toSeq.sortBy(_._1).flatMap { case (q, arr) =>
+      Seq(lit(q), array(arr.map(lit): _*)) }
+    val lutMap = map(entries: _*)
+    aggregate(
+      zip_with(sequence(lit(0), lit(m - 1)), codes,
+        (s, c) => element_at(element_at(lutMap, qId), (s * k + c + 1).cast("int"))),
+      lit(0L), _ + _)
+  }
+
+  def adcTopK(codes: DataFrame, idCol: String,
+              querySub: DataFrame, qIdCol: String,
+              cents: DataFrame, m: Int, k: Int, topK: Int): DataFrame = {
+    val luts = buildLuts(querySub, qIdCol, cents, m, k)
+    val qIds = luts.keys.toSeq.sorted
     // one literal column per query; adist = Σ_sub lut[sub*k + code]
     val scored = qIds.map { q =>
       val lut = array(luts(q).map(lit): _*)
@@ -140,12 +159,23 @@ object ProductQuantizer {
             (s, c) => element_at(lut, (s * k + c + 1).cast("int"))),
           lit(0L), _ + _).as("adist"))
     }
-    codes.select(col(idCol), explode(array(scored: _*)).as("qa"))
+    val scoredRows = codes
+      .select(col(idCol), explode(array(scored: _*)).as("qa"))
       .select(col(idCol), col("qa.q_id").as("q_id"), col("qa.adist").as("adist"))
       .filter(col(idCol) =!= col("q_id"))
-      // score DESC in TopKScored == adist ASC via negation: adist is an
-      // exact BIGINT ≤ m·subDims·(2·10⁴)² ≈ 2.6e10 ≪ 2⁵³, so the Double
-      // negation is exact and the order identical to (adist ASC, id ASC)
+    boundedTopK(scoredRows, idCol, topK)
+  }
+
+  /** Bounded top-k over a scored candidate stream (q_id, idCol,
+    * adist): map-side partial top-k via TopKScored, rank by
+    * (adist ASC, id ASC). adist is an exact BIGINT ≤
+    * m·subDims·(2·10⁴)² ≈ 2.6e10 ≪ 2⁵³, so the Double negation is
+    * exact and score-DESC in the aggregate is identical to adist-ASC. */
+  def boundedTopK(scored: DataFrame, idCol: String, topK: Int): DataFrame = {
+    implicit val inEnc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Double, Long, Long)]()
+    val topk = udaf(new graft.functions.TopKScored(topK))
+    scored
       .groupBy(col("q_id"))
       .agg(topk((-col("adist")).cast("double"), col(idCol), col("adist")).as("nn"))
       .select(col("q_id"), posexplode(col("nn")).as(Seq("i", "e")))

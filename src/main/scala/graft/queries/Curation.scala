@@ -112,7 +112,7 @@ object Curation {
   private[queries] lazy val kmeansCtes8x2: String =
     kmeansCtes8x2From("SELECT vec_id, embedding FROM embeddings")
 
-  private val kmeansRounds8x2: String = """
+  private[queries] val kmeansRounds8x2: String = """
       a1 AS (
         SELECT vec_id, cluster, xq, d FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn

@@ -259,36 +259,46 @@ object Vectors {
         GROUP BY sub, cluster, pos)
         GROUP BY sub, cluster)"""
 
-  private val pqCtes: String = s"""vq AS (
+  /** The shared integer-grid quantization CTE (q118's `vq`). */
+  private val vqCte: String = """vq AS (
         SELECT vec_id, list_transform(embedding,
           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
-        FROM embeddings),
-      sv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+        FROM embeddings)"""
+
+  /** PQ chain over an existing `vq`: subvectors `sv`, codebook
+    * training `pc0..pc2`, final codes `paf`, query lookup tables
+    * `pdt` — p-prefixed so it composes with the coarse k-means chain
+    * (`c0..a3`, Curation's q118 CTEs) inside one WITH (q196). */
+  private val pqCoreCtes: String = s"""sv AS (
+        SELECT vec_id, CAST(s.sub AS INT) AS sub,
                list_slice(xq, CAST(s.sub AS INT) * 8 + 1,
                               CAST(s.sub AS INT) * 8 + 8) AS sxq
-             FROM vq CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
-      c0 AS (SELECT sub, CAST(rn - 1 AS INT) AS cluster, sxq AS cq FROM (
+        FROM vq CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      pc0 AS (SELECT sub, CAST(rn - 1 AS INT) AS cluster, sxq AS cq FROM (
                SELECT sub, sxq,
                       row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
                FROM sv) WHERE rn <= 4),
-      ${pqRound("c0", "a1", "c1")},
-      ${pqRound("c1", "a2", "c2")},
-      af AS (SELECT vec_id, sub, cluster FROM (
+      ${pqRound("pc0", "pa1", "pc1")},
+      ${pqRound("pc1", "pa2", "pc2")},
+      paf AS (SELECT vec_id, sub, cluster FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
         FROM (SELECT sv.vec_id, sv.sub, c.cluster,
                 CAST(list_sum(list_transform(range(1, 9),
                   i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
-              FROM sv JOIN c2 c ON sv.sub = c.sub))
+              FROM sv JOIN pc2 c ON sv.sub = c.sub))
         WHERE rn = 1),
-      dt AS (SELECT sv.vec_id AS q_id, c.sub, c.cluster,
+      pdt AS (SELECT sv.vec_id AS q_id, c.sub, c.cluster,
                CAST(list_sum(list_transform(range(1, 9),
                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
-             FROM sv JOIN c2 c ON sv.sub = c.sub
-             WHERE sv.vec_id < 4),
-      ad AS (SELECT dt.q_id, af.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adist
-             FROM af JOIN dt ON af.sub = dt.sub AND af.cluster = dt.cluster
-             WHERE af.vec_id <> dt.q_id
-             GROUP BY dt.q_id, af.vec_id)"""
+             FROM sv JOIN pc2 c ON sv.sub = c.sub
+             WHERE sv.vec_id < 4)"""
+
+  private val pqCtes: String = s"""$vqCte,
+      $pqCoreCtes,
+      ad AS (SELECT pdt.q_id, paf.vec_id, CAST(SUM(pdt.d) AS BIGINT) AS adist
+             FROM paf JOIN pdt ON paf.sub = pdt.sub AND paf.cluster = pdt.cluster
+             WHERE paf.vec_id <> pdt.q_id
+             GROUP BY pdt.q_id, paf.vec_id)"""
 
   /** q193 — Product Quantization ANN, train→encode→search (N35): m=8
     * subspace codebooks of k=4 integer-exact centroids (2 grouped
@@ -327,5 +337,80 @@ object Vectors {
     doc = "N35: PQ-ANN (Jégou '11) — grouped integer k-means codebooks, m-byte " +
       "codes, ADC as a zero-shuffle LUT projection + bounded top-k aggregate")
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193)
+  /** q196 — IVF-PQ ANN (N35b): the production composition the PQ
+    * scaladoc promises — IVF coarse cells prune WHICH vectors are
+    * scored (q118's exact integer k-means, nProbe=2 of 8 cells), PQ
+    * codes shrink WHAT is scored (q193's codebooks), ADC runs only
+    * over the probed cells' members. Everything stays on the shared
+    * integer grid, so the full compose — coarse train, cell probe,
+    * candidate prune, PQ train, encode, ADC, top-5 — hash-matches one
+    * DuckDB WITH-chain built from the q118 + q193 CTEs.
+    *
+    * Scale: coarse assignment and probe are broadcast joins (k=8
+    * rows); the candidate stream is ~nProbe/k of the corpus and joins
+    * the codes table on vec_id (both sides shrink to longs + m codes);
+    * ADC scores via [[graft.operators.ProductQuantizer.adcExpr]]'s
+    * map-literal LUT — no per-query plan duplication — and the final
+    * top-k is the bounded TopKScored aggregate. */
+  val q196 = Q(
+    "q196_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{KMeansInt, ProductQuantizer}
+      val emb = Tables(s, dir, "embeddings")
+      val (coarse, coarseCents) =
+        KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2)
+      val sub = ProductQuantizer
+        .subVectors(emb, "vec_id", "embedding", m = 8, subDims = 8)
+        .persist()
+      val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      val codes = ProductQuantizer.encode(sub, "vec_id", cents)
+      val qv = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("q_id"), KMeansInt.quantize($"embedding").as("qx"))
+      val wP = Window.partitionBy($"q_id").orderBy($"__d", $"cluster")
+      val probes = qv.crossJoin(broadcast(coarseCents))
+        .withColumn("__d", KMeansInt.sqDist($"qx", $"cq"))
+        .withColumn("__rn", row_number().over(wP))
+        .filter($"__rn" <= 2)
+        .select($"q_id", $"cluster".as("cell"))
+      val cand = coarse.select($"vec_id", $"cluster".as("cell"))
+        .join(broadcast(probes), "cell")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id")
+      val luts = ProductQuantizer
+        .buildLuts(sub.filter($"vec_id" < 4), "vec_id", cents, m = 8, k = 4)
+      val scored = cand.join(codes, "vec_id")
+        .select($"q_id", $"vec_id",
+          ProductQuantizer.adcExpr(luts, $"q_id", $"codes", m = 8, k = 4).as("adist"))
+      val out = ProductQuantizer.boundedTopK(scored, "vec_id", topK = 5)
+        .orderBy($"q_id", $"rn")
+      sub.unpersist()
+      out
+    },
+    Some(s"""
+      WITH ${Curation.kmeansCtes8x2From("SELECT vec_id, embedding FROM embeddings")},
+      $pqCoreCtes,
+      pr AS (SELECT q_id, cell FROM (
+        SELECT t.q_id, t.cluster AS cell,
+               row_number() OVER (PARTITION BY t.q_id ORDER BY t.d, t.cluster) AS rn
+        FROM (SELECT vq.vec_id AS q_id, c.cluster,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+              FROM vq CROSS JOIN c2 c WHERE vq.vec_id < 4) t)
+        WHERE rn <= 2),
+      cand AS (SELECT pr.q_id, a3.vec_id FROM a3 JOIN pr ON a3.cluster = pr.cell
+               WHERE a3.vec_id <> pr.q_id),
+      iad AS (SELECT pdt.q_id, paf.vec_id, CAST(SUM(pdt.d) AS BIGINT) AS adist
+              FROM paf JOIN pdt ON paf.sub = pdt.sub AND paf.cluster = pdt.cluster
+              JOIN cand ON cand.vec_id = paf.vec_id AND cand.q_id = pdt.q_id
+              GROUP BY pdt.q_id, paf.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY adist, vec_id) AS rn FROM iad)
+      SELECT q_id, rn, vec_id, adist FROM r WHERE rn <= 5
+      ORDER BY q_id, rn"""),
+    doc = "N35b: IVF-PQ — coarse cells prune the candidate set (nProbe/k of " +
+      "the corpus), PQ codes shrink storage+scoring, ADC via one map-literal " +
+      "LUT; the full compose hash-matches the q118+q193 CTEs chained")
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196)
 }

@@ -101,6 +101,43 @@ class PqBpeSpec extends SparkSpecBase {
       s"distortion not monotone in k: ${errByK.mkString(" vs ")}")
   }
 
+  test("IVF-PQ with nProbe = k equals full-corpus ADC (pruning skips, " +
+    "never rescores)") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (coarse, coarseCents) =
+      KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val sub = ProductQuantizer.subVectors(emb, "vec_id", "embedding", 8, 8)
+      .persist()
+    val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", 4, 2)
+    val codes = ProductQuantizer.encode(sub, "vec_id", cents).persist()
+    val qSub = sub.filter($"vec_id" < 3)
+    val full = ProductQuantizer
+      .adcTopK(codes, "vec_id", qSub, "vec_id", cents, 8, 4, 5)
+      .orderBy($"q_id", $"rn").collect().toSeq
+    // the q196 composition at nProbe = 8 (= every cell)
+    val qv = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), KMeansInt.quantize($"embedding").as("qx"))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"__d", $"cluster")
+    val probes = qv.crossJoin(broadcast(coarseCents))
+      .withColumn("__d", KMeansInt.sqDist($"qx", $"cq"))
+      .withColumn("__rn", row_number().over(wP)).filter($"__rn" <= 8)
+      .select($"q_id", $"cluster".as("cell"))
+    val cand = coarse.select($"vec_id", $"cluster".as("cell"))
+      .join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"q_id").select($"q_id", $"vec_id")
+    val luts = ProductQuantizer.buildLuts(qSub, "vec_id", cents, 8, 4)
+    val scored = cand.join(codes, "vec_id")
+      .select($"q_id", $"vec_id",
+        ProductQuantizer.adcExpr(luts, $"q_id", $"codes", 8, 4).as("adist"))
+    val ivf = ProductQuantizer.boundedTopK(scored, "vec_id", 5)
+      .orderBy($"q_id", $"rn").collect().toSeq
+    assert(ivf === full)
+    sub.unpersist(); codes.unpersist()
+  }
+
   // ---------- BpeVocab ----------
 
   private def docs(rows: (Long, String)*) = {
