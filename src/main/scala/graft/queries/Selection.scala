@@ -284,5 +284,61 @@ object Selection {
     doc = "GroupKFold audit — fold is a pure function of the group key " +
       "(no join to assign), per-fold size/revenue shares")
 
-  val all: Seq[Q] = Seq(q178, q179, q180, q181)
+  /** q197 — classifier-based quality filtering (N38): train the
+    * log-free Naive-Bayes likelihood-ratio table against the lang='en'
+    * reference class, score every document additively, emit
+    * (doc_id, score, pred, actual). See
+    * [[graft.operators.QualityClassifier]] — the GPT-3/CCNet selection
+    * gate with the training loop collapsed to one aggregate pass so
+    * the learned weights and every score hash-match the DuckDB twin.
+    * (On this synthetic corpus the langs share one vocabulary, so the
+    * learned signal is weak BY CONSTRUCTION — the oracle gates the
+    * exact train+score algebra; QualitySpec pins perfect separation on
+    * a fixture with real class signal.) */
+  val q197 = Q(
+    "q197_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.QualityClassifier
+      val docs = Tables(s, dir, "documents")
+      val tok = QualityClassifier
+        .tokenTable(docs, "doc_id", "text", $"lang" === "en")
+        .persist()
+      val w = QualityClassifier.trainWeights(tok)
+      val out = QualityClassifier.score(tok, "doc_id", w)
+        .join(docs.select($"doc_id", ($"lang" === "en").cast("int").as("actual")),
+          "doc_id")
+        .select($"doc_id", $"score",
+          when($"score" > 0, 1).otherwise(0).as("pred"), $"actual")
+        .orderBy($"doc_id")
+        .localCheckpoint()
+      tok.unpersist()
+      out
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, lang = 'en' AS pos, t FROM (
+             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE len(t) > 0),
+      cnt AS (SELECT t, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+              FROM tok GROUP BY t),
+      tot AS (SELECT CAST(SUM(np) AS BIGINT) AS tnp,
+                     CAST(SUM(nn) AS BIGINT) AS tnn,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+      w AS (SELECT t,
+              CAST((1000000 * (np + 1) * (tnn + v)) // ((nn + 1) * (tnp + v))
+                AS BIGINT) - 1000000 AS wc
+            FROM cnt, tot),
+      sc AS (SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS score
+             FROM tok JOIN w USING (t) GROUP BY doc_id)
+      SELECT d.doc_id, sc.score,
+             CASE WHEN sc.score > 0 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS actual
+      FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+      ORDER BY d.doc_id"""),
+    doc = "N38: classifier-based quality filter (GPT-3/CCNet gate) — log-free " +
+      "NB likelihood-ratio weights in ppm, one-pass train, token-keyed score " +
+      "join; exact BIGINT end to end")
+
+  val all: Seq[Q] = Seq(q178, q179, q180, q181, q197)
 }
