@@ -412,5 +412,37 @@ object Vectors {
       "the corpus), PQ codes shrink storage+scoring, ADC via one map-literal " +
       "LUT; the full compose hash-matches the q118+q193 CTEs chained")
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196)
+  /** q198 — JL random-projection sketch (N39): every embedding
+    * projected 64 → 16 dims through the md5-derived ±1 matrix, on the
+    * shared integer grid — exact BIGINT output, zero shuffles (pure
+    * per-row math; the matrix is a plan literal). The cheap sketch
+    * that feeds sign-LSH/clustering at 4× less width — see
+    * [[graft.operators.RandomProjection]]. */
+  val q198 = Q(
+    "q198_random_projection",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{KMeansInt, RandomProjection}
+      Tables(s, dir, "embeddings")
+        .select($"vec_id",
+          posexplode(RandomProjection.project(
+            KMeansInt.quantize($"embedding"), 16, 64)).as(Seq("dim", "y")))
+        .orderBy($"vec_id", $"dim")
+    },
+    Some(s"""
+      WITH vq AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings),
+      p AS (SELECT vec_id, CAST(d.j AS INT) AS dim,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> xq[i] * (${graft.operators.RandomProjection.signsSql(16, 64)})[CAST(d.j AS INT) + 1][i]))
+                AS BIGINT) AS y
+            FROM vq CROSS JOIN (SELECT unnest(range(0, 16)) AS j) d)
+      SELECT vec_id, dim, y FROM p ORDER BY vec_id, dim"""),
+    doc = "N39: JL ±1 sketch (Achlioptas '03) — md5-derived literal matrix, " +
+      "integer-exact per-row projection, zero shuffle; feeds LSH/clustering " +
+      "at 4x less width")
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198)
 }

@@ -101,6 +101,23 @@ class PqBpeSpec extends SparkSpecBase {
       s"distortion not monotone in k: ${errByK.mkString(" vs ")}")
   }
 
+  test("ADC scoring is one projection + one bounded aggregate: a single " +
+    "exchange, no join, after the codes table") {
+    val s = spark
+    import s.implicits._
+    val (_, sub, cents) = pqParts()
+    // materialize codes so the scoring plan starts at the stored table
+    // (what a 100 TB deployment reads), not at the training lineage
+    val codes = ProductQuantizer.encode(sub, "vec_id", cents).localCheckpoint()
+    val out = ProductQuantizer.adcTopK(codes, "vec_id",
+      sub.filter($"vec_id" < 3), "vec_id", cents, 8, 4, 5)
+    val p = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"ADC should shuffle once (the top-k partial agg):\n$p")
+    assert(!p.contains("Join"), s"ADC scoring must not join:\n$p")
+    sub.unpersist()
+  }
+
   test("IVF-PQ with nProbe = k equals full-corpus ADC (pruning skips, " +
     "never rescores)") {
     val s = spark
@@ -136,6 +153,39 @@ class PqBpeSpec extends SparkSpecBase {
       .orderBy($"q_id", $"rn").collect().toSeq
     assert(ivf === full)
     sub.unpersist(); codes.unpersist()
+  }
+
+  test("JL projection preserves pairwise squared distances in " +
+    "expectation (ratio ~ dOut) and is shift-invariant") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" < 30)
+    val rows = emb
+      .select($"vec_id", KMeansInt.quantize($"embedding").as("xq"),
+        RandomProjection.project(KMeansInt.quantize($"embedding"), 16, 64).as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => val z = (x - y).toDouble; z * z }.sum
+    val ratios = for {
+      i <- rows.indices; j <- rows.indices if i < j
+    } yield d2(rows(i)._3, rows(j)._3) / d2(rows(i)._2, rows(j)._2)
+    val mean = ratios.sum / ratios.size
+    // E[ratio] = dOut = 16 for a ±1 matrix; the mean over 435 pairs
+    // concentrates well inside [10, 22]
+    assert(mean > 10 && mean < 22, s"JL mean ratio $mean")
+    // the grid's +10^4 shift cancels in differences: projecting the
+    // UNSHIFTED grid must give identical pairwise distances
+    val unshifted = emb.select($"vec_id",
+        RandomProjection.project(
+          transform(KMeansInt.quantize($"embedding"), _ - 10000L), 16, 64).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val shifted = rows.map(r => r._1 -> r._3).toMap
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      val (a, b) = (rows(i)._1, rows(j)._1)
+      assert(d2(shifted(a), shifted(b)) === d2(unshifted(a), unshifted(b)))
+    }
   }
 
   // ---------- BpeVocab ----------
