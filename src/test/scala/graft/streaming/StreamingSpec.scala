@@ -848,4 +848,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(pairs.contains((1L, 101L)),
       s"rescaled copy did not pair with its batch-1 original: $pairs")
   }
+
+  test("T17: streaming quality scoring — docs streamed against the " +
+    "batch-trained weight table score exactly like the batch operator") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.QualityClassifier
+    val train = Seq(
+      (1L, true, "alpha beta alpha common"),
+      (2L, true, "beta gamma alpha"),
+      (3L, false, "delta epsilon common"),
+      (4L, false, "epsilon zeta delta delta")).toDF("doc_id", "pos", "text")
+    val weights = QualityClassifier.trainWeights(
+      QualityClassifier.tokenTable(train, "doc_id", "text", $"pos")).cache()
+    // live docs: only tokens the trained vocabulary knows (in-vocab
+    // scoring — the operator contract; OOV handling is documented)
+    val live = Seq(
+      (101L, "alpha beta common"),
+      (102L, "delta zeta epsilon"),
+      (103L, "alpha delta"))
+    val stream = MemoryStream[(Long, String)](s)
+    val q = StreamingQuality.scoreStream(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", weights)
+      .writeStream.format("memory").queryName("t17_out")
+      .outputMode("update").start()
+    live.grouped(2).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // update-mode memory sink may emit a key more than once; the last
+    // update per doc is the final score (docs arrive whole, so each
+    // doc finalizes in its own batch and is emitted exactly once here)
+    val streamed = s.table("t17_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = QualityClassifier.score(
+        QualityClassifier.tokenTable(live.toDF("doc_id", "text"),
+          "doc_id", "text", lit(false)), "doc_id", weights)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch, s"$streamed vs $batch")
+    // the planted signal survives the stream: positive-vocab doc > 0,
+    // negative-vocab doc < 0
+    assert(streamed(101L) > 0 && streamed(102L) < 0)
+    weights.unpersist()
+  }
 }
