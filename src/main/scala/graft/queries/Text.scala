@@ -498,6 +498,70 @@ object Text {
       "empty-group PrefixScan (no single-task sort), fluid fill with " +
       "straddle flags")
 
+  /** q199 — context-window chunking with overlap (N40): every document
+    * split into token windows of 32 with stride 24 (8-token overlap) —
+    * the retrieval/embedding prep step that decides what a "passage"
+    * is. Each chunk keeps provenance (doc_id, chunk index, token
+    * span), its token count, and an md5 content fingerprint (chunk-
+    * level exact dedup rides on it, q49's device).
+    *
+    * Semantics pinned: windows start at 0, 24, 48, … while start <
+    * n_tok (the final chunk may be short — a trailing remainder is
+    * never silently dropped, and a doc shorter than one window is ONE
+    * chunk); a doc with no tokens yields no chunks.
+    *
+    * Scale: one projection computes all chunk starts per row
+    * (sequence + transform over the token array), one explode, no
+    * shuffle until the presentation sort — chunking is embarrassingly
+    * parallel and the exploded rows carry only (ids, span ints, 32-
+    * token text, hash). */
+  /** q199's chunker as a reusable operator: token windows of `window`
+    * with stride `stride` (overlap = window − stride). Chunk starts
+    * are 0, stride, 2·stride, … through the last start ≤ n_tok−1, so
+    * every emitted chunk is non-empty, trailing remainders are kept,
+    * and a doc shorter than one window is exactly one chunk. */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame,
+                   window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    docs
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(tk) - 1) div $stride")),
+          i => slice(col("tk"), i * stride + 1, lit(window))))
+          .as(Seq("chunk_id", "ctk")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        size(col("ctk")).as("n_tok"),
+        md5(concat_ws(" ", col("ctk"))).as("chunk_md5"))
+  }
+
+  val q199 = Q(
+    "q199_chunk_windows",
+    (s, dir) => {
+      import s.implicits._
+      chunkWindows(Tables(s, dir, "documents"), window = 32, stride = 24)
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+                 FROM documents),
+      c AS (SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+              list_slice(tk, CAST(g.i AS INT) * 24 + 1,
+                             CAST(g.i AS INT) * 24 + 32) AS ctk
+            FROM d CROSS JOIN LATERAL
+              (SELECT unnest(range(0, (len(tk) - 1) // 24 + 1)) AS i) g
+            WHERE len(tk) > 0)
+      SELECT doc_id, chunk_id, CAST(chunk_id * 24 AS INT) AS tok_start,
+             CAST(len(ctk) AS INT) AS n_tok,
+             md5(array_to_string(ctk, ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_id"""),
+    doc = "N40: context-window chunking (32-token windows, stride 24) — one " +
+      "projection + one explode, provenance + md5 fingerprint per chunk, " +
+      "trailing remainders kept")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95, q141)
+    q91, q92, q95, q141, q199)
 }

@@ -46,4 +46,29 @@ class TextOpsSpec extends SparkSpecBase {
     assert(a.map(_.getAs[String]("postings")).toSeq
       === Seq("0:1", "150:1", "260:1"))
   }
+
+  test("chunk windows: remainders kept, short docs one chunk, overlap " +
+    "spans the stride boundary, empty docs none") {
+    import spark.implicits._
+    val toks = (1 to 80).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks),          // 80 tokens -> starts 0,24,48,72 (last len 8)
+      (2L, "a b c"),       // short doc -> one chunk of 3
+      (3L, ""),            // no tokens -> no chunks
+      (4L, (1 to 24).map(i => s"u$i").mkString(" ")) // exactly one stride
+    ).toDF("doc_id", "text")
+    val c = Text.chunkWindows(docs, window = 32, stride = 24)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    val byDoc = c.groupBy(_.getLong(0))
+    assert(byDoc(1L).map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+      === Seq((0, 0, 32), (1, 24, 32), (2, 48, 32), (3, 72, 8)))
+    assert(byDoc(2L).map(r => (r.getInt(2), r.getInt(3))).toSeq === Seq((0, 3)))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).map(r => (r.getInt(2), r.getInt(3))).toSeq === Seq((0, 24)))
+    // the 8-token overlap: chunk 1 of doc 1 starts at t25 and must
+    // contain t25..t32 (shared with chunk 0's tail)
+    val fp0 = byDoc(1L)(0).getString(4)
+    val fp1 = byDoc(1L)(1).getString(4)
+    assert(fp0 !== fp1)
+  }
 }
