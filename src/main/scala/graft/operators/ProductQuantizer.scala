@@ -44,12 +44,38 @@ object ProductQuantizer {
     * of `subDims` dims each. Slicing is a projection (posexplode over
     * a precomputed slice array) — the vector never shuffles. */
   def subVectors(vecs: DataFrame, idCol: String, vecCol: String,
-                 m: Int, subDims: Int): DataFrame = {
-    val xq = KMeansInt.quantize(col(vecCol))
-    vecs.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(xq, s * subDims + 1, lit(subDims)))).as(Seq("sub", "sxq")))
-  }
+                 m: Int, subDims: Int): DataFrame =
+    subVectorsQ(vecs.select(col(idCol),
+      KMeansInt.quantize(col(vecCol)).as("xq")), idCol, m, subDims)
+
+  /** [[subVectors]] over an ALREADY-quantized `xq` array<long> column
+    * — the residual path (IVFADC, q200) quantizes and re-centers
+    * before slicing. */
+  def subVectorsQ(vecsQ: DataFrame, idCol: String,
+                  m: Int, subDims: Int): DataFrame =
+    vecsQ.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("xq"), s * subDims + 1, lit(subDims))))
+        .as(Seq("sub", "sxq")))
+
+  /** Residual vectors against an assigned coarse cell (IVFADC, Jégou
+    * '11 §IV-A): xq − centroid + `shift`, per dimension. The constant
+    * shift keeps every coordinate non-negative so the centroid-mean
+    * integer division stays truncation-vs-floor-proof (the KMeansInt
+    * grid argument, re-applied to residuals whose raw range is
+    * [−2·10⁴, 2·10⁴]); distances are translation-invariant, so
+    * assignments and ADC sums are unaffected. Returns (idCol, cell,
+    * xq). Broadcast joins only — the corpus shuffles nothing here
+    * beyond the assignment it already owns. */
+  def residuals(vecs: DataFrame, idCol: String, vecCol: String,
+                coarseAssign: DataFrame, coarseCents: DataFrame,
+                shift: Long = 20000L): DataFrame =
+    vecs.select(col(idCol), KMeansInt.quantize(col(vecCol)).as("__xq"))
+      .join(coarseAssign.select(col(idCol), col("cluster").as("cell")), idCol)
+      .join(broadcast(coarseCents.select(col("cluster").as("cell"),
+        col("cq"))), "cell")
+      .select(col(idCol), col("cell"),
+        zip_with(col("__xq"), col("cq"), (x, c) => x - c + lit(shift)).as("xq"))
 
   /** Grouped k-means: `k` centroids per subspace, seeded per sub from
     * the `k` smallest ids (cluster id = seed rank 0..k-1 — id VALUES

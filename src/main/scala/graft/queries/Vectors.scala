@@ -244,13 +244,14 @@ object Vectors {
     * (m=8 subspaces × 8 dims, k=4 codes, 2 rounds) ending in `c2`
     * (sub, cluster, cq) + `sv` (vec_id, sub, sxq) — the q118 CTE
     * device generalized with a `sub` grouping key. */
-  private def pqRound(prev: String, a: String, c: String): String = s"""
+  private def pqRound(prev: String, a: String, c: String,
+                      sv: String = "sv"): String = s"""
       $a AS (SELECT vec_id, sub, cluster, sxq, d FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
-        FROM (SELECT sv.vec_id, sv.sub, c.cluster, sv.sxq,
+        FROM (SELECT $sv.vec_id, $sv.sub, c.cluster, $sv.sxq,
                 CAST(list_sum(list_transform(range(1, 9),
                   i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
-              FROM sv JOIN $prev c ON sv.sub = c.sub))
+              FROM $sv JOIN $prev c ON $sv.sub = c.sub))
         WHERE rn = 1),
       $c AS (SELECT sub, cluster, list(q ORDER BY pos) AS cq FROM (
         SELECT sub, cluster, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS q
@@ -444,5 +445,135 @@ object Vectors {
       "integer-exact per-row projection, zero shuffle; feeds LSH/clustering " +
       "at 4x less width")
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198)
+  /** Residual PQ chain CTEs over the coarse assignment (a3/c2 from the
+    * q118 chain): residual vectors `rv` (re-centered at +2·10⁴ — see
+    * [[graft.operators.ProductQuantizer.residuals]]), subvectors
+    * `rsv`, codebooks `rc0..rc2`, codes `raf`. */
+  private val residualPqCtes: String = s"""rv AS (
+        SELECT vq.vec_id, a3.cluster AS cell,
+               list_transform(range(1, 65),
+                 i -> vq.xq[i] - c.cq[i] + 20000) AS xq
+        FROM vq JOIN a3 ON vq.vec_id = a3.vec_id
+        JOIN c2 c ON a3.cluster = c.cluster),
+      rsv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+                list_slice(xq, CAST(s.sub AS INT) * 8 + 1,
+                               CAST(s.sub AS INT) * 8 + 8) AS sxq
+              FROM rv CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      rc0 AS (SELECT sub, CAST(rn - 1 AS INT) AS cluster, sxq AS cq FROM (
+               SELECT sub, sxq,
+                      row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+               FROM rsv) WHERE rn <= 4),
+      ${pqRound("rc0", "ra1", "rc1", sv = "rsv")},
+      ${pqRound("rc1", "ra2", "rc2", sv = "rsv")},
+      raf AS (SELECT vec_id, sub, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT rsv.vec_id, rsv.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM rsv JOIN rc2 c ON rsv.sub = c.sub))
+        WHERE rn = 1)"""
+
+  /** q200 — IVFADC with residual encoding (N35c): the fidelity step of
+    * Jégou '11 §IV-A that separates toy PQ from the production index —
+    * PQ codebooks train on the RESIDUAL (vector − its coarse
+    * centroid), which has far less variance than the raw vector, so
+    * the same code budget quantizes finer; the query builds one lookup
+    * table PER PROBED CELL (its residual differs per cell) and
+    * candidates score against their own cell's LUT. Everything stays
+    * integer-exact (residuals re-centered non-negative — the grid
+    * trick applied twice), so coarse train → residual train → encode →
+    * per-cell ADC hash-matches the chained q118+residual CTEs.
+    *
+    * Scale: identical to q196 plus one broadcast join for the
+    * re-centering; LUTs are |Q|·nProbe·m·k longs. The composite
+    * (q_id·1024 + cell) LUT key keeps the mixed candidate stream in
+    * ONE map literal — cell ids are coarse-seed ids, < 1024 by
+    * construction here (assert wider domains upstream). */
+  val q200 = Q(
+    "q200_ivfadc_residual",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{KMeansInt, ProductQuantizer}
+      val emb = Tables(s, dir, "embeddings")
+      val (coarse, coarseCents) =
+        KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2)
+      val rv = ProductQuantizer
+        .residuals(emb, "vec_id", "embedding", coarse, coarseCents)
+      val rsub = ProductQuantizer
+        .subVectorsQ(rv.select($"vec_id", $"xq"), "vec_id", m = 8, subDims = 8)
+        .persist()
+      val rcents = ProductQuantizer.trainCodebooks(rsub, "vec_id", k = 4, rounds = 2)
+      val rcodes = ProductQuantizer.encode(rsub, "vec_id", rcents)
+      val qv = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("q_id"), KMeansInt.quantize($"embedding").as("qx"))
+      val wP = Window.partitionBy($"q_id").orderBy($"__d", $"cluster")
+      val probes = qv.crossJoin(broadcast(coarseCents))
+        .withColumn("__d", KMeansInt.sqDist($"qx", $"cq"))
+        .withColumn("__rn", row_number().over(wP))
+        .filter($"__rn" <= 2)
+        .select($"q_id", $"cluster".as("cell"))
+      // one query-residual per probed cell; composite LUT key
+      val qr = probes.join(qv, "q_id")
+        .join(broadcast(coarseCents.select($"cluster".as("cell"), $"cq")), "cell")
+        .select(($"q_id" * 1024 + $"cell").as("qc"),
+          zip_with($"qx", $"cq", (x, c) => x - c + lit(20000L)).as("xq"))
+      val luts = ProductQuantizer.buildLuts(
+        ProductQuantizer.subVectorsQ(qr, "qc", m = 8, subDims = 8),
+        "qc", rcents, m = 8, k = 4)
+      val cand = coarse.select($"vec_id", $"cluster".as("cell"))
+        .join(broadcast(probes), "cell")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"cell", $"vec_id")
+      val scored = cand.join(rcodes, "vec_id")
+        .select($"q_id", $"vec_id",
+          ProductQuantizer.adcExpr(luts, $"q_id" * 1024 + $"cell", $"codes",
+            m = 8, k = 4).as("adist"))
+      val out = ProductQuantizer.boundedTopK(scored, "vec_id", topK = 5)
+        .orderBy($"q_id", $"rn")
+      rsub.unpersist()
+      out
+    },
+    Some(s"""
+      WITH ${Curation.kmeansCtes8x2From("SELECT vec_id, embedding FROM embeddings")},
+      $residualPqCtes,
+      pr AS (SELECT q_id, cell FROM (
+        SELECT t.q_id, t.cluster AS cell,
+               row_number() OVER (PARTITION BY t.q_id ORDER BY t.d, t.cluster) AS rn
+        FROM (SELECT vq.vec_id AS q_id, c.cluster,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+              FROM vq CROSS JOIN c2 c WHERE vq.vec_id < 4) t)
+        WHERE rn <= 2),
+      qr AS (SELECT p.q_id, p.cell,
+               list_transform(range(1, 65),
+                 i -> vq.xq[i] - c.cq[i] + 20000) AS xq
+             FROM pr p JOIN vq ON vq.vec_id = p.q_id
+             JOIN c2 c ON p.cell = c.cluster),
+      qrs AS (SELECT q_id, cell, CAST(s.sub AS INT) AS sub,
+                list_slice(xq, CAST(s.sub AS INT) * 8 + 1,
+                               CAST(s.sub AS INT) * 8 + 8) AS sxq
+              FROM qr CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      rdt AS (SELECT qrs.q_id, qrs.cell, c.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM qrs JOIN rc2 c ON qrs.sub = c.sub),
+      cand AS (SELECT pr.q_id, pr.cell, a3.vec_id
+               FROM a3 JOIN pr ON a3.cluster = pr.cell
+               WHERE a3.vec_id <> pr.q_id),
+      iad AS (SELECT cand.q_id, cand.vec_id, CAST(SUM(rdt.d) AS BIGINT) AS adist
+              FROM cand
+              JOIN raf ON raf.vec_id = cand.vec_id
+              JOIN rdt ON rdt.sub = raf.sub AND rdt.cluster = raf.cluster
+                      AND rdt.q_id = cand.q_id AND rdt.cell = cand.cell
+              GROUP BY cand.q_id, cand.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY adist, vec_id) AS rn FROM iad)
+      SELECT q_id, rn, vec_id, adist FROM r WHERE rn <= 5
+      ORDER BY q_id, rn"""),
+    doc = "N35c: IVFADC residual encoding (Jégou '11 §IV-A) — codebooks on " +
+      "coarse-cell residuals, per-probed-cell query LUTs under one composite " +
+      "map key; the fidelity step that separates toy PQ from the production " +
+      "index, hash-matched end to end")
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198, q200)
 }
