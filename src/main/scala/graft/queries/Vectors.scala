@@ -575,5 +575,86 @@ object Vectors {
       "map key; the fidelity step that separates toy PQ from the production " +
       "index, hash-matched end to end")
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198, q200)
+  /** One unrolled NN-Descent round: incident lists capped at 2k=8,
+    * local-join pairs, union current edges, exact rescoring, top-k=4
+    * per node. */
+  private def nndRound(eIn: String, r: Int): String = s"""
+      inc$r AS (SELECT node, nb, MIN(d) AS d FROM (
+          SELECT v AS node, u AS nb, d FROM $eIn
+          UNION ALL SELECT u, v, d FROM $eIn)
+        GROUP BY node, nb),
+      it$r AS (SELECT node, nb FROM (
+          SELECT *, row_number() OVER (PARTITION BY node ORDER BY d, nb) AS rn
+          FROM inc$r) WHERE rn <= 8),
+      cp$r AS (SELECT a.nb AS v, b.nb AS u
+               FROM it$r a JOIN it$r b ON a.node = b.node AND a.nb < b.nb),
+      cd$r AS (SELECT DISTINCT v, u FROM (
+          SELECT v, u FROM cp$r
+          UNION ALL SELECT u AS v, v AS u FROM cp$r
+          UNION ALL SELECT v, u FROM $eIn) WHERE v <> u),
+      sc$r AS (SELECT e.v, e.u,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+               FROM cd$r e
+               JOIN vq a ON e.v = a.vec_id JOIN vq b ON e.u = b.vec_id),
+      e${r + 1} AS (SELECT v, u, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM sc$r) WHERE rn <= 4)"""
+
+  /** q201 — NN-Descent KNN-graph build (N41): Dong '11's local-join
+    * iteration from a deliberately poor deterministic seed (each
+    * node's 4 id-successors, mod N) — 2 rounds of "a neighbor of a
+    * neighbor is likely a neighbor" with exact grid distances and
+    * (d, id) tie-breaks, so the full iterative graph build
+    * hash-matches the rounds unrolled as CTEs. The KNN graph is what
+    * HNSW/NSG-class serving indexes are built FROM — and NN-Descent,
+    * unlike their sequential inserts, is a data-parallel algorithm.
+    * See [[graft.operators.NNDescent]] for the per-round bounds. */
+  val q201 = Q(
+    "q201_nndescent",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{KMeansInt, NNDescent}
+      val emb = Tables(s, dir, "embeddings")
+      val vq = emb.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+        .persist()
+      val n = vq.count() // 1-scalar driver action: the init's mod base
+      val init = vq.select($"vec_id".as("v"),
+          explode(sequence(lit(1), lit(4))).as("i"))
+        .select($"v", (($"v" + $"i") % n).as("u"))
+      val out = NNDescent.build(vq, "vec_id", init, k = 4, rounds = 2)
+        .orderBy($"v", $"rn")
+        .localCheckpoint()
+      vq.unpersist()
+      out
+    },
+    Some(s"""
+      WITH vq AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vq),
+      e0r AS (SELECT vq.vec_id AS v, (vq.vec_id + g.i) % nt.n AS u
+              FROM vq CROSS JOIN nt
+              CROSS JOIN (SELECT unnest(range(1, 5)) AS i) g),
+      s0 AS (SELECT e.v, e.u,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+             FROM (SELECT DISTINCT v, u FROM e0r WHERE v <> u) e
+             JOIN vq a ON e.v = a.vec_id JOIN vq b ON e.u = b.vec_id),
+      e1 AS (SELECT v, u, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM s0) WHERE rn <= 4),
+      ${nndRound("e1", 1)},
+      ${nndRound("e2", 2)}
+      SELECT v, CAST(rn AS INT) AS rn, u, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+        FROM e3) WHERE rn <= 4
+      ORDER BY v, rn"""),
+    doc = "N41: NN-Descent KNN graph (Dong '11) — bounded local joins, " +
+      "O(N·k²) candidate ids per round, exact integer distances; the " +
+      "data-parallel alternative to sequential-insert graph indexes")
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
+    q200, q201)
 }
