@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables}
 import graft.pipeline.CorpusPipeline
@@ -217,5 +218,126 @@ object Pipeline {
       "over near-dup survivors' embeddings; five stage counts + the " +
       "post-semantic survivor set in one hash-checked frame")
 
-  val all: Seq[Q] = Seq(q186, q190)
+  /** q202 — RAG indexing + serving pipeline (X89): the retrieval
+    * counterpart of q186's curation pipeline — every stage is an
+    * already-audited operator, composed end to end:
+    *
+    *   1. chunk: [[Text.chunkWindows]] (q199) — 32-token windows,
+    *      stride 24, chunk identity doc_id·1024 + chunk_id (chunks
+    *      per doc < 1024 at any plausible document length; assert
+    *      upstream for pathological inputs);
+    *   2. embed: deterministic 16-dim integer chunk vectors — per-dim
+    *      SUM of md5-digit values over the chunk's tokens (q47's
+    *      lookup-vector device, kept integer so the PQ grid needs no
+    *      re-quantization);
+    *   3. index: PQ codebooks m=8 × subDims=2, k=4, 2 rounds (q193's
+    *      trainer on the chunk vectors);
+    *   4. serve: ADC shortlist of 10 per query (the 3 head chunks of
+    *      docs 0-2), then EXACT rerank of the shortlist to top-5 —
+    *      the standard PQ serving pattern (cheap codes prune, exact
+    *      math decides).
+    *
+    * Scale: chunking/embedding are per-row projections; training
+    * shuffles m·k·subDims longs per round; ADC scoring is the pinned
+    * zero-shuffle projection; the exact rerank touches only
+    * |Q|·shortlist vectors. Hash-matched end to end — the oracle
+    * chains the q199 chunk CTE, the q47-style digit sums, the q193
+    * codebook CTEs (2-dim form) and the rerank. */
+  val q202 = Q(
+    "q202_rag_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{KMeansInt, ProductQuantizer}
+      val ch = Text.chunkWindows(Tables(s, dir, "documents"),
+        window = 32, stride = 24, keepTokens = true)
+      val cv = ch.select(
+          ($"doc_id" * 1024 + $"chunk_id").as("vec_id"),
+          transform(sequence(lit(1), lit(16)), p =>
+            aggregate(transform($"ctk", t =>
+                conv(md5(t).substr(p, lit(1)), 16, 10).cast("long")),
+              lit(0L), _ + _)).as("xq"))
+        .persist()
+      val sub = ProductQuantizer.subVectorsQ(cv, "vec_id", m = 8, subDims = 2)
+        .persist()
+      val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      val codes = ProductQuantizer.encode(sub, "vec_id", cents)
+      val qIds = Seq(0L, 1024L, 2048L) // head chunk of docs 0..2
+      val shortlist = ProductQuantizer.adcTopK(codes, "vec_id",
+        sub.filter($"vec_id".isInCollection(qIds)), "vec_id",
+        cents, m = 8, k = 4, topK = 10)
+      // exact rerank of the tiny shortlist (|Q|·10 rows)
+      val w = Window.partitionBy($"q_id").orderBy($"d", $"vec_id")
+      val out = shortlist.select($"q_id", $"vec_id")
+        .join(cv.select($"vec_id", $"xq".as("__xv")), "vec_id")
+        .join(broadcast(cv.filter($"vec_id".isInCollection(qIds))
+          .select($"vec_id".as("q_id"), $"xq".as("__xq"))), "q_id")
+        .select($"q_id", $"vec_id",
+          KMeansInt.sqDist($"__xv", $"__xq").as("d"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"rn", $"vec_id", $"d")
+        .orderBy($"q_id", $"rn")
+        .localCheckpoint()
+      sub.unpersist(); cv.unpersist()
+      out
+    },
+    Some(s"""
+      WITH dt0 AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+                   FROM documents),
+      ch AS (SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+               list_slice(tk, CAST(g.i AS INT) * 24 + 1,
+                              CAST(g.i AS INT) * 24 + 32) AS ctk
+             FROM dt0 CROSS JOIN LATERAL
+               (SELECT unnest(range(0, (len(tk) - 1) // 24 + 1)) AS i) g
+             WHERE len(tk) > 0),
+      cv AS (SELECT doc_id * 1024 + chunk_id AS vec_id,
+               list_transform(range(1, 17), p ->
+                 CAST(list_sum(list_transform(ctk, t ->
+                   CAST(('0x' || substr(md5(t), CAST(p AS INT), 1)) AS BIGINT)))
+                   AS BIGINT)) AS xq
+             FROM ch),
+      sv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+               list_slice(xq, CAST(s.sub AS INT) * 2 + 1,
+                              CAST(s.sub AS INT) * 2 + 2) AS sxq
+             FROM cv CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      pc0 AS (SELECT sub, CAST(rn - 1 AS INT) AS cluster, sxq AS cq FROM (
+               SELECT sub, sxq,
+                      row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+               FROM sv) WHERE rn <= 4),
+      ${Vectors.pqRound("pc0", "pa1", "pc1", sv = "sv", dims = 2)},
+      ${Vectors.pqRound("pc1", "pa2", "pc2", sv = "sv", dims = 2)},
+      paf AS (SELECT vec_id, sub, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT sv.vec_id, sv.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 3),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM sv JOIN pc2 c ON sv.sub = c.sub))
+        WHERE rn = 1),
+      pdt AS (SELECT sv.vec_id AS q_id, c.sub, c.cluster,
+               CAST(list_sum(list_transform(range(1, 3),
+                 i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+             FROM sv JOIN pc2 c ON sv.sub = c.sub
+             WHERE sv.vec_id IN (0, 1024, 2048)),
+      ad AS (SELECT pdt.q_id, paf.vec_id, CAST(SUM(pdt.d) AS BIGINT) AS adist
+             FROM paf JOIN pdt ON paf.sub = pdt.sub AND paf.cluster = pdt.cluster
+             WHERE paf.vec_id <> pdt.q_id
+             GROUP BY pdt.q_id, paf.vec_id),
+      sl AS (SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY adist, vec_id) AS rn FROM ad) WHERE rn <= 10),
+      rer AS (SELECT sl.q_id, sl.vec_id,
+                CAST(list_sum(list_transform(range(1, 17),
+                  i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+              FROM sl JOIN cv a ON sl.vec_id = a.vec_id
+              JOIN cv b ON sl.q_id = b.vec_id)
+      SELECT q_id, CAST(rn AS INT) AS rn, vec_id, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn
+        FROM rer) WHERE rn <= 5
+      ORDER BY q_id, rn"""),
+    doc = "X89: RAG indexing+serving composed from audited stages — chunk " +
+      "(q199) → integer chunk embeddings (q47 device) → PQ index (q193) → " +
+      "ADC shortlist → exact rerank; cheap codes prune, exact math decides")
+
+  val all: Seq[Q] = Seq(q186, q190, q202)
 }

@@ -521,9 +521,10 @@ object Text {
     * every emitted chunk is non-empty, trailing remainders are kept,
     * and a doc shorter than one window is exactly one chunk. */
   def chunkWindows(docs: org.apache.spark.sql.DataFrame,
-                   window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+                   window: Int, stride: Int,
+                   keepTokens: Boolean = false): org.apache.spark.sql.DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
-    docs
+    val base = docs
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) > 0)
       .select(col("doc_id"),
@@ -531,10 +532,12 @@ object Text {
           sequence(lit(0), expr(s"(size(tk) - 1) div $stride")),
           i => slice(col("tk"), i * stride + 1, lit(window))))
           .as(Seq("chunk_id", "ctk")))
-      .select(col("doc_id"), col("chunk_id"),
-        (col("chunk_id") * stride).as("tok_start"),
-        size(col("ctk")).as("n_tok"),
-        md5(concat_ws(" ", col("ctk"))).as("chunk_md5"))
+    val cols = Seq(col("doc_id"), col("chunk_id"),
+      (col("chunk_id") * stride).as("tok_start"),
+      size(col("ctk")).as("n_tok"),
+      md5(concat_ws(" ", col("ctk"))).as("chunk_md5")) ++
+      (if (keepTokens) Seq(col("ctk")) else Seq.empty)
+    base.select(cols: _*)
   }
 
   val q199 = Q(

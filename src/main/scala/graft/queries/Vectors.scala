@@ -244,18 +244,18 @@ object Vectors {
     * (m=8 subspaces × 8 dims, k=4 codes, 2 rounds) ending in `c2`
     * (sub, cluster, cq) + `sv` (vec_id, sub, sxq) — the q118 CTE
     * device generalized with a `sub` grouping key. */
-  private def pqRound(prev: String, a: String, c: String,
-                      sv: String = "sv"): String = s"""
+  private[queries] def pqRound(prev: String, a: String, c: String,
+                      sv: String = "sv", dims: Int = 8): String = s"""
       $a AS (SELECT vec_id, sub, cluster, sxq, d FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
         FROM (SELECT $sv.vec_id, $sv.sub, c.cluster, $sv.sxq,
-                CAST(list_sum(list_transform(range(1, 9),
+                CAST(list_sum(list_transform(range(1, ${dims + 1}),
                   i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
               FROM $sv JOIN $prev c ON $sv.sub = c.sub))
         WHERE rn = 1),
       $c AS (SELECT sub, cluster, list(q ORDER BY pos) AS cq FROM (
         SELECT sub, cluster, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS q
-        FROM (SELECT sub, cluster, unnest(range(1, 9)) AS pos, unnest(sxq) AS v
+        FROM (SELECT sub, cluster, unnest(range(1, ${dims + 1})) AS pos, unnest(sxq) AS v
               FROM $a)
         GROUP BY sub, cluster, pos)
         GROUP BY sub, cluster)"""
