@@ -172,6 +172,34 @@ object ProductQuantizer {
       lit(0L), _ + _)
   }
 
+  /** The trained codebook table collected to the driver:
+    * (sub, cluster, centroid) rows — m·k·subDims longs, the sanctioned
+    * reduced collect. Feeds [[encodeExpr]]. */
+  def collectCodebooks(cents: DataFrame): Seq[(Int, Int, Array[Long])] =
+    cents.select(col("sub"), col("cluster"), col("cq")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray)).toSeq
+
+  /** Per-ROW PQ encoding against a FROZEN codebook inlined as
+    * literals: for each subspace, exact BIGINT distances to its k
+    * centroids, argmin by (d, cluster) via lexicographic struct min —
+    * identical codes to [[encode]], but STATELESS and shuffle-free,
+    * so a live vector stream encodes in append mode against the last
+    * trained codebooks (T18 — the retrain-batch / encode-stream
+    * deployment; the same pattern as T17's frozen quality weights). */
+  def encodeExpr(codebooks: Seq[(Int, Int, Array[Long])],
+                 m: Int, subDims: Int, xq: Column): Column =
+    array((0 until m).map { s =>
+      val cands = codebooks.filter(_._1 == s).sortBy(_._2).map {
+        case (_, cid, cq) =>
+          val d = (0 until subDims).map { i =>
+            val diff = element_at(xq, s * subDims + i + 1) - lit(cq(i))
+            diff * diff
+          }.reduce(_ + _)
+          struct(d.as("d"), lit(cid).as("c"))
+      }
+      array_min(array(cands: _*)).getField("c")
+    }: _*)
+
   /** ADC top-k: exact per-query lookup tables over the codebooks, then
     * ONE zero-shuffle projection scores every encoded vector against
     * every query; the bounded [[graft.functions.TopKScored]] aggregate

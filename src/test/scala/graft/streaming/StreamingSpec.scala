@@ -889,4 +889,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed(101L) > 0 && streamed(102L) < 0)
     weights.unpersist()
   }
+
+  test("T18: streaming PQ encode — live vectors encode per row against " +
+    "the frozen batch-trained codebooks, codes equal the batch encoder") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{KMeansInt, ProductQuantizer}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" < 60)
+    val sub = ProductQuantizer.subVectors(emb, "vec_id", "embedding", 8, 8)
+      .persist()
+    val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", 4, 2)
+    val batch = ProductQuantizer.encode(sub, "vec_id", cents)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val books = ProductQuantizer.collectCodebooks(cents)
+    val live = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])](s)
+    val q = stream.toDF().toDF("vec_id", "embedding")
+      .select($"vec_id", ProductQuantizer.encodeExpr(books, 8, 8,
+        KMeansInt.quantize($"embedding")).as("codes"))
+      .writeStream.format("memory").queryName("t18_out")
+      .outputMode("append").start()
+    live.grouped(25).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = s.table("t18_out").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    sub.unpersist()
+    assert(streamed === batch,
+      s"streamed codes diverge from batch encoder (${streamed.size} rows)")
+  }
 }
