@@ -186,4 +186,81 @@ class PropertySpec extends SparkSpecBase {
       assert(got === expected, s"width=$width")
     }
   }
+
+  test("law: distributed BPE equals a sequential reference " +
+    "implementation on generated corpora") {
+    import graft.operators.BpeVocab
+    def md5hex8(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    // sequential reference: greedy BPE over a word-frequency map
+    def refBpe(words: Map[String, Long], rounds: Int): Seq[(String, String, String, Long)] = {
+      var reprs = words.map { case (w, f) =>
+        (w.map(c => md5hex8(c.toString)).toList, f) }.toSeq
+      val out = Seq.newBuilder[(String, String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        reprs.foreach { case (syms, f) =>
+          syms.zip(syms.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + f }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), cnt) = counts.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }.head
+          val m = md5hex8(a + b)
+          out += ((a, b, m, cnt))
+          // greedy leftmost-nonoverlapping merge
+          def merge(s: List[String]): List[String] = s match {
+            case x :: y :: rest if x == a && y == b => m :: merge(rest)
+            case x :: rest => x :: merge(rest)
+            case Nil => Nil
+          }
+          reprs = reprs.map { case (syms, f) => (merge(syms), f) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val wordGen: Gen[String] =
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf("ab")).map(_.mkString))
+    val corpusGen: Gen[List[String]] =
+      Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    samples(corpusGen, 6).foreach { words =>
+      val docs = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val (merges, _) = BpeVocab.train(BpeVocab.wordTable(docs, "text"), 4)
+      val freqs = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = refBpe(freqs, 4)
+      assert(merges.map(m => (m.a, m.b, m.merged, m.cnt)) === expected,
+        s"corpus=$words")
+    }
+  }
+
+  test("law: chunk windows tile every token — stride-spaced starts, " +
+    "full coverage, bounded non-empty chunks") {
+    val caseGen: Gen[(Int, Int, Int)] = for {
+      stride <- Gen.choose(1, 10)
+      extra  <- Gen.choose(0, 8)
+      nTok   <- Gen.choose(1, 100)
+    } yield (nTok, stride + extra, stride)
+    samples(caseGen, 8).foreach { case (nTok, window, stride) =>
+      val text = (1 to nTok).map(i => s"t$i").mkString(" ")
+      val chunks = graft.queries.Text
+        .chunkWindows(Seq((1L, text)).toDF("doc_id", "text"), window, stride)
+        .orderBy(col("chunk_id"))
+        .select("tok_start", "n_tok").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      // starts are 0, stride, 2*stride, ...; every chunk non-empty and
+      // <= window; spans cover [0, nTok) with no gap (stride <= window)
+      chunks.zipWithIndex.foreach { case ((start, len), i) =>
+        assert(start === i * stride)
+        assert(len > 0 && len <= window)
+      }
+      val covered = chunks.flatMap { case (s, l) => s until (s + l) }.toSet
+      assert(covered === (0 until nTok).toSet,
+        s"nTok=$nTok window=$window stride=$stride")
+    }
+  }
 }
