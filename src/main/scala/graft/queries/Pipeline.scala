@@ -250,11 +250,21 @@ object Pipeline {
       import graft.operators.{KMeansInt, ProductQuantizer}
       val ch = Text.chunkWindows(Tables(s, dir, "documents"),
         window = 32, stride = 24, keepTokens = true)
-      val cv = ch.select(
+      // hash each token ONCE, then read 16 digits off the stored hash:
+      // a single projection computing all dims from md5(t) re-runs the
+      // md5 chain per dimension (no lambda CSE — the MinHashLSH trap);
+      // the barrier stops CollapseProject re-inlining the hash column.
+      // At sf0.1 the measured win is modest (~6.2 → 5.9 s B: this
+      // query's floor is its ~10 scheduled jobs, q190's profile) — the
+      // 16× hash cut is a per-byte saving that matters at corpus scale
+      val hashed = ch.select(
           ($"doc_id" * 1024 + $"chunk_id").as("vec_id"),
+          transform($"ctk", t => md5(t)).as("hs"))
+        .barrier()
+      val cv = hashed.select($"vec_id",
           transform(sequence(lit(1), lit(16)), p =>
-            aggregate(transform($"ctk", t =>
-                conv(md5(t).substr(p, lit(1)), 16, 10).cast("long")),
+            aggregate(transform($"hs", h =>
+                conv(h.substr(p, lit(1)), 16, 10).cast("long")),
               lit(0L), _ + _)).as("xq"))
         .persist()
       val sub = ProductQuantizer.subVectorsQ(cv, "vec_id", m = 8, subDims = 2)
