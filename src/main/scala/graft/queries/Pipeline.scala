@@ -250,6 +250,14 @@ object Pipeline {
       import graft.operators.{KMeansInt, ProductQuantizer}
       val ch = Text.chunkWindows(Tables(s, dir, "documents"),
         window = 32, stride = 24, keepTokens = true)
+      // the doc·1024+chunk composite id is only injective while every
+      // document chunks into < 1024 windows (docs ≤ ~24.5k tokens at
+      // this stride); fail LOUD instead of silently colliding ids —
+      // one cheap projection-only aggregate at build time
+      val maxChunk = ch.agg(max($"chunk_id")).head.getInt(0)
+      require(maxChunk < 1024,
+        s"q202 composite chunk id overflows: max chunk_id $maxChunk >= 1024 " +
+          "— widen the composite base for this corpus")
       // hash each token ONCE, then read 16 digits off the stored hash:
       // a single projection computing all dims from md5(t) re-runs the
       // md5 chain per dimension (no lambda CSE — the MinHashLSH trap);
