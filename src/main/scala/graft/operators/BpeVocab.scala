@@ -30,6 +30,16 @@ import graft.core.Barriers._
   * The merged symbol's id is md5(a_hex || b_hex) — new fixed-width id,
   * closed under iteration. Pair-count ties break (count DESC, a ASC,
   * b ASC): bit-identical vocabularies on any engine or partitioning.
+  *
+  * Vocabulary-size scaling: each merge is one Spark job, so a
+  * production 32k-merge vocabulary is 32k sequential jobs — inherent
+  * to EXACT greedy BPE (each round's argmax depends on the last
+  * merge). Standard practice bounds the iterative table instead of
+  * the round count: train on the word-frequency table with a minimum
+  * frequency floor (one `filter(freq >= f)` on [[wordTable]]'s
+  * output — Zipf puts most distinct words below any floor, and
+  * sub-floor words cannot influence early merges much), or on a
+  * corpus sample; the corpus-sized pass stays single either way.
   */
 object BpeVocab {
 

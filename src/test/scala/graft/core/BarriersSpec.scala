@@ -33,6 +33,20 @@ class BarriersSpec extends SparkSpecBase {
     } finally spark.conf.unset(Barriers.ReliableKey)
   }
 
+  test("a real iterative operator (integer k-means) runs unchanged in " +
+    "reliable mode and matches its local-mode result") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run() = graft.operators.KMeansInt
+      .cluster(emb, "vec_id", "embedding", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-op").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Barriers.ReliableKey, "true")
+    try assert(run() === local)
+    finally spark.conf.unset(Barriers.ReliableKey)
+  }
+
   test("reliable mode writes blocks into the checkpoint dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
