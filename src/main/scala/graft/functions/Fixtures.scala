@@ -66,4 +66,22 @@ object Fixtures {
   val gazetteerSql: String =
     gazetteer.map { case (p, t) => s"('$p', '$t')" }
       .mkString("(VALUES ", ", ", ") gaz(phrase, tag)")
+
+  /** Blocklist for the safety gate (q203) — drawn from the corpus
+    * vocabulary so the oracle row exercises real hits. */
+  val blocklist: Seq[String] = Seq("slow", "dup")
+
+  def blocklistDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    blocklist.toDF("bterm")
+  }
+
+  val blocklistSql: String =
+    blocklist.map(t => s"('$t')")
+      .mkString("(VALUES ", ", ", ") bl(bterm)")
+
+  /** Leet-speak fold shared by both engines' `translate`:
+    * digits/symbols that commonly substitute letters. */
+  val leetFrom = "013457@$"
+  val leetTo   = "oleastas"
 }

@@ -565,6 +565,55 @@ object Text {
       "projection + one explode, provenance + md5 fingerprint per chunk, " +
       "trailing remainders kept")
 
+  /** q203 — blocklist safety gate with obfuscation folding (N42): the
+    * lexicon-based toxicity/safety filter every corpus pipeline runs
+    * before training (C4's badwords gate; Raffel '20 §2.2) — with the
+    * leet-speak normalization real deployments need ("5l0w" must hit
+    * the "slow" entry): lowercase, fold common digit/symbol
+    * substitutions via `translate`, then WORD-BOUNDARY matching
+    * (token equality after split — substring matching over-blocks;
+    * the scunthorpe failure mode, avoided by construction). Output:
+    * per-doc token/flag counts, flagged ppm, and the ≥2% block
+    * verdict via exact integer cross-multiplication (no truncated
+    * threshold compare).
+    *
+    * Scale: one explode → broadcast lexicon left-join → per-doc
+    * aggregate; raw text never shuffles (q45's shape). */
+  val q203 = Q(
+    "q203_blocklist_gate",
+    (s, dir) => {
+      import s.implicits._
+      val bl = Fixtures.blocklistDf(s)
+      Tables(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .select($"doc_id",
+          translate(lower($"term"), Fixtures.leetFrom, Fixtures.leetTo).as("nt"))
+        .join(broadcast(bl), $"nt" === $"bterm", "left_outer")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), count($"bterm").as("n_flagged"))
+        .select($"doc_id", $"n_tok", $"n_flagged",
+          expr("(n_flagged * 1000000) div n_tok").as("flag_ppm"),
+          ($"n_flagged" * 1000000L >= $"n_tok" * 20000L).cast("int").as("blocked"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+                   translate(lower(tok), '${Fixtures.leetFrom}',
+                             '${Fixtures.leetTo}') AS nt
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents)),
+      c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+              CAST(COUNT(bl.bterm) AS BIGINT) AS n_flagged
+            FROM t LEFT JOIN ${Fixtures.blocklistSql} ON t.nt = bl.bterm
+            GROUP BY doc_id)
+      SELECT doc_id, n_tok, n_flagged,
+             CAST((n_flagged * 1000000) // n_tok AS BIGINT) AS flag_ppm,
+             CAST(n_flagged * 1000000 >= 20000 * n_tok AS INT) AS blocked
+      FROM c ORDER BY doc_id"""),
+    doc = "N42: blocklist safety gate (C4 badwords device) — leet-fold " +
+      "normalization + word-boundary token match, broadcast lexicon, exact " +
+      "integer block verdict")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95, q141, q199)
+    q91, q92, q95, q141, q199, q203)
 }

@@ -71,4 +71,27 @@ class TextOpsSpec extends SparkSpecBase {
     val fp1 = byDoc(1L)(1).getString(4)
     assert(fp0 !== fp1)
   }
+
+  test("blocklist gate: leet-folded obfuscations hit, word boundaries " +
+    "protect substrings (no scunthorpe over-block)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "SLOW 5l0w s10w fine"),   // case + two leet spellings of 'slow'
+      (2L, "slowly meadups fine"),   // substrings only -> zero flags
+      (3L, "ok text here")
+    ).toDF("doc_id", "text")
+    val bl = graft.functions.Fixtures.blocklistDf(spark)
+    val out = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .select($"doc_id", translate(lower($"term"),
+        graft.functions.Fixtures.leetFrom,
+        graft.functions.Fixtures.leetTo).as("nt"))
+      .join(broadcast(bl), $"nt" === $"bterm", "left_outer")
+      .groupBy($"doc_id").agg(count($"bterm").as("n_flagged"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 3L, s"obfuscated hits missed: $out")
+    assert(out(2L) === 0L, s"substring over-block: $out")
+    assert(out(3L) === 0L)
+  }
 }
