@@ -24,7 +24,10 @@ import graft.operators.QualityClassifier
 object StreamingQuality {
 
   /** (idCol, score) updates for a streaming (idCol, textCol) frame
-    * against a static weight table (t, wc). */
+    * against a static weight table (t, wc). CACHE the weight table
+    * before passing it in: Spark re-plans the static side of a
+    * stream-static join every micro-batch, so an uncached weights
+    * frame would re-run its whole training lineage per batch. */
   def scoreStream(docs: DataFrame, idCol: String, textCol: String,
                   weights: DataFrame): DataFrame =
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
