@@ -388,5 +388,102 @@ object Analytics {
     doc = "X39: survival curve from the lifetime histogram — exclusive " +
       "prefix sum over a 31-row grid; one user aggregate at any scale")
 
-  val all: Seq[Q] = Seq(q89, q90, q94, q104, q108, q109, q111, q113)
+  /** q204 — declarative data-quality audit (X90): the Deequ-style
+    * constraint suite a platform runs before publishing a table
+    * (Schelter et al. VLDB '18) — one row per constraint with the
+    * violation count and a pass verdict, so the report itself is the
+    * gate's evidence. Constraints audited here: row-count floor,
+    * primary-key uniqueness (orders, and composite lineitem
+    * (orderkey, linenumber)), referential integrity orders→customer
+    * and lineitem→orders, accepted values for l_returnflag, and the
+    * l_quantity [1, 50] range.
+    *
+    * Scale: every completeness/uniqueness/range check is ONE map-side-
+    * combined aggregate over its table; uniqueness counts dup KEYS via
+    * a key-only aggregate (never materializing groups); referential
+    * checks are id-only LEFT ANTI joins (payloads never move). The
+    * whole report is a union of constraint-sized rows. */
+  /** The q204 constraint suite over (lineitem, orders, customer)-shaped
+    * frames — factored so DqAuditSpec can plant dup keys, orphan FKs
+    * and out-of-range rows and watch each constraint fire. On the
+    * driver corpus the composite lineitem key is GENUINELY non-unique
+    * (the synthetic generator reuses (orderkey, linenumber)), so the
+    * oracle row exercises a real detected violation, not an all-green
+    * trivial report. */
+  def dqReport(li: org.apache.spark.sql.DataFrame,
+               ord: org.apache.spark.sql.DataFrame,
+               cust: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      def row(name: String, violations: org.apache.spark.sql.DataFrame) =
+        violations.select(lit(name).as("dq_check"),
+          col("v").cast("long").as("violations"),
+          (col("v") === 0).cast("int").as("passed"))
+      val checks = Seq(
+        row("lineitem_nonempty",
+          li.agg(count(lit(1)).as("n")).select((col("n") === 0).cast("long").as("v"))),
+        row("orders_pk_unique",
+          ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+            .agg(count(when(col("c") > 1, 1)).as("v"))),
+        row("lineitem_pk_unique",
+          li.groupBy(col("l_orderkey"), col("l_linenumber")).agg(count(lit(1)).as("c"))
+            .agg(count(when(col("c") > 1, 1)).as("v"))),
+        row("orders_fk_customer",
+          ord.select(col("o_custkey"))
+            .join(cust.select(col("c_custkey")), col("o_custkey") === col("c_custkey"),
+              "left_anti")
+            .agg(count(lit(1)).as("v"))),
+        row("lineitem_fk_orders",
+          li.select(col("l_orderkey"))
+            .join(ord.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+              "left_anti")
+            .agg(count(lit(1)).as("v"))),
+        row("returnflag_accepted",
+          li.agg(count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("v"))),
+        row("quantity_in_range",
+          li.agg(count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("v"))))
+      checks.reduce(_ unionByName _).orderBy(col("dq_check"))
+  }
+
+  val q204 = Q(
+    "q204_dq_audit",
+    (s, dir) => dqReport(Tables(s, dir, "lineitem"),
+      Tables(s, dir, "orders"), Tables(s, dir, "customer")),
+    Some("""
+      SELECT dq_check, CAST(violations AS BIGINT) AS violations,
+             CAST(violations = 0 AS INT) AS passed FROM (
+        SELECT 'lineitem_nonempty' AS dq_check,
+               CAST((SELECT COUNT(*) FROM lineitem) = 0 AS BIGINT) AS violations
+        UNION ALL
+        SELECT 'orders_pk_unique',
+               (SELECT COUNT(*) FILTER (WHERE c > 1) FROM
+                 (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey))
+        UNION ALL
+        SELECT 'lineitem_pk_unique',
+               (SELECT COUNT(*) FILTER (WHERE c > 1) FROM
+                 (SELECT COUNT(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber))
+        UNION ALL
+        SELECT 'orders_fk_customer',
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'returnflag_accepted',
+               (SELECT COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R'))
+                FROM lineitem)
+        UNION ALL
+        SELECT 'quantity_in_range',
+               (SELECT COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                FROM lineitem))
+      ORDER BY dq_check"""),
+    doc = "X90: Deequ-style declarative DQ audit — per-constraint violation " +
+      "counts + verdicts; key-only aggregates and id-only anti-joins, " +
+      "payloads never move")
+
+  val all: Seq[Q] = Seq(q89, q90, q94, q104, q108, q109, q111, q113, q204)
 }
