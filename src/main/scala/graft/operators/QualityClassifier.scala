@@ -28,9 +28,17 @@ import org.apache.spark.sql.functions._
   * end-to-end. All DIV operands are positive (Spark `div` truncates
   * toward zero, DuckDB `//` floors; they agree on non-negatives).
   *
-  * Overflow bound: the numerator is ≤ 10⁶·Np·(Nn+V) — fine through
-  * ~10⁸-token classes in one BIGINT; at larger scale factor the ratio
-  * as (10⁶·(np+1)) DIV (nn+1) then rescale by the constant
+  * Overflow bound (ADVICE r8 — restated in per-token terms): the
+  * numerator 10⁶·(np+1)·(Nn+V) stays inside one BIGINT only while
+  * np_max·(Nn+V) < 2⁶³/10⁶ ≈ 9.2·10¹², where np_max is the LARGEST
+  * single-token count in the positive class — NOT the class size. A
+  * Zipfian corpus puts the top token at ~5% of the class, so the
+  * worst-case safe regime is roughly 10⁶-token classes (np_max ~5·10⁴
+  * against Nn+V ~10⁶ leaves ~180× headroom; np_max ~10⁶ in a
+  * 10⁷-token class is already within 1 OOM of the edge, and a common
+  * token in a 10⁸-token class overflows — ANSI mode throws, non-ANSI
+  * wraps silently). Before that point, factor the ratio as
+  * (10⁶·(np+1)) DIV (nn+1) then rescale by the constant
   * (Nn+V)/(Np+V) in a second ppm step (two truncations instead of
   * one — same determinism, documented shift in rounding points).
   *

@@ -252,12 +252,17 @@ object Pipeline {
         window = 32, stride = 24, keepTokens = true)
       // the doc·1024+chunk composite id is only injective while every
       // document chunks into < 1024 windows (docs ≤ ~24.5k tokens at
-      // this stride); fail LOUD instead of silently colliding ids —
-      // one cheap projection-only aggregate at build time
-      val maxChunk = ch.agg(max($"chunk_id")).head.getInt(0)
-      require(maxChunk < 1024,
-        s"q202 composite chunk id overflows: max chunk_id $maxChunk >= 1024 " +
-          "— widen the composite base for this corpus")
+      // this stride); fail LOUD instead of silently colliding ids.
+      // The guard is a per-row raise_error INSIDE the id projection —
+      // query build stays action-free (r8 verdict: the old eager
+      // agg(max).head ran a serial corpus-scan job even when the
+      // result was never consumed); the check now rides the first
+      // real action for free and still names the offending chunk
+      val vecId = when($"chunk_id" < 1024, $"doc_id" * 1024 + $"chunk_id")
+        .otherwise(raise_error(concat(
+          lit("q202 composite chunk id overflows: chunk_id "), $"chunk_id",
+          lit(" >= 1024 at doc_id "), $"doc_id",
+          lit(" — widen the composite base for this corpus"))))
       // hash each token ONCE, then read 16 digits off the stored hash:
       // a single projection computing all dims from md5(t) re-runs the
       // md5 chain per dimension (no lambda CSE — the MinHashLSH trap);
@@ -266,7 +271,7 @@ object Pipeline {
       // query's floor is its ~10 scheduled jobs, q190's profile) — the
       // 16× hash cut is a per-byte saving that matters at corpus scale
       val hashed = ch.select(
-          ($"doc_id" * 1024 + $"chunk_id").as("vec_id"),
+          vecId.as("vec_id"),
           transform($"ctk", t => md5(t)).as("hs"))
         .barrier()
       val cv = hashed.select($"vec_id",
@@ -295,7 +300,7 @@ object Pipeline {
         .filter($"rn" <= 5)
         .select($"q_id", $"rn", $"vec_id", $"d")
         .orderBy($"q_id", $"rn")
-        .localCheckpoint()
+        .barrier() // honors spark.graft.reliableCheckpoints (ADVICE r8)
       sub.unpersist(); cv.unpersist()
       out
     },
@@ -307,7 +312,8 @@ object Pipeline {
                list_slice(tk, CAST(g.i AS INT) * 24 + 1,
                               CAST(g.i AS INT) * 24 + 32) AS ctk
              FROM dt0 CROSS JOIN LATERAL
-               (SELECT unnest(range(0, (len(tk) - 1) // 24 + 1)) AS i) g
+               (SELECT unnest(range(0, CASE WHEN len(tk) > 32
+                  THEN (len(tk) - 33) // 24 + 2 ELSE 1 END)) AS i) g
              WHERE len(tk) > 0),
       cv AS (SELECT doc_id * 1024 + chunk_id AS vec_id,
                list_transform(range(1, 17), p ->

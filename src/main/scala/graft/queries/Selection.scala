@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Q, Tables}
+import graft.core.Barriers._
 
 /** SURVEY.md §2.11a continued — scoring/selection operators that decide
   * WHICH rows enter a training mix or serving index: recency-decayed
@@ -311,7 +312,7 @@ object Selection {
         .select($"doc_id", $"score",
           when($"score" > 0, 1).otherwise(0).as("pred"), $"actual")
         .orderBy($"doc_id")
-        .localCheckpoint()
+        .barrier() // honors spark.graft.reliableCheckpoints (ADVICE r8)
       tok.unpersist()
       out
     },

@@ -505,10 +505,14 @@ object Text {
     * span), its token count, and an md5 content fingerprint (chunk-
     * level exact dedup rides on it, q49's device).
     *
-    * Semantics pinned: windows start at 0, 24, 48, … while start <
-    * n_tok (the final chunk may be short — a trailing remainder is
-    * never silently dropped, and a doc shorter than one window is ONE
-    * chunk); a doc with no tokens yields no chunks.
+    * Semantics pinned: windows start at 0, 24, 48, …; chunk i>0 is
+    * emitted only while it EXTENDS coverage (previous window end
+    * (i−1)·24+32 < n_tok — ADVICE r8: a trailing chunk that is a
+    * strict subset of its predecessor would inflate the index with a
+    * redundant passage whose distinct md5 defeats chunk-level dedup).
+    * The final chunk may be short — a trailing remainder is never
+    * silently dropped, a doc shorter than one window is ONE chunk,
+    * and a doc with no tokens yields no chunks.
     *
     * Scale: one projection computes all chunk starts per row
     * (sequence + transform over the token array), one explode, no
@@ -517,9 +521,15 @@ object Text {
     * token text, hash). */
   /** q199's chunker as a reusable operator: token windows of `window`
     * with stride `stride` (overlap = window − stride). Chunk starts
-    * are 0, stride, 2·stride, … through the last start ≤ n_tok−1, so
-    * every emitted chunk is non-empty, trailing remainders are kept,
-    * and a doc shorter than one window is exactly one chunk. */
+    * are 0, stride, 2·stride, …; chunk i>0 is emitted only while the
+    * PREVIOUS window did not already reach the end ((i−1)·stride +
+    * window < n_tok), so every emitted chunk is non-empty AND extends
+    * coverage (no trailing strict-subset chunk — ADVICE r8), trailing
+    * remainders are kept, and a doc shorter than one window is
+    * exactly one chunk. The last-start bound stays in the n_tok >
+    * window branch of a CASE so neither engine ever divides a
+    * negative (Spark `div` truncates, DuckDB `//` floors — they only
+    * agree on non-negatives). */
   def chunkWindows(docs: org.apache.spark.sql.DataFrame,
                    window: Int, stride: Int,
                    keepTokens: Boolean = false): org.apache.spark.sql.DataFrame = {
@@ -529,7 +539,9 @@ object Text {
       .filter(size(col("tk")) > 0)
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(0), expr(s"(size(tk) - 1) div $stride")),
+          sequence(lit(0), expr(
+            s"CASE WHEN size(tk) > $window " +
+              s"THEN (size(tk) - $window - 1) div $stride + 1 ELSE 0 END")),
           i => slice(col("tk"), i * stride + 1, lit(window))))
           .as(Seq("chunk_id", "ctk")))
     val cols = Seq(col("doc_id"), col("chunk_id"),
@@ -555,7 +567,8 @@ object Text {
               list_slice(tk, CAST(g.i AS INT) * 24 + 1,
                              CAST(g.i AS INT) * 24 + 32) AS ctk
             FROM d CROSS JOIN LATERAL
-              (SELECT unnest(range(0, (len(tk) - 1) // 24 + 1)) AS i) g
+              (SELECT unnest(range(0, CASE WHEN len(tk) > 32
+                 THEN (len(tk) - 33) // 24 + 2 ELSE 1 END)) AS i) g
             WHERE len(tk) > 0)
       SELECT doc_id, chunk_id, CAST(chunk_id * 24 AS INT) AS tok_start,
              CAST(len(ctk) AS INT) AS n_tok,
@@ -584,8 +597,12 @@ object Text {
     (s, dir) => {
       import s.implicits._
       val bl = Fixtures.blocklistDf(s)
+      // drop zero-length tokens BEFORE counting (ADVICE r8): repeated /
+      // leading spaces must not inflate n_tok and deflate flag_ppm —
+      // the >=2% gate counts real tokens only (q197/q199/BPE posture)
       Tables(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter(length($"term") > 0)
         .select($"doc_id",
           translate(lower($"term"), Fixtures.leetFrom, Fixtures.leetTo).as("nt"))
         .join(broadcast(bl), $"nt" === $"bterm", "left_outer")
@@ -601,7 +618,7 @@ object Text {
                    translate(lower(tok), '${Fixtures.leetFrom}',
                              '${Fixtures.leetTo}') AS nt
                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                       FROM documents)),
+                       FROM documents) WHERE len(tok) > 0),
       c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
               CAST(COUNT(bl.bterm) AS BIGINT) AS n_flagged
             FROM t LEFT JOIN ${Fixtures.blocklistSql} ON t.nt = bl.bterm

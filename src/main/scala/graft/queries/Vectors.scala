@@ -383,8 +383,14 @@ object Vectors {
       val scored = cand.join(codes, "vec_id")
         .select($"q_id", $"vec_id",
           ProductQuantizer.adcExpr(luts, $"q_id", $"codes", m = 8, k = 4).as("adist"))
+      // barrier EAGERLY before unpersist (ADVICE r8): unpersist at
+      // construction time would drop the cached sub-frame before the
+      // lazy plan ever runs, so the encode lineage would recompute
+      // from scratch and the orderBy's range-sampling pass would
+      // replay it again — q193's posture
       val out = ProductQuantizer.boundedTopK(scored, "vec_id", topK = 5)
         .orderBy($"q_id", $"rn")
+        .barrier()
       sub.unpersist()
       out
     },
@@ -528,8 +534,10 @@ object Vectors {
         .select($"q_id", $"vec_id",
           ProductQuantizer.adcExpr(luts, $"q_id" * 1024 + $"cell", $"codes",
             m = 8, k = 4).as("adist"))
+      // barrier eagerly before unpersist (ADVICE r8) — q193's posture
       val out = ProductQuantizer.boundedTopK(scored, "vec_id", topK = 5)
         .orderBy($"q_id", $"rn")
+        .barrier()
       rsub.unpersist()
       out
     },
@@ -624,7 +632,7 @@ object Vectors {
         .select($"v", (($"v" + $"i") % n).as("u"))
       val out = NNDescent.build(vq, "vec_id", init, k = 4, rounds = 2)
         .orderBy($"v", $"rn")
-        .localCheckpoint()
+        .barrier() // honors spark.graft.reliableCheckpoints (ADVICE r8)
       vq.unpersist()
       out
     },

@@ -257,6 +257,11 @@ class PropertySpec extends SparkSpecBase {
       chunks.zipWithIndex.foreach { case ((start, len), i) =>
         assert(start === i * stride)
         assert(len > 0 && len <= window)
+        // ADVICE r8: every chunk after the first EXTENDS coverage —
+        // the previous window must not already have reached the end
+        // (no trailing strict-subset chunk)
+        if (i > 0) assert((i - 1) * stride + window < nTok,
+          s"subset chunk: nTok=$nTok window=$window stride=$stride i=$i")
       }
       val covered = chunks.flatMap { case (s, l) => s until (s + l) }.toSet
       assert(covered === (0 until nTok).toSet,

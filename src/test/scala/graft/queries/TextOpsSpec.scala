@@ -52,19 +52,28 @@ class TextOpsSpec extends SparkSpecBase {
     import spark.implicits._
     val toks = (1 to 80).map(i => s"t$i").mkString(" ")
     val docs = Seq(
-      (1L, toks),          // 80 tokens -> starts 0,24,48,72 (last len 8)
+      (1L, toks),          // 80 tokens -> starts 0,24,48 (48+32 covers 80;
+                           // a 4th chunk at 72 would be a strict subset)
       (2L, "a b c"),       // short doc -> one chunk of 3
       (3L, ""),            // no tokens -> no chunks
-      (4L, (1 to 24).map(i => s"u$i").mkString(" ")) // exactly one stride
+      (4L, (1 to 24).map(i => s"u$i").mkString(" ")), // exactly one stride
+      (5L, (1 to 32).map(i => s"v$i").mkString(" ")), // exactly one window ->
+                           // ONE chunk (ADVICE r8: old code emitted a 2nd
+                           // chunk 25..32 fully contained in the 1st)
+      (6L, (1 to 33).map(i => s"w$i").mkString(" ")) // one past the window ->
+                           // 2nd chunk extends coverage, so it stays
     ).toDF("doc_id", "text")
     val c = Text.chunkWindows(docs, window = 32, stride = 24)
       .orderBy($"doc_id", $"chunk_id").collect()
     val byDoc = c.groupBy(_.getLong(0))
     assert(byDoc(1L).map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
-      === Seq((0, 0, 32), (1, 24, 32), (2, 48, 32), (3, 72, 8)))
+      === Seq((0, 0, 32), (1, 24, 32), (2, 48, 32)))
     assert(byDoc(2L).map(r => (r.getInt(2), r.getInt(3))).toSeq === Seq((0, 3)))
     assert(!byDoc.contains(3L))
     assert(byDoc(4L).map(r => (r.getInt(2), r.getInt(3))).toSeq === Seq((0, 24)))
+    assert(byDoc(5L).map(r => (r.getInt(2), r.getInt(3))).toSeq === Seq((0, 32)))
+    assert(byDoc(6L).map(r => (r.getInt(2), r.getInt(3))).toSeq
+      === Seq((0, 32), (24, 9)))
     // the 8-token overlap: chunk 1 of doc 1 starts at t25 and must
     // contain t25..t32 (shared with chunk 0's tail)
     val fp0 = byDoc(1L)(0).getString(4)
