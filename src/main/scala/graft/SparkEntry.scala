@@ -32,7 +32,8 @@ object SparkEntry {
     _root_.graft.queries.Selection.all ++
     _root_.graft.queries.Inference.all ++
     _root_.graft.queries.Pipeline.all ++
-    _root_.graft.queries.Bpe.all
+    _root_.graft.queries.Bpe.all ++
+    _root_.graft.queries.Tweets.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,7 +26,7 @@ object Sources {
     t
   }
 
-  private def scratch(name: String): String = {
+  private[queries] def scratch(name: String): String = {
     val _ = cleaner // force registration on first use
     val dir = Files.createTempDirectory(s"graft_$name")
     scratchDirs.add(dir.toFile)

@@ -657,6 +657,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally http.close()
   }
 
+  test("E1 == E2 == q205: the composed flagship pipeline computes the same " +
+    "E3 answers through the streaming path, the batch path, and the oracle " +
+    "query (r8 verdict item 1)") {
+    val s = spark
+    import graft.queries.Tweets
+    // the SAME corpus-derived fixture q205 builds internally
+    val in = tmp("q205_in")
+    Tweets.tweetFrame(s, sf).write.mode("overwrite").json(in)
+    // E2: batch file ingest -> enrich -> E3 shapes
+    val e2 = Tweets.e3Shapes(TweetPipeline.batchIngest(s, in)).collect().toSeq
+    // E1: streaming file ingest over the same files -> enrich -> sink ->
+    // the same E3 shapes over the landed records
+    val out = tmp("q205_out"); val ck = tmp("q205_ck")
+    val q = TweetPipeline.streamIngest(s, in)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val e1 = Tweets.e3Shapes(s.read.parquet(out)).collect().toSeq
+    // q205: the oracle-registered composition (its own fixture write)
+    val q205 = Tweets.q205.build(s, sf).collect().toSeq
+    assert(e1 === e2, "streamed != batch")
+    assert(e2 === q205, "batch != q205 oracle query")
+    // sanity: all five query shapes present and non-degenerate
+    val kinds = q205.map(_.getString(0)).distinct.sorted
+    assert(kinds === Seq("geo", "hashtag", "sentiment", "time", "user"))
+    assert(q205.map(_.getLong(2)).sum > 0)
+  }
+
   /** Drives the real HTTP server over a socket — the full E1 boundary. */
   private class HttpIngestForTest(s: org.apache.spark.sql.SparkSession) {
     val ingester = new graft.sources.HttpIngest(s, port = 0)
