@@ -86,8 +86,16 @@ object KMeansInt {
     * coarse cells, q196) need the table itself, not just the
     * assignments. */
   def clusterWithCents(vecs: DataFrame, idCol: String, vecCol: String,
-                       k: Int, rounds: Int): (DataFrame, DataFrame) = {
-    val vq = vecs.select(col(idCol), quantize(col(vecCol)).as("xq")).persist()
+                       k: Int, rounds: Int): (DataFrame, DataFrame) =
+    clusterWithCentsQ(
+      vecs.select(col(idCol), quantize(col(vecCol)).as("xq")), idCol, k, rounds)
+
+  /** [[clusterWithCents]] over an ALREADY-quantized `xq` array<long>
+    * column — callers whose vectors are integer-born (the RAG chunk
+    * embeddings, q202/q206; PQ residuals) must not re-quantize. */
+  def clusterWithCentsQ(vecsQ: DataFrame, idCol: String,
+                        k: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val vq = vecsQ.select(col(idCol), col("xq")).persist()
     val init = vq.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("int").as("cluster"), col("xq").as("cq"))
     val finalCents = (1 to rounds).foldLeft(init) { (cents, _) =>

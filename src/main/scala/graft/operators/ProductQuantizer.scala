@@ -157,20 +157,80 @@ object ProductQuantizer {
     }.toMap
   }
 
+  /** ADC distance from a LUT carried as a COLUMN (a flat array<long>
+    * indexed `sub*k + code`): the one scoring expression shared by the
+    * plan-literal path ([[adcExpr]]/[[adcTopK]] inline literal arrays)
+    * and the broadcast-join path ([[lutFrame]]'s data column) — the
+    * two can never drift. */
+  def adcFromLut(lut: Column, codes: Column, m: Int, k: Int): Column =
+    aggregate(
+      zip_with(sequence(lit(0), lit(m - 1)), codes,
+        (s, c) => element_at(lut, (s * k + c + 1).cast("int"))),
+      lit(0L), _ + _)
+
   /** ADC distance as a pure projection over a (q_id, codes) row: the
     * LUTs inline as ONE map literal keyed by query id, so a candidate
     * stream carrying mixed query ids (the IVF-PQ probe join, q196)
-    * scores without any shuffle or per-query plan duplication. */
+    * scores without any shuffle or per-query plan duplication.
+    * Plan-literal size is |Q|·m·k — right for serving-sized query
+    * batches; LARGE batches use [[lutFrame]] + [[scoreCandidates]] /
+    * [[adcTopKJoin]], which carry the same tables as broadcast DATA
+    * with no |Q| term in the plan. */
   def adcExpr(luts: Map[Long, Array[Long]], qId: Column, codes: Column,
               m: Int, k: Int): Column = {
     val entries = luts.toSeq.sortBy(_._1).flatMap { case (q, arr) =>
       Seq(lit(q), array(arr.map(lit): _*)) }
-    val lutMap = map(entries: _*)
-    aggregate(
-      zip_with(sequence(lit(0), lit(m - 1)), codes,
-        (s, c) => element_at(element_at(lutMap, qId), (s * k + c + 1).cast("int"))),
-      lit(0L), _ + _)
+    adcFromLut(element_at(map(entries: _*), qId), codes, m, k)
   }
+
+  /** The per-query ADC lookup tables as DATA rows, never on the driver
+    * (r8 verdict item 3): (q_id, __lut) where __lut[sub·k + code] is
+    * the exact BIGINT query→centroid distance, Long.MaxValue on
+    * never-assigned (dropped-empty-cluster) codes — byte-identical
+    * content to [[buildLuts]], built by one m·k-row-per-query
+    * aggregate and consumed through a broadcast join. This lifts the
+    * literal path's |Q| bound: a thousand-query batch is a thousand
+    * 32-long broadcast rows instead of |Q|·m·k plan literals (whose
+    * analysis cost, codegen size and plan-cache pressure all grow
+    * with the batch). */
+  def lutFrame(querySub: DataFrame, qIdCol: String, cents: DataFrame,
+               m: Int, k: Int): DataFrame =
+    querySub.join(broadcast(cents), "sub")
+      .select(col(qIdCol).as("q_id"),
+        (col("sub") * k + col("cluster")).as("__i"),
+        KMeansInt.sqDist(col("sxq"), col("cq")).as("__d"))
+      .groupBy(col("q_id"))
+      .agg(map_from_entries(collect_list(struct(col("__i"), col("__d"))))
+        .as("__dm"))
+      .select(col("q_id"), transform(sequence(lit(0), lit(m * k - 1)),
+        i => coalesce(element_at(col("__dm"), i), lit(Long.MaxValue)))
+        .as("__lut"))
+
+  /** [[adcTopK]] with the LUTs as broadcast data instead of plan
+    * literals: one broadcast nested-loop join fans each code row out
+    * to the |Q| LUT rows, scoring stays a shuffle-free projection,
+    * and the only exchange is the bounded top-k's final aggregate —
+    * PqLutJoinSpec pins output equality with the literal path at
+    * |Q|=1000 and the single-exchange plan shape. */
+  def adcTopKJoin(codes: DataFrame, idCol: String, lutF: DataFrame,
+                  m: Int, k: Int, topK: Int): DataFrame = {
+    val scored = codes.crossJoin(broadcast(lutF))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        adcFromLut(col("__lut"), col("codes"), m, k).as("adist"))
+    boundedTopK(scored, idCol, topK)
+  }
+
+  /** Score a pruned (q_id, idCol) candidate stream — the IVF-pruned
+    * serve shape (q206) — against broadcast LUT rows: candidates join
+    * the codes table on the id (both sides are ids + m codes), then
+    * the k-row LUT frame broadcasts in; no |Q| term in the plan. */
+  def scoreCandidates(cand: DataFrame, codes: DataFrame, idCol: String,
+                      lutF: DataFrame, m: Int, k: Int): DataFrame =
+    cand.join(codes, idCol)
+      .join(broadcast(lutF), "q_id")
+      .select(col("q_id"), col(idCol),
+        adcFromLut(col("__lut"), col("codes"), m, k).as("adist"))
 
   /** The trained codebook table collected to the driver:
     * (sub, cluster, centroid) rows — m·k·subDims longs, the sanctioned
@@ -214,10 +274,7 @@ object ProductQuantizer {
     val scored = qIds.map { q =>
       val lut = array(luts(q).map(lit): _*)
       struct(lit(q).as("q_id"),
-        aggregate(
-          zip_with(sequence(lit(0), lit(m - 1)), col("codes"),
-            (s, c) => element_at(lut, (s * k + c + 1).cast("int"))),
-          lit(0L), _ + _).as("adist"))
+        adcFromLut(lut, col("codes"), m, k).as("adist"))
     }
     val scoredRows = codes
       .select(col(idCol), explode(array(scored: _*)).as("qa"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -218,6 +219,130 @@ object Pipeline {
       "over near-dup survivors' embeddings; five stage counts + the " +
       "post-semantic survivor set in one hash-checked frame")
 
+  /** Stages 1–2 of the RAG pipeline — chunk (q199's windows, with the
+    * composite-id guard) → hash-once → 16-dim integer chunk vectors —
+    * shared by q202 (flat-PQ serve) and q206 (IVF-pruned serve).
+    * Returns a PERSISTED frame; callers unpersist after eagerly
+    * barriering their output. */
+  private def chunkVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ch = Text.chunkWindows(Tables(s, dir, "documents"),
+      window = 32, stride = 24, keepTokens = true)
+    // the doc·1024+chunk composite id is only injective while every
+    // document chunks into < 1024 windows (docs ≤ ~24.5k tokens at
+    // this stride); fail LOUD instead of silently colliding ids.
+    // The guard is a per-row raise_error INSIDE the id projection —
+    // query build stays action-free (r8 verdict: the old eager
+    // agg(max).head ran a serial corpus-scan job even when the
+    // result was never consumed); the check now rides the first
+    // real action for free and still names the offending chunk
+    val vecId = when($"chunk_id" < 1024, $"doc_id" * 1024 + $"chunk_id")
+      .otherwise(raise_error(concat(
+        lit("q202 composite chunk id overflows: chunk_id "), $"chunk_id",
+        lit(" >= 1024 at doc_id "), $"doc_id",
+        lit(" — widen the composite base for this corpus"))))
+    // hash each token ONCE, then read 16 digits off the stored hash:
+    // a single projection computing all dims from md5(t) re-runs the
+    // md5 chain per dimension (no lambda CSE — the MinHashLSH trap);
+    // the barrier stops CollapseProject re-inlining the hash column.
+    // At sf0.1 the measured win is modest (~6.2 → 5.9 s B: this
+    // query's floor is its ~10 scheduled jobs, q190's profile) — the
+    // 16× hash cut is a per-byte saving that matters at corpus scale
+    val hashed = ch.select(
+        vecId.as("vec_id"),
+        transform($"ctk", t => md5(t)).as("hs"))
+      .barrier()
+    hashed.select($"vec_id",
+        transform(sequence(lit(1), lit(16)), p =>
+          aggregate(transform($"hs", h =>
+              conv(h.substr(p, lit(1)), 16, 10).cast("long")),
+            lit(0L), _ + _)).as("xq"))
+      .persist()
+  }
+
+  /** Head chunks of docs 0–2 — the serve-path query set of q202/q206. */
+  private val ragQueryIds = Seq(0L, 1024L, 2048L)
+
+  /** Exact rerank of a (q_id, vec_id) shortlist to top-5 against the
+    * true chunk vectors — the decisive step of the PQ serving pattern
+    * (cheap codes prune, exact math decides); |Q|·shortlist rows. */
+  private def exactRerank(cv: DataFrame, shortlist: DataFrame): DataFrame = {
+    import cv.sparkSession.implicits._
+    import graft.operators.KMeansInt
+    val w = Window.partitionBy($"q_id").orderBy($"d", $"vec_id")
+    shortlist.select($"q_id", $"vec_id")
+      .join(cv.select($"vec_id", $"xq".as("__xv")), "vec_id")
+      .join(broadcast(cv.filter($"vec_id".isInCollection(ragQueryIds))
+        .select($"vec_id".as("q_id"), $"xq".as("__xq"))), "q_id")
+      .select($"q_id", $"vec_id",
+        KMeansInt.sqDist($"__xv", $"__xq").as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"rn", $"vec_id", $"d")
+      .orderBy($"q_id", $"rn")
+  }
+
+  /** DuckDB twins of [[chunkVectors]] (dt0/ch/cv) — shared CTE prefix
+    * of the q202 and q206 oracles. */
+  private val ragChunkCtes: String = """dt0 AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+                   FROM documents),
+      ch AS (SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+               list_slice(tk, CAST(g.i AS INT) * 24 + 1,
+                              CAST(g.i AS INT) * 24 + 32) AS ctk
+             FROM dt0 CROSS JOIN LATERAL
+               (SELECT unnest(range(0, CASE WHEN len(tk) > 32
+                  THEN (len(tk) - 33) // 24 + 2 ELSE 1 END)) AS i) g
+             WHERE len(tk) > 0),
+      cv AS (SELECT doc_id * 1024 + chunk_id AS vec_id,
+               list_transform(range(1, 17), p ->
+                 CAST(list_sum(list_transform(ctk, t ->
+                   CAST(('0x' || substr(md5(t), CAST(p AS INT), 1)) AS BIGINT)))
+                   AS BIGINT)) AS xq
+             FROM ch)"""
+
+  /** DuckDB twin of the PQ index build over `cv` (m=8 × subDims=2,
+    * k=4, 2 rounds) ending in codes `paf` + per-query LUT content
+    * `pdt` — shared by q202/q206. */
+  private val ragPqCtes: String = s"""sv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+               list_slice(xq, CAST(s.sub AS INT) * 2 + 1,
+                              CAST(s.sub AS INT) * 2 + 2) AS sxq
+             FROM cv CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      pc0 AS (SELECT sub, CAST(rn - 1 AS INT) AS cluster, sxq AS cq FROM (
+               SELECT sub, sxq,
+                      row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+               FROM sv) WHERE rn <= 4),
+      ${Vectors.pqRound("pc0", "pa1", "pc1", sv = "sv", dims = 2)},
+      ${Vectors.pqRound("pc1", "pa2", "pc2", sv = "sv", dims = 2)},
+      paf AS (SELECT vec_id, sub, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT sv.vec_id, sv.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 3),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM sv JOIN pc2 c ON sv.sub = c.sub))
+        WHERE rn = 1),
+      pdt AS (SELECT sv.vec_id AS q_id, c.sub, c.cluster,
+               CAST(list_sum(list_transform(range(1, 3),
+                 i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+             FROM sv JOIN pc2 c ON sv.sub = c.sub
+             WHERE sv.vec_id IN (0, 1024, 2048))"""
+
+  /** DuckDB twin of the serve tail — shortlist (top-10 ADC from
+    * `scoredCte`) → exact rerank → top-5 — shared by q202/q206. */
+  private def ragServeTail(scoredCte: String): String = s"""
+      sl AS (SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY adist, vec_id) AS rn FROM $scoredCte) WHERE rn <= 10),
+      rer AS (SELECT sl.q_id, sl.vec_id,
+                CAST(list_sum(list_transform(range(1, 17),
+                  i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+              FROM sl JOIN cv a ON sl.vec_id = a.vec_id
+              JOIN cv b ON sl.q_id = b.vec_id)
+      SELECT q_id, CAST(rn AS INT) AS rn, vec_id, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn
+        FROM rer) WHERE rn <= 5
+      ORDER BY q_id, rn"""
+
   /** q202 — RAG indexing + serving pipeline (X89): the retrieval
     * counterpart of q186's curation pipeline — every stage is an
     * already-audited operator, composed end to end:
@@ -247,121 +372,144 @@ object Pipeline {
     "q202_rag_pipeline",
     (s, dir) => {
       import s.implicits._
-      import graft.operators.{KMeansInt, ProductQuantizer}
-      val ch = Text.chunkWindows(Tables(s, dir, "documents"),
-        window = 32, stride = 24, keepTokens = true)
-      // the doc·1024+chunk composite id is only injective while every
-      // document chunks into < 1024 windows (docs ≤ ~24.5k tokens at
-      // this stride); fail LOUD instead of silently colliding ids.
-      // The guard is a per-row raise_error INSIDE the id projection —
-      // query build stays action-free (r8 verdict: the old eager
-      // agg(max).head ran a serial corpus-scan job even when the
-      // result was never consumed); the check now rides the first
-      // real action for free and still names the offending chunk
-      val vecId = when($"chunk_id" < 1024, $"doc_id" * 1024 + $"chunk_id")
-        .otherwise(raise_error(concat(
-          lit("q202 composite chunk id overflows: chunk_id "), $"chunk_id",
-          lit(" >= 1024 at doc_id "), $"doc_id",
-          lit(" — widen the composite base for this corpus"))))
-      // hash each token ONCE, then read 16 digits off the stored hash:
-      // a single projection computing all dims from md5(t) re-runs the
-      // md5 chain per dimension (no lambda CSE — the MinHashLSH trap);
-      // the barrier stops CollapseProject re-inlining the hash column.
-      // At sf0.1 the measured win is modest (~6.2 → 5.9 s B: this
-      // query's floor is its ~10 scheduled jobs, q190's profile) — the
-      // 16× hash cut is a per-byte saving that matters at corpus scale
-      val hashed = ch.select(
-          vecId.as("vec_id"),
-          transform($"ctk", t => md5(t)).as("hs"))
-        .barrier()
-      val cv = hashed.select($"vec_id",
-          transform(sequence(lit(1), lit(16)), p =>
-            aggregate(transform($"hs", h =>
-                conv(h.substr(p, lit(1)), 16, 10).cast("long")),
-              lit(0L), _ + _)).as("xq"))
-        .persist()
+      import graft.operators.ProductQuantizer
+      val cv = chunkVectors(s, dir)
       val sub = ProductQuantizer.subVectorsQ(cv, "vec_id", m = 8, subDims = 2)
         .persist()
       val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
       val codes = ProductQuantizer.encode(sub, "vec_id", cents)
-      val qIds = Seq(0L, 1024L, 2048L) // head chunk of docs 0..2
       val shortlist = ProductQuantizer.adcTopK(codes, "vec_id",
-        sub.filter($"vec_id".isInCollection(qIds)), "vec_id",
+        sub.filter($"vec_id".isInCollection(ragQueryIds)), "vec_id",
         cents, m = 8, k = 4, topK = 10)
       // exact rerank of the tiny shortlist (|Q|·10 rows)
-      val w = Window.partitionBy($"q_id").orderBy($"d", $"vec_id")
-      val out = shortlist.select($"q_id", $"vec_id")
-        .join(cv.select($"vec_id", $"xq".as("__xv")), "vec_id")
-        .join(broadcast(cv.filter($"vec_id".isInCollection(qIds))
-          .select($"vec_id".as("q_id"), $"xq".as("__xq"))), "q_id")
-        .select($"q_id", $"vec_id",
-          KMeansInt.sqDist($"__xv", $"__xq").as("d"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 5)
-        .select($"q_id", $"rn", $"vec_id", $"d")
-        .orderBy($"q_id", $"rn")
+      val out = exactRerank(cv, shortlist)
         .barrier() // honors spark.graft.reliableCheckpoints (ADVICE r8)
       sub.unpersist(); cv.unpersist()
       out
     },
     Some(s"""
-      WITH dt0 AS (SELECT doc_id,
-                     list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
-                   FROM documents),
-      ch AS (SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
-               list_slice(tk, CAST(g.i AS INT) * 24 + 1,
-                              CAST(g.i AS INT) * 24 + 32) AS ctk
-             FROM dt0 CROSS JOIN LATERAL
-               (SELECT unnest(range(0, CASE WHEN len(tk) > 32
-                  THEN (len(tk) - 33) // 24 + 2 ELSE 1 END)) AS i) g
-             WHERE len(tk) > 0),
-      cv AS (SELECT doc_id * 1024 + chunk_id AS vec_id,
-               list_transform(range(1, 17), p ->
-                 CAST(list_sum(list_transform(ctk, t ->
-                   CAST(('0x' || substr(md5(t), CAST(p AS INT), 1)) AS BIGINT)))
-                   AS BIGINT)) AS xq
-             FROM ch),
-      sv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
-               list_slice(xq, CAST(s.sub AS INT) * 2 + 1,
-                              CAST(s.sub AS INT) * 2 + 2) AS sxq
-             FROM cv CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
-      pc0 AS (SELECT sub, CAST(rn - 1 AS INT) AS cluster, sxq AS cq FROM (
-               SELECT sub, sxq,
-                      row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
-               FROM sv) WHERE rn <= 4),
-      ${Vectors.pqRound("pc0", "pa1", "pc1", sv = "sv", dims = 2)},
-      ${Vectors.pqRound("pc1", "pa2", "pc2", sv = "sv", dims = 2)},
-      paf AS (SELECT vec_id, sub, cluster FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
-        FROM (SELECT sv.vec_id, sv.sub, c.cluster,
-                CAST(list_sum(list_transform(range(1, 3),
-                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
-              FROM sv JOIN pc2 c ON sv.sub = c.sub))
-        WHERE rn = 1),
-      pdt AS (SELECT sv.vec_id AS q_id, c.sub, c.cluster,
-               CAST(list_sum(list_transform(range(1, 3),
-                 i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
-             FROM sv JOIN pc2 c ON sv.sub = c.sub
-             WHERE sv.vec_id IN (0, 1024, 2048)),
+      WITH $ragChunkCtes,
+      $ragPqCtes,
       ad AS (SELECT pdt.q_id, paf.vec_id, CAST(SUM(pdt.d) AS BIGINT) AS adist
              FROM paf JOIN pdt ON paf.sub = pdt.sub AND paf.cluster = pdt.cluster
              WHERE paf.vec_id <> pdt.q_id
              GROUP BY pdt.q_id, paf.vec_id),
-      sl AS (SELECT q_id, vec_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY q_id
-                  ORDER BY adist, vec_id) AS rn FROM ad) WHERE rn <= 10),
-      rer AS (SELECT sl.q_id, sl.vec_id,
-                CAST(list_sum(list_transform(range(1, 17),
-                  i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
-              FROM sl JOIN cv a ON sl.vec_id = a.vec_id
-              JOIN cv b ON sl.q_id = b.vec_id)
-      SELECT q_id, CAST(rn AS INT) AS rn, vec_id, d FROM (
-        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn
-        FROM rer) WHERE rn <= 5
-      ORDER BY q_id, rn"""),
+      ${ragServeTail("ad")}"""),
     doc = "X89: RAG indexing+serving composed from audited stages — chunk " +
       "(q199) → integer chunk embeddings (q47 device) → PQ index (q193) → " +
       "ADC shortlist → exact rerank; cheap codes prune, exact math decides")
 
-  val all: Seq[Q] = Seq(q186, q190, q202)
+  /** One 16-dim coarse k-means round over `cv` (assign vs `cents` →
+    * update) — the q118 CTE device at the chunk-vector width. */
+  private def coarseRound16(cents: String, aOut: String, cOut: String): String = s"""
+      $aOut AS (SELECT vec_id, cluster, xq FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT cv.vec_id, g.cluster, cv.xq,
+                CAST(list_sum(list_transform(range(1, 17),
+                  i -> (cv.xq[i] - g.cq[i]) * (cv.xq[i] - g.cq[i]))) AS BIGINT) AS d
+              FROM cv CROSS JOIN $cents g))
+        WHERE rn = 1),
+      $cOut AS (SELECT cluster, list(q ORDER BY pos) AS cq FROM (
+        SELECT cluster, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS q
+        FROM (SELECT cluster, unnest(range(1, 17)) AS pos, unnest(xq) AS v
+              FROM $aOut)
+        GROUP BY cluster, pos)
+        GROUP BY cluster)"""
+
+  /** The IVF-pruned serve path (q206, parameterized so the spec can
+    * set nProbe = k and pin equality with q202's flat scan): coarse
+    * cells over the chunk vectors, per-query top-nProbe cell probe,
+    * candidates = probed cells' members only, ADC via the broadcast
+    * LUT-frame join ([[graft.operators.ProductQuantizer.lutFrame]] —
+    * the r8 item-3 path, exercised here under an oracle), exact
+    * rerank. */
+  private[queries] def ragServeIvf(s: SparkSession, dir: String,
+                                   nProbe: Int): DataFrame = {
+    import s.implicits._
+    import graft.operators.{KMeansInt, ProductQuantizer}
+    val cv = chunkVectors(s, dir)
+    val (coarse, coarseCents) =
+      KMeansInt.clusterWithCentsQ(cv, "vec_id", k = 8, rounds = 2)
+    val sub = ProductQuantizer.subVectorsQ(cv, "vec_id", m = 8, subDims = 2)
+      .persist()
+    val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+    val codes = ProductQuantizer.encode(sub, "vec_id", cents)
+    val wP = Window.partitionBy($"q_id").orderBy($"__d", $"cluster")
+    val probes = cv.filter($"vec_id".isInCollection(ragQueryIds))
+      .select($"vec_id".as("q_id"), $"xq")
+      .crossJoin(broadcast(coarseCents))
+      .withColumn("__d", KMeansInt.sqDist($"xq", $"cq"))
+      .withColumn("__rn", row_number().over(wP))
+      .filter($"__rn" <= nProbe)
+      .select($"q_id", $"cluster".as("cell"))
+    val cand = coarse.select($"vec_id", $"cluster".as("cell"))
+      .join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id")
+    val lutF = ProductQuantizer.lutFrame(
+      sub.filter($"vec_id".isInCollection(ragQueryIds)), "vec_id",
+      cents, m = 8, k = 4)
+    val scored = ProductQuantizer.scoreCandidates(cand, codes, "vec_id",
+      lutF, m = 8, k = 4)
+    val shortlist = ProductQuantizer.boundedTopK(scored, "vec_id", topK = 10)
+    val out = exactRerank(cv, shortlist).barrier()
+    sub.unpersist(); cv.unpersist()
+    out
+  }
+
+  /** q206 — IVF-pruned RAG serving (X89b, r8 verdict item 4): q202
+    * serves its ADC shortlist over ALL codes — correct, but the
+    * production shape is q196's composition: coarse cells prune WHICH
+    * chunks are scored (nProbe=2 of 8 cells ⇒ the candidate stream is
+    * ~¼ of the corpus), PQ codes shrink WHAT is scored, the exact
+    * rerank still decides. Same index build as q202 (the shared
+    * [[chunkVectors]] + PQ CTEs), plus a 16-dim integer k-means over
+    * the chunk vectors for the cells; ADC runs through the broadcast
+    * LUT-frame JOIN (no |Q| plan literals — the scalable query-batch
+    * path, oracle-gated here). RagIvfSpec pins nProbe = k ≡ q202's
+    * flat scan, the recall-floor contract.
+    *
+    * Scale: candidate stream is nProbe/k of the chunk corpus; every
+    * other stage inherits q202's posture (per-row chunk/embed,
+    * m·k·subDims-long training shuffles, broadcast k-row probe and
+    * LUT tables, bounded top-k). */
+  val q206 = Q(
+    "q206_rag_ivf_pipeline",
+    (s, dir) => ragServeIvf(s, dir, nProbe = 2),
+    Some(s"""
+      WITH $ragChunkCtes,
+      gc0 AS (SELECT CAST(vec_id AS INT) AS cluster, xq AS cq FROM cv
+              ORDER BY vec_id LIMIT 8),
+      ${coarseRound16("gc0", "ga1", "gc1")},
+      ${coarseRound16("gc1", "ga2", "gc2")},
+      ga3 AS (SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT cv.vec_id, g.cluster,
+                CAST(list_sum(list_transform(range(1, 17),
+                  i -> (cv.xq[i] - g.cq[i]) * (cv.xq[i] - g.cq[i]))) AS BIGINT) AS d
+              FROM cv CROSS JOIN gc2 g))
+        WHERE rn = 1),
+      $ragPqCtes,
+      pr AS (SELECT q_id, cell FROM (
+        SELECT t.q_id, t.cluster AS cell,
+               row_number() OVER (PARTITION BY t.q_id ORDER BY t.d, t.cluster) AS rn
+        FROM (SELECT cv.vec_id AS q_id, g.cluster,
+                CAST(list_sum(list_transform(range(1, 17),
+                  i -> (cv.xq[i] - g.cq[i]) * (cv.xq[i] - g.cq[i]))) AS BIGINT) AS d
+              FROM cv CROSS JOIN gc2 g
+              WHERE cv.vec_id IN (0, 1024, 2048)) t)
+        WHERE rn <= 2),
+      cand AS (SELECT pr.q_id, ga3.vec_id FROM ga3 JOIN pr ON ga3.cluster = pr.cell
+               WHERE ga3.vec_id <> pr.q_id),
+      iad AS (SELECT pdt.q_id, paf.vec_id, CAST(SUM(pdt.d) AS BIGINT) AS adist
+              FROM paf JOIN pdt ON paf.sub = pdt.sub AND paf.cluster = pdt.cluster
+              JOIN cand ON cand.vec_id = paf.vec_id AND cand.q_id = pdt.q_id
+              GROUP BY pdt.q_id, paf.vec_id),
+      ${ragServeTail("iad")}"""),
+    doc = "X89b: IVF-pruned RAG serving — coarse chunk cells prune the " +
+      "candidate stream to nProbe/k of the corpus, ADC scores via the " +
+      "broadcast LUT-frame join (no per-query plan literals), exact rerank " +
+      "decides; nProbe=k degenerates to q202's flat scan (spec-pinned)")
+
+  val all: Seq[Q] = Seq(q186, q190, q202, q206)
 }
