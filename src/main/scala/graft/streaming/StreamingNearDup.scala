@@ -45,21 +45,37 @@ import graft.operators.MinHashLSH
   * the verify stage's input contract, unchanged from batch
   * ([[StreamingVerifiedDedup]] composes exactly that).
   *
-  * State lifetime — two modes:
-  *  - [[candidates]]/[[embeddingCandidates]]: remember-all-history.
+  * State lifetime — DEFAULT TO BOUNDED RETENTION in production (r8
+  * verdict item 9):
+  *  - [[candidatesWithRetention]] — the production posture. Bounded
+  *    state via event-time timeouts: a bucket idle past `retention`
+  *    (no member arrivals, event time) is EVICTED when the watermark
+  *    passes, so the state store's size follows the ACTIVE content
+  *    window, not the stream's lifetime. The trade, stated loudly: an
+  *    evicted bucket re-seeds empty, so a near-copy arriving after
+  *    the gap does NOT pair with pre-eviction members (bounded recall
+  *    loss — the deduplicate-against-the-last-N-days contract; size
+  *    `retention` to the dedup window your pipeline promises); pairs
+  *    already emitted are never retracted. The production example:
+  *
+  *    {{{
+  *    StreamingNearDup.candidatesWithRetention(
+  *        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+  *          .json(landingDir),
+  *        "doc_id", "text", "ts", retention = java.time.Duration.ofDays(30))
+  *      .writeStream.format("parquet").option("path", pairsDir)
+  *      .option("checkpointLocation", ckDir).start()
+  *    }}}
+  *
+  *    (compiled and driven — incl. across checkpoint restarts — in
+  *    StreamingSpec's T14c cases.)
+  *  - [[candidates]]/[[embeddingCandidates]] — remember-all-history,
+  *    for finite backfills and dedup-against-everything audits.
   *    Per-bucket state is capped, but the bucket COUNT grows with all
   *    distinct content ever streamed — unbounded over an infinite
-  *    stream BY DESIGN (a doc must be able to pair with one ingested
-  *    months ago). Deployments that outlive their state store must
-  *    either restart/compact the query or use the retention mode.
-  *  - [[candidatesWithRetention]] (r8): bounded retention via
-  *    event-time timeouts — a bucket idle past `retention` (no member
-  *    arrivals, event time) is EVICTED when the watermark passes.
-  *    Semantic change, documented loudly: an evicted bucket re-seeds
-  *    empty, so a near-copy arriving after the gap does NOT pair with
-  *    pre-eviction members (bounded recall loss in exchange for
-  *    bounded state — the deduplicate-against-the-last-N-days
-  *    contract); pairs already emitted are never retracted.
+  *    stream BY DESIGN (a doc can pair with one ingested months ago).
+  *    A deployment that outlives its state store must restart/compact
+  *    the query or switch to the retention mode.
   */
 object StreamingNearDup {
 

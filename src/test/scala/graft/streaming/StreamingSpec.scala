@@ -657,6 +657,169 @@ class StreamingSpec extends SparkSpecBase {
     } finally http.close()
   }
 
+  // ---- checkpoint-restart exactly-once for the r8 stateful operators
+  // (r8 verdict item 2): T10 proves restart for stateless file ingest;
+  // these pin that the NEW state — LSH bucket membership, retention
+  // deadlines, in-flight per-doc sums, pair-dedup history — is restored
+  // from a real checkpoint and committed output is never re-emitted.
+
+  private def writeDocs(dir: String, name: String,
+                        docs: Seq[(Long, String)]): Unit =
+    Files.write(java.nio.file.Paths.get(dir, name),
+      docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+
+  test("T16 restart: LSH bucket state and pair-dedup history survive a " +
+    "checkpoint restart — post-restart docs pair with pre-restart members, " +
+    "committed pairs are not re-emitted, union equals the batch run") {
+    val s = spark
+    import s.implicits._
+    val in = tmp("t16r_in"); val out = tmp("t16r_out"); val ck = tmp("t16r_ck")
+    val run1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark streaming state stores scale across many executors"),
+      (3L, "completely unrelated text about cooking pasta with garlic"),
+      (103L, "completely unrelated text about cooking pasta with oil"))
+    val run2 = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "spark streaming state stores scale across many"))
+    val corpus = (run1 ++ run2).toDF("doc_id", "text")
+    val store = graft.operators.MinHashLSH
+      .shingleSets(corpus, "doc_id", "text").cache()
+    def runOnce(): Unit = {
+      val docs = s.readStream.schema("doc_id LONG, text STRING").json(in)
+      val q = StreamingVerifiedDedup.verified(docs, "doc_id", "text",
+          store, "doc_id", "sh", minJaccard = 0.5)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeDocs(in, "b0.json", run1); runOnce()
+    val afterRun1 = s.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(afterRun1.contains((3L, 103L)), "run-1 pair missing before restart")
+    // new input lands while no query is running; SAME checkpoint
+    writeDocs(in, "b1.json", run2); runOnce()
+    val rows = s.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toSeq
+    // exactly-once: nothing re-emitted (incl. run-1's committed pair)
+    assert(rows.size === rows.distinct.size, s"duplicate pairs: $rows")
+    val streamed = rows.toMap
+    // cross-restart discovery: run-2 docs paired with RUN-1 bucket members
+    assert(streamed.contains((1L, 101L)) && streamed.contains((2L, 102L)),
+      s"bucket state lost across restart: ${streamed.keys}")
+    val batch = graft.operators.MinHashLSH
+      .nearDupPairs(corpus, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed === batch, s"streamed != batch: $streamed vs $batch")
+    store.unpersist()
+  }
+
+  test("T14c restart: retention-mode bucket state, deadlines and the " +
+    "watermark survive restarts — within-retention pairing works across " +
+    "a restart, eviction still fires across later restarts") {
+    val s = spark
+    import s.implicits._
+    val in = tmp("t14r_in"); val out = tmp("t14r_out"); val ck = tmp("t14r_ck")
+    def writeTs(name: String, docs: Seq[(Long, String, Long)]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        docs.map { case (i, t, sec) =>
+          s"""{"doc_id":$i,"text":"$t","ts":"${java.time.Instant.ofEpochSecond(1000 + sec)}"}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP").json(in)
+      val q = StreamingNearDup.candidatesWithRetention(docs,
+          "doc_id", "text", "ts", retention = java.time.Duration.ofSeconds(60))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: the originals at t=0
+    writeTs("b0.json", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", 0L),
+      (2L, "spark streaming state stores scale across many executors", 0L)))
+    runOnce()
+    // run 2 (restart): near-copy of doc 2 at t=30, inside retention —
+    // pairs only if the bucket membership AND deadline were restored
+    writeTs("b1.json", Seq(
+      (102L, "spark streaming state stores scale across many", 30L)))
+    runOnce()
+    // runs 3-4 (restarts): far-future docs advance the restored
+    // watermark past the t<=30 deadlines, then let the timeouts fire
+    writeTs("b2.json", Seq(
+      (9L, "completely unrelated text about cooking pasta with garlic", 300L)))
+    runOnce()
+    writeTs("b3.json", Seq(
+      (10L, "another unrelated document describing mountain hiking trails", 310L)))
+    runOnce()
+    // run 5 (restart): near-copy of doc 1 — its bucket was evicted
+    // across the restarts, so it must NOT pair
+    writeTs("b4.json", Seq(
+      (101L, "the quick brown fox jumps over the lazy dog", 320L)))
+    runOnce()
+    val pairs = s.read.parquet(out).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 102L)),
+      s"within-retention pair lost across restart: $pairs")
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L),
+      s"near-copy paired with an original evicted across restarts: $pairs")
+  }
+
+  test("T17 restart: in-flight per-document sums survive a restart — a " +
+    "doc id continuing after the restart accumulates onto its restored " +
+    "state; finished docs are not re-emitted") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.QualityClassifier
+    val in = tmp("t17r_in"); val out = tmp("t17r_out"); val ck = tmp("t17r_ck")
+    val train = Seq(
+      (1L, true, "alpha beta alpha common"),
+      (2L, true, "beta gamma alpha"),
+      (3L, false, "delta epsilon common"),
+      (4L, false, "epsilon zeta delta delta")).toDF("doc_id", "pos", "text")
+    val weights = QualityClassifier.trainWeights(
+      QualityClassifier.tokenTable(train, "doc_id", "text", $"pos")).cache()
+    def runOnce(): Unit = {
+      val docs = s.readStream.schema("doc_id LONG, text STRING").json(in)
+      val q = StreamingQuality.scoreStream(docs, "doc_id", "text", weights)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: doc 101 part 1, doc 102 complete
+    writeDocs(in, "b0.json", Seq(
+      (101L, "alpha beta"), (102L, "delta zeta epsilon")))
+    runOnce()
+    // run 2 (restart): doc 101 CONTINUES (same id, more tokens) + a new doc
+    writeDocs(in, "b1.json", Seq(
+      (101L, "alpha common"), (103L, "beta gamma")))
+    runOnce()
+    val rows = s.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (doc, score, batch)
+    // finished doc 102 emitted exactly once across both runs
+    assert(rows.count(_._1 == 102L) === 1, s"102 re-emitted: ${rows.toSeq}")
+    // doc 101's LAST update equals the batch score over BOTH parts —
+    // only possible if the run-1 partial sum was restored from the
+    // checkpoint state store
+    val last101 = rows.filter(_._1 == 101L).maxBy(_._3)._2
+    val expected = QualityClassifier.score(
+        QualityClassifier.tokenTable(
+          Seq((101L, "alpha beta alpha common")).toDF("doc_id", "text"),
+          "doc_id", "text", lit(false)), "doc_id", weights)
+      .collect().head.getLong(1)
+    assert(last101 === expected,
+      s"restored state did not accumulate: $last101 != $expected")
+    weights.unpersist()
+  }
+
   test("E1 == E2 == q205: the composed flagship pipeline computes the same " +
     "E3 answers through the streaming path, the batch path, and the oracle " +
     "query (r8 verdict item 1)") {
