@@ -178,6 +178,21 @@ object Bench {
     * a requeue suspect even when every load probe reads clean — the
     * q10-anti case from the r6 driver sitting: a trivial unchanged
     * query 20× inflated with foreign load 0.0. */
+  /** A total with each CLEAN requeue minimum substituted for its
+    * suite-run number (and used outright when the suite run failed,
+    * base < 0). No clean evidence → no substitution; queries still
+    * negative after substitution are excluded, mirroring the plain
+    * totals. Pinned in BenchHelpersSpec. */
+  private[graft] def correctedTotal(base: Seq[(String, Double)],
+                                    clean: Map[String, Double]): Double =
+    base.map { case (k, v) =>
+      clean.get(k) match {
+        case Some(r) if v < 0 => r
+        case Some(r)          => v min r
+        case None             => v
+      }
+    }.filter(_ >= 0).sum
+
   private[graft] def loadHistory(path: String): Map[String, Double] =
     try {
       readFs(path).flatMap { txt =>
@@ -523,6 +538,19 @@ object Bench {
       results.map { case (k, v) => "\"" + k + "\":" + f3(sel(v)) }.mkString("{", ",", "}")
     val totalFirst = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+    // Self-interpreting headline (r8 verdict item 6): totals with each
+    // CLEAN requeue minimum substituted for its (environment-inflated)
+    // suite-run number — the r8 sitting read 20 s worse than reality
+    // until a human cross-referenced the `requeued` block by hand. A
+    // non-clean requeue substitutes nothing (no evidence, no credit);
+    // with no requeue the corrected totals equal the plain ones.
+    val cleanRq: Map[String, Double] = requeuedEntries
+      .collect { case (k, sec, _, _, _, _, _, true) if sec >= 0 => k -> sec }
+      .toMap
+    val totalCorrected =
+      correctedTotal(results.map { case (k, v) => k -> v._1 }, cleanRq)
+    val totalMinCorrected =
+      correctedTotal(results.map { case (k, v) => k -> v._2 }, cleanRq)
     val canaryFields =
       s""""canary_before_sec":${f3(canaryBefore)},"canary_after_sec":${f3(canaryAfter)}""" +
       s""","canary_drift":${f3(drift)},"probe_n":${samples.size}""" +
@@ -549,6 +577,8 @@ object Bench {
     val detail = s"""{"metric":"total","value":${f3(totalFirst)},"unit":"sec"""" +
       s""","protocol":"first-of-$repeat","queries":${jmap(_._1)}""" +
       s""","total_min":${f3(totalMin)},"queries_min":${jmap(_._2)}""" +
+      s""","total_corrected":${f3(totalCorrected)}""" +
+      s""","total_min_corrected":${f3(totalMinCorrected)}""" +
       s""","shuffle_mb":${jmap(_._3)},"spill_mb":${jmap(_._4)}""" +
       s""","probe_max_ratio":$probeMaxJson,"foreign_max_by_query":$foreignMaxJson""" +
       s""","probe_contended":$probeContJson""" +
@@ -572,6 +602,8 @@ object Bench {
     println(s"""{"metric":"total","value":${f2(totalFirst)},"unit":"sec"""" +
       s""","protocol":"first-of-$repeat","n_queries":${results.size}""" +
       s""","queries":$top,"total_min":${f2(totalMin)}""" +
+      s""","total_corrected":${f2(totalCorrected)}""" +
+      s""","total_min_corrected":${f2(totalMinCorrected)}""" +
       s""",$canaryFields,"requeued":$requeuedCompact""" +
       s""","detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()

@@ -45,6 +45,17 @@ class BenchHelpersSpec extends AnyFunSuite {
     assert(Bench.loadHistory(tmp("""{"queries_min":{""")) === Map.empty)
   }
 
+  test("correctedTotal substitutes clean requeue minima, keeps the better " +
+    "number, rescues suite-failed queries, ignores non-requeued ones") {
+    val base = Seq("q1" -> 10.0, "q2" -> 2.0, "q3" -> -1.0, "q4" -> 1.0)
+    // q1 requeued clean at 1.5 (suite was inflated); q2 requeued SLOWER
+    // (keep the suite 2.0); q3 failed in-suite, clean requeue rescues it
+    val clean = Map("q1" -> 1.5, "q2" -> 3.0, "q3" -> 0.5)
+    assert(Bench.correctedTotal(base, clean) === (1.5 + 2.0 + 0.5 + 1.0))
+    // no clean evidence -> identical to the plain total (failed q3 excluded)
+    assert(Bench.correctedTotal(base, Map.empty) === 13.0)
+  }
+
   test("cgroup readers degrade to their unknown sentinels instead of " +
     "throwing when the files are absent") {
     // the machine may or may not run in a cgroup; both readers must
