@@ -43,7 +43,8 @@ object Catalog {
     "Selection" -> _root_.graft.queries.Selection.all,
     "Inference" -> _root_.graft.queries.Inference.all,
     "Pipeline" -> _root_.graft.queries.Pipeline.all,
-    "Bpe" -> _root_.graft.queries.Bpe.all)
+    "Bpe" -> _root_.graft.queries.Bpe.all,
+    "Tweets" -> _root_.graft.queries.Tweets.all)
 
   /** Queries whose check is tolerance-based by design (sketches — no
     * exact DuckDB twin can exist; see SURVEY §2.4 A4 / X30b). */

@@ -341,5 +341,111 @@ object Selection {
       "NB likelihood-ratio weights in ppm, one-pass train, token-keyed score " +
       "join; exact BIGINT end to end")
 
-  val all: Seq[Q] = Seq(q178, q179, q180, q181, q197)
+  /** q207 — bigram-LM coherence scoring with stupid backoff (N43): the
+    * perplexity-filter capability class (Wenzek '19 CCNet; Brants '07
+    * stupid backoff) under this library's determinism contract — no
+    * log, no float, no model file. A bigram LM is trained on the 80%
+    * of documents with `doc_id % 5 != 0`; the held-out 20% are scored
+    * by the ARITHMETIC mean of per-position conditional probabilities
+    * in exact ppm (the geometric mean behind true perplexity needs a
+    * log — q179's rank proxy covers that axis; the arithmetic mean
+    * ranks fluency the same way and stays in BIGINT):
+    *
+    *   score(w1,w2) = 10⁶·c(w1,w2) DIV c(w1·)        if bigram seen
+    *                = 0.4 · 10⁶·c(w2) DIV N           else if w2 seen
+    *                = 0                                else (OOV)
+    *
+    * (0.4 is Brants' backoff penalty, exact as ·400000.) Per doc:
+    * bigram count, mean score, backoff fraction and OOV fraction in
+    * ppm — incoherent or out-of-domain text backs off constantly and
+    * sinks; in-domain fluent text rides high bigram conditionals.
+    * The held-out split is what makes backoff REAL: self-scoring a
+    * corpus its own counts would never miss a bigram.
+    *
+    * Scale: two value-domain-sized count aggregates (bigram, head) +
+    * one unigram aggregate over the train split; the scoring joins
+    * are unhinted equi-joins on token keys (AQE broadcasts while the
+    * LM fits, shuffles when a web-scale vocabulary doesn't — q179's
+    * posture); N ships as a broadcast 1-row anchor (q178's device).
+    * Raw text never shuffles — only tokens, counts and ids. */
+  val q207 = Q(
+    "q207_bigram_coherence",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select($"doc_id",
+          filter(split($"text", " "), t => length(t) > 0).as("tk"))
+      val big = d.filter(size($"tk") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+          .as("b"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      val train = big.filter($"doc_id" % 5 =!= 0)
+      val bg = train.groupBy($"w1".as("bw1"), $"w2".as("bw2"))
+        .agg(count(lit(1)).as("cb"))
+      val hd = train.groupBy($"w1".as("hw1")).agg(count(lit(1)).as("ch"))
+      val tu = d.filter($"doc_id" % 5 =!= 0)
+        .select(explode($"tk").as("w"))
+      val uni = tu.groupBy($"w".as("uw")).agg(count(lit(1)).as("cu"))
+      val nn = tu.agg(count(lit(1)).as("n"))
+      big.filter($"doc_id" % 5 === 0)
+        .join(bg, $"w1" === $"bw1" && $"w2" === $"bw2", "left_outer")
+        .join(hd, $"w1" === $"hw1", "left_outer")
+        .join(uni, $"w2" === $"uw", "left_outer")
+        .crossJoin(broadcast(nn))
+        .select($"doc_id",
+          when($"cb".isNotNull, expr("(cb * 1000000) div ch"))
+            .otherwise(coalesce(expr("(cu * 400000) div n"), lit(0L)))
+            .as("score"),
+          $"cb".isNull.as("backoff"),
+          ($"cb".isNull && $"cu".isNull).as("oov"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_big"), sum($"score").as("ss"),
+          sum(when($"backoff", 1L).otherwise(0L)).as("nb"),
+          sum(when($"oov", 1L).otherwise(0L)).as("no"))
+        .select($"doc_id", $"n_big",
+          expr("ss div n_big").as("coherence_ppm"),
+          expr("(nb * 1000000) div n_big").as("backoff_ppm"),
+          expr("(no * 1000000) div n_big").as("oov_ppm"))
+        .orderBy($"coherence_ppm".desc, $"doc_id")
+        .limit(50)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+                 FROM documents),
+      tb AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+             FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                   FROM d WHERE len(tk) >= 2)),
+      trb AS (SELECT * FROM tb WHERE doc_id % 5 <> 0),
+      bg AS (SELECT w1, w2, COUNT(*) AS cb FROM trb GROUP BY 1, 2),
+      hd AS (SELECT w1, COUNT(*) AS ch FROM trb GROUP BY 1),
+      tu AS (SELECT unnest(tk) AS w FROM d WHERE doc_id % 5 <> 0),
+      uni AS (SELECT w, COUNT(*) AS cu FROM tu GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM tu),
+      sc AS (SELECT h.doc_id,
+               CASE WHEN bg.cb IS NOT NULL THEN (bg.cb * 1000000) // hd.ch
+                    WHEN uni.cu IS NOT NULL THEN (uni.cu * 400000) // nn.n
+                    ELSE 0 END AS score,
+               bg.cb IS NULL AS backoff,
+               (bg.cb IS NULL AND uni.cu IS NULL) AS oov
+             FROM tb h
+             LEFT JOIN bg ON h.w1 = bg.w1 AND h.w2 = bg.w2
+             LEFT JOIN hd ON h.w1 = hd.w1
+             LEFT JOIN uni ON h.w2 = uni.w
+             CROSS JOIN nn
+             WHERE h.doc_id % 5 = 0)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+             CAST(SUM(score) // COUNT(*) AS BIGINT) AS coherence_ppm,
+             CAST((SUM(CASE WHEN backoff THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS BIGINT) AS backoff_ppm,
+             CAST((SUM(CASE WHEN oov THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS BIGINT) AS oov_ppm
+      FROM sc GROUP BY doc_id ORDER BY coherence_ppm DESC, doc_id LIMIT 50"""),
+    doc = "N43: bigram-LM coherence with stupid backoff — held-out split, " +
+      "exact ppm conditionals, backoff/OOV accounting; the perplexity " +
+      "filter class with no log and no float")
+
+  val all: Seq[Q] = Seq(q178, q179, q180, q181, q197, q207)
 }

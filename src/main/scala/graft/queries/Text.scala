@@ -631,6 +631,83 @@ object Text {
       "normalization + word-boundary token match, broadcast lexicon, exact " +
       "integer block verdict")
 
+  /** q209 — sequence packing by concat-and-chunk (N45): GPT-style
+    * pretraining packs the tokenized corpus into fixed-length training
+    * sequences by concatenating documents in a deterministic order and
+    * slicing every L tokens (here L = 128). The output is the PACKING
+    * MAP — for each document, the training bin(s) it lands in, its
+    * offset inside each bin, the segment length, and whether the doc
+    * was split across a bin boundary — exactly the provenance a
+    * dataloader (and a contamination audit) needs to go from "bin
+    * 4217, offset 31" back to a source document.
+    *
+    * Greedy bin-packing variants (first-fit by size) are inherently
+    * sequential; concat-and-chunk is the standard scalable choice AND
+    * the one real pipelines use, because it wastes zero tokens (every
+    * bin except the last is exactly full — PackingSpec pins that law).
+    *
+    * The whole computation is one global running token count — the
+    * degenerate single-task window at any cluster size — so it rides
+    * [[graft.operators.PrefixScan]] with an EMPTY group (q138's
+    * device): doc_id div 1024 buckets shard the sort (~1k docs per
+    * bucket at any corpus size; the offsets frame is corpus/1024
+    * rows), then everything after is a per-row projection + one
+    * bounded explode (a doc spans ⌈len/L⌉+1 bins at most). No join,
+    * no second shuffle; text itself never leaves the scan — only
+    * (doc_id, n_tok) shuffle. */
+  val q209 = Q(
+    "q209_sequence_packing",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.PrefixScan
+      val L = 128
+      val base = Tables(s, dir, "documents")
+        .select($"doc_id",
+          size(filter(split($"text", " "), t => length(t) > 0))
+            .cast("long").as("n_tok"))
+        .filter($"n_tok" > 0)
+      PrefixScan.inclusive(base, Nil, "doc_id", Nil, "n_tok",
+          c => c / 1024, "cum")
+        .select($"doc_id", $"n_tok", $"cum",
+          ($"cum" - $"n_tok").as("st"),
+          expr(s"(cum - n_tok) div $L").as("b0"),
+          expr(s"(cum - 1) div $L").as("b1"))
+        .select($"doc_id", $"st", $"cum", $"b1", $"b0",
+          explode(sequence($"b0", $"b1")).as("bin_id"))
+        .select($"doc_id", $"bin_id",
+          (greatest($"st", $"bin_id" * L) - $"bin_id" * L).as("bin_off"),
+          (greatest($"st", $"bin_id" * L) - $"st").as("doc_off"),
+          (least($"cum", ($"bin_id" + 1) * L)
+            - greatest($"st", $"bin_id" * L)).as("seg_len"),
+          ($"b1" > $"b0").cast("int").as("split"))
+        .orderBy($"doc_id", $"bin_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     t -> len(t) > 0)) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, n_tok,
+              CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, n_tok, cum, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM c),
+      x AS (SELECT doc_id, st, cum, b0, b1, unnest(range(b0, b1 + 1)) AS bin_id
+            FROM e)
+      SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+             CAST(GREATEST(st, bin_id * 128) - bin_id * 128 AS BIGINT) AS bin_off,
+             CAST(GREATEST(st, bin_id * 128) - st AS BIGINT) AS doc_off,
+             CAST(LEAST(cum, (bin_id + 1) * 128)
+               - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len,
+             CAST(b1 > b0 AS INT) AS split
+      FROM x ORDER BY doc_id, bin_id"""),
+    doc = "N45: sequence packing (concat-and-chunk, L=128) — per-doc bin " +
+      "spans with offsets and split flags via empty-group PrefixScan; " +
+      "zero wasted tokens, no single-task global sort")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95, q141, q199, q203)
+    q91, q92, q95, q141, q199, q203, q209)
 }

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** q209 sequence packing (N45): the concat-and-chunk laws. Checked on
+  * the real sf0.001 corpus, not a toy frame — the laws are corpus-
+  * independent, so any violation here is an operator bug.
+  */
+class PackingSpec extends SparkSpecBase {
+
+  private lazy val packed = Text.q209.build(spark, sf).cache()
+
+  test("every bin except the last is exactly full (zero wasted tokens)") {
+    val s = spark
+    import s.implicits._
+    val bins = packed.groupBy($"bin_id").agg(sum($"seg_len").as("fill"))
+    val lastBin = bins.agg(max($"bin_id")).head().getLong(0)
+    val short = bins.filter($"bin_id" < lastBin && $"fill" =!= 128L)
+    assert(short.isEmpty, "a non-final bin is not exactly 128 tokens")
+    val lastFill = bins.filter($"bin_id" === lastBin).head().getLong(1)
+    assert(lastFill >= 1L && lastFill <= 128L)
+  }
+
+  test("per-document segments reassemble the document exactly") {
+    val s = spark
+    import s.implicits._
+    val nTok = graft.core.Tables(s, sf, "documents")
+      .select($"doc_id",
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+    val bad = packed.groupBy($"doc_id").agg(sum($"seg_len").as("covered"))
+      .join(nTok, "doc_id")
+      .filter($"covered" =!= $"n_tok")
+    assert(bad.isEmpty, "segment lengths do not cover the document")
+  }
+
+  test("segments are contiguous inside each bin, starting at offset 0") {
+    val s = spark
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bin_id").orderBy($"bin_off")
+    val rows = packed
+      .withColumn("prev_end", lag($"bin_off" + $"seg_len", 1).over(w))
+      .filter(coalesce($"prev_end", lit(0L)) =!= $"bin_off")
+    assert(rows.isEmpty, "gap or overlap inside a bin")
+  }
+
+  test("split flag marks exactly the documents spanning several bins") {
+    val s = spark
+    import s.implicits._
+    val bad = packed.groupBy($"doc_id")
+      .agg(countDistinct($"bin_id").as("nb"), max($"split").as("sp"))
+      .filter(($"nb" > 1) =!= ($"sp" === 1))
+    assert(bad.isEmpty, "split flag disagrees with bin span")
+  }
+
+  test("doc_off tracks the within-document token position across segments") {
+    val s = spark
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"bin_id")
+    val bad = packed
+      .withColumn("prev_end", lag($"doc_off" + $"seg_len", 1).over(w))
+      .filter(coalesce($"prev_end", lit(0L)) =!= $"doc_off")
+    assert(bad.isEmpty, "doc_off not contiguous across a split")
+  }
+}

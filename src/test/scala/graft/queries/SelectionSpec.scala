@@ -122,4 +122,21 @@ class SelectionSpec extends SparkSpecBase {
       .select($"term", $"rn").as[(String, Long)].collect().toMap
     assert(scanned === expect)
   }
+  test("q207 coherence scores only held-out docs, with lawful ppm bounds") {
+    import spark.implicits._
+    val r = Selection.q207.build(spark, sf)
+      .select($"doc_id", $"n_big", $"coherence_ppm", $"backoff_ppm", $"oov_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (id, nb, coh, back, oov) =>
+      assert(id % 5 === 0L, s"doc $id is from the train split")
+      assert(nb >= 1L)
+      // a seen-bigram conditional is <= 1; backoff adds 0.4 * unigram
+      // <= 0.4 — so the mean is always inside [0, 1e6] ppm
+      assert(coh >= 0L && coh <= 1000000L, s"doc $id coherence $coh")
+      assert(back >= 0L && back <= 1000000L)
+      // an OOV position is necessarily a backed-off position
+      assert(oov <= back, s"doc $id: oov_ppm $oov > backoff_ppm $back")
+    }
+  }
 }
