@@ -592,26 +592,33 @@ object Text {
     *
     * Scale: one explode → broadcast lexicon left-join → per-doc
     * aggregate; raw text never shuffles (q45's shape). */
+  /** q203's per-document verdict frame as a reusable piece:
+    * (doc_id, n_tok, n_flagged, flag_ppm, blocked). See q203. */
+  def blockVerdicts(s: org.apache.spark.sql.SparkSession,
+                    docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bl = Fixtures.blocklistDf(s)
+    // drop zero-length tokens BEFORE counting (ADVICE r8): repeated /
+    // leading spaces must not inflate n_tok and deflate flag_ppm —
+    // the >=2% gate counts real tokens only (q197/q199/BPE posture)
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("doc_id"),
+        translate(lower(col("term")), Fixtures.leetFrom, Fixtures.leetTo).as("nt"))
+      .join(broadcast(bl), col("nt") === col("bterm"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), count(col("bterm")).as("n_flagged"))
+      .select(col("doc_id"), col("n_tok"), col("n_flagged"),
+        expr("(n_flagged * 1000000) div n_tok").as("flag_ppm"),
+        (col("n_flagged") * 1000000L >= col("n_tok") * 20000L)
+          .cast("int").as("blocked"))
+  }
+
   val q203 = Q(
     "q203_blocklist_gate",
     (s, dir) => {
       import s.implicits._
-      val bl = Fixtures.blocklistDf(s)
-      // drop zero-length tokens BEFORE counting (ADVICE r8): repeated /
-      // leading spaces must not inflate n_tok and deflate flag_ppm —
-      // the >=2% gate counts real tokens only (q197/q199/BPE posture)
-      Tables(s, dir, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .filter(length($"term") > 0)
-        .select($"doc_id",
-          translate(lower($"term"), Fixtures.leetFrom, Fixtures.leetTo).as("nt"))
-        .join(broadcast(bl), $"nt" === $"bterm", "left_outer")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tok"), count($"bterm").as("n_flagged"))
-        .select($"doc_id", $"n_tok", $"n_flagged",
-          expr("(n_flagged * 1000000) div n_tok").as("flag_ppm"),
-          ($"n_flagged" * 1000000L >= $"n_tok" * 20000L).cast("int").as("blocked"))
-        .orderBy($"doc_id")
+      blockVerdicts(s, Tables(s, dir, "documents")).orderBy($"doc_id")
     },
     Some(s"""
       WITH t AS (SELECT doc_id,
@@ -655,31 +662,38 @@ object Text {
     * bounded explode (a doc spans ⌈len/L⌉+1 bins at most). No join,
     * no second shuffle; text itself never leaves the scan — only
     * (doc_id, n_tok) shuffle. */
+  /** q209's packing map as a reusable piece: one row per (document,
+    * bin) it occupies, with in-bin offset, in-doc offset, segment
+    * length and split flag. See the q209 scaladoc for the design. */
+  def packingMap(docs: org.apache.spark.sql.DataFrame,
+                 L: Int): org.apache.spark.sql.DataFrame = {
+    import graft.operators.PrefixScan
+    val base = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    PrefixScan.inclusive(base, Nil, "doc_id", Nil, "n_tok",
+        c => c / 1024, "cum")
+      .select(col("doc_id"), col("n_tok"), col("cum"),
+        (col("cum") - col("n_tok")).as("st"),
+        expr(s"(cum - n_tok) div $L").as("b0"),
+        expr(s"(cum - 1) div $L").as("b1"))
+      .select(col("doc_id"), col("st"), col("cum"), col("b1"), col("b0"),
+        explode(sequence(col("b0"), col("b1"))).as("bin_id"))
+      .select(col("doc_id"), col("bin_id"),
+        (greatest(col("st"), col("bin_id") * L) - col("bin_id") * L).as("bin_off"),
+        (greatest(col("st"), col("bin_id") * L) - col("st")).as("doc_off"),
+        (least(col("cum"), (col("bin_id") + 1) * L)
+          - greatest(col("st"), col("bin_id") * L)).as("seg_len"),
+        (col("b1") > col("b0")).cast("int").as("split"))
+  }
+
   val q209 = Q(
     "q209_sequence_packing",
     (s, dir) => {
       import s.implicits._
-      import graft.operators.PrefixScan
-      val L = 128
-      val base = Tables(s, dir, "documents")
-        .select($"doc_id",
-          size(filter(split($"text", " "), t => length(t) > 0))
-            .cast("long").as("n_tok"))
-        .filter($"n_tok" > 0)
-      PrefixScan.inclusive(base, Nil, "doc_id", Nil, "n_tok",
-          c => c / 1024, "cum")
-        .select($"doc_id", $"n_tok", $"cum",
-          ($"cum" - $"n_tok").as("st"),
-          expr(s"(cum - n_tok) div $L").as("b0"),
-          expr(s"(cum - 1) div $L").as("b1"))
-        .select($"doc_id", $"st", $"cum", $"b1", $"b0",
-          explode(sequence($"b0", $"b1")).as("bin_id"))
-        .select($"doc_id", $"bin_id",
-          (greatest($"st", $"bin_id" * L) - $"bin_id" * L).as("bin_off"),
-          (greatest($"st", $"bin_id" * L) - $"st").as("doc_off"),
-          (least($"cum", ($"bin_id" + 1) * L)
-            - greatest($"st", $"bin_id" * L)).as("seg_len"),
-          ($"b1" > $"b0").cast("int").as("split"))
+      packingMap(Tables(s, dir, "documents"), L = 128)
         .orderBy($"doc_id", $"bin_id")
     },
     Some("""
@@ -708,6 +722,88 @@ object Text {
       "spans with offsets and split flags via empty-group PrefixScan; " +
       "zero wasted tokens, no single-task global sort")
 
+  /** q210 — bin-level contamination audit (X91): compose the q209
+    * packing map with the q203 blocklist verdicts to answer the
+    * question training actually asks — WHICH TRAINING SEQUENCES are
+    * poisoned, not which documents. Packing changes the blast radius
+    * of a bad document: one blocked doc contaminates every bin it
+    * touches, and co-packed clean documents ride in the same dropped
+    * bin — so the audit must run at bin granularity AFTER packing,
+    * and the per-bin flagged-token ppm (not the per-doc verdict) is
+    * what decides drop-vs-keep. Output: per bin, its document count,
+    * fill, flagged-token count/ppm, and the poisoned verdict (any
+    * flagged-doc token → the sequence is dropped before the
+    * dataloader).
+    *
+    * The repo's composition thesis (q186/q202/q205): stage
+    * composition has failure modes only an end-to-end hash catches —
+    * here, a packing map keyed to a DIFFERENT tokenization than the
+    * verdict's (e.g. one side counting empty tokens) silently
+    * misattributes flagged tokens to neighboring bins; both engines
+    * computing the same bins from the same two stages is the check.
+    *
+    * Scale: the packing map costs one empty-group PrefixScan (q209),
+    * the verdicts one explode + broadcast-lexicon join (q203), the
+    * composition one doc_id equi-join + one bin-keyed aggregate —
+    * nothing touches raw text after the two scans. */
+  val q210 = Q(
+    "q210_bin_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      packingMap(docs, L = 128)
+        .join(blockVerdicts(s, docs).select($"doc_id", $"blocked"), "doc_id")
+        .groupBy($"bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"seg_len").as("fill"),
+          sum(when($"blocked" === 1, $"seg_len").otherwise(0L)).as("flagged_tok"))
+        .select($"bin_id", $"n_docs", $"fill", $"flagged_tok",
+          expr("(flagged_tok * 1000000) div fill").as("flagged_ppm"),
+          ($"flagged_tok" > 0).cast("int").as("poisoned"))
+        .orderBy($"bin_id")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     t -> len(t) > 0)) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, n_tok,
+              CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, cum, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM c),
+      x AS (SELECT doc_id, st, cum, bin_id,
+              CAST(LEAST(cum, (bin_id + 1) * 128)
+                - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len
+            FROM (SELECT doc_id, st, cum,
+                    unnest(range(b0, b1 + 1)) AS bin_id FROM e)),
+      t AS (SELECT doc_id,
+              translate(lower(tok), '${Fixtures.leetFrom}',
+                        '${Fixtures.leetTo}') AS nt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents) WHERE len(tok) > 0),
+      v AS (SELECT doc_id,
+              CAST(COUNT(bl.bterm) * 1000000 >= 20000 * COUNT(*) AS INT)
+                AS blocked
+            FROM t LEFT JOIN ${Fixtures.blocklistSql} ON t.nt = bl.bterm
+            GROUP BY doc_id)
+      SELECT x.bin_id AS bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(x.seg_len) AS BIGINT) AS fill,
+             CAST(SUM(CASE WHEN v.blocked = 1 THEN x.seg_len ELSE 0 END)
+               AS BIGINT) AS flagged_tok,
+             CAST((SUM(CASE WHEN v.blocked = 1 THEN x.seg_len ELSE 0 END)
+               * 1000000) // SUM(x.seg_len) AS BIGINT) AS flagged_ppm,
+             CAST(SUM(CASE WHEN v.blocked = 1 THEN x.seg_len ELSE 0 END) > 0
+               AS INT) AS poisoned
+      FROM x JOIN v USING (doc_id)
+      GROUP BY x.bin_id ORDER BY bin_id"""),
+    doc = "X91: bin-level contamination audit — q209 packing map ⋈ q203 " +
+      "verdicts aggregated at training-sequence granularity; poisoned " +
+      "bins carry co-packed clean tokens, which is why the audit runs " +
+      "after packing")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95, q141, q199, q203, q209)
+    q91, q92, q95, q141, q199, q203, q209, q210)
 }
