@@ -1639,7 +1639,119 @@ object Mining {
       ORDER BY sh.train_id, sh.eval_id"""),
     doc = "asymmetric 5-gram containment — broadcast eval grams, floored pair agg")
 
+  /** q211 — grid-DBSCAN density clustering (X92; Ester et al. '96):
+    * the density-based corpus-map operator — discover clusters of any
+    * shape, label sparse points as noise, no k chosen upfront. The
+    * classic single-node algorithm is a sequential region-growing
+    * loop; the data-parallel decomposition used here is the standard
+    * one (MR-DBSCAN family): every step is an operator this library
+    * already ships —
+    *
+    *   1. ε-neighbor pairs via [[graft.operators.SpatialJoin]]'s
+    *      salt-split grid (3×3 cell probes — linear in points, never
+    *      quadratic, hot cells split);
+    *   2. core points = neighbor-count aggregate (≥ minPts−1
+    *      neighbors, DBSCAN counts the point itself);
+    *   3. clusters = connected components of the core-core ε-graph
+    *      via [[graft.operators.ConnectedComponents.labelStar]]
+    *      (O(log²) rounds — a chain of ε-balls converges without a
+    *      round-per-hop);
+    *   4. border points adopt the MINIMUM cluster label among their
+    *      core neighbors (the deterministic tie-break the sequential
+    *      algorithm leaves order-dependent); the rest is noise.
+    *
+    * Points are exact integers (md5-derived blob centers + jitter —
+    * 40 planted blobs, q76's device), so distances and the oracle's
+    * quadratic ε-join + recursive min-label closure are bit-exact.
+    * Output: (id, role 2=core/1=border/0=noise, cluster_id = min core
+    * id, −1 for noise).
+    *
+    * Scale: the grid join is the only pair generator (bounded by cell
+    * occupancy × 9, salted hot cells); degree/border steps are
+    * id-keyed aggregates; the component step shuffles the CORE-CORE
+    * edge set only. The `c_custkey < 4000` slice bounds the ORACLE's
+    * quadratic side, not the operator. */
+  val q211 = Q(
+    "q211_grid_dbscan",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{ConnectedComponents, SpatialJoin}
+      val minPts = 5
+      val eps = 150.0
+      def hex6(seed: org.apache.spark.sql.Column) =
+        conv(substring(md5(seed), 1, 6), 16, 10).cast("long")
+      def coord(axis: String) =
+        (hex6(concat(lit("b"), ($"id" % 40).cast("string"), lit(axis))) % 10000
+          + hex6(concat(lit("p"), $"id".cast("string"), lit(axis))) % 401
+          - 200 + 1000).cast("double")
+      val pts = Tables(s, dir, "customer").filter($"c_custkey" < 4000)
+        .select($"c_custkey".as("id"))
+        .withColumn("x", coord("x")).withColumn("y", coord("y"))
+      val pairs = SpatialJoin.withinRadius(pts, "id", "x", "y", eps)
+        .select($"a_key".as("p"), $"b_key".as("q"))
+      val sym = pairs.unionAll(pairs.select($"q".as("p"), $"p".as("q")))
+        .barrier()
+      val core = sym.groupBy($"p").agg(count(lit(1)).as("nbrs"))
+        .filter($"nbrs" >= minPts - 1).select($"p".as("id"))
+      val ce = sym
+        .join(core.select($"id".as("p")), "p")
+        .join(core.select($"id".as("q")), "q")
+      val lab = ConnectedComponents.labelStar(core, "id", ce, "p", "q")
+        .select($"id", $"component".as("cluster_id"))
+      val borderLab = sym
+        .join(lab.select($"id".as("q"), $"cluster_id"), "q")
+        .join(core.select($"id".as("p")), Seq("p"), "left_anti")
+        .groupBy($"p").agg(min($"cluster_id").as("cluster_id"))
+        .select($"p".as("id"), $"cluster_id")
+      val coreOut = lab.select($"id", lit(2).as("role"), $"cluster_id")
+      val borderOut = borderLab.select($"id", lit(1).as("role"), $"cluster_id")
+      val noise = pts.select($"id")
+        .join(coreOut.select($"id"), Seq("id"), "left_anti")
+        .join(borderOut.select($"id"), Seq("id"), "left_anti")
+        .select($"id", lit(0).as("role"), lit(-1L).as("cluster_id"))
+      coreOut.unionAll(borderOut).unionAll(noise).orderBy($"id")
+    },
+    Some("""
+      WITH RECURSIVE p0 AS (SELECT c_custkey AS id FROM customer
+                            WHERE c_custkey < 4000),
+      pt AS (SELECT id,
+               CAST(('0x' || substr(md5('b' || CAST(id % 40 AS VARCHAR) || 'x'), 1, 6))
+                 AS BIGINT) % 10000
+                 + CAST(('0x' || substr(md5('p' || CAST(id AS VARCHAR) || 'x'), 1, 6))
+                 AS BIGINT) % 401 - 200 + 1000 AS x,
+               CAST(('0x' || substr(md5('b' || CAST(id % 40 AS VARCHAR) || 'y'), 1, 6))
+                 AS BIGINT) % 10000
+                 + CAST(('0x' || substr(md5('p' || CAST(id AS VARCHAR) || 'y'), 1, 6))
+                 AS BIGINT) % 401 - 200 + 1000 AS y
+             FROM p0),
+      nb AS (SELECT a.id AS p, b.id AS q FROM pt a JOIN pt b
+             ON a.id <> b.id
+               AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 22500),
+      core AS (SELECT p AS id FROM nb GROUP BY p HAVING COUNT(*) >= 4),
+      ce AS (SELECT nb.p, nb.q FROM nb
+             JOIN core ca ON nb.p = ca.id JOIN core cb ON nb.q = cb.id),
+      r(node, lbl) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT e.q, r.lbl FROM r JOIN ce e ON e.p = r.node),
+      comp AS (SELECT node AS id, MIN(lbl) AS cluster_id FROM r GROUP BY node),
+      bord AS (SELECT nb.p AS id, MIN(comp.cluster_id) AS cluster_id
+               FROM nb JOIN comp ON nb.q = comp.id
+               WHERE nb.p NOT IN (SELECT id FROM core)
+               GROUP BY nb.p)
+      SELECT id, CAST(2 AS INT) AS role, CAST(cluster_id AS BIGINT) AS cluster_id
+      FROM comp
+      UNION ALL
+      SELECT id, CAST(1 AS INT), CAST(cluster_id AS BIGINT) FROM bord
+      UNION ALL
+      SELECT id, CAST(0 AS INT), CAST(-1 AS BIGINT) FROM pt
+      WHERE id NOT IN (SELECT id FROM comp) AND id NOT IN (SELECT id FROM bord)
+      ORDER BY id"""),
+    doc = "X92: grid-DBSCAN — SpatialJoin ε-pairs + degree aggregate + " +
+      "labelStar core components + min-label border adoption; exact " +
+      "integer geometry, noise = -1")
+
   val all: Seq[Q] = Seq(q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169)
+    q163, q164, q165, q166, q167, q168, q169, q211)
 }

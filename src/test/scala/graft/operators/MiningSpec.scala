@@ -479,4 +479,44 @@ class MiningSpec extends SparkSpecBase {
     val lifts = rows.map(_.getAs[Long]("lift")).toSeq
     assert(lifts === lifts.sorted.reverse)
   }
+
+  test("q211 DBSCAN assignments equal a brute-force single-node reference") {
+    // sf0.001: 150 points — small enough to re-derive the full DBSCAN
+    // answer sequentially and demand bit-equality with the operator
+    val got = Mining.q211.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // rebuild the exact integer points the query derives
+    def hex6(seed: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes)
+          .take(3).map("%02x".format(_)).mkString, 16)
+    val ids = got.map(_._1).sorted
+    val pts = ids.map { id =>
+      def c(ax: String) = hex6(s"b${id % 40}$ax") % 10000 +
+        hex6(s"p$id$ax") % 401 - 200 + 1000
+      id -> (c("x"), c("y"))
+    }.toMap
+    def near(a: Long, b: Long): Boolean = {
+      val (ax, ay) = pts(a); val (bx, by) = pts(b)
+      a != b && (ax - bx) * (ax - bx) + (ay - by) * (ay - by) < 22500
+    }
+    val nbrs = ids.map(a => a -> ids.filter(b => near(a, b))).toMap
+    val core = ids.filter(a => nbrs(a).size >= 4).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- core; b <- nbrs(a) if core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = core.map(c => c -> find(c)).toMap
+    val expected = ids.map { id =>
+      if (core(id)) (id, 2, label(id))
+      else {
+        val cn = nbrs(id).filter(core)
+        if (cn.nonEmpty) (id, 1, cn.map(label).min) else (id, 0, -1L)
+      }
+    }
+    assert(got.sortBy(_._1) === expected)
+  }
 }
