@@ -366,48 +366,20 @@ object Selection {
     * one unigram aggregate over the train split; the scoring joins
     * are unhinted equi-joins on token keys (AQE broadcasts while the
     * LM fits, shuffles when a web-scale vocabulary doesn't — q179's
-    * posture); N ships as a broadcast 1-row anchor (q178's device).
+    * posture); N rides as a 1-row frame on a constant-key equi-join
+    * (stream-legal, so [[graft.operators.BigramLm.score]] is the ONE
+    * plan q207 and streaming T19 share — the E1==E2 guarantee).
     * Raw text never shuffles — only tokens, counts and ids. */
   val q207 = Q(
     "q207_bigram_coherence",
     (s, dir) => {
       import s.implicits._
+      import graft.operators.BigramLm
       val d = Tables(s, dir, "documents")
-        .select($"doc_id",
-          filter(split($"text", " "), t => length(t) > 0).as("tk"))
-      val big = d.filter(size($"tk") >= 2)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(tk) - 1), " +
-            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
-          .as("b"))
-        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
-      val train = big.filter($"doc_id" % 5 =!= 0)
-      val bg = train.groupBy($"w1".as("bw1"), $"w2".as("bw2"))
-        .agg(count(lit(1)).as("cb"))
-      val hd = train.groupBy($"w1".as("hw1")).agg(count(lit(1)).as("ch"))
-      val tu = d.filter($"doc_id" % 5 =!= 0)
-        .select(explode($"tk").as("w"))
-      val uni = tu.groupBy($"w".as("uw")).agg(count(lit(1)).as("cu"))
-      val nn = tu.agg(count(lit(1)).as("n"))
-      big.filter($"doc_id" % 5 === 0)
-        .join(bg, $"w1" === $"bw1" && $"w2" === $"bw2", "left_outer")
-        .join(hd, $"w1" === $"hw1", "left_outer")
-        .join(uni, $"w2" === $"uw", "left_outer")
-        .crossJoin(broadcast(nn))
-        .select($"doc_id",
-          when($"cb".isNotNull, expr("(cb * 1000000) div ch"))
-            .otherwise(coalesce(expr("(cu * 400000) div n"), lit(0L)))
-            .as("score"),
-          $"cb".isNull.as("backoff"),
-          ($"cb".isNull && $"cu".isNull).as("oov"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_big"), sum($"score").as("ss"),
-          sum(when($"backoff", 1L).otherwise(0L)).as("nb"),
-          sum(when($"oov", 1L).otherwise(0L)).as("no"))
-        .select($"doc_id", $"n_big",
-          expr("ss div n_big").as("coherence_ppm"),
-          expr("(nb * 1000000) div n_big").as("backoff_ppm"),
-          expr("(no * 1000000) div n_big").as("oov_ppm"))
+      val lm = BigramLm.train(d.filter($"doc_id" % 5 =!= 0), "doc_id", "text")
+      BigramLm.score(
+          BigramLm.bigrams(d.filter($"doc_id" % 5 === 0), "doc_id", "text"),
+          "doc_id", lm)
         .orderBy($"coherence_ppm".desc, $"doc_id")
         .limit(50)
     },

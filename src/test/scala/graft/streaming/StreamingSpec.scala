@@ -1111,4 +1111,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch,
       s"streamed codes diverge from batch encoder (${streamed.size} rows)")
   }
+
+  test("T19: streaming coherence scoring — live docs against the frozen " +
+    "batch-trained bigram LM report exactly like the batch operator") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.BigramLm
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown dog sleeps"),
+      (3L, "a slow green turtle walks"),
+      (4L, "the quick green fox runs")).toDF("doc_id", "text")
+    val lm = BigramLm.train(train, "doc_id", "text").cache()
+    val live = Seq(
+      (101L, "the quick brown fox"),   // every bigram seen — no backoff
+      (102L, "fox the turtle quick"),  // bigrams unseen, unigrams seen
+      (103L, "purple elephants sing")) // fully out of vocabulary
+    val stream = MemoryStream[(Long, String)](s)
+    val q = StreamingCoherence.scoreStream(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", lm)
+      .writeStream.format("memory").queryName("t19_out")
+      .outputMode("update").start()
+    live.grouped(2).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // docs arrive whole, one row each, so every report finalizes (and
+    // is emitted) in its own batch — the T17 update-mode contract
+    val streamed = s.table("t19_out").collect().map(key).toMap
+    val batch = BigramLm.score(
+        BigramLm.bigrams(live.toDF("doc_id", "text"), "doc_id", "text"),
+        "doc_id", lm)
+      .collect().map(key).toMap
+    assert(streamed === batch, s"$streamed vs $batch")
+    // the planted signal survives the stream: fluent > scrambled > OOV
+    assert(streamed(101L)._3 === 0L, "fluent doc must not back off")
+    assert(streamed(101L)._2 > streamed(102L)._2)
+    assert(streamed(103L)._2 === 0L && streamed(103L)._4 === 1000000L)
+    lm.unpersist()
+  }
 }
