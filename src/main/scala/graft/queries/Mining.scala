@@ -1671,45 +1671,27 @@ object Mining {
     * id-keyed aggregates; the component step shuffles the CORE-CORE
     * edge set only. The `c_custkey < 4000` slice bounds the ORACLE's
     * quadratic side, not the operator. */
+  private[queries] def dbscanPoints(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    def hex6(seed: org.apache.spark.sql.Column) =
+      conv(substring(md5(seed), 1, 6), 16, 10).cast("long")
+    def coord(axis: String) =
+      (hex6(concat(lit("b"), ($"id" % 40).cast("string"), lit(axis))) % 10000
+        + hex6(concat(lit("p"), $"id".cast("string"), lit(axis))) % 401
+        - 200 + 1000).cast("double")
+    Tables(s, dir, "customer").filter($"c_custkey" < 4000)
+      .select($"c_custkey".as("id"))
+      .withColumn("x", coord("x")).withColumn("y", coord("y"))
+  }
+
   val q211 = Q(
     "q211_grid_dbscan",
     (s, dir) => {
       import s.implicits._
-      import graft.operators.{ConnectedComponents, SpatialJoin}
-      val minPts = 5
-      val eps = 150.0
-      def hex6(seed: org.apache.spark.sql.Column) =
-        conv(substring(md5(seed), 1, 6), 16, 10).cast("long")
-      def coord(axis: String) =
-        (hex6(concat(lit("b"), ($"id" % 40).cast("string"), lit(axis))) % 10000
-          + hex6(concat(lit("p"), $"id".cast("string"), lit(axis))) % 401
-          - 200 + 1000).cast("double")
-      val pts = Tables(s, dir, "customer").filter($"c_custkey" < 4000)
-        .select($"c_custkey".as("id"))
-        .withColumn("x", coord("x")).withColumn("y", coord("y"))
-      val pairs = SpatialJoin.withinRadius(pts, "id", "x", "y", eps)
-        .select($"a_key".as("p"), $"b_key".as("q"))
-      val sym = pairs.unionAll(pairs.select($"q".as("p"), $"p".as("q")))
-        .barrier()
-      val core = sym.groupBy($"p").agg(count(lit(1)).as("nbrs"))
-        .filter($"nbrs" >= minPts - 1).select($"p".as("id"))
-      val ce = sym
-        .join(core.select($"id".as("p")), "p")
-        .join(core.select($"id".as("q")), "q")
-      val lab = ConnectedComponents.labelStar(core, "id", ce, "p", "q")
-        .select($"id", $"component".as("cluster_id"))
-      val borderLab = sym
-        .join(lab.select($"id".as("q"), $"cluster_id"), "q")
-        .join(core.select($"id".as("p")), Seq("p"), "left_anti")
-        .groupBy($"p").agg(min($"cluster_id").as("cluster_id"))
-        .select($"p".as("id"), $"cluster_id")
-      val coreOut = lab.select($"id", lit(2).as("role"), $"cluster_id")
-      val borderOut = borderLab.select($"id", lit(1).as("role"), $"cluster_id")
-      val noise = pts.select($"id")
-        .join(coreOut.select($"id"), Seq("id"), "left_anti")
-        .join(borderOut.select($"id"), Seq("id"), "left_anti")
-        .select($"id", lit(0).as("role"), lit(-1L).as("cluster_id"))
-      coreOut.unionAll(borderOut).unionAll(noise).orderBy($"id")
+      graft.operators.Dbscan
+        .cluster(dbscanPoints(s, dir), eps = 150.0, minPts = 5)
+        .orderBy($"id")
     },
     Some("""
       WITH RECURSIVE p0 AS (SELECT c_custkey AS id FROM customer

@@ -1150,4 +1150,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed(103L)._2 === 0L && streamed(103L)._4 === 1000000L)
     lm.unpersist()
   }
+
+  test("T20: streaming DBSCAN assignment — live points against the frozen " +
+    "batch clustering assign exactly like the batch predict path") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dbscan
+    // two tight blobs + one isolated point: blob A around (100,100),
+    // blob B around (1000,1000) — eps=50, minPts=3
+    val base = Seq(
+      (1L, 100.0, 100.0), (2L, 110.0, 100.0), (3L, 100.0, 110.0),
+      (4L, 120.0, 110.0),
+      (11L, 1000.0, 1000.0), (12L, 1010.0, 1000.0), (13L, 1000.0, 1010.0),
+      (21L, 5000.0, 5000.0)).toDF("id", "x", "y")
+    val core = Dbscan.coreTable(base, eps = 50.0, minPts = 3).cache()
+    val live = Seq(
+      (101L, 105.0, 105.0),   // inside blob A -> cluster 1
+      (102L, 1005.0, 1005.0), // inside blob B -> cluster 11
+      (103L, 140.0, 140.0),   // within eps of blob A's edge cores
+      (104L, 3000.0, 3000.0)) // nowhere near a core -> noise
+    val stream = MemoryStream[(Long, Double, Double)](s)
+    val q = StreamingDbscanAssign.assignStream(
+        stream.toDF().toDF("id", "x", "y"), core, eps = 50.0)
+      .writeStream.format("memory").queryName("t20_out")
+      .outputMode("update").start()
+    live.grouped(2).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = s.table("t20_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Dbscan.assign(live.toDF("id", "x", "y"), core, eps = 50.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch, s"$streamed vs $batch")
+    assert(streamed(101L) === 1L && streamed(102L) === 11L)
+    assert(streamed(104L) === -1L, "far point must be noise")
+    core.unpersist()
+  }
 }
