@@ -629,47 +629,44 @@ object Dedup {
     * The `p_partkey < 3000` slice bounds the ORACLE's quadratic side
     * (4000² at sf0.01), not the operator — EdJoin's own cost is
     * candidate-bounded at any corpus size. */
-  val q208 = Q(
-    "q208_edjoin_fuzzy",
-    (s, dir) => {
-      import s.implicits._
-      val base = Tables(s, dir, "part").filter($"p_partkey" < 3000)
-        .select($"p_partkey".as("pk"),
-          substring(md5(concat($"p_partkey".cast("string"), lit(":base"))), 1, 20)
-            .as("nm"))
-        .withColumn("h1",
-          conv(substring(md5(concat($"pk".cast("string"), lit(":pos"))), 1, 4),
-            16, 10).cast("long"))
-        .withColumn("h2",
-          conv(substring(md5(concat($"pk".cast("string"), lit(":ch"))), 1, 4),
-            16, 10).cast("long"))
-        .withColumn("h3",
-          conv(substring(md5(concat($"pk".cast("string"), lit(":del"))), 1, 4),
-            16, 10).cast("long"))
-        .withColumn("p1", ($"h1" % length($"nm") + 1).cast("int"))
-        .withColumn("c1",
-          expr("substr('0123456789abcdef', CAST(h2 % 16 + 1 AS INT), 1)"))
-        .withColumn("sub", concat(
-          expr("substr(nm, 1, p1 - 1)"), $"c1", expr("substr(nm, p1 + 1, 100)")))
-        .withColumn("p2", ($"h3" % length($"sub") + 1).cast("int"))
-        .withColumn("mut", when($"pk" % 2 === 1,
-          concat(expr("substr(sub, 1, p2 - 1)"), expr("substr(sub, p2 + 1, 100)")))
-          .otherwise($"sub"))
-      val corpus = base.select(($"pk" * 2).as("id"), $"nm")
-        .unionAll(base.select(($"pk" * 2 + 1).as("id"), $"mut".as("nm")))
-      val pairs = graft.operators.EdJoin.join(corpus, "id", "nm", tau = 2, q = 3)
-      val sym = pairs.select($"a_id".as("id"), $"dist")
-        .unionAll(pairs.select($"b_id".as("id"), $"dist"))
-      sym.groupBy($"id")
-        .agg(sum(when($"dist" <= 1, 1L).otherwise(0L)).as("n_d1"),
-          count(lit(1)).as("n_d2"))
-        .orderBy($"n_d2".desc, $"id")
-        .limit(100)
-    },
-    Some("""
-      WITH b0 AS (SELECT p_partkey AS pk,
-                    substr(md5(CAST(p_partkey AS VARCHAR) || ':base'), 1, 20) AS nm
-                  FROM part WHERE p_partkey < 3000),
+  /** q208/q212's deterministic identifier corpus: a 20-hex-char md5
+    * fingerprint per part (`p_partkey < 3000`) plus a mutated copy —
+    * one md5-derived substitution, odd keys add an md5-derived
+    * deletion — so dist-1 AND dist-2 truths exist by construction.
+    * `typoCorpusSql` is the DuckDB-CTE twin ending in `c(id, nm)`. */
+  private def typoCorpus(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "part").filter($"p_partkey" < 3000)
+      .select($"p_partkey".as("pk"),
+        substring(md5(concat($"p_partkey".cast("string"), lit(":base"))), 1, 20)
+          .as("nm"))
+      .withColumn("h1",
+        conv(substring(md5(concat($"pk".cast("string"), lit(":pos"))), 1, 4),
+          16, 10).cast("long"))
+      .withColumn("h2",
+        conv(substring(md5(concat($"pk".cast("string"), lit(":ch"))), 1, 4),
+          16, 10).cast("long"))
+      .withColumn("h3",
+        conv(substring(md5(concat($"pk".cast("string"), lit(":del"))), 1, 4),
+          16, 10).cast("long"))
+      .withColumn("p1", ($"h1" % length($"nm") + 1).cast("int"))
+      .withColumn("c1",
+        expr("substr('0123456789abcdef', CAST(h2 % 16 + 1 AS INT), 1)"))
+      .withColumn("sub", concat(
+        expr("substr(nm, 1, p1 - 1)"), $"c1", expr("substr(nm, p1 + 1, 100)")))
+      .withColumn("p2", ($"h3" % length($"sub") + 1).cast("int"))
+      .withColumn("mut", when($"pk" % 2 === 1,
+        concat(expr("substr(sub, 1, p2 - 1)"), expr("substr(sub, p2 + 1, 100)")))
+        .otherwise($"sub"))
+    base.select(($"pk" * 2).as("id"), $"nm")
+      .unionAll(base.select(($"pk" * 2 + 1).as("id"), $"mut".as("nm")))
+  }
+
+  private val typoCorpusSql: String = """
+      b0 AS (SELECT p_partkey AS pk,
+               substr(md5(CAST(p_partkey AS VARCHAR) || ':base'), 1, 20) AS nm
+             FROM part WHERE p_partkey < 3000),
       b1 AS (SELECT pk, nm,
                CAST(('0x' || substr(md5(CAST(pk AS VARCHAR) || ':pos'), 1, 4))
                  AS BIGINT) % len(nm) + 1 AS p1,
@@ -689,7 +686,24 @@ object Dedup {
                ELSE sub END AS mut
              FROM b2),
       c AS (SELECT pk * 2 AS id, nm FROM b3
-            UNION ALL SELECT pk * 2 + 1 AS id, mut AS nm FROM b3),
+            UNION ALL SELECT pk * 2 + 1 AS id, mut AS nm FROM b3)"""
+
+  val q208 = Q(
+    "q208_edjoin_fuzzy",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = typoCorpus(s, dir)
+      val pairs = graft.operators.EdJoin.join(corpus, "id", "nm", tau = 2, q = 3)
+      val sym = pairs.select($"a_id".as("id"), $"dist")
+        .unionAll(pairs.select($"b_id".as("id"), $"dist"))
+      sym.groupBy($"id")
+        .agg(sum(when($"dist" <= 1, 1L).otherwise(0L)).as("n_d1"),
+          count(lit(1)).as("n_d2"))
+        .orderBy($"n_d2".desc, $"id")
+        .limit(100)
+    },
+    Some(s"""
+      WITH $typoCorpusSql,
       p AS (SELECT a.id AS a_id, b.id AS b_id,
               levenshtein(a.nm, b.nm) AS dist
             FROM c a JOIN c b
@@ -705,6 +719,64 @@ object Dedup {
       "corpus — rarest-gram candidate generation + exact verify, " +
       "bit-identical to the oracle's all-pairs definition it never runs")
 
+  /** q212 — fuzzy golden-record clusters (N44b): the entity-resolution
+    * endgame on top of q208 — typo variants of one record must
+    * COLLAPSE, not just pair. The [[graft.operators.EdJoin]] pair
+    * graph (τ=2) feeds
+    * [[graft.operators.ConnectedComponents.labelStar]]; every cluster
+    * reports its size, distinct-variant count, and the golden record —
+    * `min_by(nm, id)` makes the survivor pick deterministic (q158's
+    * survivorship is rule-based; here the rule is "oldest id wins",
+    * the classic tiebreak). Transitivity is the REASON clustering is a
+    * separate operator: A↔B and B↔C within τ does not imply A↔C within
+    * τ, so pair output alone under-merges — the component step closes
+    * the chain exactly like q82/q96 do for MinHash graphs.
+    *
+    * Scale: EdJoin's candidate-bounded pair graph (never corpus²) +
+    * labelStar's O(log²) rounds over edges only; the per-cluster
+    * aggregate touches one row per member. Oracle: the quadratic pair
+    * definition + a recursive min-label closure. */
+  val q212 = Q(
+    "q212_fuzzy_golden_record",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = typoCorpus(s, dir)
+      val pairs = graft.operators.EdJoin
+        .join(corpus, "id", "nm", tau = 2, q = 3)
+      graft.operators.ConnectedComponents
+        .labelStar(corpus.select($"id"), "id", pairs, "a_id", "b_id")
+        .join(corpus, "id")
+        .groupBy($"component".as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct($"nm").as("n_variants"),
+          min_by($"nm", $"id").as("rep_nm"))
+        .filter($"n_members" >= 2)
+        .orderBy($"n_members".desc, $"cluster_id")
+        .limit(100)
+    },
+    Some(s"""
+      WITH RECURSIVE $typoCorpusSql,
+      p AS (SELECT a.id AS a_id, b.id AS b_id
+            FROM c a JOIN c b
+              ON a.id < b.id AND abs(len(a.nm) - len(b.nm)) <= 2
+            WHERE levenshtein(a.nm, b.nm) <= 2),
+      e AS (SELECT a_id AS u, b_id AS v FROM p
+            UNION ALL SELECT b_id AS u, a_id AS v FROM p),
+      r(node, lbl) AS (
+        SELECT id, id FROM c
+        UNION
+        SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.node),
+      comp AS (SELECT node AS id, MIN(lbl) AS cluster_id FROM r GROUP BY node)
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(COUNT(DISTINCT nm) AS BIGINT) AS n_variants,
+             min_by(nm, id) AS rep_nm
+      FROM comp JOIN c USING (id)
+      GROUP BY cluster_id HAVING COUNT(*) >= 2
+      ORDER BY n_members DESC, cluster_id LIMIT 100"""),
+    doc = "N44b: fuzzy golden-record clusters — EdJoin pair graph closed " +
+      "by labelStar components (transitive variants collapse), " +
+      "deterministic min-id survivor per cluster")
+
   val all: Seq[Q] =
-    Seq(q54, q55, q56, q57, q82, q93, q96, q107, q187, q191, q192, q208)
+    Seq(q54, q55, q56, q57, q82, q93, q96, q107, q187, q191, q192, q208, q212)
 }
