@@ -664,17 +664,34 @@ object Text {
     * (doc_id, n_tok) shuffle. */
   /** q209's packing map as a reusable piece: one row per (document,
     * bin) it occupies, with in-bin offset, in-doc offset, segment
-    * length and split flag. See the q209 scaladoc for the design. */
+    * length and split flag. See the q209 scaladoc for the design.
+    *
+    * `offset` (a 1-row frame whose first column is a non-negative
+    * token count) shifts the global running count — the q213
+    * APPEND-ONLY maintenance hook: packing new documents with
+    * offset = the already-packed corpus total continues bin ids
+    * exactly where the frozen prefix stopped, because prefix sums are
+    * append-stable. It rides a constant-key equi-join (action-free
+    * plan building; q207's N device). */
   def packingMap(docs: org.apache.spark.sql.DataFrame,
-                 L: Int): org.apache.spark.sql.DataFrame = {
+                 L: Int,
+                 offset: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     import graft.operators.PrefixScan
     val base = docs
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), t => length(t) > 0))
           .cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
-    PrefixScan.inclusive(base, Nil, "doc_id", Nil, "n_tok",
-        c => c / 1024, "cum")
+    val scanned = PrefixScan.inclusive(base, Nil, "doc_id", Nil, "n_tok",
+      c => c / 1024, "cum")
+    offset.fold(scanned.withColumn("__off", lit(0L))) { o =>
+        scanned.withColumn("__one", lit(1)).join(
+          o.select(col(o.columns.head).cast("long").as("__off"))
+            .withColumn("__one", lit(1)), "__one")
+      }
+      .select(col("doc_id"), col("n_tok"),
+        (col("cum") + col("__off")).as("cum"))
       .select(col("doc_id"), col("n_tok"), col("cum"),
         (col("cum") - col("n_tok")).as("st"),
         expr(s"(cum - n_tok) div $L").as("b0"),
@@ -804,6 +821,65 @@ object Text {
       "bins carry co-packed clean tokens, which is why the audit runs " +
       "after packing")
 
+  /** q213 — incremental packing maintenance (X93): append a new
+    * document batch to an ALREADY-PACKED corpus without remapping one
+    * frozen bin. Remapping is the failure mode that matters: a
+    * dataloader, a curriculum schedule and every audit (q210) key on
+    * bin ids, so a daily shard landing must extend the bin space, not
+    * reshuffle it. Concat-and-chunk makes that free — prefix sums are
+    * append-stable — so the maintained map is `packingMap(new docs,
+    * offset = frozen corpus token total)`: only the delta is scanned,
+    * only the delta shuffles its (doc_id, n_tok) pairs, and bin ids
+    * continue exactly where the frozen prefix stopped (the boundary
+    * bin keeps filling first — its leftover capacity is not wasted).
+    *
+    * The ORACLE never sees the incremental structure (q139's device):
+    * it packs the FULL corpus from scratch and restricts to the new
+    * batch — maintained ≡ rebuilt is the entire correctness claim.
+    * PackingSpec pins the same law engine-side against q209's map.
+    *
+    * The split (doc_id < 300 = frozen, ≥ 300 = arriving batch) is a
+    * fixed constant so every scale factor exercises a non-trivial
+    * boundary bin. */
+  val q213 = Q(
+    "q213_incremental_packing",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val frozenTotal = docs.filter($"doc_id" < 300)
+        .select(size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("n_tok"))
+        .agg(coalesce(sum($"n_tok"), lit(0L)).as("off"))
+      packingMap(docs.filter($"doc_id" >= 300), L = 128,
+          offset = Some(frozenTotal))
+        .orderBy($"doc_id", $"bin_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     t -> len(t) > 0)) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, n_tok,
+              CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, n_tok, cum, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM c),
+      x AS (SELECT doc_id, st, cum, b0, b1, unnest(range(b0, b1 + 1)) AS bin_id
+            FROM e)
+      SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+             CAST(GREATEST(st, bin_id * 128) - bin_id * 128 AS BIGINT) AS bin_off,
+             CAST(GREATEST(st, bin_id * 128) - st AS BIGINT) AS doc_off,
+             CAST(LEAST(cum, (bin_id + 1) * 128)
+               - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len,
+             CAST(b1 > b0 AS INT) AS split
+      FROM x WHERE doc_id >= 300 ORDER BY doc_id, bin_id"""),
+    doc = "X93: incremental packing — new batch packed against the frozen " +
+      "corpus token total (delta-only scan, append-stable prefix sums); " +
+      "oracle rebuilds from scratch and restricts, maintained == rebuilt")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95, q141, q199, q203, q209, q210)
+    q91, q92, q95, q141, q199, q203, q209, q210, q213)
 }

@@ -66,4 +66,15 @@ class PackingSpec extends SparkSpecBase {
       .filter(coalesce($"prev_end", lit(0L)) =!= $"doc_off")
     assert(bad.isEmpty, "doc_off not contiguous across a split")
   }
+
+  test("q213 maintained map == full rebuild restricted to the new batch") {
+    val s = spark
+    import s.implicits._
+    val full = Text.q209.build(spark, sf).filter($"doc_id" >= 300)
+      .collect().map(_.toSeq).toSet
+    val incr = Text.q213.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(incr === full, "append-only packing remapped or lost a segment")
+    assert(incr.nonEmpty)
+  }
 }
