@@ -452,4 +452,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p98.contains("TakeOrderedAndProject"), p98)
     assert(!p98.contains("CartesianProduct"), p98)
   }
+  test("EdJoin's physical plan has no quadratic pair generator") {
+    import org.apache.spark.sql.functions._
+    // 400 diverse strings: the probe path must be hash joins; the only
+    // nested-loop join allowed is the constant-bounded short-string
+    // fallback self-join (broadcast, tiny), never a CartesianProduct
+    val strs = spark.range(400).select(col("id"),
+      md5(concat(col("id").cast("string"), lit(":s"))).as("nm"))
+    val joined = graft.operators.EdJoin.join(strs, "id", "nm", tau = 2, q = 3)
+    val p = plan(joined)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
 }
