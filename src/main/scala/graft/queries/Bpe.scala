@@ -109,5 +109,69 @@ object Bpe {
     doc = "N37b: tokenize-with-learned-vocab — corpus ⋈ word-table on the word " +
       "key; per-doc compression audit of the trained merges")
 
-  val all: Seq[Q] = Seq(q194, q195)
+  /** q214 — pack the BPE-tokenized corpus (X94): q209 packs by
+    * whitespace tokens, but training sequences are measured in
+    * TOKENIZER tokens — whitespace counts misplace every bin boundary
+    * the moment a tokenizer splits rare words (exactly what BPE with a
+    * small merge budget does). This is the production composition:
+    * the q194-trained vocabulary's per-word symbol counts (q195's
+    * audit frame) feed [[Text.packingMapFromCounts]], so bin
+    * boundaries land on REAL token arithmetic. Composition-grade
+    * oracle (q210's thesis): a drift between the encoder's counts and
+    * the packer's counts silently shifts every downstream bin id —
+    * only the end-to-end hash catches it.
+    *
+    * Scale: q194/q195's posture (one corpus pass + Heaps'-law word
+    * table rounds + word-key equi-join) feeding q209's (empty-group
+    * PrefixScan, bounded explode). Nothing new shuffles. */
+  val q214 = Q(
+    "q214_bpe_packing",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val words = BpeVocab.wordTable(docs, "text")
+      val (_, finalWords) = BpeVocab.train(words, Rounds)
+      val vocab = finalWords
+        .select($"w", size(BpeVocab.syms($"repr")).as("ns"))
+      val counts = docs
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .join(vocab, "w")
+        .groupBy($"doc_id")
+        .agg(sum($"ns").cast("long").as("n_tok"))
+      Text.packingMapFromCounts(counts, L = 128)
+        .orderBy($"doc_id", $"bin_id")
+    },
+    Some(s"""
+      WITH $trainCtes,
+      vocab AS (SELECT w, len(list_filter(string_split(repr, $sepSql),
+                          x -> x <> '')) AS ns
+                FROM w$Rounds),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+      d AS (SELECT t.doc_id, CAST(SUM(v.ns) AS BIGINT) AS n_tok
+            FROM toks t JOIN vocab v ON t.w = v.w
+            WHERE len(t.w) > 0 GROUP BY t.doc_id),
+      cum AS (SELECT doc_id, n_tok,
+                CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, cum, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM cum),
+      x AS (SELECT doc_id, st, cum, b0, b1, unnest(range(b0, b1 + 1)) AS bin_id
+            FROM e)
+      SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+             CAST(GREATEST(st, bin_id * 128) - bin_id * 128 AS BIGINT) AS bin_off,
+             CAST(GREATEST(st, bin_id * 128) - st AS BIGINT) AS doc_off,
+             CAST(LEAST(cum, (bin_id + 1) * 128)
+               - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len,
+             CAST(b1 > b0 AS INT) AS split
+      FROM x ORDER BY doc_id, bin_id"""),
+    doc = "X94: pack by REAL tokenizer counts — q194's trained BPE vocab → " +
+      "per-doc symbol counts → q209's packing math; bin boundaries on " +
+      "token arithmetic, end-to-end hash-checked composition")
+
+  val all: Seq[Q] = Seq(q194, q195, q214)
 }

@@ -676,13 +676,22 @@ object Text {
   def packingMap(docs: org.apache.spark.sql.DataFrame,
                  L: Int,
                  offset: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    packingMapFromCounts(
+      docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("n_tok")),
+      L, offset)
+
+  /** [[packingMap]] over a precomputed `(doc_id, n_tok)` frame — the
+    * hook for packing by REAL tokenizer counts (q214 packs by BPE
+    * symbol counts; whitespace tokens are q209's approximation). */
+  def packingMapFromCounts(counts: org.apache.spark.sql.DataFrame,
+                           L: Int,
+                           offset: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     import graft.operators.PrefixScan
-    val base = docs
-      .select(col("doc_id"),
-        size(filter(split(col("text"), " "), t => length(t) > 0))
-          .cast("long").as("n_tok"))
-      .filter(col("n_tok") > 0)
+    val base = counts.filter(col("n_tok") > 0)
     val scanned = PrefixScan.inclusive(base, Nil, "doc_id", Nil, "n_tok",
       c => c / 1024, "cum")
     offset.fold(scanned.withColumn("__off", lit(0L))) { o =>
