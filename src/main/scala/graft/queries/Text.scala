@@ -889,6 +889,84 @@ object Text {
       "corpus token total (delta-only scan, append-stable prefix sums); " +
       "oracle rebuilds from scratch and restricts, maintained == rebuilt")
 
+  /** q215 — deterministic shard manifest (X95): the dataloader
+    * handoff. Training wants bins in pseudo-random order, sharded
+    * into fixed-size files, and REPRODUCIBLE — re-running the job on
+    * the same corpus must yield byte-identical shard contents, or
+    * checkpoint-resume reads different data (the silent run-to-run
+    * nondeterminism bug class). The shuffle key is md5(bin_id||epoch)
+    * — seeded, engine-agnostic, and re-derivable by anyone holding
+    * the manifest; each shard of 16 bins reports its bin count, token
+    * count, segment count and an md5 over its ordered member list —
+    * the integrity receipt a loader checks before it trains.
+    *
+    * The global shuffle RANK is the degenerate single-task window, so
+    * it rides a weight-1 empty-group [[graft.operators.PrefixScan]]
+    * bucketed by the key's first two hex chars (256 shards of the
+    * sort — q179's within-count device); the manifest aggregate
+    * collects ≤ 16 ids per shard (bounded by construction).
+    *
+    * Scale: bins-not-docs from the start (the q209 aggregate output,
+    * corpus/128 rows), one PrefixScan, one shard-keyed aggregate. */
+  val q215 = Q(
+    "q215_shard_manifest",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.PrefixScan
+      val bins = packingMap(Tables(s, dir, "documents"), L = 128)
+        .groupBy($"bin_id")
+        .agg(count(lit(1)).as("n_segs"), sum($"seg_len").as("n_tokens"))
+        .withColumn("skey", md5(concat($"bin_id".cast("string"), lit(":e0"))))
+        .withColumn("one", lit(1L))
+      val bucket = (c: org.apache.spark.sql.Column) =>
+        conv(substring(c, 1, 2), 16, 10)
+      PrefixScan.inclusive(bins, Nil, "skey", Seq("bin_id"), "one",
+          bucket, "rn")
+        .withColumn("shard_id", expr("(rn - 1) div 16"))
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_bins"),
+          sum($"n_tokens").as("n_tokens"),
+          sum($"n_segs").as("n_segs"),
+          expr("md5(concat_ws(',', transform(" +
+            "array_sort(collect_list(struct(skey, bin_id))), " +
+            "x -> CAST(x.bin_id AS STRING))))").as("manifest_md5"))
+        .orderBy($"shard_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     t -> len(t) > 0)) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, n_tok,
+              CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, cum, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM c),
+      x AS (SELECT doc_id, st, cum, bin_id,
+              CAST(LEAST(cum, (bin_id + 1) * 128)
+                - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len
+            FROM (SELECT doc_id, st, cum,
+                    unnest(range(b0, b1 + 1)) AS bin_id FROM e)),
+      bins AS (SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+                 CAST(SUM(seg_len) AS BIGINT) AS n_tokens,
+                 md5(CAST(bin_id AS VARCHAR) || ':e0') AS skey
+               FROM x GROUP BY bin_id),
+      rk AS (SELECT *, row_number() OVER (ORDER BY skey, bin_id) AS rn
+             FROM bins)
+      SELECT (rn - 1) // 16 AS shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_segs) AS BIGINT) AS n_segs,
+             md5(string_agg(CAST(bin_id AS VARCHAR), ',' ORDER BY skey, bin_id))
+               AS manifest_md5
+      FROM rk GROUP BY 1 ORDER BY shard_id"""),
+    doc = "X95: deterministic shard manifest — md5-seeded bin shuffle via " +
+      "weight-1 empty-group PrefixScan (no single-task rank), 16-bin " +
+      "shards with ordered-member md5 integrity receipts")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95, q141, q199, q203, q209, q210, q213)
+    q91, q92, q95, q141, q199, q203, q209, q210, q213, q215)
 }
