@@ -1185,4 +1185,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed(104L) === -1L, "far point must be noise")
     core.unpersist()
   }
+
+  test("T21: foreachBatch maintains the packed corpus — streamed arrival-" +
+    "order packing equals the batch map, bins never remap across batches") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, sf, "documents")
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    val (b1, rest) = docs.splitAt(docs.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    var state = StreamingPacking.empty(s)
+    val stream = MemoryStream[(Long, String)](s)
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = StreamingPacking.appendBatch(state, delta, L = 128)
+      }
+      .start()
+    Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // doc_id-ordered batches => arrival order == doc_id order == the
+    // batch map's order; byte-identical segments required
+    val batchMap = graft.queries.Text.q209.build(s, sf)
+    assert(key(state.map) === key(batchMap),
+      "streamed packing diverged from the batch map")
+    // frozen-prefix law: segments from batch 1 are bit-identical to
+    // packing b1 alone — later arrivals never remapped them
+    val soloB1 = graft.queries.Text.packingMap(b1.toDF("doc_id", "text"), 128)
+    val b1Ids = b1.map(_._1).toSet
+    assert(key(state.map.filter($"doc_id".isInCollection(b1Ids))) === key(soloB1))
+  }
 }
