@@ -92,4 +92,21 @@ class EdJoinSpec extends SparkSpecBase {
     val got = joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === brute(rows, 2))
   }
+
+  test("blocked join == brute force at q208's parameters (tau=2, q=3) on hex identifiers") {
+    val rnd = new scala.util.Random(7)
+    val hexa = "0123456789abcdef"
+    def hex(n: Int) = (1 to n).map(_ => hexa(rnd.nextInt(16))).mkString
+    val base = (0 until 60).map(_ => hex(20))
+    def mut(s: String): String = {
+      val pos = rnd.nextInt(s.length)
+      rnd.nextInt(2) match {
+        case 0 => s.updated(pos, hexa(rnd.nextInt(16)))
+        case _ => s.take(pos) + s.drop(pos + 1)
+      }
+    }
+    val all = base ++ base.map(mut) ++ base.map(s => mut(mut(s)))
+    val rows = all.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    assert(run(rows, tau = 2, q = 3) === brute(rows, tau = 2))
+  }
 }

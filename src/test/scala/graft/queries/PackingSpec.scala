@@ -77,4 +77,20 @@ class PackingSpec extends SparkSpecBase {
     assert(incr === full, "append-only packing remapped or lost a segment")
     assert(incr.nonEmpty)
   }
+
+  test("q215 shards partition the bins and conserve tokens exactly") {
+    val s = spark
+    import s.implicits._
+    val shards = Text.q215.build(spark, sf).cache()
+    val bins = packed.groupBy($"bin_id").agg(sum($"seg_len").as("fill"))
+    // every bin in exactly one shard: shard bin counts sum to the bin count
+    val (nBins, nToks) = (bins.count(),
+      bins.agg(sum($"fill")).head().getLong(0))
+    val agg = shards.agg(sum($"n_bins"), sum($"n_tokens")).head()
+    assert(agg.getLong(0) === nBins, "shards lost or duplicated a bin")
+    assert(agg.getLong(1) === nToks, "shard token totals diverge from bins")
+    // every shard except at most one is exactly 16 bins
+    assert(shards.filter($"n_bins" =!= 16L).count() <= 1)
+    shards.unpersist(); ()
+  }
 }
