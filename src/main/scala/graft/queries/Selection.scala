@@ -419,5 +419,97 @@ object Selection {
       "exact ppm conditionals, backoff/OOV accounting; the perplexity " +
       "filter class with no log and no float")
 
-  val all: Seq[Q] = Seq(q178, q179, q180, q181, q197, q207)
+  /** q216 — quality-curriculum bin ranking (X96): curriculum learning
+    * consumes TRAINING SEQUENCES in a quality order (clean-first is
+    * the standard warm-up heuristic — Bengio '09 curriculum; the
+    * practical spelling orders packed bins, because bins are what the
+    * dataloader reads). Compose the q209 packing map with the q197
+    * classifier scores: each bin's quality is its token-weighted score
+    * mass (Σ doc_score·seg_len — exact BIGINT; NO per-doc division,
+    * whose truncation direction Spark and DuckDB disagree on for the
+    * negative scores half the corpus has), ranked by the score-mass /
+    * fill ratio. The ONE float is that ratio, a single BIGINT→DOUBLE
+    * divide — exact cast + correctly-rounded IEEE division, so both
+    * engines order identically (the q94 shared-chain principle,
+    * degenerate case); every OUTPUT column stays integer.
+    *
+    * Scale: the packing map and score join are q209/q197's posture;
+    * the curriculum head is `orderBy.limit` — TakeOrdered, never a
+    * global sort — and the rank window runs over the 100-row result,
+    * bounded at any corpus size. */
+  val q216 = Q(
+    "q216_curriculum_bins",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.QualityClassifier
+      val docs = Tables(s, dir, "documents")
+      val tok = QualityClassifier
+        .tokenTable(docs, "doc_id", "text", $"lang" === "en")
+        .persist()
+      val sc = QualityClassifier
+        .score(tok, "doc_id", QualityClassifier.trainWeights(tok))
+      val bins = Text.packingMap(docs, L = 128)
+        .join(sc, "doc_id")
+        .groupBy($"bin_id")
+        .agg(sum($"seg_len").as("fill"),
+          sum($"score" * $"seg_len").as("score_mass"))
+        .withColumn("ratio",
+          $"score_mass".cast("double") / $"fill".cast("double"))
+      val top = bins.orderBy($"ratio".desc, $"bin_id").limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"ratio".desc, $"bin_id")))
+        .select($"rank", $"bin_id", $"fill", $"score_mass")
+        .orderBy($"rank")
+        .barrier() // honors spark.graft.reliableCheckpoints
+      tok.unpersist()
+      top
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, lang = 'en' AS pos, t FROM (
+             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE len(t) > 0),
+      cnt AS (SELECT t, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+              FROM tok GROUP BY t),
+      tot AS (SELECT CAST(SUM(np) AS BIGINT) AS tnp,
+                     CAST(SUM(nn) AS BIGINT) AS tnn,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+      w AS (SELECT t,
+              CAST((1000000 * (np + 1) * (tnn + v)) // ((nn + 1) * (tnp + v))
+                AS BIGINT) - 1000000 AS wc
+            FROM cnt, tot),
+      sc AS (SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS score
+             FROM tok JOIN w USING (t) GROUP BY doc_id),
+      d AS (SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '),
+                t -> len(t) > 0)) AS BIGINT) AS n_tok
+            FROM documents),
+      c AS (SELECT doc_id, n_tok,
+              CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, cum, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM c),
+      x AS (SELECT doc_id, bin_id,
+              CAST(LEAST(cum, (bin_id + 1) * 128)
+                - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len
+            FROM (SELECT doc_id, st, cum,
+                    unnest(range(b0, b1 + 1)) AS bin_id FROM e)),
+      bins AS (SELECT x.bin_id, CAST(SUM(x.seg_len) AS BIGINT) AS fill,
+                 CAST(SUM(sc.score * x.seg_len) AS BIGINT) AS score_mass
+               FROM x JOIN sc USING (doc_id) GROUP BY x.bin_id),
+      rk AS (SELECT *, row_number() OVER (ORDER BY
+               CAST(score_mass AS DOUBLE) / CAST(fill AS DOUBLE) DESC,
+               bin_id) AS rank
+             FROM bins)
+      SELECT CAST(rank AS INT) AS rank, CAST(bin_id AS BIGINT) AS bin_id,
+             fill, score_mass
+      FROM rk WHERE rank <= 100 ORDER BY rank"""),
+    doc = "X96: quality-curriculum bin ranking — q209 packing ⋈ q197 " +
+      "classifier scores, exact BIGINT score mass (no negative division), " +
+      "one IEEE divide for ordering, TakeOrdered head + 100-row rank window")
+
+  val all: Seq[Q] = Seq(q178, q179, q180, q181, q197, q207, q216)
 }
