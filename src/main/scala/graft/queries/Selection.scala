@@ -433,6 +433,16 @@ object Selection {
     * engines order identically (the q94 shared-chain principle,
     * degenerate case); every OUTPUT column stays integer.
     *
+    * Overflow bound: |score(doc)| ≤ 10⁶·n_tok(doc) (per-token weights
+    * are ppm-scaled likelihood ratios), so |score·seg_len| ≤
+    * 10⁶·n_tok·L and a bin's |score_mass| ≤ 10⁶·L·Σ n_tok over its
+    * ≤ L member-doc slices ≤ 10⁶·L²·max_n_tok — with L = 128 that
+    * stays under 2⁶³ for documents up to ~3.4·10⁹ tokens, far beyond
+    * any real document. The DOUBLE cast is exact below 2⁵³, i.e. for
+    * bins whose |score_mass| stays under ~9·10¹⁵ (max_n_tok ≲ 5·10⁵);
+    * beyond that the ratio rounds but both engines round IDENTICALLY
+    * (same cast, same divide), so the ordering still hash-matches.
+    *
     * Scale: the packing map and score join are q209/q197's posture;
     * the curriculum head is `orderBy.limit` — TakeOrdered, never a
     * global sort — and the rank window runs over the 100-row result,
