@@ -71,7 +71,15 @@ object Dbscan {
     * points within ε, or −1 (noise) if none — one stateless cell
     * projection, one equi-join on the cell key against [[coreTable]]
     * (stream-static legal; left outer keeps no-neighbor points), one
-    * per-id min aggregate. */
+    * per-id min aggregate.
+    *
+    * The probe is deliberately ASYMMETRIC: new points join only on
+    * their own home cell, with no 3×3 fan-out on this side — that is
+    * correct because [[coreTable]] already explodes every core point
+    * into all 9 neighbor cells, so any core point within ε of a new
+    * point is guaranteed to appear under the new point's home-cell key.
+    * Adding a probe-side fan-out here would double-count the
+    * neighborhood, not fix anything. */
   def assign(newPts: DataFrame, core: DataFrame, eps: Double): DataFrame =
     newPts
       .select(col("id"), col("x"), col("y"),

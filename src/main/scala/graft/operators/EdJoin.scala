@@ -51,9 +51,11 @@ import org.apache.spark.sql.functions._
   * whose fan-out is band-limited by the position filter, a `distinct`
   * on candidate id pairs, and a verify join that touches candidates
   * only. The short-string fallback is all-pairs WITHIN ITS OWN CLASS
-  * only (strings under τ·q+q chars); callers with many such strings
-  * should exact-group identical ones first. Verification cost is
-  * candidate-bounded, never corpus².
+  * only (strings under τ·q+q chars), and identical short strings are
+  * exact-grouped FIRST (enforced in the operator since r10): the
+  * self-join and verify run per distinct string, member pairs expand
+  * back afterwards. Verification cost is candidate-bounded, never
+  * corpus².
   *
   * Know your corpus (measured, q208 scaladoc): on gram-DIVERSE strings
   * (identifiers, URLs, fingerprints) the prune is two orders of
@@ -116,26 +118,59 @@ object EdJoin {
       .select(least(col("p_id"), col("i_id")).as("a_id"),
         greatest(col("p_id"), col("i_id")).as("b_id"))
 
-    // Fallback class: strings with fewer than tau*q+1 windows — i.e.
-    // length <= tau*q+q-1, a constant bound — self-join under the
-    // length filter. Bounded by the short-string class size.
-    val few = s.filter(greatest(col("__len") - (q - 1), lit(1)) <= tau * q)
-    val fa = few.select(col("__id").as("a_id"), col("__len").as("a_len"))
-    val fb = few.select(col("__id").as("b_id"), col("__len").as("b_len"))
-    val fewPairs = fa.join(fb,
-        col("a_id") < col("b_id") &&
-          abs(col("a_len") - col("b_len")) <= tau)
-      .select(col("a_id"), col("b_id"))
-
-    val cand = probed.unionAll(fewPairs).distinct()
-
-    // Verify on candidates only; the exact filter removes every false
-    // candidate, so blocking choices cannot change the result.
+    // Verify the indexed path's candidates only; the exact filter
+    // removes every false candidate, so blocking choices cannot change
+    // the result.
     val sa = s.select(col("__id").as("a_id"), col("__s").as("__sa"))
     val sb = s.select(col("__id").as("b_id"), col("__s").as("__sb"))
-    cand.join(sa, "a_id").join(sb, "b_id")
+    val probedVerified = probed.distinct()
+      .join(sa, "a_id").join(sb, "b_id")
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
       .filter(col("dist") <= tau)
       .select(col("a_id"), col("b_id"), col("dist"))
+
+    // Fallback class: strings with fewer than tau*q+1 windows — i.e.
+    // length <= tau*q+q-1, a constant bound. The exact-group-first
+    // advice is ENFORCED here (r9 verdict item 9): identical short
+    // strings collapse to one representative, the banded self-join and
+    // the levenshtein verify run once per DISTINCT string pair, and
+    // member pairs expand back afterwards (within-group pairs are
+    // dist 0 by identity — never re-verified). A dense-duplicate short
+    // corpus thus pays O(distinct²) verifies instead of O(N²); the
+    // OUTPUT pair set can still be quadratic in group sizes because
+    // those pairs genuinely satisfy the predicate.
+    val few = s.filter(greatest(col("__len") - (q - 1), lit(1)) <= tau * q)
+    val reps = few.groupBy(col("__s"), col("__len"))
+      .agg(min(col("__id")).as("__rep"))
+    val members = few.join(reps.select(col("__s"), col("__rep")), Seq("__s"))
+      .select(col("__rep"), col("__id"))
+    val ra = reps.select(col("__rep").as("__ra"), col("__s").as("__sra"),
+      col("__len").as("__la"))
+    val rb = reps.select(col("__rep").as("__rb"), col("__s").as("__srb"),
+      col("__len").as("__lb"))
+    val repVerified = ra.join(rb,
+        col("__ra") < col("__rb") &&
+          abs(col("__la") - col("__lb")) <= tau)
+      .withColumn("dist", levenshtein(col("__sra"), col("__srb")))
+      .filter(col("dist") <= tau)
+      .select(col("__ra"), col("__rb"), col("dist"))
+    val crossPairs = repVerified
+      .join(members.select(col("__rep").as("__ra"), col("__id").as("__ida")),
+        "__ra")
+      .join(members.select(col("__rep").as("__rb"), col("__id").as("__idb")),
+        "__rb")
+      .select(least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"), col("dist"))
+    val m1 = members.select(col("__rep"), col("__id").as("a_id"))
+    val m2 = members.select(col("__rep"), col("__id").as("b_id"))
+    val withinPairs = m1.join(m2, Seq("__rep"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0).as("dist"))
+
+    // distinct over VERIFIED rows: a short-short pair can also surface
+    // through the inverted index; dist is a function of the pair, so
+    // three-column distinct dedupes exactly.
+    probedVerified.unionByName(crossPairs).unionByName(withinPairs)
+      .distinct()
   }
 }

@@ -313,6 +313,11 @@ object Selection {
           when($"score" > 0, 1).otherwise(0).as("pred"), $"actual")
         .orderBy($"doc_id")
         .barrier() // honors spark.graft.reliableCheckpoints (ADVICE r8)
+      // ORDERING DEPENDENCY (ADVICE r9): the barrier above is EAGER —
+      // `out` is fully materialized before this unpersist, so dropping
+      // tok's cache here cannot force a recompute. If the barrier were
+      // ever made lazy (eager = false), this line must move after the
+      // first action on `out`.
       tok.unpersist()
       out
     },
@@ -471,6 +476,10 @@ object Selection {
         .select($"rank", $"bin_id", $"fill", $"score_mass")
         .orderBy($"rank")
         .barrier() // honors spark.graft.reliableCheckpoints
+      // ORDERING DEPENDENCY (ADVICE r9): the eager barrier above has
+      // already materialized `top`; unpersisting tok afterwards is safe
+      // ONLY because of that ordering. A lazy barrier here would drop
+      // the cache before first use and recompute tok's lineage twice.
       tok.unpersist()
       top
     },

@@ -28,15 +28,46 @@ import graft.queries.Text
   */
 object StreamingPacking {
 
+  /** Compact the accumulated map every this-many micro-batches, so the
+    * union plan never holds more than this many leaves (ADVICE r9: one
+    * unionByName node per batch otherwise deepens the plan unboundedly
+    * over a long-running stream — per-batch analysis/planning cost
+    * would grow linearly with batch count). */
+  val CompactEvery = 8
+
   /** Accumulated packing map (a union of per-batch BARRIERED leaves —
-    * never itself checkpointed: checkpointing a union of checkpointed
-    * frames trips Spark's union-constraint rewrite, and a union of
-    * materialized leaves needs no lineage cut anyway) plus the running
-    * token total as DRIVER state. The total is the one sanctioned
-    * reduced aggregate here (a single scalar per micro-batch — the
-    * BpeVocab-argmax precedent); it IS the operator's state, exactly
-    * what a stateful streaming op would keep per key. */
-  final case class PackState(map: DataFrame, total: Long)
+    * never itself Dataset-checkpointed: checkpointing a union of
+    * checkpointed frames trips Spark's union-constraint rewrite;
+    * instead every [[CompactEvery]] batches the union is collapsed to a
+    * single leaf at the RDD level, see [[compact]]) plus the running
+    * token total and fold count as DRIVER state. The total is the one
+    * sanctioned reduced aggregate here (a single scalar per
+    * micro-batch — the BpeVocab-argmax precedent); it IS the operator's
+    * state, exactly what a stateful streaming op would keep per key. */
+  final case class PackState(map: DataFrame, total: Long, batches: Long = 0L)
+
+  /** Collapse a deep union plan into one LogicalRDD leaf. The
+    * union-of-checkpointed-frames constraint-rewrite bug lives in the
+    * DATASET checkpoint path, so the cut happens one level down: take
+    * the planned RDD (cheap to execute — every union leaf is already a
+    * materialized barrier), cut ITS lineage with the same
+    * local/reliable choice as `Barriers.barrier()`, and rewrap. The
+    * result's logical plan is a single leaf regardless of how many
+    * batches were folded. */
+  private def compact(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val rows = df.rdd
+    val reliable =
+      s.conf.getOption(graft.core.Barriers.ReliableKey).exists(_.toBoolean)
+    if (reliable) {
+      require(s.sparkContext.getCheckpointDir.isDefined,
+        s"${graft.core.Barriers.ReliableKey}=true but no checkpoint dir")
+      rows.cache().checkpoint()
+    } else rows.localCheckpoint()
+    val out = s.createDataFrame(rows, df.schema)
+    out.count() // materialize the cut eagerly, like barrier(eager = true)
+    out
+  }
 
   /** Empty state for a session: no segments, zero offset. The empty
     * map is a bare LocalRelation with the packing schema — NOT an
@@ -70,6 +101,9 @@ object StreamingPacking {
       .barrier()
     val deltaToks = newSegs.agg(coalesce(sum(col("seg_len")), lit(0L)))
       .head().getLong(0)
-    PackState(state.map.unionByName(newSegs), state.total + deltaToks)
+    val grown = state.map.unionByName(newSegs)
+    val folds = state.batches + 1
+    val map = if (folds % CompactEvery == 0) compact(grown) else grown
+    PackState(map, state.total + deltaToks, folds)
   }
 }

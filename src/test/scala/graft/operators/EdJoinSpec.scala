@@ -109,4 +109,21 @@ class EdJoinSpec extends SparkSpecBase {
     val rows = all.zipWithIndex.map { case (s, i) => (i.toLong, s) }
     assert(run(rows, tau = 2, q = 3) === brute(rows, tau = 2))
   }
+
+  test("dense-duplicate SHORT corpus: exact-group-first fallback keeps the " +
+    "verify per distinct pair and the output exactly equal to brute force") {
+    // 120 short strings over only 6 distinct values (all under the
+    // tau*q+q-1 fallback bound): the enforced exact-grouping means the
+    // banded self-join sees 6 rows, not 120, while the expanded output
+    // still carries every true member pair (quadratic by right).
+    val vals = Seq("ab", "ab", "ac", "b", "abc", "xyz")
+    val rows = (0 until 120).map(i => (i.toLong, vals(i % vals.size)))
+    forAll(Table("tau", 1, 2)) { tau =>
+      assert(run(rows, tau, q = 3) === brute(rows, tau))
+    }
+    // within-group pairs surface at dist 0 even though they were never
+    // levenshtein-verified individually
+    val got = run(rows, tau = 1, q = 3)
+    assert(got.contains((0L, 6L, 0))) // two "ab" copies
+  }
 }

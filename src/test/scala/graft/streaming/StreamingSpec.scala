@@ -1217,4 +1217,36 @@ class StreamingSpec extends SparkSpecBase {
     val b1Ids = b1.map(_._1).toSet
     assert(key(state.map.filter($"doc_id".isInCollection(b1Ids))) === key(soloB1))
   }
+
+  test("T21b: the accumulated packing plan stays BOUNDED over many folds — " +
+    "compaction collapses the per-batch unions (ADVICE r9), content intact") {
+    val s = spark
+    import s.implicits._
+    val nBatches = 2 * StreamingPacking.CompactEvery + 3 // 19 folds
+    val perBatch = 5
+    var state = StreamingPacking.empty(s)
+    (0 until nBatches).foreach { b =>
+      val delta = (0 until perBatch).map { i =>
+        val id = (b * perBatch + i).toLong
+        (id, s"doc $id tok" + (" w" * (id % 7).toInt))
+      }.toDF("doc_id", "text")
+      state = StreamingPacking.appendBatch(state, delta, L = 16)
+    }
+    def unionNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.size
+    // old code: one Union node per fold => nBatches - 1 = 18 here; with
+    // compaction at most CompactEvery - 1 leaves-worth of unions remain
+    assert(unionNodes(state.map) < StreamingPacking.CompactEvery,
+      s"plan holds ${unionNodes(state.map)} Union nodes — compaction not applied")
+    // content is the same map a single batch pack would produce
+    val all = (0 until nBatches * perBatch).map { i =>
+      (i.toLong, s"doc $i tok" + (" w" * (i % 7)))
+    }.toDF("doc_id", "text")
+    val batchMap = graft.queries.Text.packingMap(all, 16)
+    assert(state.map.collect().map(_.toSeq).toSet ===
+      batchMap.collect().map(_.toSeq).toSet)
+    assert(state.batches === nBatches.toLong)
+  }
 }
