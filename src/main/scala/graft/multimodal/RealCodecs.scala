@@ -230,6 +230,18 @@ object RealCodecs {
 
     def synthesize(seed: Array[Byte], w: Int = 9, h: Int = 7): Array[Byte] = {
       require(seed.nonEmpty, "seed must be non-empty")
+      synthesizeComps(
+        Array.tabulate(w * h * 3)(i => seed(i % seed.length) & 0xff), w, h)
+    }
+
+    /** Encode an EXPLICIT row-major `[r,g,b,...]` component plane
+      * (values 0–255, length w·h·3) — the seed form above is the
+      * `comps(i) = seed(i mod len)` special case. Lets callers (q217's
+      * perceptual-hash corpus) perturb individual pixels and still run
+      * the real encode→ImageIO-decode path. */
+    def synthesizeComps(comps: Array[Int], w: Int, h: Int): Array[Byte] = {
+      require(comps.length == w * h * 3,
+        s"PngCodec: need ${w * h * 3} components, got ${comps.length}")
       val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
         0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
       val ihdr = ByteBuffer.allocate(13)
@@ -237,8 +249,7 @@ object RealCodecs {
         .put(8.toByte).put(2.toByte)             // bit depth 8, truecolor
         .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
       // raw image stream: per scanline, 1 filter byte (0 = None) + w*3
-      // samples; sample index runs row-major across the WHOLE image so
-      // pixel content is seed(i % len) exactly like PpmCodec
+      // samples; sample index runs row-major across the WHOLE image
       val raw = new Array[Byte](h * (1 + w * 3))
       var p = 0
       var px = 0
@@ -248,7 +259,7 @@ object RealCodecs {
         p += 1
         var x = 0
         while (x < w * 3) {
-          raw(p) = seed(px % seed.length)
+          raw(p) = comps(px).toByte
           p += 1; px += 1; x += 1
         }
         y += 1
@@ -274,6 +285,15 @@ object RealCodecs {
   object BmpCodec {
     def synthesize(seed: Array[Byte], w: Int = 9, h: Int = 7): Array[Byte] = {
       require(seed.nonEmpty, "seed must be non-empty")
+      synthesizeComps(
+        Array.tabulate(w * h * 3)(i => seed(i % seed.length) & 0xff), w, h)
+    }
+
+    /** Explicit component-plane form — see [[PngCodec.synthesizeComps]];
+      * same logical (top-down, RGB) content, stored bottom-up BGR. */
+    def synthesizeComps(comps: Array[Int], w: Int, h: Int): Array[Byte] = {
+      require(comps.length == w * h * 3,
+        s"BmpCodec: need ${w * h * 3} components, got ${comps.length}")
       val rowSize = ((w * 3 + 3) / 4) * 4 // each stored row pads to 4 bytes
       val dataLen = rowSize * h
       val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
@@ -289,9 +309,9 @@ object RealCodecs {
         var x = 0
         while (x < w) {
           val base = (sy * w + x) * 3
-          val r = seed(base % seed.length)
-          val g = seed((base + 1) % seed.length)
-          val b = seed((base + 2) % seed.length)
+          val r = comps(base).toByte
+          val g = comps(base + 1).toByte
+          val b = comps(base + 2).toByte
           buf.put(b).put(g).put(r)               // stored channel order is BGR
           x += 1
         }

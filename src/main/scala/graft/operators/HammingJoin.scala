@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hamming-distance similarity self-join over fixed-width bit
+  * signatures (SURVEY.md §2 MM2's pair step — perceptual image hashes;
+  * the same join serves SimHash fingerprints or any ≤63-bit signature).
+  *
+  * The pigeonhole device (q55/q131's family): split the `bits`
+  * positions into k+1 bands; two signatures within hamming distance k
+  * differ in ≤ k positions, so AT LEAST ONE band is untouched and the
+  * pair surfaces as an exact equi-join match on (band, band-bits) —
+  * recall is exact, no scheme tuning. Bands take INTERLEAVED positions
+  * (`pos mod k+1` — q131's lesson: contiguous cuts hand low-entropy
+  * prefix regions to one key and recreate the viral bucket; the DuckDB
+  * twin deliberately bands CONTIGUOUSLY, so the two engines agree
+  * through different blockings). Candidates are verified with the
+  * exact `bit_count(a XOR b)`, so blocking choices cannot change the
+  * result — bit-identical to the all-pairs definition.
+  *
+  * Exact-group-first (EdJoin's enforced device): identical signatures —
+  * the meme-image regime where ONE popular image has millions of
+  * byte-identical copies — collapse to a representative BEFORE banding,
+  * so band buckets and the verify see distinct signatures only;
+  * within-group pairs expand back at distance 0 without ever being
+  * banded or verified. The residual skew is a band VALUE shared by many
+  * DISTINCT signatures (a low-entropy hash region); at corpus scale
+  * that calls for the q54 viral-bucket cap on the band key — documented
+  * rather than silently applied, because unlike LSH candidates, hamming
+  * pairs are exact truths a cap would DROP.
+  *
+  * Scale shape: one tiny aggregate (distinct signatures), k+1 band rows
+  * per distinct signature, one equi-join on the (band, value) key, a
+  * distinct on representative pairs, the popcount verify on candidates
+  * only, and two member-expansion joins. Never a cross product; output
+  * size is the truth's own size.
+  */
+object HammingJoin {
+
+  /** All `(a_id, b_id, dist)` with `a_id < b_id` and
+    * `bit_count(h_a XOR h_b) <= k`, without the all-pairs join.
+    *
+    * `idCol` values must be unique non-null; `hashCol` is a non-null
+    * integral signature using the low `bits` bits (1 ≤ bits ≤ 63).
+    */
+  def join(hashes: DataFrame, idCol: String, hashCol: String,
+           k: Int, bits: Int): DataFrame = {
+    require(k >= 0 && bits >= k + 1 && bits <= 63,
+      s"HammingJoin: need 0 <= k < bits <= 63 (got k=$k, bits=$bits)")
+    val nBands = k + 1
+    val s = hashes.select(col(idCol).as("__id"),
+      col(hashCol).cast("long").as("__h"))
+
+    // exact-group-first: one representative per distinct signature
+    val reps = s.groupBy(col("__h")).agg(min(col("__id")).as("__rep"))
+    val members = s.join(reps, Seq("__h")).select(col("__rep"), col("__id"))
+
+    // k+1 interleaved bands per DISTINCT signature: band j packs the
+    // bits at positions p ≡ j (mod k+1), compacted to the low bits
+    val bands = reps
+      .select(col("__h"), col("__rep"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("__band"))
+      .withColumn("__bval", expr(
+        s"aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, i) -> " +
+          s"IF(i % $nBands = __band AND (shiftright(__h, i) & 1) = 1, " +
+          s"acc | shiftleft(CAST(1 AS BIGINT), CAST(i DIV $nBands AS INT)), " +
+          s"acc))"))
+
+    val a = bands.select(col("__band"), col("__bval"),
+      col("__rep").as("__ra"), col("__h").as("__ha"))
+    val b = bands.select(col("__band"), col("__bval"),
+      col("__rep").as("__rb"), col("__h").as("__hb"))
+    // distinct signatures => xor != 0 => dist >= 1 here; dist-0 pairs
+    // are exactly the within-group expansions below
+    val repPairs = a.join(b, Seq("__band", "__bval"))
+      .filter(col("__ra") < col("__rb"))
+      .select(col("__ra"), col("__rb"), col("__ha"), col("__hb"))
+      .distinct()
+      .withColumn("dist", expr("CAST(bit_count(__ha ^ __hb) AS INT)"))
+      .filter(col("dist") <= k)
+
+    val cross = repPairs
+      .join(members.select(col("__rep").as("__ra"), col("__id").as("__ida")),
+        "__ra")
+      .join(members.select(col("__rep").as("__rb"), col("__id").as("__idb")),
+        "__rb")
+      .select(least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"), col("dist"))
+    val within = members.select(col("__rep"), col("__id").as("a_id"))
+      .join(members.select(col("__rep"), col("__id").as("b_id")), Seq("__rep"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0).as("dist"))
+
+    // disjoint by construction (cross pairs differ in signature, within
+    // pairs share one) and each unique — no final distinct needed
+    cross.unionByName(within)
+  }
+}

@@ -207,5 +207,144 @@ object Multimodal {
       "decoded by the independent JDK ImageIO reader; row-major pixel hash " +
       "gates layout end to end")
 
-  val all: Seq[Q] = Seq(q61, q188, q189)
+  /** q217 — perceptual image near-dup dedup (MM2, r10): the reason an
+    * LLM pipeline carries images at all — copies and near-copies must
+    * COLLAPSE at corpus scale, completing the fourth north-star family
+    * (text/embeddings got a 10-operator dedup tier; images only ever
+    * decoded, q188/q189).
+    *
+    * Corpus: every document yields its q189-style 9×7 image (PNG for
+    * even doc ids, BMP for odd — both REAL encode→ImageIO decode) PLUS
+    * a perturbed copy with ONE pixel's rgb replaced by shifted seed
+    * bytes (`seed((i+7) mod 16)` at pixel `doc_id mod 63`) — a
+    * deterministic "same image, one-pixel edit" near-dup planted per
+    * doc, while duplicate TEXTS (this corpus is tiny-vocab by design)
+    * plant byte-identical images across docs. Hashes
+    * ([[graft.multimodal.Phash]]): dHash — one edited pixel flips ≤ 2
+    * gradient bits, so original↔variant lands within hamming 2 by
+    * construction; aHash reported alongside.
+    *
+    * Pipeline: decode+hash in ONE mapPartitions pass (payload bytes
+    * never leave the partition — q188's posture), then
+    * [[graft.operators.HammingJoin]] (k=2 over 56 bits: exact-grouped
+    * identical hashes, 3 interleaved pigeonhole bands, popcount
+    * verify), then [[graft.operators.ConnectedComponents.labelStar]]
+    * collapse (q212's device — hamming is not transitive, so pair
+    * output alone under-merges), min-id survivor per cluster.
+    *
+    * Oracle: the DuckDB twin recomputes BOTH hashes bit-for-bit from
+    * the md5 seed arithmetic (no bytes parsed — any luma weighting,
+    * bit-order, or perturbation drift breaks the hash match), finds
+    * pairs through CONTIGUOUS thirds (a deliberately different
+    * pigeonhole than Spark's interleaved bands — both exact-recall, so
+    * agreement checks the math, not the blocking), and closes clusters
+    * with the recursive min-label CTE. Scale: HammingJoin's shape is
+    * linear in distinct signatures + output truth; the decode pass is
+    * embarrassingly parallel; labelStar is O(log²) rounds over the
+    * pair graph. */
+  val q217 = Q(
+    "q217_image_near_dup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.core.Barriers._
+      import graft.multimodal.RealCodecs.{BmpCodec, ImageIoCodec, PngCodec}
+      import graft.multimodal.Phash
+      val hashes = Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.flatMap { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val hot = (id % 63).toInt
+            Seq(0, 1).map { v =>
+              val comps = Array.tabulate(189) { i =>
+                if (v == 1 && i / 3 == hot) seed((i + 7) % 16) & 0xff
+                else seed(i % 16) & 0xff
+              }
+              val bytes =
+                if (id % 2 == 0) PngCodec.synthesizeComps(comps, 9, 7)
+                else BmpCodec.synthesizeComps(comps, 9, 7)
+              val img = ImageIoCodec.decode(bytes)
+                .getOrElse(sys.error(s"q217: undecodable image for doc $id/$v"))
+              (id * 2 + v, Phash.dHash(img), Phash.aHash(img))
+            }
+          }
+        }
+        .toDF("img_id", "dhash", "ahash")
+        // consumed by banding, expansion, labelStar nodes AND the final
+        // join — materialize the decode pass once
+        .barrier()
+      val pairs = graft.operators.HammingJoin
+        .join(hashes, "img_id", "dhash", k = 2, bits = 56)
+      val labeled = graft.operators.ConnectedComponents
+        .labelStar(hashes.select($"img_id"), "img_id", pairs, "a_id", "b_id")
+      hashes.join(labeled, "img_id")
+        .select($"img_id", $"dhash", $"ahash", $"component".as("cluster"),
+          ($"img_id" === $"cluster").cast("int").as("kept"))
+        .orderBy($"img_id")
+    },
+    Some {
+      // component i (0-based) of image (doc, v): seed byte (i mod 16),
+      // except variant v=1 replaces pixel doc_id%63's triple with seed
+      // bytes ((i+7) mod 16) — the same arithmetic the Spark side feeds
+      // the real encoders
+      val comp =
+        s"""CASE WHEN v = 1 AND i // 3 = doc_id % 63
+              THEN CAST(('0x' || substr(md5(text), CAST(((i + 7) % 16) * 2 + 1 AS INT), 2)) AS INT)
+              ELSE CAST(('0x' || substr(md5(text), CAST((i % 16) * 2 + 1 AS INT), 2)) AS INT)
+            END"""
+      s"""
+      WITH RECURSIVE img AS (
+        SELECT doc_id * 2 + v AS img_id,
+               list_transform(range(0, 189), i -> $comp) AS comps
+        FROM documents, (SELECT unnest([0, 1]) AS v)),
+      lum AS (
+        SELECT img_id, list_transform(range(0, 63), p ->
+          CAST(299 * comps[3*p + 1] + 587 * comps[3*p + 2]
+               + 114 * comps[3*p + 3] AS BIGINT)) AS l
+        FROM img),
+      -- bit folds via list_reduce with | (bits disjoint): list_sum
+      -- returns DOUBLE, which cannot carry 63-bit exactness
+      h AS (
+        SELECT img_id,
+          list_reduce(list_transform(range(0, 56), b ->
+            CASE WHEN l[(b // 8) * 9 + (b % 8) + 1] < l[(b // 8) * 9 + (b % 8) + 2]
+                 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                 ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS dhash,
+          list_reduce(list_transform(range(0, 63), p ->
+            CASE WHEN l[p + 1] * 63 > CAST(list_sum(l) AS BIGINT)
+                 THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                 ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS ahash
+        FROM lum),
+      -- contiguous-thirds pigeonhole (Spark bands interleaved): any
+      -- hamming<=2 pair agrees exactly on >= 1 third
+      bands AS (
+        SELECT img_id, dhash, b.band,
+          CASE b.band WHEN 0 THEN dhash & ((CAST(1 AS BIGINT) << 19) - 1)
+                      WHEN 1 THEN (dhash >> 19) & ((CAST(1 AS BIGINT) << 19) - 1)
+                      ELSE dhash >> 38 END AS bval
+        FROM h, (SELECT unnest([0, 1, 2]) AS band) b),
+      p AS (
+        SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.img_id < b.img_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+      e AS (SELECT a_id AS u, b_id AS w FROM p
+            UNION ALL SELECT b_id AS u, a_id AS w FROM p),
+      r(node, lbl) AS (
+        SELECT img_id, img_id FROM h
+        UNION
+        SELECT e.w, r.lbl FROM r JOIN e ON e.u = r.node),
+      comp AS (SELECT node AS img_id, MIN(lbl) AS cluster FROM r GROUP BY node)
+      SELECT h.img_id, dhash, ahash, cluster,
+             CASE WHEN h.img_id = cluster THEN 1 ELSE 0 END AS kept
+      FROM h JOIN comp ON h.img_id = comp.img_id
+      ORDER BY h.img_id"""
+    },
+    doc = "MM2: perceptual image near-dup dedup — real decode -> dHash/aHash " +
+      "-> exact-grouped hamming-banded pair join -> labelStar collapse; " +
+      "oracle recomputes both hashes from seed arithmetic and closes " +
+      "clusters recursively")
+
+  val all: Seq[Q] = Seq(q61, q188, q189, q217)
 }
