@@ -209,6 +209,96 @@ object Bench {
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
 
+  // ---- cross-sitting anchor (r9→r10 verdict item 1, twice carried) ----
+  // Round-over-round totals were argued clean post-hoc three rounds
+  // running (r8 contention, r9 page-cache 1.20×, r10 a flagged-suspect
+  // sitting). The anchor makes that exculpation mechanical: re-run a
+  // PINNED 5-query set with the PREVIOUS round's committed code, in THIS
+  // sitting, interleaved JVM-by-JVM with the same set on the current
+  // build, and emit
+  //   anchor_ratio      = old-code-now / old-code-then (committed
+  //                       BENCH_FULL.json history) — same code both
+  //                       sides, so the ratio is pure environment drift;
+  //                       divide any cross-sitting comparison by it.
+  //   anchor_code_ratio = new-code-now / old-code-now — the same-sitting
+  //                       A/B of this round's code changes on the anchor
+  //                       set (≈1.0 unless an anchor query's path changed).
+  // The anchor runs AFTER the suite so its worktree build and extra JVMs
+  // never overlap a measured query; mid-suite contention is separately
+  // covered by the probe/requeue machinery above.
+
+  /** Pinned anchor set: long-lived, deterministic-cost, mid-weight
+    * (0.5–3 s at sf0.1), spanning scan+agg, window, text, banded
+    * self-join, and broadcast-decontamination paths. Changing this set
+    * breaks cross-round comparability — append a dated note to
+    * BASELINE.md if it ever has to change. */
+  private[graft] val anchorQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q25_ranking", "q44_tfidf_topk",
+    "q54_minhash_lsh", "q93_decontaminate")
+
+  /** First `git log --format="%H %s"` line whose subject is a driver
+    * round-close commit ("round N: …") → its sha. The previous round's
+    * tree is the newest such commit at bench time. */
+  private[graft] def pickRoundRef(logLines: Seq[String]): Option[String] =
+    logLines.collectFirst {
+      case l if l.matches("[0-9a-f]{7,40}\\s+round \\d+:.*") =>
+        l.split("\\s+")(0)
+    }
+
+  /** Anchor totals over the queries with evidence on EVERY side: at
+    * least one non-failed old-JVM run, at least one non-failed new-run,
+    * and a positive committed-history entry. Returns (oldSec, newSec,
+    * histSec, nUsed). Pinned in BenchHelpersSpec. */
+  private[graft] def anchorTotals(anchors: Seq[String],
+      oldRuns: Seq[Map[String, Double]], newRuns: Seq[Map[String, Double]],
+      hist: Map[String, Double]): (Double, Double, Double, Int) = {
+    def mins(ms: Seq[Map[String, Double]], n: String): Seq[Double] =
+      ms.flatMap(_.get(n)).filter(_ >= 0)
+    val ok = anchors.filter { n =>
+      mins(oldRuns, n).nonEmpty && mins(newRuns, n).nonEmpty &&
+        hist.get(n).exists(_ > 0)
+    }
+    (ok.map(n => mins(oldRuns, n).min).sum,
+     ok.map(n => mins(newRuns, n).min).sum,
+     ok.map(hist).sum, ok.size)
+  }
+
+  /** Run `cmd`, drain stdout+stderr, enforce a wall timeout. Returns
+    * (exitCode, output); exit -1 on timeout (process force-killed). */
+  private def exec(cmd: Seq[String], cwd: Option[java.io.File],
+      extraEnv: Map[String, String], timeoutSec: Long): (Int, String) = {
+    import scala.jdk.CollectionConverters._
+    val pb = new ProcessBuilder(cmd.asJava)
+    cwd.foreach(d => pb.directory(d): Unit)
+    pb.redirectErrorStream(true)
+    val e = pb.environment()
+    extraEnv.foreach { case (k, v) => e.put(k, v) }
+    val p = pb.start()
+    val out = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => { p.getInputStream.transferTo(out): Unit },
+      "bench-anchor-drain")
+    drain.setDaemon(true); drain.start()
+    if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+      p.destroyForcibly().waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      (-1, new String(out.toByteArray, StandardCharsets.UTF_8))
+    } else {
+      drain.join(2000)
+      (p.exitValue(), new String(out.toByteArray, StandardCharsets.UTF_8))
+    }
+  }
+
+  /** JDK17 module opens Spark needs outside spark-submit — must mirror
+    * build.sbt's list (the anchor child JVM bypasses sbt). */
+  private val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
   /** The q111/q113/q125/q128 summaries run intentionally-unpartitioned
     * windows over <=31-row bucket/source/spine frames — correct at any
     * scale, but WindowExec logs a per-task warning that ate a third of
