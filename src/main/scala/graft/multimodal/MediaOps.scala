@@ -9,15 +9,19 @@ import org.apache.spark.sql.functions._
   * `FakeCodec.decode` is a clearly-marked deterministic STAND-IN for a
   * real decoder (it derives "pixels" from the bytes themselves). Since
   * r8 that caveat applies only to LOSSY codecs: RIFF/WAVE PCM and
-  * binary PPM have REAL hand-written pure-JVM decoders (r7), and PNG,
+  * binary PPM have REAL hand-written pure-JVM decoders (r7); PNG,
   * BMP and GIF decode through the JDK's own `javax.imageio` readers
-  * (r8) — every lossless format the JDK can read, all oracle-gated end
-  * to end by q188/q189. JPEG also decodes with zero external jars
+  * (r8); and FLAC has a full hand-written encoder AND decoder (r12 —
+  * fixed/LPC predictors, Rice residuals, CRC-8/16, STREAMINFO MD5
+  * verify) — every lossless format, all oracle-gated end to end by
+  * q188/q189/q218. JPEG also decodes with zero external jars
   * (`java.desktop` ships a reader) but its IDCT is
   * implementation-defined — not bit-deterministic across decoders — so
   * it is TOLERANCE-gated (RealCodecsSpec encodes with the JDK writer,
   * decodes with the reader, bounds mean component error) and never
-  * hash-oracled; H.264/FLAC genuinely need codec jars. Everything around
+  * hash-oracled. Only lossy VIDEO (H.264) remains stubbed: its decode
+  * genuinely needs a codec implementation that is out of scope here,
+  * and being lossy it would be tolerance-gated anyway. Everything around
   * the codec — the media schema, the typed Dataset API, the
   * per-partition batch shape, the partitioning story — is real Spark
   * and really tested:

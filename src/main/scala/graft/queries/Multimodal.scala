@@ -207,6 +207,71 @@ object Multimodal {
       "decoded by the independent JDK ImageIO reader; row-major pixel hash " +
       "gates layout end to end")
 
+  /** q218 — REAL FLAC decode, pure JVM (r12 — closes the last MM1
+    * format gap short of lossy video): [[graft.multimodal.RealCodecs.FlacCodec]]
+    * hand-ENCODES genuine FLAC streams from seed audio — STREAMINFO
+    * with the real MD5 of the unencoded samples, spec frame headers
+    * (14-bit sync, UTF-8 frame numbers, CRC-8), FIXED predictors
+    * (best order 0–4 per frame) on even frames and quantized-coefficient
+    * LPC on odd frames, Rice-coded residuals, CRC-16 frame seals — and
+    * hand-DECODES them back: full metadata walk, both CRCs verified,
+    * and the STREAMINFO MD5 recomputed over the reconstructed samples,
+    * so `parse` returns Some only on BIT-EXACT recovery (FLAC is
+    * lossless; that is what makes this hash-oracle-able where JPEG's
+    * IDCT is not). Per-doc sample count 64 + doc_id mod 32 exercises
+    * partial last frames. `wav_match` cross-decodes the SAME seed audio
+    * through the independent WavCodec chunk-walk — two codecs, one
+    * truth. The DuckDB twin recomputes every feature from the seed
+    * arithmetic without parsing a byte.
+    *
+    * Scale posture: q188's — synth+decode+reduce in ONE mapPartitions
+    * pass, payload bytes never leave the partition, features are 6
+    * longs a row. */
+  val q218 = Q(
+    "q218_flac_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.RealCodecs.{FlacCodec, WavCodec}
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val n = 64 + (id % 32).toInt
+            val flac = FlacCodec.parse(FlacCodec.synthesize(seed, n))
+              .getOrElse(sys.error(s"q218: undecodable flac for doc $id"))
+            val wav = WavCodec.parse(WavCodec.synthesize(seed, n))
+              .getOrElse(sys.error(s"q218: undecodable wav for doc $id"))
+            (id, flac.sampleRate.toLong, flac.samples.length.toLong,
+              flac.samples.map(x => x.toLong * x).sum / n,
+              flac.samples.map(x => math.abs(x).toLong).max,
+              if (flac.samples.sameElements(wav.samples)) 1L else 0L)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "energy", "peak", "wav_match")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val b = byteSql("i")
+      s"""
+      SELECT doc_id,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(64 + doc_id % 32 AS BIGINT) AS n_samples,
+        -- n samples, sample i = (seed[(i-1) mod 16] - 128) * 256; mean square
+        CAST(list_sum(list_transform(range(1, CAST(65 + doc_id % 32 AS BIGINT)), i ->
+               CAST(($b - 128) * 256 AS BIGINT) *
+               CAST(($b - 128) * 256 AS BIGINT))) // (64 + doc_id % 32) AS BIGINT) AS energy,
+        CAST(256 * list_max(list_transform(range(1, 17), i ->
+               abs($b - 128))) AS BIGINT) AS peak,
+        CAST(1 AS BIGINT) AS wav_match
+      FROM documents ORDER BY doc_id"""
+    },
+    doc = "multimodal REAL FLAC decode, pure JVM: hand-encoded frames (fixed + " +
+      "LPC predictors, Rice residuals, CRC-8/CRC-16, STREAMINFO MD5) decoded " +
+      "back bit-exactly; wav_match cross-checks the independent WAV path; " +
+      "oracle recomputes features from seed arithmetic")
+
   /** q217 — perceptual image near-dup dedup (MM2, r10): the reason an
     * LLM pipeline carries images at all — copies and near-copies must
     * COLLAPSE at corpus scale, completing the fourth north-star family
@@ -346,5 +411,5 @@ object Multimodal {
       "oracle recomputes both hashes from seed arithmetic and closes " +
       "clusters recursively")
 
-  val all: Seq[Q] = Seq(q61, q188, q189, q217)
+  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218)
 }
