@@ -209,7 +209,7 @@ object Bench {
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
 
-  // ---- cross-sitting anchor (r9→r10 verdict item 1, twice carried) ----
+  // ---- cross-sitting anchor (r9→r12 verdict item 1) ----
   // Round-over-round totals were argued clean post-hoc three rounds
   // running (r8 contention, r9 page-cache 1.20×, r10 a flagged-suspect
   // sitting). The anchor makes that exculpation mechanical: re-run a
@@ -223,9 +223,13 @@ object Bench {
   //   anchor_code_ratio = new-code-now / old-code-now — the same-sitting
   //                       A/B of this round's code changes on the anchor
   //                       set (≈1.0 unless an anchor query's path changed).
-  // The anchor runs AFTER the suite so its worktree build and extra JVMs
-  // never overlap a measured query; mid-suite contention is separately
-  // covered by the probe/requeue machinery above.
+  // The anchor runs AFTER the suite (and after any requeue) so its
+  // worktree build and extra JVMs never overlap a measured query;
+  // mid-suite contention is separately covered by the probe/requeue
+  // machinery above. `runAnchor` wires it into `main`; the protocol is
+  // recorded in BASELINE.md §anchor. SPARK_GRAFT_ANCHOR=0 disables it,
+  // and it is force-disabled in child JVMs (SPARK_GRAFT_ONLY set) so an
+  // anchor child can never recurse into building its own worktree.
 
   /** Pinned anchor set: long-lived, deterministic-cost, mid-weight
     * (0.5–3 s at sf0.1), spanning scan+agg, window, text, banded
@@ -236,12 +240,17 @@ object Bench {
     "q01_pricing_summary", "q25_ranking", "q44_tfidf_topk",
     "q54_minhash_lsh", "q93_decontaminate")
 
-  /** First `git log --format="%H %s"` line whose subject is a driver
-    * round-close commit ("round N: …") → its sha. The previous round's
-    * tree is the newest such commit at bench time. */
-  private[graft] def pickRoundRef(logLines: Seq[String]): Option[String] =
+  /** Newest `git log --format="%H %s"` line whose subject is a driver
+    * round-close commit ("round N: …") and whose sha is NOT `headSha`
+    * → its sha. The HEAD exclusion matters when the bench runs after
+    * the current round's own close/snapshot commit: without it the
+    * anchor would compare the current code against itself and
+    * anchor_code_ratio would be a meaningless 1.0 by construction.
+    * Pinned in BenchHelpersSpec. */
+  private[graft] def pickRoundRef(logLines: Seq[String], headSha: String): Option[String] =
     logLines.collectFirst {
-      case l if l.matches("[0-9a-f]{7,40}\\s+round \\d+:.*") =>
+      case l if l.matches("[0-9a-f]{7,40}\\s+round \\d+:.*") &&
+        !l.startsWith(headSha.trim) =>
         l.split("\\s+")(0)
     }
 
@@ -264,7 +273,9 @@ object Bench {
   }
 
   /** Run `cmd`, drain stdout+stderr, enforce a wall timeout. Returns
-    * (exitCode, output); exit -1 on timeout (process force-killed). */
+    * (exitCode, output); exit -1 on timeout (process force-killed). The
+    * drain thread is joined on BOTH exits — a kill without the join
+    * could return a buffer truncated mid-write. */
   private def exec(cmd: Seq[String], cwd: Option[java.io.File],
       extraEnv: Map[String, String], timeoutSec: Long): (Int, String) = {
     import scala.jdk.CollectionConverters._
@@ -278,18 +289,23 @@ object Bench {
     val drain = new Thread(() => { p.getInputStream.transferTo(out): Unit },
       "bench-anchor-drain")
     drain.setDaemon(true); drain.start()
-    if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
-      p.destroyForcibly().waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
-      (-1, new String(out.toByteArray, StandardCharsets.UTF_8))
-    } else {
-      drain.join(2000)
-      (p.exitValue(), new String(out.toByteArray, StandardCharsets.UTF_8))
-    }
+    val code =
+      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly().waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+        -1
+      } else p.exitValue()
+    drain.join(2000)
+    (code, new String(out.toByteArray, StandardCharsets.UTF_8))
   }
 
-  /** JDK17 module opens Spark needs outside spark-submit — must mirror
-    * build.sbt's list (the anchor child JVM bypasses sbt). */
-  private val jdk17AddOpens: Seq[String] = Seq(
+  /** JDK17 `--add-opens` package list Spark needs when SparkSession is
+    * created outside spark-submit. Fallback only: `childJavaOpts`
+    * prefers the opens of the RUNNING JVM (which sbt forked with
+    * build.sbt's javaOptions), so a build.sbt edit propagates to the
+    * anchor children automatically; this static list covers the
+    * unforked case (e.g. the helpers exercised from a plain JUnit JVM).
+    * A BenchHelpersSpec parity test pins it against build.sbt's list. */
+  private[graft] val jdk17AddOpensFallback: Seq[String] = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
     "java.base/java.net", "java.base/java.nio",
@@ -297,7 +313,163 @@ object Bench {
     "java.base/java.util.concurrent.atomic",
     "java.base/sun.nio.ch", "java.base/sun.nio.cs",
     "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  )
+
+  /** `--add-opens` values present in a JVM argument list — both the
+    * two-token (`--add-opens p=m`) and `=`-joined single-token forms.
+    * Pinned in BenchHelpersSpec. */
+  private[graft] def addOpensFrom(jvmArgs: Seq[String]): Seq[String] = {
+    val paired = jvmArgs.sliding(2).collect {
+      case Seq("--add-opens", v) => v
+    }.toSeq
+    val joined = jvmArgs.collect {
+      case a if a.startsWith("--add-opens=") => a.stripPrefix("--add-opens=")
+    }
+    (paired ++ joined).distinct
+  }
+
+  /** JVM options for an anchor child: the running JVM's own --add-opens
+    * (falling back to the static JDK17 list), UTC, no UI, and the same
+    * heap cap build.sbt gives the bench itself. */
+  private def childJavaOpts(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val own = addOpensFrom(
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq)
+    val opens =
+      (if (own.nonEmpty) own else jdk17AddOpensFallback.map(_ + "=ALL-UNNAMED"))
+        .flatMap(p => Seq("--add-opens", p))
+    opens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}")
+  }
+
+  /** Build the previous-round tree at `ref` into a cached worktree under
+    * target/ and return its classes dir; None when checkout or compile
+    * fails (the anchor then degrades to null, never aborts the bench).
+    * The worktree is keyed by a marker file holding the built sha, so a
+    * re-bench of the same round skips the ~2-min sbt compile. */
+  private def buildRef(ref: String): Option[java.io.File] = {
+    val wt = new java.io.File("target/anchor-wt")
+    val marker = new java.io.File(wt, ".anchor-sha")
+    val classes = new java.io.File(wt, "target/scala-2.13/classes")
+    val cached = marker.exists() &&
+      readFs(marker.getPath).exists(_.trim == ref) &&
+      new java.io.File(classes, "graft/Bench.class").exists()
+    if (cached) return Some(classes)
+    if (wt.exists()) {
+      exec(Seq("git", "worktree", "remove", "--force", wt.getPath), None,
+        Map.empty, 60)
+      // a half-removed dir blocks `worktree add`; best-effort delete
+      if (wt.exists()) exec(Seq("rm", "-rf", wt.getPath), None, Map.empty, 60)
+    }
+    val (addCode, addOut) = exec(
+      Seq("git", "worktree", "add", "--force", "--detach", wt.getPath, ref),
+      None, Map.empty, 120)
+    if (addCode != 0) {
+      System.err.println(s"[bench] anchor: worktree add failed: ${addOut.take(300)}")
+      return None
+    }
+    val (bCode, bOut) = exec(Seq("sbt", "-batch", "compile"), Some(wt),
+      Map.empty, 1200)
+    if (bCode != 0 || !new java.io.File(classes, "graft/Bench.class").exists()) {
+      System.err.println(s"[bench] anchor: old-ref compile failed (exit $bCode): " +
+        bOut.linesIterator.toSeq.takeRight(5).mkString(" | "))
+      return None
+    }
+    Files.write(marker.toPath, ref.getBytes(StandardCharsets.UTF_8))
+    Some(classes)
+  }
+
+  /** One anchor child JVM: run graft.Bench restricted to the anchor set
+    * against `classesDir`, return its per-query min times (empty on any
+    * failure). Child env disables recursion (ANCHOR=0), requeues, and
+    * history triggers; repeat=2 inside the child matches the
+    * queries_min protocol of the committed history it is compared to. */
+  private def runAnchorChild(classesDir: java.io.File, sfDir: String,
+      cpus: String): Map[String, Double] = {
+    val detail = Files.createTempFile("anchor-detail", ".json")
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+      val cp = classesDir.getPath + java.io.File.pathSeparator + "/opt/spark/jars/*"
+      val cmd = Seq(javaBin) ++ childJavaOpts() ++ Seq("-cp", cp, "graft.Bench")
+      val env = Map(
+        "SPARK_GRAFT_ONLY" -> anchorQueries.mkString(","),
+        "SPARK_GRAFT_REPEAT" -> "2",
+        "SPARK_GRAFT_REQUEUE" -> "0",
+        "SPARK_GRAFT_ANCHOR" -> "0",
+        "SPARK_GRAFT_SF_DIR" -> sfDir,
+        "SPARK_GRAFT_CPUS" -> cpus,
+        "SPARK_GRAFT_HEADLINE" -> "5",
+        "SPARK_GRAFT_BENCH_DETAIL" -> detail.toString,
+        "SPARK_GRAFT_BENCH_HISTORY" -> "/nonexistent-anchor-no-history")
+      val (code, out) = exec(cmd, None, env, 600)
+      if (code != 0) {
+        System.err.println(s"[bench] anchor child exit $code: " +
+          out.linesIterator.toSeq.takeRight(3).mkString(" | "))
+        Map.empty
+      } else loadHistory(detail.toString)
+    } finally { Files.deleteIfExists(detail): Unit }
+  }
+
+  /** Post-suite anchor driver: previous round ref → worktree build →
+    * 2×2 interleaved old/new child JVMs → (detailFragment,
+    * stdoutFragment). Fragments are leading-comma JSON; ratios are JSON
+    * null whenever any leg lacks evidence. */
+  private def runAnchor(sfDir: String, cpus: String,
+      histMin: Map[String, Double]): (String, String) = {
+    def out(ratio: Option[Double], codeRatio: Option[Double], n: Int,
+        oldSec: Double, newSec: Double, histSec: Double, ref: String,
+        note: String): (String, String) = {
+      def opt(v: Option[Double]) = v.map(f3).getOrElse("null")
+      val head = s""","anchor_ratio":${opt(ratio)}""" +
+        s""","anchor_code_ratio":${opt(codeRatio)},"anchor_n":$n"""
+      val det = head +
+        s""","anchor":{"old_sec":${f3(oldSec)},"new_sec":${f3(newSec)}""" +
+        s""","hist_sec":${f3(histSec)},"ref":"$ref","note":"$note"""" +
+        s""","queries":${anchorQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      (det, head)
+    }
+    def skip(note: String) = {
+      System.err.println(s"[bench] anchor skipped: $note")
+      out(None, None, 0, -1, -1, -1, "", note)
+    }
+    try {
+      val (hc, headSha) = exec(Seq("git", "rev-parse", "HEAD"), None, Map.empty, 30)
+      val (lc, logTxt) = exec(Seq("git", "log", "--format=%H %s", "-100"),
+        None, Map.empty, 30)
+      if (hc != 0 || lc != 0) return skip("git unavailable")
+      pickRoundRef(logTxt.linesIterator.toSeq, headSha.trim) match {
+        case None => skip("no previous round commit in history")
+        case Some(ref) =>
+          buildRef(ref) match {
+            case None => skip(s"build of $ref failed")
+            case Some(oldClasses) =>
+              val newClasses = new java.io.File("target/scala-2.13/classes")
+              // interleaved old/new so slow environment drift hits both
+              // sides symmetrically within the sitting
+              val oldRuns = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+              val newRuns = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+              (1 to 2).foreach { _ =>
+                oldRuns += runAnchorChild(oldClasses, sfDir, cpus)
+                newRuns += runAnchorChild(newClasses, sfDir, cpus)
+              }
+              val (oldSec, newSec, histSec, n) =
+                anchorTotals(anchorQueries, oldRuns.toSeq, newRuns.toSeq, histMin)
+              if (n == 0)
+                out(None, None, 0, oldSec, newSec, histSec, ref.take(7),
+                  "no query with evidence on all sides")
+              else
+                out(Some(oldSec / histSec), Some(newSec / oldSec), n,
+                  oldSec, newSec, histSec, ref.take(7), "ok")
+          }
+      }
+    } catch {
+      case e: Throwable => skip(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
 
   /** The q111/q113/q125/q128 summaries run intentionally-unpartitioned
     * windows over <=31-row bucket/source/spine frames — correct at any
@@ -624,6 +796,14 @@ object Bench {
       .map { case (k, sec, _, _, _, _, _, clean) =>
         "\"" + k + "\":[" + f2(sec) + "," + (if (clean) 1 else 0) + "]"
       }.mkString("{", ",", "}")
+    // ---- cross-sitting anchor: last, so its child JVMs and worktree
+    // build never overlap a measured query or a requeue re-run. Child
+    // mode (SPARK_GRAFT_ONLY set) force-disables it — the anchor spawns
+    // Bench children with ONLY set, so this is the recursion guard.
+    val anchorOn = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "1") != "0" &&
+      only.isEmpty
+    val (anchorDetailJson, anchorHeadJson) =
+      if (anchorOn) runAnchor(sfDir, cpus, histMin) else ("", "")
     def jmap(sel: ((Double, Double, Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f3(sel(v)) }.mkString("{", ",", "}")
     val totalFirst = results.map(_._2._1).filter(_ >= 0).sum
@@ -677,7 +857,7 @@ object Bench {
       s""","hist_suspects":${strArr(histSuspects)}""" +
       s""","cgroup_suspects":${strArr(cgroupSuspects)}""" +
       s""","hist_path":"$histPath","hist_n":${histMin.size}""" +
-      s""",$canaryFields,"requeued":$requeuedJson,"sf":"$sfDir"}"""
+      s""",$canaryFields,"requeued":$requeuedJson$anchorDetailJson,"sf":"$sfDir"}"""
     try Files.write(Paths.get(detailPath), detail.getBytes(StandardCharsets.UTF_8)): Unit
     catch {
       case e: Throwable =>
@@ -694,7 +874,7 @@ object Bench {
       s""","queries":$top,"total_min":${f2(totalMin)}""" +
       s""","total_corrected":${f2(totalCorrected)}""" +
       s""","total_min_corrected":${f2(totalMinCorrected)}""" +
-      s""",$canaryFields,"requeued":$requeuedCompact""" +
+      s""",$canaryFields,"requeued":$requeuedCompact$anchorHeadJson""" +
       s""","detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
