@@ -96,7 +96,16 @@ object EdJoin {
     // window — never low-cardinality). The freq join is unhinted: AQE
     // broadcasts the gram table while it fits and shuffles when a
     // web-scale gram vocabulary outgrows executors (q179's posture).
-    val prefix = grams.join(freq, "__g")
+    // PREFIX side is LONG strings only (>= tau*q+1 windows, i.e.
+    // len >= tau*q+q): short strings are the fallback's exclusive
+    // territory (r12 — this is what makes the three output branches
+    // DISJOINT and lets the result skip the output-wide distinct; a
+    // long-short pair still surfaces because the long side's prefix
+    // probes the short side's index windows, and the length band rules
+    // out long-vs-(len<q) pairs: tau*q+q <= len(b)+tau < q+tau forces
+    // tau*q < tau, impossible).
+    val prefix = grams.filter(col("__len") >= tau * q + q)
+      .join(freq, "__g")
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("__id"))
           .orderBy(col("__f"), col("__g"), col("__pos"))))
