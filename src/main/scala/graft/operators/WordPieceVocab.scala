@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Barriers._
+
+/** Distributed WordPiece tokenizer (SURVEY.md §2.11a N46/N46b) — the
+  * SECOND tokenizer family (r9→r11 verdict item: the packing algebra's
+  * "count-agnostic" claim needs a non-BPE member). Two public halves:
+  *
+  * TRAINING (Schuster & Nakajima, ICASSP 2012; the BERT recipe): like
+  * BPE, greedy pair merging over the word-frequency table — but the
+  * merge argmax maximizes the LIKELIHOOD gain score
+  * `count(ab) / (count(a) · count(b))`, not the raw pair count, so a
+  * moderately-frequent pair of RARE symbols beats a frequent pair of
+  * ubiquitous ones. Shares [[BpeVocab]]'s whole scale shape — the
+  * corpus is scanned ONCE into (word, freq); each round is one
+  * map-side-combined pair count + one symbol-unigram count + a
+  * single-row driver argmax (the sanctioned reduced-aggregate collect)
+  * + a zero-shuffle `replace` merge — and its fixed-width md5-symbol
+  * determinism device verbatim. The score is ONE IEEE divide of two
+  * exactly-representable doubles (counts < 2⁵³; the product of two
+  * BIGINT-casts is one correctly-rounded multiply), so the greedy
+  * trajectory is bit-identical in Spark and DuckDB (q113/q133's
+  * argument); ties break (a, b) ascending.
+  *
+  * ENCODING (greedy longest-match-first / MaxMatch — WordPiece's
+  * inference side, unlike BPE's replay-the-merges): at each position
+  * of a word, consume the LONGEST vocabulary unit that prefixes the
+  * remainder. Decomposed scale-first:
+  *   1. the vocabulary = initial characters ∪ learned unit SPELLINGS —
+  *      a tiny driver-side table (chars are alphabet-bounded; units
+  *      are one per merge round), the one sanctioned collect beyond
+  *      the per-round argmax;
+  *   2. `lm(w, pos) = max unit length matching at pos` — one bounded
+  *      explode of the DISTINCT-word table (Heaps' law: ~√corpus) ×
+  *      broadcast vocabulary; every position matches (single chars
+  *      are always in the vocabulary), so the walk can never stall;
+  *   3. the walk itself — pos ← pos + lm(w, pos) — is inherently
+  *      sequential PER WORD but runs over the distinct-word table
+  *      for ≤ max-word-length rounds of one broadcast-ish equi-join
+  *      each (BpeVocab's round posture; rounds are character-bounded,
+  *      not corpus-bounded).
+  * The corpus only ever joins the finished `(w, n_wp)` table on the
+  * word key — the same Heaps-sized equi-join as q195.
+  *
+  * No `##` continuation marker: this implementation scores every unit
+  * equally at any position (a declared simplification — the marker
+  * changes which units exist, not the matching algebra; adding it is
+  * one extra column on the vocabulary).
+  */
+object WordPieceVocab {
+
+  /** One learned merge with its likelihood-score evidence: pair
+    * count `cnt`, unigram counts `ca`/`cb` — all exact BIGINTs; the
+    * score cnt/(ca·cb) is derived, never stored. */
+  final case class Merge(round: Int, a: String, b: String, merged: String,
+                         cnt: Long, ca: Long, cb: Long)
+
+  private def md5hex8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  /** Run `rounds` likelihood-scored merge rounds over a
+    * [[BpeVocab.wordTable]] frame. Returns the learned merges and the
+    * final word table (w, freq, repr). Stops early when no adjacent
+    * pair remains. */
+  def train(words: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
+    var wf = words.barrier()
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val states = wf.select(col("freq"), BpeVocab.syms(col("repr")).as("sy"))
+      // symbol unigram counts over ALL words (1-symbol words included —
+      // they hold unigram mass even though they contribute no pair)
+      val uni = states
+        .select(col("freq"), explode(col("sy")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("c"))
+      val pairs = states
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"),
+          slice(col("sy"), lit(1), size(col("sy")) - 1).as("s1"),
+          slice(col("sy"), lit(2), size(col("sy")) - 1).as("s2"))
+        .select(col("freq"), explode(arrays_zip(col("s1"), col("s2"))).as("p"))
+        .groupBy(col("p.s1").as("a"), col("p.s2").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs
+        .join(uni.select(col("sym").as("a"), col("c").as("ca")), "a")
+        .join(uni.select(col("sym").as("b"), col("c").as("cb")), "b")
+        .withColumn("score",
+          col("cnt").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double")))
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(1)
+        .select(col("a"), col("b"), col("cnt"), col("ca"), col("cb"))
+        .collect() // ONE row — the round's argmax (BpeVocab's device)
+      top.headOption match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          merges += Merge(r, a, b, md5hex8(a + b),
+            row.getLong(2), row.getLong(3), row.getLong(4))
+          wf = wf.withColumn("repr",
+            replace(col("repr"),
+              lit(BpeVocab.Sep + a + BpeVocab.Sep + b),
+              lit(BpeVocab.Sep + md5hex8(a + b))))
+            .barrier()
+          r += 1
+      }
+    }
+    (merges.result(), wf)
+  }
+
+  /** The merges as a DataFrame (round, a, b, merged, cnt, ca, cb). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+  }
+
+  /** Vocabulary SPELLINGS for greedy matching: every distinct corpus
+    * character plus each merge's spelled-out unit (resolved by folding
+    * the merge list over the char table — both driver-side and
+    * alphabet/rounds-bounded, the declared tiny collects). */
+  def vocabSpellings(words: DataFrame, merges: Seq[Merge]): Seq[String] = {
+    val chars = words
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("c"))
+      .distinct()
+      .collect().map(_.getString(0)) // alphabet-bounded collect
+    val spell = scala.collection.mutable.Map[String, String]()
+    chars.foreach(c => spell(md5hex8(c)) = c)
+    merges.foreach { m => spell(m.merged) = spell(m.a) + spell(m.b) }
+    spell.values.toSeq.distinct
+  }
+
+  /** Greedy longest-match token counts per DISTINCT word: `(w, n_wp)`.
+    * `vocab` must contain every single character that occurs in `w`
+    * (guaranteed by [[vocabSpellings]]), so each walk step consumes
+    * ≥ 1 character and the word finishes in ≤ length(w) steps. */
+  def wordPieceCounts(words: DataFrame, vocab: Seq[String]): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val dw = words.select(col("w")).distinct()
+      .withColumn("len", length(col("w")))
+    // longest-match table: one bounded explode (positions per word) ×
+    // the broadcast vocabulary — the filter-inside-broadcast-crossJoin
+    // is the sanctioned k-row pattern (vocab = alphabet + rounds rows)
+    val vdf = vocab.map(v => (v, v.length)).toDF("spell", "sl")
+    val lm = dw
+      .select(col("w"), explode(sequence(lit(1), col("len"))).as("pos"))
+      .crossJoin(broadcast(vdf))
+      .filter(expr("substring(w, pos, sl) = spell"))
+      .groupBy(col("w"), col("pos"))
+      .agg(max(col("sl")).as("L"))
+    // the walk: ≤ max-word-length rounds (1-row collect), each one
+    // left-join against lm; finished words (pos > len) pass through
+    val maxLen = dw.agg(coalesce(max(col("len")), lit(0))).head().getInt(0)
+    var state = dw.select(col("w"), col("len"), lit(1).as("pos"),
+      lit(0L).as("n_wp"))
+    (1 to maxLen).foreach { _ =>
+      state = state.join(lm, Seq("w", "pos"), "left_outer")
+        .select(col("w"), col("len"),
+          when(col("L").isNull, col("pos"))
+            .otherwise(col("pos") + col("L")).as("pos"),
+          when(col("L").isNull, col("n_wp"))
+            .otherwise(col("n_wp") + 1L).as("n_wp"))
+        .barrier()
+    }
+    state.select(col("w"), col("n_wp"))
+  }
+}

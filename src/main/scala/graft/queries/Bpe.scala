@@ -43,7 +43,7 @@ object Bpe {
               GROUP BY a, b),
       t$r AS (SELECT a, b, substr(md5(a || b), 1, 8) AS m, CAST(cnt AS BIGINT) AS cnt
               FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-      w$r AS (SELECT w, freq,
+      w$r AS MATERIALIZED (SELECT w, freq,
                 replace(repr, $sepSql || a || $sepSql || b, $sepSql || m) AS repr
               FROM w${r - 1} CROSS JOIN t$r)"""
 
@@ -173,5 +173,200 @@ object Bpe {
       "per-doc symbol counts → q209's packing math; bin boundaries on " +
       "token arithmetic, end-to-end hash-checked composition")
 
-  val all: Seq[Q] = Seq(q194, q195, q214)
+  // ---- WordPiece (N46/N46b/X96 — the second tokenizer family) ----
+
+  private val WpRounds = 6
+
+  /** One WordPiece merge round r over w{r-1}: symbol states ws$r,
+    * unigram counts wu$r, pair counts wp$r, the LIKELIHOOD argmax wt$r
+    * (`cnt/(ca·cb)` — one IEEE multiply + divide of exact BIGINT
+    * casts, bit-identical cross-engine; ties (a, b) asc), the merged
+    * table w$r, and the spelling table sp$r (each merged id resolves
+    * to the concatenation of its parents' spellings — what greedy
+    * longest-match consumes). */
+  private def wpRoundCtes(r: Int): String = s"""
+      ws$r AS MATERIALIZED (SELECT freq, list_filter(string_split(repr, $sepSql),
+                        x -> x <> '') AS sy
+               FROM w${r - 1}),
+      wu$r AS MATERIALIZED (SELECT sym, CAST(SUM(freq) AS BIGINT) AS c FROM (
+                 SELECT freq, unnest(sy) AS sym FROM ws$r)
+               GROUP BY sym),
+      wp$r AS MATERIALIZED (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+                 SELECT freq,
+                        unnest(list_slice(sy, 1, len(sy) - 1)) AS a,
+                        unnest(list_slice(sy, 2, len(sy))) AS b
+                 FROM ws$r WHERE len(sy) >= 2)
+               GROUP BY a, b),
+      wt$r AS MATERIALIZED (SELECT a, b, substr(md5(a || b), 1, 8) AS m, cnt,
+                      ua.c AS ca, ub.c AS cb
+               FROM wp$r JOIN wu$r ua ON ua.sym = a
+                         JOIN wu$r ub ON ub.sym = b
+               ORDER BY CAST(cnt AS DOUBLE)
+                        / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) DESC,
+                        a, b
+               LIMIT 1),
+      w$r AS MATERIALIZED (SELECT w, freq,
+                replace(repr, $sepSql || a || $sepSql || b, $sepSql || m) AS repr
+              FROM w${r - 1} CROSS JOIN wt$r),
+      sp$r AS MATERIALIZED (SELECT id, spell FROM sp${r - 1}
+               UNION ALL
+               SELECT wt$r.m AS id, spa.spell || spb.spell AS spell
+               FROM wt$r JOIN sp${r - 1} spa ON spa.id = wt$r.a
+                         JOIN sp${r - 1} spb ON spb.id = wt$r.b)"""
+
+  /** WordPiece training chain: the shared word table + char spellings
+    * sp0, then [[WpRounds]] scored rounds. */
+  private val wpTrainCtes: String =
+    wordCtes + s""",
+      wch AS MATERIALIZED (SELECT DISTINCT unnest(list_transform(range(1, len(w) + 1),
+                i -> substr(w, CAST(i AS INT), 1))) AS c
+              FROM wf),
+      sp0 AS MATERIALIZED (SELECT substr(md5(c), 1, 8) AS id, c AS spell FROM wch)""" +
+      (1 to WpRounds).map(wpRoundCtes).mkString(",", ",", "")
+
+  /** Greedy longest-match encode chain on top of [[wpTrainCtes]]: the
+    * deduped vocabulary spellings, the per-(word, position) longest
+    * match `wlm` (single chars always match — the walk cannot stall),
+    * and the recursive walk whose terminal `n` is the token count. */
+  private val wpEncodeCtes: String = s"""
+      wv AS MATERIALIZED (SELECT DISTINCT spell, CAST(len(spell) AS INT) AS sl
+             FROM sp$WpRounds),
+      wdw AS MATERIALIZED (SELECT DISTINCT w, len(w) AS wl FROM wf),
+      wpos AS MATERIALIZED (SELECT w, CAST(unnest(range(1, wl + 1)) AS INT) AS pos
+               FROM wdw),
+      wlm AS MATERIALIZED (SELECT p.w, p.pos, MAX(v.sl) AS L
+              FROM wpos p JOIN wv v ON substr(p.w, p.pos, v.sl) = v.spell
+              GROUP BY p.w, p.pos),
+      walk(w, pos, n) AS (
+        SELECT w, 1, 0 FROM wdw
+        UNION ALL
+        SELECT walk.w, walk.pos + wlm.L, walk.n + 1
+        FROM walk JOIN wlm ON wlm.w = walk.w AND wlm.pos = walk.pos),
+      wwp AS MATERIALIZED (SELECT w, CAST(MAX(n) AS BIGINT) AS n_wp FROM walk GROUP BY w)"""
+
+  /** q219 — WordPiece vocabulary induction (N46): [[WpRounds]]
+    * likelihood-scored merge rounds (Schuster & Nakajima '12) over the
+    * same word-frequency table as q194; output = the merge table with
+    * its exact-integer score evidence (pair count + both unigram
+    * counts — the score itself is derived, never stored, so the hash
+    * gate stays integer-exact). Same scale shape as BPE training: one
+    * corpus pass, then Heaps'-law-table rounds, each one
+    * map-side-combined aggregate + a 1-row argmax collect. */
+  val q219 = Q(
+    "q219_wordpiece_train",
+    (s, dir) => {
+      import s.implicits._
+      val words = BpeVocab.wordTable(Tables(s, dir, "documents"), "text")
+      val (merges, _) = graft.operators.WordPieceVocab.train(words, WpRounds)
+      graft.operators.WordPieceVocab.mergesDf(s, merges).orderBy($"round")
+    },
+    Some(s"""
+      WITH $wpTrainCtes
+      ${(1 to WpRounds).map(r =>
+        s"SELECT $r AS round, a, b, m AS merged, cnt, ca, cb FROM wt$r")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY round"""),
+    doc = "N46: WordPiece training (Schuster & Nakajima '12) — likelihood " +
+      "score cnt/(ca*cb) argmax per round (one IEEE divide, cross-engine " +
+      "exact), BPE's one-corpus-pass + word-table-rounds scale shape")
+
+  /** q220 — WordPiece greedy longest-match encode (N46b): apply the
+    * q219 vocabulary by MaxMatch — per word, repeatedly consume the
+    * longest vocabulary unit prefixing the remainder (BERT's inference
+    * tokenizer; BPE replays merges, WordPiece matches greedily — a
+    * genuinely different encode algebra, which is the point of the
+    * second family). Per document: whitespace token count and
+    * WordPiece token count. The walk runs on the DISTINCT-word table
+    * for ≤ max-word-length rounds; the corpus joins the finished
+    * (w, n_wp) table on the word key (q195's posture). Oracle: the
+    * same longest-match table + a recursive walk whose terminal step
+    * count is the token count. */
+  val q220 = Q(
+    "q220_wordpiece_encode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.WordPieceVocab
+      val docs = Tables(s, dir, "documents")
+      val words = BpeVocab.wordTable(docs, "text")
+      val (merges, _) = WordPieceVocab.train(words, WpRounds)
+      val vocab = WordPieceVocab.vocabSpellings(words, merges)
+      val wp = WordPieceVocab.wordPieceCounts(words, vocab)
+      docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .join(wp, "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"n_wp").as("n_wp"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $wpTrainCtes,
+      $wpEncodeCtes,
+      wtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(wwp.n_wp) AS BIGINT) AS n_wp
+      FROM wtoks t JOIN wwp ON t.w = wwp.w
+      WHERE len(t.w) > 0
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+    doc = "N46b: WordPiece MaxMatch encode — longest-match table over the " +
+      "distinct-word table x broadcast vocabulary, character-bounded walk " +
+      "rounds, corpus joins on the word key; oracle walks a recursive CTE")
+
+  /** q221 — pack by WordPiece counts (X96): q214's composition thesis
+    * closed over the SECOND tokenizer family — the packing algebra
+    * ([[Text.packingMapFromCounts]]: empty-group PrefixScan, fluid
+    * fill, straddle flags) is count-agnostic, and this proves it on
+    * counts produced by a greedy-matching encoder rather than a
+    * merge-replay one. A drift between encoder and packer counts
+    * silently shifts every downstream bin id; only the end-to-end
+    * hash catches it (q210's thesis). */
+  val q221 = Q(
+    "q221_wordpiece_packing",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.WordPieceVocab
+      val docs = Tables(s, dir, "documents")
+      val words = BpeVocab.wordTable(docs, "text")
+      val (merges, _) = WordPieceVocab.train(words, WpRounds)
+      val vocab = WordPieceVocab.vocabSpellings(words, merges)
+      val wp = WordPieceVocab.wordPieceCounts(words, vocab)
+      val counts = docs
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .join(wp, "w")
+        .groupBy($"doc_id")
+        .agg(sum($"n_wp").cast("long").as("n_tok"))
+      Text.packingMapFromCounts(counts, L = 128)
+        .orderBy($"doc_id", $"bin_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $wpTrainCtes,
+      $wpEncodeCtes,
+      wtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+      d AS (SELECT t.doc_id, CAST(SUM(wwp.n_wp) AS BIGINT) AS n_tok
+            FROM wtoks t JOIN wwp ON t.w = wwp.w
+            WHERE len(t.w) > 0 GROUP BY t.doc_id),
+      cum AS (SELECT doc_id, n_tok,
+                CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, cum, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM cum),
+      x AS (SELECT doc_id, st, cum, b0, b1, unnest(range(b0, b1 + 1)) AS bin_id
+            FROM e)
+      SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+             CAST(GREATEST(st, bin_id * 128) - bin_id * 128 AS BIGINT) AS bin_off,
+             CAST(GREATEST(st, bin_id * 128) - st AS BIGINT) AS doc_off,
+             CAST(LEAST(cum, (bin_id + 1) * 128)
+               - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len,
+             CAST(b1 > b0 AS INT) AS split
+      FROM x ORDER BY doc_id, bin_id"""),
+    doc = "X96: pack by WordPiece counts — the count-agnostic packing " +
+      "algebra proven on the second tokenizer family; greedy-match counts " +
+      "feed q209's math, end-to-end hash-checked composition")
+
+  val all: Seq[Q] = Seq(q194, q195, q214, q219, q220, q221)
 }
