@@ -38,19 +38,34 @@ import org.apache.spark.sql.functions._
   */
 object HammingJoin {
 
-  /** All `(a_id, b_id, dist)` with `a_id < b_id` and
-    * `bit_count(h_a XOR h_b) <= k`, without the all-pairs join.
+  /** Representative-level surface (r12 — the q217 viral-image path):
+    * `(repPairs, members)` where `repPairs` has one `(rep_a, rep_b,
+    * dist)` row per DISTINCT-SIGNATURE pair within hamming distance
+    * 1..k (dist ≥ 1 — equal signatures share a representative) and
+    * `members` maps every input id to its signature's representative
+    * (`min(id)` per distinct signature). Consumers that only need
+    * cluster structure (dedup collapse, component labeling over
+    * near-dup images) should stay at THIS level: a meme image with a
+    * million byte-identical copies is ONE row here, while [[join]]'s
+    * expanded pair set is quadratic in that group size by definition.
+    * HammingJoinSpec pins expand(collapsed) == join.
     *
     * `idCol` values must be unique non-null; `hashCol` is a non-null
-    * integral signature using the low `bits` bits (1 ≤ bits ≤ 63).
+    * integral signature. Signatures are MASKED to the low `bits` bits
+    * (1 ≤ bits ≤ 63) — bits above the declared width cannot influence
+    * banding, verification, or reported distances (r11 ADVICE: the
+    * contract is now enforced, not assumed).
     */
-  def join(hashes: DataFrame, idCol: String, hashCol: String,
-           k: Int, bits: Int): DataFrame = {
+  def collapsed(hashes: DataFrame, idCol: String, hashCol: String,
+                k: Int, bits: Int): (DataFrame, DataFrame) = {
     require(k >= 0 && bits >= k + 1 && bits <= 63,
       s"HammingJoin: need 0 <= k < bits <= 63 (got k=$k, bits=$bits)")
     val nBands = k + 1
+    // (1L << 63) - 1 is Long.MaxValue by two's-complement wraparound,
+    // so the mask is correct across the whole 1..63 domain
+    val mask = (1L << bits) - 1
     val s = hashes.select(col(idCol).as("__id"),
-      col(hashCol).cast("long").as("__h"))
+      expr(s"CAST($hashCol AS BIGINT) & ${mask}L").as("__h"))
 
     // exact-group-first: one representative per distinct signature
     val reps = s.groupBy(col("__h")).agg(min(col("__id")).as("__rep"))
@@ -79,6 +94,24 @@ object HammingJoin {
       .distinct()
       .withColumn("dist", expr("CAST(bit_count(__ha ^ __hb) AS INT)"))
       .filter(col("dist") <= k)
+
+    (repPairs.select(col("__ra").as("rep_a"), col("__rb").as("rep_b"),
+        col("dist")),
+      members.select(col("__rep").as("rep"), col("__id").as("id")))
+  }
+
+  /** All `(a_id, b_id, dist)` with `a_id < b_id` and
+    * `bit_count(h_a XOR h_b) <= k`, without the all-pairs join: the
+    * [[collapsed]] representative pairs expanded through the member
+    * map — cross-signature pairs inherit the representatives'
+    * distance, within-signature pairs surface at distance 0.
+    */
+  def join(hashes: DataFrame, idCol: String, hashCol: String,
+           k: Int, bits: Int): DataFrame = {
+    val (rp, mm) = collapsed(hashes, idCol, hashCol, k, bits)
+    val repPairs = rp.select(col("rep_a").as("__ra"),
+      col("rep_b").as("__rb"), col("dist"))
+    val members = mm.select(col("rep").as("__rep"), col("id").as("__id"))
 
     val cross = repPairs
       .join(members.select(col("__rep").as("__ra"), col("__id").as("__ida")),

@@ -94,6 +94,56 @@ class HammingJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("collapsed() expansion-equivalence: expanding (repPairs, members) " +
+    "through the member map reproduces join() exactly, and repPairs stays " +
+    "representative-sized on viral duplicate groups") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 50).map(_ => rnd.nextLong() & ((1L << 56) - 1))
+    // one viral group: signature base(0) carried by 40 ids
+    val hs = base ++ Seq.fill(40)(base(0)) ++
+      base.take(8).map(h => h ^ (1L << rnd.nextInt(56)))
+    val rows = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df = rows.toDF("id", "h")
+    val (rp, mm) = HammingJoin.collapsed(df, "id", "h", k = 2, bits = 56)
+    val reps = mm.collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    // manual expansion: cross pairs through the member map + within-rep
+    // pairs at dist 0
+    val rpRows = rp.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byRep = reps.groupBy(_._2).map { case (rep, m) => rep -> m.keys.toSeq }
+    val cross = rpRows.flatMap { case (ra, rb, d) =>
+      for { a <- byRep(ra); b <- byRep(rb) }
+        yield (math.min(a, b), math.max(a, b), d)
+    }
+    val within = byRep.values.flatMap { ids =>
+      for { a <- ids; b <- ids if a < b } yield (a, b, 0)
+    }
+    assert((cross ++ within).toSet === run(rows, k = 2, bits = 56))
+    // the viral group (41 members) is ONE members-side rep and
+    // contributes zero repPairs rows by itself
+    assert(rpRows.forall { case (a, b, d) => a < b && d >= 1 && d <= 2 })
+    // every rep named in repPairs is a real representative, and the
+    // 41-member viral group maps to exactly one of them
+    val repSet = byRep.keySet
+    assert(rpRows.forall { case (a, b, _) => repSet(a) && repSet(b) })
+    assert(byRep.values.count(_.size >= 41) === 1)
+  }
+
+  test("signatures are masked to the declared low `bits` bits: garbage " +
+    "above the width cannot change pairs or distances (r11 ADVICE)") {
+    val rnd = new scala.util.Random(5)
+    val clean = (0 until 40).map(i =>
+      (i.toLong, rnd.nextLong() & ((1L << 16) - 1)))
+    // same low 16 bits, random garbage above
+    val dirty = clean.map { case (i, h) => (i, h | (rnd.nextLong() << 16)) }
+    Seq(0, 2).foreach { k =>
+      assert(run(dirty, k, bits = 16) === run(clean, k, bits = 16),
+        s"k=$k: high bits leaked into the k-neighbor result")
+      assert(run(clean, k, bits = 16) === brute(clean, k))
+    }
+  }
+
   test("aHash matches its definition (strict mean-sign, cross-multiplied)") {
     val img = decodePng(comps(seedOf(7)))
     val l = Phash.luma(img)
