@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.core.Barriers._
 import graft.queries.Text
 
 /** Streaming side of sequence packing (SURVEY.md §2.9 T21 / §2.11a
@@ -39,22 +38,35 @@ object StreamingPacking {
     * never itself Dataset-checkpointed: checkpointing a union of
     * checkpointed frames trips Spark's union-constraint rewrite;
     * instead every [[CompactEvery]] batches the union is collapsed to a
-    * single leaf at the RDD level, see [[compact]]) plus the running
+    * single leaf at the RDD level, see [[cutLeaf]]) plus the running
     * token total and fold count as DRIVER state. The total is the one
     * sanctioned reduced aggregate here (a single scalar per
     * micro-batch — the BpeVocab-argmax precedent); it IS the operator's
-    * state, exactly what a stateful streaming op would keep per key. */
-  final case class PackState(map: DataFrame, total: Long, batches: Long = 0L)
+    * state, exactly what a stateful streaming op would keep per key.
+    *
+    * `leaves` tracks the persisted RDD behind every LIVE leaf of `map`
+    * (r11 ADVICE: superseded leaves must be UNPERSISTED at compaction,
+    * or executor storage grows with batch count on exactly the
+    * long-running streams compaction targets). At most [[CompactEvery]]
+    * entries by construction. In reliable mode, unpersist frees the
+    * cached blocks; the durable CHECKPOINT FILES remain until the
+    * SparkContext cleans them up at stop — a bounded residue (one file
+    * set per compaction epoch) that production streams reap with a
+    * checkpoint-dir retention policy, same as any structured-streaming
+    * state store. */
+  final case class PackState(map: DataFrame, total: Long, batches: Long = 0L,
+      leaves: Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = Nil)
 
-  /** Collapse a deep union plan into one LogicalRDD leaf. The
+  /** Materialize `df` into one persisted LogicalRDD leaf and return the
+    * frame plus the persisted RDD behind it (so the caller can
+    * unpersist it when a later compaction supersedes the leaf). The
     * union-of-checkpointed-frames constraint-rewrite bug lives in the
     * DATASET checkpoint path, so the cut happens one level down: take
-    * the planned RDD (cheap to execute — every union leaf is already a
-    * materialized barrier), cut ITS lineage with the same
-    * local/reliable choice as `Barriers.barrier()`, and rewrap. The
-    * result's logical plan is a single leaf regardless of how many
-    * batches were folded. */
-  private def compact(df: DataFrame): DataFrame = {
+    * the planned RDD, cut ITS lineage with the same local/reliable
+    * choice as `Barriers.barrier()`, and rewrap. The result's logical
+    * plan is a single leaf regardless of how many batches were folded. */
+  private def cutLeaf(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val s = df.sparkSession
     val rows = df.rdd
     val reliable =
@@ -66,7 +78,7 @@ object StreamingPacking {
     } else rows.localCheckpoint()
     val out = s.createDataFrame(rows, df.schema)
     out.count() // materialize the cut eagerly, like barrier(eager = true)
-    out
+    (out, rows)
   }
 
   /** Empty state for a session: no segments, zero offset. The empty
@@ -95,15 +107,24 @@ object StreamingPacking {
     // cut the micro-batch source out of the plan FIRST: PrefixScan's
     // window + the offset join then resolve against a plain batch plan,
     // not the foreachBatch-injected source
-    val cut = delta.select(col("doc_id"), col("text")).barrier()
-    val newSegs = Text.packingMap(cut, L,
-        offset = Some(Seq(state.total).toDF("off")))
-      .barrier()
+    val (cut, cutRdd) = cutLeaf(delta.select(col("doc_id"), col("text")))
+    val (newSegs, segRdd) = cutLeaf(Text.packingMap(cut, L,
+      offset = Some(Seq(state.total).toDF("off"))))
+    // the cut delta fed ONLY the now-materialized segment leaf — its
+    // blocks are dead the moment cutLeaf returns (r11 ADVICE)
+    cutRdd.unpersist(blocking = false)
     val deltaToks = newSegs.agg(coalesce(sum(col("seg_len")), lit(0L)))
       .head().getLong(0)
     val grown = state.map.unionByName(newSegs)
     val folds = state.batches + 1
-    val map = if (folds % CompactEvery == 0) compact(grown) else grown
-    PackState(map, state.total + deltaToks, folds)
+    if (folds % CompactEvery == 0) {
+      val (mapDf, mapRdd) = cutLeaf(grown)
+      // every pre-compaction leaf now lives inside the compacted leaf;
+      // free the superseded blocks so storage is bounded by ONE map
+      // copy + at most CompactEvery per-batch leaves, not batch count
+      (state.leaves :+ segRdd).foreach(_.unpersist(blocking = false))
+      PackState(mapDf, state.total + deltaToks, folds, Seq(mapRdd))
+    } else
+      PackState(grown, state.total + deltaToks, folds, state.leaves :+ segRdd)
   }
 }

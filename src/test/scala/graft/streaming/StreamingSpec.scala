@@ -1249,4 +1249,35 @@ class StreamingSpec extends SparkSpecBase {
       batchMap.collect().map(_.toSeq).toSet)
     assert(state.batches === nBatches.toLong)
   }
+
+  test("T21c: executor STORAGE stays bounded too — superseded compaction " +
+    "leaves are unpersisted, so persistent-RDD count tracks the live " +
+    "leaf set, not batch count (ADVICE r11)") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.size
+    val nBatches = 3 * StreamingPacking.CompactEvery + 2 // 26 folds, 3 compactions
+    var state = StreamingPacking.empty(s)
+    (0 until nBatches).foreach { b =>
+      val delta = (0 until 4).map { i =>
+        val id = (b * 4 + i).toLong
+        (id, s"d $id" + (" w" * (id % 5).toInt))
+      }.toDF("doc_id", "text")
+      state = StreamingPacking.appendBatch(state, delta, L = 16)
+    }
+    // live leaves: 1 compacted map + (nBatches mod CompactEvery) batch
+    // leaves; the OLD code leaked 2 persisted RDDs per fold (~52 here)
+    val leaked = s.sparkContext.getPersistentRDDs.size - before
+    assert(state.leaves.size <= StreamingPacking.CompactEvery,
+      s"PackState tracks ${state.leaves.size} leaves")
+    assert(leaked <= StreamingPacking.CompactEvery + 1,
+      s"$leaked persistent RDDs accumulated over $nBatches folds — " +
+        "superseded leaves are not being unpersisted")
+    // content law still holds after the storage discipline
+    val all = (0 until nBatches * 4).map { i =>
+      (i.toLong, s"d $i" + (" w" * (i % 5)))
+    }.toDF("doc_id", "text")
+    assert(state.map.collect().map(_.toSeq).toSet ===
+      graft.queries.Text.packingMap(all, 16).collect().map(_.toSeq).toSet)
+  }
 }
