@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF-PQ index maintenance (SURVEY.md §2.11a X97 — the
+  * r9→r11 verdict item): append a vector batch to an ALREADY-BUILT
+  * index without retraining or touching one indexed vector.
+  *
+  * The q213/q139 maintenance law, applied to the ANN family: both
+  * halves of the index model are FROZEN at append time — the coarse
+  * centroid table (IVF cells) and the per-subspace PQ codebooks — and
+  * both assignment steps are POINTWISE per vector (argmin against a
+  * broadcast k-row table; no cross-vector term anywhere). Pointwise +
+  * frozen ⇒ append-stable by construction: `appendToIndex(delta)` is
+  * bit-identical to "assign + encode the FULL corpus under the same
+  * frozen model, then restrict to the delta ids" — which is exactly
+  * what the q222 oracle computes and IvfPqIndexSpec pins engine-side
+  * at multiple scale factors (maintained ≡ rebuilt-then-restricted).
+  * Bin-remap has q213's failure mode here too: serving keys on cell
+  * membership and stored codes, so a daily embedding shard must extend
+  * the index, never reshuffle it.
+  *
+  * RETRAIN TRIGGER (documented contract): frozen models go stale when
+  * the data distribution drifts. The append emits each vector's exact
+  * coarse quantization distortion (`cell_dist`, the BIGINT squared
+  * distance to its won cell) precisely so the pipeline can monitor
+  *
+  *   mean(cell_dist over the delta)  vs  mean(cell_dist at train time)
+  *
+  * and schedule a REBUILD (train + re-encode, a new index generation)
+  * when the ratio exceeds a policy threshold (~1.5× is the classic
+  * FAISS-style heuristic); the trigger is an alert, never an in-place
+  * mutation — generations swap atomically, q139's posture.
+  * IvfPqIndexSpec pins the instrumentation on stationary testdata.
+  *
+  * Scale shape: the delta is scanned once; both models broadcast
+  * (k-row and m·k-row tables); per-vector work is one argmin + m
+  * grouped argmins; NOTHING about the frozen corpus is read at all —
+  * the append costs O(|delta|), the property that makes daily shard
+  * landings on a 100 TB index affordable.
+  */
+object IvfPqIndex {
+
+  /** Append `delta` under a frozen model: `(idCol, cell, cell_dist,
+    * codes)` — the coarse cell each new vector files under, its exact
+    * coarse distortion (the retrain-trigger evidence), and its m-code
+    * PQ row, all computed with [[KMeansInt.assign]] /
+    * [[ProductQuantizer.encode]] against the FROZEN tables.
+    *
+    * @param coarseCents frozen coarse centroids (cluster, cq)
+    * @param codebooks   frozen PQ codebooks (sub, cluster, cq)
+    */
+  def appendToIndex(delta: DataFrame, idCol: String, vecCol: String,
+                    coarseCents: DataFrame, codebooks: DataFrame,
+                    m: Int, subDims: Int): DataFrame = {
+    val dq = delta.select(col(idCol), KMeansInt.quantize(col(vecCol)).as("xq"))
+    val cells = KMeansInt.assign(dq, idCol, coarseCents)
+      .select(col(idCol), col("cluster").as("cell"),
+        col("dist").as("cell_dist"))
+    val codes = ProductQuantizer.encode(
+      ProductQuantizer.subVectors(delta, idCol, vecCol, m, subDims),
+      idCol, codebooks)
+    cells.join(codes, idCol)
+  }
+}

@@ -663,6 +663,80 @@ object Vectors {
       "O(N·k²) candidate ids per round, exact integer distances; the " +
       "data-parallel alternative to sequential-insert graph indexes")
 
+  /** q222 — incremental IVF-PQ index maintenance (X97): append a new
+    * embedding batch (vec_id ≥ 384, a fixed split so every scale
+    * factor exercises it) to an index whose coarse cells AND PQ
+    * codebooks were trained on the FROZEN prefix (vec_id < 384) —
+    * [[graft.operators.IvfPqIndex.appendToIndex]]: frozen-cell
+    * assignment + frozen-codebook encode, O(|delta|), nothing about
+    * the indexed corpus re-read. Output per appended vector: its cell,
+    * its exact coarse distortion (the documented RETRAIN-TRIGGER
+    * evidence), and its m PQ codes (exploded to (sub, code) rows so
+    * the hash gate sees scalars).
+    *
+    * The ORACLE never sees the incremental structure (q139/q213's
+    * device): it trains the same frozen model in SQL, assigns + encodes
+    * under it, and restricts to the delta — maintained ≡
+    * rebuilt-then-restricted is the entire correctness claim, and
+    * IvfPqIndexSpec pins the same law engine-side at multiple SFs. */
+  val q222 = Q(
+    "q222_incremental_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{IvfPqIndex, KMeansInt, ProductQuantizer}
+      val emb = Tables(s, dir, "embeddings")
+      val frozen = emb.filter($"vec_id" < 384)
+      val delta = emb.filter($"vec_id" >= 384)
+      val (_, coarseCents) =
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
+      val sub = ProductQuantizer
+        .subVectors(frozen, "vec_id", "embedding", m = 8, subDims = 8)
+        .persist()
+      val books = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      val appended = IvfPqIndex
+        .appendToIndex(delta, "vec_id", "embedding", coarseCents, books,
+          m = 8, subDims = 8)
+        .select($"vec_id", $"cell", $"cell_dist",
+          posexplode($"codes").as(Seq("sub", "code")))
+        .orderBy($"vec_id", $"sub")
+        .barrier() // eager, BEFORE unpersist — q193/q196's posture
+      sub.unpersist()
+      appended
+    },
+    Some(s"""
+      WITH ${Curation.kmeansCtes8x2From(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 384")},
+      $pqCoreCtes,
+      dvq AS (SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+              FROM embeddings WHERE vec_id >= 384),
+      dcell AS (SELECT vec_id, cluster AS cell, d AS cell_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT dvq.vec_id, c.cluster,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+              FROM dvq CROSS JOIN c2 c))
+        WHERE rn = 1),
+      dsv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+                list_slice(xq, CAST(s.sub AS INT) * 8 + 1,
+                               CAST(s.sub AS INT) * 8 + 8) AS sxq
+              FROM dvq CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      dcode AS (SELECT vec_id, sub, cluster AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT dsv.vec_id, dsv.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM dsv JOIN pc2 c ON dsv.sub = c.sub))
+        WHERE rn = 1)
+      SELECT dcell.vec_id, CAST(cell AS INT) AS cell, cell_dist,
+             CAST(dcode.sub AS INT) AS sub, CAST(code AS INT) AS code
+      FROM dcell JOIN dcode ON dcell.vec_id = dcode.vec_id
+      ORDER BY dcell.vec_id, dcode.sub"""),
+    doc = "X97: incremental IVF-PQ maintenance — frozen-cell assignment + " +
+      "frozen-codebook encode, O(|delta|) with both models broadcast; " +
+      "oracle rebuilds under the same frozen model and restricts, " +
+      "maintained == rebuilt; cell_dist is the documented retrain trigger")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
-    q200, q201)
+    q200, q201, q222)
 }
