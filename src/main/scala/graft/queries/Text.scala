@@ -444,7 +444,7 @@ object Text {
     doc = "N20: winnowing (MOSS) fingerprints — relational window-min over " +
       "exploded grams (one doc-id shuffle); summary columns pin the exact set")
 
-  /** q141 — token-budget shard packing (N28): the concatenate-then-
+  /** q141 — token-budget shard packing (N36): the concatenate-then-
     * split shard cut every pretraining pipeline runs — documents are
     * laid end-to-end in a deterministic order and cut into fixed
     * token-budget shards, so each doc's shard is its GLOBAL token
@@ -494,7 +494,7 @@ object Text {
              (cum - n_tok) % 512 AS tok_offset,
              CAST(((cum - n_tok) % 512) + n_tok > 512 AS INT) AS straddles
       FROM c ORDER BY doc_id"""),
-    doc = "N28: token-budget shard packing — global token offsets via " +
+    doc = "N36: token-budget shard packing — global token offsets via " +
       "empty-group PrefixScan (no single-task sort), fluid fill with " +
       "straddle flags")
 
@@ -967,6 +967,117 @@ object Text {
       "weight-1 empty-group PrefixScan (no single-task rank), 16-bin " +
       "shards with ordered-member md5 integrity receipts")
 
+  /** q223 — mixture-aware epoch packing (X98): the three audited
+    * mixture/packing stages composed into the artifact a training run
+    * actually consumes — an EPOCH SCHEDULE. (1) q164's temperature
+    * device: per-source weight `w = floor(sqrt(tokens))` suppresses
+    * the head and amplifies the tail (Conneau & Lample '19); (2)
+    * q128's Hamilton largest-remainder apportionment turns the weights
+    * into an exact 200-document epoch quota per source (BIGINT
+    * arithmetic, ties by source — auditable to the row); (3) each
+    * quota fills with its source's md5-rank top documents (q80/q128's
+    * deterministic stratified pick, two-phase salted — never a
+    * one-task-per-source window over raw docs); (4) the selected epoch
+    * packs with q209's concat-and-chunk in doc_id order, source
+    * carried onto every segment so the schedule is provenance-complete.
+    *
+    * q213's append law is PRESERVED by construction — the packer is
+    * the same append-stable prefix-sum algebra, so a later epoch batch
+    * packs against the frozen total without remapping a bin
+    * (PackingSpec pins the law ON the mixture-selected corpus).
+    * Composition-grade oracle (q210's thesis): a drift in ANY stage —
+    * weight rounding, a quota off by one, a different pick, a count
+    * mismatch — shifts bins end to end; only the full-chain hash
+    * catches it.
+    *
+    * Scale: apportionment runs on the ~20-row source summary;
+    * selection is one rank window over salt-phase survivors + a
+    * broadcast quota join; packing is the empty-group PrefixScan over
+    * the SELECTED set only. */
+  val q223 = Q(
+    "q223_mixture_packing",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val tokCol = size(filter(split($"text", " "), t => length(t) > 0))
+        .cast(LongType)
+      val st = docs.groupBy($"source").agg(sum(tokCol).as("n_tok"))
+        .withColumn("w", floor(sqrt($"n_tok".cast(DoubleType))).cast(LongType))
+      val tot = st.agg(sum($"w").as("tw"))
+      val wAll = Window.partitionBy()
+      val wRem = Window.orderBy($"rem".desc, $"source")
+      val quotas = st.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(200 * w) div tw"))
+        .withColumn("rem", lit(200L) * $"w" - $"base" * $"tw")
+        .withColumn("leftover", lit(200L) - sum($"base").over(wAll))
+        .withColumn("rk", row_number().over(wRem))
+        .withColumn("quota", $"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+        .select($"source", $"quota")
+      val pickKey = md5(concat(lit("mx:"), $"doc_id".cast(StringType)))
+      val wSalt = Window.partitionBy($"source", $"__salt")
+        .orderBy($"pick_key", $"doc_id")
+      val wPick = Window.partitionBy($"source").orderBy($"pick_key", $"doc_id")
+      val selected = docs.select($"doc_id", $"source", tokCol.as("n_tok"),
+          pickKey.as("pick_key"), pmod(hash($"doc_id"), lit(32)).as("__salt"))
+        .withColumn("spick", row_number().over(wSalt))
+        .filter($"spick" <= 200)
+        .withColumn("pick", row_number().over(wPick))
+        .join(broadcast(quotas), Seq("source"))
+        .filter($"pick" <= $"quota")
+        .select($"doc_id", $"source", $"n_tok")
+      packingMapFromCounts(selected.select($"doc_id", $"n_tok"), L = 128)
+        .join(selected.select($"doc_id", $"source"), "doc_id")
+        .select($"doc_id", $"source", $"bin_id", $"bin_off", $"doc_off",
+          $"seg_len", $"split")
+        .orderBy($"doc_id", $"bin_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     t -> len(t) > 0)) AS BIGINT) AS n_tok
+                 FROM documents),
+      st AS (SELECT source,
+               CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+             FROM d GROUP BY source),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM st),
+      q0 AS (SELECT source, w, tw, (200 * w) // tw AS base,
+               200 * w - ((200 * w) // tw) * tw AS rem
+             FROM st CROSS JOIN tot),
+      q1 AS (SELECT source, base, 200 - SUM(base) OVER () AS leftover,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk
+             FROM q0),
+      quotas AS (SELECT source,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+                 FROM q1),
+      ranked AS (SELECT doc_id, source, n_tok,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY md5('mx:' || CAST(doc_id AS VARCHAR)), doc_id) AS pick
+                 FROM d),
+      sel AS (SELECT doc_id, r.source, n_tok
+              FROM ranked r JOIN quotas USING (source)
+              WHERE pick <= quota),
+      cum AS (SELECT doc_id, source, n_tok,
+                CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM sel WHERE n_tok > 0),
+      e AS (SELECT doc_id, source, cum, cum - n_tok AS st2,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM cum),
+      x AS (SELECT doc_id, source, st2, cum, b0, b1,
+              unnest(range(b0, b1 + 1)) AS bin_id
+            FROM e)
+      SELECT doc_id, source, CAST(bin_id AS BIGINT) AS bin_id,
+             CAST(GREATEST(st2, bin_id * 128) - bin_id * 128 AS BIGINT) AS bin_off,
+             CAST(GREATEST(st2, bin_id * 128) - st2 AS BIGINT) AS doc_off,
+             CAST(LEAST(cum, (bin_id + 1) * 128)
+               - GREATEST(st2, bin_id * 128) AS BIGINT) AS seg_len,
+             CAST(b1 > b0 AS INT) AS split
+      FROM x ORDER BY doc_id, bin_id"""),
+    doc = "X98: mixture-aware epoch packing — sqrt-temperature weights -> " +
+      "Hamilton quotas -> md5-rank fill -> concat-and-chunk schedule with " +
+      "source provenance; append law preserved, full-chain hash-checked")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95, q141, q199, q203, q209, q210, q213, q215)
+    q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223)
 }

@@ -93,4 +93,40 @@ class PackingSpec extends SparkSpecBase {
     assert(shards.filter($"n_bins" =!= 16L).count() <= 1)
     shards.unpersist(); ()
   }
+
+  test("q223 epoch schedule: quotas sum to the 200-doc budget, and the " +
+    "append law holds ON the mixture-selected corpus — a second epoch " +
+    "batch packs against the frozen total without remapping a bin") {
+    val s = spark
+    import s.implicits._
+    val epoch = Text.q223.build(spark, sf).cache()
+    assert(epoch.select($"doc_id").distinct().count() === 200L,
+      "mixture selection did not realize the 200-document epoch budget")
+    // non-final bins exactly full even through selection
+    val bins = epoch.groupBy($"bin_id").agg(sum($"seg_len").as("fill"))
+    val lastBin = bins.agg(max($"bin_id")).head().getLong(0)
+    assert(bins.filter($"bin_id" < lastBin && $"fill" =!= 128L).isEmpty)
+    // q213's law on the SELECTED corpus: split it at the median picked
+    // id, pack the tail against the head's frozen token total, and the
+    // maintained rows must equal the full epoch map restricted
+    val ids = epoch.select($"doc_id").distinct()
+      .orderBy($"doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val nTok = graft.core.Tables(s, sf, "documents")
+      .select($"doc_id",
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("n_tok"))
+    val sel = nTok.filter($"doc_id".isInCollection(ids))
+    val frozenTotal = sel.filter($"doc_id" < cut)
+      .agg(coalesce(sum($"n_tok"), lit(0L)).as("off"))
+    val maintained = Text.packingMapFromCounts(
+        sel.filter($"doc_id" >= cut), L = 128, offset = Some(frozenTotal))
+      .collect().map(_.toSeq).toSet
+    val restricted = epoch.filter($"doc_id" >= cut)
+      .select($"doc_id", $"bin_id", $"bin_off", $"doc_off", $"seg_len", $"split")
+      .collect().map(_.toSeq).toSet
+    assert(maintained === restricted,
+      "mixture-selected packing is not append-stable")
+    epoch.unpersist(); ()
+  }
 }
