@@ -1280,4 +1280,70 @@ class StreamingSpec extends SparkSpecBase {
     assert(state.map.collect().map(_.toSeq).toSet ===
       graft.queries.Text.packingMap(all, 16).collect().map(_.toSeq).toSet)
   }
+
+  test("T22: streaming entity-resolution assignment — new records probe the " +
+    "frozen EdJoin gram index, verify, adopt-or-mint; streamed assignments " +
+    "== batch golden-record run on the union (non-bridging deltas)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val hexa = "0123456789abcdef"
+    def hex(n: Int) = (1 to n).map(_ => hexa(rnd.nextInt(16))).mkString
+    def mut(x: String): String = {
+      val pos = rnd.nextInt(x.length)
+      if (rnd.nextBoolean()) x.updated(pos, hexa(rnd.nextInt(16)))
+      else x.take(pos) + x.drop(pos + 1)
+    }
+    // frozen corpus: 40 bases + 1 mutant each (clusters exist), plus a
+    // short class; delta ids all LARGER so batch min-id goldens are
+    // frozen-side (the non-bridging construction the scaladoc declares)
+    val bases = (0 until 40).map(_ => hex(20))
+    val frozenRows = bases.zipWithIndex.map { case (b, i) => (i.toLong, b) } ++
+      bases.zipWithIndex.map { case (b, i) => (40L + i, mut(b)) } ++
+      Seq((90L, "ab"), (91L, "abcd"), (92L, "xy"))
+    val delta = bases.take(20).zipWithIndex.map { case (b, i) =>
+      (100L + i, mut(b)) } ++                       // adopters
+      (0 until 5).map(i => (200L + i, hex(20))) ++  // far -> minted
+      Seq((210L, "ac"))                             // short adopter
+    val frozen = frozenRows.toDF("id", "nm")
+    val state = StreamingEntityResolution.freeze(frozen, "id", "nm",
+      tau = 2, q = 3)
+    // drive the delta through foreachBatch in two micro-batches
+    var streamed = Map.empty[Long, (Long, Int)]
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("id", "nm").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed = streamed ++ StreamingEntityResolution
+          .assignBatch(state, b, "id", "nm")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      }
+      .start()
+    val (d1, d2) = delta.splitAt(delta.size / 2)
+    Seq(d1, d2).foreach { b => stream.addData(b: _*); qy.processAllAvailable() }
+    qy.stop()
+    assert(streamed.size === delta.size)
+    // batch truth on the UNION: q212's composition, golden = component
+    val union = (frozenRows ++ delta).toDF("id", "nm")
+    val pairs = graft.operators.EdJoin.join(union, "id", "nm", tau = 2, q = 3)
+    val batchGolden = graft.operators.ConnectedComponents
+      .labelStar(union.select($"id"), "id", pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    delta.foreach { case (id, _) =>
+      assert(streamed(id)._1 === batchGolden(id),
+        s"record $id: streamed ${streamed(id)._1} != batch ${batchGolden(id)}")
+    }
+    // minted records: far strings got their own id and matched = 0
+    (0 until 5).foreach { i =>
+      assert(streamed(200L + i) === (200L + i, 0), s"far record ${200 + i}")
+    }
+    // the short adopter went through the fallback, not the gram probe
+    assert(streamed(210L)._2 === 1 && streamed(210L)._1 === 90L)
+    // frozen assignments agree with the union run too (non-bridging
+    // deltas cannot re-cluster the frozen side)
+    val frozenGolden = state.golden.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    frozenRows.foreach { case (id, _) =>
+      assert(frozenGolden(id) === batchGolden(id), s"frozen $id moved")
+    }
+  }
 }
