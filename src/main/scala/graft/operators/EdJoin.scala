@@ -149,6 +149,19 @@ object EdJoin {
     // OUTPUT pair set can still be quadratic in group sizes because
     // those pairs genuinely satisfy the predicate.
     val few = s.filter(greatest(col("__len") - (q - 1), lit(1)) <= tau * q)
+
+    // Early-out: on a short-free corpus the fallback subplan still
+    // costs real wall-clock — its group/expand joins re-scan the
+    // corpus even though every frame is empty (r12 A/B, EdJoinAb:
+    // q208 min-of-3 5.92 s with the empty fallback vs 3.25 s without
+    // — ~45% of the query on the operator's HOME regime, since
+    // identifier/fingerprint corpora rarely have strings under
+    // tau*q+q chars). One narrow length-only scan (the sanctioned
+    // eager action — BpeVocab's argmax precedent) decides whether the
+    // fallback branches are built at all; when shorts exist, the scan
+    // early-terminates at the first one and the full machinery runs
+    // unchanged.
+    if (few.isEmpty) return probedVerified
     val reps = few.groupBy(col("__s"), col("__len"))
       .agg(min(col("__id")).as("__rep"))
     val members = few.join(reps.select(col("__s"), col("__rep")), Seq("__s"))

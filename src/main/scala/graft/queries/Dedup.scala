@@ -634,8 +634,8 @@ object Dedup {
     * one md5-derived substitution, odd keys add an md5-derived
     * deletion — so dist-1 AND dist-2 truths exist by construction.
     * `typoCorpusSql` is the DuckDB-CTE twin ending in `c(id, nm)`. */
-  private def typoCorpus(s: org.apache.spark.sql.SparkSession,
-                         dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def typoCorpus(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val base = Tables(s, dir, "part").filter($"p_partkey" < 3000)
       .select($"p_partkey".as("pk"),
