@@ -295,7 +295,10 @@ object Multimodal {
     * identical hashes, 3 interleaved pigeonhole bands, popcount
     * verify), then [[graft.operators.ConnectedComponents.labelStar]]
     * collapse (q212's device — hamming is not transitive, so pair
-    * output alone under-merges), min-id survivor per cluster.
+    * output alone under-merges), min-id survivor per cluster. Since
+    * r12 the collapse runs on `HammingJoin.collapsed`'s REPRESENTATIVE
+    * graph (distinct signatures only; members inherit their rep's
+    * component) — identical output, viral-group-sized iteration.
     *
     * Oracle: the DuckDB twin recomputes BOTH hashes bit-for-bit from
     * the md5 seed arithmetic (no bytes parsed — any luma weighting,
@@ -339,10 +342,19 @@ object Multimodal {
         // consumed by banding, expansion, labelStar nodes AND the final
         // join — materialize the decode pass once
         .barrier()
-      val pairs = graft.operators.HammingJoin
-        .join(hashes, "img_id", "dhash", k = 2, bits = 56)
-      val labeled = graft.operators.ConnectedComponents
-        .labelStar(hashes.select($"img_id"), "img_id", pairs, "a_id", "b_id")
+      // r12: cluster at the REPRESENTATIVE level (HammingJoin.collapsed)
+      // — labelStar iterates over distinct signatures + their pairs,
+      // not the member-expanded graph (a million-copy meme is one
+      // node); members inherit their rep's component afterwards, which
+      // is exactly the expanded answer because rep = min(id) per
+      // signature and component = min over the component's reps
+      val (repPairs, members) = graft.operators.HammingJoin
+        .collapsed(hashes, "img_id", "dhash", k = 2, bits = 56)
+      val repLabeled = graft.operators.ConnectedComponents
+        .labelStar(members.select($"rep").distinct(), "rep",
+          repPairs, "rep_a", "rep_b")
+      val labeled = members.join(repLabeled, "rep")
+        .select($"id".as("img_id"), $"component")
       hashes.join(labeled, "img_id")
         .select($"img_id", $"dhash", $"ahash", $"component".as("cluster"),
           ($"img_id" === $"cluster").cast("int").as("kept"))
