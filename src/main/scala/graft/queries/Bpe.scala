@@ -173,7 +173,7 @@ object Bpe {
       "per-doc symbol counts → q209's packing math; bin boundaries on " +
       "token arithmetic, end-to-end hash-checked composition")
 
-  // ---- WordPiece (N46/N46b/X96 — the second tokenizer family) ----
+  // ---- WordPiece (N46/N46b/X99 — the second tokenizer family) ----
 
   private val WpRounds = 6
 
@@ -312,7 +312,7 @@ object Bpe {
       "distinct-word table x broadcast vocabulary, character-bounded walk " +
       "rounds, corpus joins on the word key; oracle walks a recursive CTE")
 
-  /** q221 — pack by WordPiece counts (X96): q214's composition thesis
+  /** q221 — pack by WordPiece counts (X99): q214's composition thesis
     * closed over the SECOND tokenizer family — the packing algebra
     * ([[Text.packingMapFromCounts]]: empty-group PrefixScan, fluid
     * fill, straddle flags) is count-agnostic, and this proves it on
@@ -364,7 +364,7 @@ object Bpe {
                - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len,
              CAST(b1 > b0 AS INT) AS split
       FROM x ORDER BY doc_id, bin_id"""),
-    doc = "X96: pack by WordPiece counts — the count-agnostic packing " +
+    doc = "X99: pack by WordPiece counts — the count-agnostic packing " +
       "algebra proven on the second tokenizer family; greedy-match counts " +
       "feed q209's math, end-to-end hash-checked composition")
 
