@@ -63,4 +63,29 @@ object IvfPqIndex {
       idCol, codebooks)
     cells.join(codes, idCol)
   }
+
+  /** [[appendToIndex]] for the RESIDUAL index (IVFADC, q200's
+    * fidelity step): the delta assigns to its frozen coarse cell, is
+    * re-centered against that cell's centroid
+    * ([[ProductQuantizer.residuals]] — the grid trick applied twice),
+    * and encodes under the frozen RESIDUAL codebooks. Still pointwise
+    * under a frozen model, so the same maintained ≡
+    * rebuilt-then-restricted law holds verbatim (q224's oracle;
+    * IvfPqIndexSpec pins it engine-side). Same O(|delta|) posture and
+    * the same `cell_dist` retrain trigger as the plain index. */
+  def appendToResidualIndex(delta: DataFrame, idCol: String, vecCol: String,
+                            coarseCents: DataFrame, residualBooks: DataFrame,
+                            m: Int, subDims: Int): DataFrame = {
+    val dq = delta.select(col(idCol), KMeansInt.quantize(col(vecCol)).as("xq"))
+    val cells = KMeansInt.assign(dq, idCol, coarseCents)
+      .select(col(idCol), col("cluster"), col("dist").as("cell_dist"))
+    val rv = ProductQuantizer.residuals(delta, idCol, vecCol,
+      cells.select(col(idCol), col("cluster")), coarseCents)
+    val codes = ProductQuantizer.encode(
+      ProductQuantizer.subVectorsQ(rv.select(col(idCol), col("xq")),
+        idCol, m, subDims),
+      idCol, residualBooks)
+    cells.select(col(idCol), col("cluster").as("cell"), col("cell_dist"))
+      .join(codes, idCol)
+  }
 }

@@ -737,6 +737,81 @@ object Vectors {
       "oracle rebuilds under the same frozen model and restricts, " +
       "maintained == rebuilt; cell_dist is the documented retrain trigger")
 
+  /** q224 — incremental IVFADC residual-index maintenance (X97b): the
+    * q222 law carried to the PRODUCTION index variant (q200's residual
+    * encoding) — a delta vector assigns to its frozen coarse cell, is
+    * re-centered against that cell's centroid, and encodes under the
+    * frozen RESIDUAL codebooks. All three steps are pointwise under
+    * frozen tables, so maintained ≡ rebuilt-then-restricted holds
+    * verbatim; with q222 the WHOLE ANN ladder (flat PQ and residual
+    * IVFADC) has an O(|delta|) maintenance path. Oracle: q200's
+    * residual CTE chain trained on the frozen prefix, delta assigned +
+    * residual-encoded under it, restricted. */
+  val q224 = Q(
+    "q224_incremental_ivfadc",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{IvfPqIndex, KMeansInt, ProductQuantizer}
+      val emb = Tables(s, dir, "embeddings")
+      val frozen = emb.filter($"vec_id" < 384)
+      val delta = emb.filter($"vec_id" >= 384)
+      val (coarse, coarseCents) =
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
+      val rv = ProductQuantizer
+        .residuals(frozen, "vec_id", "embedding", coarse, coarseCents)
+      val rsub = ProductQuantizer
+        .subVectorsQ(rv.select($"vec_id", $"xq"), "vec_id", m = 8, subDims = 8)
+        .persist()
+      val rbooks = ProductQuantizer.trainCodebooks(rsub, "vec_id", k = 4, rounds = 2)
+      val appended = IvfPqIndex
+        .appendToResidualIndex(delta, "vec_id", "embedding", coarseCents,
+          rbooks, m = 8, subDims = 8)
+        .select($"vec_id", $"cell", $"cell_dist",
+          posexplode($"codes").as(Seq("sub", "code")))
+        .orderBy($"vec_id", $"sub")
+        .barrier() // eager, BEFORE unpersist — q193/q196's posture
+      rsub.unpersist()
+      appended
+    },
+    Some(s"""
+      WITH ${Curation.kmeansCtes8x2From(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 384")},
+      $residualPqCtes,
+      dvq AS (SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+              FROM embeddings WHERE vec_id >= 384),
+      dcell AS (SELECT vec_id, cluster AS cell, d AS cell_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT dvq.vec_id, c.cluster,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+              FROM dvq CROSS JOIN c2 c))
+        WHERE rn = 1),
+      drv AS (SELECT dvq.vec_id, dcell.cell, dcell.cell_dist,
+                list_transform(range(1, 65),
+                  i -> dvq.xq[i] - c.cq[i] + 20000) AS xq
+              FROM dvq JOIN dcell ON dvq.vec_id = dcell.vec_id
+              JOIN c2 c ON dcell.cell = c.cluster),
+      drsv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+                 list_slice(xq, CAST(s.sub AS INT) * 8 + 1,
+                                CAST(s.sub AS INT) * 8 + 8) AS sxq
+               FROM drv CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      dcode AS (SELECT vec_id, sub, cluster AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT drsv.vec_id, drsv.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM drsv JOIN rc2 c ON drsv.sub = c.sub))
+        WHERE rn = 1)
+      SELECT drv.vec_id, CAST(drv.cell AS INT) AS cell, drv.cell_dist,
+             CAST(dcode.sub AS INT) AS sub, CAST(code AS INT) AS code
+      FROM drv JOIN dcode ON drv.vec_id = dcode.vec_id
+      ORDER BY drv.vec_id, dcode.sub"""),
+    doc = "X97b: incremental IVFADC residual-index maintenance — frozen-cell " +
+      "assign + frozen-centroid re-center + frozen-residual-codebook encode, " +
+      "all pointwise => maintained == rebuilt-then-restricted; the whole ANN " +
+      "ladder now has an O(|delta|) append path")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
-    q200, q201, q222)
+    q200, q201, q222, q224)
 }

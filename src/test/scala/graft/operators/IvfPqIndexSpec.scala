@@ -66,6 +66,30 @@ class IvfPqIndexSpec extends SparkSpecBase {
     assert(split === oneShot)
   }
 
+  test("residual index (IVFADC, q224): maintained == rebuilt-then-" +
+    "restricted under the frozen coarse cells + frozen residual codebooks") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.core.Tables(s, sf, "embeddings")
+    val frozen = emb.filter($"vec_id" < 384)
+    val (coarse, cents) =
+      KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
+    val rv = ProductQuantizer
+      .residuals(frozen, "vec_id", "embedding", coarse, cents)
+    val rbooks = ProductQuantizer.trainCodebooks(
+      ProductQuantizer.subVectorsQ(rv.select($"vec_id", $"xq"),
+        "vec_id", m = 8, subDims = 8),
+      "vec_id", k = 4, rounds = 2).barrier()
+    val centsB = cents.barrier()
+    def app(df: org.apache.spark.sql.DataFrame) = IvfPqIndex
+      .appendToResidualIndex(df, "vec_id", "embedding", centsB, rbooks,
+        m = 8, subDims = 8)
+    val maintained = rows(app(emb.filter($"vec_id" >= 384)))
+    val rebuilt = rows(app(emb).filter($"vec_id" >= 384))
+    assert(maintained === rebuilt)
+    assert(maintained.nonEmpty)
+  }
+
   test("retrain-trigger instrumentation: delta mean cell_dist is " +
     "comparable to the frozen corpus's own assignment distortion on " +
     "stationary data (the monitored ratio the scaladoc documents)") {

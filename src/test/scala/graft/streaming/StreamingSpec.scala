@@ -1281,6 +1281,50 @@ class StreamingSpec extends SparkSpecBase {
       graft.queries.Text.packingMap(all, 16).collect().map(_.toSeq).toSet)
   }
 
+  test("T23: streaming index append — live embedding micro-batches fold " +
+    "through the FROZEN IVF-PQ model (T18's posture lifted to the whole " +
+    "index row); streamed rows == the batch q222 append on the same deltas") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{IvfPqIndex, KMeansInt, ProductQuantizer}
+    import graft.core.Barriers._
+    val emb = graft.core.Tables(s, sf, "embeddings")
+    val frozen = emb.filter($"vec_id" < 384)
+    val (_, cents0) =
+      KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
+    val books = ProductQuantizer.trainCodebooks(
+      ProductQuantizer.subVectors(frozen, "vec_id", "embedding",
+        m = 8, subDims = 8),
+      "vec_id", k = 4, rounds = 2).barrier()
+    val cents = cents0.barrier()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell", $"cell_dist",
+        concat_ws(",", $"codes").as("cs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val deltaRows = emb.filter($"vec_id" >= 384)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    var streamed = Set.empty[(Long, Int, Long, String)]
+    val stream = MemoryStream[(Long, Array[Float])](s)
+    val qy = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed = streamed ++ rows(IvfPqIndex.appendToIndex(
+          b, "vec_id", "embedding", cents, books, m = 8, subDims = 8))
+      }
+      .start()
+    val (b1, b2) = deltaRows.splitAt(deltaRows.size / 2)
+    Seq(b1, b2).foreach { b => stream.addData(b: _*); qy.processAllAvailable() }
+    qy.stop()
+    val batch = rows(IvfPqIndex.appendToIndex(
+      emb.filter($"vec_id" >= 384), "vec_id", "embedding", cents, books,
+      m = 8, subDims = 8))
+    assert(streamed === batch,
+      "streamed index append diverged from the batch append")
+    assert(streamed.size === deltaRows.size)
+  }
+
   test("T22: streaming entity-resolution assignment — new records probe the " +
     "frozen EdJoin gram index, verify, adopt-or-mint; streamed assignments " +
     "== batch golden-record run on the union (non-bridging deltas)") {
