@@ -777,6 +777,70 @@ object Dedup {
       "by labelStar components (transitive variants collapse), " +
       "deterministic min-id survivor per cluster")
 
+  /** q226 — frozen-index entity-resolution assignment (N44c): the
+    * BATCH spelling of T22, under the driver's DuckDB oracle — the
+    * q212 corpus splits into a FROZEN prefix (id < 300: resolved by
+    * EdJoin+labelStar at freeze time) and an arriving batch
+    * (id ≥ 300) that probes the frozen gram index, verifies with
+    * exact levenshtein, and adopts the smallest matched golden id or
+    * mints its own. Exercises the EXACT operator the stream runs
+    * ([[graft.streaming.StreamingEntityResolution]]), so the
+    * one-directional probe losslessness (ALL delta windows vs the
+    * frozen index + the short-class fallback) gets a hash gate, not
+    * just a spec: the oracle computes the frozen closure and the
+    * delta's min-golden-of-matches QUADRATICALLY and must agree
+    * bit-for-bit. Deliberately NOT full ER on the union — delta-delta
+    * pairs are invisible to a frozen index by design (the documented
+    * reconciliation caveat), and the oracle encodes exactly that
+    * semantics.
+    *
+    * Scale: freeze is the batch job that exists anyway; assignment is
+    * O(|delta|) window probes + candidate-bounded verifies. The
+    * oracle's quadratic d×f join rides the fixed `p_partkey < 3000`
+    * slice (q208's device for bounding the oracle, never the
+    * operator). */
+  val q226 = Q(
+    "q226_er_assignment",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = typoCorpus(s, dir)
+      val state = graft.streaming.StreamingEntityResolution
+        .freeze(corpus.filter($"id" < 300), "id", "nm", tau = 2, q = 3)
+      graft.streaming.StreamingEntityResolution
+        .assignBatch(state, corpus.filter($"id" >= 300), "id", "nm")
+        .orderBy($"id")
+    },
+    Some(s"""
+      WITH RECURSIVE $typoCorpusSql,
+      f AS (SELECT * FROM c WHERE id < 300),
+      d AS (SELECT * FROM c WHERE id >= 300),
+      fp AS (SELECT a.id AS a_id, b.id AS b_id
+             FROM f a JOIN f b
+               ON a.id < b.id AND abs(len(a.nm) - len(b.nm)) <= 2
+             WHERE levenshtein(a.nm, b.nm) <= 2),
+      fe AS (SELECT a_id AS u, b_id AS v FROM fp
+             UNION ALL SELECT b_id AS u, a_id AS v FROM fp),
+      fr(node, lbl) AS (
+        SELECT id, id FROM f
+        UNION
+        SELECT fe.v, fr.lbl FROM fr JOIN fe ON fe.u = fr.node),
+      fgold AS (SELECT node AS id, MIN(lbl) AS golden FROM fr GROUP BY node),
+      m AS (SELECT d.id AS did, MIN(g.golden) AS adopt
+            FROM d JOIN f ON abs(len(d.nm) - len(f.nm)) <= 2
+                         AND levenshtein(d.nm, f.nm) <= 2
+            JOIN fgold g ON g.id = f.id
+            GROUP BY d.id)
+      SELECT d.id, COALESCE(m.adopt, d.id) AS golden,
+             CAST(m.adopt IS NOT NULL AS INT) AS matched
+      FROM d LEFT JOIN m ON m.did = d.id
+      ORDER BY d.id"""),
+    doc = "N44c: frozen-index ER assignment (T22's batch spelling) — frozen " +
+      "EdJoin gram index + closure at freeze, delta probes/verifies/adopts " +
+      "or mints; oracle replays frozen closure + quadratic min-golden " +
+      "adoption; frozen-index semantics (no delta-delta merges) encoded " +
+      "in both engines")
+
   val all: Seq[Q] =
-    Seq(q54, q55, q56, q57, q82, q93, q96, q107, q187, q191, q192, q208, q212)
+    Seq(q54, q55, q56, q57, q82, q93, q96, q107, q187, q191, q192, q208,
+      q212, q226)
 }

@@ -994,42 +994,51 @@ object Text {
     * selection is one rank window over salt-phase survivors + a
     * broadcast quota join; packing is the empty-group PrefixScan over
     * the SELECTED set only. */
+  /** q223's epoch map as a reusable stage (q225 audits it): per
+    * (selected doc, bin) row with source provenance — temperature
+    * weights → Hamilton quotas → md5-rank fill → packing. See the
+    * q223 scaladoc for the design. */
+  private[queries] def mixtureEpochMap(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val tokCol = size(filter(split($"text", " "), t => length(t) > 0))
+      .cast(LongType)
+    val st = docs.groupBy($"source").agg(sum(tokCol).as("n_tok"))
+      .withColumn("w", floor(sqrt($"n_tok".cast(DoubleType))).cast(LongType))
+    val tot = st.agg(sum($"w").as("tw"))
+    val wAll = Window.partitionBy()
+    val wRem = Window.orderBy($"rem".desc, $"source")
+    val quotas = st.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(200 * w) div tw"))
+      .withColumn("rem", lit(200L) * $"w" - $"base" * $"tw")
+      .withColumn("leftover", lit(200L) - sum($"base").over(wAll))
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("quota", $"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+      .select($"source", $"quota")
+    val pickKey = md5(concat(lit("mx:"), $"doc_id".cast(StringType)))
+    val wSalt = Window.partitionBy($"source", $"__salt")
+      .orderBy($"pick_key", $"doc_id")
+    val wPick = Window.partitionBy($"source").orderBy($"pick_key", $"doc_id")
+    val selected = docs.select($"doc_id", $"source", tokCol.as("n_tok"),
+        pickKey.as("pick_key"), pmod(hash($"doc_id"), lit(32)).as("__salt"))
+      .withColumn("spick", row_number().over(wSalt))
+      .filter($"spick" <= 200)
+      .withColumn("pick", row_number().over(wPick))
+      .join(broadcast(quotas), Seq("source"))
+      .filter($"pick" <= $"quota")
+      .select($"doc_id", $"source", $"n_tok")
+    packingMapFromCounts(selected.select($"doc_id", $"n_tok"), L = 128)
+      .join(selected.select($"doc_id", $"source"), "doc_id")
+      .select($"doc_id", $"source", $"bin_id", $"bin_off", $"doc_off",
+        $"seg_len", $"split")
+  }
+
   val q223 = Q(
     "q223_mixture_packing",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      val tokCol = size(filter(split($"text", " "), t => length(t) > 0))
-        .cast(LongType)
-      val st = docs.groupBy($"source").agg(sum(tokCol).as("n_tok"))
-        .withColumn("w", floor(sqrt($"n_tok".cast(DoubleType))).cast(LongType))
-      val tot = st.agg(sum($"w").as("tw"))
-      val wAll = Window.partitionBy()
-      val wRem = Window.orderBy($"rem".desc, $"source")
-      val quotas = st.crossJoin(broadcast(tot))
-        .withColumn("base", expr("(200 * w) div tw"))
-        .withColumn("rem", lit(200L) * $"w" - $"base" * $"tw")
-        .withColumn("leftover", lit(200L) - sum($"base").over(wAll))
-        .withColumn("rk", row_number().over(wRem))
-        .withColumn("quota", $"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
-        .select($"source", $"quota")
-      val pickKey = md5(concat(lit("mx:"), $"doc_id".cast(StringType)))
-      val wSalt = Window.partitionBy($"source", $"__salt")
-        .orderBy($"pick_key", $"doc_id")
-      val wPick = Window.partitionBy($"source").orderBy($"pick_key", $"doc_id")
-      val selected = docs.select($"doc_id", $"source", tokCol.as("n_tok"),
-          pickKey.as("pick_key"), pmod(hash($"doc_id"), lit(32)).as("__salt"))
-        .withColumn("spick", row_number().over(wSalt))
-        .filter($"spick" <= 200)
-        .withColumn("pick", row_number().over(wPick))
-        .join(broadcast(quotas), Seq("source"))
-        .filter($"pick" <= $"quota")
-        .select($"doc_id", $"source", $"n_tok")
-      packingMapFromCounts(selected.select($"doc_id", $"n_tok"), L = 128)
-        .join(selected.select($"doc_id", $"source"), "doc_id")
-        .select($"doc_id", $"source", $"bin_id", $"bin_off", $"doc_off",
-          $"seg_len", $"split")
-        .orderBy($"doc_id", $"bin_id")
+      mixtureEpochMap(s, dir).orderBy($"doc_id", $"bin_id")
     },
     Some("""
       WITH d AS (SELECT doc_id, source,
@@ -1078,6 +1087,104 @@ object Text {
       "Hamilton quotas -> md5-rank fill -> concat-and-chunk schedule with " +
       "source provenance; append law preserved, full-chain hash-checked")
 
+  /** q225 — epoch-schedule contamination audit (X100): q210's thesis
+    * applied where it finally matters — the audit must run on what
+    * training actually CONSUMES, and after q223 that is the
+    * mixture-selected epoch, not the raw corpus. Selection changes the
+    * blast radius twice: a blocked document that the mixture did not
+    * pick poisons nothing, and a picked one poisons bins packed from
+    * the SELECTED ordering (different co-packing neighbors than the
+    * raw q210 map). So the audit composes the q223 epoch map with the
+    * q203 verdicts at epoch-bin granularity — three audited stages
+    * deep, exactly the silent-drift surface the composition-grade
+    * hash exists for.
+    *
+    * Scale: the epoch map costs q223 (selection + selected-set
+    * PrefixScan), the verdicts cost q203 on the selected docs only
+    * (verdict join keys on picked doc_ids), the composition is one
+    * equi-join + a bin-keyed aggregate — epoch-sized, not
+    * corpus-sized. */
+  val q225 = Q(
+    "q225_epoch_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      mixtureEpochMap(s, dir)
+        .join(blockVerdicts(s, docs).select($"doc_id", $"blocked"), "doc_id")
+        .groupBy($"bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"source").as("n_sources"),
+          sum($"seg_len").as("fill"),
+          sum(when($"blocked" === 1, $"seg_len").otherwise(0L)).as("flagged_tok"))
+        .select($"bin_id", $"n_docs", $"n_sources", $"fill", $"flagged_tok",
+          expr("(flagged_tok * 1000000) div fill").as("flagged_ppm"),
+          ($"flagged_tok" > 0).cast("int").as("poisoned"))
+        .orderBy($"bin_id")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     t -> len(t) > 0)) AS BIGINT) AS n_tok
+                 FROM documents),
+      st AS (SELECT source,
+               CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+             FROM d GROUP BY source),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM st),
+      q0 AS (SELECT source, w, tw, (200 * w) // tw AS base,
+               200 * w - ((200 * w) // tw) * tw AS rem
+             FROM st CROSS JOIN tot),
+      q1 AS (SELECT source, base, 200 - SUM(base) OVER () AS leftover,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk
+             FROM q0),
+      quotas AS (SELECT source,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+                 FROM q1),
+      ranked AS (SELECT doc_id, source, n_tok,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY md5('mx:' || CAST(doc_id AS VARCHAR)), doc_id) AS pick
+                 FROM d),
+      sel AS (SELECT doc_id, r.source, n_tok
+              FROM ranked r JOIN quotas USING (source)
+              WHERE pick <= quota),
+      cum AS (SELECT doc_id, source, n_tok,
+                CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM sel WHERE n_tok > 0),
+      e AS (SELECT doc_id, source, cum, cum - n_tok AS st2,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM cum),
+      x AS (SELECT doc_id, source, bin_id,
+              CAST(LEAST(cum, (bin_id + 1) * 128)
+                - GREATEST(st2, bin_id * 128) AS BIGINT) AS seg_len
+            FROM (SELECT doc_id, source, st2, cum,
+                    unnest(range(b0, b1 + 1)) AS bin_id FROM e)),
+      t AS (SELECT doc_id,
+              translate(lower(tok), '${Fixtures.leetFrom}',
+                        '${Fixtures.leetTo}') AS nt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents) WHERE len(tok) > 0),
+      v AS (SELECT doc_id,
+              CAST(COUNT(bl.bterm) * 1000000 >= 20000 * COUNT(*) AS INT)
+                AS blocked
+            FROM t LEFT JOIN ${Fixtures.blocklistSql} ON t.nt = bl.bterm
+            GROUP BY doc_id)
+      SELECT x.bin_id AS bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT x.source) AS BIGINT) AS n_sources,
+             CAST(SUM(x.seg_len) AS BIGINT) AS fill,
+             CAST(SUM(CASE WHEN v.blocked = 1 THEN x.seg_len ELSE 0 END)
+               AS BIGINT) AS flagged_tok,
+             CAST((SUM(CASE WHEN v.blocked = 1 THEN x.seg_len ELSE 0 END)
+               * 1000000) // SUM(x.seg_len) AS BIGINT) AS flagged_ppm,
+             CAST(SUM(CASE WHEN v.blocked = 1 THEN x.seg_len ELSE 0 END) > 0
+               AS INT) AS poisoned
+      FROM x JOIN v USING (doc_id)
+      GROUP BY x.bin_id ORDER BY bin_id"""),
+    doc = "X100: epoch-schedule contamination audit — q223's mixture epoch " +
+      "map ⋈ q203 verdicts at epoch-bin granularity (+ per-bin source " +
+      "spread); the audit runs on what training consumes, three audited " +
+      "stages composed under one end-to-end hash")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223)
+    q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225)
 }
