@@ -812,6 +812,89 @@ object Vectors {
       "all pointwise => maintained == rebuilt-then-restricted; the whole ANN " +
       "ladder now has an O(|delta|) append path")
 
+  /** q227 — the retrain trigger, demonstrated live (X97c): q222/q224
+    * EMIT per-vector coarse distortion and their scaladocs document
+    * "monitor delta mean vs train-time mean, rebuild past ~1.5×" —
+    * this query is that monitor, oracle-checked, with both of its
+    * possible answers in one output: the STATIONARY delta (vec_id ≥
+    * 384, same distribution as the frozen training prefix) reads a
+    * ratio near 1000 milli, and a DRIFTED cohort (the same vectors
+    * shifted +0.5 per coordinate — a deterministic, engine-exact
+    * drift: two correctly-rounded IEEE ops before the usual grid
+    * quantization) reads orders of magnitude above the 1500-milli
+    * threshold. The pipeline wires the q222 append's `cell_dist`
+    * straight into this aggregate; a real deployment alerts on
+    * `ratio_milli > 1500`.
+    *
+    * Scale: three cohort assignments against the broadcast k-row
+    * centroid table + a 3-row aggregate — O(corpus) scans, O(1)
+    * output. All integer-exact (means are truncating BIGINT
+    * divisions; the ratio is a milli-scaled BIGINT division). */
+  val q227 = Q(
+    "q227_retrain_trigger",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.KMeansInt
+      val emb = Tables(s, dir, "embeddings")
+      val frozen = emb.filter($"vec_id" < 384)
+      val delta = emb.filter($"vec_id" >= 384)
+      val (_, cents0) =
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
+      val cents = cents0.barrier()
+      def cohort(df: org.apache.spark.sql.DataFrame, name: String,
+                 vec: org.apache.spark.sql.Column) =
+        KMeansInt.assign(df.select($"vec_id", vec.as("xq")), "vec_id", cents)
+          .select(lit(name).as("cohort"), $"dist")
+      val drifted = transform($"embedding",
+        x => (round((x.cast("double") + 0.5d) * 10000d)).cast("long") + 10000L)
+      val rows = cohort(frozen, "a_frozen", KMeansInt.quantize($"embedding"))
+        .unionByName(cohort(delta, "b_delta", KMeansInt.quantize($"embedding")))
+        .unionByName(cohort(delta, "c_drifted", drifted))
+        .groupBy($"cohort")
+        .agg(count(lit(1)).as("n"), sum($"dist").as("sd"))
+        .select($"cohort", $"n", expr("sd div n").as("mean_dist"))
+        .barrier() // 3-row aggregate consumed twice (base + output)
+      val base = rows.filter($"cohort" === "a_frozen")
+        .select($"mean_dist".as("frozen_mean"))
+      rows.crossJoin(broadcast(base))
+        .select($"cohort", $"n", $"mean_dist",
+          expr("(mean_dist * 1000) div frozen_mean").as("ratio_milli"),
+          (expr("(mean_dist * 1000) div frozen_mean") > 1500L)
+            .cast("int").as("retrain"))
+        .orderBy($"cohort")
+    },
+    Some(s"""
+      WITH ${Curation.kmeansCtes8x2From(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 384")},
+      fq AS (SELECT 'a_frozen' AS cohort, vec_id, xq FROM vq),
+      dq AS (SELECT 'b_delta' AS cohort, vec_id, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+             FROM embeddings WHERE vec_id >= 384),
+      gq AS (SELECT 'c_drifted' AS cohort, vec_id, list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) + 0.5) * 10000) AS BIGINT) + 10000) AS xq
+             FROM embeddings WHERE vec_id >= 384),
+      uq AS (SELECT * FROM fq UNION ALL SELECT * FROM dq UNION ALL SELECT * FROM gq),
+      asn AS (SELECT cohort, vec_id, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY cohort, vec_id
+                                     ORDER BY d, cluster) AS rn
+        FROM (SELECT uq.cohort, uq.vec_id, c.cluster,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+              FROM uq CROSS JOIN c2 c))
+        WHERE rn = 1),
+      agg AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_dist
+              FROM asn GROUP BY cohort),
+      base AS (SELECT mean_dist AS frozen_mean FROM agg WHERE cohort = 'a_frozen')
+      SELECT cohort, n, mean_dist,
+             CAST((mean_dist * 1000) // frozen_mean AS BIGINT) AS ratio_milli,
+             CAST((mean_dist * 1000) // frozen_mean > 1500 AS INT) AS retrain
+      FROM agg CROSS JOIN base ORDER BY cohort"""),
+    doc = "X97c: the maintenance retrain trigger live — frozen / stationary-" +
+      "delta / drifted-delta mean coarse distortions and milli-ratios " +
+      "against the train-time mean; the drifted cohort fires the documented " +
+      "1500-milli alert, the stationary one does not; all BIGINT-exact")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
-    q200, q201, q222, q224)
+    q200, q201, q222, q224, q227)
 }
