@@ -118,6 +118,88 @@ object WordPieceVocab {
     merges.toDF()
   }
 
+  /** [[BpeVocab.wordTable]]'s MARKED twin (q228/q229 — BERT's actual
+    * symbol alphabet): the word's FIRST character keeps its plain md5
+    * symbol, every later character gets the `##`-prefixed symbol
+    * `md5("##" + c)` — so word-initial and continuation units are
+    * DISTINCT symbols from round zero, and training counts them
+    * separately (the reason "ing"-as-suffix and "ing"-as-word are
+    * different units with different statistics in real WordPiece).
+    * Same fixed-width/SEP device, so [[train]] applies verbatim. */
+  def markedWordTable(docs: DataFrame, textCol: String): DataFrame = {
+    val w = col("w")
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(w) > 0)
+      .groupBy(w).agg(count(lit(1)).as("freq"))
+      .withColumn("repr",
+        concat_ws("", transform(sequence(lit(1), length(w)),
+          i => concat(lit(BpeVocab.Sep), substring(md5(
+            when(i === 1, w.substr(lit(1), lit(1)))
+              .otherwise(concat(lit("##"), w.substr(i, lit(1))))), 1, 8)))))
+  }
+
+  /** Marked vocabulary: `(consumable spelling, isContinuation)` pairs —
+    * observed word-initial characters (cont = false), observed
+    * continuation characters (cont = true; the `##` marker lives in
+    * the symbol ID, the spelling stays the raw consumable text), and
+    * each merge's concatenated unit inheriting `cont` from its LEFT
+    * parent (the right parent is always a continuation symbol inside a
+    * word). Encoding the training corpus can never stall: every word's
+    * first char was observed word-initially and every later char in
+    * continuation position, so both single-char classes are complete
+    * for this corpus by construction. Driver-side and
+    * 2·alphabet + rounds bounded (the sanctioned tiny collects). */
+  def markedVocabSpellings(words: DataFrame,
+                           merges: Seq[Merge]): Seq[(String, Boolean)] = {
+    val observed = words.select(explode(expr(
+        "transform(sequence(1, length(w)), i -> struct(" +
+          "CAST(i > 1 AS INT) AS cont, substring(w, i, 1) AS c))")).as("p"))
+      .select(col("p.cont"), col("p.c")).distinct()
+      .collect().map(r => (r.getInt(0) == 1, r.getString(1)))
+    val spell = scala.collection.mutable.Map[String, (String, Boolean)]()
+    observed.foreach { case (cont, c) =>
+      spell(md5hex8(if (cont) "##" + c else c)) = (c, cont)
+    }
+    merges.foreach { m =>
+      val (sa, ca) = spell(m.a); val (sb, _) = spell(m.b)
+      spell(m.merged) = (sa + sb, ca)
+    }
+    spell.values.toSeq.distinct
+  }
+
+  /** [[wordPieceCounts]]'s marked twin: MaxMatch where position 1 may
+    * only consume word-initial units and positions > 1 only
+    * continuation units — BERT's actual inference rule. */
+  def markedWordPieceCounts(words: DataFrame,
+                            vocab: Seq[(String, Boolean)]): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val dw = words.select(col("w")).distinct()
+      .withColumn("len", length(col("w")))
+    val vdf = vocab.map { case (v, cont) => (v, v.length, if (cont) 1 else 0) }
+      .toDF("spell", "sl", "cont")
+    val lm = dw
+      .select(col("w"), explode(sequence(lit(1), col("len"))).as("pos"))
+      .crossJoin(broadcast(vdf))
+      .filter(expr(
+        "substring(w, pos, sl) = spell AND (pos = 1) = (cont = 0)"))
+      .groupBy(col("w"), col("pos"))
+      .agg(max(col("sl")).as("L"))
+    val maxLen = dw.agg(coalesce(max(col("len")), lit(0))).head().getInt(0)
+    var state = dw.select(col("w"), col("len"), lit(1).as("pos"),
+      lit(0L).as("n_wp"))
+    (1 to maxLen).foreach { _ =>
+      state = state.join(lm, Seq("w", "pos"), "left_outer")
+        .select(col("w"), col("len"),
+          when(col("L").isNull, col("pos"))
+            .otherwise(col("pos") + col("L")).as("pos"),
+          when(col("L").isNull, col("n_wp"))
+            .otherwise(col("n_wp") + 1L).as("n_wp"))
+        .barrier()
+    }
+    state.select(col("w"), col("n_wp"))
+  }
+
   /** Vocabulary SPELLINGS for greedy matching: every distinct corpus
     * character plus each merge's spelled-out unit (resolved by folding
     * the merge list over the char table — both driver-side and

@@ -184,7 +184,7 @@ object Bpe {
     * table w$r, and the spelling table sp$r (each merged id resolves
     * to the concatenation of its parents' spellings — what greedy
     * longest-match consumes). */
-  private def wpRoundCtes(r: Int): String = s"""
+  private def wpRoundCtes(r: Int, marked: Boolean = false): String = s"""
       ws$r AS MATERIALIZED (SELECT freq, list_filter(string_split(repr, $sepSql),
                         x -> x <> '') AS sy
                FROM w${r - 1}),
@@ -208,9 +208,10 @@ object Bpe {
       w$r AS MATERIALIZED (SELECT w, freq,
                 replace(repr, $sepSql || a || $sepSql || b, $sepSql || m) AS repr
               FROM w${r - 1} CROSS JOIN wt$r),
-      sp$r AS MATERIALIZED (SELECT id, spell FROM sp${r - 1}
+      sp$r AS MATERIALIZED (SELECT id, spell${if (marked) ", cont" else ""} FROM sp${r - 1}
                UNION ALL
-               SELECT wt$r.m AS id, spa.spell || spb.spell AS spell
+               SELECT wt$r.m AS id, spa.spell || spb.spell AS spell${
+                 if (marked) ", spa.cont AS cont" else ""}
                FROM wt$r JOIN sp${r - 1} spa ON spa.id = wt$r.a
                          JOIN sp${r - 1} spb ON spb.id = wt$r.b)"""
 
@@ -222,7 +223,7 @@ object Bpe {
                 i -> substr(w, CAST(i AS INT), 1))) AS c
               FROM wf),
       sp0 AS MATERIALIZED (SELECT substr(md5(c), 1, 8) AS id, c AS spell FROM wch)""" +
-      (1 to WpRounds).map(wpRoundCtes).mkString(",", ",", "")
+      (1 to WpRounds).map(r => wpRoundCtes(r)).mkString(",", ",", "")
 
   /** Greedy longest-match encode chain on top of [[wpTrainCtes]]: the
     * deduped vocabulary spellings, the per-(word, position) longest
@@ -236,6 +237,53 @@ object Bpe {
                FROM wdw),
       wlm AS MATERIALIZED (SELECT p.w, p.pos, MAX(v.sl) AS L
               FROM wpos p JOIN wv v ON substr(p.w, p.pos, v.sl) = v.spell
+              GROUP BY p.w, p.pos),
+      walk(w, pos, n) AS (
+        SELECT w, 1, 0 FROM wdw
+        UNION ALL
+        SELECT walk.w, walk.pos + wlm.L, walk.n + 1
+        FROM walk JOIN wlm ON wlm.w = walk.w AND wlm.pos = walk.pos),
+      wwp AS MATERIALIZED (SELECT w, CAST(MAX(n) AS BIGINT) AS n_wp FROM walk GROUP BY w)"""
+
+  /** MARKED WordPiece training chain (q228/q229 — BERT's actual
+    * alphabet): w0 gives the word's first character its plain md5
+    * symbol and every later character the `##`-prefixed symbol, so
+    * word-initial and continuation units are distinct symbols with
+    * separate statistics from round zero; sp0 carries the `cont` flag
+    * and spells stay CONSUMABLE text (the marker lives in the id). */
+  private val mwpTrainCtes: String = s"""wf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      w0 AS (SELECT w, freq,
+               array_to_string(list_transform(range(1, len(w) + 1),
+                 i -> $sepSql || substr(md5(CASE WHEN i = 1
+                        THEN substr(w, CAST(i AS INT), 1)
+                        ELSE '##' || substr(w, CAST(i AS INT), 1) END), 1, 8)),
+                 '') AS repr
+             FROM wf),
+      wch AS MATERIALIZED (SELECT DISTINCT CAST(i > 1 AS INT) AS cont,
+                substr(w, CAST(i AS INT), 1) AS c
+              FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wf)),
+      sp0 AS MATERIALIZED (SELECT substr(md5(CASE WHEN cont = 1
+                 THEN '##' || c ELSE c END), 1, 8) AS id,
+               c AS spell, cont FROM wch)""" +
+      (1 to WpRounds).map(r => wpRoundCtes(r, marked = true))
+        .mkString(",", ",", "")
+
+  /** MARKED encode chain: position 1 may only consume word-initial
+    * units, positions > 1 only continuation units (MaxMatch under
+    * BERT's rule). Completeness on the training corpus is structural:
+    * both single-char classes were observed at their positions. */
+  private val mwpEncodeCtes: String = s"""
+      wv AS MATERIALIZED (SELECT DISTINCT spell, CAST(len(spell) AS INT) AS sl, cont
+             FROM sp$WpRounds),
+      wdw AS MATERIALIZED (SELECT DISTINCT w, len(w) AS wl FROM wf),
+      wpos AS MATERIALIZED (SELECT w, CAST(unnest(range(1, wl + 1)) AS INT) AS pos
+               FROM wdw),
+      wlm AS MATERIALIZED (SELECT p.w, p.pos, MAX(v.sl) AS L
+              FROM wpos p JOIN wv v ON substr(p.w, p.pos, v.sl) = v.spell
+                                   AND (p.pos = 1) = (v.cont = 0)
               GROUP BY p.w, p.pos),
       walk(w, pos, n) AS (
         SELECT w, 1, 0 FROM wdw
@@ -368,5 +416,74 @@ object Bpe {
       "algebra proven on the second tokenizer family; greedy-match counts " +
       "feed q209's math, end-to-end hash-checked composition")
 
-  val all: Seq[Q] = Seq(q194, q195, q214, q219, q220, q221)
+  /** q228 — MARKED WordPiece training (N46c): q219 under BERT's
+    * actual symbol alphabet — the word-initial/continuation `##`
+    * distinction lives in the symbols themselves
+    * ([[graft.operators.WordPieceVocab.markedWordTable]]), so
+    * "unit-as-prefix" and "unit-as-suffix" carry SEPARATE statistics
+    * and the likelihood argmax learns a genuinely different merge
+    * table (PqBpeSpec pins the divergence — the marker is
+    * load-bearing, not cosmetic). Training algebra, scale shape, and
+    * determinism device are [[WordPieceVocab.train]] verbatim: the
+    * marker changes WHICH symbols exist, not how they merge. */
+  val q228 = Q(
+    "q228_wordpiece_marked_train",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.WordPieceVocab
+      val words = WordPieceVocab
+        .markedWordTable(Tables(s, dir, "documents"), "text")
+      val (merges, _) = WordPieceVocab.train(words, WpRounds)
+      WordPieceVocab.mergesDf(s, merges).orderBy($"round")
+    },
+    Some(s"""
+      WITH $mwpTrainCtes
+      ${(1 to WpRounds).map(r =>
+        s"SELECT $r AS round, a, b, m AS merged, cnt, ca, cb FROM wt$r")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY round"""),
+    doc = "N46c: marked WordPiece training — ## continuation symbols from " +
+      "round zero (BERT's alphabet), initial/continuation units carry " +
+      "separate statistics; same likelihood argmax, same scale shape")
+
+  /** q229 — MARKED WordPiece encode (N46d): MaxMatch under BERT's
+    * positional rule — position 1 consumes only word-initial units,
+    * later positions only continuation units. Completeness on the
+    * training corpus is structural (both single-char classes observed
+    * at their positions), so the walk cannot stall without any
+    * artificial alphabet closure. Counts genuinely differ from
+    * q220's unmarked run on the same corpus — the per-position vocab
+    * split changes both the learned units and what may match where. */
+  val q229 = Q(
+    "q229_wordpiece_marked_encode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.WordPieceVocab
+      val docs = Tables(s, dir, "documents")
+      val words = WordPieceVocab.markedWordTable(docs, "text")
+      val (merges, _) = WordPieceVocab.train(words, WpRounds)
+      val vocab = WordPieceVocab.markedVocabSpellings(words, merges)
+      val wp = WordPieceVocab.markedWordPieceCounts(words, vocab)
+      docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .join(wp, "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"n_wp").as("n_wp"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $mwpTrainCtes,
+      $mwpEncodeCtes,
+      wtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(wwp.n_wp) AS BIGINT) AS n_wp
+      FROM wtoks t JOIN wwp ON t.w = wwp.w
+      WHERE len(t.w) > 0
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+    doc = "N46d: marked WordPiece MaxMatch — initial units at position 1, " +
+      "## continuation units after; positionally-split longest-match table, " +
+      "character-bounded walk, recursive-CTE oracle twin")
+
+  val all: Seq[Q] = Seq(q194, q195, q214, q219, q220, q221, q228, q229)
 }

@@ -310,4 +310,41 @@ class PqBpeSpec extends SparkSpecBase {
     val b = BpeVocab.train(BpeVocab.wordTable(base.repartition(7), "text"), 4)._1
     assert(a === b)
   }
+
+  test("marked WordPiece: the ## marker is LOAD-BEARING — marked and " +
+    "unmarked training learn different merge tables on the same corpus, " +
+    "and the marked encode obeys the positional rule exactly") {
+    val spk = spark
+    import spk.implicits._
+    val docs = graft.core.Tables(spk, sf, "documents")
+      .select($"doc_id", $"text")
+    val un = WordPieceVocab.train(
+      BpeVocab.wordTable(docs, "text"), 4)._1
+    val mkWords = WordPieceVocab.markedWordTable(docs, "text")
+    val mk = WordPieceVocab.train(mkWords, 4)._1
+    assert(un.map(m => (m.a, m.b)) !== mk.map(m => (m.a, m.b)),
+      "position marking changed nothing — the alphabet split is cosmetic")
+    // positional rule: replaying MaxMatch in plain Scala against the
+    // class-split vocabulary must reproduce the operator's counts
+    val vocab = WordPieceVocab.markedVocabSpellings(mkWords, mk)
+    val initial = vocab.filter(!_._2).map(_._1).toSet
+    val contin = vocab.filter(_._2).map(_._1).toSet
+    def walk(w: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        val cls = if (pos == 0) initial else contin
+        val L = (w.length - pos).to(1, -1)
+          .find(l => cls(w.substring(pos, pos + l))).getOrElse(
+            sys.error(s"stalled at $w:$pos"))
+        pos += L; n += 1
+      }
+      n
+    }
+    val got = WordPieceVocab.markedWordPieceCounts(mkWords, vocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (w, n) =>
+      assert(n === walk(w), s"word '$w': operator $n != replay ${walk(w)}")
+    }
+    assert(got.nonEmpty)
+  }
 }
