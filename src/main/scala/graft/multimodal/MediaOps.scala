@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * implementation-defined — not bit-deterministic across decoders — so
   * it is TOLERANCE-gated (RealCodecsSpec encodes with the JDK writer,
   * decodes with the reader, bounds mean component error) and never
-  * hash-oracled. Only lossy VIDEO (H.264) remains stubbed: its decode
+  * hash-oracled. VIDEO splits the same way (r12): the CONTAINER +
+  * raw-frame layer is REAL — `RealCodecs.AviCodec` hand-muxes and
+  * strictly demuxes RIFF-AVI with uncompressed BI_RGB frames, and
+  * q230 hash-oracles demux + frame-sampling end to end — while only
+  * the lossy CODEC layer (H.264) remains stubbed: its decode
   * genuinely needs a codec implementation that is out of scope here,
   * and being lossy it would be tolerance-gated anyway. Everything around
   * the codec — the media schema, the typed Dataset API, the

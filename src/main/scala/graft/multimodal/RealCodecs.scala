@@ -811,6 +811,220 @@ object RealCodecs {
     * p mod 16 only (3·16 ≡ 0 mod 16) — exactly 16 distinct triples, so
     * a 16-entry palette with index p mod 16 reproduces the SAME image
     * the q189 DuckDB twin recomputes, unchanged, from seed bytes. */
+  /** Hand-rolled RIFF-AVI (r12 — the VIDEO layer, honestly scoped):
+    * an AVI container carrying UNCOMPRESSED 24-bit BI_RGB 'DIB '
+    * frames — the one video form that is lossless and fully
+    * specified, hence hash-oracle-able end to end like WAV/PNG/FLAC.
+    * This is deliberately the CONTAINER + raw-frame layer: it is what
+    * a frame-sampling pipeline actually touches (chunk walk → frame
+    * extraction → per-frame features), while the lossy CODEC layer
+    * (H.264 et al.) stays out of scope and tolerance-land, exactly as
+    * MediaOps.scala documents. The muxer writes a spec RIFF tree —
+    * `hdrl` LIST with a 56-byte MainAVIHeader and a `strl` LIST
+    * (56-byte AVISTREAMHEADER 'vids'/'DIB ' + 40-byte
+    * BITMAPINFOHEADER), then a `movi` LIST of `00db` chunks holding
+    * bottom-up BGR 4-byte-padded rows (BmpCodec's pixel layout,
+    * headerless). The parser walks it all back strictly — magics,
+    * LIST kinds, header sizes and field consistency (dimensions,
+    * stream count, BI_RGB/24bpp, frame counts agreeing between avih,
+    * strh and the actual `00db` chunks) — and returns None on any
+    * violation, never throwing. */
+  object AviCodec {
+    /** Parsed clip: per-frame component planes in the logical
+      * (top-down, RGB) order — [[Img]]'s convention per frame. */
+    final case class Avi(width: Int, height: Int, usPerFrame: Int,
+                         frames: Vector[Array[Int]])
+
+    /** Frame f's plane derives from the seed with the frame index
+      * mixed in (`seed[(i + f) mod len]` — q217's device extended
+      * along time), so every frame differs deterministically and an
+      * oracle can replay any frame's bytes without parsing. */
+    def synthesize(seed: Array[Byte], w: Int = 9, h: Int = 7,
+                   nFrames: Int = 4, usPerFrame: Int = 100000): Array[Byte] = {
+      require(seed.nonEmpty, "seed must be non-empty")
+      synthesizeFrames(Vector.tabulate(nFrames)(f =>
+        Array.tabulate(w * h * 3)(i => seed((i + f) % seed.length) & 0xff)),
+        w, h, usPerFrame)
+    }
+
+    def synthesizeFrames(frames: Vector[Array[Int]], w: Int, h: Int,
+                         usPerFrame: Int): Array[Byte] = {
+      require(frames.nonEmpty && w > 0 && h > 0 && usPerFrame > 0,
+        "AviCodec: need >= 1 frame and positive dimensions/rate")
+      require(frames.forall(_.length == w * h * 3),
+        s"AviCodec: every frame needs ${w * h * 3} components")
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val frameLen = rowSize * h // multiple of 4 — chunks never need pads
+      val avih = 56; val strh = 56; val strf = 40
+      val strlLen = 4 + (8 + strh) + (8 + strf)
+      val hdrlLen = 4 + (8 + avih) + (8 + strlLen)
+      val moviLen = 4 + frames.size * (8 + frameLen)
+      val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+      val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      tag("RIFF"); buf.putInt(riffLen); tag("AVI ")
+      tag("LIST"); buf.putInt(hdrlLen); tag("hdrl")
+      tag("avih"); buf.putInt(avih)
+      buf.putInt(usPerFrame)
+        .putInt((frameLen.toLong * 1000000L / usPerFrame).toInt) // max bytes/sec
+        .putInt(0).putInt(0)                    // padding granularity, flags
+        .putInt(frames.size).putInt(0)          // total frames, initial frames
+        .putInt(1).putInt(frameLen)             // streams, suggested buffer
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // reserved[4]
+      tag("LIST"); buf.putInt(strlLen); tag("strl")
+      tag("strh"); buf.putInt(strh)
+      tag("vids"); tag("DIB ")
+      buf.putInt(0)                              // flags
+        .putShort(0).putShort(0)                 // priority, language
+        .putInt(0)                               // initial frames
+        .putInt(usPerFrame).putInt(1000000)      // scale/rate = fps
+        .putInt(0).putInt(frames.size)           // start, length (frames)
+        .putInt(frameLen).putInt(0).putInt(0)    // sugg. buffer, quality, sample size
+        .putShort(0).putShort(0)                 // rcFrame left, top
+        .putShort(w.toShort).putShort(h.toShort) // rcFrame right, bottom
+      tag("strf"); buf.putInt(strf)
+      buf.putInt(40).putInt(w).putInt(h)         // BITMAPINFOHEADER, bottom-up
+        .putShort(1).putShort(24)                // planes, bpp
+        .putInt(0).putInt(frameLen)              // BI_RGB, image size
+        .putInt(2835).putInt(2835)               // 72 dpi
+        .putInt(0).putInt(0)                     // palette unused
+      tag("LIST"); buf.putInt(moviLen); tag("movi")
+      frames.foreach { comps =>
+        tag("00db"); buf.putInt(frameLen)
+        var sy = h - 1
+        while (sy >= 0) {                        // bottom-up BGR, padded rows
+          var x = 0
+          while (x < w) {
+            val base = (sy * w + x) * 3
+            buf.put(comps(base + 2).toByte)
+              .put(comps(base + 1).toByte)
+              .put(comps(base).toByte)
+            x += 1
+          }
+          var pad = rowSize - w * 3
+          while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+          sy -= 1
+        }
+      }
+      buf.array()
+    }
+
+    def parse(bytes: Array[Byte]): Option[Avi] = {
+      if (bytes.length < 12) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      buf.getInt // trust the chunk walk (WavCodec's posture)
+      if (tag4() != "AVI ") return None
+      var dims: Option[(Int, Int, Int, Int)] = None // (w, h, usPerFrame, totalFrames)
+      var strhLen = -1
+      var strfOk = false
+      val frames = Vector.newBuilder[Array[Int]]
+      var nFrames = 0
+      def parseHdrl(limit: Int): Boolean = {
+        while (buf.position() < limit && limit - buf.position() >= 8) {
+          val id = tag4(); val sz = buf.getInt
+          if (sz < 0 || sz > limit - buf.position()) return false
+          val next = buf.position() + sz + (sz & 1)
+          id match {
+            case "avih" =>
+              if (sz < 56) return false
+              val us = buf.getInt; buf.getInt; buf.getInt; buf.getInt
+              val tot = buf.getInt; buf.getInt
+              val streams = buf.getInt; buf.getInt
+              val w = buf.getInt; val h = buf.getInt
+              if (streams != 1 || w <= 0 || h <= 0 || us <= 0 || tot <= 0)
+                return false
+              dims = Some((w, h, us, tot))
+            case "LIST" =>
+              if (sz < 4) return false
+              val kind = tag4()
+              if (kind == "strl") {
+                if (!parseHdrl(buf.position() + sz - 4)) return false
+              } // other hdrl sub-lists (odml) skipped by position reset below
+            case "strh" =>
+              if (sz < 56) return false
+              val fcc = tag4(); val handler = tag4()
+              if (fcc != "vids" || handler != "DIB ") return false
+              buf.getInt; buf.getShort; buf.getShort; buf.getInt
+              buf.getInt; buf.getInt; buf.getInt // scale, rate, start
+              strhLen = buf.getInt
+              if (strhLen <= 0) return false
+            case "strf" =>
+              if (sz < 40) return false
+              val biSize = buf.getInt
+              val w = buf.getInt; val h = buf.getInt
+              val planes = buf.getShort & 0xffff
+              val bpp = buf.getShort & 0xffff
+              val compression = buf.getInt
+              if (biSize < 40 || planes != 1 || bpp != 24 || compression != 0)
+                return false
+              if (!dims.exists(d => d._1 == w && d._2 == h)) return false
+              strfOk = true
+            case _ => ()
+          }
+          if (next > limit) return false
+          buf.position(next)
+        }
+        true
+      }
+      while (buf.remaining() >= 8) {
+        val id = tag4(); val sz = buf.getInt
+        if (sz < 0 || sz > buf.remaining()) return None
+        val next = math.min(buf.position() + sz + (sz & 1), buf.limit())
+        if (id == "LIST") {
+          if (sz < 4) return None
+          val kind = tag4()
+          val limit = buf.position() + sz - 4
+          if (kind == "hdrl") {
+            if (!parseHdrl(limit)) return None
+          } else if (kind == "movi") {
+            val (w, h, _, _) = dims.getOrElse(return None)
+            if (!strfOk) return None
+            val rowSize = ((w * 3 + 3) / 4) * 4
+            val frameLen = rowSize * h
+            while (buf.position() < limit && limit - buf.position() >= 8) {
+              val cid = tag4(); val csz = buf.getInt
+              if (csz < 0 || csz > limit - buf.position()) return None
+              val cnext = buf.position() + csz + (csz & 1)
+              if (cid == "00db") {
+                if (csz != frameLen) return None
+                val comps = new Array[Int](w * h * 3)
+                var sy = h - 1
+                while (sy >= 0) {
+                  var x = 0
+                  while (x < w) {
+                    val base = (sy * w + x) * 3
+                    val b = buf.get() & 0xff
+                    val g = buf.get() & 0xff
+                    val r = buf.get() & 0xff
+                    comps(base) = r; comps(base + 1) = g; comps(base + 2) = b
+                    x += 1
+                  }
+                  var pad = rowSize - w * 3
+                  while (pad > 0) { buf.get(); pad -= 1 }
+                  sy -= 1
+                }
+                frames += comps
+                nFrames += 1
+              }
+              if (cnext > limit) return None
+              buf.position(cnext)
+            }
+          }
+        }
+        buf.position(next)
+      }
+      for {
+        (w, h, us, tot) <- dims
+        if strfOk && strhLen == tot && nFrames == tot
+      } yield Avi(w, h, us, frames.result())
+    }
+  }
+
   object GifCodec {
     def synthesize(seed: Array[Byte], w: Int = 9, h: Int = 7): Array[Byte] = {
       require(seed.nonEmpty, "seed must be non-empty")

@@ -423,5 +423,84 @@ object Multimodal {
       "oracle recomputes both hashes from seed arithmetic and closes " +
       "clusters recursively")
 
-  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218)
+  /** q230 — REAL video container demux + frame sampling (r12 — the
+    * north-star "frame-sample" op on actual bytes):
+    * [[graft.multimodal.RealCodecs.AviCodec]] hand-MUXES a genuine
+    * RIFF-AVI (spec hdrl/strl headers, `movi` LIST of uncompressed
+    * 24-bit BI_RGB `00db` frames in bottom-up padded-BGR rows) and
+    * hand-DEMUXES it back with full header/consistency validation —
+    * the container layer is lossless, so the pipeline is
+    * hash-oracle-able like WAV/PNG/FLAC, while the lossy CODEC layer
+    * (H.264) stays the documented out-of-scope stub. Per doc: a
+    * 4–7-frame clip (frame f's plane = seed bytes rotated by f — the
+    * q217 device extended along time), every-2nd-frame SAMPLING (the
+    * dataloader's stride decode), per-sampled-frame ITU-601 luma
+    * energy and consecutive-sample motion (L1 inter-frame delta — the
+    * scene-cut / static-clip signal a video curation pipeline gates
+    * on). The oracle replays every sampled frame's plane from seed
+    * arithmetic without parsing a byte.
+    *
+    * Scale posture: q188/q218's — mux+demux+reduce in ONE
+    * mapPartitions pass, payload bytes never leave the partition;
+    * output is 5 longs a row. */
+  val q230 = Q(
+    "q230_video_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.RealCodecs.AviCodec
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val nF = 4 + (id % 4).toInt
+            val avi = AviCodec.parse(AviCodec.synthesize(seed, 9, 7, nF))
+              .getOrElse(sys.error(s"q230: undecodable avi for doc $id"))
+            val sampled = avi.frames.indices.filter(_ % 2 == 0)
+            val energy = sampled.map { f =>
+              val c = avi.frames(f)
+              (0 until 63).map(p =>
+                299L * c(3 * p) + 587L * c(3 * p + 1) + 114L * c(3 * p + 2)).sum
+            }.sum
+            val motion = sampled.sliding(2).collect { case Seq(a, b) =>
+              val ca = avi.frames(a); val cb = avi.frames(b)
+              ca.indices.map(i => math.abs(cb(i) - ca(i)).toLong).sum
+            }.sum
+            (id, avi.frames.size.toLong, sampled.size.toLong, energy, motion)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_sampled", "energy", "motion")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH b AS (SELECT doc_id,
+               list_transform(range(0, 16), j ->
+                 CAST(('0x' || substr(md5(text), CAST(j * 2 + 1 AS INT), 2))
+                   AS INT)) AS sb,
+               4 + doc_id % 4 AS nf
+             FROM documents)
+      SELECT doc_id,
+        CAST(nf AS BIGINT) AS n_frames,
+        CAST(len(list_filter(range(0, nf), f -> f % 2 = 0)) AS BIGINT)
+          AS n_sampled,
+        CAST(list_sum(list_transform(list_filter(range(0, nf), f -> f % 2 = 0),
+          f -> list_sum(list_transform(range(0, 63), p ->
+            299 * sb[CAST((3 * p + f) % 16 AS INT) + 1]
+          + 587 * sb[CAST((3 * p + 1 + f) % 16 AS INT) + 1]
+          + 114 * sb[CAST((3 * p + 2 + f) % 16 AS INT) + 1])))) AS BIGINT)
+          AS energy,
+        CAST(COALESCE(list_sum(list_transform(
+          list_filter(range(0, nf), f -> f % 2 = 0 AND f + 2 < nf),
+          f -> list_sum(list_transform(range(0, 189), i ->
+            abs(sb[CAST((i + f + 2) % 16 AS INT) + 1]
+              - sb[CAST((i + f) % 16 AS INT) + 1]))))), 0) AS BIGINT)
+          AS motion
+      FROM b ORDER BY doc_id"""),
+    doc = "multimodal REAL AVI demux + frame sampling: hand-muxed RIFF-AVI " +
+      "(uncompressed BI_RGB frames) strictly demuxed back; every-2nd-frame " +
+      "stride, per-sample luma energy + inter-sample L1 motion; oracle " +
+      "replays frame planes from seed arithmetic")
+
+  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230)
 }

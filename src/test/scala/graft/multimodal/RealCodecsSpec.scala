@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.RealCodecs.{BmpCodec, FlacCodec, GifCodec, ImageIoCodec, PngCodec, PpmCodec, WavCodec}
+import graft.multimodal.RealCodecs.{AviCodec, BmpCodec, FlacCodec, GifCodec, ImageIoCodec, PngCodec, PpmCodec, WavCodec}
 
 /** The real-codec contract: synthesized files are on-spec (every header
   * field round-trips through the parser), sample/pixel values follow the
@@ -282,5 +282,52 @@ class RealCodecsSpec extends AnyFunSuite {
     val noisy = FlacCodec.synthesize(seed, nSamples = n)
     assert(noisy.length > n * 3 / 2, // ~16 bits/sample + framing: no free lunch
       s"noisy flac ${noisy.length} suspiciously small vs pcm ${n * 2}")
+  }
+
+  test("avi mux -> demux roundtrips every frame bit-exactly, and frame " +
+    "planes match the seed-rotation formula comps_f[i] = seed[(i+f)%16]") {
+    val bytes = AviCodec.synthesize(seed, w = 9, h = 7, nFrames = 5)
+    val avi = AviCodec.parse(bytes).get
+    assert(avi.width === 9 && avi.height === 7 && avi.usPerFrame === 100000)
+    assert(avi.frames.size === 5)
+    avi.frames.zipWithIndex.foreach { case (c, f) =>
+      val expect = Array.tabulate(9 * 7 * 3)(i => seed((i + f) % 16) & 0xff)
+      assert(c.sameElements(expect), s"frame $f diverged")
+    }
+  }
+
+  test("avi frame extraction agrees with the independent BMP path: the " +
+    "same component plane through AviCodec frame 0 and through " +
+    "BmpCodec -> ImageIO decodes to identical pixels (two codecs, one " +
+    "truth — the wav_match device for video)") {
+    val comps = Array.tabulate(9 * 7 * 3)(i => seed(i % 16) & 0xff)
+    val aviFrame = AviCodec.parse(AviCodec.synthesize(seed, 9, 7, 1))
+      .get.frames.head
+    val bmp = ImageIoCodec.decode(BmpCodec.synthesizeComps(comps, 9, 7)).get
+    assert(aviFrame.sameElements(comps))
+    assert(bmp.comps.sameElements(comps))
+  }
+
+  test("avi parser is strict: bad magics, non-DIB streams, wrong bpp, " +
+    "frame-count mismatches and truncation all return None, never throw") {
+    val good = AviCodec.synthesize(seed, 9, 7, 4)
+    assert(AviCodec.parse(good).isDefined)
+    // corrupt the RIFF magic / the AVI form type
+    val m1 = good.clone(); m1(0) = 'X'.toByte
+    assert(AviCodec.parse(m1).isEmpty)
+    val m2 = good.clone(); m2(8) = 'X'.toByte
+    assert(AviCodec.parse(m2).isEmpty)
+    // flip the strh handler fourcc away from 'DIB ' (offset: find it)
+    val idx = good.indexOfSlice("DIB ".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val m3 = good.clone(); m3(idx) = 'X'.toByte
+    assert(AviCodec.parse(m3).isEmpty)
+    // drop the last frame's chunk: avih/strh counts now disagree
+    val frameLen = ((9 * 3 + 3) / 4) * 4 * 7
+    val m4 = good.take(good.length - (8 + frameLen))
+    assert(AviCodec.parse(m4).isEmpty)
+    // hard truncation mid-frame
+    assert(AviCodec.parse(good.take(good.length - 11)).isEmpty)
+    assert(AviCodec.parse(Array.emptyByteArray).isEmpty)
   }
 }
