@@ -502,5 +502,157 @@ object Multimodal {
       "stride, per-sample luma energy + inter-sample L1 motion; oracle " +
       "replays frame planes from seed arithmetic")
 
-  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230)
+  /** q231 — video near-dup dedup (MM3, r12): the dedup tier's FOURTH
+    * modality (text/embeddings/images had collapse operators; video
+    * clips only ever decoded, q230). Clip-level near-dup is TEMPORAL
+    * agreement: two clips are near-copies iff they have the same
+    * sampled-frame count AND every pair of corresponding sampled
+    * frames lands within hamming 2 on its dHash — one re-encoded or
+    * single-pixel-damaged copy still collapses, while one clip merely
+    * SHARING a frame with another (an intro card, a freeze-frame)
+    * does not, which is exactly why a keyframe-only signature is the
+    * wrong operator. Corpus: per doc a 3–5-frame clip through the
+    * REAL q230 mux→demux path plus a variant with ONE pixel perturbed
+    * PER FRAME (hot pixel walks with the frame index) — every frame
+    * within the dHash locality bound by construction. Pipeline:
+    * per-frame-index [[graft.operators.HammingJoin]] (the q217
+    * machinery, once per sampled index), pair agreement = banded-pair
+    * count equal to BOTH clips' sampled count, then the
+    * representative-less clip graph closes with `labelStar`.
+    *
+    * Oracle: frame planes replayed from seed arithmetic (never
+    * parsing a byte), contiguous-thirds banding per frame index
+    * (different blocking than Spark's interleaved bands — agreement
+    * checks the math), exact popcount verify, per-pair frame-count
+    * agreement, recursive min-label closure.
+    *
+    * Scale: |sampled| banded joins over clip-count-sized hash tables
+    * (frames never co-shuffle — each index joins independently), an
+    * agreement aggregate over banded pairs only, labelStar over the
+    * clip pair graph. Payload bytes stay in the decode partition
+    * (q230's posture). */
+  val q231 = Q(
+    "q231_video_near_dup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.core.Barriers._
+      import graft.multimodal.{Phash, RealCodecs}
+      import graft.multimodal.RealCodecs.AviCodec
+      val hs = Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.flatMap { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val nF = 3 + (id % 3).toInt
+            Seq(0, 1).flatMap { v =>
+              val frames = Vector.tabulate(nF) { f =>
+                val hot = ((id + f) % 63).toInt
+                Array.tabulate(189) { i =>
+                  if (v == 1 && i / 3 == hot) seed((i + 7) % 16) & 0xff
+                  else seed((i + f) % 16) & 0xff
+                }
+              }
+              val avi = AviCodec
+                .parse(AviCodec.synthesizeFrames(frames, 9, 7, 100000))
+                .getOrElse(sys.error(s"q231: undecodable avi for doc $id/$v"))
+              val sampled = avi.frames.indices.filter(_ % 2 == 0)
+              sampled.map { f =>
+                (id * 2 + v, f,
+                  Phash.dHash(RealCodecs.Img(9, 7, avi.frames(f))),
+                  sampled.size.toLong)
+              }
+            }
+          }
+        }
+        .toDF("clip_id", "f", "dhash", "n_s")
+        .barrier() // decode pass consumed by 3 per-frame joins + output
+      val perF = Seq(0, 2, 4).map { fv =>
+        graft.operators.HammingJoin
+          .join(hs.filter($"f" === fv), "clip_id", "dhash", k = 2, bits = 56)
+          .select($"a_id", $"b_id")
+      }.reduce(_ unionByName _)
+      val ns = hs.select($"clip_id", $"n_s").distinct()
+      val pairs = perF.groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("nf_agree"))
+        .join(ns.select($"clip_id".as("a_id"), $"n_s".as("na")), "a_id")
+        .join(ns.select($"clip_id".as("b_id"), $"n_s".as("nb")), "b_id")
+        .filter($"na" === $"nb" && $"nf_agree" === $"na")
+        .select($"a_id", $"b_id")
+      val labeled = graft.operators.ConnectedComponents
+        .labelStar(ns.select($"clip_id"), "clip_id", pairs, "a_id", "b_id")
+      ns.join(labeled, "clip_id")
+        .select($"clip_id", $"n_s".as("n_sampled"),
+          $"component".as("cluster"),
+          ($"clip_id" === $"component").cast("int").as("kept"))
+        .orderBy($"clip_id")
+    },
+    Some {
+      val comp =
+        s"""CASE WHEN v = 1 AND i // 3 = (doc_id + f) % 63
+              THEN CAST(('0x' || substr(md5(text), CAST(((i + 7) % 16) * 2 + 1 AS INT), 2)) AS INT)
+              ELSE CAST(('0x' || substr(md5(text), CAST(((i + f) % 16) * 2 + 1 AS INT), 2)) AS INT)
+            END"""
+      s"""
+      WITH RECURSIVE clips AS (
+        SELECT doc_id, v, doc_id * 2 + v AS clip_id, 3 + doc_id % 3 AS nf, text
+        FROM documents, (SELECT unnest([0, 1]) AS v)),
+      fr AS (
+        SELECT clip_id, doc_id, v, text,
+               unnest(list_filter(range(0, nf), f -> f % 2 = 0)) AS f
+        FROM clips),
+      cm AS (
+        SELECT clip_id, f,
+               list_transform(range(0, 189), i -> $comp) AS comps
+        FROM fr),
+      lum AS (
+        SELECT clip_id, f, list_transform(range(0, 63), p ->
+          CAST(299 * comps[3*p + 1] + 587 * comps[3*p + 2]
+               + 114 * comps[3*p + 3] AS BIGINT)) AS l
+        FROM cm),
+      h AS (
+        SELECT clip_id, f,
+          list_reduce(list_transform(range(0, 56), b ->
+            CASE WHEN l[(b // 8) * 9 + (b % 8) + 1] < l[(b // 8) * 9 + (b % 8) + 2]
+                 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                 ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS dhash
+        FROM lum),
+      ns AS (SELECT clip_id, CAST(COUNT(*) AS BIGINT) AS n_s
+             FROM h GROUP BY clip_id),
+      bands AS (
+        SELECT clip_id, f, dhash, b.band,
+          CASE b.band WHEN 0 THEN dhash & ((CAST(1 AS BIGINT) << 19) - 1)
+                      WHEN 1 THEN (dhash >> 19) & ((CAST(1 AS BIGINT) << 19) - 1)
+                      ELSE dhash >> 38 END AS bval
+        FROM h, (SELECT unnest([0, 1, 2]) AS band) b),
+      p AS (
+        SELECT DISTINCT a.clip_id AS a_id, b.clip_id AS b_id, a.f
+        FROM bands a JOIN bands b
+          ON a.f = b.f AND a.band = b.band AND a.bval = b.bval
+         AND a.clip_id < b.clip_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+      ag AS (SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS c
+             FROM p GROUP BY a_id, b_id),
+      pr AS (SELECT a_id, b_id FROM ag
+             JOIN ns na ON na.clip_id = ag.a_id
+             JOIN ns nb ON nb.clip_id = ag.b_id
+             WHERE na.n_s = nb.n_s AND ag.c = na.n_s),
+      e AS (SELECT a_id AS u, b_id AS w FROM pr
+            UNION ALL SELECT b_id AS u, a_id AS w FROM pr),
+      r(node, lbl) AS (
+        SELECT clip_id, clip_id FROM ns
+        UNION
+        SELECT e.w, r.lbl FROM r JOIN e ON e.u = r.node),
+      comp AS (SELECT node AS clip_id, MIN(lbl) AS cluster FROM r GROUP BY node)
+      SELECT ns.clip_id, n_s AS n_sampled, cluster,
+             CASE WHEN ns.clip_id = cluster THEN 1 ELSE 0 END AS kept
+      FROM ns JOIN comp ON ns.clip_id = comp.clip_id
+      ORDER BY ns.clip_id"""
+    },
+    doc = "MM3: video near-dup dedup — real mux/demux -> per-sampled-frame " +
+      "dHash -> per-frame-index hamming joins -> temporal ALL-frames " +
+      "agreement -> labelStar collapse; oracle replays frame planes from " +
+      "seed arithmetic, bands contiguously, closes recursively")
+
+  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231)
 }
