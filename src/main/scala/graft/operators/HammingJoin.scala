@@ -38,6 +38,30 @@ import org.apache.spark.sql.functions._
   */
 object HammingJoin {
 
+  /** Per-ROW banded projection of a signature column: an array of k+1
+    * band values, entry j packing the bits at positions ≡ j (mod k+1)
+    * compacted to the low bits — bit-identical to the interleaved
+    * pigeonhole [[collapsed]] joins on (HammingJoinSpec pins the
+    * probe-consistency law). This is the STREAMING-PROBE surface
+    * (T24's device, mirroring `MinHashLSH.bandedSignatureArr`): a
+    * frozen corpus explodes it once into a banded inverted index, and
+    * each arriving row computes its own band array statelessly and
+    * equi-joins — no per-batch re-banding of the corpus. Signatures
+    * are masked to the low `bits` bits, matching [[collapsed]]. */
+  def bandValuesExpr(hashCol: String, k: Int, bits: Int): org.apache.spark.sql.Column = {
+    require(k >= 0 && bits >= k + 1 && bits <= 63,
+      s"HammingJoin: need 0 <= k < bits <= 63 (got k=$k, bits=$bits)")
+    val nBands = k + 1
+    val mask = (1L << bits) - 1
+    expr(
+      s"transform(sequence(0, $k), band -> " +
+        s"aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, i) -> " +
+        s"IF(i % $nBands = band AND " +
+        s"(shiftright(CAST($hashCol AS BIGINT) & ${mask}L, i) & 1) = 1, " +
+        s"acc | shiftleft(CAST(1 AS BIGINT), CAST(i DIV $nBands AS INT)), " +
+        s"acc)))")
+  }
+
   /** Representative-level surface (r12 — the q217 viral-image path):
     * `(repPairs, members)` where `repPairs` has one `(rep_a, rep_b,
     * dist)` row per DISTINCT-SIGNATURE pair within hamming distance

@@ -567,20 +567,9 @@ object Multimodal {
         }
         .toDF("clip_id", "f", "dhash", "n_s")
         .barrier() // decode pass consumed by 3 per-frame joins + output
-      val perF = Seq(0, 2, 4).map { fv =>
-        graft.operators.HammingJoin
-          .join(hs.filter($"f" === fv), "clip_id", "dhash", k = 2, bits = 56)
-          .select($"a_id", $"b_id")
-      }.reduce(_ unionByName _)
       val ns = hs.select($"clip_id", $"n_s").distinct()
-      val pairs = perF.groupBy($"a_id", $"b_id")
-        .agg(count(lit(1)).as("nf_agree"))
-        .join(ns.select($"clip_id".as("a_id"), $"n_s".as("na")), "a_id")
-        .join(ns.select($"clip_id".as("b_id"), $"n_s".as("nb")), "b_id")
-        .filter($"na" === $"nb" && $"nf_agree" === $"na")
-        .select($"a_id", $"b_id")
-      val labeled = graft.operators.ConnectedComponents
-        .labelStar(ns.select($"clip_id"), "clip_id", pairs, "a_id", "b_id")
+      val labeled = graft.operators.VideoNearDup
+        .clusterClips(hs, k = 2, bits = 56)
       ns.join(labeled, "clip_id")
         .select($"clip_id", $"n_s".as("n_sampled"),
           $"component".as("cluster"),

@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkSpecBase
 import graft.multimodal.{Phash, RealCodecs}
 import graft.multimodal.RealCodecs.{BmpCodec, ImageIoCodec, PngCodec}
+import org.apache.spark.sql.functions.{expr, posexplode}
 
 /** HammingJoin (MM2/q217's pair step) + Phash: the banded join must be
   * BIT-IDENTICAL to the all-pairs hamming definition, and the hashes
@@ -128,6 +129,32 @@ class HammingJoinSpec extends SparkSpecBase {
     val repSet = byRep.keySet
     assert(rpRows.forall { case (a, b, _) => repSet(a) && repSet(b) })
     assert(byRep.values.count(_.size >= 41) === 1)
+  }
+
+  test("bandValuesExpr probe-consistency: equi-joining per-row band " +
+    "arrays + popcount verify reproduces join() exactly (the T24 " +
+    "frozen-index probe is the same math as the batch join)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 60).map(_ => rnd.nextLong() & ((1L << 56) - 1))
+    val hs = base ++ base.take(12).map(h => h ^ (1L << rnd.nextInt(56)) ^
+      (1L << rnd.nextInt(56))) ++ base.take(5)
+    val rows = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df = rows.toDF("id", "h")
+      .withColumn("bands", HammingJoin.bandValuesExpr("h", 2, 56))
+      .select($"id", $"h", posexplode($"bands").as(Seq("band", "bval")))
+    val a = df.select($"band", $"bval", $"id".as("a_id"), $"h".as("ha"))
+    val b = df.select($"band", $"bval", $"id".as("b_id"), $"h".as("hb"))
+    val probed = a.join(b, Seq("band", "bval"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("dist"))
+      .filter($"dist" <= 2)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed === run(rows, k = 2, bits = 56))
+    assert(probed === brute(rows, 2))
   }
 
   test("signatures are masked to the declared low `bits` bits: garbage " +

@@ -1325,6 +1325,74 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.size === deltaRows.size)
   }
 
+  test("T24: streaming video near-dup assignment — arriving clips' frame " +
+    "hashes probe the frozen banded index, temporal agreement decides, " +
+    "adopt-or-mint; streamed == batch clusterClips on the union " +
+    "(non-bridging deltas)") {
+    val s = spark
+    import s.implicits._
+    import graft.multimodal.{Phash, RealCodecs}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def seedOf(n: Int) = md.digest(s"vid-$n".getBytes("UTF-8"))
+    // frame hashes for clip `cid` built on seed n: orig (hot = -1) or a
+    // one-pixel-per-frame perturbation at `hot0 + f`
+    def clipRows(cid: Long, n: Int, hot0: Int): Seq[(Long, Int, Long, Long)] = {
+      val seed = seedOf(n)
+      val nF = 3 + n % 3
+      val sampled = (0 until nF).filter(_ % 2 == 0)
+      sampled.map { f =>
+        val hot = if (hot0 < 0) -1 else (hot0 + f) % 63
+        val comps = Array.tabulate(189) { i =>
+          if (hot >= 0 && i / 3 == hot) seed((i + 7) % 16) & 0xff
+          else seed((i + f) % 16) & 0xff
+        }
+        (cid, f, Phash.dHash(RealCodecs.Img(9, 7, comps)), sampled.size.toLong)
+      }
+    }
+    // frozen corpus: 30 seeds x (original + variant); delta: a THIRD
+    // per-frame variant for 15 seeds (adopts — every frame within 2
+    // bits of the ORIGINAL), 4 fresh seeds (mint); delta ids larger
+    val frozenRows = (0 until 30).flatMap(n =>
+      clipRows(n * 2L, n, -1) ++ clipRows(n * 2L + 1, n, n % 60))
+    val delta = (0 until 15).flatMap(n => clipRows(1000L + n, n, (n + 30) % 60)) ++
+      (100 until 104).flatMap(n => clipRows(2000L + n, n, -1))
+    val frozen = frozenRows.toDF("clip_id", "f", "dhash", "n_s")
+    val state = StreamingVideoDedup.freeze(frozen, k = 2, bits = 56)
+    var streamed = Map.empty[Long, (Long, Int)]
+    val stream = MemoryStream[(Long, Int, Long, Long)](s)
+    val qy = stream.toDF().toDF("clip_id", "f", "dhash", "n_s").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed = streamed ++ StreamingVideoDedup.assignBatch(state, b)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      }
+      .start()
+    // micro-batch split must keep a clip's frames together (a clip is
+    // one ingest unit — its hashes arrive as one record's explosion)
+    val byClip = delta.groupBy(_._1).toSeq.sortBy(_._1).map(_._2)
+    val (d1, d2) = byClip.splitAt(byClip.size / 2)
+    Seq(d1.flatten, d2.flatten).foreach { b =>
+      stream.addData(b: _*); qy.processAllAvailable()
+    }
+    qy.stop()
+    val deltaIds = delta.map(_._1).distinct
+    assert(streamed.keySet === deltaIds.toSet)
+    // batch truth on the union
+    val union = (frozenRows ++ delta).toDF("clip_id", "f", "dhash", "n_s")
+    val batch = graft.operators.VideoNearDup.clusterClips(union, 2, 56)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    deltaIds.foreach { id =>
+      assert(streamed(id)._1 === batch(id),
+        s"clip $id: streamed ${streamed(id)._1} != batch ${batch(id)}")
+    }
+    // adopters matched a frozen cluster; fresh clips minted their own id
+    (0 until 15).foreach { n =>
+      assert(streamed(1000L + n) === (n * 2L, 1), s"adopter $n")
+    }
+    (100 until 104).foreach { n =>
+      assert(streamed(2000L + n) === (2000L + n, 0), s"fresh $n")
+    }
+  }
+
   test("T22: streaming entity-resolution assignment — new records probe the " +
     "frozen EdJoin gram index, verify, adopt-or-mint; streamed assignments " +
     "== batch golden-record run on the union (non-bridging deltas)") {
