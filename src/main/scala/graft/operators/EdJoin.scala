@@ -189,10 +189,13 @@ object EdJoin {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), lit(0).as("dist"))
 
-    // distinct over VERIFIED rows: a short-short pair can also surface
-    // through the inverted index; dist is a function of the pair, so
-    // three-column distinct dedupes exactly.
+    // No output-wide distinct (r13, closing the r12 comment's promise):
+    // the three branches are DISJOINT — probedVerified pairs always
+    // contain a long string (the prefix side filters len >= tau*q+q),
+    // while both fallback branches are short-short; crossPairs differ
+    // in string value, withinPairs share one — and each branch is
+    // internally unique (probed.distinct() + 1-row-per-pair verify;
+    // one rep per distinct string; a<b member expansion).
     probedVerified.unionByName(crossPairs).unionByName(withinPairs)
-      .distinct()
   }
 }

@@ -24,7 +24,9 @@ object VideoNearDup {
 
   /** All agreeing clip pairs `(a_id, b_id)`. */
   def clipPairs(frameHashes: DataFrame, k: Int, bits: Int): DataFrame = {
-    val fvals = frameHashes.select(col("f")).distinct()
+    // cast pins the contract for any integral `f` (a LongType frame
+    // index from sequence/ids must not ClassCastException — r12 ADVICE)
+    val fvals = frameHashes.select(col("f").cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted // frame-index list: length-bounded
     require(fvals.nonEmpty, "VideoNearDup: no frames")
     val perF = fvals.map { fv =>

@@ -197,8 +197,22 @@ object WordPieceVocab {
             .otherwise(col("n_wp") + 1L).as("n_wp"))
         .barrier()
     }
-    state.select(col("w"), col("n_wp"))
+    finishedOrRaise(state)
   }
+
+  /** Walk epilogue: a word whose walk did not reach past its end has a
+    * position NO vocabulary unit matches (possible for any corpus other
+    * than the training words in the marked variant) — fail LOUDLY
+    * instead of emitting a silently-partial count (r12 ADVICE). The
+    * check is a per-row expression, no extra action. */
+  private def finishedOrRaise(state: DataFrame): DataFrame =
+    state.select(col("w"),
+      when(col("pos") <= col("len"),
+        raise_error(concat(
+          lit("WordPiece MaxMatch stalled (out-of-vocabulary): word '"),
+          col("w"), lit("' has no matching unit at position "),
+          col("pos").cast("string"))))
+        .otherwise(col("n_wp")).as("n_wp"))
 
   /** Vocabulary SPELLINGS for greedy matching: every distinct corpus
     * character plus each merge's spelled-out unit (resolved by folding
@@ -249,6 +263,6 @@ object WordPieceVocab {
             .otherwise(col("n_wp") + 1L).as("n_wp"))
         .barrier()
     }
-    state.select(col("w"), col("n_wp"))
+    finishedOrRaise(state)
   }
 }

@@ -42,14 +42,20 @@ object StreamingVideoDedup {
 
   /** Cluster the batch corpus (q231's pipeline via
     * [[VideoNearDup.clusterClips]]) and freeze the banded probe index.
-    * `frameHashes`: (clip_id, f, dhash, n_s). */
+    * `frameHashes`: (clip_id, f, dhash, n_s). Stored hashes are MASKED
+    * to the low `bits` bits, mirroring `HammingJoin.collapsed` — bits
+    * above the declared width cannot influence banding OR the verify
+    * popcount, so streamed assignment agrees with batch clustering on
+    * out-of-width inputs too (r12 ADVICE). */
   def freeze(frameHashes: DataFrame, k: Int, bits: Int): VState = {
+    val mask = (1L << bits) - 1
     val clusters = VideoNearDup.clusterClips(frameHashes, k, bits)
       .select(col("clip_id"), col("component").as("cluster")).barrier()
     val index = frameHashes
       .withColumn("__bands", HammingJoin.bandValuesExpr("dhash", k, bits))
       .select(col("f"), col("clip_id").as("i_clip"),
-        col("dhash").as("i_hash"), col("n_s").as("i_ns"),
+        expr(s"CAST(dhash AS BIGINT) & ${mask}L").as("i_hash"),
+        col("n_s").as("i_ns"),
         posexplode(col("__bands")).as(Seq("band", "bval")))
       .barrier()
     VState(index, clusters, k, bits)
@@ -58,10 +64,14 @@ object StreamingVideoDedup {
   /** Assign one micro-batch of frame-hash rows: `(clip_id, cluster,
     * matched)` per distinct delta clip. */
   def assignBatch(state: VState, delta: DataFrame): DataFrame = {
+    val mask = (1L << state.bits) - 1
     val cand = delta
       .withColumn("__bands",
         HammingJoin.bandValuesExpr("dhash", state.k, state.bits))
-      .select(col("clip_id").as("d_clip"), col("f"), col("dhash"),
+      // probe hash masked like the frozen i_hash: the popcount verify
+      // below sees in-width bits only on BOTH sides
+      .select(col("clip_id").as("d_clip"), col("f"),
+        expr(s"CAST(dhash AS BIGINT) & ${mask}L").as("dhash"),
         col("n_s").as("d_ns"),
         posexplode(col("__bands")).as(Seq("band", "bval")))
       .join(state.index, Seq("f", "band", "bval"))

@@ -347,4 +347,23 @@ class PqBpeSpec extends SparkSpecBase {
     }
     assert(got.nonEmpty)
   }
+
+  test("WordPiece MaxMatch fails LOUDLY on an out-of-vocabulary stall " +
+    "instead of emitting a partial count (r12 ADVICE)") {
+    val spk = spark
+    import spk.implicits._
+    val words = BpeVocab.wordTable(docs(1L -> "abc ab"), "text")
+    // vocab missing 'c': the walk on "abc" consumes "ab" then stalls
+    val ex = intercept[Exception] {
+      WordPieceVocab.wordPieceCounts(words, Seq("ab", "a", "b")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("stalled")),
+      s"expected a stall error, got: ${ex.getMessage}")
+    // complete vocab: same corpus finishes with exact counts
+    val ok = WordPieceVocab.wordPieceCounts(words, Seq("ab", "a", "b", "c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ok === Map("abc" -> 2L, "ab" -> 1L))
+  }
 }

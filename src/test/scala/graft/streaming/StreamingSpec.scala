@@ -1393,6 +1393,27 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T24 mask contract: signature bits above the declared width cannot " +
+    "break streamed==batch — freeze and probe both mask to the low bits " +
+    "(r12 ADVICE)") {
+    val s = spark
+    import s.implicits._
+    val h = 0x5a5a5aL // an in-width 56-bit signature
+    // frozen clip 1 carries a stray bit ABOVE width 56; delta clip 10
+    // carries a different stray bit. Masked, they are IDENTICAL — the
+    // batch path (VideoNearDup -> HammingJoin) collapses them, so the
+    // streamed assign must adopt, not band-then-fail-the-raw-verify.
+    val frozen = Seq((1L, 0, h | (1L << 60), 1L), (2L, 0, ~h & ((1L << 56) - 1), 1L))
+      .toDF("clip_id", "f", "dhash", "n_s")
+    val st = StreamingVideoDedup.freeze(frozen, k = 2, bits = 56)
+    val delta = Seq((10L, 0, h | (1L << 58), 1L))
+      .toDF("clip_id", "f", "dhash", "n_s")
+    val got = StreamingVideoDedup.assignBatch(st, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((10L, 1L, 1)),
+      s"out-of-width bits leaked into the verify: ${got.toSeq}")
+  }
+
   test("T22: streaming entity-resolution assignment — new records probe the " +
     "frozen EdJoin gram index, verify, adopt-or-mint; streamed assignments " +
     "== batch golden-record run on the union (non-bridging deltas)") {
