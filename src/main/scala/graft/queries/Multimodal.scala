@@ -514,11 +514,14 @@ object Multimodal {
     * wrong operator. Corpus: per doc a 3–5-frame clip through the
     * REAL q230 mux→demux path plus a variant with ONE pixel perturbed
     * PER FRAME (hot pixel walks with the frame index) — every frame
-    * within the dHash locality bound by construction. Pipeline:
-    * per-frame-index [[graft.operators.HammingJoin]] (the q217
-    * machinery, once per sampled index), pair agreement = banded-pair
-    * count equal to BOTH clips' sampled count, then the
-    * representative-less clip graph closes with `labelStar`.
+    * within the dHash locality bound by construction. Pipeline (r13
+    * single-join shape): identical-signature clips collapse to
+    * representatives, distinct (frame, hash) values band once via
+    * `HammingJoin.bandValuesExpr` into ONE (f, band, bval)
+    * self-equi-join (the same probe T24's streaming twin runs), pair
+    * agreement = per-frame match count equal to BOTH clips' sampled
+    * count, then the representative graph closes with `labelStar` and
+    * members inherit their rep's component.
     *
     * Oracle: frame planes replayed from seed arithmetic (never
     * parsing a byte), contiguous-thirds banding per frame index
