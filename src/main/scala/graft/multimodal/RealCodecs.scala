@@ -40,6 +40,19 @@ object RealCodecs {
     def synthesize(seed: Array[Byte], nSamples: Int = 64,
                    sampleRate: Int = 8000): Array[Byte] = {
       require(seed.nonEmpty, "seed must be non-empty")
+      synthesizeSamples(
+        Array.tabulate(nSamples)(i => ((seed(i % seed.length) & 0xff) - 128) * 256),
+        sampleRate)
+    }
+
+    /** Same container, caller-supplied 16-bit samples (q232's audio
+      * near-dup corpus needs richer-than-seed-rotation PCM). */
+    def synthesizeSamples(samples: Array[Int],
+                          sampleRate: Int = 8000): Array[Byte] = {
+      require(samples.nonEmpty, "need at least one sample")
+      require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+        "samples must fit 16-bit PCM")
+      val nSamples = samples.length
       val dataLen = nSamples * 2
       val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
       buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -54,7 +67,7 @@ object RealCodecs {
       buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
       while (i < nSamples) {
-        buf.putShort((((seed(i % seed.length) & 0xff) - 128) * 256).toShort)
+        buf.putShort(samples(i).toShort)
         i += 1
       }
       buf.array()
@@ -437,7 +450,19 @@ object RealCodecs {
                    sampleRate: Int = 8000): Array[Byte] = {
       require(seed.nonEmpty, "seed must be non-empty")
       require(nSamples > 0, "need at least one sample")
-      val samples = Array.tabulate(nSamples)(i => ((seed(i % seed.length) & 0xff) - 128) * 256)
+      synthesizeSamples(
+        Array.tabulate(nSamples)(i => ((seed(i % seed.length) & 0xff) - 128) * 256),
+        sampleRate)
+    }
+
+    /** Same encoder, caller-supplied 16-bit samples (q232's audio
+      * near-dup corpus: a REAL re-encode of edited PCM). */
+    def synthesizeSamples(samples: Array[Int],
+                          sampleRate: Int = 8000): Array[Byte] = {
+      require(samples.nonEmpty, "need at least one sample")
+      require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+        "samples must fit 16-bit PCM")
+      val nSamples = samples.length
       val pcm = new Array[Byte](nSamples * 2) // LE, the MD5 input per spec
       var i = 0
       while (i < nSamples) {

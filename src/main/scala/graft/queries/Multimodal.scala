@@ -646,5 +646,149 @@ object Multimodal {
       "agreement -> labelStar collapse; oracle replays frame planes from " +
       "seed arithmetic, bands contiguously, closes recursively")
 
-  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231)
+  /** q232 — perceptual audio near-dup dedup (MM4, r13): the dedup
+    * tier's FIFTH modality — text, embeddings, images (q217), video
+    * (q231) collapse; decoded audio (q218 FLAC, WAV) never did.
+    *
+    * Fingerprint: [[graft.multimodal.AudioFingerprint.energySign]] —
+    * frame the PCM into 57 windows of 8 samples, exact Long
+    * sum-of-squares energy per frame, bit f = sign of the f→f+1 energy
+    * delta (dHash's device along time; log-free, FFT-free, so the
+    * oracle replays it bit-for-bit). Gain-shifted copies are distance
+    * 0 (every energy scales by the same positive factor); a
+    * single-frame edit flips at most the 2 comparisons that read the
+    * edited frame's energy, so an edited copy lands within hamming 2
+    * by construction — the exact locality bound q217 proves for
+    * one-pixel image edits.
+    *
+    * Corpus: per doc, 456 samples of modulated seed audio
+    * (`(seed((i+i/16)%16)-128) · (1 + i%5)` — rotation + amplitude
+    * modulation so frame energies carry real signal). Clip v=0 goes
+    * through the REAL WAV container (synthesize→parse); clip v=1 edits
+    * ONE frame (`hot = doc_id mod 57`, samples re-derived from shifted
+    * seed bytes at gentler gain) and RE-ENCODES through the REAL FLAC
+    * encoder (synthesize→parse, bit-exact decode) — a re-encoded,
+    * edited copy that must still collapse. Duplicate texts (tiny-vocab
+    * corpus) plant byte-identical signatures across docs, exercising
+    * exact-group-first.
+    *
+    * Pipeline: decode+fingerprint in ONE mapPartitions pass (payload
+    * bytes never leave the partition), then q217's collapse:
+    * [[graft.operators.HammingJoin.collapsed]] (k=2 over 56 bits) at
+    * the representative level, labelStar closure, members inherit.
+    *
+    * Oracle: replays the PCM from md5-seed arithmetic (never parsing a
+    * byte — FLAC/WAV losslessness is what makes that sound), folds
+    * energies and sign bits with exact BIGINT list_reduce, bands
+    * contiguously (different pigeonhole than Spark's interleaved
+    * bands — agreement checks the math, not the blocking), closes with
+    * the recursive min-label CTE.
+    *
+    * Scale: fingerprint is embarrassingly parallel and emits ONE long
+    * per clip; HammingJoin is linear in distinct signatures + output
+    * truth; labelStar at rep level. */
+  val q232 = Q(
+    "q232_audio_near_dup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.core.Barriers._
+      import graft.multimodal.AudioFingerprint
+      import graft.multimodal.RealCodecs.{FlacCodec, WavCodec}
+      val sigs = Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.flatMap { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            def sb(p: Int): Int = seed(p % 16) & 0xff
+            val base = Array.tabulate(456)(i =>
+              (sb(i + i / 16) - 128) * (1 + i % 5))
+            val hot = (id % 57).toInt
+            val edited = base.clone()
+            var i = 8 * hot
+            while (i < 8 * hot + 8) {
+              edited(i) = (sb(i + 7) - 128) * (1 + i % 3); i += 1
+            }
+            val wav = WavCodec.parse(WavCodec.synthesizeSamples(base))
+              .getOrElse(sys.error(s"q232: undecodable wav for doc $id"))
+            val flac = FlacCodec.parse(FlacCodec.synthesizeSamples(edited))
+              .getOrElse(sys.error(s"q232: undecodable flac for doc $id"))
+            Seq((id * 2, AudioFingerprint.energySign(wav.samples, 8)),
+              (id * 2 + 1, AudioFingerprint.energySign(flac.samples, 8)))
+          }
+        }
+        .toDF("clip_id", "sig")
+        // consumed by banding, expansion, and the final join
+        .barrier()
+      val (repPairs, members) = graft.operators.HammingJoin
+        .collapsed(sigs, "clip_id", "sig", k = 2, bits = 56)
+      val repLabeled = graft.operators.ConnectedComponents
+        .labelStar(members.select($"rep").distinct(), "rep",
+          repPairs, "rep_a", "rep_b")
+      val labeled = members.join(repLabeled, "rep")
+        .select($"id".as("clip_id"), $"component")
+      sigs.join(labeled, "clip_id")
+        .select($"clip_id", $"sig", $"component".as("cluster"),
+          ($"clip_id" === $"cluster").cast("int").as("kept"))
+        .orderBy($"clip_id")
+    },
+    Some {
+      // 0-based seed byte p of md5(text)
+      def b(p: String): String =
+        s"CAST(('0x' || substr(md5(text), CAST((($p) % 16) * 2 + 1 AS INT), 2)) AS INT)"
+      s"""
+      WITH RECURSIVE clips AS (
+        SELECT doc_id * 2 + v AS clip_id, v, doc_id % 57 AS hot, text
+        FROM documents, (SELECT unnest([0, 1]) AS v)),
+      sm AS (
+        SELECT clip_id, list_transform(range(0, 456), i ->
+          CASE WHEN v = 1 AND i // 8 = hot
+            THEN CAST((${b("i + 7")} - 128) * (1 + i % 3) AS BIGINT)
+            ELSE CAST((${b("i + i // 16")} - 128) * (1 + i % 5) AS BIGINT)
+          END) AS s
+        FROM clips),
+      -- exact BIGINT energy folds (list_sum returns DOUBLE; q217's note)
+      en AS (
+        SELECT clip_id, list_transform(range(0, 57), f ->
+          list_reduce(list_transform(range(0, 8), j ->
+            s[8*f + j + 1] * s[8*f + j + 1]), (a, x) -> a + x)) AS e
+        FROM sm),
+      h AS (
+        SELECT clip_id,
+          list_reduce(list_transform(range(0, 56), f ->
+            CASE WHEN e[CAST(f + 1 AS INT)] < e[CAST(f + 2 AS INT)]
+                 THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+                 ELSE CAST(0 AS BIGINT) END), (a, x) -> a | x) AS sig
+        FROM en),
+      -- contiguous-thirds pigeonhole (Spark bands interleaved): any
+      -- hamming<=2 pair agrees exactly on >= 1 third
+      bands AS (
+        SELECT clip_id, sig, bd.band,
+          CASE bd.band WHEN 0 THEN sig & ((CAST(1 AS BIGINT) << 19) - 1)
+                       WHEN 1 THEN (sig >> 19) & ((CAST(1 AS BIGINT) << 19) - 1)
+                       ELSE sig >> 38 END AS bval
+        FROM h, (SELECT unnest([0, 1, 2]) AS band) bd),
+      p AS (
+        SELECT DISTINCT a.clip_id AS a_id, b.clip_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.clip_id < b.clip_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+      e2 AS (SELECT a_id AS u, b_id AS w FROM p
+             UNION ALL SELECT b_id AS u, a_id AS w FROM p),
+      r(node, lbl) AS (
+        SELECT clip_id, clip_id FROM h
+        UNION
+        SELECT e2.w, r.lbl FROM r JOIN e2 ON e2.u = r.node),
+      comp AS (SELECT node AS clip_id, MIN(lbl) AS cluster FROM r GROUP BY node)
+      SELECT h.clip_id, sig, cluster,
+             CASE WHEN h.clip_id = cluster THEN 1 ELSE 0 END AS kept
+      FROM h JOIN comp ON h.clip_id = comp.clip_id
+      ORDER BY h.clip_id"""
+    },
+    doc = "MM4: perceptual audio near-dup dedup — real WAV/FLAC decode -> " +
+      "sign-of-energy-delta fingerprint (gain-invariant, single-frame-edit " +
+      "locality <= 2 bits) -> exact-grouped hamming-banded collapse; oracle " +
+      "replays PCM from seed arithmetic and closes clusters recursively")
+
+  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232)
 }
