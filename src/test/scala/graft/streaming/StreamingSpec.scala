@@ -1414,6 +1414,84 @@ class StreamingSpec extends SparkSpecBase {
       s"out-of-width bits leaked into the verify: ${got.toSeq}")
   }
 
+  test("T25: streaming single-signature hamming assignment — arriving " +
+    "audio fingerprints probe the frozen banded signature index, " +
+    "adopt-or-mint; streamed == batch collapse on the union " +
+    "(non-bridging deltas)") {
+    val s = spark
+    import s.implicits._
+    import graft.multimodal.AudioFingerprint
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // q232's PCM arithmetic: modulated seed audio; hot >= 0 edits one
+    // frame (<= 2 signature bits from the original by the locality law)
+    def sigOf(n: Int, hot: Int): Long = {
+      val seed = md.digest(s"aud-$n".getBytes("UTF-8"))
+      def sb(p: Int): Int = seed(p % 16) & 0xff
+      val x = Array.tabulate(456) { i =>
+        if (hot >= 0 && i / 8 == hot) (sb(i + 7) - 128) * (1 + i % 3)
+        else (sb(i + i / 16) - 128) * (1 + i % 5)
+      }
+      AudioFingerprint.energySign(x, 8)
+    }
+    // frozen: 30 seeds x (original + one-frame edit); delta: a THIRD
+    // edit for 15 seeds (adopts) + 4 fresh seeds (mint); delta ids larger
+    val frozenRows = (0 until 30).flatMap(n =>
+      Seq((n * 2L, sigOf(n, -1)), (n * 2L + 1, sigOf(n, n % 57))))
+    val deltaRows = (0 until 15).map(n => (1000L + n, sigOf(n, (n + 19) % 57))) ++
+      (100 until 104).map(n => (2000L + n, sigOf(n, -1)))
+    val state = StreamingHammingDedup.freeze(
+      frozenRows.toDF("id", "sig"), k = 2, bits = 56)
+    var streamed = Map.empty[Long, (Long, Int)]
+    val stream = MemoryStream[(Long, Long)](s)
+    val qy = stream.toDF().toDF("id", "sig").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed = streamed ++ StreamingHammingDedup.assignBatch(state, b)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      }
+      .start()
+    val (d1, d2) = deltaRows.splitAt(deltaRows.size / 2)
+    Seq(d1, d2).foreach { b => stream.addData(b: _*); qy.processAllAvailable() }
+    qy.stop()
+    assert(streamed.keySet === deltaRows.map(_._1).toSet)
+    // batch truth on the union: the same collapse q217/q232 run
+    val union = (frozenRows ++ deltaRows).toDF("id", "sig")
+    val (rp, mm) = graft.operators.HammingJoin
+      .collapsed(union, "id", "sig", k = 2, bits = 56)
+    val repLabeled = graft.operators.ConnectedComponents
+      .labelStar(mm.select($"rep").distinct(), "rep", rp, "rep_a", "rep_b")
+    val batch = mm.join(repLabeled, "rep").select($"id", $"component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    deltaRows.map(_._1).foreach { id =>
+      assert(streamed(id)._1 === batch(id),
+        s"id $id: streamed ${streamed(id)._1} != batch ${batch(id)}")
+    }
+    // adopters matched a frozen cluster (exact id already pinned by the
+    // streamed==batch loop — seed families CAN merge by chance, the
+    // signature is 56 non-uniform bits); fresh clips minted their own id
+    (0 until 15).foreach { n =>
+      assert(streamed(1000L + n)._2 === 1, s"adopter $n did not match")
+    }
+    (100 until 104).foreach { n =>
+      assert(streamed(2000L + n) === (2000L + n, 0), s"fresh $n")
+    }
+  }
+
+  test("T25 mask contract: out-of-width signature bits cannot break " +
+    "streamed==batch — freeze and probe both mask before banding AND " +
+    "the popcount verify") {
+    val s = spark
+    import s.implicits._
+    val h = 0x5a5a5aL
+    val frozen = Seq((1L, h | (1L << 60)), (2L, ~h & ((1L << 56) - 1)))
+      .toDF("id", "sig")
+    val st = StreamingHammingDedup.freeze(frozen, k = 2, bits = 56)
+    val delta = Seq((10L, h | (1L << 58))).toDF("id", "sig")
+    val got = StreamingHammingDedup.assignBatch(st, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((10L, 1L, 1)),
+      s"out-of-width bits leaked: ${got.toSeq}")
+  }
+
   test("T22: streaming entity-resolution assignment — new records probe the " +
     "frozen EdJoin gram index, verify, adopt-or-mint; streamed assignments " +
     "== batch golden-record run on the union (non-bridging deltas)") {
