@@ -64,6 +64,38 @@ object IvfPqIndex {
     cells.join(codes, idCol)
   }
 
+  /** The maintenance law's DELETE member (X102, r13 — takedown /
+    * right-to-be-forgotten): drop an id set from an already-built
+    * index without touching any other row or either frozen model
+    * table. Because every index row is POINTWISE in its own vector
+    * (frozen argmin + frozen encode, no cross-vector term anywhere),
+    * the anti-join is EXACTLY the index built under the same frozen
+    * model on corpus-minus-deleted — maintained ≡ rebuilt-minus-
+    * deleted, which q234's oracle rebuilds from scratch and
+    * IvfPqIndexSpec pins engine-side. Deletion never retrains: the
+    * model stays frozen (generations swap atomically on REBUILD,
+    * q139's posture), so a takedown costs one scan of the index with
+    * a broadcast-sized takedown set — no shuffle of the index, no
+    * touch of the corpus.
+    *
+    * Returns `(live, cellStats)`: the maintained index rows and the
+    * per-cell `(cell, n_live, n_deleted)` occupancy update a serving
+    * layer needs (nprobe planning reads cell sizes; a drained cell
+    * stops being probed). */
+  def removeFromIndex(index: DataFrame, idCol: String,
+                      deletedIds: DataFrame): (DataFrame, DataFrame) = {
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).as(idCol)).distinct()
+    val live = index.join(del, Seq(idCol), "left_anti")
+    val stats = index
+      .join(del.withColumn("__del", lit(1L)), Seq(idCol), "left_outer")
+      .withColumn("__del", coalesce(col("__del"), lit(0L)))
+      .groupBy(col("cell"))
+      .agg(sum(lit(1L) - col("__del")).as("n_live"),
+        sum(col("__del")).as("n_deleted"))
+    (live, stats)
+  }
+
   /** [[appendToIndex]] for the RESIDUAL index (IVFADC, q200's
     * fidelity step): the delta assigns to its frozen coarse cell, is
     * re-centered against that cell's centroid

@@ -1185,6 +1185,97 @@ object Text {
       "spread); the audit runs on what training consumes, three audited " +
       "stages composed under one end-to-end hash")
 
+  /** The q213 maintenance law's DELETE member, packing half (X101):
+    * a takedown (right-to-be-forgotten) request removes a document
+    * set from the packed corpus WITHOUT repacking. Bins keep their
+    * ids and every surviving segment keeps its exact (bin_id,
+    * bin_off, doc_off, seg_len) row — the append-stability argument
+    * in REVERSE: compacting freed slots would shift every downstream
+    * (bin, offset) reference exactly the way bin-remap would
+    * (q213's documented failure mode), so freed slots are RECORDED,
+    * never reclaimed in place; a fully-freed (`dead`) bin drops from
+    * the serving manifest and space is reclaimed at the next packing
+    * GENERATION (q139's atomic-swap posture).
+    *
+    * Returns the per-bin tombstone LEDGER: live/freed segment counts
+    * and token counts plus the dead flag — exactly what a dataloader
+    * needs to skip freed spans and what a storage reaper needs to
+    * schedule generation rollover. One aggregate over the packing
+    * map; the takedown set rides a left join on the doc key. */
+  def packingTakedown(map: org.apache.spark.sql.DataFrame,
+                      deletedIds: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).cast("long").as("doc_id"))
+      .distinct().withColumn("__del", lit(1L))
+    map.join(del, Seq("doc_id"), "left_outer")
+      .withColumn("__del", coalesce(col("__del"), lit(0L)))
+      .groupBy(col("bin_id"))
+      .agg(sum(lit(1L) - col("__del")).as("n_live"),
+        sum(col("__del")).as("n_freed"),
+        sum(when(col("__del") === 0L, col("seg_len")).otherwise(0L))
+          .as("live_tokens"),
+        sum(when(col("__del") === 1L, col("seg_len")).otherwise(0L))
+          .as("freed_tokens"))
+      .withColumn("dead", (col("n_live") === 0L).cast("int"))
+  }
+
+  /** q233 — packing takedown ledger (X101): [[packingTakedown]] over
+    * the q209 map with a deterministic takedown set (doc_id mod 17 =
+    * 3). The oracle rebuilds the packing map from scratch in SQL and
+    * re-derives the ledger independently — maintained ≡
+    * recomputed-from-truth. Composition with q210's audit shape:
+    * the ledger IS the bin-granularity re-audit of every taken-down
+    * document's bins (blast radius = the bins it touched; co-packed
+    * survivors keep serving from the same bin, minus the freed span).
+    *
+    * Scale: the q209 PrefixScan map (one shuffle), a broadcast-sized
+    * takedown join, one aggregate — bins-not-docs output. */
+  val q233 = Q(
+    "q233_packing_takedown",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val map = packingMap(docs, L = 128)
+      val deleted = docs.select($"doc_id").filter($"doc_id" % 17 === 3)
+      packingTakedown(map, deleted).orderBy($"bin_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     t -> len(t) > 0)) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, n_tok,
+              CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, n_tok, cum, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM c),
+      x AS (SELECT doc_id, st, cum, b0, b1, unnest(range(b0, b1 + 1)) AS bin_id
+            FROM e),
+      t AS (SELECT bin_id,
+              CAST(LEAST(cum, (bin_id + 1) * 128)
+                - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len,
+              CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END AS del
+            FROM x)
+      SELECT CAST(bin_id AS BIGINT) AS bin_id,
+             CAST(SUM(1 - del) AS BIGINT) AS n_live,
+             CAST(SUM(del) AS BIGINT) AS n_freed,
+             CAST(SUM(CASE WHEN del = 0 THEN seg_len ELSE 0 END) AS BIGINT)
+               AS live_tokens,
+             CAST(SUM(CASE WHEN del = 1 THEN seg_len ELSE 0 END) AS BIGINT)
+               AS freed_tokens,
+             CAST(SUM(1 - del) = 0 AS INT) AS dead
+      FROM t GROUP BY bin_id ORDER BY bin_id"""),
+    doc = "X101: packing takedown — delete a doc set from the packed corpus " +
+      "WITHOUT repacking (bins keep ids, freed slots recorded not " +
+      "compacted — append-stability in reverse); per-bin tombstone ledger " +
+      "with live/freed counts and the dead flag; oracle re-derives the " +
+      "ledger from a from-scratch rebuild")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
-    q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225)
+    q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
+    q233)
 }

@@ -895,6 +895,109 @@ object Vectors {
       "against the train-time mean; the drifted cohort fires the documented " +
       "1500-milli alert, the stationary one does not; all BIGINT-exact")
 
+  /** q234 — IVF-PQ index takedown (X102): the q222 maintenance law's
+    * DELETE member. The full corpus is indexed under the frozen model
+    * (trained on the vec_id < 384 prefix — q222's device), a
+    * deterministic takedown set (vec_id mod 13 = 5) is removed via
+    * [[graft.operators.IvfPqIndex.removeFromIndex]] (broadcast-sized
+    * anti-join; no retrain, no touch of any surviving row), and the
+    * output is the per-cell serving update: live/deleted occupancy
+    * plus EXACT content checksums over the live rows (id sum, coarse
+    * distortion sum, position-weighted code sum) — any surviving row
+    * mutated, dropped, or duplicated by the takedown breaks a
+    * checksum. Maintained ≡ rebuilt-minus-deleted because every index
+    * row is pointwise under the frozen model; the oracle rebuilds
+    * from scratch in SQL (train on the prefix, assign + encode ALL
+    * vectors, flag the takedown set) and re-derives the ledger.
+    *
+    * Scale: one scan of the index with a broadcast takedown set, one
+    * per-row bounded aggregate (m codes), one per-cell aggregate —
+    * k rows out. */
+  val q234 = Q(
+    "q234_index_takedown",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{IvfPqIndex, KMeansInt, ProductQuantizer}
+      val emb = Tables(s, dir, "embeddings")
+      val frozen = emb.filter($"vec_id" < 384)
+      val (_, coarseCents) =
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
+      val sub = ProductQuantizer
+        .subVectors(frozen, "vec_id", "embedding", m = 8, subDims = 8)
+        .persist()
+      val books = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      // the full index under the frozen model (appendToIndex over the
+      // whole corpus IS the build — pointwise, q222's law)
+      val index = IvfPqIndex
+        .appendToIndex(emb, "vec_id", "embedding", coarseCents, books,
+          m = 8, subDims = 8)
+        .barrier() // eager, BEFORE unpersist — q193/q196's posture
+      sub.unpersist()
+      val deleted = emb.select($"vec_id").filter($"vec_id" % 13 === 5)
+      val (live, stats) = IvfPqIndex.removeFromIndex(index, "vec_id", deleted)
+      val rowW = live
+        .select($"vec_id", $"cell", $"cell_dist",
+          posexplode($"codes").as(Seq("sub", "code")))
+        .groupBy($"vec_id", $"cell", $"cell_dist")
+        .agg(sum(($"sub".cast("long") + 1L) * ($"code".cast("long") + 1L))
+          .as("code_w"))
+      val sums = rowW.groupBy($"cell")
+        .agg(sum($"vec_id").as("live_id_sum"),
+          sum($"cell_dist").as("live_dist_sum"),
+          sum($"code_w").as("live_code_sum"))
+      stats.join(sums, Seq("cell"), "left_outer")
+        .select($"cell".cast("int").as("cell"), $"n_live", $"n_deleted",
+          coalesce($"live_id_sum", lit(0L)).as("live_id_sum"),
+          coalesce($"live_dist_sum", lit(0L)).as("live_dist_sum"),
+          coalesce($"live_code_sum", lit(0L)).as("live_code_sum"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH ${Curation.kmeansCtes8x2From(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 384")},
+      $pqCoreCtes,
+      dvq AS (SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+              FROM embeddings),
+      dcell AS (SELECT vec_id, cluster AS cell, d AS cell_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT dvq.vec_id, c.cluster,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+              FROM dvq CROSS JOIN c2 c))
+        WHERE rn = 1),
+      dsv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+                list_slice(xq, CAST(s.sub AS INT) * 8 + 1,
+                               CAST(s.sub AS INT) * 8 + 8) AS sxq
+              FROM dvq CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      dcode AS (SELECT vec_id, sub, cluster AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT dsv.vec_id, dsv.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM dsv JOIN pc2 c ON dsv.sub = c.sub))
+        WHERE rn = 1),
+      w AS (SELECT vec_id,
+              CAST(SUM((sub + 1) * (code + 1)) AS BIGINT) AS code_w
+            FROM dcode GROUP BY vec_id),
+      f AS (SELECT dcell.vec_id, cell, cell_dist, code_w,
+              CASE WHEN dcell.vec_id % 13 = 5 THEN 1 ELSE 0 END AS del
+            FROM dcell JOIN w ON dcell.vec_id = w.vec_id)
+      SELECT CAST(cell AS INT) AS cell,
+             CAST(SUM(1 - del) AS BIGINT) AS n_live,
+             CAST(SUM(del) AS BIGINT) AS n_deleted,
+             CAST(SUM(CASE WHEN del = 0 THEN vec_id ELSE 0 END) AS BIGINT)
+               AS live_id_sum,
+             CAST(SUM(CASE WHEN del = 0 THEN cell_dist ELSE 0 END) AS BIGINT)
+               AS live_dist_sum,
+             CAST(SUM(CASE WHEN del = 0 THEN code_w ELSE 0 END) AS BIGINT)
+               AS live_code_sum
+      FROM f GROUP BY cell ORDER BY cell"""),
+    doc = "X102: IVF-PQ index takedown — delete an id set from the built " +
+      "index by broadcast anti-join (no retrain, frozen model untouched); " +
+      "per-cell occupancy + exact live-row checksums; oracle rebuilds " +
+      "from scratch and restricts, maintained == rebuilt-minus-deleted")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
-    q200, q201, q222, q224, q227)
+    q200, q201, q222, q224, q227, q234)
 }

@@ -52,6 +52,45 @@ class IvfPqIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("takedown (q234): removeFromIndex live rows == index built on " +
+    "corpus-minus-deleted under the same frozen model, stats account " +
+    "for every row, and a fully-deleted cell drains to n_live = 0") {
+    val s = spark
+    import s.implicits._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val (emb, cents, books) = frozenModel(dir)
+      val index = IvfPqIndex.appendToIndex(
+        emb, "vec_id", "embedding", cents, books, m = 8, subDims = 8).barrier()
+      val deleted = emb.select($"vec_id").filter($"vec_id" % 13 === 5)
+      val (live, stats) = IvfPqIndex.removeFromIndex(index, "vec_id", deleted)
+      // maintained == rebuilt-minus-deleted (the DELETE half of the law)
+      val rebuilt = IvfPqIndex.appendToIndex(
+          emb.filter($"vec_id" % 13 =!= 5), "vec_id", "embedding",
+          cents, books, m = 8, subDims = 8)
+      assert(rows(live) === rows(rebuilt), s"DELETE law broken at $dir")
+      assert(rows(live).nonEmpty)
+      // stats conservation: per cell, n_live + n_deleted == original size
+      val before = index.groupBy($"cell").agg(count(lit(1)).as("n0"))
+      val bad = stats.join(before, "cell")
+        .filter($"n_live" + $"n_deleted" =!= $"n0")
+      assert(bad.isEmpty, s"stats do not conserve at $dir")
+      val liveByCell = live.groupBy($"cell").agg(count(lit(1)).as("nl"))
+      val bad2 = stats.join(liveByCell, Seq("cell"), "left_outer")
+        .filter($"n_live" =!= coalesce($"nl", lit(0L)))
+      assert(bad2.isEmpty, s"n_live disagrees with the live rows at $dir")
+    }
+    // drained cell: delete EVERY member of one cell on the small SF
+    val (emb, cents, books) = frozenModel("/root/testdata/sf0.001")
+    val index = IvfPqIndex.appendToIndex(
+      emb, "vec_id", "embedding", cents, books, m = 8, subDims = 8).barrier()
+    val firstCell = index.select($"cell").orderBy($"cell").head().getInt(0)
+    val toDrop = index.filter($"cell" === firstCell).select($"vec_id")
+    val (live2, stats2) = IvfPqIndex.removeFromIndex(index, "vec_id", toDrop)
+    assert(live2.filter($"cell" === firstCell).isEmpty)
+    val drained = stats2.filter($"cell" === firstCell).head()
+    assert(drained.getLong(drained.fieldIndex("n_live")) === 0L)
+  }
+
   test("append is pointwise: appending the delta in two sub-batches " +
     "yields the same index rows as one batch (order-free, the property " +
     "that makes daily shard landings composable)") {

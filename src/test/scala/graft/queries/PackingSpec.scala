@@ -78,6 +78,44 @@ class PackingSpec extends SparkSpecBase {
     assert(incr.nonEmpty)
   }
 
+  test("q233 takedown ledger: survivors' map rows are untouched (no " +
+    "compaction), live+freed reconstructs each bin's exact fill, the " +
+    "ledger matches a per-bin brute force, and dead flags exactly the " +
+    "fully-freed bins") {
+    val s = spark
+    import s.implicits._
+    val deleted = graft.core.Tables(s, sf, "documents")
+      .select($"doc_id").filter($"doc_id" % 17 === 3)
+    val ledger = Text.packingTakedown(packed, deleted).cache()
+    // non-compaction: the maintained map IS the original minus deleted
+    // rows — identical (bin_id, offsets, lengths) for every survivor
+    val survivors = packed.join(deleted, Seq("doc_id"), "left_anti")
+      .collect().map(_.toSeq).toSet
+    val original = packed.filter($"doc_id" % 17 =!= 3)
+      .collect().map(_.toSeq).toSet
+    assert(survivors === original)
+    // fill conservation: live + freed == the bin's original fill
+    val fills = packed.groupBy($"bin_id").agg(sum($"seg_len").as("fill"))
+    val bad = ledger.join(fills, "bin_id")
+      .filter($"live_tokens" + $"freed_tokens" =!= $"fill")
+    assert(bad.isEmpty, "ledger does not conserve bin fill")
+    // brute force over the collected map (sf0.001-sized)
+    val delSet = deleted.collect().map(_.getLong(0)).toSet
+    val want = packed.select($"doc_id", $"bin_id", $"seg_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._2).map { case (bin, rs) =>
+        val (d, l) = rs.partition(r => delSet(r._1))
+        bin -> (l.size.toLong, d.size.toLong, l.map(_._3).sum, d.map(_._3).sum,
+          if (l.isEmpty) 1 else 0)
+      }
+    val got = ledger.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    assert(got === want)
+    ledger.unpersist()
+    ()
+  }
+
   test("q215 shards partition the bins and conserve tokens exactly") {
     val s = spark
     import s.implicits._
