@@ -485,5 +485,228 @@ object Bpe {
       "## continuation units after; positionally-split longest-match table, " +
       "character-bounded walk, recursive-CTE oracle twin")
 
-  val all: Seq[Q] = Seq(q194, q195, q214, q219, q220, q221, q228, q229)
+  // ---- Unigram-LM (N47/N47b/X103 — the third tokenizer family) ----
+
+  private val UgPieceLen = 4
+  private val UgRounds = 2
+  private val UgPruneK = 6
+
+  /** Bellman iterations for the oracle's suffix DP — a STATIC bound
+    * (DuckDB SQL cannot size itself to the data): must be ≥ the max
+    * pieces in any segmentation = the max word length. Corpus words
+    * are ≤ 8 chars; 12 leaves margin, and extra rounds are idempotent
+    * (the DP is monotone and converges). The Spark side iterates the
+    * exact data-derived max length, so both reach the same fixpoint. */
+  private val UgDpRounds = 12
+
+  /** Seed + shared grids: seed pieces with exact occurrence mass,
+    * the frozen score table uv0 (freq/total — ONE exact divide each,
+    * never renormalized), the distinct-word table and position grid. */
+  private val ugSeedCtes: String = s"""
+      useed AS MATERIALIZED (
+        SELECT spell, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+          SELECT freq, unnest(list_transform(range(1, len(w) - l + 2),
+            i -> substr(w, CAST(i AS INT), CAST(l AS INT)))) AS spell
+          FROM wf CROSS JOIN (SELECT unnest(range(1, ${UgPieceLen + 1})) AS l) ll
+          WHERE len(w) >= l)
+        GROUP BY spell),
+      utot AS (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM useed),
+      uv0 AS MATERIALIZED (SELECT spell, CAST(len(spell) AS INT) AS sl, freq,
+               CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE) AS sc
+             FROM useed CROSS JOIN utot),
+      udw AS MATERIALIZED (SELECT DISTINCT w, CAST(len(w) AS INT) AS wl FROM wf),
+      upos AS MATERIALIZED (SELECT w, CAST(unnest(range(1, wl + 1)) AS INT) AS pos
+               FROM udw)"""
+
+  /** One Viterbi pass under vocabulary uv{r-1}: match table um$r,
+    * suffix-DP rounds uf${r}_k (products built right-to-left —
+    * `m.sc * f.f` — mirroring the Spark fold order so every double is
+    * bit-identical), deterministic best step ubs$r (the piece whose
+    * product EQUALS the DP optimum; ties longest-then-lexicographic),
+    * the recursive walk, and per-piece corpus usage uus$r. With
+    * `prune`, adds the usage-argmin prune set upr$r and the surviving
+    * vocabulary uv$r. */
+  private def ugPassCtes(r: Int, prune: Boolean): String = {
+    val dp = (1 to UgDpRounds).map { k =>
+      s"""
+      uf${r}_$k AS MATERIALIZED (
+        SELECT w, pos, MAX(f) AS f FROM (
+          SELECT w, pos, f FROM uf${r}_${k - 1}
+          UNION ALL
+          SELECT m.w, m.pos, m.sc * f.f AS f
+          FROM um$r m JOIN uf${r}_${k - 1} f
+            ON f.w = m.w AND f.pos = m.pos + m.sl)
+        GROUP BY w, pos)"""
+    }.mkString(",")
+    val core = s"""
+      um$r AS MATERIALIZED (SELECT p.w, p.pos, v.sl, v.spell, v.sc
+             FROM upos p JOIN uv${r - 1} v ON substr(p.w, p.pos, v.sl) = v.spell),
+      uf${r}_0 AS (SELECT w, wl + 1 AS pos, CAST(1.0 AS DOUBLE) AS f FROM udw),
+      $dp,
+      ubs$r AS MATERIALIZED (SELECT w, pos, sl, spell FROM (
+        SELECT m.w, m.pos, m.sl, m.spell,
+          row_number() OVER (PARTITION BY m.w, m.pos
+                             ORDER BY m.sl DESC, m.spell) AS rn
+        FROM um$r m
+        JOIN uf${r}_$UgDpRounds nx ON nx.w = m.w AND nx.pos = m.pos + m.sl
+        JOIN uf${r}_$UgDpRounds cu ON cu.w = m.w AND cu.pos = m.pos
+        WHERE m.sc * nx.f = cu.f) WHERE rn = 1),
+      uwalk$r(w, pos, n) AS (
+        SELECT w, 1, 0 FROM udw
+        UNION ALL
+        SELECT k.w, k.pos + b.sl, k.n + 1
+        FROM uwalk$r k JOIN ubs$r b ON b.w = k.w AND b.pos = k.pos)"""
+    if (!prune) core
+    else core + s""",
+      uus$r AS MATERIALIZED (SELECT b.spell,
+          CAST(SUM(wf.freq) AS BIGINT) AS usage
+        FROM uwalk$r k JOIN ubs$r b ON b.w = k.w AND b.pos = k.pos
+        JOIN wf ON wf.w = k.w GROUP BY b.spell),
+      upr$r AS MATERIALIZED (
+        SELECT spell, freq, usage FROM (
+          SELECT v.spell, v.freq, COALESCE(u.usage, CAST(0 AS BIGINT)) AS usage
+          FROM uv${r - 1} v LEFT JOIN uus$r u ON u.spell = v.spell
+          WHERE v.sl >= 2)
+        ORDER BY usage ASC, spell ASC LIMIT $UgPruneK),
+      uv$r AS MATERIALIZED (SELECT v.spell, v.sl, v.freq, v.sc
+        FROM uv${r - 1} v ANTI JOIN upr$r p ON v.spell = p.spell)"""
+  }
+
+  private val ugTrainCtes: String =
+    wordCtes + "," + ugSeedCtes +
+      (1 to UgRounds).map(r => ugPassCtes(r, prune = true))
+        .mkString(",", ",", "")
+
+  /** Final segmentation pass under the surviving vocabulary plus the
+    * per-word piece-count table uwp. */
+  private val ugEncodeCtes: String = {
+    val f = UgRounds + 1
+    ugPassCtes(f, prune = false) + s""",
+      uwp AS MATERIALIZED (SELECT w, CAST(MAX(n) AS BIGINT) AS n_up
+        FROM uwalk$f GROUP BY w)"""
+  }
+
+  /** q235 — Unigram-LM vocabulary induction (N47, Kudo '18 /
+    * SentencePiece): the THIRD tokenizer family, completing the triad —
+    * trained by PRUNING a seed vocabulary (every corpus substring up to
+    * ${4} chars with exact occurrence mass) instead of growing one.
+    * Each round Viterbi-segments the corpus under the frozen
+    * freq/total scores and prunes the ${6} lowest-USAGE length-≥2
+    * pieces (exact-integer evidence; the declared stand-in for Kudo's
+    * log-likelihood loss ranking, which no hash gate can carry —
+    * see [[graft.operators.UnigramLm]]). Output: the pruned pieces
+    * per round with usage + mass evidence. */
+  val q235 = Q(
+    "q235_unigram_train",
+    (s, dir) => {
+      import s.implicits._
+      val words = BpeVocab.wordTable(Tables(s, dir, "documents"), "text")
+      val (pruned, _) = graft.operators.UnigramLm
+        .train(words, UgPieceLen, UgRounds, UgPruneK)
+      pruned.toDF().select($"round", $"spell", $"usage", $"freq")
+        .orderBy($"round", $"spell")
+    },
+    Some(s"""
+      WITH RECURSIVE $ugTrainCtes
+      ${(1 to UgRounds).map(r =>
+        s"SELECT $r AS round, spell, usage, freq FROM upr$r")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY round, spell"""),
+    doc = "N47: Unigram-LM (SentencePiece) training — substring seed vocab " +
+      "with frozen exact freq/total scores, per-round Viterbi suffix DP " +
+      "(IEEE-deterministic right-to-left products) + usage-argmin prune; " +
+      "integer usage evidence, oracle replays the DP as chained CTEs")
+
+  /** q236 — Unigram-LM Viterbi encode (N47b): segment the corpus under
+    * the q235-trained vocabulary by exact max-product Viterbi — q220's
+    * bounded join-walk device with the DP argmax step instead of
+    * longest-match (the THIRD encode algebra: BPE replays, WordPiece
+    * greedy-matches, Unigram maximizes likelihood). Per document:
+    * whitespace token count and Viterbi piece count. */
+  val q236 = Q(
+    "q236_unigram_encode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.UnigramLm
+      val docs = Tables(s, dir, "documents")
+      val words = BpeVocab.wordTable(docs, "text")
+      val (_, vocab) = UnigramLm.train(words, UgPieceLen, UgRounds, UgPruneK)
+      val seg = UnigramLm.viterbiSegments(words, vocab, UgPieceLen)
+        .select($"w", $"n_up")
+      docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .join(seg, "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"n_up").as("n_up"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $ugTrainCtes,
+      $ugEncodeCtes,
+      utoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(uwp.n_up) AS BIGINT) AS n_up
+      FROM utoks t JOIN uwp ON t.w = uwp.w
+      WHERE len(t.w) > 0
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+    doc = "N47b: Unigram-LM Viterbi encode — suffix-DP optimum + " +
+      "deterministic argmax walk (ties longest-then-lexicographic); " +
+      "oracle replays the DP rounds and walks a recursive CTE")
+
+  /** q237 — pack by Unigram-LM counts (X103): the packing algebra's
+    * count-agnostic claim closed over the THIRD tokenizer family —
+    * bins land on Viterbi piece arithmetic; a drift between encoder
+    * and packer silently shifts every downstream bin id and only the
+    * end-to-end hash catches it (q210's thesis, third member). */
+  val q237 = Q(
+    "q237_unigram_packing",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.UnigramLm
+      val docs = Tables(s, dir, "documents")
+      val words = BpeVocab.wordTable(docs, "text")
+      val (_, vocab) = UnigramLm.train(words, UgPieceLen, UgRounds, UgPruneK)
+      val seg = UnigramLm.viterbiSegments(words, vocab, UgPieceLen)
+        .select($"w", $"n_up")
+      val counts = docs
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter(length($"w") > 0)
+        .join(seg, "w")
+        .groupBy($"doc_id")
+        .agg(sum($"n_up").cast("long").as("n_tok"))
+      Text.packingMapFromCounts(counts, L = 128)
+        .orderBy($"doc_id", $"bin_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $ugTrainCtes,
+      $ugEncodeCtes,
+      utoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+      d AS (SELECT t.doc_id, CAST(SUM(uwp.n_up) AS BIGINT) AS n_tok
+            FROM utoks t JOIN uwp ON t.w = uwp.w
+            WHERE len(t.w) > 0 GROUP BY t.doc_id),
+      cum AS (SELECT doc_id, n_tok,
+                CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, cum, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM cum),
+      x AS (SELECT doc_id, st, cum, b0, b1, unnest(range(b0, b1 + 1)) AS bin_id
+            FROM e)
+      SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id,
+             CAST(GREATEST(st, bin_id * 128) - bin_id * 128 AS BIGINT) AS bin_off,
+             CAST(GREATEST(st, bin_id * 128) - st AS BIGINT) AS doc_off,
+             CAST(LEAST(cum, (bin_id + 1) * 128)
+               - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len,
+             CAST(b1 > b0 AS INT) AS split
+      FROM x ORDER BY doc_id, bin_id"""),
+    doc = "X103: pack by Unigram-LM Viterbi counts — the packing algebra " +
+      "proven count-agnostic on the third tokenizer family; end-to-end " +
+      "hash-checked composition")
+
+  val all: Seq[Q] = Seq(q194, q195, q214, q219, q220, q221, q228, q229,
+    q235, q236, q237)
 }
