@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Barriers._
+
+/** Data-parallel best-first beam search over a KNN graph (SURVEY.md
+  * §2.11a N48 / q238) — the QUERY path for the q201 NN-Descent graph,
+  * completing the graph-index story: q201 builds the navigable
+  * structure HNSW/NSG-class indexes are made from, this serves it.
+  *
+  * All queries advance SIMULTANEOUSLY (the data-parallel shape — a
+  * per-query sequential walk would be a driver loop): each round takes
+  * every query's `beam` best not-yet-expanded candidates, expands them
+  * through the symmetrized edge table in ONE equi-join, scores only
+  * NEVER-SEEN (query, node) pairs with exact grid distances, and
+  * folds them into the seen set. After `rounds` rounds the answer is
+  * the exact top-k of everything seen. Greedy best-first with
+  * full-memory frontier selection — the standard graph-ANN search
+  * (HNSW's ef-search) re-expressed as bounded relational rounds.
+  *
+  * Determinism: distances are exact BIGINTs on the
+  * [[KMeansInt.quantize]] grid, every per-query top (frontier and
+  * answer) ties (d ASC, id ASC), and the expanded/seen sets evolve as
+  * pure functions of those — the whole search hash-matches its rounds
+  * unrolled as CTEs (q201's device).
+  *
+  * Scale: per round, frontier = queries × beam rows; expansion is one
+  * join against the (2·k·N)-row edge table on the node key; scoring
+  * moves vectors only for FRESH candidates (≤ queries × beam × degree
+  * per round, corpus-size-independent); the seen set is bounded by
+  * the total scored budget (entries + rounds × beam × degree per
+  * query), never the corpus. Accumulators (`expanded`) stay plain
+  * unions of barriered leaves — never themselves checkpointed (the
+  * r9 union-checkpoint lesson).
+  */
+object GraphAnn {
+
+  private def topPerQ(df: DataFrame, k: Int): DataFrame = {
+    implicit val inEnc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Double, Long, Long)]()
+    val topk = udaf(new graft.functions.TopKScored(k))
+    df.groupBy(col("q_id"))
+      .agg(topk((-col("d")).cast("double"), col("id"), col("d")).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("e"))
+      .select(col("q_id"), col("e.id").as("id"), col("e.tag").as("d"))
+  }
+
+  /** Beam search: `(q_id, rn, id, d)` — the exact top-k of everything
+    * the search visited, rn = 1..k by (d ASC, id ASC); self-matches
+    * (id = q_id) excluded from the answer (IvfAnn.topK's contract).
+    *
+    * @param vq      corpus (idCol, xq) on the quantized grid
+    * @param graph   directed KNN edges (v, u) — symmetrized internally
+    * @param queries (q_id, xq)
+    * @param entries single-column entry-point ids (a fixed, small,
+    *                deterministic set — HNSW's fixed entry, broadcast)
+    */
+  def beamSearch(vq: DataFrame, idCol: String, graph: DataFrame,
+                 queries: DataFrame, entries: DataFrame,
+                 beam: Int, rounds: Int, k: Int): DataFrame = {
+    val sym = graph.select(col("v"), col("u"))
+      .unionByName(graph.select(col("u").as("v"), col("v").as("u")))
+      .filter(col("v") =!= col("u")).distinct().barrier()
+    val qx = queries.select(col("q_id"), col("xq").as("__qx")).barrier()
+    val corpus = vq.select(col(idCol).as("id"), col("xq").as("__cx"))
+
+    // exact grid distances for (q_id, id) candidate rows
+    def score(cand: DataFrame): DataFrame = cand
+      .join(corpus, "id")
+      .join(qx, "q_id")
+      .select(col("q_id"), col("id"),
+        KMeansInt.sqDist(col("__qx"), col("__cx")).as("d"))
+
+    val ent = entries.select(col(entries.columns.head).as("id"))
+    var seen = score(qx.select(col("q_id")).crossJoin(broadcast(ent)))
+      .barrier()
+    var expanded: DataFrame = null // plain union of barriered leaves
+    (1 to rounds).foreach { _ =>
+      val unexpanded =
+        if (expanded == null) seen
+        else seen.join(expanded, Seq("q_id", "id"), "left_anti")
+      val toExpand = topPerQ(unexpanded, beam).barrier()
+      val exp = toExpand.select(col("q_id"), col("id"))
+      expanded = if (expanded == null) exp else expanded.unionByName(exp)
+      val nbrs = toExpand.select(col("q_id"), col("id").as("v"))
+        .join(sym, "v")
+        .select(col("q_id"), col("u").as("id")).distinct()
+      val fresh = nbrs
+        .join(seen.select(col("q_id"), col("id")), Seq("q_id", "id"),
+          "left_anti")
+      seen = seen.unionByName(score(fresh))
+        .groupBy(col("q_id"), col("id")).agg(min(col("d")).as("d"))
+        .barrier() // aggregate-topped, never a bare Union
+    }
+    implicit val inEnc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Double, Long, Long)]()
+    val topk = udaf(new graft.functions.TopKScored(k))
+    seen.filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(topk((-col("d")).cast("double"), col("id"), col("d")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).as("rn"),
+        col("e.id").as("id"), col("e.tag").as("d"))
+  }
+}

@@ -998,6 +998,118 @@ object Vectors {
       "per-cell occupancy + exact live-row checksums; oracle rebuilds " +
       "from scratch and restricts, maintained == rebuilt-minus-deleted")
 
+  /** One unrolled beam-search round for the q238 oracle: frontier
+    * tx$r = the beam best not-yet-expanded seen rows, expanded-set
+    * union ex$r, one-hop neighbors nb$r through the symmetrized graph,
+    * fresh never-seen candidates fr$r, exact-grid scores sc$r, and the
+    * folded seen set sn$r. */
+  private def gannRound(r: Int, beam: Int): String = {
+    val snPrev = s"sn${r - 1}"
+    val anti =
+      if (r == 1) snPrev
+      else s"""(SELECT s.q_id, s.id, s.d FROM $snPrev s
+               ANTI JOIN ex${r - 1} e ON e.q_id = s.q_id AND e.id = s.id)"""
+    s"""
+      tx$r AS MATERIALIZED (SELECT q_id, id, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, id) AS rn
+          FROM $anti) WHERE rn <= $beam),
+      ex$r AS MATERIALIZED (${
+        if (r == 1) "SELECT q_id, id FROM tx1"
+        else s"SELECT q_id, id FROM ex${r - 1} UNION ALL SELECT q_id, id FROM tx$r"}),
+      nb$r AS (SELECT DISTINCT t.q_id, g.u AS id
+               FROM tx$r t JOIN gsym g ON g.v = t.id),
+      fr$r AS (SELECT n.q_id, n.id FROM nb$r n
+               ANTI JOIN $snPrev s ON s.q_id = n.q_id AND s.id = n.id),
+      gsc$r AS (SELECT f.q_id, f.id,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> (q.xq[i] - a.xq[i]) * (q.xq[i] - a.xq[i]))) AS BIGINT) AS d
+        FROM fr$r f JOIN vq a ON a.vec_id = f.id JOIN qv q ON q.q_id = f.q_id),
+      sn$r AS MATERIALIZED (SELECT q_id, id, MIN(d) AS d FROM (
+          SELECT q_id, id, d FROM $snPrev
+          UNION ALL SELECT q_id, id, d FROM gsc$r)
+        GROUP BY q_id, id)"""
+  }
+
+  /** q238 — graph-ANN beam search (N48): the QUERY path over the q201
+    * NN-Descent KNN graph — the ANN ladder's graph-index story closed
+    * (build q201, serve HERE; the IVF family serves q69/q140/q196).
+    * Data-parallel best-first search: all queries advance together,
+    * each round expanding their `beam` best unexpanded candidates
+    * through ONE equi-join on the symmetrized edge table, scoring only
+    * never-seen pairs with exact grid distances, answering with the
+    * exact top-k of everything seen (self-matches excluded). Oracle:
+    * the same graph chain as q201 plus the rounds unrolled as CTEs —
+    * frontier selection, expansion, fresh-scoring, and the seen fold
+    * are all deterministic ((d, id) ties, exact BIGINTs), so the whole
+    * search hash-matches. GraphAnnSpec pins recall against brute force
+    * and against IVF at an equal-or-larger candidate budget. */
+  val q238 = Q(
+    "q238_graph_ann_search",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{GraphAnn, KMeansInt, NNDescent}
+      val emb = Tables(s, dir, "embeddings")
+      val vq = emb.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+        .persist()
+      val n = vq.count() // 1-scalar driver action: the init's mod base
+      val init = vq.select($"vec_id".as("v"),
+          explode(sequence(lit(1), lit(4))).as("i"))
+        .select($"v", (($"v" + $"i") % n).as("u"))
+      val graph = NNDescent.build(vq, "vec_id", init, k = 4, rounds = 2)
+        .select($"v", $"u")
+      val queries = vq.filter($"vec_id" < 4)
+        .select($"vec_id".as("q_id"), $"xq")
+      val entries = vq.filter($"vec_id" < 4).select($"vec_id".as("id"))
+      val out = GraphAnn
+        .beamSearch(vq, "vec_id", graph, queries, entries,
+          beam = 4, rounds = 3, k = 4)
+        .orderBy($"q_id", $"rn")
+        .barrier() // eager, BEFORE unpersist
+      vq.unpersist()
+      out
+    },
+    Some(s"""
+      WITH vq AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vq),
+      e0r AS (SELECT vq.vec_id AS v, (vq.vec_id + g.i) % nt.n AS u
+              FROM vq CROSS JOIN nt
+              CROSS JOIN (SELECT unnest(range(1, 5)) AS i) g),
+      s0 AS (SELECT e.v, e.u,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+             FROM (SELECT DISTINCT v, u FROM e0r WHERE v <> u) e
+             JOIN vq a ON e.v = a.vec_id JOIN vq b ON e.u = b.vec_id),
+      e1 AS (SELECT v, u, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM s0) WHERE rn <= 4),
+      ${nndRound("e1", 1)},
+      ${nndRound("e2", 2)},
+      gg AS (SELECT v, u FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM e3) WHERE rn <= 4),
+      gsym AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+          SELECT v, u FROM gg UNION ALL SELECT u AS v, v AS u FROM gg)
+        WHERE v <> u),
+      qv AS MATERIALIZED (SELECT vec_id AS q_id, xq FROM vq WHERE vec_id < 4),
+      sn0 AS MATERIALIZED (SELECT q.q_id, e.vec_id AS id,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> (q.xq[i] - e.xq[i]) * (q.xq[i] - e.xq[i]))) AS BIGINT) AS d
+        FROM qv q CROSS JOIN (SELECT vec_id, xq FROM vq WHERE vec_id < 4) e),
+      ${gannRound(1, 4)},
+      ${gannRound(2, 4)},
+      ${gannRound(3, 4)}
+      SELECT q_id, CAST(rn AS INT) AS rn, id, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, id) AS rn
+        FROM sn3 WHERE id <> q_id) WHERE rn <= 4
+      ORDER BY q_id, rn"""),
+    doc = "N48: graph-ANN beam search over the q201 KNN graph — " +
+      "data-parallel best-first rounds (beam frontier, one-join " +
+      "expansion, fresh-only exact scoring), deterministic ties; " +
+      "oracle unrolls the rounds as CTEs")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
-    q200, q201, q222, q224, q227, q234)
+    q200, q201, q222, q224, q227, q234, q238)
 }
