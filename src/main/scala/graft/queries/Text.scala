@@ -1275,7 +1275,157 @@ object Text {
       "with live/freed counts and the dead flag; oracle re-derives the " +
       "ledger from a from-scratch rebuild")
 
+  /** One store's takedown ledger row from a `(doc_id, grp)` unit
+    * frame: how many unit rows existed, how many the takedown removes,
+    * how many remain, and how many GROUPS are left empty (a drained
+    * bin / vanished fingerprint / emptied bucket / termless posting
+    * list — the entries a reaper deletes from the store head). */
+  private def storeLedger(store: String,
+                          units: org.apache.spark.sql.DataFrame,
+                          deleted: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val del = deleted.select(col("doc_id")).distinct()
+      .withColumn("__del", lit(1L))
+    units.join(del, Seq("doc_id"), "left_outer")
+      .withColumn("__del", coalesce(col("__del"), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(lit(1L) - col("__del")).as("live"),
+        sum(col("__del")).as("rem"))
+      .agg(count(lit(1)), sum(col("live") + col("rem")).as("nb"),
+        sum(col("rem")).as("nr"), sum(col("live")).as("nl"),
+        sum((col("live") === 0L && col("rem") > 0L).cast("long")).as("nd"))
+      .select(lit(store).as("store"), col("nb").as("n_before"),
+        col("nr").as("n_removed"), col("nl").as("n_live"),
+        col("nd").as("n_drained"))
+  }
+
+  /** q239 — CASCADING takedown audit (X104): the full
+    * right-to-be-forgotten blast radius — ONE deletion policy (doc_id
+    * mod 17 = 3, q233's) propagated through every doc-keyed store a
+    * corpus pipeline maintains, with one ledger row per store:
+    *
+    *  - `packing` — q209 bin segments (grp = bin; drained = dead bins,
+    *    exactly q233's flag),
+    *  - `chunks` — q199's 32/24 context windows (grp = chunk md5;
+    *    drained = fingerprints NO survivor carries — a fingerprint
+    *    shared with a surviving doc legitimately stays in the store),
+    *  - `minhash_buckets` — the q54 banded LSH index entries (grp =
+    *    (band, key); drained = buckets left empty),
+    *  - `postings` — q91's inverted-index (term, doc) pairs (grp =
+    *    term; drained = terms whose postings list empties).
+    *
+    * The drained count is what a storage reaper deletes at the store
+    * HEAD (bin manifests, fingerprint rows, bucket keys, term rows);
+    * everything else is row-level tombstoning, q233's non-compaction
+    * argument store by store. Oracle: all four stores recomputed from
+    * scratch in SQL (the q209/q199/q54/q91 oracle devices) and led
+    * through the same group-then-count algebra.
+    *
+    * Scale: each store's unit frame is the store build that exists
+    * anyway; the takedown set rides a broadcast-sized join; one
+    * aggregate per store; output is 4 rows. */
+  val q239 = Q(
+    "q239_cascading_takedown",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.MinHashLSH
+      val docs = Tables(s, dir, "documents")
+      val deleted = docs.select($"doc_id").filter($"doc_id" % 17 === 3)
+      val packing = packingMap(docs, L = 128)
+        .select($"doc_id", $"bin_id".cast("string").as("grp"))
+      val chunks = chunkWindows(docs, window = 32, stride = 24)
+        .select($"doc_id", $"chunk_md5".as("grp"))
+      val mh = docs
+        .select($"doc_id",
+          posexplode(MinHashLSH.bandedSignatureArr($"text"))
+            .as(Seq("band", "key")))
+        .select($"doc_id",
+          concat_ws(":", $"band", $"key").as("grp"))
+      val postings = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter(length($"term") > 0)
+        .select($"doc_id", $"term".as("grp")).distinct()
+      storeLedger("packing", packing, deleted)
+        .unionByName(storeLedger("chunks", chunks, deleted))
+        .unionByName(storeLedger("minhash_buckets", mh, deleted))
+        .unionByName(storeLedger("postings", postings, deleted))
+        .orderBy($"store")
+    },
+    Some {
+      def led(name: String, unitsSql: String): String = s"""
+        SELECT '$name' AS store,
+          CAST(SUM(live + rem) AS BIGINT) AS n_before,
+          CAST(SUM(rem) AS BIGINT) AS n_removed,
+          CAST(SUM(live) AS BIGINT) AS n_live,
+          CAST(SUM(CASE WHEN live = 0 AND rem > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drained
+        FROM (SELECT grp,
+                SUM(CASE WHEN doc_id % 17 = 3 THEN 0 ELSE 1 END) AS live,
+                SUM(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS rem
+              FROM $unitsSql GROUP BY grp)"""
+      val aLit = graft.operators.MinHashLSH.aConst(12).mkString("[", ", ", "]")
+      val bLit = graft.operators.MinHashLSH.bConst(12).mkString("[", ", ", "]")
+      val m = graft.operators.MinHashLSH.Mod
+      s"""
+      WITH d AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     t -> len(t) > 0)) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, n_tok,
+              CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM d WHERE n_tok > 0),
+      e AS (SELECT doc_id, cum - n_tok AS st,
+              (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+            FROM c),
+      punits AS (SELECT doc_id, CAST(unnest(range(b0, b1 + 1)) AS VARCHAR) AS grp
+                 FROM e),
+      ct AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+             FROM documents),
+      cunits AS (SELECT doc_id,
+               md5(array_to_string(list_slice(tk, CAST(g.i AS INT) * 24 + 1,
+                 CAST(g.i AS INT) * 24 + 32), ' ')) AS grp
+             FROM ct CROSS JOIN LATERAL
+               (SELECT unnest(range(0, CASE WHEN len(tk) > 32
+                  THEN (len(tk) - 33) // 24 + 2 ELSE 1 END)) AS i) g
+             WHERE len(tk) > 0),
+      hts AS (SELECT doc_id,
+                list_transform(string_split(text, ' '), t ->
+                  CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT)) AS hts
+              FROM documents),
+      msh AS (SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(hts) - 2, 0) + 1),
+                  i -> ((hts[i] * 31 + hts[i+1]) * 31 + hts[i+2]) % $m)) AS sh
+              FROM hts),
+      msig AS (SELECT doc_id,
+                 list_transform(range(0, 12), j ->
+                   list_min(list_transform(sh, h ->
+                     ($aLit[CAST(j AS INT) + 1] * h
+                       + $bLit[CAST(j AS INT) + 1]) % $m))) AS sig
+               FROM msh WHERE len(sh) > 0),
+      munits AS (SELECT doc_id, b || ':' ||
+                   ((sig[CAST(b AS INT)*3+1] * 31 + sig[CAST(b AS INT)*3+2]) * 31
+                     + sig[CAST(b AS INT)*3+3]) AS grp
+                 FROM msig, (SELECT unnest(range(0, 4)) AS b)),
+      tunits AS (SELECT DISTINCT doc_id, term AS grp FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents)
+                 WHERE len(term) > 0)
+      ${led("packing", "punits")}
+      UNION ALL ${led("chunks", "cunits")}
+      UNION ALL ${led("minhash_buckets", "munits")}
+      UNION ALL ${led("postings", "tunits")}
+      ORDER BY store"""
+    },
+    doc = "X104: cascading takedown audit — one deletion policy propagated " +
+      "through packing bins, chunk fingerprints, minhash LSH buckets, and " +
+      "inverted-index postings; per-store before/removed/live/drained " +
+      "ledger; oracle rebuilds all four stores from scratch")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
-    q233)
+    q233, q239)
 }

@@ -116,6 +116,45 @@ class PackingSpec extends SparkSpecBase {
     ()
   }
 
+  test("q239 cascading takedown: a fingerprint shared with a SURVIVOR " +
+    "is never drained; one carried only by deleted docs is; ledger " +
+    "conservation holds per store") {
+    val s = spark
+    import s.implicits._
+    // docs 3 and 21 share identical text (same chunk fingerprints);
+    // doc 3 is deleted (3 % 17 = 3), 21 survives (21 % 17 = 4) -> the
+    // shared md5 keeps a live carrier.
+    // doc 37 (37 % 17 = 3, deleted) has unique text -> its md5 drains.
+    val docs = Seq(
+      (3L, "alpha beta gamma delta"),
+      (21L, "alpha beta gamma delta"),
+      (37L, "unique solitary phrase here"),
+      (5L, "other content words entirely")).toDF("doc_id", "text")
+    val deleted = docs.select($"doc_id").filter($"doc_id" % 17 === 3)
+    val chunks = Text.chunkWindows(docs, window = 32, stride = 24)
+      .select($"doc_id", $"chunk_md5".as("grp"))
+    // replicate the q239 ledger algebra for the chunks store
+    val led = chunks.join(deleted.withColumn("__del", lit(1L)),
+        Seq("doc_id"), "left_outer")
+      .withColumn("__del", coalesce($"__del", lit(0L)))
+      .groupBy($"grp")
+      .agg(sum(lit(1L) - $"__del").as("live"), sum($"__del").as("rem"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val sharedMd5 = chunks.filter($"doc_id" === 21L).head().getString(1)
+    val uniqueMd5 = chunks.filter($"doc_id" === 37L).head().getString(1)
+    assert(led(sharedMd5) === ((1L, 1L)), "shared fingerprint must keep a live carrier")
+    assert(led(uniqueMd5) === ((0L, 1L)), "unique deleted fingerprint must drain")
+    // full-query conservation: n_before == n_removed + n_live per store
+    val rows = Text.q239.build(s, sf).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"store ${r.getString(0)} does not conserve rows")
+      assert(r.getLong(4) <= r.getLong(1))
+    }
+  }
+
   test("q215 shards partition the bins and conserve tokens exactly") {
     val s = spark
     import s.implicits._
