@@ -1492,6 +1492,54 @@ class StreamingSpec extends SparkSpecBase {
       s"out-of-width bits leaked: ${got.toSeq}")
   }
 
+  test("T26: streaming takedown — right-to-be-forgotten requests applied " +
+    "per micro-batch with O(|delta|) ledger increments; streamed == batch " +
+    "packingTakedown + removeFromIndex stats on the union, and replayed " +
+    "requests are exactly-once") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+    val map = graft.queries.Text.packingMap(docs, L = 128) // freeze barriers it
+    // synthetic doc-keyed index: one row per doc, 8 cells
+    val index = docs.select($"doc_id".as("vec_id"),
+      ($"doc_id" % 8).cast("int").as("cell"))
+    var st = StreamingTakedown.freeze(map, index)
+    // three batches; batch 3 REPLAYS batch 1's ids (at-least-once)
+    val b1 = docs.select($"doc_id").filter($"doc_id" % 17 === 3)
+    val b2 = docs.select($"doc_id").filter($"doc_id" % 17 === 5)
+    val b3 = b1 // replay
+    val stream = MemoryStream[Long](s)
+    val qy = stream.toDF().toDF("doc_id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingTakedown.applyBatch(st, b)
+      }
+      .start()
+    Seq(b1, b2, b3).foreach { b =>
+      stream.addData(b.collect().map(_.getLong(0)).toSeq: _*)
+      qy.processAllAvailable()
+    }
+    qy.stop()
+    // batch truth on the union (replay contributes nothing)
+    val union = b1.unionByName(b2)
+    val wantLedger = graft.queries.Text.packingTakedown(map, union)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val gotLedger = st.ledger
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(gotLedger === wantLedger,
+      "streamed packing ledger != batch takedown on the union")
+    val (_, wantStats) = graft.operators.IvfPqIndex
+      .removeFromIndex(index, "vec_id", union)
+    val want = wantStats.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = st.cellStats.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want, "streamed cell stats != batch removeFromIndex")
+    // the replay really was a no-op: tombstones = |b1| + |b2|
+    assert(st.tombstones.count() === b1.count() + b2.count())
+  }
+
   test("T22: streaming entity-resolution assignment — new records probe the " +
     "frozen EdJoin gram index, verify, adopt-or-mint; streamed assignments " +
     "== batch golden-record run on the union (non-bridging deltas)") {
