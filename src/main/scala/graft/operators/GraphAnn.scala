@@ -46,6 +46,65 @@ object GraphAnn {
       .select(col("q_id"), col("e.id").as("id"), col("e.tag").as("d"))
   }
 
+  /** Graph-index APPEND (X105 / q240 — the maintenance family's graph
+    * member): new nodes acquire their k out-edges by beam-searching
+    * the FROZEN graph — HNSW's own insert algorithm (search, then
+    * connect), minus the sequential insert order that keeps HNSW off
+    * data-parallel engines: every delta node searches the SAME frozen
+    * structure simultaneously, so the append is deterministic,
+    * order-free (sub-batch composable), and O(|delta| × search
+    * budget) — the frozen graph and corpus are probed, never
+    * rewritten.
+    *
+    * Documented asymmetry (the T22/T24 caveat class): REVERSE edges —
+    * an existing node whose true neighborhood now includes a delta
+    * node — are NOT patched (that would rewrite frozen rows); they
+    * reconcile at the next NN-Descent rebuild generation (the lambda
+    * posture). Delta-delta edges likewise: two near-identical arrivals
+    * each connect into the frozen corpus, not to each other.
+    *
+    * Returns `(v, rn, u, d)` edge rows for the delta nodes —
+    * schema-identical to [[NNDescent.build]]'s output, so the union
+    * IS the maintained graph. */
+  def appendNodes(vq: DataFrame, idCol: String, graph: DataFrame,
+                  delta: DataFrame, entries: DataFrame,
+                  beam: Int, rounds: Int, k: Int): DataFrame =
+    beamSearch(vq, idCol, graph,
+      delta.select(col(idCol).as("q_id"), col("xq")),
+      entries, beam, rounds, k)
+      .select(col("q_id").as("v"), col("rn"), col("id").as("u"), col("d"))
+
+  /** Graph-index TAKEDOWN (X106 / q241): drop a node set from the KNN
+    * graph — both as sources and as targets (a deleted node must stop
+    * being served AND stop being anyone's neighbor: its vectors are
+    * gone, q234's right-to-be-forgotten contract). Returns
+    * `(live, degradeLedger)`: the surviving edge rows (pure anti-joins
+    * — exact by construction, no model involved) and the per-surviving-
+    * node degree ledger `(v, n_before, n_lost, n_live)` — a node that
+    * lost neighbors serves a DEGRADED neighborhood until the next
+    * rebuild generation re-densifies it; the ledger is what a serving
+    * layer alarms on (sum(n_lost) / sum(n_before) is the rebuild
+    * trigger, q222's cell_dist posture). */
+  def removeNodes(graph: DataFrame, deletedIds: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).cast("long").as("__did"))
+      .distinct()
+    val live = graph
+      .join(del.select(col("__did").as("v")), Seq("v"), "left_anti")
+      .join(del.select(col("__did").as("u")), Seq("u"), "left_anti")
+      .select(graph.columns.map(col): _*)
+    val ledger = graph
+      .join(del.select(col("__did").as("v")), Seq("v"), "left_anti")
+      .join(del.select(col("__did").as("u"), lit(1L).as("__gone")),
+        Seq("u"), "left_outer")
+      .withColumn("__gone", coalesce(col("__gone"), lit(0L)))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_before"), sum(col("__gone")).as("n_lost"),
+        sum(lit(1L) - col("__gone")).as("n_live"))
+    (live, ledger)
+  }
+
   /** Beam search: `(q_id, rn, id, d)` — the exact top-k of everything
     * the search visited, rn = 1..k by (d ASC, id ASC); self-matches
     * (id = q_id) excluded from the answer (IvfAnn.topK's contract).

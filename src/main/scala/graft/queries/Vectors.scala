@@ -1110,6 +1110,146 @@ object Vectors {
       "expansion, fresh-only exact scoring), deterministic ties; " +
       "oracle unrolls the rounds as CTEs")
 
+  /** q240 — graph-index APPEND (X105): the maintenance matrix's last
+    * empty cell — packing and the IVF-PQ index both append (q213,
+    * q222) and delete (q233, q234); the q201 KNN graph could only be
+    * rebuilt. New nodes connect by beam-searching the FROZEN graph
+    * (HNSW's own insert: search, then connect) — every delta node
+    * searches the same frozen structure simultaneously, so the append
+    * is deterministic, order-free, and O(|delta| × search budget).
+    * Reverse edges and delta-delta edges reconcile at the next
+    * rebuild generation (documented, the T22/T24 caveat class).
+    * Oracle: the q238 unrolled-rounds device with the graph chain on
+    * the frozen prefix and the delta as the query set. */
+  val q240 = Q(
+    "q240_graph_append",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{GraphAnn, KMeansInt, NNDescent}
+      val emb = Tables(s, dir, "embeddings")
+      val vq = emb.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+        .persist()
+      val frozen = vq.filter($"vec_id" < 384)
+      val n = frozen.count() // 1-scalar driver action: the init's mod base
+      val init = frozen.select($"vec_id".as("v"),
+          explode(sequence(lit(1), lit(4))).as("i"))
+        .select($"v", (($"v" + $"i") % n).as("u"))
+      val graph = NNDescent.build(frozen, "vec_id", init, k = 4, rounds = 2)
+        .select($"v", $"u")
+      val delta = vq.filter($"vec_id" >= 384)
+      val entries = frozen.filter($"vec_id" < 4).select($"vec_id".as("id"))
+      val out = GraphAnn
+        .appendNodes(frozen, "vec_id", graph, delta, entries,
+          beam = 4, rounds = 3, k = 4)
+        .orderBy($"v", $"rn")
+        .barrier() // eager, BEFORE unpersist
+      vq.unpersist()
+      out
+    },
+    Some(s"""
+      WITH vq AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings WHERE vec_id < 384),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vq),
+      e0r AS (SELECT vq.vec_id AS v, (vq.vec_id + g.i) % nt.n AS u
+              FROM vq CROSS JOIN nt
+              CROSS JOIN (SELECT unnest(range(1, 5)) AS i) g),
+      s0 AS (SELECT e.v, e.u,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+             FROM (SELECT DISTINCT v, u FROM e0r WHERE v <> u) e
+             JOIN vq a ON e.v = a.vec_id JOIN vq b ON e.u = b.vec_id),
+      e1 AS (SELECT v, u, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM s0) WHERE rn <= 4),
+      ${nndRound("e1", 1)},
+      ${nndRound("e2", 2)},
+      gg AS (SELECT v, u FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM e3) WHERE rn <= 4),
+      gsym AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+          SELECT v, u FROM gg UNION ALL SELECT u AS v, v AS u FROM gg)
+        WHERE v <> u),
+      qv AS MATERIALIZED (SELECT vec_id AS q_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings WHERE vec_id >= 384),
+      sn0 AS MATERIALIZED (SELECT q.q_id, e.vec_id AS id,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> (q.xq[i] - e.xq[i]) * (q.xq[i] - e.xq[i]))) AS BIGINT) AS d
+        FROM qv q CROSS JOIN (SELECT vec_id, xq FROM vq WHERE vec_id < 4) e),
+      ${gannRound(1, 4)},
+      ${gannRound(2, 4)},
+      ${gannRound(3, 4)}
+      SELECT q_id AS v, CAST(rn AS INT) AS rn, id AS u, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, id) AS rn
+        FROM sn3 WHERE id <> q_id) WHERE rn <= 4
+      ORDER BY v, rn"""),
+    doc = "X105: graph-index append — delta nodes connect by beam-searching " +
+      "the frozen graph (HNSW's insert, order-free and data-parallel); " +
+      "reverse/delta-delta edges reconcile at the next rebuild generation; " +
+      "oracle unrolls the search rounds over the frozen-prefix graph")
+
+  /** q241 — graph-index TAKEDOWN (X106): drop a node set from the q201
+    * KNN graph as sources AND as targets, with the per-surviving-node
+    * degradation ledger — a node that lost neighbors serves a thinner
+    * neighborhood until the next rebuild re-densifies it, and
+    * sum(n_lost)/sum(n_before) is the rebuild trigger (q222's
+    * cell_dist posture). Pure anti-join arithmetic — exact by
+    * construction, oracle rebuilds the graph and re-derives the
+    * ledger. */
+  val q241 = Q(
+    "q241_graph_takedown",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{GraphAnn, KMeansInt, NNDescent}
+      val emb = Tables(s, dir, "embeddings")
+      val vq = emb.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+        .persist()
+      val n = vq.count()
+      val init = vq.select($"vec_id".as("v"),
+          explode(sequence(lit(1), lit(4))).as("i"))
+        .select($"v", (($"v" + $"i") % n).as("u"))
+      val graph = NNDescent.build(vq, "vec_id", init, k = 4, rounds = 2)
+      val deleted = emb.select($"vec_id").filter($"vec_id" % 13 === 5)
+      val (_, ledger) = GraphAnn.removeNodes(graph, deleted)
+      val out = ledger.orderBy($"v").barrier() // eager, BEFORE unpersist
+      vq.unpersist()
+      out
+    },
+    Some(s"""
+      WITH vq AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vq),
+      e0r AS (SELECT vq.vec_id AS v, (vq.vec_id + g.i) % nt.n AS u
+              FROM vq CROSS JOIN nt
+              CROSS JOIN (SELECT unnest(range(1, 5)) AS i) g),
+      s0 AS (SELECT e.v, e.u,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+             FROM (SELECT DISTINCT v, u FROM e0r WHERE v <> u) e
+             JOIN vq a ON e.v = a.vec_id JOIN vq b ON e.u = b.vec_id),
+      e1 AS (SELECT v, u, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM s0) WHERE rn <= 4),
+      ${nndRound("e1", 1)},
+      ${nndRound("e2", 2)},
+      gg AS (SELECT v, u FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM e3) WHERE rn <= 4)
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN u % 13 = 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lost,
+             CAST(SUM(CASE WHEN u % 13 = 5 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_live
+      FROM gg WHERE v % 13 <> 5
+      GROUP BY v ORDER BY v"""),
+    doc = "X106: graph-index takedown — deleted nodes removed as sources AND " +
+      "targets by anti-joins; per-surviving-node degradation ledger is the " +
+      "rebuild trigger; oracle rebuilds the graph and re-derives the ledger")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
-    q200, q201, q222, q224, q227, q234, q238)
+    q200, q201, q222, q224, q227, q234, q238, q240, q241)
 }

@@ -87,6 +87,76 @@ class GraphAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("appendNodes (q240): order-free — appending the delta in two " +
+    "sub-batches yields the same edges as one batch; appended edges hit " +
+    "the true frozen top-k with recall >= 0.9 on the clustered corpus") {
+    val s = spark
+    import s.implicits._
+    val data = corpus()
+    val frozen = data.filter(_._1 < 320)
+    val delta = data.filter(_._1 >= 320)
+    val fq = frozen.toDF("vec_id", "xq")
+    val n = frozen.size.toLong
+    val init = fq.select($"vec_id".as("v"),
+        explode(sequence(lit(1), lit(6))).as("i"))
+      .select($"v", (($"v" + $"i") % n).as("u"))
+    val graphDf = NNDescent.build(fq, "vec_id", init, k = 6, rounds = 3)
+      .select($"v", $"u").barrier()
+    val entries = (0 until 16).map(_ * 20L) // covers the frozen clusters
+    def append(d: Seq[(Long, Array[Long])]) = GraphAnn
+      .appendNodes(fq, "vec_id", graphDf, d.toDF("vec_id", "xq"),
+        entries.toDF("id"), beam = 6, rounds = 4, k = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val oneBatch = append(delta)
+    val (h1, h2) = delta.splitAt(delta.size / 2)
+    assert(append(h1) ++ append(h2) === oneBatch,
+      "append is not sub-batch composable")
+    // recall vs the true frozen top-6 per delta node
+    val vecs = data.toMap
+    val byNode = oneBatch.groupBy(_._1)
+    val recalls = delta.map { case (id, x) =>
+      val truth = frozen.sortBy { case (fid, fx) => (d2(x, fx), fid) }
+        .take(6).map(_._1).toSet
+      byNode(id).map(_._3).toSet.intersect(truth).size.toDouble / 6
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"append recall $recall below floor")
+  }
+
+  test("removeNodes (q241): live edges == anti-join brute force (deleted " +
+    "gone as sources AND targets), and the degradation ledger matches a " +
+    "per-node brute force") {
+    val s = spark
+    import s.implicits._
+    val data = corpus()
+    val vq = data.toDF("vec_id", "xq")
+    val n = data.size.toLong
+    val init = vq.select($"vec_id".as("v"),
+        explode(sequence(lit(1), lit(6))).as("i"))
+      .select($"v", (($"v" + $"i") % n).as("u"))
+    val graphDf = NNDescent.build(vq, "vec_id", init, k = 6, rounds = 2)
+      .barrier()
+    val edges = graphDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val delSet = data.map(_._1).filter(_ % 13 == 5).toSet
+    val deleted = delSet.toSeq.toDF("vec_id")
+    val (live, ledger) = GraphAnn.removeNodes(graphDf, deleted)
+    val gotLive = live.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val wantLive = edges.filterNot(e => delSet(e._1) || delSet(e._3)).toSet
+    assert(gotLive === wantLive)
+    val gotLed = ledger.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val wantLed = edges.filterNot(e => delSet(e._1)).groupBy(_._1)
+      .map { case (v, es) =>
+        val lost = es.count(e => delSet(e._3)).toLong
+        v -> (es.size.toLong, lost, es.size - lost)
+      }
+    assert(gotLed === wantLed)
+  }
+
   test("recall: beam search over the KNN graph >= IVF given an " +
     "equal-or-larger candidate budget (clustered corpus, " +
     "cluster-covering entries — the navigability knob HNSW's top " +
