@@ -790,5 +790,112 @@ object Multimodal {
       "locality <= 2 bits) -> exact-grouped hamming-banded collapse; oracle " +
       "replays PCM from seed arithmetic and closes clusters recursively")
 
-  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232)
+  /** q242 — near-dup cluster-store takedown (X107, r13): the takedown
+    * family applied to the PERCEPTUAL stores — q217's image dedup
+    * clusters under a deletion policy (img_id mod 9 = 4, hitting both
+    * originals and variants). Deletion is not an anti-join here:
+    * cluster REPRESENTATIVES are min ids (delete one and the group
+    * re-elects), and the hamming pair graph lives between SIGNATURES,
+    * so a signature whose every copy is deleted can be the BRIDGE
+    * holding a component together — components split.
+    * [[graft.operators.ClusterTakedown.removeFromClusters]] handles
+    * both incrementally (untouched components relabel with one
+    * aggregate; only components containing a vanished signature
+    * re-close), and the oracle — which never sees the incremental
+    * structure — re-clusters the survivors from scratch: maintained ≡
+    * rebuilt, the q139/q213 device on the dedup store itself.
+    *
+    * Scale: the q217 decode+hash pass, one flag join, one re-election
+    * aggregate, labelStar restricted to touched components. */
+  val q242 = Q(
+    "q242_cluster_takedown",
+    (s, dir) => {
+      import s.implicits._
+      import graft.core.Barriers._
+      import graft.multimodal.RealCodecs.{BmpCodec, ImageIoCodec, PngCodec}
+      import graft.multimodal.Phash
+      val hashes = Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.flatMap { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val hot = (id % 63).toInt
+            Seq(0, 1).map { v =>
+              val comps = Array.tabulate(189) { i =>
+                if (v == 1 && i / 3 == hot) seed((i + 7) % 16) & 0xff
+                else seed(i % 16) & 0xff
+              }
+              val bytes =
+                if (id % 2 == 0) PngCodec.synthesizeComps(comps, 9, 7)
+                else BmpCodec.synthesizeComps(comps, 9, 7)
+              val img = ImageIoCodec.decode(bytes)
+                .getOrElse(sys.error(s"q242: undecodable image for doc $id/$v"))
+              (id * 2 + v, Phash.dHash(img))
+            }
+          }
+        }
+        .toDF("img_id", "dhash")
+        .barrier() // decode pass consumed by the store build AND the delta
+      val deleted = hashes.select($"img_id").filter($"img_id" % 9 === 4)
+      graft.operators.ClusterTakedown
+        .removeFromClusters(hashes, "img_id", "dhash", deleted,
+          k = 2, bits = 56)
+        .select($"id".as("img_id"), $"component".as("cluster"),
+          ($"id" === $"component").cast("int").as("kept"))
+        .orderBy($"img_id")
+    },
+    Some {
+      val comp =
+        s"""CASE WHEN v = 1 AND i // 3 = doc_id % 63
+              THEN CAST(('0x' || substr(md5(text), CAST(((i + 7) % 16) * 2 + 1 AS INT), 2)) AS INT)
+              ELSE CAST(('0x' || substr(md5(text), CAST((i % 16) * 2 + 1 AS INT), 2)) AS INT)
+            END"""
+      s"""
+      WITH RECURSIVE img AS (
+        SELECT doc_id * 2 + v AS img_id,
+               list_transform(range(0, 189), i -> $comp) AS comps
+        FROM documents, (SELECT unnest([0, 1]) AS v)
+        WHERE (doc_id * 2 + v) % 9 <> 4),
+      lum AS (
+        SELECT img_id, list_transform(range(0, 63), p ->
+          CAST(299 * comps[3*p + 1] + 587 * comps[3*p + 2]
+               + 114 * comps[3*p + 3] AS BIGINT)) AS l
+        FROM img),
+      h AS (
+        SELECT img_id,
+          list_reduce(list_transform(range(0, 56), b ->
+            CASE WHEN l[(b // 8) * 9 + (b % 8) + 1] < l[(b // 8) * 9 + (b % 8) + 2]
+                 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                 ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS dhash
+        FROM lum),
+      bands AS (
+        SELECT img_id, dhash, b.band,
+          CASE b.band WHEN 0 THEN dhash & ((CAST(1 AS BIGINT) << 19) - 1)
+                      WHEN 1 THEN (dhash >> 19) & ((CAST(1 AS BIGINT) << 19) - 1)
+                      ELSE dhash >> 38 END AS bval
+        FROM h, (SELECT unnest([0, 1, 2]) AS band) b),
+      p AS (
+        SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.img_id < b.img_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+      e AS (SELECT a_id AS u, b_id AS w FROM p
+            UNION ALL SELECT b_id AS u, a_id AS w FROM p),
+      r(node, lbl) AS (
+        SELECT img_id, img_id FROM h
+        UNION
+        SELECT e.w, r.lbl FROM r JOIN e ON e.u = r.node),
+      comp AS (SELECT node AS img_id, MIN(lbl) AS cluster FROM r GROUP BY node)
+      SELECT h.img_id, cluster,
+             CASE WHEN h.img_id = cluster THEN 1 ELSE 0 END AS kept
+      FROM h JOIN comp ON h.img_id = comp.img_id
+      ORDER BY h.img_id"""
+    },
+    doc = "X107: near-dup cluster-store takedown — representative " +
+      "re-election + component re-closure restricted to components with a " +
+      "vanished signature (deletion can SPLIT a hamming component); oracle " +
+      "re-clusters the survivors from scratch, maintained == rebuilt")
+
+  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232, q242)
 }
