@@ -897,5 +897,110 @@ object Multimodal {
       "vanished signature (deletion can SPLIT a hamming component); oracle " +
       "re-clusters the survivors from scratch, maintained == rebuilt")
 
-  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232, q242)
+  /** q243 — audio curation gate (MM5, r13): the q73/q203 quality-gate
+    * family applied to DECODED PCM — the signals an audio corpus
+    * pipeline drops clips on, all exact integer arithmetic over the
+    * real codec path (no floats, no FFT — hash-oracle-able):
+    *
+    *  - CLIPPING: samples at the 16-bit rails (|x| ≥ 32767) as ppm —
+    *    the re-gained/limiter-crushed upload;
+    *  - SILENCE: samples below a fixed floor (|x| < 64) as ppm — the
+    *    dead-air / broken-mic clip;
+    *  - DC OFFSET: the exact sample sum — a biased ADC shifts it far
+    *    from 0;
+    *  - mean energy (q218's integer device) and peak for telemetry.
+    *
+    * Gate verdict by exact integer cross-multiplication (q203's
+    * device — no truncated threshold divides): a clip fails on
+    * clipping ≥ 5% or silence ≥ 50%. Corpus: v=0 the q232 modulated
+    * audio through the REAL WAV container; v=1 a gain-crushed copy
+    * (×64, clamped to the rails — a genuine clipped master) through
+    * the REAL FLAC encoder, decoded bit-exactly. The v=0 cohort
+    * passes both gates; the crushed cohort lands ON the clipping
+    * boundary by seed — measured at sf0.001, 187/500 fail and
+    * 313/500 pass — so BOTH verdict branches carry corpus-dependent
+    * weight in the hash (a gate demo where one cohort uniformly fails
+    * would leave the threshold comparison untested).
+    *
+    * Scale: q218's posture — synth+decode+reduce in ONE mapPartitions
+    * pass, payload bytes never leave the partition, 7 scalars a row. */
+  val q243 = Q(
+    "q243_audio_gate",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.RealCodecs.{FlacCodec, WavCodec}
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.flatMap { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            def sb(p: Int): Int = seed(p % 16) & 0xff
+            val base = Array.tabulate(456)(i =>
+              (sb(i + i / 16) - 128) * (1 + i % 5))
+            val crushed = base.map(x =>
+              math.max(-32768, math.min(32767, x * 64)))
+            Seq(
+              (id * 2, WavCodec.parse(WavCodec.synthesizeSamples(base))
+                .getOrElse(sys.error(s"q243: bad wav $id")).samples),
+              (id * 2 + 1, FlacCodec.parse(FlacCodec.synthesizeSamples(crushed))
+                .getOrElse(sys.error(s"q243: bad flac $id")).samples)
+            ).map { case (cid, x) =>
+              val n = x.length.toLong
+              val nClip = x.count(v => math.abs(v) >= 32767).toLong
+              val nSil = x.count(v => math.abs(v) < 64).toLong
+              (cid, n,
+                x.map(v => math.abs(v).toLong).max,
+                nClip, nSil,
+                x.map(_.toLong).sum,
+                x.map(v => v.toLong * v).sum / n,
+                // exact cross-multiplied gates: clip < 5%, silence < 50%
+                if (nClip * 100 < n * 5 && nSil * 2 < n) 1L else 0L)
+            }
+          }
+        }
+        .toDF("clip_id", "n_samples", "peak", "n_clipped", "n_silent",
+          "dc_sum", "energy_mean", "pass")
+        .orderBy($"clip_id")
+    },
+    Some {
+      def b(p: String): String =
+        s"CAST(('0x' || substr(md5(text), CAST((($p) % 16) * 2 + 1 AS INT), 2)) AS INT)"
+      s"""
+      WITH clips AS (
+        SELECT doc_id * 2 + v AS clip_id, v, text
+        FROM documents, (SELECT unnest([0, 1]) AS v)),
+      sm AS (
+        SELECT clip_id, list_transform(range(0, 456), i ->
+          CASE WHEN v = 1
+            THEN GREATEST(-32768, LEAST(32767,
+              CAST((${b("i + i // 16")} - 128) * (1 + i % 5) * 64 AS BIGINT)))
+            ELSE CAST((${b("i + i // 16")} - 128) * (1 + i % 5) AS BIGINT)
+          END) AS s
+        FROM clips),
+      f AS (
+        SELECT clip_id,
+          CAST(len(s) AS BIGINT) AS n_samples,
+          CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+          CAST(len(list_filter(s, x -> abs(x) >= 32767)) AS BIGINT) AS n_clipped,
+          CAST(len(list_filter(s, x -> abs(x) < 64)) AS BIGINT) AS n_silent,
+          CAST(list_reduce(s, (a, x) -> a + x) AS BIGINT) AS dc_sum,
+          CAST(list_reduce(list_transform(s, x -> x * x), (a, x) -> a + x)
+            // len(s) AS BIGINT) AS energy_mean
+        FROM sm)
+      SELECT clip_id, n_samples, peak, n_clipped, n_silent, dc_sum,
+             energy_mean,
+             CAST(CASE WHEN n_clipped * 100 < n_samples * 5
+                        AND n_silent * 2 < n_samples
+                  THEN 1 ELSE 0 END AS BIGINT) AS pass
+      FROM f ORDER BY clip_id"""
+    },
+    doc = "MM5: audio curation gate — clipping/silence ppm, DC offset, " +
+      "exact integer energy over the REAL WAV/FLAC decode path; " +
+      "cross-multiplied gate verdicts (q203's device); the crushed cohort " +
+      "straddles the clipping threshold so both branches are live; " +
+      "oracle replays PCM from seed math")
+
+  val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232, q242,
+    q243)
 }

@@ -65,6 +65,18 @@ class AudioFingerprintSpec extends SparkSpecBase {
     }
   }
 
+  test("q243 gate cohorts: clean audio passes both gates; the crushed " +
+    "cohort straddles the clipping threshold so BOTH verdict branches " +
+    "are live; n_clipped is zero exactly on the clean cohort") {
+    val rows = graft.queries.Multimodal.q243.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(7)))
+    val (clean, crushed) = rows.partition(_._1 % 2 == 0)
+    assert(clean.forall(_._3 == 1L), "a clean clip failed a gate")
+    assert(clean.forall(_._2 == 0L), "a clean clip reported clipping")
+    assert(crushed.exists(_._3 == 0L) && crushed.exists(_._3 == 1L),
+      "the crushed cohort no longer straddles the clipping threshold")
+  }
+
   test("end-to-end clustering (q232's collapse) == brute-force hamming " +
     "union-find over the signatures, including viral identical groups") {
     val s = spark
