@@ -1492,6 +1492,53 @@ class StreamingSpec extends SparkSpecBase {
       s"out-of-width bits leaked: ${got.toSeq}")
   }
 
+  test("T27: streaming graph append — embedding batches arriving on a " +
+    "stream connect into the FROZEN KNN graph via beam search " +
+    "(GraphAnn.appendNodes as the foreachBatch body); streamed == batch " +
+    "append on the union EXACTLY (order-free search, no caveat class)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4227)
+    val dim = 8
+    val frozen = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextInt(20000).toLong)))
+    val delta = (1000L until 1040L).map(i =>
+      (i, Array.fill(dim)(rnd.nextInt(20000).toLong)))
+    val fq = frozen.toDF("vec_id", "xq")
+    val init = fq.select($"vec_id".as("v"),
+        explode(sequence(lit(1), lit(4))).as("i"))
+      .select($"v", (($"v" + $"i") % 200L).as("u"))
+    val graph = graft.operators.NNDescent
+      .build(fq, "vec_id", init, k = 4, rounds = 2)
+      .select($"v", $"u")
+    // freeze once (the store that exists anyway)
+    val fqB = fq.localCheckpoint(true)
+    val graphB = graph.localCheckpoint(true)
+    val entries = (0 until 8).map(_ * 25L).toDF("id").localCheckpoint(true)
+    var streamed = Set.empty[(Long, Int, Long, Long)]
+    val stream = MemoryStream[(Long, Array[Long])](s)
+    val qy = stream.toDF().toDF("vec_id", "xq").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed = streamed ++ graft.operators.GraphAnn
+          .appendNodes(fqB, "vec_id", graphB, b, entries,
+            beam = 4, rounds = 3, k = 4)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3)))
+      }
+      .start()
+    val (d1, d2) = delta.splitAt(delta.size / 2)
+    Seq(d1, d2).foreach { b => stream.addData(b: _*); qy.processAllAvailable() }
+    qy.stop()
+    val batch = graft.operators.GraphAnn
+      .appendNodes(fqB, "vec_id", graphB, delta.toDF("vec_id", "xq"),
+        entries, beam = 4, rounds = 3, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed === batch,
+      "streamed graph append diverges from the batch append on the union")
+    assert(streamed.map(_._1) === delta.map(_._1).toSet)
+  }
+
   test("T26: streaming takedown — right-to-be-forgotten requests applied " +
     "per micro-batch with O(|delta|) ledger increments; streamed == batch " +
     "packingTakedown + removeFromIndex stats on the union, and replayed " +
