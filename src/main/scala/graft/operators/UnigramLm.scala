@@ -105,14 +105,18 @@ object UnigramLm {
   private def suffixDp(dw: DataFrame, m: DataFrame, maxLen: Int): DataFrame = {
     var reached = dw.select(col("w"), (col("len") + 1).as("pos"),
       lit(1.0).as("f"))
-    (1 to maxLen).foreach { _ =>
+    (1 to maxLen).foreach { r =>
       val cand = m.join(reached.select(col("w").as("w2"),
           col("pos").as("npos"), col("f").as("nf")),
           col("w") === col("w2") && (col("pos") + col("sl")) === col("npos"))
         .select(col("w"), col("pos"), (col("sc") * col("nf")).as("f"))
       reached = reached.unionByName(cand)
         .groupBy(col("w"), col("pos")).agg(max(col("f")).as("f"))
-        .barrier() // aggregate-topped, never a bare Union (the r9 bug)
+      // aggregate-topped, never a bare Union (the r9 bug); barrier
+      // every SECOND round — one un-cut round nests a single extra
+      // join in the plan (analysis stays linear) and halves the
+      // job-count floor that dominates these tiny-state rounds
+      if (r % 2 == 0 || r == maxLen) reached = reached.barrier()
     }
     reached
   }
@@ -143,7 +147,7 @@ object UnigramLm {
   private def walk(dw: DataFrame, bs: DataFrame, maxLen: Int): DataFrame = {
     var state = dw.select(col("w"), col("len"), lit(1).as("pos"),
       lit(0L).as("n_up"), array().cast("array<string>").as("used"))
-    (1 to maxLen).foreach { _ =>
+    (1 to maxLen).foreach { r =>
       state = state.join(bs, Seq("w", "pos"), "left_outer")
         .select(col("w"), col("len"),
           when(col("sl").isNull, col("pos"))
@@ -152,7 +156,9 @@ object UnigramLm {
             .otherwise(col("n_up") + 1L).as("n_up"),
           when(col("sl").isNull, col("used"))
             .otherwise(concat(col("used"), array(col("spell")))).as("used"))
-        .barrier()
+      // barrier every second round (see suffixDp) — the walk state is
+      // distinct-word-sized, so the job floor, not the data, is the cost
+      if (r % 2 == 0 || r == maxLen) state = state.barrier()
     }
     state.select(col("w"), col("len"), col("pos"), col("n_up"), col("used"))
       .select(col("w"),

@@ -188,14 +188,18 @@ object WordPieceVocab {
     val maxLen = dw.agg(coalesce(max(col("len")), lit(0))).head().getInt(0)
     var state = dw.select(col("w"), col("len"), lit(1).as("pos"),
       lit(0L).as("n_wp"))
-    (1 to maxLen).foreach { _ =>
+    (1 to maxLen).foreach { r =>
       state = state.join(lm, Seq("w", "pos"), "left_outer")
         .select(col("w"), col("len"),
           when(col("L").isNull, col("pos"))
             .otherwise(col("pos") + col("L")).as("pos"),
           when(col("L").isNull, col("n_wp"))
             .otherwise(col("n_wp") + 1L).as("n_wp"))
-        .barrier()
+      // barrier every SECOND round (r13, A/B-measured ~20% on the
+      // UnigramLm walks): one un-cut round nests a single extra join —
+      // analysis stays linear — and halves the job-count floor that
+      // dominates these distinct-word-sized rounds
+      if (r % 2 == 0 || r == maxLen) state = state.barrier()
     }
     finishedOrRaise(state)
   }
@@ -254,14 +258,15 @@ object WordPieceVocab {
     val maxLen = dw.agg(coalesce(max(col("len")), lit(0))).head().getInt(0)
     var state = dw.select(col("w"), col("len"), lit(1).as("pos"),
       lit(0L).as("n_wp"))
-    (1 to maxLen).foreach { _ =>
+    (1 to maxLen).foreach { r =>
       state = state.join(lm, Seq("w", "pos"), "left_outer")
         .select(col("w"), col("len"),
           when(col("L").isNull, col("pos"))
             .otherwise(col("pos") + col("L")).as("pos"),
           when(col("L").isNull, col("n_wp"))
             .otherwise(col("n_wp") + 1L).as("n_wp"))
-        .barrier()
+      // barrier every second round (see wordPieceCounts)
+      if (r % 2 == 0 || r == maxLen) state = state.barrier()
     }
     finishedOrRaise(state)
   }
