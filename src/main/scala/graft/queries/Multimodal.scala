@@ -1001,6 +1001,204 @@ object Multimodal {
       "straddles the clipping threshold so both branches are live; " +
       "oracle replays PCM from seed math")
 
+  /** q244 — multimodal BUNDLE dedup (MM6, r13): the cross-modality
+    * composition — a document BUNDLE (text + image + audio) is a
+    * near-dup only when EVERY modality agrees: text exact group
+    * (q49's device), image dHash cluster (q217's collapse), audio
+    * energy-sign cluster (q232's). The AND is the point: re-using a
+    * page's text with a different photo, or the same photo under new
+    * audio, is NOT the same bundle — per-modality dedup alone
+    * over-merges.
+    *
+    * Corpus exercises the AND, not just the happy path — three
+    * bundles per doc, all with the SAME text:
+    *  - v=0 the original (q217 image, q232 audio);
+    *  - v=1 a faithful near-dup copy: one pixel edited (≤ 2 dHash
+    *    bits) AND one audio frame edited (≤ 2 signature bits) —
+    *    collapses with v=0;
+    *  - v=2 the modality-break: audio stays within the bound (a
+    *    different frame edited) but the image is INVERTED (255−c —
+    *    every strict luma comparison flips, so the dHash lands far
+    *    outside hamming 2 for any non-degenerate image) — same text,
+    *    matching audio cluster, and it must still NOT collapse.
+    * Duplicate texts (tiny-vocab corpus) additionally collapse
+    * bundles ACROSS docs (same seed ⇒ same planes ⇒ same clusters).
+    *
+    * Pipeline: ONE decode/hash pass emits (bundle_id, text md5, image
+    * dHash, audio signature); each perceptual modality clusters at
+    * the representative level (HammingJoin.collapsed + labelStar —
+    * q217/q232's exact machinery); the bundle key is the label
+    * TRIPLE, one aggregate. Oracle: both hash families replayed from
+    * seed arithmetic, both closures recursive, contiguous banding
+    * (different blocking, same truth), the triple grouped in SQL.
+    *
+    * Scale: the decode pass is q218's posture; each modality's
+    * collapse is linear in distinct signatures; the final aggregate
+    * keys on three longs. */
+  val q244 = Q(
+    "q244_bundle_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.core.Barriers._
+      import graft.multimodal.{AudioFingerprint, Phash, RealCodecs}
+      val bundles = Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.flatMap { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val thash = seed.map("%02x".format(_)).mkString
+            def sb(p: Int): Int = seed(p % 16) & 0xff
+            val hotPix = (id % 63).toInt
+            val hotFr = (id % 57).toInt
+            val hotFr2 = ((id + 19) % 57).toInt
+            Seq(0, 1, 2).map { v =>
+              val comps = Array.tabulate(189) { i =>
+                if (v == 2) 255 - (seed(i % 16) & 0xff)
+                else if (v == 1 && i / 3 == hotPix) sb(i + 7)
+                else seed(i % 16) & 0xff
+              }
+              val ihash = Phash.dHash(RealCodecs.Img(9, 7, comps))
+              val x = Array.tabulate(456) { i =>
+                if (v == 1 && i / 8 == hotFr) (sb(i + 7) - 128) * (1 + i % 3)
+                else if (v == 2 && i / 8 == hotFr2)
+                  (sb(i + 11) - 128) * (1 + i % 4)
+                else (sb(i + i / 16) - 128) * (1 + i % 5)
+              }
+              (id * 3 + v, thash, ihash, AudioFingerprint.energySign(x, 8))
+            }
+          }
+        }
+        .toDF("bundle_id", "thash", "ihash", "asig")
+        .barrier() // one decode pass feeds three clusterings + output
+      def cluster(sigCol: String): org.apache.spark.sql.DataFrame = {
+        val (rp, mm) = graft.operators.HammingJoin
+          .collapsed(bundles, "bundle_id", sigCol, k = 2, bits = 56)
+        val lab = graft.operators.ConnectedComponents
+          .labelStar(mm.select($"rep").distinct(), "rep", rp, "rep_a", "rep_b")
+        mm.join(lab, "rep")
+          .select($"id".as("bundle_id"), $"component".as(s"${sigCol}_c"))
+      }
+      val tclus = bundles.groupBy($"thash")
+        .agg(min($"bundle_id").as("thash_c"))
+      val labeled = bundles
+        .join(tclus, "thash")
+        .join(cluster("ihash"), "bundle_id")
+        .join(cluster("asig"), "bundle_id")
+      val groups = labeled
+        .groupBy($"thash_c", $"ihash_c", $"asig_c")
+        .agg(min($"bundle_id").as("cluster"),
+          count(lit(1)).as("n_members"))
+      labeled.join(groups, Seq("thash_c", "ihash_c", "asig_c"))
+        .select($"bundle_id", $"cluster", $"n_members",
+          ($"bundle_id" === $"cluster").cast("int").as("kept"))
+        .orderBy($"bundle_id")
+    },
+    Some {
+      def b(p: String): String =
+        s"CAST(('0x' || substr(md5(text), CAST((($p) % 16) * 2 + 1 AS INT), 2)) AS INT)"
+      val imgComp =
+        s"""CASE WHEN v = 2 THEN 255 - ${b("i")}
+              WHEN v = 1 AND i // 3 = doc_id % 63 THEN ${b("i + 7")}
+              ELSE ${b("i")} END"""
+      s"""
+      WITH RECURSIVE bn AS (
+        SELECT doc_id * 3 + v AS bundle_id, v, doc_id, text, md5(text) AS thash
+        FROM documents, (SELECT unnest([0, 1, 2]) AS v)),
+      img AS (
+        SELECT bundle_id, list_transform(range(0, 189), i -> $imgComp) AS comps
+        FROM bn),
+      lum AS (
+        SELECT bundle_id, list_transform(range(0, 63), p ->
+          CAST(299 * comps[3*p + 1] + 587 * comps[3*p + 2]
+               + 114 * comps[3*p + 3] AS BIGINT)) AS l
+        FROM img),
+      ih AS (
+        SELECT bundle_id,
+          list_reduce(list_transform(range(0, 56), q ->
+            CASE WHEN l[(q // 8) * 9 + (q % 8) + 1] < l[(q // 8) * 9 + (q % 8) + 2]
+                 THEN CAST(1 AS BIGINT) << CAST(q AS INT)
+                 ELSE CAST(0 AS BIGINT) END), (a, x) -> a | x) AS sig
+        FROM lum),
+      sm AS (
+        SELECT bundle_id, list_transform(range(0, 456), i ->
+          CASE WHEN v = 1 AND i // 8 = doc_id % 57
+            THEN CAST((${b("i + 7")} - 128) * (1 + i % 3) AS BIGINT)
+          WHEN v = 2 AND i // 8 = (doc_id + 19) % 57
+            THEN CAST((${b("i + 11")} - 128) * (1 + i % 4) AS BIGINT)
+          ELSE CAST((${b("i + i // 16")} - 128) * (1 + i % 5) AS BIGINT)
+          END) AS s
+        FROM bn),
+      en AS (
+        SELECT bundle_id, list_transform(range(0, 57), f ->
+          list_reduce(list_transform(range(0, 8), j ->
+            s[8*f + j + 1] * s[8*f + j + 1]), (a, x) -> a + x)) AS e
+        FROM sm),
+      ah AS (
+        SELECT bundle_id,
+          list_reduce(list_transform(range(0, 56), f ->
+            CASE WHEN e[CAST(f + 1 AS INT)] < e[CAST(f + 2 AS INT)]
+                 THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+                 ELSE CAST(0 AS BIGINT) END), (a, x) -> a | x) AS sig
+        FROM en),
+      ibd AS (
+        SELECT bundle_id, sig, bd.band,
+          CASE bd.band WHEN 0 THEN sig & ((CAST(1 AS BIGINT) << 19) - 1)
+                       WHEN 1 THEN (sig >> 19) & ((CAST(1 AS BIGINT) << 19) - 1)
+                       ELSE sig >> 38 END AS bval
+        FROM ih, (SELECT unnest([0, 1, 2]) AS band) bd),
+      ip AS (
+        SELECT DISTINCT a.bundle_id AS a_id, b.bundle_id AS b_id
+        FROM ibd a JOIN ibd b
+          ON a.band = b.band AND a.bval = b.bval AND a.bundle_id < b.bundle_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+      ie AS (SELECT a_id AS u, b_id AS w FROM ip
+             UNION ALL SELECT b_id AS u, a_id AS w FROM ip),
+      ir(node, lbl) AS (
+        SELECT bundle_id, bundle_id FROM ih
+        UNION
+        SELECT ie.w, ir.lbl FROM ir JOIN ie ON ie.u = ir.node),
+      icomp AS (SELECT node AS bundle_id, MIN(lbl) AS ic FROM ir GROUP BY node),
+      abd AS (
+        SELECT bundle_id, sig, bd.band,
+          CASE bd.band WHEN 0 THEN sig & ((CAST(1 AS BIGINT) << 19) - 1)
+                       WHEN 1 THEN (sig >> 19) & ((CAST(1 AS BIGINT) << 19) - 1)
+                       ELSE sig >> 38 END AS bval
+        FROM ah, (SELECT unnest([0, 1, 2]) AS band) bd),
+      ap AS (
+        SELECT DISTINCT a.bundle_id AS a_id, b.bundle_id AS b_id
+        FROM abd a JOIN abd b
+          ON a.band = b.band AND a.bval = b.bval AND a.bundle_id < b.bundle_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+      ae AS (SELECT a_id AS u, b_id AS w FROM ap
+             UNION ALL SELECT b_id AS u, a_id AS w FROM ap),
+      ar(node, lbl) AS (
+        SELECT bundle_id, bundle_id FROM ah
+        UNION
+        SELECT ae.w, ar.lbl FROM ar JOIN ae ON ae.u = ar.node),
+      acomp AS (SELECT node AS bundle_id, MIN(lbl) AS ac FROM ar GROUP BY node),
+      tcomp AS (SELECT thash, MIN(bundle_id) AS tc FROM bn GROUP BY thash),
+      lab AS (
+        SELECT bn.bundle_id, tcomp.tc, icomp.ic, acomp.ac
+        FROM bn JOIN tcomp ON bn.thash = tcomp.thash
+        JOIN icomp ON bn.bundle_id = icomp.bundle_id
+        JOIN acomp ON bn.bundle_id = acomp.bundle_id),
+      grp AS (
+        SELECT tc, ic, ac, MIN(bundle_id) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM lab GROUP BY tc, ic, ac)
+      SELECT lab.bundle_id, grp.cluster, grp.n_members,
+             CASE WHEN lab.bundle_id = grp.cluster THEN 1 ELSE 0 END AS kept
+      FROM lab JOIN grp ON lab.tc = grp.tc AND lab.ic = grp.ic
+                       AND lab.ac = grp.ac
+      ORDER BY lab.bundle_id"""
+    },
+    doc = "MM6: multimodal bundle dedup — text exact group AND image dHash " +
+      "cluster AND audio energy-sign cluster must all agree; the inverted-" +
+      "image variant breaks exactly one modality (same text, matching " +
+      "audio) and must not collapse; oracle replays both hash families and " +
+      "both closures from seed arithmetic")
+
   val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232, q242,
-    q243)
+    q243, q244)
 }

@@ -77,6 +77,22 @@ class AudioFingerprintSpec extends SparkSpecBase {
       "the crushed cohort no longer straddles the clipping threshold")
   }
 
+  test("q244 bundle AND-semantics: the faithful copy (v=1) collapses " +
+    "with its original, the inverted-image variant (v=2) never does " +
+    "despite same text and matching audio — one broken modality blocks " +
+    "the merge") {
+    val rows = graft.queries.Multimodal.q244.build(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = rows.keys.map(_ / 3).toSeq.distinct
+    assert(docs.nonEmpty)
+    docs.foreach { d =>
+      assert(rows(d * 3) === rows(d * 3 + 1),
+        s"doc $d: faithful copy did not collapse")
+      assert(rows(d * 3 + 2) !== rows(d * 3),
+        s"doc $d: the broken-image bundle merged anyway")
+    }
+  }
+
   test("end-to-end clustering (q232's collapse) == brute-force hamming " +
     "union-find over the signatures, including viral identical groups") {
     val s = spark
