@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Barriers._
 
@@ -72,11 +71,22 @@ object ClusterTakedown {
       .select(col("component")).distinct().barrier()
     val survivors = memF.filter(col("__del") === 0L)
       .join(oldComp, Seq("rep")) // (id, rep, component)
-    // untouched components: same member set, label = min surviving id
-    val untouchedLabeled = survivors
+    // untouched components: same member set, label = min surviving id.
+    // groupBy + broadcast-join back (the same device as the
+    // re-election at `regroup` above), NOT a member-level window: a
+    // viral component is exactly ONE window partition, so
+    // min().over(partitionBy(component)) would sort a million member
+    // rows in a single task. The aggregate is map-side combinable
+    // (skew-immune) and the label table it joins back is
+    // component-count-sized — broadcast keeps the member frame's
+    // partitioning untouched (no shuffle on the skewed key at all).
+    val untouchedSurv = survivors
       .join(touchedComps, Seq("component"), "left_anti")
-      .withColumn("__nc", min(col("id")).over(
-        Window.partitionBy(col("component"))))
+      .barrier()
+    val untouchedLabels = untouchedSurv.groupBy(col("component"))
+      .agg(min(col("id")).as("__nc"))
+    val untouchedLabeled = untouchedSurv
+      .join(broadcast(untouchedLabels), Seq("component"))
       .select(col("id"), col("__nc").as("component"))
     val touchedReps = regroup.filter(col("new_rep").isNotNull)
       .join(oldComp, Seq("rep")).join(touchedComps, Seq("component"))

@@ -79,6 +79,29 @@ class ClusterTakedownSpec extends SparkSpecBase {
     }
   }
 
+  test("viral component: one component dwarfs the rest; labels match the " +
+    "rebuild and the untouched-label plan carries NO window partitioned " +
+    "by component (groupBy + broadcast join back — the skew-immune shape)") {
+    val s = spark
+    import s.implicits._
+    val viral = 0x5a5a5a5aL
+    // 400 members in ONE component (viral sig + a 1-bit neighbor),
+    // plus 20 singleton components and one small deleted-from group
+    val rows = (0L until 400L).map(i => (i, if (i % 7 == 0) viral ^ 1L else viral)) ++
+      (1000L until 1020L).map(i => (i, 0x1000L * i)) ++
+      Seq((2000L, 0x77777777L), (2001L, 0x77777777L))
+    val got = run(rows, Seq(2000L)) // nothing vanishes -> untouched path only
+    val want = rebuildLabels(rows.filterNot(_._1 == 2000L))
+    assert(got === want)
+    assert(got.count(_._2 == 0L) === 400, "the viral component broke")
+    val plan = ClusterTakedown.removeFromClusters(
+        rows.toDF("id", "sig"), "id", "sig",
+        Seq(2000L).toDF("id"), k, bits)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(component"),
+      "member-level window over component is back — viral-cluster skew")
+  }
+
   test("no vanished signature -> the re-closure branch is skipped " +
     "(isEmpty early-out) and labels still match the rebuild") {
     val h = 0xabcdefL
