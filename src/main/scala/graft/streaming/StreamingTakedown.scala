@@ -25,8 +25,17 @@ import graft.core.Barriers._
   * delta's rows (broadcast-sized probe against the frozen frame; at
   * cluster scale the map is bucketed by doc_id so the lookup prunes).
   * Tombstones accumulate as a plain union of barriered per-batch
-  * leaves (the r9 union-checkpoint lesson); the ledgers are
-  * aggregate-topped and barrier per batch.
+  * leaves (the r9 union-checkpoint lesson), and every
+  * [[CompactEvery]] batches the union is aggregate-topped and
+  * re-barriered (`distinct().barrier()` — legal because the barrier
+  * sits on an aggregate, never a bare Union; GraphAnn.beamSearch is
+  * the in-repo precedent). Without the compaction a long-lived
+  * takedown stream — months of trickle, the realistic deployment —
+  * grows one plan leaf per batch: O(N) plan nodes at batch N, O(N²)
+  * cumulative analysis cost, and eventually a driver planning stall.
+  * With it the tombstone plan is bounded at CompactEvery+1 leaves
+  * regardless of stream lifetime; the ledgers are aggregate-topped
+  * and barrier per batch as before.
   *
   * Law (StreamingSpec T26): after any batch split, ledger ==
   * `Text.packingTakedown(map, union of deltas)` and cell stats ==
@@ -35,9 +44,12 @@ import graft.core.Barriers._
   */
 object StreamingTakedown {
 
+  /** Tombstone-union compaction period (in micro-batches). */
+  val CompactEvery = 8
+
   final case class TState(map: DataFrame, index: DataFrame,
                           tombstones: DataFrame, ledger: DataFrame,
-                          cellStats: DataFrame)
+                          cellStats: DataFrame, batches: Int = 0)
 
   /** Freeze the packed corpus + index; ledgers start all-live. */
   def freeze(map: DataFrame, index: DataFrame): TState = {
@@ -85,8 +97,16 @@ object StreamingTakedown {
         (col("n_live") - coalesce(col("__dc"), lit(0L))).as("n_live"),
         (col("n_deleted") + coalesce(col("__dc"), lit(0L))).as("n_deleted"))
       .barrier()
-    // plain union of barriered leaves — never checkpoint the union
-    val tombstones = state.tombstones.unionByName(fresh)
-    TState(state.map, state.index, tombstones, ledger, cells)
+    // plain union of barriered leaves — never checkpoint the union.
+    // Every CompactEvery batches, top the union with an aggregate and
+    // barrier THAT (distinct is a no-op on the data: fresh is already
+    // anti-joined against tombstones, so rows are unique) — bounds the
+    // tombstone plan at CompactEvery+1 leaves over any stream lifetime.
+    val union = state.tombstones.unionByName(fresh)
+    val nBatches = state.batches + 1
+    val tombstones =
+      if (nBatches % CompactEvery == 0) union.distinct().barrier()
+      else union
+    TState(state.map, state.index, tombstones, ledger, cells, nBatches)
   }
 }

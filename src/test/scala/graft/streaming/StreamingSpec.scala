@@ -1587,6 +1587,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(st.tombstones.count() === b1.count() + b2.count())
   }
 
+  test("T26b: tombstone plan stays BOUNDED over a long-lived stream — " +
+    "aggregate-top + re-barrier every CompactEvery batches caps the union " +
+    "at CompactEvery+1 leaves across 20 micro-batches; the ledger law and " +
+    "exactly-once replay arithmetic survive compaction") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+    val map = graft.queries.Text.packingMap(docs, L = 128)
+    val index = docs.select($"doc_id".as("vec_id"),
+      ($"doc_id" % 8).cast("int").as("cell"))
+    var st = StreamingTakedown.freeze(map, index)
+    val all = docs.select($"doc_id").filter($"doc_id" % 3 === 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val base = all.grouped(math.max(1, all.length / 19)).toSeq
+    // batch 12 REPLAYS batch 1's ids AFTER a compaction boundary (batch 8)
+    val batches = base.take(11) ++ Seq(base.head) ++ base.drop(11)
+    val applied = batches.flatten.distinct
+    var maxLeaves = 0
+    batches.foreach { ids =>
+      st = StreamingTakedown.applyBatch(st, ids.toDF("doc_id"))
+      maxLeaves = math.max(maxLeaves,
+        st.tombstones.queryExecution.logical.collectLeaves().size)
+    }
+    assert(batches.size >= 20 - 1 && st.batches === batches.size)
+    assert(maxLeaves <= StreamingTakedown.CompactEvery + 1,
+      s"tombstone union grew to $maxLeaves leaves — compaction not bounding")
+    // ledger == batch takedown on the distinct union; replay was a no-op
+    val union = applied.toDF("doc_id")
+    val wantLedger = graft.queries.Text.packingTakedown(map, union)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val gotLedger = st.ledger
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(gotLedger === wantLedger,
+      "compacted streamed ledger != batch takedown on the union")
+    assert(st.tombstones.count() === applied.size)
+  }
+
   test("T22: streaming entity-resolution assignment — new records probe the " +
     "frozen EdJoin gram index, verify, adopt-or-mint; streamed assignments " +
     "== batch golden-record run on the union (non-bridging deltas)") {
