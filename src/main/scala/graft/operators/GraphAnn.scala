@@ -131,7 +131,10 @@ object GraphAnn {
       .select(col("q_id"), col("id"),
         KMeansInt.sqDist(col("__qx"), col("__cx")).as("d"))
 
-    val ent = entries.select(col(entries.columns.head).as("id"))
+    // distinct enforces (not assumes) the fixed-small-entry-set
+    // contract: duplicate entry ids would otherwise occupy multiple
+    // beam slots in round 1, silently shrinking the effective beam
+    val ent = entries.select(col(entries.columns.head).as("id")).distinct()
     var seen = score(qx.select(col("q_id")).crossJoin(broadcast(ent)))
       .barrier()
     var expanded: DataFrame = null // plain union of barriered leaves

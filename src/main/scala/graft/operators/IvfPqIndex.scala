@@ -84,8 +84,12 @@ object IvfPqIndex {
     * stops being probed). */
   def removeFromIndex(index: DataFrame, idCol: String,
                       deletedIds: DataFrame): (DataFrame, DataFrame) = {
+    // normalize the key to the index id column's type (the sibling
+    // takedown helpers' posture) — a differently-typed id frame must
+    // not rely on implicit join coercion
     val del = deletedIds
-      .select(col(deletedIds.columns.head).as(idCol)).distinct()
+      .select(col(deletedIds.columns.head)
+        .cast(index.schema(idCol).dataType).as(idCol)).distinct()
     val live = index.join(del, Seq(idCol), "left_anti")
     val stats = index
       .join(del.withColumn("__del", lit(1L)), Seq(idCol), "left_outer")

@@ -496,8 +496,25 @@ object Bpe {
     * pieces in any segmentation = the max word length. Corpus words
     * are ≤ 8 chars; 12 leaves margin, and extra rounds are idempotent
     * (the DP is monotone and converges). The Spark side iterates the
-    * exact data-derived max length, so both reach the same fixpoint. */
+    * exact data-derived max length, so both reach the same fixpoint —
+    * [[ugGuard]] asserts the assumption engine-side. */
   private val UgDpRounds = 12
+
+  /** Engine-side assertion of the oracle's static bound: a corpus word
+    * longer than [[UgDpRounds]] would silently under-converge the
+    * DuckDB DP (the walk stalls, counts diverge) and surface only as
+    * an unexplained hash mismatch in the harness — failing HERE names
+    * the bound instead. */
+  private def ugGuard(words: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val maxLen = words
+      .agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)
+    require(maxLen <= UgDpRounds,
+      s"corpus max word length $maxLen exceeds the q235-q237 oracle's " +
+        s"static UgDpRounds=$UgDpRounds suffix-DP Bellman bound - the " +
+        "DuckDB twin would under-converge; raise UgDpRounds")
+    words
+  }
 
   /** Seed + shared grids: seed pieces with exact occurrence mass,
     * the frozen score table uv0 (freq/total — ONE exact divide each,
@@ -600,7 +617,7 @@ object Bpe {
     "q235_unigram_train",
     (s, dir) => {
       import s.implicits._
-      val words = BpeVocab.wordTable(Tables(s, dir, "documents"), "text")
+      val words = ugGuard(BpeVocab.wordTable(Tables(s, dir, "documents"), "text"))
       val (pruned, _) = graft.operators.UnigramLm
         .train(words, UgPieceLen, UgRounds, UgPruneK)
       pruned.toDF().select($"round", $"spell", $"usage", $"freq")
@@ -629,7 +646,7 @@ object Bpe {
       import s.implicits._
       import graft.operators.UnigramLm
       val docs = Tables(s, dir, "documents")
-      val words = BpeVocab.wordTable(docs, "text")
+      val words = ugGuard(BpeVocab.wordTable(docs, "text"))
       val (_, vocab) = UnigramLm.train(words, UgPieceLen, UgRounds, UgPruneK)
       val seg = UnigramLm.viterbiSegments(words, vocab, UgPieceLen)
         .select($"w", $"n_up")
@@ -665,7 +682,7 @@ object Bpe {
       import s.implicits._
       import graft.operators.UnigramLm
       val docs = Tables(s, dir, "documents")
-      val words = BpeVocab.wordTable(docs, "text")
+      val words = ugGuard(BpeVocab.wordTable(docs, "text"))
       val (_, vocab) = UnigramLm.train(words, UgPieceLen, UgRounds, UgPruneK)
       val seg = UnigramLm.viterbiSegments(words, vocab, UgPieceLen)
         .select($"w", $"n_up")

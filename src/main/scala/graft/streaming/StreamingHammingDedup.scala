@@ -67,12 +67,18 @@ object StreamingHammingDedup {
   }
 
   /** Assign one micro-batch of `(id, sig)` rows: `(id, cluster,
-    * matched)` per distinct delta id. */
+    * matched)` per distinct delta id. An id arriving with MULTIPLE
+    * signatures in one micro-batch is collapsed to its min masked
+    * signature BEFORE probing — one deterministic (id, sig) truth per
+    * batch, so the streamed==batch law cannot silently depend on
+    * input uniqueness (the row-independent batch comparison has no
+    * single answer for a two-signature id otherwise). */
   def assignBatch(state: HState, delta: DataFrame): DataFrame = {
     val mask = (1L << state.bits) - 1
     val adopt = delta
       .select(col("id").as("d_id"),
         expr(s"CAST(sig AS BIGINT) & ${mask}L").as("d_sig"))
+      .groupBy(col("d_id")).agg(min(col("d_sig")).as("d_sig"))
       .withColumn("__bands",
         HammingJoin.bandValuesExpr("d_sig", state.k, state.bits))
       .select(col("d_id"), col("d_sig"),
