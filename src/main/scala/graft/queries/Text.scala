@@ -1425,7 +1425,179 @@ object Text {
       "inverted-index postings; per-store before/removed/live/drained " +
       "ledger; oracle rebuilds all four stores from scratch")
 
+  /** Shared rollover fixture: generation G = the q209 packing, the
+    * takedown set doc_id mod 3 = 0 (~1/3 of tokens tombstoned — past
+    * [[graft.operators.GenerationRollover.ThresholdPpm]], so the
+    * reaper's trigger fires; q233's mod-17 set deliberately stays
+    * BELOW it, pinning both sides of the scheduling decision in
+    * RolloverSpec). Returns (newMap, translation). */
+  private def rolledOver(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables(s, dir, "documents")
+    val map = packingMap(docs, L = 128)
+    val deleted = docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+    val ledger = packingTakedown(map, deleted)
+    graft.operators.GenerationRollover
+      .rolloverIfDue(map, ledger, deleted, L = 128)
+  }
+
+  /** Survivor packing CTEs shared by the q245-q247 oracles: the
+    * from-scratch generation-G+1 map (concat-and-chunk over the
+    * surviving docs in doc_id order). */
+  private val rolloverNewCtes: String = """
+      nd AS (SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> len(t) > 0)) AS BIGINT) AS n_tok
+             FROM documents WHERE doc_id % 3 <> 0),
+      nc AS (SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+             FROM nd WHERE n_tok > 0),
+      ne AS (SELECT doc_id, n_tok, cum, cum - n_tok AS st,
+               (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+             FROM nc),
+      nx AS MATERIALIZED (SELECT doc_id, st, cum, b0, b1, bin_id,
+               CAST(GREATEST(st, bin_id * 128) - bin_id * 128 AS BIGINT)
+                 AS bin_off,
+               CAST(GREATEST(st, bin_id * 128) - st AS BIGINT) AS doc_off,
+               CAST(LEAST(cum, (bin_id + 1) * 128)
+                 - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len
+             FROM (SELECT doc_id, st, cum, b0, b1,
+                     unnest(range(b0, b1 + 1)) AS bin_id FROM ne))"""
+
+  /** q245 — generation rollover, the REAPER (X108): the q233 ledger's
+    * documented consumer, executed. The takedown set (doc_id mod 3 =
+    * 0) tombstones ~a third of the packed tokens — past the declared
+    * 25% dead-fraction threshold — so
+    * [[graft.operators.GenerationRollover.rolloverIfDue]] fires:
+    * generation G+1 repacks the SURVIVORS with per-doc counts derived
+    * from generation G's own segment rows (no re-tokenization, no
+    * text scan). The oracle never sees generation G: it packs the
+    * surviving documents from scratch — rolled-over ≡
+    * packed-from-scratch, the maintenance discipline's last law
+    * (append q213, delete q233, rollover HERE). */
+  val q245 = Q(
+    "q245_generation_rollover",
+    (s, dir) => {
+      import s.implicits._
+      rolledOver(s, dir)._1.orderBy($"doc_id", $"bin_id")
+    },
+    Some(s"""
+      WITH $rolloverNewCtes
+      SELECT doc_id, CAST(bin_id AS BIGINT) AS bin_id, bin_off, doc_off,
+             seg_len, CAST(b1 > b0 AS INT) AS split
+      FROM nx ORDER BY doc_id, bin_id"""),
+    doc = "X108: generation rollover (the reaper) — dead-fraction trigger " +
+      "past the declared 25% threshold repacks survivors into generation " +
+      "G+1 using generation G's own seg_len arithmetic; oracle packs the " +
+      "survivors from scratch, rolled-over == rebuilt")
+
+  /** q246 — rollover TRANSLATION map (X108b): the re-keying artifact
+    * that makes a rollover deployable — every dataloader position,
+    * curriculum entry and audit row keyed to generation G must move
+    * to G+1 without touching the corpus. One row per intersection of
+    * an old surviving segment with a new segment in doc coordinate
+    * space: old (bin, offset) + in-span delta = new (bin, offset).
+    * Spans partition every surviving token (RolloverSpec pins the
+    * conservation laws); the oracle computes BOTH packings from
+    * scratch and intersects them independently. */
+  val q246 = Q(
+    "q246_rollover_translation",
+    (s, dir) => {
+      import s.implicits._
+      rolledOver(s, dir)._2
+        .orderBy($"doc_id", $"old_bin_id", $"new_bin_id")
+    },
+    Some(s"""
+      WITH od AS (SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> len(t) > 0)) AS BIGINT) AS n_tok
+             FROM documents),
+      oc AS (SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+             FROM od WHERE n_tok > 0),
+      oe AS (SELECT doc_id, cum, cum - n_tok AS st,
+               (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+             FROM oc),
+      ox AS (SELECT doc_id, CAST(bin_id AS BIGINT) AS old_bin_id,
+               CAST(GREATEST(st, bin_id * 128) - bin_id * 128 AS BIGINT)
+                 AS old_bin_off,
+               CAST(GREATEST(st, bin_id * 128) - st AS BIGINT) AS odo,
+               CAST(LEAST(cum, (bin_id + 1) * 128)
+                 - GREATEST(st, bin_id * 128) AS BIGINT) AS olen
+             FROM (SELECT doc_id, st, cum,
+                     unnest(range(b0, b1 + 1)) AS bin_id FROM oe)
+             WHERE doc_id % 3 <> 0),
+      $rolloverNewCtes
+      SELECT ox.doc_id AS doc_id, old_bin_id,
+             CAST(old_bin_off + GREATEST(odo, doc_off) - odo AS BIGINT)
+               AS old_bin_off,
+             CAST(bin_id AS BIGINT) AS new_bin_id,
+             CAST(bin_off + GREATEST(odo, doc_off) - doc_off AS BIGINT)
+               AS new_bin_off,
+             CAST(LEAST(odo + olen, doc_off + seg_len)
+               - GREATEST(odo, doc_off) AS BIGINT) AS span_len
+      FROM ox JOIN nx ON ox.doc_id = nx.doc_id
+      WHERE odo < doc_off + seg_len AND doc_off < odo + olen
+      ORDER BY doc_id, old_bin_id, new_bin_id"""),
+    doc = "X108b: rollover translation map — old->new (bin, offset) spans " +
+      "from intersecting generation G and G+1 segments in doc coordinates; " +
+      "dataloader re-keying without a corpus touch; oracle intersects two " +
+      "independent from-scratch packings")
+
+  /** q247 — generation-G+1 contamination audit (X108c): the q210
+    * composition re-run on the ROLLED-OVER corpus — the audit a real
+    * pipeline must re-issue after any rollover, because bin ids,
+    * fills and blast radii all changed. Poisoned-doc verdicts are
+    * corpus facts (unchanged); what moves is which G+1 training
+    * sequences they poison. Three stages under one end-to-end hash:
+    * takedown → rollover → audit. */
+  val q247 = Q(
+    "q247_rollover_audit",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      rolledOver(s, dir)._1
+        .join(blockVerdicts(s, docs).select($"doc_id", $"blocked"), "doc_id")
+        .groupBy($"bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"seg_len").as("fill"),
+          sum(when($"blocked" === 1, $"seg_len").otherwise(0L)).as("flagged_tok"))
+        .select($"bin_id", $"n_docs", $"fill", $"flagged_tok",
+          expr("(flagged_tok * 1000000) div fill").as("flagged_ppm"),
+          ($"flagged_tok" > 0).cast("int").as("poisoned"))
+        .orderBy($"bin_id")
+    },
+    Some(s"""
+      WITH $rolloverNewCtes,
+      t AS (SELECT doc_id,
+              translate(lower(tok), '${Fixtures.leetFrom}',
+                        '${Fixtures.leetTo}') AS nt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents) WHERE len(tok) > 0),
+      v AS (SELECT doc_id,
+              CAST(COUNT(bl.bterm) * 1000000 >= 20000 * COUNT(*) AS INT)
+                AS blocked
+            FROM t LEFT JOIN ${Fixtures.blocklistSql} ON t.nt = bl.bterm
+            GROUP BY doc_id)
+      SELECT CAST(nx.bin_id AS BIGINT) AS bin_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nx.seg_len) AS BIGINT) AS fill,
+             CAST(SUM(CASE WHEN v.blocked = 1 THEN nx.seg_len ELSE 0 END)
+               AS BIGINT) AS flagged_tok,
+             CAST((SUM(CASE WHEN v.blocked = 1 THEN nx.seg_len ELSE 0 END)
+               * 1000000) // SUM(nx.seg_len) AS BIGINT) AS flagged_ppm,
+             CAST(SUM(CASE WHEN v.blocked = 1 THEN nx.seg_len ELSE 0 END) > 0
+               AS INT) AS poisoned
+      FROM nx JOIN v USING (doc_id)
+      GROUP BY nx.bin_id ORDER BY bin_id"""),
+    doc = "X108c: post-rollover contamination audit — q210's bin-level " +
+      "audit re-issued on generation G+1 (verdicts unchanged, blast radii " +
+      "remapped); takedown -> rollover -> audit under one hash")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
-    q233, q239)
+    q233, q239, q245, q246, q247)
 }
