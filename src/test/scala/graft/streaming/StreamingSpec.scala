@@ -1691,4 +1691,107 @@ class StreamingSpec extends SparkSpecBase {
       assert(frozenGolden(id) === batchGolden(id), s"frozen $id moved")
     }
   }
+
+  test("T28: streaming bundle dedup — arriving (text, image, audio) " +
+    "bundles adopt their label-triple cluster through the frozen q244 " +
+    "machinery or mint; streamed == batch bundle run on the union " +
+    "(non-bridging deltas), and a broken modality blocks the merge") {
+    val s = spark
+    import s.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mask = (1L << 56) - 1
+    def h56(sd: String): Long = {
+      val d = md.digest(sd.getBytes("UTF-8"))
+      (0 until 7).map(i => (d(i) & 0xffL) << (8 * i)).reduce(_ | _) & mask
+    }
+    def flip(x: Long, b1: Int, b2: Int): Long = x ^ (1L << b1) ^ (1L << b2)
+    def inv(x: Long): Long = ~x & mask
+    def tx(n: Int) = s"text-$n"
+    def ih(n: Int) = h56(s"img-$n")
+    def ah(n: Int) = h56(s"aud-$n")
+    // frozen: q244's corpus shape — 20 seeds x (v0 original, v1 one-step
+    // edits on image+audio [collapses with v0], v2 INVERTED image with
+    // matching text+audio [its own triple cluster])
+    val frozenRows = (0 until 20).flatMap { n =>
+      Seq((n * 10L, tx(n), ih(n), ah(n)),
+        (n * 10L + 1, tx(n), flip(ih(n), n % 56, (n + 7) % 56),
+          flip(ah(n), (n + 3) % 56, (n + 11) % 56)),
+        (n * 10L + 2, tx(n), inv(ih(n)),
+          flip(ah(n), (n + 5) % 56, (n + 13) % 56)))
+    }
+    val state = StreamingBundleDedup.freeze(
+      frozenRows.toDF("bundle_id", "thash", "ihash", "asig"), k = 2, bits = 56)
+    // delta (ids all larger — the non-bridging construction):
+    //  - seeds 0..9: a further one-step edit -> adopts the v0/v1 cluster
+    //  - seeds 10..14: image inverted-with-one-flip, text+audio match ->
+    //    the triple resolves to the v2 cluster, NOT v0's (the AND law:
+    //    the broken modality redirects the merge)
+    //  - seeds 15..17: image completely fresh, text+audio match ->
+    //    novel triple, mints, matched = 0
+    //  - seeds 100..102: everything fresh -> mints
+    val delta =
+      (0 until 10).map(n => (1000L + n, tx(n),
+        flip(ih(n), (n + 1) % 56, (n + 8) % 56),
+        flip(ah(n), (n + 2) % 56, (n + 9) % 56))) ++
+      (10 until 15).map(n => (1100L + n, tx(n),
+        flip(inv(ih(n)), (n + 4) % 56, (n + 4) % 56), // zero-flip: exact inv
+        flip(ah(n), (n + 6) % 56, (n + 14) % 56))) ++
+      (15 until 18).map(n => (1200L + n, tx(n), h56(s"fresh-img-$n"), ah(n))) ++
+      (100 until 103).map(n => (2000L + n, tx(n), ih(n), ah(n)))
+    var streamed = Map.empty[Long, (Long, Int)]
+    val stream = MemoryStream[(Long, String, Long, Long)](s)
+    val qy = stream.toDF().toDF("bundle_id", "thash", "ihash", "asig")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed = streamed ++ StreamingBundleDedup.assignBatch(state, b)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      }
+      .start()
+    val (d1, d2) = delta.splitAt(delta.size / 2)
+    Seq(d1, d2).foreach { b => stream.addData(b: _*); qy.processAllAvailable() }
+    qy.stop()
+    assert(streamed.keySet === delta.map(_._1).toSet)
+    // batch truth on the union: q244's clustering (text exact groups,
+    // per-modality hamming collapse, triple groups keyed by min id)
+    val union = (frozenRows ++ delta)
+      .toDF("bundle_id", "thash", "ihash", "asig")
+    def cl(sigCol: String) = {
+      val (rp, mm) = graft.operators.HammingJoin
+        .collapsed(union, "bundle_id", sigCol, k = 2, bits = 56)
+      val lab = graft.operators.ConnectedComponents
+        .labelStar(mm.select($"rep").distinct(), "rep", rp, "rep_a", "rep_b")
+      mm.join(lab, "rep")
+        .select($"id".as("bundle_id"), $"component".as(s"${sigCol}_c"))
+    }
+    val tclus = union.groupBy($"thash").agg(min($"bundle_id").as("t_c"))
+    val labeled = union.join(tclus, "thash")
+      .join(cl("ihash"), "bundle_id").join(cl("asig"), "bundle_id")
+    val groups = labeled.groupBy($"t_c", $"ihash_c", $"asig_c")
+      .agg(min($"bundle_id").as("cluster"))
+    val batch = labeled.join(groups, Seq("t_c", "ihash_c", "asig_c"))
+      .select($"bundle_id", $"cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    delta.map(_._1).foreach { id =>
+      assert(streamed(id)._1 === batch(id),
+        s"bundle $id: streamed ${streamed(id)._1} != batch ${batch(id)}")
+    }
+    // adopters joined the v0-rooted cluster
+    (0 until 10).foreach { n =>
+      assert(streamed(1000L + n) === (n * 10L, 1), s"adopter seed $n")
+    }
+    // inverted-image deltas adopt the v2 cluster — NOT the original:
+    // one broken modality redirects the merge (the AND law)
+    (10 until 15).foreach { n =>
+      assert(streamed(1100L + n) === (n * 10L + 2, 1),
+        s"inverted-image delta seed $n must land on the v2 cluster")
+    }
+    // fresh-image deltas: text+audio match is NOT enough — minted
+    (15 until 18).foreach { n =>
+      assert(streamed(1200L + n) === (1200L + n, 0),
+        s"fresh-image delta seed $n must mint")
+    }
+    (100 until 103).foreach { n =>
+      assert(streamed(2000L + n) === (2000L + n, 0), s"fresh seed $n")
+    }
+  }
 }
