@@ -1024,13 +1024,21 @@ object Multimodal {
     * Duplicate texts (tiny-vocab corpus) additionally collapse
     * bundles ACROSS docs (same seed ⇒ same planes ⇒ same clusters).
     *
-    * Pipeline: ONE decode/hash pass emits (bundle_id, text md5, image
-    * dHash, audio signature); each perceptual modality clusters at
-    * the representative level (HammingJoin.collapsed + labelStar —
-    * q217/q232's exact machinery); the bundle key is the label
-    * TRIPLE, one aggregate. Oracle: both hash families replayed from
-    * seed arithmetic, both closures recursive, contiguous banding
-    * (different blocking, same truth), the triple grouped in SQL.
+    * Pipeline: ONE decode/hash pass — literally (r14): each bundle's
+    * pixel plane is encoded as a REAL PNG and decoded back through
+    * ImageIO (the differential decoder — hand-encoder vs library
+    * decoder), its PCM encoded as REAL FLAC and re-parsed, and the
+    * hashes are computed over the DECODED content. Both codecs are
+    * lossless, so the oracle's seed-arithmetic replay is unchanged —
+    * but the hash gate now covers the composed container
+    * encode→decode path itself (q217/q232/q243's posture). The pass
+    * emits (bundle_id, text md5, image dHash, audio signature); each
+    * perceptual modality clusters at the representative level
+    * (HammingJoin.collapsed + labelStar — q217/q232's exact
+    * machinery); the bundle key is the label TRIPLE, one aggregate.
+    * Oracle: both hash families replayed from seed arithmetic, both
+    * closures recursive, contiguous banding (different blocking,
+    * same truth), the triple grouped in SQL.
     *
     * Scale: the decode pass is q218's posture; each modality's
     * collapse is linear in distinct signatures; the final aggregate
@@ -1058,14 +1066,26 @@ object Multimodal {
                 else if (v == 1 && i / 3 == hotPix) sb(i + 7)
                 else seed(i % 16) & 0xff
               }
-              val ihash = Phash.dHash(RealCodecs.Img(9, 7, comps))
+              // real container bytes in the loop: PNG-encode the
+              // plane, decode through ImageIO (differential), hash
+              // the DECODED image; FLAC-encode the PCM, re-parse,
+              // fingerprint the DECODED samples. Lossless both ways,
+              // so the seed-arithmetic oracle is untouched.
+              val png = RealCodecs.PngCodec.synthesizeComps(comps, 9, 7)
+              val img = RealCodecs.ImageIoCodec.decode(png).getOrElse(
+                sys.error(s"PNG decode failed for bundle ${id * 3 + v}"))
+              val ihash = Phash.dHash(img)
               val x = Array.tabulate(456) { i =>
                 if (v == 1 && i / 8 == hotFr) (sb(i + 7) - 128) * (1 + i % 3)
                 else if (v == 2 && i / 8 == hotFr2)
                   (sb(i + 11) - 128) * (1 + i % 4)
                 else (sb(i + i / 16) - 128) * (1 + i % 5)
               }
-              (id * 3 + v, thash, ihash, AudioFingerprint.energySign(x, 8))
+              val flac = RealCodecs.FlacCodec.synthesizeSamples(x)
+              val pcm = RealCodecs.FlacCodec.parse(flac).getOrElse(
+                sys.error(s"FLAC parse failed for bundle ${id * 3 + v}"))
+                .samples
+              (id * 3 + v, thash, ihash, AudioFingerprint.energySign(pcm, 8))
             }
           }
         }

@@ -330,4 +330,34 @@ class RealCodecsSpec extends AnyFunSuite {
     assert(AviCodec.parse(good.take(good.length - 11)).isEmpty)
     assert(AviCodec.parse(Array.emptyByteArray).isEmpty)
   }
+
+  test("q244 bundle pass cross-decode pin: every variant's plane (incl. " +
+    "the v=2 inversion) survives PNG -> ImageIO bit-exact and every " +
+    "variant's modulated PCM survives FLAC encode -> parse bit-exact — " +
+    "the composed container path the bundle hashes now ride") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sd = md.digest("bundle-pin".getBytes("UTF-8"))
+    def sb(p: Int): Int = sd(p % 16) & 0xff
+    val id = 4242L
+    val hotPix = (id % 63).toInt
+    val hotFr = (id % 57).toInt
+    val hotFr2 = ((id + 19) % 57).toInt
+    Seq(0, 1, 2).foreach { v =>
+      val comps = Array.tabulate(189) { i =>
+        if (v == 2) 255 - (sd(i % 16) & 0xff)
+        else if (v == 1 && i / 3 == hotPix) sb(i + 7)
+        else sd(i % 16) & 0xff
+      }
+      val img = ImageIoCodec.decode(PngCodec.synthesizeComps(comps, 9, 7)).get
+      assert(img.width === 9 && img.height === 7)
+      assert(img.comps.sameElements(comps), s"v=$v image roundtrip diverged")
+      val x = Array.tabulate(456) { i =>
+        if (v == 1 && i / 8 == hotFr) (sb(i + 7) - 128) * (1 + i % 3)
+        else if (v == 2 && i / 8 == hotFr2) (sb(i + 11) - 128) * (1 + i % 4)
+        else (sb(i + i / 16) - 128) * (1 + i % 5)
+      }
+      val pcm = FlacCodec.parse(FlacCodec.synthesizeSamples(x)).get.samples
+      assert(pcm.sameElements(x), s"v=$v PCM roundtrip diverged")
+    }
+  }
 }
