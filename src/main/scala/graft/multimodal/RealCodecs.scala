@@ -856,9 +856,15 @@ object RealCodecs {
     * violation, never throwing. */
   object AviCodec {
     /** Parsed clip: per-frame component planes in the logical
-      * (top-down, RGB) order — [[Img]]'s convention per frame. */
+      * (top-down, RGB) order — [[Img]]'s convention per frame. A
+      * container with an interleaved audio stream (r14 —
+      * [[synthesizeAvFrames]]) additionally carries the 16-bit mono
+      * PCM track: `sampleRate` > 0 and `samples` non-empty iff the
+      * container declared two streams. */
     final case class Avi(width: Int, height: Int, usPerFrame: Int,
-                         frames: Vector[Array[Int]])
+                         frames: Vector[Array[Int]],
+                         sampleRate: Int = 0,
+                         samples: Array[Int] = Array.emptyIntArray)
 
     /** Frame f's plane derives from the seed with the frame index
       * mixed in (`seed[(i + f) mod len]` — q217's device extended
@@ -935,6 +941,117 @@ object RealCodecs {
       buf.array()
     }
 
+    /** r14 — ONE interleaved multimodal container: the video stream
+      * exactly as [[synthesizeFrames]] writes it PLUS a second
+      * `auds` stream (56-byte AVISTREAMHEADER with dwSampleSize = 2,
+      * 16-byte PCMWAVEFORMAT strf: tag 1/PCM, mono, 16-bit), muxed
+      * as the real interleave real files use — frame i's `00db`
+      * chunk followed by its `01wb` audio block (samples split
+      * ⌈n/frames⌉ per block, remainder on the last blocks' natural
+      * tail). avih declares streams = 2; [[parse]] demuxes both
+      * tracks back strictly and ties the collected sample count to
+      * the auds header's dwLength. */
+    def synthesizeAvFrames(frames: Vector[Array[Int]], w: Int, h: Int,
+                           usPerFrame: Int, samples: Array[Int],
+                           sampleRate: Int = 8000): Array[Byte] = {
+      require(frames.nonEmpty && w > 0 && h > 0 && usPerFrame > 0,
+        "AviCodec: need >= 1 frame and positive dimensions/rate")
+      require(frames.forall(_.length == w * h * 3),
+        s"AviCodec: every frame needs ${w * h * 3} components")
+      require(samples.nonEmpty && sampleRate > 0,
+        "AviCodec: audio track needs samples and a positive rate")
+      require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+        "samples must fit 16-bit PCM")
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val frameLen = rowSize * h
+      val nF = frames.size
+      val spf = (samples.length + nF - 1) / nF
+      val blocks = samples.grouped(spf).toVector
+      val avih = 56; val strh = 56; val strfV = 40; val strfA = 16
+      val strlVLen = 4 + (8 + strh) + (8 + strfV)
+      val strlALen = 4 + (8 + strh) + (8 + strfA)
+      val hdrlLen = 4 + (8 + avih) + (8 + strlVLen) + (8 + strlALen)
+      val audBytes = blocks.map(b => 8 + b.length * 2).sum
+      val moviLen = 4 + nF * (8 + frameLen) + audBytes
+      val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+      val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      tag("RIFF"); buf.putInt(riffLen); tag("AVI ")
+      tag("LIST"); buf.putInt(hdrlLen); tag("hdrl")
+      tag("avih"); buf.putInt(avih)
+      buf.putInt(usPerFrame)
+        .putInt((frameLen.toLong * 1000000L / usPerFrame).toInt
+          + sampleRate * 2)
+        .putInt(0).putInt(0)
+        .putInt(nF).putInt(0)
+        .putInt(2).putInt(frameLen)              // TWO streams
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      tag("LIST"); buf.putInt(strlVLen); tag("strl")
+      tag("strh"); buf.putInt(strh)
+      tag("vids"); tag("DIB ")
+      buf.putInt(0)
+        .putShort(0).putShort(0)
+        .putInt(0)
+        .putInt(usPerFrame).putInt(1000000)
+        .putInt(0).putInt(nF)
+        .putInt(frameLen).putInt(0).putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(w.toShort).putShort(h.toShort)
+      tag("strf"); buf.putInt(strfV)
+      buf.putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24)
+        .putInt(0).putInt(frameLen)
+        .putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      tag("LIST"); buf.putInt(strlALen); tag("strl")
+      tag("strh"); buf.putInt(strh)
+      tag("auds"); buf.putInt(0)                 // handler 0 for raw PCM
+      buf.putInt(0)                              // flags
+        .putShort(0).putShort(0)                 // priority, language
+        .putInt(0)                               // initial frames
+        .putInt(1).putInt(sampleRate)            // scale/rate = samples/sec
+        .putInt(0).putInt(samples.length)        // start, length (SAMPLES)
+        .putInt(spf * 2).putInt(0).putInt(2)     // sugg. buffer, quality, sample size
+        .putShort(0).putShort(0)
+        .putShort(0).putShort(0)
+      tag("strf"); buf.putInt(strfA)
+      buf.putShort(1).putShort(1)                // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)                // block align, bits
+      tag("LIST"); buf.putInt(moviLen); tag("movi")
+      var fi = 0
+      while (fi < nF) {
+        val comps = frames(fi)
+        tag("00db"); buf.putInt(frameLen)
+        var sy = h - 1
+        while (sy >= 0) {
+          var x = 0
+          while (x < w) {
+            val base = (sy * w + x) * 3
+            buf.put(comps(base + 2).toByte)
+              .put(comps(base + 1).toByte)
+              .put(comps(base).toByte)
+            x += 1
+          }
+          var pad = rowSize - w * 3
+          while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+          sy -= 1
+        }
+        if (fi < blocks.size) {
+          val blk = blocks(fi)
+          tag("01wb"); buf.putInt(blk.length * 2)
+          var i = 0
+          while (i < blk.length) {
+            buf.putShort(blk(i).toShort)
+            i += 1
+          }
+        }
+        fi += 1
+      }
+      buf.array()
+    }
+
     def parse(bytes: Array[Byte]): Option[Avi] = {
       if (bytes.length < 12) return None
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -945,10 +1062,17 @@ object RealCodecs {
       buf.getInt // trust the chunk walk (WavCodec's posture)
       if (tag4() != "AVI ") return None
       var dims: Option[(Int, Int, Int, Int)] = None // (w, h, usPerFrame, totalFrames)
+      var declaredStreams = -1
       var strhLen = -1
       var strfOk = false
+      var pendingFcc = ""                        // stream the next strf describes
+      var audLen = -1                            // auds dwLength (in samples)
+      var audRate = 0
+      var audOk = false
       val frames = Vector.newBuilder[Array[Int]]
       var nFrames = 0
+      val samples = Array.newBuilder[Int]
+      var nSamples = 0
       def parseHdrl(limit: Int): Boolean = {
         while (buf.position() < limit && limit - buf.position() >= 8) {
           val id = tag4(); val sz = buf.getInt
@@ -961,8 +1085,10 @@ object RealCodecs {
               val tot = buf.getInt; buf.getInt
               val streams = buf.getInt; buf.getInt
               val w = buf.getInt; val h = buf.getInt
-              if (streams != 1 || w <= 0 || h <= 0 || us <= 0 || tot <= 0)
+              if ((streams != 1 && streams != 2) ||
+                  w <= 0 || h <= 0 || us <= 0 || tot <= 0)
                 return false
+              declaredStreams = streams
               dims = Some((w, h, us, tot))
             case "LIST" =>
               if (sz < 4) return false
@@ -973,22 +1099,47 @@ object RealCodecs {
             case "strh" =>
               if (sz < 56) return false
               val fcc = tag4(); val handler = tag4()
-              if (fcc != "vids" || handler != "DIB ") return false
-              buf.getInt; buf.getShort; buf.getShort; buf.getInt
-              buf.getInt; buf.getInt; buf.getInt // scale, rate, start
-              strhLen = buf.getInt
-              if (strhLen <= 0) return false
+              fcc match {
+                case "vids" =>
+                  if (handler != "DIB ") return false
+                  buf.getInt; buf.getShort; buf.getShort; buf.getInt
+                  buf.getInt; buf.getInt; buf.getInt // scale, rate, start
+                  strhLen = buf.getInt
+                  if (strhLen <= 0) return false
+                  pendingFcc = "vids"
+                case "auds" =>                     // r14: the PCM track
+                  buf.getInt; buf.getShort; buf.getShort; buf.getInt
+                  buf.getInt; buf.getInt; buf.getInt // scale, rate, start
+                  audLen = buf.getInt
+                  if (audLen <= 0) return false
+                  pendingFcc = "auds"
+                case _ => return false
+              }
             case "strf" =>
-              if (sz < 40) return false
-              val biSize = buf.getInt
-              val w = buf.getInt; val h = buf.getInt
-              val planes = buf.getShort & 0xffff
-              val bpp = buf.getShort & 0xffff
-              val compression = buf.getInt
-              if (biSize < 40 || planes != 1 || bpp != 24 || compression != 0)
-                return false
-              if (!dims.exists(d => d._1 == w && d._2 == h)) return false
-              strfOk = true
+              if (pendingFcc == "auds") {
+                if (sz < 16) return false
+                val fmt = buf.getShort & 0xffff
+                val ch = buf.getShort & 0xffff
+                val rate = buf.getInt
+                buf.getInt                         // avg bytes/sec
+                val align = buf.getShort & 0xffff
+                val bits = buf.getShort & 0xffff
+                if (fmt != 1 || ch != 1 || rate <= 0 || align != 2 ||
+                    bits != 16) return false
+                audRate = rate
+                audOk = true
+              } else {
+                if (sz < 40) return false
+                val biSize = buf.getInt
+                val w = buf.getInt; val h = buf.getInt
+                val planes = buf.getShort & 0xffff
+                val bpp = buf.getShort & 0xffff
+                val compression = buf.getInt
+                if (biSize < 40 || planes != 1 || bpp != 24 || compression != 0)
+                  return false
+                if (!dims.exists(d => d._1 == w && d._2 == h)) return false
+                strfOk = true
+              }
             case _ => ()
           }
           if (next > limit) return false
@@ -1035,6 +1186,14 @@ object RealCodecs {
                 }
                 frames += comps
                 nFrames += 1
+              } else if (cid == "01wb") {        // r14: PCM audio block
+                if ((csz & 1) != 0) return None
+                var i = 0
+                while (i < csz / 2) {
+                  samples += buf.getShort.toInt  // LE int16, sign-extended
+                  i += 1
+                }
+                nSamples += csz / 2
               }
               if (cnext > limit) return None
               buf.position(cnext)
@@ -1046,7 +1205,14 @@ object RealCodecs {
       for {
         (w, h, us, tot) <- dims
         if strfOk && strhLen == tot && nFrames == tot
-      } yield Avi(w, h, us, frames.result())
+        // audio consistency: a 1-stream file must carry no audio; a
+        // 2-stream file must declare auds AND deliver exactly the
+        // dwLength samples the header promised
+        if (declaredStreams == 1 && !audOk && nSamples == 0) ||
+          (declaredStreams == 2 && audOk && nSamples == audLen)
+      } yield Avi(w, h, us, frames.result(),
+        if (audOk) audRate else 0,
+        if (audOk) samples.result() else Array.emptyIntArray)
     }
   }
 

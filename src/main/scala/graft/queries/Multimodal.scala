@@ -1219,6 +1219,102 @@ object Multimodal {
       "audio) and must not collapse; oracle replays both hash families and " +
       "both closures from seed arithmetic")
 
+  /** q248 — interleaved A/V container demux (MM7, r14): real bundles
+    * arrive as ONE file, not per-modality sidecars — a RIFF-AVI with
+    * an interleaved 16-bit PCM `auds` stream (`01wb` chunks between
+    * the `00db` frames —
+    * [[graft.multimodal.RealCodecs.AviCodec.synthesizeAvFrames]])
+    * feeds BOTH modality paths from a single strict demux: the video
+    * frames ride q230's luma-energy/motion arithmetic, the audio
+    * track rides q232's energy-sign fingerprint and q243's DC-offset
+    * probe. The container is the composition point: one parse, two
+    * downstream modality pipelines, one end-to-end hash. The WAV
+    * cross-decode pin (RealCodecsSpec) ties the `01wb` track to
+    * WavCodec — two codecs, one truth.
+    *
+    * Corpus: per doc a 4–7-frame clip (q230's rotated-seed planes)
+    * interleaved with q232's 456-sample modulated PCM. The oracle
+    * replays frame planes AND samples from seed arithmetic without
+    * parsing a byte — the Spark side's numbers exist only if the
+    * mux→demux of the two-stream container is bit-perfect.
+    *
+    * Scale posture: q230's — mux+demux+reduce in ONE mapPartitions
+    * pass, payload bytes never leave the partition; output is 6
+    * numbers a row. */
+  val q248 = Q(
+    "q248_av_demux",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{AudioFingerprint, RealCodecs}
+      import graft.multimodal.RealCodecs.AviCodec
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            def sb(p: Int): Int = seed(p % 16) & 0xff
+            val nF = 4 + (id % 4).toInt
+            val frames = Vector.tabulate(nF)(f =>
+              Array.tabulate(189)(i => seed((i + f) % 16) & 0xff))
+            val pcm = Array.tabulate(456)(i =>
+              (sb(i + i / 16) - 128) * (1 + i % 5))
+            val avi = AviCodec.parse(
+                AviCodec.synthesizeAvFrames(frames, 9, 7, 100000, pcm))
+              .getOrElse(sys.error(s"q248: undecodable A/V avi for doc $id"))
+            val energy = avi.frames.map { c =>
+              (0 until 63).map(p =>
+                299L * c(3 * p) + 587L * c(3 * p + 1) + 114L * c(3 * p + 2)).sum
+            }.sum
+            val asig = AudioFingerprint.energySign(avi.samples, 8)
+            val dc = avi.samples.map(_.toLong).sum
+            val _ = RealCodecs // anchor the import for scaladoc refs
+            (id, avi.frames.size.toLong, avi.samples.length.toLong,
+              energy, asig, dc)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_samples", "venergy", "asig", "dc_sum")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH b AS (SELECT doc_id,
+               list_transform(range(0, 16), j ->
+                 CAST(('0x' || substr(md5(text), CAST(j * 2 + 1 AS INT), 2))
+                   AS INT)) AS sb,
+               4 + doc_id % 4 AS nf
+             FROM documents),
+      sm AS (SELECT doc_id, nf,
+               list_transform(range(0, 456), i ->
+                 CAST((sb[CAST((i + i // 16) % 16 AS INT) + 1] - 128)
+                   * (1 + i % 5) AS BIGINT)) AS s
+             FROM b),
+      en AS (SELECT doc_id, nf, s,
+               list_transform(range(0, 57), f ->
+                 list_reduce(list_transform(range(0, 8), j ->
+                   s[8 * f + j + 1] * s[8 * f + j + 1]), (a, x) -> a + x)) AS e
+             FROM sm)
+      SELECT en.doc_id AS doc_id,
+        CAST(en.nf AS BIGINT) AS n_frames,
+        CAST(456 AS BIGINT) AS n_samples,
+        CAST(list_sum(list_transform(range(0, CAST(en.nf AS INT)), f ->
+          list_sum(list_transform(range(0, 63), p ->
+            299 * b.sb[CAST((3 * p + f) % 16 AS INT) + 1]
+          + 587 * b.sb[CAST((3 * p + 1 + f) % 16 AS INT) + 1]
+          + 114 * b.sb[CAST((3 * p + 2 + f) % 16 AS INT) + 1])))) AS BIGINT)
+          AS venergy,
+        CAST(list_reduce(list_transform(range(0, 56), f ->
+          CASE WHEN e[CAST(f + 1 AS INT)] < e[CAST(f + 2 AS INT)]
+               THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+               ELSE CAST(0 AS BIGINT) END), (a, x) -> a | x) AS BIGINT)
+          AS asig,
+        CAST(list_reduce(s, (a, x) -> a + x) AS BIGINT) AS dc_sum
+      FROM en JOIN b ON en.doc_id = b.doc_id
+      ORDER BY doc_id"""),
+    doc = "MM7: interleaved A/V container demux — one RIFF-AVI with an " +
+      "auds PCM stream feeds both modality paths from a single strict " +
+      "parse (video luma energy, audio energy-sign fingerprint + DC " +
+      "offset); oracle replays planes and samples from seed arithmetic")
+
   val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232, q242,
-    q243, q244)
+    q243, q244, q248)
 }

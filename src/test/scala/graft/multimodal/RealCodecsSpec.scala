@@ -331,6 +331,64 @@ class RealCodecsSpec extends AnyFunSuite {
     assert(AviCodec.parse(Array.emptyByteArray).isEmpty)
   }
 
+  test("interleaved A/V container roundtrip: frames AND 16-bit PCM track " +
+    "survive mux -> demux bit-exact; the audio stream is declared (rate " +
+    "reported, streams = 2) and sample blocks ride per-frame 01wb chunks") {
+    val frames = Vector.tabulate(5)(f =>
+      Array.tabulate(9 * 7 * 3)(i => seed((i + f) % 16) & 0xff))
+    val pcm = Array.tabulate(123)(i => ((seed(i % 16) & 0xff) - 128) * (1 + i % 5))
+    val bytes = AviCodec.synthesizeAvFrames(frames, 9, 7, 100000, pcm, 8000)
+    val avi = AviCodec.parse(bytes).get
+    assert(avi.width === 9 && avi.height === 7 && avi.frames.size === 5)
+    avi.frames.zip(frames).zipWithIndex.foreach { case ((got, want), f) =>
+      assert(got.sameElements(want), s"frame $f diverged")
+    }
+    assert(avi.sampleRate === 8000)
+    assert(avi.samples.sameElements(pcm), "PCM track diverged")
+    // a video-only container still reports no audio
+    val vOnly = AviCodec.parse(AviCodec.synthesizeFrames(frames, 9, 7, 100000)).get
+    assert(vOnly.sampleRate === 0 && vOnly.samples.isEmpty)
+  }
+
+  test("A/V container audio cross-decode pin: the same PCM through " +
+    "WavCodec and through the AVI 01wb track decodes identically (two " +
+    "codecs, one truth — the wav_match device for the interleaved file)") {
+    val pcm = Array.tabulate(456)(i => ((seed((i + 3) % 16) & 0xff) - 128) * (1 + i % 3))
+    val frames = Vector(Array.tabulate(9 * 7 * 3)(i => seed(i % 16) & 0xff))
+    val aviPcm = AviCodec.parse(
+      AviCodec.synthesizeAvFrames(frames, 9, 7, 100000, pcm)).get.samples
+    val wavPcm = WavCodec.parse(WavCodec.synthesizeSamples(pcm)).get.samples
+    assert(aviPcm.sameElements(pcm))
+    assert(wavPcm.sameElements(pcm))
+    assert(aviPcm.sameElements(wavPcm))
+  }
+
+  test("A/V container strictness: sample-count/dwLength mismatch, a " +
+    "non-PCM wFormatTag, and wrong-parity audio chunks all return None") {
+    val frames = Vector.tabulate(3)(f =>
+      Array.tabulate(9 * 7 * 3)(i => seed((i + f) % 16) & 0xff))
+    val pcm = Array.tabulate(60)(i => i * 7 - 200)
+    val good = AviCodec.synthesizeAvFrames(frames, 9, 7, 100000, pcm)
+    assert(AviCodec.parse(good).isDefined)
+    // find the auds strh's dwLength (value 60) and inflate it
+    val strhIdx = good.indexOfSlice("auds".getBytes("US-ASCII"))
+    assert(strhIdx > 0)
+    val lenOff = strhIdx + 8 + // fcc + handler
+      4 + 2 + 2 + 4 + 4 + 4 + 4 // flags..start
+    val m1 = good.clone()
+    m1(lenOff) = (pcm.length + 1).toByte // LE low byte: 60 -> 61
+    assert(AviCodec.parse(m1).isEmpty, "dwLength mismatch must fail")
+    // corrupt wFormatTag (first 2 bytes of the auds strf body)
+    val strfIdx = good.indexOfSlice("strf".getBytes("US-ASCII"), strhIdx)
+    assert(strfIdx > strhIdx)
+    val m2 = good.clone()
+    m2(strfIdx + 8) = 2 // wFormatTag = 2 (ADPCM)
+    assert(AviCodec.parse(m2).isEmpty, "non-PCM format must fail")
+    // truncate the final audio chunk by 2 bytes: counts disagree
+    val m3 = good.take(good.length - 2)
+    assert(AviCodec.parse(m3).isEmpty)
+  }
+
   test("q244 bundle pass cross-decode pin: every variant's plane (incl. " +
     "the v=2 inversion) survives PNG -> ImageIO bit-exact and every " +
     "variant's modulated PCM survives FLAC encode -> parse bit-exact — " +
