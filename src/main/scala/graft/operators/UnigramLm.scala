@@ -30,7 +30,13 @@ import graft.core.Barriers._
   * hash-reproducible cross-engine, so the prune criterion keeps the
   * integer-evidence discipline (a DECLARED simplification, like
   * q42's lexicon stand-in: the prune-lowest-contribution ALGEBRA is
-  * Kudo's, the ranking statistic is the exact one).
+  * Kudo's, the ranking statistic is the exact one). The deviation
+  * BOUNDARY is spec-pinned (UnigramLmSpec "DECLARED DEVIATION"):
+  * Kudo ranks by usage × per-use log advantage, the stand-in by
+  * usage alone — they order identically while per-use advantages
+  * are comparable and diverge exactly when a rarely-used piece is
+  * load-bearing (no good fallback) while a frequently-used piece is
+  * redundant; the spec holds a fixture where the two argmins differ.
   *
   * ENCODING (Viterbi, exact): the suffix DP
   * `suf(pos) = max over pieces u matching at pos of sc(u)·suf(pos+|u|)`

@@ -132,6 +132,57 @@ class UnigramLmSpec extends SparkSpecBase {
     assert(used2.intersect(prunedSet).isEmpty)
   }
 
+  test("DECLARED DEVIATION pinned: usage-argmin and Kudo's likelihood-loss " +
+    "ranking disagree exactly where a rarely-USED piece is load-bearing " +
+    "(huge per-use log advantage) while a frequently-used piece is " +
+    "redundant (near-equal fallback) — the stand-in prunes the former, " +
+    "Kudo the latter") {
+    val s = spark
+    import s.implicits._
+    // corpus: 'ab' x3 with VERY common singles a,b (fallback a·b nearly
+    // as good -> tiny per-use advantage, usage 3); 'xy' x1 with rare
+    // singles (fallback catastrophic -> per-use advantage ln T, usage 1)
+    val docs = docsOf(1L -> "ab ab ab a a a a a b b b b b xy")
+    val words = BpeVocab.wordTable(docs, "text")
+    // exact seed masses: a=8, b=8, ab=3, x=y=xy=1, T=22
+    val T = 22.0
+    val sc = Map("a" -> 8 / T, "b" -> 8 / T, "ab" -> 3 / T,
+      "x" -> 1 / T, "y" -> 1 / T, "xy" -> 1 / T)
+    val ws = Seq(("ab", 3L), ("a", 5L), ("b", 5L), ("xy", 1L))
+    def bestProb(w: String, v: Map[String, Double]): Double = {
+      val n = w.length
+      val suf = new Array[Double](n + 2)
+      suf(n + 1) = 1.0
+      for (pos <- n to 1 by -1) {
+        suf(pos) = (1 to math.min(2, n - pos + 1)).flatMap { l =>
+          v.get(w.substring(pos - 1, pos - 1 + l)).map(_ * suf(pos + l))
+        }.foldLeft(0.0)(math.max)
+      }
+      suf(1)
+    }
+    // both candidates ARE used under the full vocabulary (the
+    // disagreement is about ranking, not reachability): sc(ab) = 3/22
+    // beats sc(a)*sc(b) = 64/484 by a hair; sc(xy) beats 1/484 by 22x
+    assert(sc("ab") > sc("a") * sc("b"))
+    assert(sc("xy") > sc("x") * sc("y"))
+    def ll(v: Map[String, Double]): Double =
+      ws.map { case (w, f) => f * math.log(bestProb(w, v)) }.sum
+    val full = ll(sc)
+    val deltas = Seq("ab", "xy").map(u => u -> (full - ll(sc - u))).toMap
+    // Kudo's criterion: prune the piece whose removal costs the LEAST
+    // likelihood — that is 'ab' (3 uses x tiny advantage < 1 use x ln 22)
+    assert(deltas("ab") < deltas("xy"),
+      s"fixture lost its divergence: $deltas")
+    // the stand-in prunes by usage-argmin — that is 'xy' (usage 1 < 3)
+    val (pruned, _) = UnigramLm.train(words, maxPieceLen = 2,
+      rounds = 1, pruneK = 1)
+    assert(pruned.map(p => (p.spell, p.usage)) === Seq(("xy", 1L)),
+      "the declared stand-in must prune the lowest-USAGE piece")
+    // boundary statement: the two rankings order by usage vs
+    // usage x per-use-log-advantage; they agree whenever per-use
+    // advantages are comparable and diverge exactly when they are not
+  }
+
   test("every walk product equals the DP optimum (max-product law, not " +
     "just a valid segmentation)") {
     val s = spark
