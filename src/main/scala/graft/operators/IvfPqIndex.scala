@@ -100,6 +100,18 @@ object IvfPqIndex {
     (live, stats)
   }
 
+  /** Dead-row fraction (ppm) of a [[removeFromIndex]] cellStats frame
+    * — the index reaper's scheduling input (the generation-rollover
+    * trigger the takedown ledger documents; the packing twin is
+    * [[GenerationRollover.deadFractionPpm]]). One aggregate over the
+    * k-row cell frame; the 1-row collect is the sanctioned
+    * reduced-aggregate class. */
+  def deadFractionPpm(cellStats: DataFrame): Long =
+    cellStats.agg(coalesce(
+        expr("sum(n_deleted) * 1000000 div " +
+          "(sum(n_live) + sum(n_deleted))"), lit(0L)).as("ppm"))
+      .head().getLong(0)
+
   /** [[appendToIndex]] for the RESIDUAL index (IVFADC, q200's
     * fidelity step): the delta assigns to its frozen coarse cell, is
     * re-centered against that cell's centroid

@@ -998,6 +998,108 @@ object Vectors {
       "per-cell occupancy + exact live-row checksums; oracle rebuilds " +
       "from scratch and restricts, maintained == rebuilt-minus-deleted")
 
+  /** q249 — INDEX generation rollover (X108d, r14): the reaper's index
+    * member — q234's takedown ledger accretes tombstones until the
+    * dead-row fraction crosses the declared threshold (the q245
+    * packing reaper's 25%), then generation G+1 is REBUILT from the
+    * live corpus rows under the FROZEN model (coarse cents + PQ
+    * codebooks trained on the original prefix stay — retrain is the
+    * separate q227 trigger; generations swap atomically, q139's
+    * posture). Because index rows are pointwise under the frozen
+    * model, maintained ≡ rebuilt (q234's law) — so the rollover
+    * reclaims tombstone space without changing one serving answer,
+    * and the oracle (train on the prefix, assign + encode ONLY the
+    * survivors) hash-pins the rebuilt generation directly. The
+    * takedown set (vec_id mod 3 = 0, ~333k ppm) crosses the
+    * threshold; the trigger is asserted engine-side via
+    * [[graft.operators.IvfPqIndex.deadFractionPpm]].
+    *
+    * Scale: the rebuild scans live corpus rows once under broadcast
+    * models (q222's append posture applied to the survivor set);
+    * output is k cells of exact checksums. */
+  val q249 = Q(
+    "q249_index_rollover",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{IvfPqIndex, KMeansInt, ProductQuantizer}
+      val emb = Tables(s, dir, "embeddings")
+      val frozen = emb.filter($"vec_id" < 384)
+      val (_, coarseCents) =
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
+      val sub = ProductQuantizer
+        .subVectors(frozen, "vec_id", "embedding", m = 8, subDims = 8)
+        .persist()
+      val books = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      val index = IvfPqIndex
+        .appendToIndex(emb, "vec_id", "embedding", coarseCents, books,
+          m = 8, subDims = 8)
+        .barrier()
+      sub.unpersist()
+      val deleted = emb.select($"vec_id").filter($"vec_id" % 3 === 0)
+      val (_, stats) = IvfPqIndex.removeFromIndex(index, "vec_id", deleted)
+      val ppm = IvfPqIndex.deadFractionPpm(stats)
+      require(ppm >= graft.operators.GenerationRollover.ThresholdPpm,
+        s"index rollover not due: dead fraction $ppm ppm")
+      // generation G+1: re-encode the LIVE corpus rows under the frozen
+      // model (pointwise => equals the maintained live set, q234's law)
+      val liveEmb = emb.join(deleted, Seq("vec_id"), "left_anti")
+      val g1 = IvfPqIndex.appendToIndex(liveEmb, "vec_id", "embedding",
+        coarseCents, books, m = 8, subDims = 8)
+      val rowW = g1
+        .select($"vec_id", $"cell", $"cell_dist",
+          posexplode($"codes").as(Seq("sub", "code")))
+        .groupBy($"vec_id", $"cell", $"cell_dist")
+        .agg(sum(($"sub".cast("long") + 1L) * ($"code".cast("long") + 1L))
+          .as("code_w"))
+      rowW.groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("id_sum"),
+          sum($"cell_dist").as("dist_sum"), sum($"code_w").as("code_sum"))
+        .select($"cell".cast("int").as("cell"), $"n_vecs", $"id_sum",
+          $"dist_sum", $"code_sum")
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH ${Curation.kmeansCtes8x2From(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 384")},
+      $pqCoreCtes,
+      dvq AS (SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+              FROM embeddings WHERE vec_id % 3 <> 0),
+      dcell AS (SELECT vec_id, cluster AS cell, d AS cell_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT dvq.vec_id, c.cluster,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+              FROM dvq CROSS JOIN c2 c))
+        WHERE rn = 1),
+      dsv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+                list_slice(xq, CAST(s.sub AS INT) * 8 + 1,
+                               CAST(s.sub AS INT) * 8 + 8) AS sxq
+              FROM dvq CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      dcode AS (SELECT vec_id, sub, cluster AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT dsv.vec_id, dsv.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM dsv JOIN pc2 c ON dsv.sub = c.sub))
+        WHERE rn = 1),
+      w AS (SELECT vec_id,
+              CAST(SUM((sub + 1) * (code + 1)) AS BIGINT) AS code_w
+            FROM dcode GROUP BY vec_id)
+      SELECT CAST(cell AS INT) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(dcell.vec_id) AS BIGINT) AS id_sum,
+             CAST(SUM(cell_dist) AS BIGINT) AS dist_sum,
+             CAST(SUM(code_w) AS BIGINT) AS code_sum
+      FROM dcell JOIN w ON dcell.vec_id = w.vec_id
+      GROUP BY cell ORDER BY cell"""),
+    doc = "X108d: index generation rollover — the reaper's index member: " +
+      "dead-fraction trigger past the declared threshold rebuilds " +
+      "generation G+1 from live corpus rows under the FROZEN model " +
+      "(pointwise => maintained == rebuilt, so serving answers are " +
+      "unchanged while tombstone space is reclaimed); oracle trains on " +
+      "the prefix and encodes only survivors")
+
   /** One unrolled beam-search round for the q238 oracle: frontier
     * tx$r = the beam best not-yet-expanded seen rows, expanded-set
     * union ex$r, one-hop neighbors nb$r through the symmetrized graph,
@@ -1251,5 +1353,5 @@ object Vectors {
       "rebuild trigger; oracle rebuilds the graph and re-derives the ledger")
 
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
-    q200, q201, q222, q224, q227, q234, q238, q240, q241)
+    q200, q201, q222, q224, q227, q234, q238, q240, q241, q249)
 }
