@@ -105,6 +105,18 @@ object GraphAnn {
     (live, ledger)
   }
 
+  /** Lost-edge fraction (ppm) of a [[removeNodes]] degradation ledger
+    * — the graph reaper's scheduling input (the rebuild trigger the
+    * ledger scaladoc promises; packing/index twins:
+    * `GenerationRollover.deadFractionPpm` / `IvfPqIndex
+    * .deadFractionPpm`). One aggregate over the per-node ledger; the
+    * 1-row collect is the sanctioned reduced-aggregate class. */
+  def lostFractionPpm(ledger: DataFrame): Long =
+    ledger.agg(coalesce(
+        expr("sum(n_lost) * 1000000 div sum(n_before)"), lit(0L))
+        .as("ppm"))
+      .head().getLong(0)
+
   /** Beam search: `(q_id, rn, id, d)` — the exact top-k of everything
     * the search visited, rn = 1..k by (d ASC, id ASC); self-matches
     * (id = q_id) excluded from the answer (IvfAnn.topK's contract).

@@ -1352,6 +1352,82 @@ object Vectors {
       "targets by anti-joins; per-surviving-node degradation ledger is the " +
       "rebuild trigger; oracle rebuilds the graph and re-derives the ledger")
 
+  /** q250 — GRAPH generation rollover (X108e, r14): the reaper's
+    * graph member, completing the rollover family across all three
+    * stores (packing q245, index q249, graph HERE). q241's
+    * degradation ledger is the documented trigger — once
+    * sum(n_lost)/sum(n_before) crosses the threshold the degraded
+    * graph must be RE-DENSIFIED: unlike packing/index (pointwise,
+    * maintained ≡ rebuilt), a KNN graph's edges are RELATIONAL, so
+    * the anti-joined survivor graph serves thinner neighborhoods and
+    * only a rebuild restores k live neighbors per node. Generation
+    * G+1 = NN-Descent from scratch over the survivors (the
+    * data-parallel rebuild HNSW-class indexes can't do), seeded by
+    * the same deterministic id-successor device as q201 — successors
+    * falling on deleted ids drop in the scoring join (identically in
+    * both engines), which NN-Descent's whole convergence argument
+    * exists to absorb.
+    *
+    * Scale: two bounded NN-Descent builds (the generation-G build
+    * exists anyway as the serving store; the ledger is one aggregate
+    * over it) — per-round shuffle O(N·k²) ids, never quadratic. */
+  val q250 = Q(
+    "q250_graph_rollover",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{GraphAnn, KMeansInt, NNDescent}
+      val emb = Tables(s, dir, "embeddings")
+      val vq = emb.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+        .persist()
+      val n = vq.count()
+      def initOf(nodes: org.apache.spark.sql.DataFrame) =
+        nodes.select($"vec_id".as("v"),
+            explode(sequence(lit(1), lit(4))).as("i"))
+          .select($"v", (($"v" + $"i") % n).as("u"))
+      val graph = NNDescent.build(vq, "vec_id", initOf(vq), k = 4, rounds = 2)
+      val deleted = emb.select($"vec_id").filter($"vec_id" % 3 === 0)
+      val (_, ledger) = GraphAnn.removeNodes(graph, deleted)
+      val ppm = GraphAnn.lostFractionPpm(ledger)
+      require(ppm >= graft.operators.GenerationRollover.ThresholdPpm,
+        s"graph rollover not due: lost fraction $ppm ppm")
+      val liveVq = vq.join(deleted, Seq("vec_id"), "left_anti").persist()
+      val g1 = NNDescent.build(liveVq, "vec_id", initOf(liveVq),
+          k = 4, rounds = 2)
+        .orderBy($"v", $"rn")
+        .barrier() // eager, BEFORE unpersist
+      vq.unpersist(); liveVq.unpersist()
+      g1
+    },
+    Some(s"""
+      WITH vq AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings WHERE vec_id % 3 <> 0),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      e0r AS (SELECT vq.vec_id AS v, (vq.vec_id + g.i) % nt.n AS u
+              FROM vq CROSS JOIN nt
+              CROSS JOIN (SELECT unnest(range(1, 5)) AS i) g),
+      s0 AS (SELECT e.v, e.u,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+             FROM (SELECT DISTINCT v, u FROM e0r WHERE v <> u) e
+             JOIN vq a ON e.v = a.vec_id JOIN vq b ON e.u = b.vec_id),
+      e1 AS (SELECT v, u, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM s0) WHERE rn <= 4),
+      ${nndRound("e1", 1)},
+      ${nndRound("e2", 2)}
+      SELECT v, CAST(rn AS INT) AS rn, u, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+        FROM e3) WHERE rn <= 4
+      ORDER BY v, rn"""),
+    doc = "X108e: graph generation rollover — lost-edge-fraction trigger " +
+      "past the declared threshold re-densifies the degraded survivor " +
+      "graph with a from-scratch NN-Descent build over live rows " +
+      "(relational edges, unlike pointwise packing/index rollovers, " +
+      "cannot be maintained-equals-rebuilt); oracle unrolls the rebuild " +
+      "rounds over the survivor set")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
-    q200, q201, q222, q224, q227, q234, q238, q240, q241, q249)
+    q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250)
 }
