@@ -1597,7 +1597,93 @@ object Text {
       "audit re-issued on generation G+1 (verdicts unchanged, blast radii " +
       "remapped); takedown -> rollover -> audit under one hash")
 
+  /** q251 — rollover RE-KEY lookup (X108f): the operation q246's map
+    * exists FOR — a dataloader/curriculum/audit holds generation-G
+    * references "(bin, offset)" and must move each to its G+1 home
+    * with one lookup: find the translation span covering the old
+    * position, add the in-span delta. Probe set: one deterministic
+    * probe per OLD bin at offset (7·bin) mod L — some probes land on
+    * FREED spans (a tombstoned token has no G+1 home: the probe drops,
+    * exactly the dataloader's skip semantics), the rest re-key.
+    * Conservation (RolloverSpec) guarantees ≤ 1 covering span per
+    * probe, so the output is keyed by old bin alone.
+    *
+    * Scale: the probe frame is bins-sized; the lookup is an equi-join
+    * on old_bin_id with a bounded residual range predicate (spans per
+    * bin ≤ docs per bin) — the same shape a real re-key join runs at
+    * corpus scale. */
+  val q251 = Q(
+    "q251_rollover_rekey",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val map = packingMap(docs, L = 128)
+      val trans = rolledOver(s, dir)._2
+      val probes = map.select($"bin_id".as("old_bin_id")).distinct()
+        .withColumn("old_off", ($"old_bin_id" * 7) % 128)
+      probes.alias("p")
+        .join(trans.alias("t"),
+          col("p.old_bin_id") === col("t.old_bin_id") &&
+            col("p.old_off") >= col("t.old_bin_off") &&
+            col("p.old_off") < col("t.old_bin_off") + col("t.span_len"))
+        .select(col("p.old_bin_id").as("old_bin_id"),
+          col("p.old_off").as("old_off"), col("t.doc_id").as("doc_id"),
+          col("t.new_bin_id").as("new_bin_id"),
+          (col("t.new_bin_off") + col("p.old_off") - col("t.old_bin_off"))
+            .as("new_off"))
+        .orderBy($"old_bin_id")
+    },
+    Some(s"""
+      WITH od AS (SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> len(t) > 0)) AS BIGINT) AS n_tok
+             FROM documents),
+      oc AS (SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+             FROM od WHERE n_tok > 0),
+      oe AS (SELECT doc_id, cum, cum - n_tok AS st,
+               (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+             FROM oc),
+      ox AS MATERIALIZED (SELECT doc_id, CAST(bin_id AS BIGINT) AS old_bin_id,
+               CAST(GREATEST(st, bin_id * 128) - bin_id * 128 AS BIGINT)
+                 AS old_bin_off,
+               CAST(GREATEST(st, bin_id * 128) - st AS BIGINT) AS odo,
+               CAST(LEAST(cum, (bin_id + 1) * 128)
+                 - GREATEST(st, bin_id * 128) AS BIGINT) AS olen
+             FROM (SELECT doc_id, st, cum,
+                     unnest(range(b0, b1 + 1)) AS bin_id FROM oe)),
+      pr AS (SELECT DISTINCT old_bin_id,
+               (old_bin_id * 7) % 128 AS old_off FROM ox),
+      $rolloverNewCtes,
+      tr AS (SELECT ox.doc_id AS doc_id, old_bin_id,
+               CAST(old_bin_off + GREATEST(odo, doc_off) - odo AS BIGINT)
+                 AS old_bin_off,
+               CAST(bin_id AS BIGINT) AS new_bin_id,
+               CAST(bin_off + GREATEST(odo, doc_off) - doc_off AS BIGINT)
+                 AS new_bin_off,
+               CAST(LEAST(odo + olen, doc_off + seg_len)
+                 - GREATEST(odo, doc_off) AS BIGINT) AS span_len
+             FROM ox JOIN nx ON ox.doc_id = nx.doc_id
+             WHERE ox.doc_id % 3 <> 0
+               AND odo < doc_off + seg_len AND doc_off < odo + olen)
+      SELECT p.old_bin_id AS old_bin_id,
+             CAST(p.old_off AS BIGINT) AS old_off, t.doc_id AS doc_id,
+             t.new_bin_id AS new_bin_id,
+             CAST(t.new_bin_off + p.old_off - t.old_bin_off AS BIGINT)
+               AS new_off
+      FROM pr p JOIN tr t ON p.old_bin_id = t.old_bin_id
+        AND p.old_off >= t.old_bin_off
+        AND p.old_off < t.old_bin_off + t.span_len
+      ORDER BY old_bin_id"""),
+    doc = "X108f: rollover re-key lookup — one probe per generation-G bin " +
+      "through the q246 translation map (covering-span join + in-span " +
+      "delta); probes on freed spans drop (tombstoned tokens have no G+1 " +
+      "home), the rest land on their new (bin, offset); oracle re-derives " +
+      "both packings and the map independently")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
-    q233, q239, q245, q246, q247)
+    q233, q239, q245, q246, q247, q251)
 }
