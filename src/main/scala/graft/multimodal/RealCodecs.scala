@@ -287,6 +287,115 @@ object RealCodecs {
       sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", out.toByteArray) ++
         chunk("IEND", Array.emptyByteArray)
     }
+
+    /** Hand-rolled PNG DECODER (r14): 8-bit truecolor, non-interlaced
+      * — the profile every encoder here emits, plus ALL FIVE scanline
+      * filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), so it reads
+      * general truecolor PNGs, not just its own filter-0 output.
+      * Strict like every parser in this file: signature, chunk CRCs,
+      * IHDR profile fields, inflated length, and filter codes are all
+      * checked; any violation returns None, never throws. The
+      * hand-encoder ↔ ImageIO ↔ hand-decoder triangle is pinned in
+      * RealCodecsSpec (two independent decoders, one truth), which is
+      * what lets the hot decode paths (q244's bundle pass) ride THIS
+      * decoder instead of ImageIO's reader plumbing at ~10× the cost
+      * per tiny image. */
+    def parse(bytes: Array[Byte]): Option[Img] = {
+      if (bytes.length < 8 + 12 * 3 + 13) return None
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+        0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      var i = 0
+      while (i < 8) { if (bytes(i) != sig(i)) return None; i += 1 }
+      val buf = ByteBuffer.wrap(bytes, 8, bytes.length - 8) // big-endian
+      var w = -1; var h = -1
+      var sawIhdr = false; var sawIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (buf.remaining() >= 12 && !sawIend) {
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining() - 8) return None
+        val tb = new Array[Byte](4); buf.get(tb)
+        val tag = new String(tb, "US-ASCII")
+        val body = new Array[Byte](len); buf.get(body)
+        val crc = new java.util.zip.CRC32
+        crc.update(tb); crc.update(body)
+        if (buf.getInt != crc.getValue.toInt) return None
+        tag match {
+          case "IHDR" =>
+            if (sawIhdr || len != 13) return None
+            val ib = ByteBuffer.wrap(body)
+            w = ib.getInt; h = ib.getInt
+            val depth = ib.get(); val color = ib.get()
+            val comp = ib.get(); val filt = ib.get(); val il = ib.get()
+            if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
+                comp != 0 || filt != 0 || il != 0) return None
+            sawIhdr = true
+          case "IDAT" =>
+            if (!sawIhdr) return None
+            idat.write(body)
+          case "IEND" =>
+            if (len != 0) return None
+            sawIend = true
+          case _ => () // ancillary chunks skipped (tEXt, pHYs, ...)
+        }
+      }
+      if (!sawIhdr || !sawIend) return None
+      val stride = w * 3
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      try {
+        var got = 0
+        while (!inf.finished() && got < raw.length) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          got += n
+        }
+        // exact length: no short stream, no trailing image data (one
+        // zero-output inflate may be needed to consume the final-block
+        // marker before finished() reports)
+        if (got == raw.length && !inf.finished()) {
+          val scratch = new Array[Byte](1)
+          if (inf.inflate(scratch) > 0 || !inf.finished()) return None
+        }
+        if (got != raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      // unfilter in place into the component plane (RFC 2083 §6.1.3+)
+      val comps = new Array[Int](w * h * 3)
+      val prev = new Array[Int](stride)          // reconstructed prior row
+      val cur = new Array[Int](stride)
+      var y = 0
+      while (y < h) {
+        val base = y * (1 + stride)
+        val f = raw(base) & 0xff
+        if (f > 4) return None
+        var x = 0
+        while (x < stride) {
+          val v = raw(base + 1 + x) & 0xff
+          val a = if (x >= 3) cur(x - 3) else 0   // left (bpp = 3)
+          val b = if (y > 0) prev(x) else 0       // up
+          val c = if (x >= 3 && y > 0) prev(x - 3) else 0 // up-left
+          val rec = f match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + b
+            case 3 => v + (a + b) / 2
+            case _ =>                              // Paeth
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          cur(x) = rec & 0xff
+          comps(y * stride + x) = cur(x)
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      Some(Img(w, h, comps))
+    }
   }
 
   /** Hand-rolled 24-bit uncompressed BMP (BITMAPINFOHEADER): rows

@@ -80,9 +80,11 @@ object ClusterTakedown {
     // (skew-immune) and the label table it joins back is
     // component-count-sized — broadcast keeps the member frame's
     // partitioning untouched (no shuffle on the skewed key at all).
+    // no barrier: both consumers re-derive this from already-barriered
+    // parents with one cheap anti-join — cheaper than materializing a
+    // member-sized frame
     val untouchedSurv = survivors
       .join(touchedComps, Seq("component"), "left_anti")
-      .barrier()
     val untouchedLabels = untouchedSurv.groupBy(col("component"))
       .agg(min(col("id")).as("__nc"))
     val untouchedLabeled = untouchedSurv

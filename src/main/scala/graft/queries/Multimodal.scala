@@ -1026,8 +1026,12 @@ object Multimodal {
     *
     * Pipeline: ONE decode/hash pass — literally (r14): each bundle's
     * pixel plane is encoded as a REAL PNG and decoded back through
-    * ImageIO (the differential decoder — hand-encoder vs library
-    * decoder), its PCM encoded as REAL FLAC and re-parsed, and the
+    * the strict hand parser (CRC-checked, all-filter; its agreement
+    * with ImageIO is the RealCodecsSpec differential), its PCM
+    * through REAL audio containers — WAV for the original and the
+    * faithful edit, FLAC for the modality-break variant (q243's
+    * heterogeneous-cohort posture: real feeds mix formats, and a
+    * format must never affect the fingerprint) — and the
     * hashes are computed over the DECODED content. Both codecs are
     * lossless, so the oracle's seed-arithmetic replay is unchanged —
     * but the hash gate now covers the composed container
@@ -1067,12 +1071,15 @@ object Multimodal {
                 else seed(i % 16) & 0xff
               }
               // real container bytes in the loop: PNG-encode the
-              // plane, decode through ImageIO (differential), hash
-              // the DECODED image; FLAC-encode the PCM, re-parse,
+              // plane, decode through the hand parser (strict CRCs +
+              // all-filter unfilter; the parse↔ImageIO differential is
+              // pinned in RealCodecsSpec — ImageIO's reader plumbing
+              // costs ~10× per tiny image, wrong for the hot path),
+              // hash the DECODED image; FLAC-encode the PCM, re-parse,
               // fingerprint the DECODED samples. Lossless both ways,
               // so the seed-arithmetic oracle is untouched.
               val png = RealCodecs.PngCodec.synthesizeComps(comps, 9, 7)
-              val img = RealCodecs.ImageIoCodec.decode(png).getOrElse(
+              val img = RealCodecs.PngCodec.parse(png).getOrElse(
                 sys.error(s"PNG decode failed for bundle ${id * 3 + v}"))
               val ihash = Phash.dHash(img)
               val x = Array.tabulate(456) { i =>
@@ -1081,10 +1088,25 @@ object Multimodal {
                   (sb(i + 11) - 128) * (1 + i % 4)
                 else (sb(i + i / 16) - 128) * (1 + i % 5)
               }
-              val flac = RealCodecs.FlacCodec.synthesizeSamples(x)
-              val pcm = RealCodecs.FlacCodec.parse(flac).getOrElse(
-                sys.error(s"FLAC parse failed for bundle ${id * 3 + v}"))
-                .samples
+              // heterogeneous audio containers, q243's two-cohort
+              // posture: originals+edits arrive as WAV, the
+              // modality-break variant as FLAC — both REAL paths in
+              // the loop, and the corpus mixes formats the way real
+              // bundle feeds do (a format must never affect the
+              // fingerprint: both decodes are lossless)
+              val pcm =
+                if (v == 2)
+                  RealCodecs.FlacCodec.parse(
+                      RealCodecs.FlacCodec.synthesizeSamples(x))
+                    .getOrElse(sys.error(
+                      s"FLAC decode failed for bundle ${id * 3 + v}"))
+                    .samples
+                else
+                  RealCodecs.WavCodec.parse(
+                      RealCodecs.WavCodec.synthesizeSamples(x))
+                    .getOrElse(sys.error(
+                      s"WAV decode failed for bundle ${id * 3 + v}"))
+                    .samples
               (id * 3 + v, thash, ihash, AudioFingerprint.energySign(pcm, 8))
             }
           }
