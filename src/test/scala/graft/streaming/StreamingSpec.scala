@@ -1794,4 +1794,76 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed(2000L + n) === (2000L + n, 0), s"fresh seed $n")
     }
   }
+
+  test("T29: streaming reaper — generation rollover fires MID-STREAM off " +
+    "the live ledger; final map == single-shot batch rollover of all " +
+    "deltas (generation-count independence), chained re-key == direct " +
+    "re-key, and replays of reaped docs are structural no-ops") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+    val map0 = graft.queries.Text.packingMap(docs, L = 128).localCheckpoint()
+    var st = StreamingReaper.freeze(map0)
+    // wave 1: ~a third of the docs (token mass > the 25% threshold, so
+    // the roll MUST fire inside the wave); wave 2: more takedowns that
+    // tombstone the post-roll generation; then a REPLAY of wave-1 ids
+    // (docs reaped generations ago) — must be a structural no-op
+    val w1 = docs.select($"doc_id").filter($"doc_id" % 3 === 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val w2 = docs.select($"doc_id")
+      .filter($"doc_id" % 3 =!= 0 && $"doc_id" % 7 === 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val w1batches = w1.grouped(math.max(1, w1.length / 5)).toSeq
+    var genAfterW1 = -1
+    val stream = MemoryStream[Long](s)
+    val qy = stream.toDF().toDF("doc_id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingReaper.applyBatch(st, b, L = 128)
+      }
+      .start()
+    w1batches.foreach { b => stream.addData(b: _*); qy.processAllAvailable() }
+    genAfterW1 = st.generation
+    assert(genAfterW1 >= 1,
+      "wave 1 deleted >25% of tokens but no mid-stream roll fired")
+    stream.addData(w2: _*); qy.processAllAvailable()
+    val ledgerBeforeReplay = st.ledger.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    stream.addData(w1batches.head: _*); qy.processAllAvailable() // replay
+    qy.stop()
+    val ledgerAfterReplay = st.ledger.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(ledgerAfterReplay === ledgerBeforeReplay,
+      "replaying reaped docs moved the ledger — exactly-once broke at a " +
+        "generation boundary")
+    // forced final roll, then the two chain laws
+    st = StreamingReaper.roll(st, L = 128)
+    assert(st.generation >= 2 && st.translations.size === st.generation)
+    val allDeleted = (w1 ++ w2).toDF("doc_id")
+    val (wantMap, directTrans) =
+      graft.operators.GenerationRollover.rollover(map0, allDeleted, L = 128)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"bin_id", $"bin_off", $"doc_off", $"seg_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(rows(st.map) === rows(wantMap),
+      "streamed final map != single-shot batch rollover of all deltas")
+    // probes: one per generation-0 bin; some land on reaped spans (drop
+    // on BOTH paths), the rest must land on the SAME final home
+    val probes = map0.select($"bin_id".as("old_bin_id")).distinct()
+      .withColumn("probe_id", $"old_bin_id")
+      .withColumn("old_off", ($"old_bin_id" * 7) % 128)
+      .select($"probe_id", $"old_bin_id", $"old_off")
+      .localCheckpoint()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chained = keyed(StreamingReaper.rekeyChain(probes, st.translations))
+    val direct = keyed(StreamingReaper.rekeyChain(probes, Seq(directTrans)))
+    assert(chained === direct,
+      "chained re-key through the generation chain != single-shot re-key")
+    val nProbes = probes.count()
+    assert(chained.nonEmpty && chained.size < nProbes,
+      s"degenerate probe set: ${chained.size} of $nProbes survived")
+  }
 }
