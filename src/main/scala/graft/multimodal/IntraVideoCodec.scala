@@ -1,0 +1,313 @@
+package graft.multimodal
+
+/** REAL lossy video codec, pure JVM (r14 — the layer MM1 declared as
+  * its one remaining stub): transform coding with the 4×4 Hadamard —
+  * the member of H.264's integer-transform family the spec itself uses
+  * for luma DC (Richardson, "The H.264 Advanced Video Compression
+  * Standard", ch. 7; ITU-T H.264 §8.5.10) — uniform scalar
+  * quantization, zigzag scan, and H.264's own Exp-Golomb entropy codes
+  * (ue(v)/se(v), §9.1), with CLOSED-LOOP P-frames: every inter frame
+  * predicts from the DECODER's reconstruction of the previous frame,
+  * the discipline that makes encoder and decoder drift-free by
+  * construction.
+  *
+  * Why Hadamard and not the (1,2)-weighted core transform: H is
+  * symmetric with H·H = 4I, so the inverse is EXACTLY integer
+  * (divide by 16 with one rounded shift) without the norm-folding
+  * quantizer tables the core transform needs — and every operation in
+  * the codec (transform, quantize, dequantize, inverse, clip) is
+  * integer arithmetic. That is the same design decision H.264 made for
+  * bit-exact decoders, and it is what lets q252 HASH-oracle a LOSSY
+  * codec: DuckDB replays the identical integer pipeline from seed
+  * arithmetic, where JPEG's implementation-defined float IDCT can only
+  * ever be tolerance-gated. What stays out of scope is the H.264
+  * BITSTREAM itself (CAVLC contexts, intra prediction modes, loop
+  * filter — `MediaOps.FakeCodec` keeps documenting that non-goal);
+  * the lossy transform-coding layer a video pipeline needs is no
+  * longer a stub.
+  *
+  * Format "GRF1" (graft raw intra format): magic, u16be w, u16be h,
+  * u8 qp (0–7, step = 1<<qp), u8 nframes; per frame u32be payload
+  * length + u32be CRC32 + bit-packed payload — 16 se(v) levels per
+  * 4×4 block in zigzag order, blocks raster-major. Frame 0 is intra
+  * (samples centered at 128), frames 1+ are P (residual vs previous
+  * reconstruction). Strict parse: magic/dims/qp/frame-count checks,
+  * per-frame CRC, Exp-Golomb prefix cap, exact payload-length match,
+  * zero padding bits — None on any violation, never a throw.
+  *
+  * Distortion law (spec-pinned): quantization moves each coefficient
+  * by ≤ step/2, the inverse averages 16 coefficients with one rounded
+  * shift, so |recon − source| ≤ step/2 + 1 per sample (before clip,
+  * which only ever reduces error). Compression law: near-flat planes
+  * and near-static P-frames code almost entirely as zero levels —
+  * 1 bit each under se(v).
+  *
+  * Scale posture: the codec is per-doc compute inside the q188-family
+  * mapPartitions pass — payload bytes never cross a shuffle, state is
+  * one frame's reconstruction (w·h ints), corpus scaling is
+  * embarrassingly parallel. */
+object IntraVideoCodec {
+
+  final case class Video(w: Int, h: Int, qp: Int, frames: Seq[Array[Int]])
+
+  private val Magic = Array('G', 'R', 'F', '1').map(_.toByte)
+
+  /** Zigzag scan order of a 4×4 block, as (row, col) pairs flattened
+    * to r*4+c — H.264 table 8-8's 4×4 order. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  private val Bias = 1 << 16
+
+  /** In-place-free 4×4 Hadamard on a 16-int block: B = H·A·H (H
+    * symmetric, so one routine serves forward and inverse). */
+  private def hadamard(a: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    var r = 0
+    while (r < 4) { // rows: c -> v
+      val b = r * 4
+      val x0 = a(b); val x1 = a(b + 1); val x2 = a(b + 2); val x3 = a(b + 3)
+      t(b) = x0 + x1 + x2 + x3
+      t(b + 1) = x0 + x1 - x2 - x3
+      t(b + 2) = x0 - x1 - x2 + x3
+      t(b + 3) = x0 - x1 + x2 - x3
+      r += 1
+    }
+    val o = new Array[Int](16)
+    var c = 0
+    while (c < 4) { // columns: r -> u
+      val x0 = t(c); val x1 = t(4 + c); val x2 = t(8 + c); val x3 = t(12 + c)
+      o(c) = x0 + x1 + x2 + x3
+      o(4 + c) = x0 + x1 - x2 - x3
+      o(8 + c) = x0 - x1 - x2 + x3
+      o(12 + c) = x0 - x1 + x2 - x3
+      c += 1
+    }
+    o
+  }
+
+  /** Quantize one coefficient: round-half-up on the magnitude. */
+  private def quant(y: Int, step: Int): Int = {
+    val off = step >> 1
+    if (y >= 0) (y + off) / step else -((-y + off) / step)
+  }
+
+  /** Rounded /16 after the inverse Hadamard, floor semantics via a
+    * positive bias so Spark and the DuckDB twin (`//` on a nonnegative
+    * numerator) compute the identical value. */
+  private def invScale(s: Int): Int = ((s + 8 + (Bias << 4)) >> 4) - Bias
+
+  private def clip(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nbits += 1
+      if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+    }
+    def writeUe(k: Int): Unit = {
+      val m = k + 1
+      val len = 32 - Integer.numberOfLeadingZeros(m)
+      var i = 0
+      while (i < len - 1) { writeBit(0); i += 1 }
+      i = len - 1
+      while (i >= 0) { writeBit((m >> i) & 1); i -= 1 }
+    }
+    def writeSe(v: Int): Unit = writeUe(if (v > 0) 2 * v - 1 else -2 * v)
+    def bitCount: Int = out.size * 8 + nbits
+    def toBytes: Array[Byte] = {
+      while (nbits != 0) writeBit(0) // zero padding — parse verifies
+      out.toByteArray
+    }
+  }
+
+  private final class BitReader(bytes: Array[Byte]) {
+    private var pos = 0
+    var failed = false
+    def readBit(): Int = {
+      if (pos >= bytes.length * 8) { failed = true; 0 }
+      else {
+        val b = (bytes(pos >> 3) >> (7 - (pos & 7))) & 1
+        pos += 1; b
+      }
+    }
+    def readUe(): Int = {
+      var zeros = 0
+      while (!failed && readBit() == 0) {
+        zeros += 1
+        if (zeros > 24) { failed = true; return 0 } // cap: max level ~2^13
+      }
+      if (failed) return 0
+      var v = 1
+      var i = 0
+      while (i < zeros) { v = (v << 1) | readBit(); i += 1 }
+      v - 1
+    }
+    def readSe(): Int = {
+      val k = readUe()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+    def bitsRead: Int = pos
+    /** Remaining bits must be < 8 and all zero (the writer's padding). */
+    def paddingClean: Boolean = {
+      if (bytes.length * 8 - pos >= 8) return false
+      var ok = true
+      while (pos < bytes.length * 8) ok &= (readBit() == 0)
+      ok
+    }
+  }
+
+  /** Encode one frame; returns (payload bytes, reconstruction). `prev`
+    * = None for intra (center at 128), Some(recon) for P. */
+  private def encodeFrame(src: Array[Int], prev: Option[Array[Int]],
+                          w: Int, h: Int, qp: Int)
+      : (Array[Byte], Array[Int]) = {
+    val step = 1 << qp
+    val bw = new BitWriter
+    val recon = new Array[Int](w * h)
+    var by = 0
+    while (by < h / 4) {
+      var bx = 0
+      while (bx < w / 4) {
+        val blk = new Array[Int](16)
+        var i = 0
+        while (i < 16) {
+          val p = (by * 4 + i / 4) * w + bx * 4 + i % 4
+          blk(i) = prev match {
+            case None => src(p) - 128
+            case Some(pr) => src(p) - pr(p)
+          }
+          i += 1
+        }
+        val y = hadamard(blk)
+        val levels = y.map(quant(_, step))
+        Zigzag.foreach(z => bw.writeSe(levels(z)))
+        val s = hadamard(levels.map(_ * step))
+        i = 0
+        while (i < 16) {
+          val p = (by * 4 + i / 4) * w + bx * 4 + i % 4
+          val d = invScale(s(i))
+          recon(p) = prev match {
+            case None => clip(d + 128)
+            case Some(pr) => clip(pr(p) + d)
+          }
+          i += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    (bw.toBytes, recon)
+  }
+
+  /** The encoder's closed-loop reconstructions — what `parse` of
+    * `encode`'s output MUST reproduce bit-exactly (the drift law). */
+  def reconstruct(frames: Seq[Array[Int]], w: Int, h: Int, qp: Int)
+      : Seq[Array[Int]] = {
+    var prev: Option[Array[Int]] = None
+    frames.map { f =>
+      val (_, r) = encodeFrame(f, prev, w, h, qp)
+      prev = Some(r)
+      r
+    }
+  }
+
+  def encode(frames: Seq[Array[Int]], w: Int, h: Int, qp: Int)
+      : Array[Byte] = {
+    require(w > 0 && h > 0 && w % 4 == 0 && h % 4 == 0,
+      s"dims must be positive multiples of 4: ${w}x$h")
+    require(qp >= 0 && qp <= 7, s"qp out of range: $qp")
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      "every frame must be a full w*h plane")
+    val out = new java.io.ByteArrayOutputStream()
+    val hd = java.nio.ByteBuffer.allocate(10)
+    hd.put(Magic).putShort(w.toShort).putShort(h.toShort)
+      .put(qp.toByte).put(frames.size.toByte)
+    out.write(hd.array())
+    var prev: Option[Array[Int]] = None
+    frames.foreach { f =>
+      val (payload, recon) = encodeFrame(f, prev, w, h, qp)
+      prev = Some(recon)
+      val crc = new java.util.zip.CRC32
+      crc.update(payload)
+      val fh = java.nio.ByteBuffer.allocate(8)
+      fh.putInt(payload.length).putInt(crc.getValue.toInt)
+      out.write(fh.array())
+      out.write(payload)
+    }
+    out.toByteArray
+  }
+
+  /** Per-frame payload byte sizes of an encode — the entropy-layer
+    * quantity q252's oracle replays (2·⌈log2(k+1)⌉−1 bits per se
+    * level, padded to bytes). */
+  def frameBytes(frames: Seq[Array[Int]], w: Int, h: Int, qp: Int)
+      : Seq[Int] = {
+    var prev: Option[Array[Int]] = None
+    frames.map { f =>
+      val (payload, recon) = encodeFrame(f, prev, w, h, qp)
+      prev = Some(recon)
+      payload.length
+    }
+  }
+
+  def parse(bytes: Array[Byte]): Option[Video] = {
+    if (bytes.length < 10) return None
+    var i = 0
+    while (i < 4) { if (bytes(i) != Magic(i)) return None; i += 1 }
+    val buf = java.nio.ByteBuffer.wrap(bytes, 4, bytes.length - 4)
+    val w = buf.getShort & 0xffff
+    val h = buf.getShort & 0xffff
+    val qp = buf.get() & 0xff
+    val nf = buf.get() & 0xff
+    if (w == 0 || h == 0 || w % 4 != 0 || h % 4 != 0 ||
+        qp > 7 || nf == 0) return None
+    val step = 1 << qp
+    var prev: Option[Array[Int]] = None
+    val frames = Seq.newBuilder[Array[Int]]
+    var f = 0
+    while (f < nf) {
+      if (buf.remaining() < 8) return None
+      val len = buf.getInt
+      val crcWant = buf.getInt
+      if (len < 0 || len > buf.remaining()) return None
+      val payload = new Array[Byte](len)
+      buf.get(payload)
+      val crc = new java.util.zip.CRC32
+      crc.update(payload)
+      if (crc.getValue.toInt != crcWant) return None
+      val br = new BitReader(payload)
+      val recon = new Array[Int](w * h)
+      var by = 0
+      while (by < h / 4) {
+        var bx = 0
+        while (bx < w / 4) {
+          val levels = new Array[Int](16)
+          Zigzag.foreach(z => levels(z) = br.readSe())
+          if (br.failed) return None
+          val s = hadamard(levels.map(_ * step))
+          var i2 = 0
+          while (i2 < 16) {
+            val p = (by * 4 + i2 / 4) * w + bx * 4 + i2 % 4
+            val d = invScale(s(i2))
+            recon(p) = prev match {
+              case None => clip(d + 128)
+              case Some(pr) => clip(pr(p) + d)
+            }
+            i2 += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      if (!br.paddingClean) return None
+      prev = Some(recon)
+      frames += recon
+      f += 1
+    }
+    if (buf.remaining() != 0) return None
+    Some(Video(w, h, qp, frames.result()))
+  }
+}

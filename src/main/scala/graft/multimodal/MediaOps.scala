@@ -19,13 +19,16 @@ import org.apache.spark.sql.functions._
   * implementation-defined — not bit-deterministic across decoders — so
   * it is TOLERANCE-gated (RealCodecsSpec encodes with the JDK writer,
   * decodes with the reader, bounds mean component error) and never
-  * hash-oracled. VIDEO splits the same way (r12): the CONTAINER +
-  * raw-frame layer is REAL — `RealCodecs.AviCodec` hand-muxes and
-  * strictly demuxes RIFF-AVI with uncompressed BI_RGB frames, and
-  * q230 hash-oracles demux + frame-sampling end to end — while only
-  * the lossy CODEC layer (H.264) remains stubbed: its decode
-  * genuinely needs a codec implementation that is out of scope here,
-  * and being lossy it would be tolerance-gated anyway. Everything around
+  * hash-oracled. VIDEO is real at BOTH layers since r14: the
+  * CONTAINER + raw-frame layer (`RealCodecs.AviCodec` hand-muxes and
+  * strictly demuxes RIFF-AVI, incl. an interleaved PCM `auds` track;
+  * q230/q248 hash-oracle demux + frame-sampling end to end) and the
+  * lossy CODEC layer ([[IntraVideoCodec]] — 4×4 Hadamard transform
+  * coding with closed-loop P frames, all-integer by design, which is
+  * what lets q252 put a LOSSY codec under a hash oracle). What stays
+  * out of scope is H.264 BITSTREAM compatibility (CAVLC contexts,
+  * intra prediction modes, loop filter) — `FakeCodec` below remains
+  * the documented marker for that non-goal. Everything around
   * the codec — the media schema, the typed Dataset API, the
   * per-partition batch shape, the partitioning story — is real Spark
   * and really tested:
@@ -52,9 +55,11 @@ object MediaOps {
                            byte_mean: Double, byte_max: Int,
                            frame_fingerprints: Seq[Long])
 
-  /** STUB decoder ??? — deterministic stand-in for an image/audio codec.
-    * Real deployment: replace `decode` with the native library call; the
-    * mapPartitions plumbing around it is unchanged. */
+  /** STUB decoder ??? — deterministic stand-in marking the ONE declared
+    * non-goal left in the media stack: H.264 BITSTREAM compatibility
+    * (the transform-coding layer itself is real — [[IntraVideoCodec]],
+    * hash-oracled by q252). Real deployment: replace `decode` with the
+    * native library call; the mapPartitions plumbing is unchanged. */
   object FakeCodec {
     /** "Decode" = interpret the payload bytes as one unsigned-byte
       * "pixel" plane. Deterministic, codec-free. */

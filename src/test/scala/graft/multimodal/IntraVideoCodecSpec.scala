@@ -1,0 +1,148 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import IntraVideoCodec._
+
+class IntraVideoCodecSpec extends AnyFunSuite {
+
+  private val seed: Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest("intra-codec-fixture".getBytes("UTF-8"))
+
+  private def plane(w: Int, h: Int, salt: Int): Array[Int] =
+    Array.tabulate(w * h)(i => seed((i + salt) % 16) & 0xff)
+
+  test("drift law: parse(encode(frames)) == encoder's closed-loop " +
+    "reconstruction bit-exactly, across intra AND P frames") {
+    val w = 12; val h = 8
+    val f0 = plane(w, h, 0)
+    val f1 = plane(w, h, 5)
+    val f2 = f1.clone(); f2(17) = 255 - f2(17)
+    val frames = Seq(f0, f1, f2)
+    val bytes = encode(frames, w, h, qp = 4)
+    val v = parse(bytes).getOrElse(fail("roundtrip parse failed"))
+    assert(v.w === w && v.h === h && v.qp === 4 && v.frames.size === 3)
+    val want = reconstruct(frames, w, h, qp = 4)
+    v.frames.zip(want).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(got.sameElements(exp), s"frame $i drifted from the closed loop")
+    }
+  }
+
+  test("distortion bound: |recon - source| <= step/2 + 1 per sample at " +
+    "every qp, for intra and P frames alike") {
+    val w = 8; val h = 8
+    val f0 = plane(w, h, 0)
+    val f1 = plane(w, h, 3)
+    (0 to 7).foreach { qp =>
+      val step = 1 << qp
+      val rec = reconstruct(Seq(f0, f1), w, h, qp)
+      Seq(f0, f1).zip(rec).zipWithIndex.foreach { case ((src, r), fi) =>
+        val worst = src.zip(r).map { case (a, b) => math.abs(a - b) }.max
+        assert(worst <= step / 2 + 1,
+          s"qp=$qp frame $fi: worst error $worst > ${step / 2 + 1}")
+      }
+    }
+  }
+
+  test("qp=0 is lossless (step 1 quantizes nothing the exact-integer " +
+    "inverse cannot recover)") {
+    val w = 8; val h = 4
+    val f0 = plane(w, h, 0)
+    val f1 = plane(w, h, 7)
+    val v = parse(encode(Seq(f0, f1), w, h, qp = 0)).get
+    assert(v.frames.head.sameElements(f0) && v.frames(1).sameElements(f1))
+  }
+
+  test("compression laws: a flat plane codes to near-nothing; a " +
+    "near-static P frame costs a fraction of its intra coding; higher " +
+    "qp never costs more bits") {
+    val w = 16; val h = 16
+    val flat = Array.fill(w * h)(128)
+    val busy = plane(w, h, 0)
+    val flatB = frameBytes(Seq(flat), w, h, qp = 4).head
+    val busyB = frameBytes(Seq(busy), w, h, qp = 4).head
+    assert(flatB * 3 < busyB,
+      s"flat plane ($flatB B) should code far below a busy one ($busyB B)")
+    // near-static second frame: P-residual ~ quantization noise only
+    val drift = busy.clone(); drift(33) = 255 - drift(33)
+    val Seq(intraB, pB) = frameBytes(Seq(busy, drift), w, h, qp = 4)
+    assert(pB * 2 < intraB,
+      s"near-static P frame ($pB B) should code far below intra ($intraB B)")
+    val b4 = frameBytes(Seq(busy), w, h, qp = 4).head
+    val b6 = frameBytes(Seq(busy), w, h, qp = 6).head
+    assert(b6 <= b4, s"qp=6 ($b6 B) must not out-cost qp=4 ($b4 B)")
+  }
+
+  test("hand-worked single block: Hadamard coefficients, quantized " +
+    "levels and reconstruction match the by-hand integer arithmetic") {
+    // 4x4 intra block, qp=4 (step 16). X = sample - 128.
+    val src = Array(
+      128, 144, 128, 144,
+      128, 144, 128, 144,
+      128, 144, 128, 144,
+      128, 144, 128, 144)
+    // X alternates 0,16 by column: row transform of (0,16,0,16) under H
+    // rows (+,+,+,+)/(+,+,-,-)/(+,-,-,+)/(+,-,+,-) = (32,0,0,-32); the
+    // column transform of constant columns puts 4x into row u=0:
+    // Y[0][0]=128, Y[0][3]=-128, rest 0. Levels at step 16: 8 and -8.
+    // Dequant restores exactly (128 = 8*16), inverse /16 recovers X.
+    val bytes = encode(Seq(src), 4, 4, qp = 4)
+    val v = parse(bytes).get
+    assert(v.frames.head.sameElements(src),
+      "a block whose coefficients sit ON the quantizer grid must survive " +
+        "losslessly")
+    // shift one sample off-grid by less than step/2: recon snaps back
+    val off = src.clone(); off(5) = 151 // 144+7, within step/2=8
+    val v2 = parse(encode(Seq(off), 4, 4, qp = 4)).get
+    val err = v2.frames.head.zip(off).map { case (a, b) => math.abs(a - b) }.max
+    assert(err <= 9, s"off-grid sample error $err exceeds step/2+1")
+  }
+
+  test("strict parse: bad magic, dims not multiples of 4, qp out of " +
+    "range, frame CRC corruption, truncation, nonzero padding and " +
+    "trailing bytes all return None") {
+    val w = 8; val h = 8
+    val good = encode(Seq(plane(w, h, 0), plane(w, h, 3)), w, h, qp = 4)
+    assert(parse(good).isDefined)
+    val m1 = good.clone(); m1(0) = 'X'.toByte
+    assert(parse(m1).isEmpty, "magic not enforced")
+    val m2 = good.clone(); m2(5) = 7 // w = 7
+    assert(parse(m2).isEmpty, "dim multiple-of-4 not enforced")
+    val m3 = good.clone(); m3(8) = 9 // qp = 9
+    assert(parse(m3).isEmpty, "qp range not enforced")
+    val m4 = good.clone(); m4(10 + 8 + 2) = (m4(10 + 8 + 2) ^ 0x20).toByte
+    assert(parse(m4).isEmpty, "frame CRC not enforced")
+    assert(parse(good.take(good.length - 3)).isEmpty, "truncation accepted")
+    assert(parse(good ++ Array(0.toByte)).isEmpty, "trailing bytes accepted")
+    assert(parse(Array.emptyByteArray).isEmpty)
+    // corrupt the final padding bits of frame 0's payload (re-seal CRC
+    // so the padding check, not the CRC, does the rejecting)
+    val len0 = java.nio.ByteBuffer.wrap(good, 10, 4).getInt
+    val m5 = good.clone()
+    m5(10 + 8 + len0 - 1) = (m5(10 + 8 + len0 - 1) | 0x01).toByte
+    val crc = new java.util.zip.CRC32
+    crc.update(m5, 10 + 8, len0)
+    java.nio.ByteBuffer.wrap(m5, 10 + 4, 4).putInt(crc.getValue.toInt)
+    val p5 = parse(m5)
+    // the flipped bit is either consumed padding (must reject) or the
+    // last coefficient bit (decodes differently -> drift law catches it
+    // elsewhere); assert the strict outcome when it WAS padding
+    val bitsPerFrame = parse(good).get // baseline still parses
+    assert(p5.isEmpty || !p5.get.frames.head
+      .sameElements(bitsPerFrame.frames.head),
+      "padding corruption silently ignored")
+  }
+
+  test("determinism: two independent encodes of the same frames are " +
+    "byte-identical (no hidden state) and parse is repeatable") {
+    val w = 8; val h = 12
+    val frames = Seq(plane(w, h, 0), plane(w, h, 9))
+    val a = encode(frames, w, h, qp = 3)
+    val b = encode(frames, w, h, qp = 3)
+    assert(a.sameElements(b))
+    val va = parse(a).get; val vb = parse(a).get
+    va.frames.zip(vb.frames).foreach { case (x, y) =>
+      assert(x.sameElements(y))
+    }
+  }
+}
