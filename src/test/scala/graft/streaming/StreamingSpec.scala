@@ -1492,6 +1492,69 @@ class StreamingSpec extends SparkSpecBase {
       s"out-of-width bits leaked: ${got.toSeq}")
   }
 
+  test("T25b: the frozen-index caveat classes are REAL and the re-freeze " +
+    "reconciles them — a delta-delta near-dup pair mints separately, a " +
+    "bridge within k of two frozen clusters adopts without merging; " +
+    "freezing on the union restores the exact brute-force closure") {
+    val s = spark
+    import s.implicits._
+    // engineered signatures (bits = 56, k = 2): clusters A and B sit 4
+    // apart in the LOW bits (> k: separate frozen clusters) with their
+    // in-cluster edits in distinct HIGH bits (so no member-to-member
+    // path bridges them: all cross distances >= 4); bridge c with
+    // d(c,a) = d(c,b) = 2; far pair {e, e^1} with d(e, *) >> k
+    val a = 0x00aa55aa55aa55L
+    val b = a ^ 0xfL
+    val c = a ^ 0x3L
+    val e = a ^ 0x00ff00ff00ff00L
+    val frozenRows = Seq((1L, a), (2L, a ^ (1L << 50)),
+      (3L, b), (4L, b ^ (1L << 51)))
+    val deltaRows = Seq((100L, c), (101L, e), (102L, e ^ 1L))
+    val st = StreamingHammingDedup.freeze(
+      frozenRows.toDF("id", "sig"), k = 2, bits = 56)
+    val streamed = StreamingHammingDedup
+      .assignBatch(st, deltaRows.toDF("id", "sig"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val frozenClusters = st.clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // caveat 1 (delta-delta): both far records MINT — the pair does not
+    // collapse against the frozen index
+    assert(streamed(101L) === (101L, 0) && streamed(102L) === (102L, 0),
+      s"delta-delta pair should mint separately: $streamed")
+    // caveat 2 (bridge): adopts the smaller frozen cluster, does NOT
+    // merge A and B (frozen labels are immutable under assignBatch)
+    assert(streamed(100L)._2 === 1)
+    assert(streamed(100L)._1 ===
+      math.min(frozenClusters(1L), frozenClusters(3L)))
+    assert(frozenClusters(1L) !== frozenClusters(3L),
+      "fixture broken: A and B must be separate frozen clusters")
+    // the re-freeze on the union reconciles BOTH classes; compare
+    // against an independent brute-force transitive closure
+    val union = frozenRows ++ deltaRows
+    val st2 = StreamingHammingDedup.freeze(
+      union.toDF("id", "sig"), k = 2, bits = 56)
+    val got = st2.clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map(union.map(x => x._1 -> x._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((i1, s1) <- union; (i2, s2) <- union
+         if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 2)
+      parent(find(i1)) = find(i2)
+    val roots = union.map(_._1).groupBy(find)
+    val brute = roots.flatMap { case (_, ids) =>
+      val m = ids.min; ids.map(_ -> m)
+    }
+    union.map(_._1).foreach { id =>
+      assert(got(id) === brute(id),
+        s"re-frozen cluster for $id: ${got(id)} != brute ${brute(id)}")
+    }
+    // and the reconciliations specifically: pair collapsed, bridge merged
+    assert(got(101L) === got(102L), "delta-delta pair still split")
+    assert(got(1L) === got(3L) && got(1L) === got(100L),
+      "bridge did not merge A and B at re-freeze")
+  }
+
   test("T27: streaming graph append — embedding batches arriving on a " +
     "stream connect into the FROZEN KNN graph via beam search " +
     "(GraphAnn.appendNodes as the foreachBatch body); streamed == batch " +
