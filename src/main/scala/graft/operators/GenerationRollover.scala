@@ -105,6 +105,69 @@ object GenerationRollover {
     (newMap, translation)
   }
 
+  /** Compose two adjacent translation maps (G→G+1 ∘ G+1→G+2) into the
+    * direct G→G+2 map — the offline chain-collapse a serving system
+    * runs when the generation chain outgrows its per-lookup hop budget
+    * (T29's documented consumer; after the collapse, dataloaders pay
+    * ONE covering-span lookup again regardless of how many rollovers
+    * have fired).
+    *
+    * Mechanics: intersect spans in the MIDDLE generation's (bin,
+    * offset) coordinates — an equi-join on (doc_id, middle bin) with
+    * the bounded residual range predicate, the q251 lookup shape —
+    * then coalesce maximal bi-contiguous runs (adjacent in BOTH the
+    * old and the new coordinates) with a per-doc gaps-and-islands
+    * pass. Composition refines span boundaries wherever a middle-
+    * generation segment cut fell inside a direct span; coalescing
+    * restores maximality, and maximal bi-contiguous runs are UNIQUE,
+    * so composed ≡ the single-shot direct translation row for row —
+    * the law q254 hash-gates and RolloverSpec pins.
+    *
+    * Scale: the join fan-out is bounded by spans-per-(doc, middle
+    * bin); the window partitions by doc_id ordered by old position —
+    * per-partition row count is segments-per-doc (⌈len/L⌉+1-ish),
+    * never corpus-shaped, so no viral-key skew class exists here. */
+  def composeTranslations(t01: DataFrame, t12: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = t01.select(col("doc_id"), col("old_bin_id"), col("old_bin_off"),
+      col("new_bin_id").as("mid_bin_id"),
+      col("new_bin_off").as("__moa"), col("span_len").as("__la"))
+    val b = t12.select(col("doc_id"),
+      col("old_bin_id").as("mid_bin_id"), col("old_bin_off").as("__mob"),
+      col("new_bin_id"), col("new_bin_off"), col("span_len").as("__lb"))
+    val inter = a.join(b, Seq("doc_id", "mid_bin_id"))
+      .filter(col("__moa") < col("__mob") + col("__lb") &&
+        col("__mob") < col("__moa") + col("__la"))
+      .withColumn("__s", greatest(col("__moa"), col("__mob")))
+      .withColumn("__e",
+        least(col("__moa") + col("__la"), col("__mob") + col("__lb")))
+      .select(col("doc_id"), col("old_bin_id"),
+        (col("old_bin_off") + col("__s") - col("__moa")).as("old_bin_off"),
+        col("new_bin_id"),
+        (col("new_bin_off") + col("__s") - col("__mob")).as("new_bin_off"),
+        (col("__e") - col("__s")).as("span_len"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("old_bin_id"), col("old_bin_off"))
+    val contiguous =
+      (lag(col("old_bin_id"), 1).over(w) === col("old_bin_id")) &&
+      (lag(col("old_bin_off") + col("span_len"), 1).over(w) ===
+        col("old_bin_off")) &&
+      (lag(col("new_bin_id"), 1).over(w) === col("new_bin_id")) &&
+      (lag(col("new_bin_off") + col("span_len"), 1).over(w) ===
+        col("new_bin_off"))
+    inter
+      .withColumn("__brk", when(contiguous, 0).otherwise(1))
+      .withColumn("__isl", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("old_bin_id")).as("old_bin_id"),
+        min(col("old_bin_off")).as("old_bin_off"),
+        min(col("new_bin_id")).as("new_bin_id"),
+        min(col("new_bin_off")).as("new_bin_off"),
+        sum(col("span_len")).as("span_len"))
+      .drop("__isl")
+  }
+
   /** The scheduled reaper: refuse to run below the declared threshold
     * (rolling over a barely-tombstoned corpus wastes a full repack and
     * forces every consumer through a pointless re-key). `ledger` is

@@ -1441,14 +1441,14 @@ object Text {
       .rolloverIfDue(map, ledger, deleted, L = 128)
   }
 
-  /** Survivor packing CTEs shared by the q245-q247 oracles: the
-    * from-scratch generation-G+1 map (concat-and-chunk over the
-    * surviving docs in doc_id order). */
-  private val rolloverNewCtes: String = """
+  /** Survivor packing CTEs shared by the q245-q247/q254 oracles: the
+    * from-scratch new-generation map (concat-and-chunk over the docs
+    * satisfying `pred`, in doc_id order). */
+  private def rolloverNewCtesFor(pred: String): String = s"""
       nd AS (SELECT doc_id,
                CAST(len(list_filter(string_split(text, ' '),
                  t -> len(t) > 0)) AS BIGINT) AS n_tok
-             FROM documents WHERE doc_id % 3 <> 0),
+             FROM documents WHERE $pred),
       nc AS (SELECT doc_id, n_tok,
                CAST(SUM(n_tok) OVER (ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1465,6 +1465,9 @@ object Text {
                  - GREATEST(st, bin_id * 128) AS BIGINT) AS seg_len
              FROM (SELECT doc_id, st, cum, b0, b1,
                      unnest(range(b0, b1 + 1)) AS bin_id FROM ne))"""
+
+  private val rolloverNewCtes: String =
+    rolloverNewCtesFor("doc_id % 3 <> 0")
 
   /** q245 — generation rollover, the REAPER (X108): the q233 ledger's
     * documented consumer, executed. The takedown set (doc_id mod 3 =
@@ -1683,7 +1686,79 @@ object Text {
       "home), the rest land on their new (bin, offset); oracle re-derives " +
       "both packings and the map independently")
 
+  /** q254 — translation-chain COMPOSITION (X108g): the offline
+    * chain-collapse T29's generation chain documents as its consumer.
+    * Two rollovers fire (del₁ = doc_id mod 3 = 0, then del₂ = mod 5 =
+    * 1 among survivors — `GenerationRollover.rollover` applied
+    * directly; scheduling is q245's story), leaving a 2-hop
+    * translation chain; `composeTranslations` intersects the hops in
+    * the MIDDLE generation's coordinates (the q251 covering-span join
+    * shape) and coalesces maximal bi-contiguous runs with a per-doc
+    * gaps-and-islands pass. Law: maximal bi-contiguous runs are
+    * unique, so composed ≡ the single-shot direct G0→G2 translation
+    * row for row — the oracle computes that direct map from TWO
+    * from-scratch packings (generation 0 over all docs, the final
+    * generation over final survivors) and intersects them, never
+    * seeing the middle generation at all. After the collapse a
+    * dataloader pays ONE covering-span lookup again regardless of how
+    * many rollovers have fired. */
+  val q254 = Q(
+    "q254_translation_compose",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val map0 = packingMap(docs, L = 128)
+      val del1 = docs.select($"doc_id").filter($"doc_id" % 3 === 0)
+      val del2 = docs.select($"doc_id")
+        .filter($"doc_id" % 3 =!= 0 && $"doc_id" % 5 === 1)
+      val (map1, t01) = graft.operators.GenerationRollover
+        .rollover(map0, del1, L = 128)
+      val (_, t12) = graft.operators.GenerationRollover
+        .rollover(map1, del2, L = 128)
+      graft.operators.GenerationRollover.composeTranslations(t01, t12)
+        .orderBy($"doc_id", $"old_bin_id", $"old_bin_off")
+    },
+    Some(s"""
+      WITH od AS (SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> len(t) > 0)) AS BIGINT) AS n_tok
+             FROM documents),
+      oc AS (SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+             FROM od WHERE n_tok > 0),
+      oe AS (SELECT doc_id, cum, cum - n_tok AS st,
+               (cum - n_tok) // 128 AS b0, (cum - 1) // 128 AS b1
+             FROM oc),
+      ox AS (SELECT doc_id, CAST(bin_id AS BIGINT) AS old_bin_id,
+               CAST(GREATEST(st, bin_id * 128) - bin_id * 128 AS BIGINT)
+                 AS old_bin_off,
+               CAST(GREATEST(st, bin_id * 128) - st AS BIGINT) AS odo,
+               CAST(LEAST(cum, (bin_id + 1) * 128)
+                 - GREATEST(st, bin_id * 128) AS BIGINT) AS olen
+             FROM (SELECT doc_id, st, cum,
+                     unnest(range(b0, b1 + 1)) AS bin_id FROM oe)
+             WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 1),
+      ${rolloverNewCtesFor("doc_id % 3 <> 0 AND doc_id % 5 <> 1")}
+      SELECT ox.doc_id AS doc_id, old_bin_id,
+             CAST(old_bin_off + GREATEST(odo, doc_off) - odo AS BIGINT)
+               AS old_bin_off,
+             CAST(bin_id AS BIGINT) AS new_bin_id,
+             CAST(bin_off + GREATEST(odo, doc_off) - doc_off AS BIGINT)
+               AS new_bin_off,
+             CAST(LEAST(odo + olen, doc_off + seg_len)
+               - GREATEST(odo, doc_off) AS BIGINT) AS span_len
+      FROM ox JOIN nx ON ox.doc_id = nx.doc_id
+      WHERE odo < doc_off + seg_len AND doc_off < odo + olen
+      ORDER BY doc_id, old_bin_id, old_bin_off"""),
+    doc = "X108g: translation-chain composition — two rollover hops " +
+      "composed into the direct G0->G2 map by intersecting spans in the " +
+      "middle generation's coordinates and coalescing maximal " +
+      "bi-contiguous runs; oracle intersects two independent from-scratch " +
+      "packings and never sees the middle generation")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
-    q233, q239, q245, q246, q247, q251)
+    q233, q239, q245, q246, q247, q251, q254)
 }

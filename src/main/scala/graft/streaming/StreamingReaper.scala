@@ -49,8 +49,10 @@ import graft.operators.GenerationRollover
   * q209 PrefixScan packing — the only corpus-map-sized work, paid
   * exactly when a quarter of the corpus is dead, not per batch). The
   * chain holds one bins-sized translation frame per generation;
-  * serving systems collapse it by composing spans offline (the same
-  * fold, run once) when the chain grows past their lookup budget.
+  * serving systems collapse it back to ONE hop with
+  * [[GenerationRollover.composeTranslations]] (q254 — composed ≡
+  * single-shot direct, row for row) when the chain grows past their
+  * lookup budget.
   */
 object StreamingReaper {
 

@@ -91,4 +91,39 @@ class RolloverSpec extends SparkSpecBase {
     }
     val _ = deleted // fixture symmetry
   }
+
+  test("composition: composeTranslations(G0->G1, G1->G2) == the single-" +
+    "shot direct G0->G2 translation row for row, and the composed map " +
+    "is coalesced-maximal (no adjacent rows are bi-contiguous)") {
+    val (docs, map, del1) = fixture()
+    val del2 = docs.select(col("doc_id"))
+      .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 1)
+    val (map1, t01) = GenerationRollover.rollover(map, del1, L)
+    val (_, t12) = GenerationRollover.rollover(map1, del2, L)
+    val composed = GenerationRollover.composeTranslations(t01, t12)
+    val direct = GenerationRollover
+      .rollover(map, del1.unionByName(del2), L)._2
+    val key = Seq("doc_id", "old_bin_id", "old_bin_off", "new_bin_id",
+      "new_bin_off", "span_len")
+    val got = composed.select(key.map(col): _*).collect().map(_.toSeq).toSet
+    val want = direct.select(key.map(col): _*).collect().map(_.toSeq).toSet
+    assert(got === want, "composed chain != single-shot direct translation")
+    assert(got.nonEmpty)
+    // maximality: no two spans of one doc are adjacent in BOTH coords
+    val rows = composed.select(key.map(col): _*)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .groupBy(_._1)
+    rows.values.foreach { spans =>
+      val sorted = spans.sortBy(s => (s._2, s._3))
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          val merged = p._2 == n._2 && p._3 + p._6 == n._3 &&
+            p._4 == n._4 && p._5 + p._6 == n._5
+          assert(!merged, s"mergeable adjacent spans survived: $p | $n")
+        case _ => ()
+      }
+    }
+  }
 }
