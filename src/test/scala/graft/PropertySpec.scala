@@ -268,4 +268,71 @@ class PropertySpec extends SparkSpecBase {
         s"nTok=$nTok window=$window stride=$stride")
     }
   }
+
+  test("law: intra codec drift + distortion on ARBITRARY planes — for " +
+    "any generated frame sequence, dims and qp: parse(encode(x)) == the " +
+    "encoder's closed-loop recon bit-exactly, every sample within " +
+    "step/2 + 1 of its source (P residual vs predictor likewise), and " +
+    "the bitstream is stable under re-encode of the recon at qp 0") {
+    import graft.multimodal.IntraVideoCodec
+    val cfgGen = Gen.zip(
+      Gen.oneOf(4, 8, 12), Gen.oneOf(4, 8),
+      Gen.choose(0, 7), Gen.choose(1, 3))
+    samples(cfgGen, 8).foreach { case (w, h, qp, nf) =>
+      val pxGen = Gen.listOfN(w * h * nf, Gen.choose(0, 255))
+      samples(pxGen, 2).foreach { px =>
+        val frames = px.grouped(w * h).map(_.toArray).toSeq
+        val bytes = IntraVideoCodec.encode(frames, w, h, qp)
+        val v = IntraVideoCodec.parse(bytes)
+          .getOrElse(fail(s"parse failed: w=$w h=$h qp=$qp nf=$nf"))
+        val rec = IntraVideoCodec.reconstruct(frames, w, h, qp)
+        v.frames.zip(rec).foreach { case (g, e) =>
+          assert(g.sameElements(e), s"drift at w=$w h=$h qp=$qp")
+        }
+        val bound = (1 << qp) / 2 + 1
+        // intra frame: recon vs source; P frames: the coded delta is
+        // (source - prevRecon), so recon-(prev+0)=... bound holds vs
+        // source too because prediction is exact-integer
+        frames.zip(v.frames).foreach { case (src, r) =>
+          val worst = src.zip(r).map { case (a, b) => math.abs(a - b) }.max
+          assert(worst <= bound, s"err $worst > $bound at qp=$qp")
+        }
+        // qp=0 re-encode of the recon is drift-free (lossless grid)
+        val re = IntraVideoCodec.parse(
+          IntraVideoCodec.encode(v.frames, w, h, 0)).get
+        re.frames.zip(v.frames).foreach { case (a, b) =>
+          assert(a.sameElements(b), "qp=0 re-encode drifted")
+        }
+      }
+    }
+  }
+
+  test("law: rollover translation composition == single-shot for " +
+    "ARBITRARY doc length multisets and deletion patterns") {
+    import graft.operators.GenerationRollover
+    import graft.queries.Text
+    val lenGen = Gen.listOfN(40, Gen.choose(1, 300))
+    samples(Gen.zip(lenGen, Gen.choose(2, 6), Gen.choose(2, 4)), 4)
+      .foreach { case (lens, m1, m2) =>
+        val counts = lens.zipWithIndex
+          .map { case (n, i) => (i.toLong, n.toLong) }
+          .toDF("doc_id", "n_tok")
+        val map0 = Text.packingMapFromCounts(counts, 64).localCheckpoint()
+        val ids = lens.indices.map(_.toLong)
+        val del1 = ids.filter(_ % m1 == 0).toDF("doc_id")
+        val del2 = ids.filter(i => i % m1 != 0 && i % m2 == 1).toDF("doc_id")
+        val (map1, t01) = GenerationRollover.rollover(map0, del1, 64)
+        val (_, t12) = GenerationRollover.rollover(map1, del2, 64)
+        val composed = GenerationRollover.composeTranslations(t01, t12)
+        val direct = GenerationRollover
+          .rollover(map0, del1.unionByName(del2), 64)._2
+        val key = Seq("doc_id", "old_bin_id", "old_bin_off", "new_bin_id",
+          "new_bin_off", "span_len")
+        val got = composed.select(key.map(col): _*)
+          .collect().map(_.toSeq).toSet
+        val want = direct.select(key.map(col): _*)
+          .collect().map(_.toSeq).toSet
+        assert(got === want, s"m1=$m1 m2=$m2")
+      }
+  }
 }
