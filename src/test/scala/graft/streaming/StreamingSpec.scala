@@ -1858,6 +1858,63 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T30: streaming INDEX reaper — the frozen serving frame rolls " +
+    "MID-STREAM when cell stats cross the dead-fraction threshold; " +
+    "final frame == batch removeFromIndex on the union (generation-" +
+    "count independence), stats re-freeze all-live, and replays of " +
+    "reaped ids are structural no-ops") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+    val index0 = docs.select($"doc_id".as("vec_id"),
+      ($"doc_id" % 8).cast("int").as("cell"),
+      ($"doc_id" * 31 % 97).as("code")).localCheckpoint()
+    var st = StreamingIndexReaper.freeze(index0)
+    val w1 = docs.select($"doc_id").filter($"doc_id" % 3 === 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val w2 = docs.select($"doc_id")
+      .filter($"doc_id" % 3 =!= 0 && $"doc_id" % 7 === 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val w1batches = w1.grouped(math.max(1, w1.length / 5)).toSeq
+    val stream = MemoryStream[Long](s)
+    val qy = stream.toDF().toDF("vec_id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingIndexReaper.applyBatch(st, b)
+      }
+      .start()
+    w1batches.foreach { b => stream.addData(b: _*); qy.processAllAvailable() }
+    assert(st.generation >= 1,
+      "wave 1 deleted a third of the rows but no mid-stream roll fired")
+    stream.addData(w2: _*); qy.processAllAvailable()
+    val statsBefore = st.cellStats.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    stream.addData(w1batches.head: _*); qy.processAllAvailable() // replay
+    qy.stop()
+    val statsAfter = st.cellStats.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(statsAfter === statsBefore,
+      "replaying reaped ids moved the cell stats across a generation " +
+        "boundary")
+    st = StreamingIndexReaper.roll(st)
+    assert(st.generation >= 2)
+    val union = (w1 ++ w2).toDF("vec_id")
+    val (wantLive, _) = graft.operators.IvfPqIndex
+      .removeFromIndex(index0, "vec_id", union)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cell", $"code")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(rows(st.index) === rows(wantLive),
+      "streamed final frame != batch removeFromIndex on the union")
+    // re-frozen stats: all-live occupancy of the final generation
+    val wantStats = wantLive.groupBy($"cell")
+      .agg(count(lit(1)).as("n"), lit(0L).as("d"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gotStats = st.cellStats.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotStats === wantStats, "re-frozen stats != final occupancy")
+  }
+
   test("T29: streaming reaper — generation rollover fires MID-STREAM off " +
     "the live ledger; final map == single-shot batch rollover of all " +
     "deltas (generation-count independence), chained re-key == direct " +
