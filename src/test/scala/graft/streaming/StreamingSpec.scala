@@ -1876,10 +1876,16 @@ class StreamingSpec extends SparkSpecBase {
       .filter($"doc_id" % 3 =!= 0 && $"doc_id" % 7 === 1)
       .collect().map(_.getLong(0)).sorted.toSeq
     val w1batches = w1.grouped(math.max(1, w1.length / 5)).toSeq
+    var maxTombLeaves = 0
+    var maxIndexLeaves = 0
     val stream = MemoryStream[Long](s)
     val qy = stream.toDF().toDF("vec_id").writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         st = StreamingIndexReaper.applyBatch(st, b)
+        maxTombLeaves = math.max(maxTombLeaves,
+          st.tombstones.queryExecution.logical.collectLeaves().size)
+        maxIndexLeaves = math.max(maxIndexLeaves,
+          st.index.queryExecution.logical.collectLeaves().size)
       }
       .start()
     w1batches.foreach { b => stream.addData(b: _*); qy.processAllAvailable() }
@@ -1913,6 +1919,13 @@ class StreamingSpec extends SparkSpecBase {
     val gotStats = st.cellStats.collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(gotStats === wantStats, "re-frozen stats != final occupancy")
+    // the zero-plan-growth design claims: the frozen frame never grows
+    // an anti-join chain (1 leaf always), tombstones stay bounded by
+    // the compaction period
+    assert(maxIndexLeaves === 1,
+      s"frozen index frame grew to $maxIndexLeaves plan leaves")
+    assert(maxTombLeaves <= StreamingTakedown.CompactEvery + 1,
+      s"tombstone union grew to $maxTombLeaves leaves")
   }
 
   test("T29: streaming reaper — generation rollover fires MID-STREAM off " +
