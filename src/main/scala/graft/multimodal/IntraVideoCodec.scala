@@ -202,6 +202,60 @@ object IntraVideoCodec {
     (bw.toBytes, recon)
   }
 
+  /** Decode ONE frame's bit-packed payload against an explicit
+    * predecessor (None = intra), with the same strictness as [[parse]]
+    * (Exp-Golomb prefix cap, exact consumption, zero padding) — the
+    * per-frame entry point a CONTAINER demux drives when frames
+    * arrive as separate chunks (q255's AVI `00dc` stream) rather than
+    * as one GRF1 stream. */
+  def decodePayload(payload: Array[Byte], prev: Option[Array[Int]],
+                    w: Int, h: Int, qp: Int): Option[Array[Int]] = {
+    if (w <= 0 || h <= 0 || w % 4 != 0 || h % 4 != 0 || qp < 0 || qp > 7)
+      return None
+    if (prev.exists(_.length != w * h)) return None
+    val step = 1 << qp
+    val br = new BitReader(payload)
+    val recon = new Array[Int](w * h)
+    var by = 0
+    while (by < h / 4) {
+      var bx = 0
+      while (bx < w / 4) {
+        val levels = new Array[Int](16)
+        Zigzag.foreach(z => levels(z) = br.readSe())
+        if (br.failed) return None
+        val s = hadamard(levels.map(_ * step))
+        var i = 0
+        while (i < 16) {
+          val p = (by * 4 + i / 4) * w + bx * 4 + i % 4
+          val d = invScale(s(i))
+          recon(p) = prev match {
+            case None => clip(d + 128)
+            case Some(pr) => clip(pr(p) + d)
+          }
+          i += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (!br.paddingClean) return None
+    Some(recon)
+  }
+
+  /** Per-frame bit-packed payloads of an encode — what a container
+    * mux carries as its per-frame chunks (frame 0 intra, rest P;
+    * [[decodePayload]] chained over the reconstructions inverts
+    * them). */
+  def framePayloads(frames: Seq[Array[Int]], w: Int, h: Int, qp: Int)
+      : Seq[Array[Byte]] = {
+    var prev: Option[Array[Int]] = None
+    frames.map { f =>
+      val (payload, recon) = encodeFrame(f, prev, w, h, qp)
+      prev = Some(recon)
+      payload
+    }
+  }
+
   /** The encoder's closed-loop reconstructions — what `parse` of
     * `encode`'s output MUST reproduce bit-exactly (the drift law). */
   def reconstruct(frames: Seq[Array[Int]], w: Int, h: Int, qp: Int)
@@ -264,7 +318,6 @@ object IntraVideoCodec {
     val nf = buf.get() & 0xff
     if (w == 0 || h == 0 || w % 4 != 0 || h % 4 != 0 ||
         qp > 7 || nf == 0) return None
-    val step = 1 << qp
     var prev: Option[Array[Int]] = None
     val frames = Seq.newBuilder[Array[Int]]
     var f = 0
@@ -278,31 +331,10 @@ object IntraVideoCodec {
       val crc = new java.util.zip.CRC32
       crc.update(payload)
       if (crc.getValue.toInt != crcWant) return None
-      val br = new BitReader(payload)
-      val recon = new Array[Int](w * h)
-      var by = 0
-      while (by < h / 4) {
-        var bx = 0
-        while (bx < w / 4) {
-          val levels = new Array[Int](16)
-          Zigzag.foreach(z => levels(z) = br.readSe())
-          if (br.failed) return None
-          val s = hadamard(levels.map(_ * step))
-          var i2 = 0
-          while (i2 < 16) {
-            val p = (by * 4 + i2 / 4) * w + bx * 4 + i2 % 4
-            val d = invScale(s(i2))
-            recon(p) = prev match {
-              case None => clip(d + 128)
-              case Some(pr) => clip(pr(p) + d)
-            }
-            i2 += 1
-          }
-          bx += 1
-        }
-        by += 1
+      val recon = decodePayload(payload, prev, w, h, qp) match {
+        case Some(r) => r
+        case None => return None
       }
-      if (!br.paddingClean) return None
       prev = Some(recon)
       frames += recon
       f += 1

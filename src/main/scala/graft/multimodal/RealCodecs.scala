@@ -1161,6 +1161,180 @@ object RealCodecs {
       buf.array()
     }
 
+    /** r14 — COMPRESSED video stream (q255): the [[IntraVideoCodec]]
+      * per-frame payloads muxed as a real AVI compressed stream the
+      * way real codecs ride the container — strh fccHandler `GRF1`
+      * with dwSampleSize = 0 (variable-size samples), strf a 44-byte
+      * BITMAPINFOHEADER carrying biCompression = 'GRF1' (the LE
+      * fourcc int), biBitCount 0, and the codec's qp as 4 bytes of
+      * codec EXTRADATA after the 40 spec bytes (biSize = 44 — the
+      * real mechanism containers use for codec parameters), frames as
+      * variable-length `00dc` chunks ('dc' = compressed, vs the
+      * uncompressed stream's '00db'). */
+    final case class CompressedAvi(width: Int, height: Int,
+                                   usPerFrame: Int, qp: Int,
+                                   payloads: Vector[Array[Byte]])
+
+    private val Grf1Fourcc: Int =
+      'G'.toInt | ('R'.toInt << 8) | ('F'.toInt << 16) | ('1'.toInt << 24)
+
+    def synthesizeCompressed(payloads: Vector[Array[Byte]], w: Int, h: Int,
+                             qp: Int, usPerFrame: Int): Array[Byte] = {
+      require(payloads.nonEmpty && w > 0 && h > 0 && usPerFrame > 0 &&
+        qp >= 0 && qp <= 7, "AviCodec: compressed mux needs frames, " +
+        "positive dims/rate and qp in 0..7")
+      val avih = 56; val strh = 56; val strf = 44
+      val strlLen = 4 + (8 + strh) + (8 + strf)
+      val hdrlLen = 4 + (8 + avih) + (8 + strlLen)
+      val moviLen = 4 +
+        payloads.map(p => 8 + p.length + (p.length & 1)).sum
+      val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+      val maxP = payloads.map(_.length).max
+      val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      tag("RIFF"); buf.putInt(riffLen); tag("AVI ")
+      tag("LIST"); buf.putInt(hdrlLen); tag("hdrl")
+      tag("avih"); buf.putInt(avih)
+      buf.putInt(usPerFrame)
+        .putInt((maxP.toLong * 1000000L / usPerFrame).toInt)
+        .putInt(0).putInt(0)
+        .putInt(payloads.size).putInt(0)
+        .putInt(1).putInt(maxP)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      tag("LIST"); buf.putInt(strlLen); tag("strl")
+      tag("strh"); buf.putInt(strh)
+      tag("vids"); tag("GRF1")
+      buf.putInt(0)
+        .putShort(0).putShort(0)
+        .putInt(0)
+        .putInt(usPerFrame).putInt(1000000)
+        .putInt(0).putInt(payloads.size)
+        .putInt(maxP).putInt(0).putInt(0)        // sugg. buffer, quality, SAMPLE SIZE 0 = variable
+        .putShort(0).putShort(0)
+        .putShort(w.toShort).putShort(h.toShort)
+      tag("strf"); buf.putInt(strf)
+      buf.putInt(44).putInt(w).putInt(h)         // biSize 44: 4B extradata
+        .putShort(1).putShort(0)                 // planes, bpp 0 (compressed)
+        .putInt(Grf1Fourcc).putInt(0)            // biCompression, size 0
+        .putInt(0).putInt(0)
+        .putInt(0).putInt(0)
+        .putInt(qp)                              // codec extradata
+      tag("LIST"); buf.putInt(moviLen); tag("movi")
+      payloads.foreach { p =>
+        tag("00dc"); buf.putInt(p.length)
+        buf.put(p)
+        if ((p.length & 1) == 1) buf.put(0.toByte) // RIFF even padding
+      }
+      buf.array()
+    }
+
+    /** Strict demux of the GRF1 compressed profile: magics, LIST
+      * kinds, avih/strh/strf consistency (handler AND biCompression
+      * must both read GRF1, bpp 0, biSize 44 with the qp extradata in
+      * range), `00dc` chunks only, frame count agreeing between avih,
+      * strh and the chunks — None on any violation. Decode is the
+      * CALLER's chained [[IntraVideoCodec.decodePayload]] walk (the
+      * container does not interpret codec bits, exactly like real
+      * demuxers). */
+    def parseCompressed(bytes: Array[Byte]): Option[CompressedAvi] = {
+      if (bytes.length < 12) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      buf.getInt
+      if (tag4() != "AVI ") return None
+      var dims: Option[(Int, Int, Int, Int)] = None
+      var strhLen = -1
+      var qp = -1
+      val payloads = Vector.newBuilder[Array[Byte]]
+      var nFrames = 0
+      def parseHdrl(limit: Int): Boolean = {
+        while (buf.position() < limit && limit - buf.position() >= 8) {
+          val id = tag4(); val sz = buf.getInt
+          if (sz < 0 || sz > limit - buf.position()) return false
+          val next = buf.position() + sz + (sz & 1)
+          id match {
+            case "avih" =>
+              if (sz < 56) return false
+              val us = buf.getInt; buf.getInt; buf.getInt; buf.getInt
+              val tot = buf.getInt; buf.getInt
+              val streams = buf.getInt; buf.getInt
+              val w = buf.getInt; val h = buf.getInt
+              if (streams != 1 || w <= 0 || h <= 0 || us <= 0 || tot <= 0)
+                return false
+              dims = Some((w, h, us, tot))
+            case "LIST" =>
+              if (sz < 4) return false
+              if (tag4() == "strl") {
+                if (!parseHdrl(buf.position() + sz - 4)) return false
+              }
+            case "strh" =>
+              if (sz < 56) return false
+              val fcc = tag4(); val handler = tag4()
+              if (fcc != "vids" || handler != "GRF1") return false
+              buf.getInt; buf.getShort; buf.getShort; buf.getInt
+              buf.getInt; buf.getInt; buf.getInt
+              strhLen = buf.getInt
+              if (strhLen <= 0) return false
+              buf.getInt; buf.getInt
+              if (buf.getInt != 0) return false  // dwSampleSize: variable
+            case "strf" =>
+              if (sz < 44) return false
+              val biSize = buf.getInt
+              val w = buf.getInt; val h = buf.getInt
+              val planes = buf.getShort & 0xffff
+              val bpp = buf.getShort & 0xffff
+              val compression = buf.getInt
+              buf.getInt; buf.getInt; buf.getInt; buf.getInt; buf.getInt
+              val x = buf.getInt                 // extradata: qp
+              if (biSize != 44 || planes != 1 || bpp != 0 ||
+                  compression != Grf1Fourcc || x < 0 || x > 7) return false
+              if (!dims.exists(d => d._1 == w && d._2 == h)) return false
+              qp = x
+            case _ => ()
+          }
+          if (next > limit) return false
+          buf.position(next)
+        }
+        true
+      }
+      while (buf.remaining() >= 8) {
+        val id = tag4(); val sz = buf.getInt
+        if (sz < 0 || sz > buf.remaining()) return None
+        val next = math.min(buf.position() + sz + (sz & 1), buf.limit())
+        if (id == "LIST") {
+          if (sz < 4) return None
+          val kind = tag4()
+          val limit = buf.position() + sz - 4
+          if (kind == "hdrl") {
+            if (!parseHdrl(limit)) return None
+          } else if (kind == "movi") {
+            if (qp < 0) return None
+            while (buf.position() < limit && limit - buf.position() >= 8) {
+              val cid = tag4(); val csz = buf.getInt
+              if (csz < 0 || csz > limit - buf.position()) return None
+              val cnext = buf.position() + csz + (csz & 1)
+              if (cid != "00dc") return None      // one compressed stream
+              val p = new Array[Byte](csz)
+              buf.get(p)
+              payloads += p
+              nFrames += 1
+              if (cnext > limit) return None
+              buf.position(cnext)
+            }
+          }
+        }
+        buf.position(next)
+      }
+      for {
+        (w, h, us, tot) <- dims
+        if qp >= 0 && strhLen == tot && nFrames == tot
+      } yield CompressedAvi(w, h, us, qp, payloads.result())
+    }
+
     def parse(bytes: Array[Byte]): Option[Avi] = {
       if (bytes.length < 12) return None
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

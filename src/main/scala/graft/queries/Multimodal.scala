@@ -1635,6 +1635,125 @@ object Multimodal {
       "arithmetic at k=2; oracle replays all three codec chains, both " +
       "signatures and the distances from seed arithmetic")
 
+  /** q255 — COMPRESSED VIDEO FILE end-to-end (MM9, r14): the two real
+    * video layers composed into one real FILE — q252's GRF1 codec
+    * payloads ride q230/q248's RIFF-AVI container as a genuine
+    * compressed stream (strh fccHandler `GRF1`, strf biCompression
+    * fourcc + the qp as BITMAPINFOHEADER extradata — the real
+    * mechanism containers carry codec parameters — variable-length
+    * `00dc` chunks). The Spark side muxes, STRICTLY demuxes
+    * ([[graft.multimodal.RealCodecs.AviCodec.parseCompressed]] — the
+    * container never interprets codec bits, exactly like real
+    * demuxers), then chain-decodes the demuxed chunks with
+    * [[graft.multimodal.IntraVideoCodec.decodePayload]] (frame 0
+    * intra, frame 1 against frame 0's reconstruction). The oracle
+    * replays the codec pipeline from seed arithmetic (q252's CTEs)
+    * AND the container framing arithmetic (RIFF/LIST/chunk sizes with
+    * even-padding: 244 + Σ(payload + payload mod 2) for this
+    * two-frame profile) — so a mux slip, a padding slip, or any
+    * decode divergence breaks the hash. `demux_ok` pins the demuxed
+    * payload bytes equal to the direct codec payloads.
+    *
+    * Scale posture: q188's — synth + mux + demux + decode + reduce in
+    * ONE mapPartitions pass, payloads never leave the partition. */
+  val q255 = Q(
+    "q255_compressed_video_file",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.IntraVideoCodec
+      import graft.multimodal.RealCodecs.AviCodec
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val f0 = Array.tabulate(64)(i => seed(i % 16) & 0xff)
+            val f1 = f0.clone()
+            val k = (id % 64).toInt
+            f1(k) = 255 - f1(k)
+            val frames = Seq(f0, f1)
+            val payloads =
+              IntraVideoCodec.framePayloads(frames, 8, 8, qp = 4).toVector
+            val avi = AviCodec.synthesizeCompressed(payloads, 8, 8, 4, 100000)
+            val dm = AviCodec.parseCompressed(avi)
+              .getOrElse(sys.error(s"q255: undemuxable GRF1 avi, doc $id"))
+            val demuxOk = dm.qp == 4 && dm.payloads.size == 2 &&
+              dm.payloads.zip(payloads)
+                .forall { case (a, b) => a.sameElements(b) }
+            var prev: Option[Array[Int]] = None
+            val recon = dm.payloads.map { p =>
+              val r = IntraVideoCodec
+                .decodePayload(p, prev, dm.width, dm.height, dm.qp)
+                .getOrElse(sys.error(s"q255: undecodable chunk, doc $id"))
+              prev = Some(r)
+              r
+            }
+            def hash(p: Array[Int]): Long =
+              p.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+            (id, hash(recon.head), hash(recon(1)),
+              payloads.head.length.toLong, payloads(1).length.toLong,
+              avi.length.toLong, if (demuxOk) 1L else 0L)
+          }
+        }
+        .toDF("doc_id", "recon0_hash", "recon1_hash", "bytes0", "bytes1",
+          "avi_bytes", "demux_ok")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val b = byteSql("i + 1")
+      s"""
+      WITH pl AS MATERIALIZED (
+        SELECT doc_id,
+          list_transform(range(0, 64), i -> CAST($b AS BIGINT)) AS p0
+        FROM documents),
+      x0 AS (SELECT doc_id, p0,
+          list_transform(range(0, 64), i -> p0[i + 1] - 128) AS x FROM pl),
+      t0 AS (SELECT *, ${hadRowSql("x")} AS t FROM x0),
+      y0 AS (SELECT *, ${hadColSql("t")} AS y FROM t0),
+      q0 AS (SELECT doc_id, p0, ${quantSql("y", 16)} AS rq0 FROM y0),
+      s0a AS (SELECT *, ${hadRowSql("rq0")} AS sr FROM q0),
+      s0b AS (SELECT *, ${hadColSql("sr")} AS sc FROM s0a),
+      rec0 AS (SELECT doc_id, p0, rq0,
+          list_transform(range(0, 64), i -> GREATEST(0, LEAST(255,
+            ((sc[i + 1] + 8 + 1048576) // 16) - 65536 + 128))) AS r0
+        FROM s0b),
+      p1c AS (SELECT doc_id, p0, rq0, r0,
+          list_transform(range(0, 64), i ->
+            CASE WHEN i = doc_id % 64 THEN 255 - p0[i + 1]
+                 ELSE p0[i + 1] END) AS p1
+        FROM rec0),
+      x1 AS (SELECT *,
+          list_transform(range(0, 64), i -> p1[i + 1] - r0[i + 1]) AS x
+        FROM p1c),
+      t1 AS (SELECT *, ${hadRowSql("x")} AS t FROM x1),
+      y1 AS (SELECT *, ${hadColSql("t")} AS y FROM t1),
+      q1 AS (SELECT doc_id, rq0, r0, ${quantSql("y", 16)} AS rq1 FROM y1),
+      s1a AS (SELECT *, ${hadRowSql("rq1")} AS sr FROM q1),
+      s1b AS (SELECT *, ${hadColSql("sr")} AS sc FROM s1a),
+      rec1 AS (SELECT doc_id, rq0, rq1, r0,
+          list_transform(range(0, 64), i -> GREATEST(0, LEAST(255,
+            r0[i + 1] + ((sc[i + 1] + 8 + 1048576) // 16) - 65536))) AS r1
+        FROM s1b),
+      sz AS (SELECT doc_id, r0, r1,
+          ${frameBytesSql("rq0")} AS b0, ${frameBytesSql("rq1")} AS b1
+        FROM rec1)
+      SELECT doc_id,
+        ${reconHashSql("r0")} AS recon0_hash,
+        ${reconHashSql("r1")} AS recon1_hash,
+        b0 AS bytes0, b1 AS bytes1,
+        -- RIFF framing: 8 magic+len, 'AVI ' 4, hdrl 8+196, movi 8+4,
+        -- two chunks 8 + payload + even pad each = 244 + padded sum
+        CAST(244 + b0 + b0 % 2 + b1 + b1 % 2 AS BIGINT) AS avi_bytes,
+        CAST(1 AS BIGINT) AS demux_ok
+      FROM sz ORDER BY doc_id"""
+    },
+    doc = "MM9: compressed video FILE end-to-end — GRF1 codec payloads " +
+      "muxed as a real AVI compressed stream (fccHandler + biCompression " +
+      "fourcc, qp extradata, variable 00dc chunks), strictly demuxed, " +
+      "chain-decoded; oracle replays codec pipeline AND container framing " +
+      "arithmetic from seed math")
+
   val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232, q242,
-    q243, q244, q248, q252, q253)
+    q243, q244, q248, q252, q253, q255)
 }

@@ -133,6 +133,28 @@ class IntraVideoCodecSpec extends AnyFunSuite {
       "padding corruption silently ignored")
   }
 
+  test("per-frame payload API: framePayloads + chained decodePayload " +
+    "reproduce parse(encode) exactly, and decodePayload is strict " +
+    "(bad prev length, corrupt bits, nonzero padding)") {
+    val w = 8; val h = 8
+    val frames = Seq(plane(w, h, 0), plane(w, h, 5), plane(w, h, 11))
+    val viaContainer = parse(encode(frames, w, h, qp = 4)).get.frames
+    val payloads = framePayloads(frames, w, h, qp = 4)
+    var prev: Option[Array[Int]] = None
+    payloads.zip(viaContainer).zipWithIndex.foreach {
+      case ((p, want), i) =>
+        val got = decodePayload(p, prev, w, h, qp = 4)
+          .getOrElse(fail(s"frame $i payload did not decode"))
+        assert(got.sameElements(want), s"frame $i payload decode diverged")
+        prev = Some(got)
+    }
+    assert(decodePayload(payloads.head, Some(new Array[Int](3)), w, h, 4)
+      .isEmpty, "wrong prev length accepted")
+    assert(decodePayload(Array.emptyByteArray, None, w, h, 4).isEmpty)
+    assert(decodePayload(payloads.head, None, 7, h, 4).isEmpty,
+      "non-multiple-of-4 width accepted")
+  }
+
   test("determinism: two independent encodes of the same frames are " +
     "byte-identical (no hidden state) and parse is repeatable") {
     val w = 8; val h = 12

@@ -428,6 +428,53 @@ class RealCodecsSpec extends AnyFunSuite {
     assert(PngCodec.parse(Array.emptyByteArray).isEmpty)
   }
 
+  test("compressed AVI stream (GRF1 fourcc, 00dc chunks, qp extradata): " +
+    "payloads survive mux -> demux byte-exact incl. odd lengths, and the " +
+    "strict profile rejects handler/compression/bpp/extradata violations") {
+    import graft.multimodal.IntraVideoCodec
+    val w = 8; val h = 8
+    val frames = Seq(
+      Array.tabulate(w * h)(i => seed(i % 16) & 0xff),
+      Array.tabulate(w * h)(i => seed((i + 7) % 16) & 0xff))
+    val payloads = IntraVideoCodec.framePayloads(frames, w, h, qp = 3).toVector
+    val bytes = AviCodec.synthesizeCompressed(payloads, w, h, 3, 100000)
+    val got = AviCodec.parseCompressed(bytes)
+      .getOrElse(fail("compressed roundtrip failed"))
+    assert(got.width === w && got.height === h && got.qp === 3 &&
+      got.payloads.size === payloads.size)
+    got.payloads.zip(payloads).foreach { case (a, b) =>
+      assert(a.sameElements(b), "payload bytes did not survive the container")
+    }
+    // decode the demuxed chunks through the codec: == direct recon
+    var prev: Option[Array[Int]] = None
+    val rec = IntraVideoCodec.reconstruct(frames, w, h, qp = 3)
+    got.payloads.zip(rec).foreach { case (p, want) =>
+      val r = IntraVideoCodec.decodePayload(p, prev, w, h, got.qp).get
+      assert(r.sameElements(want)); prev = Some(r)
+    }
+    // odd-length payload: RIFF even padding must not corrupt the walk
+    val odd = Vector(Array[Byte](1, 2, 3), Array[Byte](4))
+    val ob = AviCodec.synthesizeCompressed(odd, 4, 4, 0, 50000)
+    val op = AviCodec.parseCompressed(ob).get
+    assert(op.payloads.map(_.toSeq) === odd.map(_.toSeq))
+    // strictness
+    assert(AviCodec.parseCompressed(bytes.take(bytes.length - 5)).isEmpty)
+    val hIdx = bytes.indexOfSlice("GRF1".getBytes("US-ASCII"))
+    val m1 = bytes.clone(); m1(hIdx) = 'X'.toByte   // strh handler
+    assert(AviCodec.parseCompressed(m1).isEmpty, "handler not enforced")
+    val h2 = bytes.indexOfSlice("GRF1".getBytes("US-ASCII"), hIdx + 1)
+    val m2 = bytes.clone(); m2(h2) = 'X'.toByte     // strf biCompression
+    assert(AviCodec.parseCompressed(m2).isEmpty,
+      "biCompression not enforced")
+    // qp extradata out of range (strf payload ends 4 bytes before movi)
+    val strfIdx = bytes.indexOfSlice("strf".getBytes("US-ASCII"))
+    val m3 = bytes.clone(); m3(strfIdx + 8 + 40) = 9
+    assert(AviCodec.parseCompressed(m3).isEmpty, "qp range not enforced")
+    // the UNCOMPRESSED parser must reject the compressed profile
+    assert(AviCodec.parse(bytes).isEmpty,
+      "BI_RGB parser accepted a compressed stream")
+  }
+
   test("interleaved A/V container roundtrip: frames AND 16-bit PCM track " +
     "survive mux -> demux bit-exact; the audio stream is declared (rate " +
     "reported, streams = 2) and sample blocks ride per-frame 01wb chunks") {
