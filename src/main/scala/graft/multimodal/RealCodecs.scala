@@ -124,6 +124,212 @@ object RealCodecs {
     }
   }
 
+  /** IMA ADPCM (r14 — the REAL standardized LOSSY audio codec,
+    * completing the audio stack the way IntraVideoCodec completed
+    * video): the IMA Digital Audio Focus Group's 4-bit adaptive
+    * differential PCM (the DVI4 algorithm of RFC 3551 §4.5.1; WAV
+    * wFormatTag 0x0011), hand-written both directions. Every
+    * operation is INTEGER — sign-magnitude nibble quantization of the
+    * prediction difference against the 89-entry step table, the
+    * standard index-adaptation table, saturating 16-bit predictor —
+    * and the encoder reconstructs exactly as the decoder does
+    * (closed-loop), so encode/decode are bit-deterministic and the
+    * codec is HASH-oracle-able despite being lossy (q256 replays the
+    * per-sample recursion in a DuckDB recursive CTE), where every
+    * float-DSP codec could only ever be tolerance-gated.
+    *
+    * Container: a genuine ADPCM WAV — fmt chunk of size 20 (tag
+    * 0x0011, mono, 4 bits, cbSize 2, wSamplesPerBlock), the `fact`
+    * chunk real ADPCM files carry (total sample count — REQUIRED by
+    * the spec for compressed formats, enforced here), and one data
+    * block: the standard 4-byte block header (initial predictor
+    * int16 = sample 0, step index u8, reserved u8 = 0) followed by
+    * one 4-bit nibble per remaining sample, LOW nibble first, a zero
+    * pad nibble when the count is odd. Strict parse: chunk walk,
+    * every fmt field, fact == wSamplesPerBlock == decoded count,
+    * block-align agreement, reserved byte, index range, zero pad
+    * nibble — None on any violation. 4× smaller than PCM16 by
+    * construction. */
+  object AdpcmCodec {
+    final case class Adpcm(sampleRate: Int, samples: Array[Int])
+
+    private val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+      37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+      544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+      1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+      4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+      12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+      29794, 32767)
+
+    private val IndexTable: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    private def clamp16(v: Int): Int =
+      if (v < -32768) -32768 else if (v > 32767) 32767 else v
+
+    /** One codec step shared by encode and decode: quantize `sample`
+      * against the (predictor, index) state when encoding, or apply a
+      * given nibble when decoding — returns (nibble, newPredictor,
+      * newIndex). Encode path passes `sample = Some(s)`; decode passes
+      * `nibbleIn = Some(n)`. */
+    private def step(state: (Int, Int), sample: Option[Int],
+                     nibbleIn: Option[Int]): (Int, Int, Int) = {
+      val (pred, idx) = state
+      val stp = StepTable(idx)
+      val nib = nibbleIn.getOrElse {
+        val s = sample.get
+        val diff = s - pred
+        val sign = if (diff < 0) 8 else 0
+        var ad = if (diff < 0) -diff else diff
+        var delta = 0
+        if (ad >= stp) { delta |= 4; ad -= stp }
+        if (ad >= (stp >> 1)) { delta |= 2; ad -= stp >> 1 }
+        if (ad >= (stp >> 2)) delta |= 1
+        sign | delta
+      }
+      var diffq = stp >> 3
+      if ((nib & 4) != 0) diffq += stp
+      if ((nib & 2) != 0) diffq += stp >> 1
+      if ((nib & 1) != 0) diffq += stp >> 2
+      val p2 = clamp16(if ((nib & 8) != 0) pred - diffq else pred + diffq)
+      val i2 = math.max(0, math.min(88, idx + IndexTable(nib)))
+      (nib, p2, i2)
+    }
+
+    /** The encoder's reconstruction — bit-identical to what [[parse]]
+      * returns (the closed-loop drift law, spec-pinned). */
+    def reconstruct(samples: Array[Int]): Array[Int] = {
+      val out = new Array[Int](samples.length)
+      out(0) = samples(0)
+      var st = (samples(0), 0)
+      var i = 1
+      while (i < samples.length) {
+        val (_, p, x) = step(st, Some(samples(i)), None)
+        out(i) = p
+        st = (p, x)
+        i += 1
+      }
+      out
+    }
+
+    def synthesizeSamples(samples: Array[Int],
+                          sampleRate: Int = 8000): Array[Byte] = {
+      require(samples.length >= 2, "need at least two samples")
+      require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+        "samples must fit 16-bit PCM")
+      val n = samples.length
+      val nNib = n - 1
+      val nibBytes = (nNib + 1) / 2
+      val blockAlign = 4 + nibBytes
+      val dataLen = blockAlign
+      val fmtLen = 20
+      val total = 12 + (8 + fmtLen) + (8 + 4) + (8 + dataLen) + (dataLen & 1)
+      val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+      buf.putShort(0x11.toShort)           // IMA ADPCM
+      buf.putShort(1.toShort)              // mono
+      buf.putInt(sampleRate)
+      buf.putInt((sampleRate.toLong * blockAlign / n).toInt) // avg B/s
+      buf.putShort(blockAlign.toShort)
+      buf.putShort(4.toShort)              // bits per (encoded) sample
+      buf.putShort(2.toShort)              // cbSize
+      buf.putShort(n.toShort)              // wSamplesPerBlock
+      buf.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      buf.putShort(samples(0).toShort)     // block header: predictor
+      buf.put(0.toByte)                    // initial step index
+      buf.put(0.toByte)                    // reserved
+      var st = (samples(0), 0)
+      var i = 1
+      var cur = 0
+      var half = false
+      while (i < n) {
+        val (nib, p, x) = step(st, Some(samples(i)), None)
+        st = (p, x)
+        if (!half) { cur = nib; half = true }
+        else { buf.put((cur | (nib << 4)).toByte); half = false }
+        i += 1
+      }
+      if (half) buf.put(cur.toByte)        // zero pad nibble (high half)
+      if ((dataLen & 1) == 1) buf.put(0.toByte) // RIFF even padding
+      buf.array()
+    }
+
+    def parse(bytes: Array[Byte]): Option[Adpcm] = {
+      if (bytes.length < 12) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      buf.getInt
+      if (tag4() != "WAVE") return None
+      var rate = -1
+      var blockAlign = -1
+      var spb = -1
+      var fact = -1
+      var data: Option[Array[Byte]] = None
+      while (buf.remaining() >= 8 && data.isEmpty) {
+        val id = tag4()
+        val sz = buf.getInt
+        if (sz < 0 || sz > buf.remaining()) return None
+        val p0 = buf.position()
+        id match {
+          case "fmt " =>
+            if (sz < 20) return None
+            val tag = buf.getShort & 0xffff
+            val ch = buf.getShort & 0xffff
+            rate = buf.getInt
+            buf.getInt
+            blockAlign = buf.getShort & 0xffff
+            val bits = buf.getShort & 0xffff
+            val cb = buf.getShort & 0xffff
+            spb = buf.getShort & 0xffff
+            if (tag != 0x11 || ch != 1 || rate <= 0 || bits != 4 ||
+                cb < 2 || spb < 2) return None
+          case "fact" =>
+            if (sz < 4) return None
+            fact = buf.getInt
+          case "data" =>
+            val d = new Array[Byte](sz); buf.get(d)
+            data = Some(d)
+          case _ => ()
+        }
+        buf.position(math.min(p0 + sz + (sz & 1), buf.limit()))
+      }
+      val d = data.getOrElse(return None)
+      if (rate <= 0 || spb < 2 || fact != spb) return None
+      val nNib = spb - 1
+      if (blockAlign != 4 + (nNib + 1) / 2 || d.length != blockAlign)
+        return None
+      val db = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+      val pred0 = db.getShort.toInt
+      val idx0 = db.get() & 0xff
+      if (idx0 > 88) return None
+      if ((db.get() & 0xff) != 0) return None  // reserved
+      val out = new Array[Int](spb)
+      out(0) = pred0
+      var st = (pred0, idx0)
+      var i = 1
+      while (i < spb) {
+        val b = d(4 + (i - 1) / 2) & 0xff
+        val nib = if ((i - 1) % 2 == 0) b & 0xf else b >> 4
+        val (_, p, x) = step(st, None, Some(nib))
+        out(i) = p
+        st = (p, x)
+        i += 1
+      }
+      // odd nibble count: the pad (high) nibble of the last byte is 0
+      if (nNib % 2 == 1 && ((d(d.length - 1) & 0xff) >> 4) != 0)
+        return None
+      Some(Adpcm(rate, out))
+    }
+  }
+
   /** Binary PPM (P6): ASCII header (magic, width, height, maxval —
     * whitespace-separated, `#` comments legal anywhere between tokens)
     * followed by w·h·3 binary RGB bytes. */

@@ -1754,6 +1754,148 @@ object Multimodal {
       "chain-decoded; oracle replays codec pipeline AND container framing " +
       "arithmetic from seed math")
 
+  /** q256 — REAL standardized LOSSY audio codec, hash-ORACLED (MM10,
+    * r14): IMA ADPCM ([[graft.multimodal.RealCodecs.AdpcmCodec]] —
+    * the IMA/DVI4 algorithm, WAV wFormatTag 0x0011 with the spec's
+    * `fact` chunk and block header), completing the audio stack the
+    * way q252 completed video: FLAC covers lossless, ADPCM covers
+    * lossy, both REAL formats, both hash-gated. The codec is
+    * all-integer and closed-loop, so the DuckDB twin replays the
+    * ENTIRE per-sample adaptation — step-table lookup, sign-magnitude
+    * nibble quantization, saturating predictor, index adaptation — as
+    * a RECURSIVE CTE over the 345 encode steps (the sequential state
+    * a vectorized replay cannot fake; each row of the recursion IS one
+    * codec step), and the Spark side's nibble hash is read back from
+    * the FILE bytes, so the bit-packing layer is inside the gate too.
+    * `drift_ok` pins decode == the encoder's closed-loop recon.
+    * Corpus: a 346-sample staircase with dither (jumps every 16
+    * samples — exactly the signal that exercises the step-size
+    * adaptation both directions).
+    *
+    * Scale posture: q188's — synth + encode + parse + reduce in ONE
+    * mapPartitions pass; the oracle's recursion is 346 bins-free
+    * scalar joins, sized by docs, not corpus bytes. */
+  val q256 = Q(
+    "q256_adpcm_audio",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.RealCodecs.AdpcmCodec
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val n = 346
+            val x = Array.tabulate(n)(i =>
+              ((seed((i / 16) % 16) & 0xff) - 128) * 200 +
+                ((seed(i % 16) & 0xff) - 128))
+            val bytes = AdpcmCodec.synthesizeSamples(x)
+            val got = AdpcmCodec.parse(bytes)
+              .getOrElse(sys.error(s"q256: undecodable ADPCM, doc $id"))
+            val drift =
+              got.samples.sameElements(AdpcmCodec.reconstruct(x))
+            val energy = got.samples.map(p => p.toLong * p).sum
+            val l1 = x.zip(got.samples)
+              .map { case (a, b) => math.abs(a - b).toLong }.sum
+            // nibble hash READ FROM THE FILE: data payload at 60,
+            // block header 4, then one nibble per remaining sample,
+            // low nibble first — gates the packing layer itself
+            val nibh = (0 until n - 1).foldLeft(0L) { (h, k) =>
+              val b = bytes(64 + k / 2) & 0xff
+              val nib = if (k % 2 == 0) b & 0xf else b >> 4
+              (h * 31 + nib) % 1000000007L
+            }
+            (id, n.toLong, energy, l1, nibh,
+              got.samples.last.toLong, bytes.length.toLong,
+              if (drift) 1L else 0L)
+          }
+        }
+        .toDF("doc_id", "n_samples", "energy", "l1_err", "nib_hash",
+          "final_pred", "n_bytes", "drift_ok")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val n = 346
+      val b1 = byteSql("(i // 16) + 1")
+      val b2 = byteSql("i + 1")
+      val stepT = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37," +
+        "41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209," +
+        "230,253,279,307,337,371,408,449,494,544,598,658,724,796,876," +
+        "963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749," +
+        "3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630," +
+        "9493,10442,11487,12635,13899,15289,16818,18500,20350,22385," +
+        "24623,27086,29794,32767]"
+      val idxT = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+      s"""
+      WITH RECURSIVE
+      -- MATERIALIZED is load-bearing: the recursive arm joins sm every
+      -- iteration, and an inlined sm would rebuild the md5-derived
+      -- sample lists 345 times per doc
+      sm AS MATERIALIZED (SELECT doc_id,
+        list_transform(range(0, $n), i ->
+          CAST(($b1 - 128) * 200 + ($b2 - 128) AS BIGINT)) AS s
+        FROM documents),
+      r AS (
+        SELECT doc_id, 1 AS i, s[1] AS pred, 0 AS idx,
+               CAST(s[1] * s[1] AS BIGINT) AS energy,
+               CAST(0 AS BIGINT) AS l1, CAST(0 AS BIGINT) AS nibh
+        FROM sm
+        UNION ALL
+        SELECT doc_id, i + 1, pred2, idx2, energy + pred2 * pred2,
+               l1 + abs(sx - pred2), (nibh * 31 + nib) % 1000000007
+        FROM (
+          SELECT l4.*,
+            CASE WHEN neg THEN GREATEST(-32768, pred - dq)
+                 ELSE LEAST(32767, pred + dq) END AS pred2,
+            GREATEST(0, LEAST(88, idx + ($idxT)[nib + 1])) AS idx2
+          FROM (
+            SELECT l3.*,
+              (CASE WHEN neg THEN 8 ELSE 0 END) + d4 * 4 + d2 * 2 + d1
+                AS nib,
+              (stp // 8) + d4 * stp + d2 * (stp // 2) + d1 * (stp // 4)
+                AS dq
+            FROM (
+              SELECT l2.*,
+                CASE WHEN ad3 >= stp // 4 THEN 1 ELSE 0 END AS d1
+              FROM (
+                SELECT l1c.*,
+                  CASE WHEN ad2 >= stp // 2 THEN 1 ELSE 0 END AS d2,
+                  ad2 - (CASE WHEN ad2 >= stp // 2 THEN stp // 2
+                              ELSE 0 END) AS ad3
+                FROM (
+                  SELECT l0.*,
+                    CASE WHEN ad >= stp THEN 1 ELSE 0 END AS d4,
+                    ad - (CASE WHEN ad >= stp THEN stp ELSE 0 END) AS ad2
+                  FROM (
+                    SELECT r.doc_id, r.i, r.pred, r.idx, r.energy, r.l1,
+                           r.nibh,
+                           sm.s[r.i + 1] AS sx,
+                           ($stepT)[r.idx + 1] AS stp,
+                           abs(sm.s[r.i + 1] - r.pred) AS ad,
+                           sm.s[r.i + 1] < r.pred AS neg
+                    FROM r JOIN sm USING (doc_id) WHERE r.i < $n
+                  ) l0
+                ) l1c
+              ) l2
+            ) l3
+          ) l4
+        )
+      )
+      SELECT doc_id, CAST($n AS BIGINT) AS n_samples, energy,
+             l1 AS l1_err, nibh AS nib_hash,
+             CAST(pred AS BIGINT) AS final_pred,
+             CAST(238 AS BIGINT) AS n_bytes,
+             CAST(1 AS BIGINT) AS drift_ok
+      FROM r WHERE i = $n ORDER BY doc_id"""
+    },
+    doc = "MM10: REAL standardized lossy audio codec (IMA ADPCM, WAV tag " +
+      "0x0011 with fact chunk + block header) under a hash oracle — the " +
+      "DuckDB twin replays the full per-sample adaptation as a RECURSIVE " +
+      "CTE (one row per codec step), the nibble hash is read back from " +
+      "the file bytes so the packing layer is gated too; drift_ok pins " +
+      "decode == the encoder's closed-loop recon")
+
   val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232, q242,
-    q243, q244, q248, q252, q253, q255)
+    q243, q244, q248, q252, q253, q255, q256)
 }

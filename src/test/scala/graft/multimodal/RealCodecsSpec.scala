@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.RealCodecs.{AviCodec, BmpCodec, FlacCodec, GifCodec, ImageIoCodec, PngCodec, PpmCodec, WavCodec}
+import graft.multimodal.RealCodecs.{AdpcmCodec, AviCodec, BmpCodec, FlacCodec, GifCodec, ImageIoCodec, PngCodec, PpmCodec, WavCodec}
 
 /** The real-codec contract: synthesized files are on-spec (every header
   * field round-trips through the parser), sample/pixel values follow the
@@ -426,6 +426,90 @@ class RealCodecsSpec extends AnyFunSuite {
     assert(PngCodec.parse(m3).isEmpty, "color-type profile not enforced")
     assert(PngCodec.parse(good.take(good.length - 13)).isEmpty)
     assert(PngCodec.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("IMA ADPCM known vector: the first four encode steps from " +
+    "pred=1000/index=0 match the hand-traced spec arithmetic (nibbles, " +
+    "predictors, indices)") {
+    val samples = Array(1000, 1100, 900, -2000, 5000)
+    val rec = AdpcmCodec.reconstruct(samples)
+    // hand-traced (step table [7,8,9,...], index table [-1..8]):
+    // s=1100: diff 100 >= 7,3,1 -> nibble 7, pred 1011, idx 8
+    // s=900:  diff -111 vs step 16 -> nibble 15, pred 981, idx 16
+    // s=-2000: step 34 -> nibble 15, pred 918, idx 24
+    // s=5000: step 73 -> nibble 7, pred 1054, idx 32
+    assert(rec.toSeq === Seq(1000, 1011, 981, 918, 1054))
+    val parsed = AdpcmCodec.parse(AdpcmCodec.synthesizeSamples(samples)).get
+    assert(parsed.samples.toSeq === rec.toSeq)
+  }
+
+  test("IMA ADPCM roundtrip: parse(synthesize(x)) == the encoder's " +
+    "closed-loop reconstruction for even AND odd sample counts; the " +
+    "adapted steady-state tracks a staircase signal; ~4x smaller than " +
+    "PCM16") {
+    def staircase(n: Int, salt: Int): Array[Int] =
+      Array.tabulate(n)(i =>
+        ((seed((i / 16 + salt) % 16) & 0xff) - 128) * 200 +
+          ((seed((i + salt) % 16) & 0xff) - 128))
+    Seq(64, 345, 346).foreach { n =>
+      val x = staircase(n, 3)
+      val bytes = AdpcmCodec.synthesizeSamples(x)
+      val got = AdpcmCodec.parse(bytes)
+        .getOrElse(fail(s"roundtrip failed at n=$n"))
+      assert(got.sampleRate === 8000)
+      assert(got.samples.sameElements(AdpcmCodec.reconstruct(x)),
+        s"decode drifted from the closed loop at n=$n")
+      // the payload layer is exactly 4x (one nibble per sample vs two
+      // bytes); the whole file beats PCM16 2x+ once the fixed 64-byte
+      // container overhead amortizes
+      assert(bytes.length === 60 + 4 + (n - 1 + 1) / 2 + ((4 + n / 2) & 1),
+        s"container framing drifted at n=$n: ${bytes.length} B")
+      if (n >= 300) assert(bytes.length < n,
+        s"no compression: ${bytes.length} B vs PCM16 ${n * 2} B")
+      // steady state: adaptation makes the MEAN tracking error a small
+      // fraction of the signal scale (individual post-jump samples
+      // legitimately spike while the step re-adapts — ADPCM's nature)
+      if (n > 128) {
+        val tail = x.drop(64).zip(got.samples.drop(64))
+        val meanErr = tail.map { case (a, b) =>
+          math.abs(a - b).toLong }.sum / tail.length
+        val meanSig = x.map(s => math.abs(s).toLong).sum / n
+        assert(meanErr * 4 < meanSig,
+          s"adapted tracking too coarse: mean err $meanErr vs $meanSig")
+      }
+    }
+  }
+
+  test("IMA ADPCM strict parse: PCM-tag files, fact/spb mismatch, " +
+    "block-align mismatch, reserved byte, index range, nonzero pad " +
+    "nibble and truncation all return None; the PCM parser and the " +
+    "ADPCM parser reject each other's containers") {
+    val x = Array.tabulate(65)(i => ((seed(i % 16) & 0xff) - 128) * 256)
+    val good = AdpcmCodec.synthesizeSamples(x)
+    assert(AdpcmCodec.parse(good).isDefined)
+    assert(AdpcmCodec.parse(good.take(good.length - 4)).isEmpty)
+    assert(AdpcmCodec.parse(Array.emptyByteArray).isEmpty)
+    val m1 = good.clone(); m1(20) = 1 // fmt tag -> PCM
+    assert(AdpcmCodec.parse(m1).isEmpty, "fmt tag not enforced")
+    // fact chunk value (offset 12+28+8 = 48)
+    val m2 = good.clone(); m2(48) = (m2(48) ^ 1).toByte
+    assert(AdpcmCodec.parse(m2).isEmpty, "fact/spb agreement not enforced")
+    // data block header: reserved byte at data payload offset +3
+    val dataOff = 12 + 28 + 12 + 8
+    val m3 = good.clone(); m3(dataOff + 3) = 1
+    assert(AdpcmCodec.parse(m3).isEmpty, "reserved byte not enforced")
+    val m4 = good.clone(); m4(dataOff + 2) = 90.toByte // index > 88
+    assert(AdpcmCodec.parse(m4).isEmpty, "index range not enforced")
+    // 65 samples -> 64 nibbles (even): build an odd-count file to test
+    // the pad nibble (66 samples -> 65 nibbles, pad in last byte)
+    val odd = AdpcmCodec.synthesizeSamples(x ++ Array(0))
+    val lastData = 12 + 28 + 12 + 8 + 4 + (65 + 1) / 2 - 1
+    val m5 = odd.clone(); m5(lastData) = (m5(lastData) | 0xf0).toByte
+    assert(AdpcmCodec.parse(m5).isEmpty, "pad nibble not enforced")
+    // cross-codec rejection: two WAV profiles, one truth each
+    val pcm = WavCodec.synthesizeSamples(x)
+    assert(AdpcmCodec.parse(pcm).isEmpty, "ADPCM parser accepted PCM")
+    assert(WavCodec.parse(good).isEmpty, "PCM parser accepted ADPCM")
   }
 
   test("compressed AVI stream (GRF1 fourcc, 00dc chunks, qp extradata): " +
