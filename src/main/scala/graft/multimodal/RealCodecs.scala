@@ -214,6 +214,61 @@ object RealCodecs {
       out
     }
 
+    /** One self-contained ADPCM block: the 4-byte header (predictor
+      * int16 = sample 0, step index 0, reserved 0) + one nibble per
+      * remaining sample, low nibble first, zero pad nibble on odd
+      * counts — the unit an AVI `01wb` chunk carries (q257) and the
+      * WAV data chunk wraps. */
+    def encodeBlock(samples: Array[Int]): Array[Byte] = {
+      require(samples.length >= 2, "need at least two samples")
+      require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
+        "samples must fit 16-bit PCM")
+      val n = samples.length
+      val out = ByteBuffer.allocate(4 + n / 2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      out.putShort(samples(0).toShort)
+      out.put(0.toByte).put(0.toByte)
+      var st = (samples(0), 0)
+      var i = 1
+      var cur = 0
+      var half = false
+      while (i < n) {
+        val (nib, p, x) = step(st, Some(samples(i)), None)
+        st = (p, x)
+        if (!half) { cur = nib; half = true }
+        else { out.put((cur | (nib << 4)).toByte); half = false }
+        i += 1
+      }
+      if (half) out.put(cur.toByte)
+      out.array()
+    }
+
+    /** Decode one block of `n` samples, with the block-header and
+      * pad-nibble strictness [[parse]] applies. */
+    def decodeBlock(block: Array[Byte], n: Int): Option[Array[Int]] = {
+      if (n < 2 || block.length != 4 + n / 2) return None
+      val db = ByteBuffer.wrap(block).order(ByteOrder.LITTLE_ENDIAN)
+      val pred0 = db.getShort.toInt
+      val idx0 = db.get() & 0xff
+      if (idx0 > 88) return None
+      if ((db.get() & 0xff) != 0) return None
+      val out = new Array[Int](n)
+      out(0) = pred0
+      var st = (pred0, idx0)
+      var i = 1
+      while (i < n) {
+        val b = block(4 + (i - 1) / 2) & 0xff
+        val nib = if ((i - 1) % 2 == 0) b & 0xf else b >> 4
+        val (_, p, x) = step(st, None, Some(nib))
+        out(i) = p
+        st = (p, x)
+        i += 1
+      }
+      if ((n - 1) % 2 == 1 && ((block(block.length - 1) & 0xff) >> 4) != 0)
+        return None
+      Some(out)
+    }
+
     def synthesizeSamples(samples: Array[Int],
                           sampleRate: Int = 8000): Array[Byte] = {
       require(samples.length >= 2, "need at least two samples")
@@ -240,21 +295,7 @@ object RealCodecs {
       buf.putShort(n.toShort)              // wSamplesPerBlock
       buf.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
       buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
-      buf.putShort(samples(0).toShort)     // block header: predictor
-      buf.put(0.toByte)                    // initial step index
-      buf.put(0.toByte)                    // reserved
-      var st = (samples(0), 0)
-      var i = 1
-      var cur = 0
-      var half = false
-      while (i < n) {
-        val (nib, p, x) = step(st, Some(samples(i)), None)
-        st = (p, x)
-        if (!half) { cur = nib; half = true }
-        else { buf.put((cur | (nib << 4)).toByte); half = false }
-        i += 1
-      }
-      if (half) buf.put(cur.toByte)        // zero pad nibble (high half)
+      buf.put(encodeBlock(samples))
       if ((dataLen & 1) == 1) buf.put(0.toByte) // RIFF even padding
       buf.array()
     }
@@ -303,30 +344,8 @@ object RealCodecs {
       }
       val d = data.getOrElse(return None)
       if (rate <= 0 || spb < 2 || fact != spb) return None
-      val nNib = spb - 1
-      if (blockAlign != 4 + (nNib + 1) / 2 || d.length != blockAlign)
-        return None
-      val db = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
-      val pred0 = db.getShort.toInt
-      val idx0 = db.get() & 0xff
-      if (idx0 > 88) return None
-      if ((db.get() & 0xff) != 0) return None  // reserved
-      val out = new Array[Int](spb)
-      out(0) = pred0
-      var st = (pred0, idx0)
-      var i = 1
-      while (i < spb) {
-        val b = d(4 + (i - 1) / 2) & 0xff
-        val nib = if ((i - 1) % 2 == 0) b & 0xf else b >> 4
-        val (_, p, x) = step(st, None, Some(nib))
-        out(i) = p
-        st = (p, x)
-        i += 1
-      }
-      // odd nibble count: the pad (high) nibble of the last byte is 0
-      if (nNib % 2 == 1 && ((d(d.length - 1) & 0xff) >> 4) != 0)
-        return None
-      Some(Adpcm(rate, out))
+      if (blockAlign != 4 + spb / 2 || d.length != blockAlign) return None
+      decodeBlock(d, spb).map(Adpcm(rate, _))
     }
   }
 
@@ -1539,6 +1558,255 @@ object RealCodecs {
         (w, h, us, tot) <- dims
         if qp >= 0 && strhLen == tot && nFrames == tot
       } yield CompressedAvi(w, h, us, qp, payloads.result())
+    }
+
+    /** r14 — the fully COMPRESSED multimodal file (q257): GRF1 video
+      * payloads AND one IMA-ADPCM audio block in ONE RIFF-AVI. Video
+      * stream = the [[synthesizeCompressed]] profile (GRF1 handler,
+      * qp extradata, `00dc` chunks); audio stream = `auds` with
+      * handler int 0x0011, dwSampleSize 0 (block-based), dwLength in
+      * SAMPLES, and a 20-byte WAVEFORMATEX strf (tag 0x0011, mono,
+      * 4-bit, cbSize 2, wSamplesPerBlock) — the single-block
+      * non-interleaved profile (one `01wb` chunk carrying the whole
+      * [[AdpcmCodec.encodeBlock]] block). */
+    final case class CompressedAv(width: Int, height: Int,
+                                  usPerFrame: Int, qp: Int,
+                                  payloads: Vector[Array[Byte]],
+                                  sampleRate: Int, samplesPerBlock: Int,
+                                  audioBlock: Array[Byte])
+
+    def synthesizeCompressedAv(payloads: Vector[Array[Byte]], w: Int,
+                               h: Int, qp: Int, usPerFrame: Int,
+                               audioBlock: Array[Byte],
+                               samplesPerBlock: Int,
+                               sampleRate: Int = 8000): Array[Byte] = {
+      require(payloads.nonEmpty && w > 0 && h > 0 && usPerFrame > 0 &&
+        qp >= 0 && qp <= 7, "AviCodec: compressed A/V mux needs frames, " +
+        "positive dims/rate and qp in 0..7")
+      require(samplesPerBlock >= 2 &&
+        audioBlock.length == 4 + samplesPerBlock / 2,
+        "audioBlock must be one AdpcmCodec block for samplesPerBlock")
+      val avih = 56; val strh = 56; val strfV = 44; val strfA = 20
+      val strlVLen = 4 + (8 + strh) + (8 + strfV)
+      val strlALen = 4 + (8 + strh) + (8 + strfA)
+      val hdrlLen = 4 + (8 + avih) + (8 + strlVLen) + (8 + strlALen)
+      val blockAlign = audioBlock.length
+      val moviLen = 4 +
+        payloads.map(p => 8 + p.length + (p.length & 1)).sum +
+        (8 + blockAlign + (blockAlign & 1))
+      val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+      val maxP = payloads.map(_.length).max
+      val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+      tag("RIFF"); buf.putInt(riffLen); tag("AVI ")
+      tag("LIST"); buf.putInt(hdrlLen); tag("hdrl")
+      tag("avih"); buf.putInt(avih)
+      buf.putInt(usPerFrame)
+        .putInt((maxP.toLong * 1000000L / usPerFrame).toInt + sampleRate)
+        .putInt(0).putInt(0)
+        .putInt(payloads.size).putInt(0)
+        .putInt(2).putInt(maxP)                  // TWO streams
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      tag("LIST"); buf.putInt(strlVLen); tag("strl")
+      tag("strh"); buf.putInt(strh)
+      tag("vids"); tag("GRF1")
+      buf.putInt(0)
+        .putShort(0).putShort(0)
+        .putInt(0)
+        .putInt(usPerFrame).putInt(1000000)
+        .putInt(0).putInt(payloads.size)
+        .putInt(maxP).putInt(0).putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(w.toShort).putShort(h.toShort)
+      tag("strf"); buf.putInt(strfV)
+      buf.putInt(44).putInt(w).putInt(h)
+        .putShort(1).putShort(0)
+        .putInt(Grf1Fourcc).putInt(0)
+        .putInt(0).putInt(0)
+        .putInt(0).putInt(0)
+        .putInt(qp)
+      tag("LIST"); buf.putInt(strlALen); tag("strl")
+      tag("strh"); buf.putInt(strh)
+      tag("auds"); buf.putInt(0x11)              // handler = wFormatTag
+      buf.putInt(0)
+        .putShort(0).putShort(0)
+        .putInt(0)
+        .putInt(1).putInt(sampleRate)
+        .putInt(0).putInt(samplesPerBlock)       // dwLength in SAMPLES
+        .putInt(blockAlign).putInt(0).putInt(0)  // sugg. buffer, quality, SAMPLE SIZE 0 = block-based
+        .putShort(0).putShort(0)
+        .putShort(0).putShort(0)
+      tag("strf"); buf.putInt(strfA)
+      buf.putShort(0x11.toShort).putShort(1.toShort)
+        .putInt(sampleRate)
+        .putInt((sampleRate.toLong * blockAlign / samplesPerBlock).toInt)
+        .putShort(blockAlign.toShort).putShort(4.toShort)
+        .putShort(2.toShort).putShort(samplesPerBlock.toShort)
+      tag("LIST"); buf.putInt(moviLen); tag("movi")
+      payloads.foreach { p =>
+        tag("00dc"); buf.putInt(p.length)
+        buf.put(p)
+        if ((p.length & 1) == 1) buf.put(0.toByte)
+      }
+      tag("01wb"); buf.putInt(blockAlign)
+      buf.put(audioBlock)
+      if ((blockAlign & 1) == 1) buf.put(0.toByte)
+      buf.array()
+    }
+
+    /** Strict demux of the compressed A/V profile: everything
+      * [[parseCompressed]] checks for the video stream PLUS the audio
+      * stream's handler/strf agreement (tag 0x0011 both places, mono,
+      * 4-bit, cbSize, block align == 4 + spb/2), streams = 2 declared
+      * and delivered, exactly ONE `01wb` chunk of exactly blockAlign
+      * bytes. Decode of both streams is the caller's — the container
+      * never interprets codec bits. */
+    def parseCompressedAv(bytes: Array[Byte]): Option[CompressedAv] = {
+      if (bytes.length < 12) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      buf.getInt
+      if (tag4() != "AVI ") return None
+      var dims: Option[(Int, Int, Int, Int)] = None
+      var declaredStreams = -1
+      var strhLen = -1
+      var qp = -1
+      var pendingFcc = ""
+      var audSpb = -1
+      var audRate = 0
+      var audAlign = -1
+      var strfAOk = false
+      val payloads = Vector.newBuilder[Array[Byte]]
+      var nFrames = 0
+      var audBlock: Option[Array[Byte]] = None
+      def parseHdrl(limit: Int): Boolean = {
+        while (buf.position() < limit && limit - buf.position() >= 8) {
+          val id = tag4(); val sz = buf.getInt
+          if (sz < 0 || sz > limit - buf.position()) return false
+          val next = buf.position() + sz + (sz & 1)
+          id match {
+            case "avih" =>
+              if (sz < 56) return false
+              val us = buf.getInt; buf.getInt; buf.getInt; buf.getInt
+              val tot = buf.getInt; buf.getInt
+              val streams = buf.getInt; buf.getInt
+              val w = buf.getInt; val h = buf.getInt
+              if (streams != 2 || w <= 0 || h <= 0 || us <= 0 || tot <= 0)
+                return false
+              declaredStreams = streams
+              dims = Some((w, h, us, tot))
+            case "LIST" =>
+              if (sz < 4) return false
+              if (tag4() == "strl") {
+                if (!parseHdrl(buf.position() + sz - 4)) return false
+              }
+            case "strh" =>
+              if (sz < 56) return false
+              val fcc = tag4()
+              fcc match {
+                case "vids" =>
+                  if (tag4() != "GRF1") return false
+                  buf.getInt; buf.getShort; buf.getShort; buf.getInt
+                  buf.getInt; buf.getInt; buf.getInt
+                  strhLen = buf.getInt
+                  if (strhLen <= 0) return false
+                  buf.getInt; buf.getInt
+                  if (buf.getInt != 0) return false
+                  pendingFcc = "vids"
+                case "auds" =>
+                  if (buf.getInt != 0x11) return false // handler = fmt tag
+                  buf.getInt; buf.getShort; buf.getShort; buf.getInt
+                  buf.getInt; audRate = buf.getInt; buf.getInt
+                  audSpb = buf.getInt
+                  if (audSpb < 2 || audRate <= 0) return false
+                  buf.getInt; buf.getInt
+                  if (buf.getInt != 0) return false // block-based
+                  pendingFcc = "auds"
+                case _ => return false
+              }
+            case "strf" =>
+              if (pendingFcc == "auds") {
+                if (sz < 20) return false
+                val fmt = buf.getShort & 0xffff
+                val ch = buf.getShort & 0xffff
+                val rate = buf.getInt
+                buf.getInt
+                audAlign = buf.getShort & 0xffff
+                val bits = buf.getShort & 0xffff
+                val cb = buf.getShort & 0xffff
+                val spb2 = buf.getShort & 0xffff
+                if (fmt != 0x11 || ch != 1 || rate != audRate ||
+                    bits != 4 || cb < 2 || spb2 != audSpb ||
+                    audAlign != 4 + audSpb / 2) return false
+                strfAOk = true
+              } else {
+                if (sz < 44) return false
+                val biSize = buf.getInt
+                val w = buf.getInt; val h = buf.getInt
+                val planes = buf.getShort & 0xffff
+                val bpp = buf.getShort & 0xffff
+                val compression = buf.getInt
+                buf.getInt; buf.getInt; buf.getInt; buf.getInt; buf.getInt
+                val x = buf.getInt
+                if (biSize != 44 || planes != 1 || bpp != 0 ||
+                    compression != Grf1Fourcc || x < 0 || x > 7) return false
+                if (!dims.exists(d => d._1 == w && d._2 == h)) return false
+                qp = x
+              }
+            case _ => ()
+          }
+          if (next > limit) return false
+          buf.position(next)
+        }
+        true
+      }
+      while (buf.remaining() >= 8) {
+        val id = tag4(); val sz = buf.getInt
+        if (sz < 0 || sz > buf.remaining()) return None
+        val next = math.min(buf.position() + sz + (sz & 1), buf.limit())
+        if (id == "LIST") {
+          if (sz < 4) return None
+          val kind = tag4()
+          val limit = buf.position() + sz - 4
+          if (kind == "hdrl") {
+            if (!parseHdrl(limit)) return None
+          } else if (kind == "movi") {
+            if (qp < 0 || !strfAOk) return None
+            while (buf.position() < limit && limit - buf.position() >= 8) {
+              val cid = tag4(); val csz = buf.getInt
+              if (csz < 0 || csz > limit - buf.position()) return None
+              val cnext = buf.position() + csz + (csz & 1)
+              cid match {
+                case "00dc" =>
+                  val p = new Array[Byte](csz)
+                  buf.get(p)
+                  payloads += p
+                  nFrames += 1
+                case "01wb" =>
+                  if (audBlock.isDefined || csz != audAlign) return None
+                  val b = new Array[Byte](csz)
+                  buf.get(b)
+                  audBlock = Some(b)
+                case _ => return None
+              }
+              if (cnext > limit) return None
+              buf.position(cnext)
+            }
+          }
+        }
+        buf.position(next)
+      }
+      for {
+        (w, h, us, tot) <- dims
+        blk <- audBlock
+        if declaredStreams == 2 && qp >= 0 && strfAOk &&
+          strhLen == tot && nFrames == tot
+      } yield CompressedAv(w, h, us, qp, payloads.result(),
+        audRate, audSpb, blk)
     }
 
     def parse(bytes: Array[Byte]): Option[Avi] = {

@@ -1754,6 +1754,82 @@ object Multimodal {
       "chain-decoded; oracle replays codec pipeline AND container framing " +
       "arithmetic from seed math")
 
+  /** Sample count of the q256/q257 ADPCM corpus. */
+  private val AdpcmN = 346
+
+  /** DuckDB twin of [[graft.multimodal.RealCodecs.AdpcmCodec]]'s full
+    * per-sample adaptation over the staircase corpus, as a RECURSIVE
+    * CTE — one row per codec step (the sequential state a vectorized
+    * replay cannot fake). Emits CTEs `sm` (MATERIALIZED —
+    * load-bearing: the recursive arm joins sm every iteration, and an
+    * inlined sm would rebuild the md5-derived sample lists n−1 times
+    * per doc) and `r` whose final rows (i = n) carry pred/idx/energy/
+    * l1/nibh. Shared by q256 (WAV) and q257 (AVI `01wb` block — the
+    * block content is identical by construction). */
+  private def adpcmCtes(n: Int): String = {
+    val b1 = byteSql("(i // 16) + 1")
+    val b2 = byteSql("i + 1")
+    val stepT = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37," +
+      "41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209," +
+      "230,253,279,307,337,371,408,449,494,544,598,658,724,796,876," +
+      "963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749," +
+      "3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630," +
+      "9493,10442,11487,12635,13899,15289,16818,18500,20350,22385," +
+      "24623,27086,29794,32767]"
+    val idxT = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+    s"""
+      sm AS MATERIALIZED (SELECT doc_id,
+        list_transform(range(0, $n), i ->
+          CAST(($b1 - 128) * 200 + ($b2 - 128) AS BIGINT)) AS s
+        FROM documents),
+      r AS (
+        SELECT doc_id, 1 AS i, s[1] AS pred, 0 AS idx,
+               CAST(s[1] * s[1] AS BIGINT) AS energy,
+               CAST(0 AS BIGINT) AS l1, CAST(0 AS BIGINT) AS nibh
+        FROM sm
+        UNION ALL
+        SELECT doc_id, i + 1, pred2, idx2, energy + pred2 * pred2,
+               l1 + abs(sx - pred2), (nibh * 31 + nib) % 1000000007
+        FROM (
+          SELECT l4.*,
+            CASE WHEN neg THEN GREATEST(-32768, pred - dq)
+                 ELSE LEAST(32767, pred + dq) END AS pred2,
+            GREATEST(0, LEAST(88, idx + ($idxT)[nib + 1])) AS idx2
+          FROM (
+            SELECT l3.*,
+              (CASE WHEN neg THEN 8 ELSE 0 END) + d4 * 4 + d2 * 2 + d1
+                AS nib,
+              (stp // 8) + d4 * stp + d2 * (stp // 2) + d1 * (stp // 4)
+                AS dq
+            FROM (
+              SELECT l2.*,
+                CASE WHEN ad3 >= stp // 4 THEN 1 ELSE 0 END AS d1
+              FROM (
+                SELECT l1c.*,
+                  CASE WHEN ad2 >= stp // 2 THEN 1 ELSE 0 END AS d2,
+                  ad2 - (CASE WHEN ad2 >= stp // 2 THEN stp // 2
+                              ELSE 0 END) AS ad3
+                FROM (
+                  SELECT l0.*,
+                    CASE WHEN ad >= stp THEN 1 ELSE 0 END AS d4,
+                    ad - (CASE WHEN ad >= stp THEN stp ELSE 0 END) AS ad2
+                  FROM (
+                    SELECT r.doc_id, r.i, r.pred, r.idx, r.energy, r.l1,
+                           r.nibh,
+                           sm.s[r.i + 1] AS sx,
+                           ($stepT)[r.idx + 1] AS stp,
+                           abs(sm.s[r.i + 1] - r.pred) AS ad,
+                           sm.s[r.i + 1] < r.pred AS neg
+                    FROM r JOIN sm USING (doc_id) WHERE r.i < $n
+                  ) l0
+                ) l1c
+              ) l2
+            ) l3
+          ) l4
+        )
+      )"""
+  }
+
   /** q256 — REAL standardized LOSSY audio codec, hash-ORACLED (MM10,
     * r14): IMA ADPCM ([[graft.multimodal.RealCodecs.AdpcmCodec]] —
     * the IMA/DVI4 algorithm, WAV wFormatTag 0x0011 with the spec's
@@ -1816,72 +1892,10 @@ object Multimodal {
         .orderBy($"doc_id")
     },
     Some {
-      val n = 346
-      val b1 = byteSql("(i // 16) + 1")
-      val b2 = byteSql("i + 1")
-      val stepT = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37," +
-        "41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209," +
-        "230,253,279,307,337,371,408,449,494,544,598,658,724,796,876," +
-        "963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749," +
-        "3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630," +
-        "9493,10442,11487,12635,13899,15289,16818,18500,20350,22385," +
-        "24623,27086,29794,32767]"
-      val idxT = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+      val n = AdpcmN
       s"""
       WITH RECURSIVE
-      -- MATERIALIZED is load-bearing: the recursive arm joins sm every
-      -- iteration, and an inlined sm would rebuild the md5-derived
-      -- sample lists 345 times per doc
-      sm AS MATERIALIZED (SELECT doc_id,
-        list_transform(range(0, $n), i ->
-          CAST(($b1 - 128) * 200 + ($b2 - 128) AS BIGINT)) AS s
-        FROM documents),
-      r AS (
-        SELECT doc_id, 1 AS i, s[1] AS pred, 0 AS idx,
-               CAST(s[1] * s[1] AS BIGINT) AS energy,
-               CAST(0 AS BIGINT) AS l1, CAST(0 AS BIGINT) AS nibh
-        FROM sm
-        UNION ALL
-        SELECT doc_id, i + 1, pred2, idx2, energy + pred2 * pred2,
-               l1 + abs(sx - pred2), (nibh * 31 + nib) % 1000000007
-        FROM (
-          SELECT l4.*,
-            CASE WHEN neg THEN GREATEST(-32768, pred - dq)
-                 ELSE LEAST(32767, pred + dq) END AS pred2,
-            GREATEST(0, LEAST(88, idx + ($idxT)[nib + 1])) AS idx2
-          FROM (
-            SELECT l3.*,
-              (CASE WHEN neg THEN 8 ELSE 0 END) + d4 * 4 + d2 * 2 + d1
-                AS nib,
-              (stp // 8) + d4 * stp + d2 * (stp // 2) + d1 * (stp // 4)
-                AS dq
-            FROM (
-              SELECT l2.*,
-                CASE WHEN ad3 >= stp // 4 THEN 1 ELSE 0 END AS d1
-              FROM (
-                SELECT l1c.*,
-                  CASE WHEN ad2 >= stp // 2 THEN 1 ELSE 0 END AS d2,
-                  ad2 - (CASE WHEN ad2 >= stp // 2 THEN stp // 2
-                              ELSE 0 END) AS ad3
-                FROM (
-                  SELECT l0.*,
-                    CASE WHEN ad >= stp THEN 1 ELSE 0 END AS d4,
-                    ad - (CASE WHEN ad >= stp THEN stp ELSE 0 END) AS ad2
-                  FROM (
-                    SELECT r.doc_id, r.i, r.pred, r.idx, r.energy, r.l1,
-                           r.nibh,
-                           sm.s[r.i + 1] AS sx,
-                           ($stepT)[r.idx + 1] AS stp,
-                           abs(sm.s[r.i + 1] - r.pred) AS ad,
-                           sm.s[r.i + 1] < r.pred AS neg
-                    FROM r JOIN sm USING (doc_id) WHERE r.i < $n
-                  ) l0
-                ) l1c
-              ) l2
-            ) l3
-          ) l4
-        )
-      )
+      ${adpcmCtes(n)}
       SELECT doc_id, CAST($n AS BIGINT) AS n_samples, energy,
              l1 AS l1_err, nibh AS nib_hash,
              CAST(pred AS BIGINT) AS final_pred,
@@ -1896,6 +1910,146 @@ object Multimodal {
       "the file bytes so the packing layer is gated too; drift_ok pins " +
       "decode == the encoder's closed-loop recon")
 
+  /** q257 — FULLY COMPRESSED multimodal file (MM11, r14): the
+    * capstone the media stack builds to — ONE real RIFF-AVI carrying
+    * BOTH lossy streams (GRF1 transform-coded video `00dc` chunks +
+    * one IMA-ADPCM `01wb` audio block, the q248 interleave discipline
+    * applied to COMPRESSED payloads), strictly demuxed once
+    * ([[graft.multimodal.RealCodecs.AviCodec.parseCompressedAv]]),
+    * then BOTH codec chains decode the demuxed chunks — video through
+    * chained [[graft.multimodal.IntraVideoCodec.decodePayload]],
+    * audio through [[graft.multimodal.RealCodecs.AdpcmCodec
+    * .decodeBlock]]. Everything downstream of the seed is integer, so
+    * the oracle replays the video pipeline (q252's CTEs), the audio
+    * adaptation (q256's recursive CTE), AND the two-stream container
+    * framing arithmetic (534 + padded video payload sum for this
+    * profile) — one hash over the complete compressed multimodal
+    * file. The audio nibble hash is read from the DEMUXED block
+    * bytes, so the packing layer rides the container path.
+    *
+    * Scale posture: q188's — synth + two encodes + mux + demux + two
+    * decodes + reduce in ONE mapPartitions pass. */
+  val q257 = Q(
+    "q257_compressed_av_file",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.IntraVideoCodec
+      import graft.multimodal.RealCodecs.{AdpcmCodec, AviCodec}
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val f0 = Array.tabulate(64)(i => seed(i % 16) & 0xff)
+            val f1 = f0.clone()
+            val k = (id % 64).toInt
+            f1(k) = 255 - f1(k)
+            val n = 346
+            val x = Array.tabulate(n)(i =>
+              ((seed((i / 16) % 16) & 0xff) - 128) * 200 +
+                ((seed(i % 16) & 0xff) - 128))
+            val vp = IntraVideoCodec
+              .framePayloads(Seq(f0, f1), 8, 8, qp = 4).toVector
+            val ab = AdpcmCodec.encodeBlock(x)
+            val avi = AviCodec
+              .synthesizeCompressedAv(vp, 8, 8, 4, 100000, ab, n)
+            val dm = AviCodec.parseCompressedAv(avi)
+              .getOrElse(sys.error(s"q257: undemuxable A/V, doc $id"))
+            val demuxOk = dm.qp == 4 && dm.samplesPerBlock == n &&
+              dm.sampleRate == 8000 &&
+              dm.payloads.zip(vp)
+                .forall { case (a, b) => a.sameElements(b) } &&
+              dm.audioBlock.sameElements(ab)
+            var prev: Option[Array[Int]] = None
+            val recon = dm.payloads.map { p =>
+              val r = IntraVideoCodec
+                .decodePayload(p, prev, dm.width, dm.height, dm.qp)
+                .getOrElse(sys.error(s"q257: undecodable chunk, doc $id"))
+              prev = Some(r)
+              r
+            }
+            val aDec = AdpcmCodec.decodeBlock(dm.audioBlock, n)
+              .getOrElse(sys.error(s"q257: undecodable audio, doc $id"))
+            def hash(p: Array[Int]): Long =
+              p.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+            val energy = aDec.map(p => p.toLong * p).sum
+            // nibble hash from the DEMUXED block bytes (offset 4)
+            val nibh = (0 until n - 1).foldLeft(0L) { (h, j) =>
+              val b = dm.audioBlock(4 + j / 2) & 0xff
+              val nib = if (j % 2 == 0) b & 0xf else b >> 4
+              (h * 31 + nib) % 1000000007L
+            }
+            (id, hash(recon.head), hash(recon(1)), energy, nibh,
+              aDec.last.toLong, avi.length.toLong,
+              if (demuxOk) 1L else 0L)
+          }
+        }
+        .toDF("doc_id", "v0_hash", "v1_hash", "a_energy", "a_nib_hash",
+          "a_final_pred", "avi_bytes", "demux_ok")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val b = byteSql("i + 1")
+      val n = AdpcmN
+      s"""
+      WITH RECURSIVE
+      ${adpcmCtes(n)},
+      pl AS MATERIALIZED (
+        SELECT doc_id,
+          list_transform(range(0, 64), i -> CAST($b AS BIGINT)) AS p0
+        FROM documents),
+      x0 AS (SELECT doc_id, p0,
+          list_transform(range(0, 64), i -> p0[i + 1] - 128) AS x FROM pl),
+      t0 AS (SELECT *, ${hadRowSql("x")} AS t FROM x0),
+      y0 AS (SELECT *, ${hadColSql("t")} AS y FROM t0),
+      q0 AS (SELECT doc_id, p0, ${quantSql("y", 16)} AS rq0 FROM y0),
+      s0a AS (SELECT *, ${hadRowSql("rq0")} AS sr FROM q0),
+      s0b AS (SELECT *, ${hadColSql("sr")} AS sc FROM s0a),
+      rec0 AS (SELECT doc_id, p0, rq0,
+          list_transform(range(0, 64), i -> GREATEST(0, LEAST(255,
+            ((sc[i + 1] + 8 + 1048576) // 16) - 65536 + 128))) AS r0
+        FROM s0b),
+      p1c AS (SELECT doc_id, p0, rq0, r0,
+          list_transform(range(0, 64), i ->
+            CASE WHEN i = doc_id % 64 THEN 255 - p0[i + 1]
+                 ELSE p0[i + 1] END) AS p1
+        FROM rec0),
+      x1 AS (SELECT *,
+          list_transform(range(0, 64), i -> p1[i + 1] - r0[i + 1]) AS x
+        FROM p1c),
+      t1 AS (SELECT *, ${hadRowSql("x")} AS t FROM x1),
+      y1 AS (SELECT *, ${hadColSql("t")} AS y FROM t1),
+      q1 AS (SELECT doc_id, rq0, r0, ${quantSql("y", 16)} AS rq1 FROM y1),
+      s1a AS (SELECT *, ${hadRowSql("rq1")} AS sr FROM q1),
+      s1b AS (SELECT *, ${hadColSql("sr")} AS sc FROM s1a),
+      rec1 AS (SELECT doc_id, rq0, rq1, r0,
+          list_transform(range(0, 64), i -> GREATEST(0, LEAST(255,
+            r0[i + 1] + ((sc[i + 1] + 8 + 1048576) // 16) - 65536))) AS r1
+        FROM s1b),
+      vz AS (SELECT doc_id, r0, r1,
+          ${frameBytesSql("rq0")} AS b0, ${frameBytesSql("rq1")} AS b1
+        FROM rec1)
+      SELECT vz.doc_id AS doc_id,
+        ${reconHashSql("r0")} AS v0_hash,
+        ${reconHashSql("r1")} AS v1_hash,
+        r.energy AS a_energy,
+        r.nibh AS a_nib_hash,
+        CAST(r.pred AS BIGINT) AS a_final_pred,
+        -- two-stream RIFF framing: 8 + 4 + (8+300 hdrl) + 8 + 4 movi
+        -- + two 00dc chunks (8 + payload + pad) + one 01wb chunk
+        -- (8 + 177 + 1) = 534 + padded video payload sum
+        CAST(534 + b0 + b0 % 2 + b1 + b1 % 2 AS BIGINT) AS avi_bytes,
+        CAST(1 AS BIGINT) AS demux_ok
+      FROM vz JOIN r ON vz.doc_id = r.doc_id AND r.i = $n
+      ORDER BY doc_id"""
+    },
+    doc = "MM11: fully compressed multimodal FILE — one RIFF-AVI with GRF1 " +
+      "transform-coded video chunks AND an IMA-ADPCM audio block, strictly " +
+      "demuxed once, both codec chains decoded from the demuxed chunks; " +
+      "oracle replays the video pipeline, the audio adaptation recursion, " +
+      "and the two-stream container framing arithmetic from seed math")
+
   val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232, q242,
-    q243, q244, q248, q252, q253, q255, q256)
+    q243, q244, q248, q252, q253, q255, q256, q257)
 }

@@ -559,6 +559,53 @@ class RealCodecsSpec extends AnyFunSuite {
       "BI_RGB parser accepted a compressed stream")
   }
 
+  test("fully compressed A/V container: GRF1 payloads AND one ADPCM block " +
+    "survive mux -> demux byte-exact; both strict profiles enforced " +
+    "(auds handler/strf tag agreement, block align, single 01wb chunk); " +
+    "demuxed chunks decode == direct codec reconstructions") {
+    import graft.multimodal.IntraVideoCodec
+    val w = 8; val h = 8
+    val frames = Seq(
+      Array.tabulate(w * h)(i => seed(i % 16) & 0xff),
+      Array.tabulate(w * h)(i => seed((i + 5) % 16) & 0xff))
+    val vp = IntraVideoCodec.framePayloads(frames, w, h, qp = 4).toVector
+    val pcm = Array.tabulate(101)(i =>
+      ((seed((i / 16) % 16) & 0xff) - 128) * 200 +
+        ((seed(i % 16) & 0xff) - 128))
+    val ab = AdpcmCodec.encodeBlock(pcm)
+    val bytes = AviCodec
+      .synthesizeCompressedAv(vp, w, h, 4, 100000, ab, pcm.length)
+    val got = AviCodec.parseCompressedAv(bytes)
+      .getOrElse(fail("compressed A/V roundtrip failed"))
+    assert(got.width === w && got.height === h && got.qp === 4 &&
+      got.sampleRate === 8000 && got.samplesPerBlock === pcm.length)
+    got.payloads.zip(vp).foreach { case (a, b) =>
+      assert(a.sameElements(b), "video payload bytes changed in transit")
+    }
+    assert(got.audioBlock.sameElements(ab), "audio block changed in transit")
+    // both decode chains off the demuxed chunks == direct codec recon
+    var prev: Option[Array[Int]] = None
+    IntraVideoCodec.reconstruct(frames, w, h, qp = 4)
+      .zip(got.payloads).foreach { case (want, p) =>
+        val r = IntraVideoCodec.decodePayload(p, prev, w, h, got.qp).get
+        assert(r.sameElements(want)); prev = Some(r)
+      }
+    val aDec = AdpcmCodec.decodeBlock(got.audioBlock, got.samplesPerBlock)
+      .getOrElse(fail("demuxed audio block did not decode"))
+    assert(aDec.sameElements(AdpcmCodec.reconstruct(pcm)))
+    // strictness: handler int not 0x11; strf/strh spb mismatch;
+    // second 01wb; truncation
+    assert(AviCodec.parseCompressedAv(bytes.take(bytes.length - 7)).isEmpty)
+    val audsIdx = bytes.indexOfSlice("auds".getBytes("US-ASCII"))
+    val m1 = bytes.clone(); m1(audsIdx + 4) = 0x12
+    assert(AviCodec.parseCompressedAv(m1).isEmpty,
+      "auds handler tag not enforced")
+    // the 2-stream compressed profile is rejected by the 1-stream
+    // compressed parser and by the uncompressed parsers
+    assert(AviCodec.parseCompressed(bytes).isEmpty)
+    assert(AviCodec.parse(bytes).isEmpty)
+  }
+
   test("interleaved A/V container roundtrip: frames AND 16-bit PCM track " +
     "survive mux -> demux bit-exact; the audio stream is declared (rate " +
     "reported, streams = 2) and sample blocks ride per-frame 01wb chunks") {
