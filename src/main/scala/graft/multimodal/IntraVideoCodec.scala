@@ -272,9 +272,13 @@ object IntraVideoCodec {
       : Array[Byte] = {
     require(w > 0 && h > 0 && w % 4 == 0 && h % 4 == 0,
       s"dims must be positive multiples of 4: ${w}x$h")
+    require(w <= 0xffff && h <= 0xffff,
+      s"dims exceed the u16 header fields: ${w}x$h")
     require(qp >= 0 && qp <= 7, s"qp out of range: $qp")
     require(frames.nonEmpty && frames.forall(_.length == w * h),
       "every frame must be a full w*h plane")
+    require(frames.size <= 0xff,
+      s"frame count ${frames.size} exceeds the u8 header field")
     val out = new java.io.ByteArrayOutputStream()
     val hd = java.nio.ByteBuffer.allocate(10)
     hd.put(Magic).putShort(w.toShort).putShort(h.toShort)

@@ -272,6 +272,9 @@ object RealCodecs {
     def synthesizeSamples(samples: Array[Int],
                           sampleRate: Int = 8000): Array[Byte] = {
       require(samples.length >= 2, "need at least two samples")
+      require(samples.length <= 0xffff,
+        s"${samples.length} samples exceed the u16 wSamplesPerBlock field" +
+          " - split into blocks")
       require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue),
         "samples must fit 16-bit PCM")
       val n = samples.length
@@ -1408,6 +1411,8 @@ object RealCodecs {
       require(payloads.nonEmpty && w > 0 && h > 0 && usPerFrame > 0 &&
         qp >= 0 && qp <= 7, "AviCodec: compressed mux needs frames, " +
         "positive dims/rate and qp in 0..7")
+      require(w <= 0xffff && h <= 0xffff,
+        "dims must fit the strh rcFrame u16 fields")
       val avih = 56; val strh = 56; val strf = 44
       val strlLen = 4 + (8 + strh) + (8 + strf)
       val hdrlLen = 4 + (8 + avih) + (8 + strlLen)
@@ -1586,6 +1591,8 @@ object RealCodecs {
       require(samplesPerBlock >= 2 &&
         audioBlock.length == 4 + samplesPerBlock / 2,
         "audioBlock must be one AdpcmCodec block for samplesPerBlock")
+      require(samplesPerBlock <= 0xffff && w <= 0xffff && h <= 0xffff,
+        "samplesPerBlock and dims must fit their u16 header fields")
       val avih = 56; val strh = 56; val strfV = 44; val strfA = 20
       val strlVLen = 4 + (8 + strh) + (8 + strfV)
       val strlALen = 4 + (8 + strh) + (8 + strfA)
