@@ -1,0 +1,93 @@
+package graft.operators
+
+/** Compressed posting lists (SURVEY.md §2.11a X109, q258): the
+  * standard inverted-index STORAGE layer — gap (delta) encoding of
+  * sorted doc ids + LEB128 varints (7 payload bits per byte, MSB
+  * continuation; Protocol Buffers' wire format, Lucene's vInt) — the
+  * way every production IR system actually stores the q91 index.
+  *
+  * Stream layout per postings block (doc ids strictly ascending):
+  * varint(first doc id), then per posting varint(gap to previous doc,
+  * first posting's gap omitted), varint(tf), varint(first_pos). All
+  * values are nonnegative integers; everything is integer arithmetic,
+  * so the byte stream is deterministic and the DuckDB twin replays it
+  * byte for byte from the rebuilt index (q258 hashes the stream).
+  *
+  * Scale: encoding is a per-block map over already-blocked rows (q91
+  * shards postings into ≤ bucketWidth-entry blocks, so block size is
+  * bounded at any corpus size); decode is the dataloader's read path.
+  * Within a q91 bucket, gaps are < bucketWidth and code in ONE byte —
+  * gap encoding is what makes that true; the absolute first id and
+  * the positions exercise the multi-byte tiers. */
+object PostingCodec {
+
+  /** LEB128-append `v` (nonnegative) to `out`. */
+  private def putVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    require(v0 >= 0, s"varint values must be nonnegative: $v0")
+    var v = v0
+    while (v >= 0x80) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Encode one block of (doc_id, tf, first_pos) postings, doc ids
+    * strictly ascending. */
+  def encode(postings: Seq[(Long, Long, Long)]): Array[Byte] = {
+    require(postings.nonEmpty, "empty postings block")
+    require(postings.sliding(2).forall {
+      case Seq(a, b) => a._1 < b._1
+      case _ => true
+    }, "doc ids must be strictly ascending")
+    val out = new java.io.ByteArrayOutputStream()
+    putVarint(out, postings.head._1)
+    var prev = postings.head._1
+    postings.zipWithIndex.foreach { case ((doc, tf, pos), i) =>
+      if (i > 0) putVarint(out, doc - prev)
+      prev = doc
+      putVarint(out, tf)
+      putVarint(out, pos)
+    }
+    out.toByteArray
+  }
+
+  /** Decode a block of `n` postings; None on any violation (varint
+    * runs past the buffer, oversized continuation, trailing bytes —
+    * strict like every parser in this library). */
+  def decode(bytes: Array[Byte], n: Int): Option[Seq[(Long, Long, Long)]] = {
+    if (n <= 0) return None
+    var pos = 0
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      while (pos < bytes.length) {
+        val b = bytes(pos) & 0xff
+        pos += 1
+        v |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+        if (shift > 63) return -1L
+      }
+      -1L
+    }
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    var doc = varint()
+    if (doc < 0) return None
+    var i = 0
+    while (i < n) {
+      if (i > 0) {
+        val gap = varint()
+        if (gap < 0) return None
+        doc += gap
+      }
+      val tf = varint()
+      val p = varint()
+      if (tf < 0 || p < 0) return None
+      out += ((doc, tf, p))
+      i += 1
+    }
+    if (pos != bytes.length) return None // trailing bytes
+    Some(out.result())
+  }
+}

@@ -1758,7 +1758,96 @@ object Text {
       "bi-contiguous runs; oracle intersects two independent from-scratch " +
       "packings and never sees the middle generation")
 
+  /** q258 — COMPRESSED postings (X109): the q91 inverted index's
+    * STORAGE layer, the way production IR systems actually keep it —
+    * gap (delta) encoding of the sorted doc ids + LEB128 varints
+    * ([[graft.operators.PostingCodec]]; Lucene's vInt, protobuf's
+    * wire format). The stream is pure integer arithmetic, so the
+    * DuckDB twin replays it BYTE FOR BYTE from the rebuilt index:
+    * per block, values = first doc id, then per posting (gap, tf,
+    * first_pos), each expanded to its LEB128 bytes by a 4-tier CASE
+    * and hashed; the Spark side additionally decodes its own stream
+    * back (`decode_ok` — roundtrip strict, trailing bytes rejected).
+    * Gap encoding is what makes q91's bucketing pay: within a
+    * ≤100-doc block every gap codes in ONE byte; the absolute first
+    * id and the positions exercise the multi-byte tiers.
+    *
+    * Scale: a per-block map over already-blocked rows (block size
+    * bounded by the q91 bucket width at any corpus size); no new
+    * shuffle beyond the index build itself. */
+  val q258 = Q(
+    "q258_compressed_postings",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(
+          struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+        .as[(String, Long, Seq[(Long, Long, Long)])]
+        .map { case (term, bucket, ps) =>
+          // the oracle's LEB128 expansion covers 4 tiers (< 2^28);
+          // assert the bound where a violation would start, not at an
+          // unexplained hash mismatch
+          require(ps.head._1 < (1L << 28) && ps.forall(_._3 < (1L << 28)),
+            s"q258: value exceeds the oracle's 4-tier varint bound")
+          val bytes = graft.operators.PostingCodec.encode(ps)
+          val ok = graft.operators.PostingCodec.decode(bytes, ps.size)
+            .contains(ps)
+          val h = bytes.foldLeft(0L)((a, b) =>
+            (a * 31 + (b & 0xff)) % 1000000007L)
+          (term, bucket, ps.size.toLong, bytes.length.toLong, h,
+            if (ok) 1L else 0L)
+        }
+        .toDF("term", "bucket", "df", "n_bytes", "stream_hash",
+          "decode_ok")
+        .orderBy($"term", $"bucket")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      d AS (SELECT term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+            FROM t GROUP BY term, doc_id),
+      g AS (SELECT term, CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+              list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS ds,
+              list(CAST(tf AS BIGINT) ORDER BY doc_id) AS tfs,
+              list(CAST(first_pos AS BIGINT) ORDER BY doc_id) AS fps
+            FROM d GROUP BY term, bucket),
+      v AS (SELECT term, bucket, len(ds) AS df,
+              list_concat([ds[1]],
+                flatten(list_transform(range(1, len(ds) + 1), i ->
+                  CASE WHEN i = 1 THEN [tfs[1], fps[1]]
+                       ELSE [ds[i] - ds[i - 1], tfs[i], fps[i]] END)))
+                AS vals
+            FROM g),
+      b AS (SELECT term, bucket, df,
+              flatten(list_transform(vals, x -> CASE
+                WHEN x < 128 THEN [x]
+                WHEN x < 16384 THEN [x % 128 + 128, x // 128]
+                WHEN x < 2097152 THEN
+                  [x % 128 + 128, (x // 128) % 128 + 128, x // 16384]
+                ELSE [x % 128 + 128, (x // 128) % 128 + 128,
+                      (x // 16384) % 128 + 128, x // 2097152] END))
+                AS bytes
+            FROM v)
+      SELECT term, bucket, CAST(df AS BIGINT) AS df,
+             CAST(len(bytes) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(bytes, (h, x) -> (h * 31 + x) % 1000000007)
+               AS BIGINT) AS stream_hash,
+             CAST(1 AS BIGINT) AS decode_ok
+      FROM b ORDER BY term, bucket"""),
+    doc = "X109: compressed postings — the inverted index's storage layer " +
+      "(gap encoding + LEB128 varints, Lucene's vInt); the oracle replays " +
+      "the byte stream from the rebuilt index via a 4-tier varint " +
+      "expansion and hashes it byte for byte; decode_ok pins the strict " +
+      "roundtrip")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
-    q233, q239, q245, q246, q247, q251, q254)
+    q233, q239, q245, q246, q247, q251, q254, q258)
 }
