@@ -83,8 +83,13 @@ object BigramLm {
       .withColumn("__one", lit(1))
       .join(lm.nn.withColumn("__one", lit(1)), "__one")
       .select(col(idCol),
-        when(col("cb").isNotNull, expr("(cb * 1000000) div ch"))
-          .otherwise(coalesce(expr("(cu * 400000) div n"), lit(0L)))
+        // counts are corpus-scale (cb/ch/cu/n ~10¹³ at 100 TB), so the
+        // ×10⁶ ppm step runs in DECIMAL(38,0) — exact, floored back to
+        // BIGINT by div (GenerationRollover.deadFractionPpm's contract)
+        when(col("cb").isNotNull,
+            expr("(cast(cb as decimal(38,0)) * 1000000) div ch"))
+          .otherwise(coalesce(
+            expr("(cast(cu as decimal(38,0)) * 400000) div n"), lit(0L)))
           .as("score"),
         col("cb").isNull.as("backoff"),
         (col("cb").isNull && col("cu").isNull).as("oov"))
@@ -94,6 +99,8 @@ object BigramLm {
         sum(when(col("oov"), 1L).otherwise(0L)).as("no"))
       .select(col(idCol), col("n_big"),
         expr("ss div n_big").as("coherence_ppm"),
-        expr("(nb * 1000000) div n_big").as("backoff_ppm"),
-        expr("(no * 1000000) div n_big").as("oov_ppm"))
+        expr("(cast(nb as decimal(38,0)) * 1000000) div n_big")
+          .as("backoff_ppm"),
+        expr("(cast(no as decimal(38,0)) * 1000000) div n_big")
+          .as("oov_ppm"))
 }

@@ -58,11 +58,20 @@ object GenerationRollover {
   /** Dead-token fraction (ppm) of a [[graft.queries.Text.packingTakedown]]
     * ledger — the reaper's scheduling input. One aggregate over the
     * bins frame (bins-not-docs sized); the 1-row collect is the
-    * sanctioned reduced-aggregate class. */
+    * sanctioned reduced-aggregate class.
+    *
+    * Arithmetic scale contract: the sums are taken in DECIMAL(38,0),
+    * not BIGINT, because a ~100 TB corpus is ~10¹³–10¹⁴ tokens and
+    * the ×10⁶ ppm step would push a BIGINT sum past 2⁶³ (ANSI mode
+    * throws, non-ANSI silently corrupts the trigger). DECIMAL(38,0)
+    * keeps every intermediate exact up to 10³⁸; the quotient is
+    * floored back to BIGINT by `div`, so results at every tested SF
+    * are bit-identical to the old BIGINT path. */
   def deadFractionPpm(ledger: DataFrame): Long =
     ledger.agg(coalesce(
-        expr("sum(freed_tokens) * 1000000 div " +
-          "(sum(live_tokens) + sum(freed_tokens))"), lit(0L))
+        expr("sum(cast(freed_tokens as decimal(38,0))) * 1000000 div " +
+          "(sum(cast(live_tokens as decimal(38,0))) + " +
+          "sum(cast(freed_tokens as decimal(38,0))))"), lit(0L))
         .as("ppm"))
       .head().getLong(0)
 

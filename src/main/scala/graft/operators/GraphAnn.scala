@@ -110,10 +110,14 @@ object GraphAnn {
     * ledger scaladoc promises; packing/index twins:
     * `GenerationRollover.deadFractionPpm` / `IvfPqIndex
     * .deadFractionPpm`). One aggregate over the per-node ledger; the
-    * 1-row collect is the sanctioned reduced-aggregate class. */
+    * 1-row collect is the sanctioned reduced-aggregate class. Sums in
+    * DECIMAL(38,0) so the ×10⁶ ppm step cannot overflow BIGINT at
+    * 100 TB edge counts (quotient floored back to BIGINT — see
+    * GenerationRollover.deadFractionPpm for the scale argument). */
   def lostFractionPpm(ledger: DataFrame): Long =
     ledger.agg(coalesce(
-        expr("sum(n_lost) * 1000000 div sum(n_before)"), lit(0L))
+        expr("sum(cast(n_lost as decimal(38,0))) * 1000000 div " +
+          "sum(cast(n_before as decimal(38,0)))"), lit(0L))
         .as("ppm"))
       .head().getLong(0)
 

@@ -105,11 +105,15 @@ object IvfPqIndex {
     * trigger the takedown ledger documents; the packing twin is
     * [[GenerationRollover.deadFractionPpm]]). One aggregate over the
     * k-row cell frame; the 1-row collect is the sanctioned
-    * reduced-aggregate class. */
+    * reduced-aggregate class. Sums in DECIMAL(38,0) so the ×10⁶ ppm
+    * step cannot overflow BIGINT at 100 TB row counts (quotient is
+    * floored back to BIGINT — see GenerationRollover.deadFractionPpm
+    * for the scale argument). */
   def deadFractionPpm(cellStats: DataFrame): Long =
     cellStats.agg(coalesce(
-        expr("sum(n_deleted) * 1000000 div " +
-          "(sum(n_live) + sum(n_deleted))"), lit(0L)).as("ppm"))
+        expr("sum(cast(n_deleted as decimal(38,0))) * 1000000 div " +
+          "(sum(cast(n_live as decimal(38,0))) + " +
+          "sum(cast(n_deleted as decimal(38,0))))"), lit(0L)).as("ppm"))
       .head().getLong(0)
 
   /** [[appendToIndex]] for the RESIDUAL index (IVFADC, q200's

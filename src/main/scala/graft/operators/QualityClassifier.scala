@@ -28,19 +28,15 @@ import org.apache.spark.sql.functions._
   * end-to-end. All DIV operands are positive (Spark `div` truncates
   * toward zero, DuckDB `//` floors; they agree on non-negatives).
   *
-  * Overflow bound (ADVICE r8 — restated in per-token terms): the
-  * numerator 10⁶·(np+1)·(Nn+V) stays inside one BIGINT only while
-  * np_max·(Nn+V) < 2⁶³/10⁶ ≈ 9.2·10¹², where np_max is the LARGEST
-  * single-token count in the positive class — NOT the class size. A
-  * Zipfian corpus puts the top token at ~5% of the class, so the
-  * worst-case safe regime is roughly 10⁶-token classes (np_max ~5·10⁴
-  * against Nn+V ~10⁶ leaves ~180× headroom; np_max ~10⁶ in a
-  * 10⁷-token class is already within 1 OOM of the edge, and a common
-  * token in a 10⁸-token class overflows — ANSI mode throws, non-ANSI
-  * wraps silently). Before that point, factor the ratio as
-  * (10⁶·(np+1)) DIV (nn+1) then rescale by the constant
-  * (Nn+V)/(Np+V) in a second ppm step (two truncations instead of
-  * one — same determinism, documented shift in rounding points).
+  * Overflow bound (ADVICE r8; closed r15): the raw BIGINT numerator
+  * 10⁶·(np+1)·(Nn+V) would leave one BIGINT once np_max·(Nn+V) ≥
+  * 2⁶³/10⁶ ≈ 9.2·10¹² — a common token in a 10⁸-token class already
+  * crosses it (ANSI mode throws, non-ANSI wraps silently), and the
+  * 100 TB design point (~10¹⁴-token classes) is far past it. The
+  * ratio therefore runs in DECIMAL(38,0): worst case
+  * 10⁶·10¹⁴·(10¹⁴+V) ≈ 10³⁴ < 10³⁸, every intermediate exact, and
+  * the quotient is floored back to BIGINT by `div` — bit-identical
+  * to the old BIGINT path wherever that path didn't overflow.
   *
   * Scale shape: training is one corpus pass → (token, np, nn) with
   * map-side partial counts (viral tokens absorb into combiners), one
@@ -65,11 +61,21 @@ object QualityClassifier {
         sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
     val tot = cnt.agg(sum(col("np")).as("tnp"), sum(col("nn")).as("tnn"),
       count(lit(1)).as("v"))
+    weightsFrom(cnt, tot)
+  }
+
+  /** Weight arithmetic over precomputed per-token counts `cnt(t, np,
+    * nn)` and the 1-row totals `tot(tnp, tnn, v)` — split out of
+    * [[trainWeights]] so the DECIMAL(38,0) overflow contract is
+    * directly testable with synthetic corpus-scale counts (the spec
+    * feeds ~2⁵⁰-per-token / ~2⁶²-total fixtures no test corpus could
+    * produce by counting). */
+  def weightsFrom(cnt: DataFrame, tot: DataFrame): DataFrame =
     cnt.crossJoin(broadcast(tot))
       .select(col("t"),
-        (expr("(1000000 * (np + 1) * (tnn + v)) div ((nn + 1) * (tnp + v))")
+        (expr("(1000000 * (cast(np as decimal(38,0)) + 1) * (tnn + v)) " +
+          "div ((cast(nn as decimal(38,0)) + 1) * (tnp + v))")
           - 1000000L).as("wc"))
-  }
 
   /** Per-document additive score: (idCol, score). Tokens outside the
     * weight table contribute nothing (inner join) — in-corpus scoring

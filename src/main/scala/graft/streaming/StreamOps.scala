@@ -124,11 +124,14 @@ object StreamOps {
   def finishDrift(counts: DataFrame, keyCol: String,
                   baseline: DataFrame): DataFrame = {
     val totals = counts.groupBy(col("win_start"))
-      .agg(sum(col("n")).as("win_total"))
+      .agg(sum(col("n").cast("decimal(38,0)")).as("win_total"))
     counts.join(broadcast(totals), "win_start")
       .join(broadcast(baseline), keyCol)
       .select(col("win_start"), col(keyCol), col("n"),
-        expr("(n * 1000000) DIV win_total").as("obs_ppm"), col("base_ppm"))
+        // per-window counts are unbounded at 100 TB event rates, so the
+        // ×10⁶ ppm step runs in DECIMAL(38,0) (floored back to BIGINT)
+        expr("(cast(n as decimal(38,0)) * 1000000) DIV win_total")
+          .as("obs_ppm"), col("base_ppm"))
       .withColumn("drift_ppm", abs(col("obs_ppm") - col("base_ppm")))
   }
 }
