@@ -53,8 +53,15 @@ object PostingCodec {
   }
 
   /** Decode a block of `n` postings; None on any violation (varint
-    * runs past the buffer, oversized continuation, trailing bytes —
-    * strict like every parser in this library). */
+    * runs past the buffer, oversized or overlong encoding, trailing
+    * bytes — strict like every parser in this library). Canonical
+    * form is enforced (ADVICE r14): values are nonnegative Longs, so
+    * a valid varint is at most 9 bytes (a 9th byte at shift 56 must
+    * terminate — a continuation there would set bit ≥ 63), and the
+    * final byte of a multi-byte encoding must be nonzero (rejects
+    * non-minimal encodings like `0x80 0x00` for 0) — every
+    * out-of-range or non-canonical stream returns None instead of
+    * silently decoding to a wrong nonnegative value. */
   def decode(bytes: Array[Byte], n: Int): Option[Seq[(Long, Long, Long)]] = {
     if (n <= 0) return None
     var pos = 0
@@ -64,10 +71,13 @@ object PostingCodec {
       while (pos < bytes.length) {
         val b = bytes(pos) & 0xff
         pos += 1
+        if ((b & 0x80) == 0) {
+          if (b == 0 && shift > 0) return -1L // non-minimal encoding
+          return v | (b & 0x7fL) << shift
+        }
+        if (shift == 56) return -1L // 10th byte => bit >= 63: overflow
         v |= (b & 0x7fL) << shift
-        if ((b & 0x80) == 0) return v
         shift += 7
-        if (shift > 63) return -1L
       }
       -1L
     }

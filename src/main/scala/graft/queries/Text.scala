@@ -1792,7 +1792,8 @@ object Text {
           // the oracle's LEB128 expansion covers 4 tiers (< 2^28);
           // assert the bound where a violation would start, not at an
           // unexplained hash mismatch
-          require(ps.head._1 < (1L << 28) && ps.forall(_._3 < (1L << 28)),
+          require(ps.head._1 < (1L << 28) &&
+            ps.forall(p => p._2 < (1L << 28) && p._3 < (1L << 28)),
             s"q258: value exceeds the oracle's 4-tier varint bound")
           val bytes = graft.operators.PostingCodec.encode(ps)
           val ok = graft.operators.PostingCodec.decode(bytes, ps.size)
@@ -1847,7 +1848,80 @@ object Text {
       "expansion and hashes it byte for byte; decode_ok pins the strict " +
       "roundtrip")
 
+  /** q259 — search SERVED through the compressed postings (X109b):
+    * the read path q258 left unexercised (r14 verdict "What's missing
+    * #2"). The index is stored ONLY as q258's LEB128 byte streams
+    * (term, bucket, df, bytes); a multi-term probe filters to the
+    * query terms' blocks, DECODES each varint stream back to (doc_id,
+    * tf, first_pos) rows — the thing a dataloader actually runs — and
+    * ranks documents from the decoded rows alone (matched-term count,
+    * then total tf, then doc id). The oracle computes the same search
+    * straight from `documents`, so a hash match proves the probe's
+    * decode reproduced the stored postings exactly; any corruption or
+    * non-canonical stream throws at the probe (strict decode), never
+    * surfaces as a silent ranking change.
+    *
+    * Scale: the probe touches ONLY the query terms' blocks (at scale
+    * the store is partitioned by term — the filter is the block
+    * fetch), decode is per-block bounded by the q91 bucket width, and
+    * the final aggregate is keyed by doc_id over Σ df(probed terms)
+    * rows — never corpus-sized. The encode pass is the index build
+    * itself (q258's cost, paid once, amortized over every probe). */
+  val q259 = Q(
+    "q259_postings_serve",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "window", "merge", "stream")
+      // STORE: blocks survive only as LEB128 byte streams
+      val store = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(
+          struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+        .as[(String, Long, Seq[(Long, Long, Long)])]
+        .map { case (term, bucket, ps) =>
+          (term, bucket, ps.size, graft.operators.PostingCodec.encode(ps))
+        }
+        .toDF("term", "bucket", "df", "bytes")
+      // PROBE: filter to the query terms' blocks, then decode-on-read
+      val decoded = store
+        .filter($"term".isin(qTerms: _*))
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (term, _, df, bytes) =>
+          val ps = graft.operators.PostingCodec.decode(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q259: corrupt postings block for term '$term'"))
+          ps.map { case (doc, tf, fp) => (term, doc, tf, fp) }
+        }
+        .toDF("term", "doc_id", "tf", "first_pos")
+      decoded.groupBy($"doc_id")
+        .agg(count_distinct($"term").as("n_terms"),
+          sum($"tf").as("tf_sum"), min($"first_pos").as("first_hit"))
+        .orderBy($"n_terms".desc, $"tf_sum".desc, $"doc_id")
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      h AS (SELECT term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+            FROM t WHERE term IN ('spark', 'window', 'merge', 'stream')
+            GROUP BY term, doc_id)
+      SELECT doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+             CAST(SUM(tf) AS BIGINT) AS tf_sum,
+             CAST(MIN(first_pos) AS BIGINT) AS first_hit
+      FROM h GROUP BY doc_id
+      ORDER BY n_terms DESC, tf_sum DESC, doc_id LIMIT 50"""),
+    doc = "X109b: search served THROUGH q258's compressed postings — the " +
+      "store is LEB128 byte streams only, the probe decodes varint blocks " +
+      "on the read path and ranks from decoded rows; hash match vs the " +
+      "from-documents oracle proves decode-on-probe is lossless")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
-    q233, q239, q245, q246, q247, q251, q254, q258)
+    q233, q239, q245, q246, q247, q251, q254, q258, q259)
 }

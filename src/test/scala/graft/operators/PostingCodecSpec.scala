@@ -39,4 +39,28 @@ class PostingCodecSpec extends AnyFunSuite {
       PostingCodec.encode(Seq((-1L, 1L, 1L)))
     }
   }
+
+  test("canonical form (ADVICE r14): non-minimal encodings and 10-byte " +
+    "varints are rejected, never silently decoded to a wrong value") {
+    // 0x80 0x00 is a 2-byte encoding of 0 — non-minimal, must reject
+    // (stream shape: doc=0x80 0x00, tf=1, pos=1 would decode as
+    // (0,1,1) under a lax parser)
+    assert(PostingCodec.decode(
+      Array(0x80, 0x00, 0x01, 0x01).map(_.toByte), 1).isEmpty,
+      "non-minimal varint (0x80 0x00) accepted")
+    // the canonical encoding of the same postings decodes fine
+    assert(PostingCodec.decode(Array(0x00, 0x01, 0x01).map(_.toByte), 1)
+      .contains(Seq((0L, 1L, 1L))))
+    // a 10th byte means bit >= 63 — out of the nonnegative-Long domain
+    // (9 continuation bytes then a terminator: shift reaches 63)
+    val tenByte = Array.fill(9)(0x80.toByte) :+ 0x01.toByte
+    assert(PostingCodec.decode(tenByte ++ Array[Byte](0x01, 0x01), 1)
+      .isEmpty, "10-byte varint (bit 63) accepted")
+    // 9 bytes is the canonical maximum: 2^62 codes as 8 continuation
+    // bytes + terminator 0x40 and roundtrips
+    val big = Seq(((1L << 62), 1L, 1L))
+    val enc = PostingCodec.encode(big)
+    assert(enc.length === 9 + 2)
+    assert(PostingCodec.decode(enc, 1).contains(big))
+  }
 }

@@ -81,6 +81,59 @@ class TextOpsSpec extends SparkSpecBase {
     assert(fp0 !== fp1)
   }
 
+  test("q259 serve path: decoding the stored LEB128 blocks reproduces " +
+    "the pre-encode postings exactly; a corrupt block throws at the " +
+    "probe instead of changing the ranking silently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.PostingCodec
+    // 250 docs, 'hot' planted in all (multi-block term), 'rare' in two
+    val docs = (0L until 250L).map(i =>
+      (i, s"hot filler$i ${if (i == 3 || i == 177) "rare hot" else "x"}"))
+      .toDF("doc_id", "text")
+    val rollup = docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
+    val store = rollup
+      .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+      .as[(String, Long, Seq[(Long, Long, Long)])]
+      .map { case (t, b, ps) => (t, b, ps.size, PostingCodec.encode(ps)) }
+      .toDF("term", "bucket", "df", "bytes")
+    def serve(st: org.apache.spark.sql.DataFrame) = st
+      .filter($"term".isin("hot", "rare"))
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, _, df, bytes) =>
+        PostingCodec.decode(bytes, df).getOrElse(
+          throw new IllegalStateException(s"corrupt block for '$t'"))
+          .map { case (d, tf, fp) => (t, d, tf, fp) }
+      }.toDF("term", "doc_id", "tf", "first_pos")
+    val decoded = serve(store).orderBy($"term", $"doc_id").collect()
+    val direct = rollup.filter($"term".isin("hot", "rare"))
+      .orderBy($"term", $"doc_id").collect()
+    assert(decoded.length === direct.length) // 250 hot + 2 rare
+    assert(decoded.length === 252)
+    decoded.zip(direct).foreach { case (a, b) =>
+      assert((a.getString(0), a.getLong(1), a.getLong(2), a.getLong(3))
+        === (b.getString(0), b.getAs[Number](1).longValue,
+          b.getAs[Number](2).longValue, b.getAs[Number](3).longValue))
+    }
+    // flip one byte in a probed block: the serve must THROW, not rank
+    val corrupt = store.as[(String, Long, Int, Array[Byte])]
+      .map { case (t, b, df, bytes) =>
+        if (t == "rare") { bytes(bytes.length - 1) =
+          (bytes(bytes.length - 1) ^ 0x80).toByte }
+        (t, b, df, bytes)
+      }.toDF("term", "bucket", "df", "bytes")
+    val e = intercept[Exception] { serve(corrupt).collect() }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8).map(_.toString).mkString(" | ")
+    assert(chain.contains("corrupt block"), chain)
+  }
+
   test("blocklist gate: leet-folded obfuscations hit, word boundaries " +
     "protect substrings (no scunthorpe over-block)") {
     import spark.implicits._
