@@ -137,7 +137,13 @@ object IntraVideoCodec {
       var zeros = 0
       while (!failed && readBit() == 0) {
         zeros += 1
-        if (zeros > 24) { failed = true; return 0 } // cap: max level ~2^13
+        // Cap = the encoder's provable maximum (ADVICE r14): residuals
+        // are ≤ 255 in magnitude, the 4×4 Hadamard's gain is ×16, so
+        // |level| ≤ 4080 at step 1 ⇒ ue ≤ 8160 ⇒ at most 12 prefix
+        // zeros. 13 rejects every payload a conformant encoder cannot
+        // emit BEFORE levels.map(_ * step) could overflow Int — hostile
+        // streams fail to None, never decode to a garbage plane.
+        if (zeros > 13) { failed = true; return 0 }
       }
       if (failed) return 0
       var v = 1

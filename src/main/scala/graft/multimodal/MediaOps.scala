@@ -99,21 +99,116 @@ object MediaOps {
       .as[MediaRow]
   }
 
+  /** The GRF1-in-AVI and ADPCM-WAV mime tags [[attachRealMedia]] mints
+    * and [[mediaFeatures]] dispatches on. */
+  val GrfMime = "video/x-grf1-avi"
+  val AdpcmMime = "audio/x-adpcm-wav"
+  /** The one declared codec non-goal: H.264 BITSTREAM compatibility —
+    * rows with this mime route to [[FakeCodec]], everything else
+    * decodes for real. */
+  val H264Mime = "video/h264"
+
+  /** Attach REAL compressed payloads (r15 — the r14 verdict's "retire
+    * FakeCodec from the hot path"): every MediaRow carries a genuine
+    * compressed FILE synthesized from md5(text) seed arithmetic —
+    * doc_id % 3 == 0: a GRF1-in-AVI (q255's device — two 8×8 frames,
+    * the 2nd a one-pixel flip, transform-coded at qp=4, muxed as a
+    * real compressed RIFF-AVI stream); % 3 == 1: an IMA-ADPCM WAV
+    * (q256's device — the 346-sample dithered staircase, tag 0x0011
+    * with fact chunk + block header); % 3 == 2: the 64-byte md5 blob
+    * under the [[H264Mime]] tag — the ONE declared stub mime. One
+    * MessageDigest + encoder pass per PARTITION; payload bytes are
+    * born in the partition that owns the row and never join. */
+  def attachRealMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)](Encoders.product[(Long, String)])
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val seed = md.digest(text.getBytes("UTF-8"))
+          (id % 3) match {
+            case 0 =>
+              val f0 = Array.tabulate(64)(i => seed(i % 16) & 0xff)
+              val f1 = f0.clone()
+              val k = (id % 64).toInt
+              f1(k) = 255 - f1(k)
+              val payloads = IntraVideoCodec
+                .framePayloads(Seq(f0, f1), 8, 8, qp = 4).toVector
+              val avi = RealCodecs.AviCodec
+                .synthesizeCompressed(payloads, 8, 8, 4, 100000)
+              MediaRow(id, avi, GrfMime, 8, 8, 2)
+            case 1 =>
+              val x = Array.tabulate(346)(i =>
+                ((seed((i / 16) % 16) & 0xff) - 128) * 200 +
+                  ((seed(i % 16) & 0xff) - 128))
+              val wav = RealCodecs.AdpcmCodec.synthesizeSamples(x)
+              MediaRow(id, wav, AdpcmMime, 8000, 1, 1)
+            case _ =>
+              val bytes = Array.tabulate(64)(i => seed(i % 16))
+              MediaRow(id, bytes, H264Mime,
+                bytes(0) & 0xff, bytes(1) & 0xff, 8)
+          }
+        }
+      }
+  }
+
   /** Decode + feature-extract, one codec per partition; binary column is
-    * dropped INSIDE the map so no shuffle ever carries payload bytes. */
+    * dropped INSIDE the map so no shuffle ever carries payload bytes.
+    *
+    * Since r15 the decode is REAL for the compressed mimes: GRF1-AVI
+    * rows strictly demux ([[RealCodecs.AviCodec.parseCompressed]]) and
+    * chain-decode ([[IntraVideoCodec.decodePayload]]); ADPCM-WAV rows
+    * parse + closed-loop decode ([[RealCodecs.AdpcmCodec.parse]]).
+    * Features come from the DECODED planes/samples, so any demux,
+    * bit-unpacking, or adaptation bug changes the output (q61's hash
+    * oracle gates it). Only [[H264Mime]] rows still route to
+    * [[FakeCodec]] — the declared bitstream non-goal. A corrupt
+    * payload THROWS (strict parsers return None), never yields silent
+    * garbage features. */
   def mediaFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
+    def polyHash(xs: Array[Int]): Long =
+      xs.foldLeft(0L)((h, p) => (h * 31 + p) % 1000000007L)
     media.mapPartitions { rows =>
-      // real codec: init native handle here, once per partition
+      // real codec handles init here, once per partition
       rows.map { r =>
-        val px = FakeCodec.decode(r.bytes)
-        MediaFeatures(
-          doc_id = r.doc_id,
-          mime = r.mime,
-          n_bytes = r.bytes.length,
-          byte_mean = if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length,
-          byte_max = if (px.isEmpty) 0 else px.max,
-          frame_fingerprints = FakeCodec.frameSample(px, r.n_frames, stride = 2))
+        r.mime match {
+          case GrfMime =>
+            val dm = RealCodecs.AviCodec.parseCompressed(r.bytes)
+              .getOrElse(sys.error(
+                s"mediaFeatures: undemuxable GRF1 avi, doc ${r.doc_id}"))
+            var prev: Option[Array[Int]] = None
+            val planes = dm.payloads.map { p =>
+              val rec = IntraVideoCodec
+                .decodePayload(p, prev, dm.width, dm.height, dm.qp)
+                .getOrElse(sys.error(
+                  s"mediaFeatures: undecodable GRF1 chunk, doc ${r.doc_id}"))
+              prev = Some(rec)
+              rec
+            }
+            val px = planes.flatten
+            MediaFeatures(r.doc_id, r.mime, r.bytes.length,
+              px.map(_.toLong).sum.toDouble / px.length, px.max,
+              planes.map(polyHash))
+          case AdpcmMime =>
+            val ad = RealCodecs.AdpcmCodec.parse(r.bytes)
+              .getOrElse(sys.error(
+                s"mediaFeatures: undecodable ADPCM wav, doc ${r.doc_id}"))
+            val s = ad.samples
+            MediaFeatures(r.doc_id, r.mime, r.bytes.length,
+              s.map(_.toLong).sum.toDouble / s.length, s.max,
+              Seq(polyHash(s)))
+          case _ => // H264Mime and attachFakeMedia's demo mimes: the stub
+            val px = FakeCodec.decode(r.bytes)
+            MediaFeatures(
+              doc_id = r.doc_id,
+              mime = r.mime,
+              n_bytes = r.bytes.length,
+              byte_mean = if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length,
+              byte_max = if (px.isEmpty) 0 else px.max,
+              frame_fingerprints = FakeCodec.frameSample(px, r.n_frames, stride = 2))
+        }
       }
     }
   }

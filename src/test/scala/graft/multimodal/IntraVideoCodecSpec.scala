@@ -155,6 +155,27 @@ class IntraVideoCodecSpec extends AnyFunSuite {
       "non-multiple-of-4 width accepted")
   }
 
+  test("Exp-Golomb prefix cap (ADVICE r14): a payload with a 14+-zero " +
+    "prefix rejects (no conformant encoder emits it — hostile levels " +
+    "can't reach the multiply), while the encoder's true worst case " +
+    "(DC level 4080 at qp=0) still decodes") {
+    // 16 leading zero bits then a 1: readUe must fail at zeros > 13
+    val hostile = Array[Byte](0x00, 0x00, 0x01, 0x00, 0x00, 0x00)
+    assert(decodePayload(hostile, None, 4, 4, 0).isEmpty,
+      "oversized Exp-Golomb prefix accepted")
+    // worst legal level: all-255 P frame against an all-black recon
+    // => residual 255 per pixel, DC = 16*255 = 4080 at step 1 (12
+    // prefix zeros) — the cap must not clip a conformant stream
+    val black = Array.fill(16)(0)
+    val white = Array.fill(16)(255)
+    val ps = framePayloads(Seq(black, white), 4, 4, qp = 0)
+    val r0 = decodePayload(ps.head, None, 4, 4, 0)
+      .getOrElse(fail("intra frame did not decode"))
+    val r1 = decodePayload(ps(1), Some(r0), 4, 4, 0)
+      .getOrElse(fail("max-DC P frame did not decode"))
+    assert(r1.forall(_ == 255), "worst-case DC did not reconstruct")
+  }
+
   test("determinism: two independent encodes of the same frames are " +
     "byte-identical (no hidden state) and parse is repeatable") {
     val w = 8; val h = 12
