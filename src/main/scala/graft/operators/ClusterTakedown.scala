@@ -72,14 +72,19 @@ object ClusterTakedown {
     val survivors = memF.filter(col("__del") === 0L)
       .join(oldComp, Seq("rep")) // (id, rep, component)
     // untouched components: same member set, label = min surviving id.
-    // groupBy + broadcast-join back (the same device as the
-    // re-election at `regroup` above), NOT a member-level window: a
-    // viral component is exactly ONE window partition, so
+    // groupBy + join back (the same device as the re-election at
+    // `regroup` above), NOT a member-level window: a viral component
+    // is exactly ONE window partition, so
     // min().over(partitionBy(component)) would sort a million member
     // rows in a single task. The aggregate is map-side combinable
-    // (skew-immune) and the label table it joins back is
-    // component-count-sized — broadcast keeps the member frame's
-    // partitioning untouched (no shuffle on the skewed key at all).
+    // (skew-immune). NO broadcast() hint on the join-back (ADVICE
+    // r14): the label table is one row per untouched component, which
+    // on a mostly-unique corpus is O(corpus) — a forced broadcast
+    // would OOM exactly at the scale this path serves. AQE picks the
+    // strategy at runtime: broadcast when the table is actually small
+    // (the dedup-store case: components ≪ corpus), shuffle join with
+    // skew split otherwise — viral keys are the skew-join class AQE
+    // already handles.
     // no barrier: both consumers re-derive this from already-barriered
     // parents with one cheap anti-join — cheaper than materializing a
     // member-sized frame
@@ -88,7 +93,7 @@ object ClusterTakedown {
     val untouchedLabels = untouchedSurv.groupBy(col("component"))
       .agg(min(col("id")).as("__nc"))
     val untouchedLabeled = untouchedSurv
-      .join(broadcast(untouchedLabels), Seq("component"))
+      .join(untouchedLabels, Seq("component"))
       .select(col("id"), col("__nc").as("component"))
     val touchedReps = regroup.filter(col("new_rep").isNotNull)
       .join(oldComp, Seq("rep")).join(touchedComps, Seq("component"))
