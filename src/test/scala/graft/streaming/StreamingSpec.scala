@@ -1972,7 +1972,8 @@ class StreamingSpec extends SparkSpecBase {
         "generation boundary")
     // forced final roll, then the two chain laws
     st = StreamingReaper.roll(st, L = 128)
-    assert(st.generation >= 2 && st.translations.size === st.generation)
+    assert(st.generation >= 2 && st.translations.size ===
+      math.min(st.generation, StreamingReaper.HopBudget))
     val allDeleted = (w1 ++ w2).toDF("doc_id")
     val (wantMap, directTrans) =
       graft.operators.GenerationRollover.rollover(map0, allDeleted, L = 128)
@@ -1998,5 +1999,66 @@ class StreamingSpec extends SparkSpecBase {
     val nProbes = probes.count()
     assert(chained.nonEmpty && chained.size < nProbes,
       s"degenerate probe set: ${chained.size} of $nProbes survived")
+  }
+
+  test("T29b: in-stream translation-chain collapse — over 4 mid-stream " +
+    "rollovers the chain never exceeds HopBudget frames, and the " +
+    "bounded chain re-keys IDENTICALLY to an unbounded chain and to " +
+    "the single-shot direct translation") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+    val map0 = graft.queries.Text.packingMap(docs, L = 128).localCheckpoint()
+    // four waves, each deleting >25% of the CURRENT live token mass so
+    // every wave fires a roll (doc-count shares 35/46/57/66% of the
+    // then-live corpus — wide margin over the threshold even with
+    // uneven doc lengths)
+    val ids = docs.select($"doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(0.0, 0.35, 0.65, 0.85, 0.95).map(f => (ids.length * f).toInt)
+    val waves = cuts.sliding(2).map { case Seq(a, b) =>
+      ids.slice(a, b).toSeq
+    }.toSeq
+    var bounded = StreamingReaper.freeze(map0)
+    var unbounded = StreamingReaper.freeze(map0)
+    val maxChain = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stream = MemoryStream[Long](s)
+    val qy = stream.toDF().toDF("doc_id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        bounded = StreamingReaper.applyBatch(bounded, b, L = 128)
+        unbounded = StreamingReaper.applyBatch(unbounded, b, L = 128,
+          hopBudget = Int.MaxValue)
+        maxChain += bounded.translations.size
+        ()
+      }
+      .start()
+    waves.foreach { w => stream.addData(w: _*); qy.processAllAvailable() }
+    qy.stop()
+    assert(bounded.generation === 4,
+      s"expected 4 mid-stream rolls, got ${bounded.generation}")
+    assert(unbounded.generation === 4)
+    assert(unbounded.translations.size === 4)
+    assert(maxChain.max <= StreamingReaper.HopBudget,
+      s"chain exceeded the hop budget mid-stream: $maxChain")
+    // the three-way law: bounded ≡ unbounded ≡ single-shot direct
+    val probes = map0.select($"bin_id".as("old_bin_id")).distinct()
+      .withColumn("probe_id", $"old_bin_id")
+      .withColumn("old_off", ($"old_bin_id" * 11) % 128)
+      .select($"probe_id", $"old_bin_id", $"old_off")
+      .localCheckpoint()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaBounded =
+      keyed(StreamingReaper.rekeyChain(probes, bounded.translations))
+    val viaUnbounded =
+      keyed(StreamingReaper.rekeyChain(probes, unbounded.translations))
+    val (_, directTrans) = graft.operators.GenerationRollover
+      .rollover(map0, waves.flatten.toDF("doc_id"), L = 128)
+    val viaDirect =
+      keyed(StreamingReaper.rekeyChain(probes, Seq(directTrans)))
+    assert(viaBounded === viaUnbounded,
+      "budget-collapsed chain re-keys differently from the unbounded chain")
+    assert(viaBounded === viaDirect,
+      "collapsed chain re-keys differently from the single-shot direct map")
+    assert(viaBounded.nonEmpty && viaBounded.size < probes.count())
   }
 }
