@@ -262,6 +262,164 @@ object IntraVideoCodec {
     }
   }
 
+  // --------------------------------------------------------------------
+  // Motion-compensated P frames (r15 — the r14 verdict's "GRF1 has no
+  // motion compensation"): real inter-coding. Per 4×4 block of a P
+  // frame the encoder searches integer offsets (dx, dy) ∈
+  // [-McRange, McRange]² whose source block lies fully inside the
+  // plane, scores each candidate by SAD against the previous frame's
+  // RECONSTRUCTION (closed loop — the decoder has the same reference),
+  // and picks the minimum with the strict total order (SAD, dy, dx) —
+  // first minimum in dy-then-dx iteration wins, so the search is
+  // deterministic and seed-replayable in SQL (candidates sort by
+  // (sad, candidate index)). The block codes se(dx), se(dy), then the
+  // 16 zigzag se levels of the transform-coded residual vs the
+  // MOTION-SHIFTED reference block — everything downstream of the
+  // shift is the existing Hadamard/quant/Exp-Golomb path unchanged.
+  // Intra frames carry no vectors, so frame 0's bitstream is identical
+  // to [[framePayloads]]'. On panning content the shifted reference
+  // matches and residuals collapse to zero levels (1 bit each), which
+  // is the compression win q260's oracle sizes exactly.
+  // --------------------------------------------------------------------
+
+  /** Motion search range: ± samples, both axes. */
+  val McRange = 2
+
+  /** One MC frame: its bit-packed payload and the chosen per-block
+    * vectors in raster order (empty for intra). */
+  final case class McFrame(payload: Array[Byte], mvs: Seq[(Int, Int)])
+
+  /** Motion-compensated twin of [[framePayloads]]. */
+  def framePayloadsMc(frames: Seq[Array[Int]], w: Int, h: Int, qp: Int)
+      : Seq[McFrame] = {
+    var prev: Option[Array[Int]] = None
+    frames.map { f =>
+      val (payload, recon, mvs) = encodeFrameMc(f, prev, w, h, qp)
+      prev = Some(recon)
+      McFrame(payload, mvs)
+    }
+  }
+
+  private def encodeFrameMc(src: Array[Int], prev: Option[Array[Int]],
+                            w: Int, h: Int, qp: Int)
+      : (Array[Byte], Array[Int], Seq[(Int, Int)]) = {
+    val step = 1 << qp
+    val bw = new BitWriter
+    val recon = new Array[Int](w * h)
+    val mvs = Seq.newBuilder[(Int, Int)]
+    var by = 0
+    while (by < h / 4) {
+      var bx = 0
+      while (bx < w / 4) {
+        val (dx, dy) = prev match {
+          case None => (0, 0)
+          case Some(pr) =>
+            var bestSad = Int.MaxValue; var bdx = 0; var bdy = 0
+            var cy = -McRange
+            while (cy <= McRange) {
+              var cx = -McRange
+              while (cx <= McRange) {
+                if (bx * 4 + cx >= 0 && bx * 4 + cx + 4 <= w &&
+                    by * 4 + cy >= 0 && by * 4 + cy + 4 <= h) {
+                  var sad = 0
+                  var i = 0
+                  while (i < 16) {
+                    val p = (by * 4 + i / 4) * w + bx * 4 + i % 4
+                    val q = (by * 4 + i / 4 + cy) * w + bx * 4 + i % 4 + cx
+                    sad += math.abs(src(p) - pr(q))
+                    i += 1
+                  }
+                  if (sad < bestSad) { bestSad = sad; bdx = cx; bdy = cy }
+                }
+                cx += 1
+              }
+              cy += 1
+            }
+            (bdx, bdy)
+        }
+        if (prev.isDefined) { bw.writeSe(dx); bw.writeSe(dy); mvs += ((dx, dy)) }
+        val blk = new Array[Int](16)
+        var i = 0
+        while (i < 16) {
+          val p = (by * 4 + i / 4) * w + bx * 4 + i % 4
+          blk(i) = prev match {
+            case None => src(p) - 128
+            case Some(pr) =>
+              src(p) - pr((by * 4 + i / 4 + dy) * w + bx * 4 + i % 4 + dx)
+          }
+          i += 1
+        }
+        val y = hadamard(blk)
+        val levels = y.map(quant(_, step))
+        Zigzag.foreach(z => bw.writeSe(levels(z)))
+        val s = hadamard(levels.map(_ * step))
+        i = 0
+        while (i < 16) {
+          val p = (by * 4 + i / 4) * w + bx * 4 + i % 4
+          val d = invScale(s(i))
+          recon(p) = prev match {
+            case None => clip(d + 128)
+            case Some(pr) =>
+              clip(pr((by * 4 + i / 4 + dy) * w + bx * 4 + i % 4 + dx) + d)
+          }
+          i += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    (bw.toBytes, recon, mvs.result())
+  }
+
+  /** Motion-compensated twin of [[decodePayload]] — same strictness,
+    * plus: vectors outside [[McRange]] or pointing a block outside
+    * the plane reject (no conformant encoder emits them). */
+  def decodePayloadMc(payload: Array[Byte], prev: Option[Array[Int]],
+                      w: Int, h: Int, qp: Int): Option[Array[Int]] = {
+    if (w <= 0 || h <= 0 || w % 4 != 0 || h % 4 != 0 || qp < 0 || qp > 7)
+      return None
+    if (prev.exists(_.length != w * h)) return None
+    val step = 1 << qp
+    val br = new BitReader(payload)
+    val recon = new Array[Int](w * h)
+    var by = 0
+    while (by < h / 4) {
+      var bx = 0
+      while (bx < w / 4) {
+        val (dx, dy) = prev match {
+          case None => (0, 0)
+          case Some(_) =>
+            val vx = br.readSe(); val vy = br.readSe()
+            if (br.failed) return None
+            if (vx < -McRange || vx > McRange ||
+                vy < -McRange || vy > McRange) return None
+            if (bx * 4 + vx < 0 || bx * 4 + vx + 4 > w ||
+                by * 4 + vy < 0 || by * 4 + vy + 4 > h) return None
+            (vx, vy)
+        }
+        val levels = new Array[Int](16)
+        Zigzag.foreach(z => levels(z) = br.readSe())
+        if (br.failed) return None
+        val s = hadamard(levels.map(_ * step))
+        var i = 0
+        while (i < 16) {
+          val p = (by * 4 + i / 4) * w + bx * 4 + i % 4
+          val d = invScale(s(i))
+          recon(p) = prev match {
+            case None => clip(d + 128)
+            case Some(pr) =>
+              clip(pr((by * 4 + i / 4 + dy) * w + bx * 4 + i % 4 + dx) + d)
+          }
+          i += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (!br.paddingClean) return None
+    Some(recon)
+  }
+
   /** The encoder's closed-loop reconstructions — what `parse` of
     * `encode`'s output MUST reproduce bit-exactly (the drift law). */
   def reconstruct(frames: Seq[Array[Int]], w: Int, h: Int, qp: Int)

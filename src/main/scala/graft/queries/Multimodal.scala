@@ -1452,11 +1452,21 @@ object Multimodal {
     * coefficient the level is rq/16, its se(v) Exp-Golomb code costs
     * 2·bitlen(k+1)−1 bits (bitlen via binary format, no float log). */
   private def frameBytesSql(rq: String): String =
-    s"""CAST((list_sum(list_transform(range(0, 64), i ->
+    s"CAST((${frameBitsSql(rq)} + 7) // 8 AS BIGINT)"
+
+  /** Bit count of one frame's 64 se-coded levels (q260 adds motion-
+    * vector bits BEFORE the byte rounding, so the bits and bytes
+    * layers are split). */
+  private def frameBitsSql(rq: String): String =
+    s"""(list_sum(list_transform(range(0, 64), i ->
         2 * length(format('{:b}',
           (CASE WHEN $rq[i + 1] > 0 THEN 2 * ($rq[i + 1] // 16) - 1
-                ELSE -2 * ($rq[i + 1] // 16) END) + 1)) - 1)) + 7) // 8
-        AS BIGINT)"""
+                ELSE -2 * ($rq[i + 1] // 16) END) + 1)) - 1)))"""
+
+  /** se(v) bit cost of one signed value (motion vectors). */
+  private def seBitsSql(v: String): String =
+    s"""(2 * length(format('{:b}',
+        (CASE WHEN $v > 0 THEN 2 * ($v) - 1 ELSE -2 * ($v) END) + 1)) - 1)"""
 
   private def reconHashSql(r: String): String =
     s"CAST(list_reduce($r, (h, p) -> (h * 31 + p) % 1000000007) AS BIGINT)"
@@ -2131,6 +2141,164 @@ object Multimodal {
       "oracle replays the video pipeline, the audio adaptation recursion, " +
       "and the two-stream container framing arithmetic from seed math")
 
+  /** q260 — MOTION-COMPENSATED P frames, hash-ORACLED (MM8c, r15 —
+    * the r14 verdict's "GRF1 has no motion compensation"): real
+    * inter-coding. Per doc, a PANNING fixture (frame 1 = frame 0
+    * shifted right by one sample, fresh seed-derived left column —
+    * the content class motion compensation exists for);
+    * [[graft.multimodal.IntraVideoCodec.framePayloadsMc]] searches
+    * integer offsets (±2, SAD vs the previous RECONSTRUCTION, strict
+    * (SAD, dy, dx) total order), codes se(dx)/se(dy) per block, and
+    * routes the motion-shifted residual through the existing
+    * Hadamard/quant/Exp-Golomb path. Everything is integer and the
+    * search order is total, so the DuckDB twin replays the ENTIRE
+    * search (25 candidates × 4 blocks, argmin by (SAD, candidate
+    * index)), the prediction, both codec chains, the exact bit
+    * accounting (level bits + vector bits), the reconstruction
+    * hashes, and the q253-style dHash56 distance between the MC and
+    * pixel-delta reconstructions — one hash over the whole inter-
+    * coding layer. The strictly-smaller-payload law on this fixture
+    * is spec-pinned (IntraVideoCodecSpec); the query EMITS the
+    * measured comparison so the oracle gates the arithmetic behind
+    * it.
+    *
+    * Scale posture: q188's — per-doc codec compute inside one
+    * mapPartitions pass, no shuffle of payload bytes. */
+  val q260 = Q(
+    "q260_mc_video",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.IntraVideoCodec
+      Tables(s, dir, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.map { case (id, text) =>
+            val seed = md.digest(text.getBytes("UTF-8"))
+            val f0 = Array.tabulate(64)(i => seed(i % 16) & 0xff)
+            val f1 = Array.tabulate(64)(i =>
+              if (i % 8 == 0) 255 - f0(i) else f0(i - 1))
+            val pd = IntraVideoCodec.framePayloads(Seq(f0, f1), 8, 8, 4)
+            val mc = IntraVideoCodec.framePayloadsMc(Seq(f0, f1), 8, 8, 4)
+            val r0 = IntraVideoCodec
+              .decodePayloadMc(mc.head.payload, None, 8, 8, 4)
+              .getOrElse(sys.error(s"q260: intra undecodable, doc $id"))
+            val r1m = IntraVideoCodec
+              .decodePayloadMc(mc(1).payload, Some(r0), 8, 8, 4)
+              .getOrElse(sys.error(s"q260: MC P undecodable, doc $id"))
+            val r1p = IntraVideoCodec
+              .decodePayload(pd(1), Some(r0), 8, 8, 4)
+              .getOrElse(sys.error(s"q260: PD P undecodable, doc $id"))
+            def hash(p: Array[Int]): Long =
+              p.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+            def dhash(p: Array[Int]): Long =
+              (0 until 56).foldLeft(0L) { (a, f) =>
+                val r = f / 7; val c = f % 7
+                if (p(r * 8 + c) < p(r * 8 + c + 1)) a | (1L << f) else a
+              }
+            val mvHash = mc(1).mvs
+              .flatMap(v => Seq(v._1 + 2L, v._2 + 2L))
+              .foldLeft(0L)((h, x) => (h * 31 + x) % 1000000007L)
+            (id, hash(r1m), mvHash,
+              mc(1).payload.length.toLong, pd(1).length.toLong,
+              if (mc(1).payload.length < pd(1).length) 1L else 0L,
+              java.lang.Long.bitCount(dhash(r1m) ^ dhash(r1p)).toLong)
+          }
+        }
+        .toDF("doc_id", "recon_mc_hash", "mv_hash", "mc_bytes",
+          "pd_bytes", "mc_smaller", "dhash_dist")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val b = byteSql("i + 1")
+      // block index of plane position i (8x8 plane, 2x2 grid of 4x4)
+      val blk = "((i // 8) // 4) * 2 + ((i % 8) // 4)"
+      // plane position of block b's local pixel j, shifted by (dx, dy)
+      def pix(dxy: (String, String)): String =
+        s"((b // 2) * 4 + j // 4 + ${dxy._2}) * 8 + " +
+          s"(b % 2) * 4 + j % 4 + ${dxy._1}"
+      val sad = s"""list_sum(list_transform(range(0, 16), j ->
+          abs(p1[${pix(("0", "0"))} + 1] -
+              r0[${pix(("(c % 5 - 2)", "(c // 5 - 2)"))} + 1])))"""
+      val valid = s"""(b % 2) * 4 + c % 5 - 2 >= 0 AND
+          (b % 2) * 4 + c % 5 - 2 <= 4 AND
+          (b // 2) * 4 + c // 5 - 2 >= 0 AND
+          (b // 2) * 4 + c // 5 - 2 <= 4"""
+      s"""
+      WITH pl AS MATERIALIZED (
+        SELECT doc_id,
+          list_transform(range(0, 64), i -> CAST($b AS BIGINT)) AS p0
+        FROM documents),
+      f1c AS (SELECT doc_id, p0,
+          list_transform(range(0, 64), i ->
+            CASE WHEN i % 8 = 0 THEN 255 - p0[i + 1]
+                 ELSE p0[i] END) AS p1
+        FROM pl),
+      ${codecChainSql("g0", "f1c", "p0", 16, "r0")},
+      -- pixel-delta P branch (q252/q255's shape)
+      xp AS (SELECT *, list_transform(range(0, 64), i ->
+          p1[i + 1] - r0[i + 1]) AS x FROM g0r),
+      tp AS (SELECT *, ${hadRowSql("x")} AS t FROM xp),
+      yp AS (SELECT *, ${hadColSql("t")} AS y FROM tp),
+      qp1 AS (SELECT doc_id, p0, p1, r0, ${quantSql("y", 16)} AS rqp
+        FROM yp),
+      sp1 AS (SELECT *, ${hadRowSql("rqp")} AS sr FROM qp1),
+      sp2 AS (SELECT *, ${hadColSql("sr")} AS sc FROM sp1),
+      recp AS (SELECT doc_id, p0, p1, r0, rqp,
+          list_transform(range(0, 64), i -> GREATEST(0, LEAST(255,
+            r0[i + 1] + ((sc[i + 1] + 8 + 1048576) // 16) - 65536))) AS r1p
+        FROM sp2),
+      -- MC branch: full search replay, argmin by (SAD, candidate idx)
+      mv AS (SELECT *, list_transform(range(0, 4), b ->
+          CAST(list_sort(list_transform(
+            list_filter(range(0, 25), c -> $valid),
+            c -> [CAST($sad AS BIGINT), CAST(c AS BIGINT)]))[1][2]
+            AS BIGINT)) AS bc
+        FROM recp),
+      prd AS (SELECT *, list_transform(range(0, 64), i ->
+          r0[(i // 8 + (bc[$blk + 1] // 5 - 2)) * 8 + i % 8 +
+             (bc[$blk + 1] % 5 - 2) + 1]) AS pr
+        FROM mv),
+      xm AS (SELECT *, list_transform(range(0, 64), i ->
+          p1[i + 1] - pr[i + 1]) AS xmc FROM prd),
+      tm AS (SELECT *, ${hadRowSql("xmc")} AS tmc FROM xm),
+      ym AS (SELECT *, ${hadColSql("tmc")} AS ymc FROM tm),
+      qm AS (SELECT doc_id, p1, r0, rqp, bc, pr, r1p,
+          ${quantSql("ymc", 16)} AS rqm FROM ym),
+      sm1 AS (SELECT *, ${hadRowSql("rqm")} AS smr FROM qm),
+      sm2 AS (SELECT *, ${hadColSql("smr")} AS smc FROM sm1),
+      recm AS (SELECT doc_id, rqp, bc, rqm, r1p,
+          list_transform(range(0, 64), i -> GREATEST(0, LEAST(255,
+            pr[i + 1] + ((smc[i + 1] + 8 + 1048576) // 16) - 65536)))
+            AS r1m
+        FROM sm2),
+      sz AS (SELECT doc_id, r1m, r1p,
+          ${frameBytesSql("rqp")} AS pd_bytes,
+          CAST((${frameBitsSql("rqm")} +
+            list_sum(list_transform(range(0, 4), b ->
+              ${seBitsSql("(bc[b + 1] % 5 - 2)")} +
+              ${seBitsSql("(bc[b + 1] // 5 - 2)")})) + 7) // 8 AS BIGINT)
+            AS mc_bytes,
+          CAST(list_reduce(flatten(list_transform(range(0, 4), b ->
+            [bc[b + 1] % 5, bc[b + 1] // 5])),
+            (h, x) -> (h * 31 + x) % 1000000007) AS BIGINT) AS mv_hash
+        FROM recm)
+      SELECT doc_id,
+        ${reconHashSql("r1m")} AS recon_mc_hash,
+        mv_hash, mc_bytes, pd_bytes,
+        CASE WHEN mc_bytes < pd_bytes THEN CAST(1 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS mc_smaller,
+        CAST(bit_count(xor(${dhashSql("r1m")}, ${dhashSql("r1p")}))
+          AS BIGINT) AS dhash_dist
+      FROM sz ORDER BY doc_id"""
+    },
+    doc = "MM8c: motion-compensated P frames — per-block integer offset " +
+      "search (SAD vs the previous reconstruction, strict (SAD,dy,dx) " +
+      "order), se-coded vectors, residual through the existing Hadamard " +
+      "path; oracle replays the full search, both codec chains, exact " +
+      "bit accounting and the dHash distance between MC and pixel-delta " +
+      "recons from seed arithmetic")
+
   val all: Seq[Q] = Seq(q61, q188, q189, q217, q218, q230, q231, q232, q242,
-    q243, q244, q248, q252, q253, q255, q256, q257)
+    q243, q244, q248, q252, q253, q255, q256, q257, q260)
 }

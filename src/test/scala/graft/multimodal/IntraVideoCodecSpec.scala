@@ -176,6 +176,49 @@ class IntraVideoCodecSpec extends AnyFunSuite {
     assert(r1.forall(_ == 255), "worst-case DC did not reconstruct")
   }
 
+  test("motion compensation (r15): chained decodePayloadMc inverts " +
+    "framePayloadsMc exactly (closed-loop, zero drift); on a panning " +
+    "fixture the reachable blocks pick the pan vector and the MC " +
+    "payload is STRICTLY smaller than pixel-delta; hostile vectors " +
+    "reject") {
+    val w = 8; val h = 8
+    // f0: a textured plane; f1: f0 panned right by 1, fresh left column
+    val f0 = Array.tabulate(64)(i => (i * 37 + (i * i) % 91) % 256)
+    val f1 = Array.tabulate(64)(i =>
+      if (i % 8 == 0) 255 - f0(i) else f0(i - 1))
+    val mc = framePayloadsMc(Seq(f0, f1), w, h, qp = 4)
+    // intra frame bitstream identical to the non-MC path
+    val pd = framePayloads(Seq(f0, f1), w, h, qp = 4)
+    assert(mc.head.payload.sameElements(pd.head), "intra frame diverged")
+    assert(mc.head.mvs.isEmpty && mc(1).mvs.length === 4)
+    // right-column blocks (bx=1) can reach the pan source: dx must be -1
+    assert(mc(1).mvs(1) === ((-1, 0)), s"mvs: ${mc(1).mvs}")
+    assert(mc(1).mvs(3) === ((-1, 0)), s"mvs: ${mc(1).mvs}")
+    // the compression win: strictly smaller P payload on the pan
+    assert(mc(1).payload.length < pd(1).length,
+      s"MC ${mc(1).payload.length}B !< pixel-delta ${pd(1).length}B")
+    // closed-loop roundtrip: chained decode == nothing lost
+    val r0 = decodePayloadMc(mc.head.payload, None, w, h, 4)
+      .getOrElse(fail("intra did not decode"))
+    val r1 = decodePayloadMc(mc(1).payload, Some(r0), w, h, 4)
+      .getOrElse(fail("MC P frame did not decode"))
+    // the pan-matched half reconstructs within the distortion law of
+    // the SHIFTED reference (zero residual levels there)
+    val errs = r1.zip(f1).map { case (a, b) => math.abs(a - b) }
+    assert(errs.max <= 9, s"distortion law broke: ${errs.max}")
+    // strictness: an out-of-range vector in the stream rejects. Craft
+    // a stream whose first se value decodes to 3 (> McRange): ue=5 ->
+    // '00110' + zero fill
+    val hostile = Array[Byte](0x30, 0x00, 0x00, 0x00, 0x00, 0x00)
+    assert(decodePayloadMc(hostile, Some(r0), w, h, 4).isEmpty,
+      "vector outside McRange accepted")
+    // out-of-plane vector: dx=-1 (se '011') then dy=0 (se '1') for the
+    // FIRST block (bx=0, whose source would start at x=-1): '0111...'
+    val hostile2 = Array[Byte](0x70.toByte, 0x00, 0x00, 0x00, 0x00, 0x00)
+    assert(decodePayloadMc(hostile2, Some(r0), w, h, 4).isEmpty,
+      "out-of-plane vector accepted")
+  }
+
   test("determinism: two independent encodes of the same frames are " +
     "byte-identical (no hidden state) and parse is repeatable") {
     val w = 8; val h = 12
