@@ -28,6 +28,22 @@ class CrossModalSpec extends SparkSpecBase {
     assert(d.max <= 16L * 9, s"own-image distance ${d.max} beyond the law")
   }
 
+  test("q262 on testdata: every text query's top-2 over the UNIFIED " +
+    "image+audio index is exactly {own image, own audio}, and the " +
+    "audio latent inverts the ADPCM staircase within its noise bound") {
+    val out = Multimodal.q262.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    val own = out.map(_.getAs[Long]("both_own"))
+    assert(own.sum === own.length.toLong,
+      s"${own.length - own.sum} queries missed an own-modality item")
+    // image (t1) is the tighter modality; audio noise stays well under
+    // the 16*99 segment-inversion bound
+    out.foreach { r =>
+      assert(r.getAs[Long]("t1_d") <= 16L * 9)
+      assert(r.getAs[Long]("t2_d") < 16L * 99)
+    }
+  }
+
   test("staggered-grid candidate guarantee: any two dim-0 values within " +
     "16 share a cell in at least one of the two offset grids") {
     for (a <- 0 to 255; delta <- -16 to 16) {
