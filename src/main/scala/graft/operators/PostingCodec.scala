@@ -100,4 +100,99 @@ object PostingCodec {
     if (pos != bytes.length) return None // trailing bytes
     Some(out.result())
   }
+
+  // --------------------------------------------------------------------
+  // POSITIONAL postings (r15, X109c): the proximity layer — phrase and
+  // near queries need EVERY position of a term in a doc, not just the
+  // first, and production indexes store them delta-coded next to the
+  // postings (Lucene's .prx/.pos data). Layout per block (doc ids
+  // strictly ascending, positions strictly ascending within a doc):
+  // varint(first doc id); per posting varint(gap to previous doc,
+  // omitted for the first), varint(npos ≥ 1), varint(first position),
+  // then npos−1 varint position gaps (each ≥ 1 — strictly ascending,
+  // so a zero gap is non-canonical and rejects). Same canonical-strict
+  // varints as [[decode]].
+  // --------------------------------------------------------------------
+
+  /** Encode one positional block of (doc_id, positions). */
+  def encodePositional(postings: Seq[(Long, Seq[Long])]): Array[Byte] = {
+    require(postings.nonEmpty, "empty positional block")
+    require(postings.sliding(2).forall {
+      case Seq(a, b) => a._1 < b._1
+      case _ => true
+    }, "doc ids must be strictly ascending")
+    val out = new java.io.ByteArrayOutputStream()
+    putVarint(out, postings.head._1)
+    var prev = postings.head._1
+    postings.zipWithIndex.foreach { case ((doc, ps), i) =>
+      require(ps.nonEmpty, s"doc $doc has no positions")
+      require(ps.sliding(2).forall {
+        case Seq(a, b) => a < b
+        case _ => true
+      }, s"positions must be strictly ascending for doc $doc")
+      if (i > 0) putVarint(out, doc - prev)
+      prev = doc
+      putVarint(out, ps.size.toLong)
+      putVarint(out, ps.head)
+      ps.sliding(2).foreach {
+        case Seq(a, b) => putVarint(out, b - a)
+        case _ => ()
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Decode a positional block of `n` postings; None on any violation
+    * (all of [[decode]]'s rules, plus npos = 0 and zero position gaps
+    * reject — both are streams no conformant encoder emits). */
+  def decodePositional(bytes: Array[Byte], n: Int)
+      : Option[Seq[(Long, Seq[Long])]] = {
+    if (n <= 0) return None
+    var pos = 0
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      while (pos < bytes.length) {
+        val b = bytes(pos) & 0xff
+        pos += 1
+        if ((b & 0x80) == 0) {
+          if (b == 0 && shift > 0) return -1L // non-minimal encoding
+          return v | (b & 0x7fL) << shift
+        }
+        if (shift == 56) return -1L // 10th byte => bit >= 63: overflow
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      }
+      -1L
+    }
+    val out = Seq.newBuilder[(Long, Seq[Long])]
+    var doc = varint()
+    if (doc < 0) return None
+    var i = 0
+    while (i < n) {
+      if (i > 0) {
+        val gap = varint()
+        if (gap < 0) return None
+        doc += gap
+      }
+      val npos = varint()
+      if (npos <= 0) return None
+      val ps = Seq.newBuilder[Long]
+      var p = varint()
+      if (p < 0) return None
+      ps += p
+      var j = 1L
+      while (j < npos) {
+        val g = varint()
+        if (g <= 0) return None // zero gap = non-ascending positions
+        p += g
+        ps += p
+        j += 1
+      }
+      out += ((doc, ps.result()))
+      i += 1
+    }
+    if (pos != bytes.length) return None // trailing bytes
+    Some(out.result())
+  }
 }

@@ -1921,7 +1921,80 @@ object Text {
       "on the read path and ranks from decoded rows; hash match vs the " +
       "from-documents oracle proves decode-on-probe is lossless")
 
+  /** q263 — PHRASE search through POSITIONAL compressed postings
+    * (X109c, r15): the proximity layer q259's index lacks — "table
+    * scan" as a PHRASE needs every position of both terms, and
+    * production indexes store them delta-coded next to the postings
+    * (Lucene's .pos data). The index survives ONLY as
+    * [[graft.operators.PostingCodec.encodePositional]] byte streams
+    * (per posting: doc gap, npos, first position, position gaps — all
+    * canonical-strict LEB128); the phrase probe filters to the two
+    * terms' blocks, DECODES positions on the read path, and matches
+    * adjacency with one equi-join on (doc_id, pos) — term2's
+    * positions shifted by −1, so the join key IS the phrase
+    * constraint (no window, no inequality join). The oracle computes
+    * the same phrase match straight from `documents` (the q92
+    * positional self-join device), so a hash match proves the
+    * positional decode is lossless at every position.
+    *
+    * Scale: q259's posture — the probe touches only the phrase
+    * terms' blocks; position lists are doc-length-bounded; the
+    * adjacency join is an equi-join on compact (doc, pos) keys whose
+    * input is Σ tf(phrase terms) rows, never corpus-sized. */
+  val q263 = Q(
+    "q263_phrase_search",
+    (s, dir) => {
+      import s.implicits._
+      val phrase = Seq("table", "scan")
+      val store = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+          $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(sort_array(collect_list($"pos")).as("ps"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
+          .as("block"))
+        .as[(String, Long, Seq[(Long, Seq[Long])])]
+        .map { case (t, b, blk) =>
+          (t, b, blk.size,
+            graft.operators.PostingCodec.encodePositional(blk))
+        }.toDF("term", "bucket", "df", "bytes")
+      val decoded = store.filter($"term".isin(phrase: _*))
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, df, bytes) =>
+          graft.operators.PostingCodec.decodePositional(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q263: corrupt positional block for term '$t'"))
+            .flatMap { case (doc, ps) => ps.map(p => (t, doc, p)) }
+        }.toDF("term", "doc_id", "pos")
+      val t1 = decoded.filter($"term" === phrase.head)
+        .select($"doc_id", $"pos")
+      val t2 = decoded.filter($"term" === phrase(1))
+        .select($"doc_id", ($"pos" - 1).as("pos"))
+      t1.join(t2, Seq("doc_id", "pos"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_phrase"), min($"pos").as("first_hit"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      h1 AS (SELECT doc_id, pos FROM t WHERE term = 'table'),
+      h2 AS (SELECT doc_id, pos FROM t WHERE term = 'scan')
+      SELECT h1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase,
+             CAST(MIN(h1.pos) AS BIGINT) AS first_hit
+      FROM h1 JOIN h2 ON h1.doc_id = h2.doc_id AND h2.pos = h1.pos + 1
+      GROUP BY h1.doc_id ORDER BY h1.doc_id"""),
+    doc = "X109c: phrase search through POSITIONAL compressed postings — " +
+      "delta-coded position lists (Lucene's .pos layout) decoded on the " +
+      "probe's read path, adjacency as one (doc, pos) equi-join; hash " +
+      "match vs the from-documents positional self-join proves the " +
+      "positional decode is lossless at every position")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
-    q233, q239, q245, q246, q247, q251, q254, q258, q259)
+    q233, q239, q245, q246, q247, q251, q254, q258, q259, q263)
 }

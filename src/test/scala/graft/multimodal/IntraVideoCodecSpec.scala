@@ -219,6 +219,31 @@ class IntraVideoCodecSpec extends AnyFunSuite {
       "out-of-plane vector accepted")
   }
 
+  test("q253's transcode-robustness probe survives the MC path: a " +
+    "panning clip's MC qp=4 recon, RE-ENCODED through MC at qp=5, " +
+    "stays within the dedup probe's k=2 dHash56 distance") {
+    val w = 8; val h = 8
+    val f0 = Array.tabulate(64)(i => (i * 53 + (i * i * 3) % 97) % 256)
+    val f1 = Array.tabulate(64)(i =>
+      if (i % 8 == 0) 255 - f0(i) else f0(i - 1))
+    def dhash(p: Array[Int]): Long =
+      (0 until 56).foldLeft(0L) { (a, f) =>
+        val r = f / 7; val c = f % 7
+        if (p(r * 8 + c) < p(r * 8 + c + 1)) a | (1L << f) else a
+      }
+    // generation 0: MC encode at qp=4, chain-decode
+    val g0 = framePayloadsMc(Seq(f0, f1), w, h, qp = 4)
+    val r0 = decodePayloadMc(g0.head.payload, None, w, h, 4).get
+    val r1 = decodePayloadMc(g0(1).payload, Some(r0), w, h, 4).get
+    // generation 1 (the transcode): re-encode the RECONSTRUCTIONS
+    // through MC at qp=5, chain-decode
+    val g1 = framePayloadsMc(Seq(r0, r1), w, h, qp = 5)
+    val t0 = decodePayloadMc(g1.head.payload, None, w, h, 5).get
+    val t1 = decodePayloadMc(g1(1).payload, Some(t0), w, h, 5).get
+    val d = java.lang.Long.bitCount(dhash(r1) ^ dhash(t1))
+    assert(d <= 2, s"MC transcode generation drifted the signature: d=$d")
+  }
+
   test("determinism: two independent encodes of the same frames are " +
     "byte-identical (no hidden state) and parse is repeatable") {
     val w = 8; val h = 12

@@ -63,4 +63,38 @@ class PostingCodecSpec extends AnyFunSuite {
     assert(enc.length === 9 + 2)
     assert(PostingCodec.decode(enc, 1).contains(big))
   }
+
+  test("positional layer (X109c): roundtrip with delta-coded position " +
+    "lists; byte accounting; strictness (npos=0, zero position gap, " +
+    "truncation, trailing bytes, unsorted input all reject)") {
+    val blk = Seq(
+      (1000L, Seq(3L, 4L, 200L)),
+      (1001L, Seq(1L)),
+      (1099L, Seq(7L, 16500L)))
+    val bytes = PostingCodec.encodePositional(blk)
+    assert(PostingCodec.decodePositional(bytes, blk.size).contains(blk))
+    // hand-count: 1000 -> 2B; [3: 3,1,196] -> 1+1+1+2; gap 1 -> 1;
+    // [1: 1] -> 1+1; gap 98 -> 1; [2: 7, 16493] -> 1+1+3. Total 16.
+    assert(bytes.length === 16, s"positional framing drifted: ${bytes.length}")
+    // strictness
+    assert(PostingCodec.decodePositional(bytes :+ 0.toByte, 3).isEmpty)
+    assert(PostingCodec.decodePositional(bytes.dropRight(1), 3).isEmpty)
+    assert(PostingCodec.decodePositional(bytes, 2).isEmpty)
+    assert(PostingCodec.decodePositional(bytes, 4).isEmpty)
+    // npos = 0 in the stream: doc=5, npos=0 -> reject
+    assert(PostingCodec.decodePositional(Array[Byte](5, 0), 1).isEmpty,
+      "npos = 0 accepted")
+    // zero position gap (non-ascending): doc=5, npos=2, p=1, gap=0
+    assert(PostingCodec.decodePositional(Array[Byte](5, 2, 1, 0), 1)
+      .isEmpty, "zero position gap accepted")
+    intercept[IllegalArgumentException] {
+      PostingCodec.encodePositional(Seq((5L, Seq(3L, 3L))))
+    }
+    intercept[IllegalArgumentException] {
+      PostingCodec.encodePositional(Seq((5L, Seq.empty[Long])))
+    }
+    intercept[IllegalArgumentException] {
+      PostingCodec.encodePositional(Seq((5L, Seq(1L)), (4L, Seq(1L))))
+    }
+  }
 }
