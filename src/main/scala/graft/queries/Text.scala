@@ -1867,25 +1867,37 @@ object Text {
     * the final aggregate is keyed by doc_id over Σ df(probed terms)
     * rows — never corpus-sized. The encode pass is the index build
     * itself (q258's cost, paid once, amortized over every probe). */
+  /** The compressed posting STORE (term, bucket, df, bytes) of a
+    * documents frame — q258's encode pass factored out, shared by
+    * q259 (serve), q263's positional sibling and q264 (segment
+    * merge). Blocks survive only as LEB128 byte streams. */
+  private[graft] def postingStore(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
+      .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+      .as[(String, Long, Seq[(Long, Long, Long)])]
+      .map { case (term, bucket, ps) =>
+        (term, bucket, ps.size, graft.operators.PostingCodec.encode(ps))
+      }
+      .toDF("term", "bucket", "df", "bytes")
+  }
+
   val q259 = Q(
     "q259_postings_serve",
     (s, dir) => {
       import s.implicits._
       val qTerms = Seq("spark", "window", "merge", "stream")
       // STORE: blocks survive only as LEB128 byte streams
-      val store = Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
-        .groupBy($"term", $"doc_id")
-        .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
-        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
-        .agg(sort_array(collect_list(
-          struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
-        .as[(String, Long, Seq[(Long, Long, Long)])]
-        .map { case (term, bucket, ps) =>
-          (term, bucket, ps.size, graft.operators.PostingCodec.encode(ps))
-        }
-        .toDF("term", "bucket", "df", "bytes")
+      val store = postingStore(Tables(s, dir, "documents"))
       // PROBE: filter to the query terms' blocks, then decode-on-read
       val decoded = store
         .filter($"term".isin(qTerms: _*))
@@ -1994,7 +2006,51 @@ object Text {
       "match vs the from-documents positional self-join proves the " +
       "positional decode is lossless at every position")
 
+  /** q264 — index SEGMENT MERGE (X109d): the compaction step a real
+    * postings store runs — new documents build a small DELTA segment
+    * ([[postingStore]] over the doc_id % 5 == 4 slice), a background
+    * merge ([[graft.operators.IndexSegmentMerge]]) folds it into the
+    * BASE (the other four fifths) by decoding both sides' blocks,
+    * unioning the interleaved doc ids and RE-ENCODING. Gap coding has
+    * no layout freedom, so merged ≡ built-from-scratch BYTE FOR BYTE
+    * — the maintained ≡ rebuilt law in its strongest form, which this
+    * query gates by replaying the FULL-corpus build in DuckDB (q258's
+    * oracle, verbatim) against the engine's MERGED bytes: the oracle
+    * never sees the segments, so any posting the merge drops,
+    * duplicates or mis-orders breaks the stream hash.
+    *
+    * Scale: the merge is one shuffle on the compact (term, bucket)
+    * key with ≤ 2 blocks of ≤ bucketWidth postings per key —
+    * corpus-independent per-key work (the q91 sharding argument);
+    * payload bytes move at block grain only. */
+  val q264 = Q(
+    "q264_segment_merge",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = postingStore(docs.filter($"doc_id" % 5 =!= 4))
+      val delta = postingStore(docs.filter($"doc_id" % 5 === 4))
+      graft.operators.IndexSegmentMerge.merge(base, delta)
+        .as[(String, Long, Int, Array[Byte])]
+        .map { case (term, bucket, df, bytes) =>
+          val ok = graft.operators.PostingCodec.decode(bytes, df).isDefined
+          val h = bytes.foldLeft(0L)((a, b) =>
+            (a * 31 + (b & 0xff)) % 1000000007L)
+          (term, bucket, df.toLong, bytes.length.toLong, h,
+            if (ok) 1L else 0L)
+        }
+        .toDF("term", "bucket", "df", "n_bytes", "stream_hash",
+          "decode_ok")
+        .orderBy($"term", $"bucket")
+    },
+    q258.oracle, // the FULL-corpus replay: merged must equal rebuilt
+    doc = "X109d: index segment merge — base + delta compressed posting " +
+      "segments decoded, unioned and re-encoded per (term, bucket); gap " +
+      "coding has no layout freedom, so merged == from-scratch build " +
+      "byte for byte, gated by q258's full-corpus oracle which never " +
+      "sees the segments")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
-    q233, q239, q245, q246, q247, q251, q254, q258, q259, q263)
+    q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264)
 }
