@@ -2061,4 +2061,51 @@ class StreamingSpec extends SparkSpecBase {
       "collapsed chain re-keys differently from the single-shot direct map")
     assert(viaBounded.nonEmpty && viaBounded.size < probes.count())
   }
+
+  test("T31: streaming postings maintenance — per-batch delta segments, " +
+    "segment list bounded by the compaction cadence, replays are " +
+    "structural no-ops, and the final compacted store equals the BATCH " +
+    "build over every delivered doc, byte for byte") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    // 9 waves of docs (so a mid-stream compaction fires at batch 4
+    // and 8), then a REPLAY of wave 1
+    val waves = docs.grouped(math.max(1, docs.length / 9)).toSeq
+    var st = StreamingPostings.freeze(s)
+    val segCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingPostings.applyBatch(st, b)
+        segCounts += st.segments.size
+        ()
+      }
+      .start()
+    waves.foreach { w => stream.addData(w: _*); qy.processAllAvailable() }
+    // replay wave 1: must mint NO segment (empty fresh delta)
+    val segsBeforeReplay = st.segments.size
+    stream.addData(waves.head: _*); qy.processAllAvailable()
+    qy.stop()
+    assert(st.segments.size === segsBeforeReplay,
+      "a replayed batch minted a segment — exactly-once broke")
+    assert(segCounts.max <= StreamingPostings.CompactEvery,
+      s"segment list exceeded the compaction bound: $segCounts")
+    assert(segCounts.contains(1),
+      "no mid-stream compaction observed (cadence never fired)")
+    // the chained law: compact(stream state) == batch build, bytes
+    val streamed = StreamingPostings.compact(st.segments)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(2), r.getAs[Array[Byte]]("bytes").toSeq)).toMap
+    val batch = graft.queries.Text
+      .postingStore(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(2), r.getAs[Array[Byte]]("bytes").toSeq)).toMap
+    assert(streamed === batch,
+      "streamed postings store != batch build over all delivered docs")
+  }
 }
