@@ -576,5 +576,66 @@ object Retrieval {
     doc = "diagonal-Mahalanobis outlier top-20 — broadcast exact moments, " +
       "dimension-ascending fold per row, global top-k heap")
 
-  val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177)
+  /** q265 — BM25 SERVED from the compressed index (X110, r15): what a
+    * retrieval system actually executes at query time — q170's exact
+    * rational-BM25 ranking computed WITHOUT touching raw text: tf
+    * comes from the DECODED q258 posting streams (the q259 read
+    * path), df from block METADATA alone (blocks partition docs, so
+    * Σ per-block df = distinct-doc df — no decode needed for df),
+    * and dl/adl from a per-doc stats store (the doc-length sidecar
+    * every index keeps). The oracle is q170's VERBATIM — computed
+    * from raw documents, never seeing the index — so the hash match
+    * proves the whole serving stack (encode → store → probe → varint
+    * decode → rank) reproduces the from-scratch ranking bit for bit.
+    *
+    * Scale: probe touches only the query terms' blocks; df is a
+    * metadata aggregate over those blocks; the decoded rows join the
+    * doc-stats store on doc_id (Σ df(query terms) rows vs a
+    * corpus-sized but 2-column store — the one equi-join a serving
+    * node pays); corpus stats broadcast. The index/stats builds are
+    * the amortized ingest cost, not the probe cost. */
+  val q265 = Q(
+    "q265_bm25_serve",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "window", "merge", "stream")
+      val docs = Tables(s, dir, "documents")
+      // serving-side stores (ingest-time cost, probe-time asset)
+      val store = graft.queries.Text.postingStore(docs)
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"))
+      val stats = dl
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"dl").as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      val probed = store.filter($"term".isin(qTerms: _*))
+      // df from block metadata alone — blocks partition the docs
+      val dfreq = probed.groupBy($"term")
+        .agg(sum($"df").cast(LongType).as("df"))
+      // tf from the decoded byte streams — the dataloader's read path
+      val decoded = probed.as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, df, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q265: corrupt postings block for term '$t'"))
+            .map { case (doc, tf, _) => (t, doc, tf) }
+        }.toDF("term", "doc_id", "tf")
+      decoded.join(dl, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id")
+        .limit(20)
+    },
+    q170.oracle, // from raw documents — the index never enters the oracle
+    doc = "X110: BM25 served from the compressed index — tf from decoded " +
+      "varint streams, df from block metadata, dl/adl from the doc-stats " +
+      "store, raw text never touched at probe time; q170's from-scratch " +
+      "oracle gates the whole serving stack bit for bit")
+
+  val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
+    q265)
 }
