@@ -2050,7 +2050,91 @@ object Text {
       "byte for byte, gated by q258's full-corpus oracle which never " +
       "sees the segments")
 
+  /** q266 — NEAR/k proximity search (X109e, r15): the IR query family's
+    * last member — after exact term (q259), phrase adjacency (q263)
+    * and ranked serving (q265), NEAR asks "both terms within k
+    * positions, in order" ('table' then 'scan' with ≤ 2 intervening
+    * tokens). Same positional compressed store as q263, decoded on the
+    * probe's read path; the proximity predicate `p1 < p2 ≤ p1 + k+1`
+    * is an INEQUALITY, so the join is BANDED (the q11/q15 device
+    * applied to positions): both sides key on doc_id and the position
+    * band floor(pos / (k+1)), the left side probes its own band AND
+    * the next one (any window of width k+1 spans ≤ 2 bands), the exact
+    * range predicate verifies inside the bounded candidate set — no
+    * position ever compares against more than two bands' worth of the
+    * other term. The oracle runs the direct inequality self-join from
+    * `documents`, so the hash match proves band-generate + verify
+    * loses nothing.
+    *
+    * Scale: q263's posture; candidates per left position are the
+    * other term's occupancy of ≤ 2 position bands within one doc —
+    * doc-length-bounded, never corpus-shaped. */
+  val q266 = Q(
+    "q266_near_search",
+    (s, dir) => {
+      import s.implicits._
+      val k = 2 // ≤ k intervening tokens: 0 < p2 - p1 <= k + 1
+      val store = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+          $"col".as("term"))
+        .filter($"term".isin("table", "scan"))
+        .groupBy($"term", $"doc_id")
+        .agg(sort_array(collect_list($"pos")).as("ps"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
+          .as("block"))
+        .as[(String, Long, Seq[(Long, Seq[Long])])]
+        .map { case (t, b, blk) =>
+          (t, b, blk.size,
+            graft.operators.PostingCodec.encodePositional(blk))
+        }.toDF("term", "bucket", "df", "bytes")
+      val decoded = store
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, df, bytes) =>
+          graft.operators.PostingCodec.decodePositional(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q266: corrupt positional block for term '$t'"))
+            .flatMap { case (doc, ps) => ps.map(p => (t, doc, p)) }
+        }.toDF("term", "doc_id", "pos")
+      // banded inequality join: band width k+1, left probes 2 bands;
+      // the right side's band is unique, so every qualifying (p1, p2)
+      // pair joins exactly once — no dedup needed
+      val w = k + 1
+      val t1 = decoded.filter($"term" === "table")
+        .select($"doc_id", $"pos".as("p1"),
+          explode(array(expr(s"pos div $w"), expr(s"pos div $w") + 1))
+            .as("band"))
+      val t2 = decoded.filter($"term" === "scan")
+        .select($"doc_id", $"pos".as("p2"), expr(s"pos div $w").as("band"))
+      t1.join(t2, Seq("doc_id", "band"))
+        .filter($"p2" > $"p1" && $"p2" <= $"p1" + w)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_near"), min($"p1").as("first_hit"),
+          min($"p2" - $"p1" - 1).as("min_gap"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      h1 AS (SELECT doc_id, pos FROM t WHERE term = 'table'),
+      h2 AS (SELECT doc_id, pos FROM t WHERE term = 'scan')
+      SELECT h1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+             CAST(MIN(h1.pos) AS BIGINT) AS first_hit,
+             CAST(MIN(h2.pos - h1.pos - 1) AS BIGINT) AS min_gap
+      FROM h1 JOIN h2 ON h1.doc_id = h2.doc_id
+        AND h2.pos > h1.pos AND h2.pos <= h1.pos + 3
+      GROUP BY h1.doc_id ORDER BY h1.doc_id"""),
+    doc = "X109e: NEAR/k proximity through the positional compressed " +
+      "store — the inequality predicate runs as a BANDED position join " +
+      "(width k+1 bands, left probes 2 bands, exact verify inside the " +
+      "bounded candidates); hash match vs the direct inequality " +
+      "self-join proves band-generate + verify is lossless")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
-    q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264)
+    q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
+    q266)
 }
