@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Block-Max WAND (SURVEY.md §2.11a X110b, q267): exact top-k BM25
+  * served from the compressed posting store WITHOUT decoding every
+  * query-term block — the serving-side pruning every production IR
+  * engine runs (Ding & Suel, SIGIR 2011; Lucene's impact/skip data,
+  * PISA's block_max_wand), made Spark-native and EXACT.
+  *
+  * Ingest builds a block-max sidecar: per (term, bucket) block the
+  * exact maximum BM25 contribution (`ub_ppm`) of any posting in it.
+  * Blocks are doc-id-aligned across terms (bucket = doc_id div 100,
+  * q91's layout), so Σ over query terms of a bucket's ub_ppm upper-
+  * bounds the TOTAL score of every doc in the bucket — the WAND pivot
+  * bound in its aligned-block form.
+  *
+  * The probe is two-phase and sound by construction:
+  *   1. seed — decode only the `seedJ` highest-ub buckets (bounded
+  *      TopKScored, map-side k) and score their docs EXACTLY (a doc's
+  *      postings live entirely in its own bucket); θ = the k-th best
+  *      seed score, or Long.MinValue when the seeds hold < k docs —
+  *      exactness never depends on which buckets seed.
+  *   2. skip — any remaining bucket with ub < θ is never decoded:
+  *      each of its docs scores ≤ ub < θ ≤ the true k-th best, so it
+  *      cannot reach the top-k (ub == θ buckets stay alive — a tie
+  *      could still win on the doc_id tiebreak). Survivors decode
+  *      through the strict q259 read path; seed ∪ survivor scores
+  *      rank exactly.
+  *
+  * Scale: the sidecar is one groupBy over already-blocked rows, paid
+  * at ingest; θ-seeding costs `seedJ` blocks (constant); phase 2
+  * decodes only surviving blocks — on a skewed corpus that is the
+  * sub-linear probe this operator exists for. The survivor list joins
+  * on the compact bucket key with NO forced broadcast (the r14
+  * ClusterTakedown lesson — worst case it is corpus/width-sized; AQE
+  * decides). θ and the final top-k are TakeOrdered reductions, never
+  * windows. BlockMaxSpec pins the skip law and pruned ≡ exhaustive.
+  */
+object BlockMaxWand {
+
+  /** The q170 exact rational BM25 per-term contribution (k1 = 6/5,
+    * b = 3/4, raw-ratio RSJ idf), over columns tf/dl/df/n_docs/adl. */
+  private val bm25Ppm =
+    """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+       DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""
+
+  /** Every frame of the pruned probe, exposed so the spec can pin the
+    * skip law; `ranked` is the exact top-k. */
+  final case class Probe(
+      bucketUb: DataFrame,  // (bucket, ub_ppm) — the block-max sidecar
+      seeds: DataFrame,     // (bucket) — the θ-seeding buckets
+      theta: DataFrame,     // 1 row (theta)
+      survivors: DataFrame, // (bucket) — non-seed buckets decoded
+      ranked: DataFrame)    // (doc_id, score_ppm) top-k
+
+  def probe(docs: DataFrame, qTerms: Seq[String], k: Int,
+      seedJ: Int = 8): Probe = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // ---- serving-side stores (ingest-time cost, probe-time asset)
+    val dl = docs.select($"doc_id",
+      size(split($"text", " ")).cast(LongType).as("dl"))
+    val stats = dl
+      .agg(count(lit(1)).cast(LongType).as("n_docs"), sum($"dl").as("l_total"))
+      .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+    val probed = graft.queries.Text.postingStore(docs)
+      .filter($"term".isin(qTerms: _*))
+      .persist() // the fetched query-term blocks — decoded ≤ 2× below
+    val dfreq = probed.groupBy($"term")
+      .agg(sum($"df").cast(LongType).as("df"))
+    def decodeBlocks(blocks: DataFrame): DataFrame =
+      blocks.select($"term", $"bucket", $"df", $"bytes")
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, b, n, bytes) =>
+          PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"block-max probe: corrupt postings block '$t'/$b"))
+            .map { case (doc, tf, _) => (t, doc, tf) }
+        }.toDF("term", "doc_id", "tf")
+    def scored(decoded: DataFrame): DataFrame =
+      decoded.join(dl, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(bm25Ppm))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+    // ---- ingest: block-max sidecar (exact per-block max contribution)
+    val sidecar = decodeBlocks(probed)
+      .join(dl, "doc_id").join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select($"term", expr("doc_id DIV 100").as("bucket"),
+        expr(bm25Ppm).as("contrib_ppm"))
+      .groupBy($"term", $"bucket").agg(max($"contrib_ppm").as("ub_ppm"))
+      .groupBy($"bucket").agg(sum($"ub_ppm").as("ub_ppm"))
+    // ---- probe phase 1: seed θ from the J highest-ub buckets
+    val topJ = udaf(new graft.functions.TopKScored(seedJ))
+    val seeds = sidecar
+      .agg(topJ($"ub_ppm".cast("double"), $"bucket", lit(0L)).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.id".as("bucket"))
+    val phase1 = scored(decodeBlocks(
+      probed.join(broadcast(seeds), Seq("bucket"))))
+    val theta = phase1.orderBy($"score_ppm".desc, $"doc_id").limit(k)
+      .agg(count(lit(1)).as("c"), min($"score_ppm").as("m"))
+      .select(when($"c" === k, $"m")
+        .otherwise(lit(Long.MinValue)).as("theta"))
+    // ---- probe phase 2: decode ONLY buckets that can still enter top-k
+    val survivors = sidecar
+      .join(broadcast(seeds), Seq("bucket"), "left_anti")
+      .crossJoin(broadcast(theta))
+      .filter($"ub_ppm" >= $"theta")
+      .select($"bucket")
+    val phase2 = scored(decodeBlocks(probed.join(survivors, Seq("bucket"))))
+    val ranked = phase1.unionByName(phase2)
+      .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(k)
+    Probe(sidecar, seeds, theta, survivors, ranked)
+  }
+}

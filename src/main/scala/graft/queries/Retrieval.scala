@@ -636,6 +636,86 @@ object Retrieval {
       "store, raw text never touched at probe time; q170's from-scratch " +
       "oracle gates the whole serving stack bit for bit")
 
+  /** q267 — Block-Max WAND: top-k BM25 that SKIPS index blocks
+    * (X110b, r15). q265 proved ranking can be served off the
+    * compressed index, but it still decodes EVERY query-term block —
+    * at 100 TB a common term's posting list is billions of entries
+    * and exhaustive decode is the serving bottleneck. Production
+    * engines (Lucene's `impacts`, PISA) store a per-block score
+    * UPPER BOUND next to the postings and skip blocks that cannot
+    * beat the current top-k threshold — Block-Max WAND (Ding &
+    * Suel, SIGIR 2011). This query is that shape made Spark-native
+    * and EXACT:
+    *
+    * Ingest (amortized, like the store itself): a block-max sidecar —
+    * per (term, bucket) the exact max BM25 contribution of any
+    * posting in the block (`ub_ppm`). Blocks are doc-id-aligned
+    * across terms (bucket = doc_id div 100), so a bucket's summed
+    * `ub_ppm` over the query terms upper-bounds the TOTAL score of
+    * every doc in it — the WAND pivot bound with aligned blocks.
+    *
+    * Probe: (1) seed — decode only the J=8 highest-ub buckets
+    * (bounded TopKScored, map-side k; the Double cast there only
+    * picks WHICH buckets seed the threshold, never affects
+    * soundness) and score their docs exactly (a doc's postings live
+    * entirely in its own bucket, so per-bucket decode gives exact
+    * totals); θ = the k-th best seed score, or Long.MinValue when
+    * the seeds hold fewer than k docs (then nothing is pruned —
+    * exactness never depends on the seed choice). (2) skip — every
+    * remaining bucket with Σ ub_ppm < θ is NEVER DECODED: each of
+    * its docs scores ≤ ub < θ ≤ the true k-th best, so it cannot
+    * enter the top-k (ties keep ub == θ buckets alive). (3) the
+    * survivors decode through the strict q259 read path and the
+    * union ranks exactly. The oracle is the from-raw-text exhaustive
+    * ranking (q170's formula, this probe's terms), so the hash match
+    * proves the pruned serving path IS the exhaustive ranking —
+    * bit for bit, at all 3 SFs.
+    *
+    * Scale: the sidecar is one groupBy over already-blocked rows;
+    * θ-seeding touches J buckets (constant); phase 2 decodes only
+    * surviving blocks (the whole point); the survivor list joins on
+    * the compact bucket key with no forced broadcast (the r14
+    * ClusterTakedown lesson — AQE decides; worst case it is
+    * corpus/width-sized). θ and the final top-k are TakeOrdered
+    * reductions, never windows. BlockMaxSpec pins the skip law
+    * (skipped > 0, skipped-bucket ub < θ) and the exactness law
+    * (pruned ≡ exhaustive) on a planted skewed corpus. */
+  val q267 = Q(
+    "q267_blockmax_wand",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.BlockMaxWand
+        .probe(docs, Seq("hash", "sort", "dup", "query"), k = 20)
+        .ranked
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('hash', 'sort', 'dup', 'query')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents)
+      SELECT tf.doc_id,
+        CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+          // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))) AS BIGINT)
+          AS score_ppm
+      FROM tf JOIN dfr USING (term) CROSS JOIN st
+      GROUP BY tf.doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 20"""),
+    doc = "X110b: Block-Max WAND — top-k BM25 that SKIPS compressed index " +
+      "blocks via an exact per-block score-upper-bound sidecar (Ding & " +
+      "Suel 2011); θ seeded from the 8 best-ub buckets, ub < θ buckets " +
+      "never decoded; the exhaustive from-raw-text oracle proves the " +
+      "pruned ranking is exact bit for bit")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
-    q265)
+    q265, q267)
 }
