@@ -37,16 +37,20 @@ object StreamingPostings {
   /** Compaction cadence — also the segment-list bound. */
   val CompactEvery = 4
 
+  /** `dl` is the doc-stats sidecar (doc_id, dl) every ranking probe
+    * needs (q265's dl/adl store), maintained in-stream next to the
+    * segments — appended from fresh rows only (disjoint by the seen
+    * discipline, so no dedup pass), re-barriered on the compaction
+    * cadence so its plan stays bounded (T32, r15). */
   final case class PsState(segments: List[DataFrame], seenIds: DataFrame,
-                           batches: Int = 0)
+                           dl: DataFrame, batches: Int = 0)
 
   def freeze(spark: org.apache.spark.sql.SparkSession): PsState = {
-    val empty = spark.createDataFrame(
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    def empty(fields: String*) = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType))))
-    PsState(Nil, empty)
+      StructType(fields.map(StructField(_, LongType))))
+    PsState(Nil, empty("doc_id"), empty("doc_id", "dl"))
   }
 
   /** Apply one micro-batch of `(doc_id, text)` documents. */
@@ -67,11 +71,63 @@ object StreamingPostings {
     val seen =
       if (nBatches % CompactEvery == 0) seenUnion.distinct().barrier()
       else seenUnion
+    val dlUnion = state.dl.unionByName(fresh.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl")))
+    val dl =
+      if (nBatches % CompactEvery == 0) dlUnion.barrier()
+      else dlUnion
     val compacted =
       if (segs.lengthCompare(1) > 0 && nBatches % CompactEvery == 0)
         List(compact(segs))
       else segs
-    PsState(compacted, seen, nBatches)
+    PsState(compacted, seen, dl, nBatches)
+  }
+
+  /** Serve a ranked BM25 probe from the LIVE segment list (T32, r15):
+    * the streaming twin of q265's serving stack — tf decodes from each
+    * segment's query-term blocks (q259's strict read path), df = Σ
+    * per-block df across ALL segments (segments hold disjoint doc ids
+    * — q264's overlap law — and buckets partition docs within one, so
+    * metadata alone is still exact df), dl/adl from the maintained
+    * sidecar. Raw text is never touched at probe time. Returns
+    * (doc_id, score_ppm) top-k; empty index ⇒ empty frame.
+    *
+    * Scale: probe cost = query-term blocks × live segments (bounded by
+    * CompactEvery) + the one doc_id equi-join against the 2-column dl
+    * store; corpus stats and df broadcast. Serving is identical before
+    * and after a compaction (merged ≡ rebuilt is byte-exact), which
+    * the T32 spec pins probe for probe. */
+  def serve(state: PsState, qTerms: Seq[String], k: Int): DataFrame = {
+    val spark = state.seenIds.sparkSession
+    import spark.implicits._
+    val stats = state.dl
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum($"dl").as("l_total"))
+      .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+    val blocks = state.segments
+      .map(_.filter($"term".isin(qTerms: _*)))
+      .reduceOption(_ unionByName _)
+      .getOrElse(return state.dl.limit(0)
+        .select($"doc_id", $"dl".as("score_ppm")))
+    val dfreq = blocks.groupBy($"term")
+      .agg(sum($"df").cast("long").as("df"))
+    val decoded = blocks
+      .select($"term", $"bucket", $"df", $"bytes")
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, b, n, bytes) =>
+        graft.operators.PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"streaming serve: corrupt postings block '$t'/$b"))
+          .map { case (doc, tf, _) => (t, doc, tf) }
+      }.toDF("term", "doc_id", "tf")
+    decoded.join(state.dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_ppm", expr(
+        """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+           DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+      .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+      .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(k)
   }
 
   /** Fold the whole segment list into one (the background merge; also

@@ -2108,4 +2108,71 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch,
       "streamed postings store != batch build over all delivered docs")
   }
+
+  test("T32: BM25 served MID-STREAM from the live segment list — probe " +
+    "after every batch equals the from-raw-text ranking over delivered " +
+    "docs, serving is identical across a compaction boundary, and a " +
+    "replay changes no answer") {
+    val s = spark
+    import s.implicits._
+    val qTerms = Seq("spark", "merge", "window")
+    val k = 15
+    // the from-scratch side: q170's exact rational BM25 straight from
+    // raw text — the maintained index never enters it
+    def exhaustive(docs: Seq[(Long, String)]): Seq[(Long, Long)] = {
+      val d = docs.toDF("doc_id", "text")
+      val toks = d.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("dl"),
+        explode(split($"text", " ")).as("term"))
+      val hits = toks.filter($"term".isin(qTerms: _*))
+      val tf = hits.groupBy($"doc_id", $"term", $"dl")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = hits.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val stats = d.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(split($"text", " "))).cast("long").as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id").limit(k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    def probe(st: StreamingPostings.PsState): Seq[(Long, Long)] =
+      StreamingPostings.serve(st, qTerms, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    val waves = docs.grouped(math.max(1, docs.length / 6)).toSeq
+    var st = StreamingPostings.freeze(s)
+    var delivered = Seq.empty[(Long, String)]
+    var sawMultiSegmentProbe = false
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingPostings.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      if (st.segments.size > 1) sawMultiSegmentProbe = true
+      assert(probe(st) === exhaustive(delivered),
+        s"mid-stream probe diverged from the from-scratch ranking " +
+          s"after wave $i (segments=${st.segments.size})")
+    }
+    assert(sawMultiSegmentProbe,
+      "every probe saw a compacted single segment — the multi-segment " +
+        "read path was never exercised")
+    // replay wave 1 (exactly-once): serving must not move
+    val before = probe(st)
+    stream.addData(waves.head: _*); qy.processAllAvailable()
+    qy.stop()
+    assert(probe(st) === before, "a replayed wave changed the ranking")
+    assert(probe(st) === exhaustive(delivered))
+  }
 }
