@@ -2133,8 +2133,105 @@ object Text {
       "bounded candidates); hash match vs the direct inequality " +
       "self-join proves band-generate + verify is lossless")
 
+  /** q268 — front-coded term dictionary (X111, r15): the OTHER
+    * compressed half of the index. q258/q263 compress the posting
+    * lists, but the term dictionary itself — the sorted string table
+    * every probe binary-searches first — ships uncompressed.
+    * Production indexes front-code it (Lucene's terms blocks, Managing
+    * Gigabytes §4.1): the dictionary sorts, cuts into 16-term blocks,
+    * and each term stores varint(lcp with the previous term) ·
+    * varint(suffix_len) · suffix bytes, the block's first term restart-
+    * coded in full. The oracle replays every block's byte stream from
+    * a window replay of the same front coding (LCP as a prefix-
+    * indicator sum — prefix equality is monotone, so the sum IS the
+    * LCP) and hashes it byte for byte; decode_ok pins the strict
+    * engine-side roundtrip ([[graft.operators.TermDictionary]] rejects
+    * truncation, trailing bytes, non-canonical varints and non-minimal
+    * lcp).
+    *
+    * Scale: the global ordinal comes from [[graft.operators.PrefixScan]]
+    * (one data shuffle, never a corpus-sized single-partition window —
+    * the q25 lesson applied to the vocabulary axis); blocks are
+    * 16-term bounded, so encode is a constant-size map per block and a
+    * lookup decodes exactly one block. Engine-side requires pin the
+    * oracle's domain (ASCII < 128, the ord()-replay bound) where a
+    * violation would otherwise surface as an unexplained hash
+    * mismatch. */
+  val q268 = Q(
+    "q268_frontcoded_dict",
+    (s, dir) => {
+      import s.implicits._
+      val vocab = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term")).distinct()
+        .withColumn("w", lit(1L))
+      val ranked = graft.operators.PrefixScan.inclusive(
+        vocab, Nil, "term", Nil, "w",
+        c => ascii(c) * 256 + ascii(substring(c, 2, 1)), "rank")
+      ranked
+        .select($"term", expr("(rank - 1) DIV 16").as("block"))
+        .groupBy($"block")
+        .agg(sort_array(collect_list($"term")).as("terms"))
+        .as[(Long, Seq[String])]
+        .map { case (b, ts) =>
+          require(ts.forall(t => t.nonEmpty && t.forall(_ < 128)),
+            "q268: dictionary is byte-coded ASCII (the oracle replays " +
+              "ord() per char)")
+          val bytes = graft.operators.TermDictionary.encode(ts)
+          val ok = graft.operators.TermDictionary.decode(bytes, ts.size)
+            .contains(ts)
+          val h = bytes.foldLeft(0L)((a, x) =>
+            (a * 31 + (x & 0xff)) % 1000000007L)
+          (b, ts.size.toLong, ts.head, bytes.length.toLong, h,
+            if (ok) 1L else 0L)
+        }
+        .toDF("block", "n_terms", "first_term", "n_bytes", "stream_hash",
+          "decode_ok")
+        .orderBy($"block")
+    },
+    Some("""
+      WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      r AS (SELECT term, row_number() OVER (ORDER BY term) - 1 AS rnk
+            FROM v),
+      p AS (SELECT term, rnk, rnk // 16 AS block,
+              lag(term) OVER (PARTITION BY rnk // 16 ORDER BY term)
+                AS prev
+            FROM r),
+      l AS (SELECT block, term, rnk,
+              CASE WHEN prev IS NULL THEN 0 ELSE coalesce(list_sum(
+                list_transform(range(1, least(len(term), len(prev)) + 1),
+                  i -> CASE WHEN substr(term, 1, CAST(i AS INT)) =
+                            substr(prev, 1, CAST(i AS INT))
+                       THEN 1 ELSE 0 END)), 0)
+              END AS lcp
+            FROM p),
+      e AS (SELECT block, rnk, term,
+              list_concat(
+                [CAST(lcp AS BIGINT), CAST(len(term) - lcp AS BIGINT)],
+                list_transform(
+                  range(CAST(lcp + 1 AS BIGINT),
+                        CAST(len(term) + 1 AS BIGINT)),
+                  i -> CAST(ord(substr(term, CAST(i AS INT), 1))
+                       AS BIGINT))) AS bs
+            FROM l),
+      b AS (SELECT block, CAST(COUNT(*) AS BIGINT) AS n_terms,
+              MIN(term) AS first_term,
+              flatten(list(bs ORDER BY rnk)) AS bytes
+            FROM e GROUP BY block)
+      SELECT CAST(block AS BIGINT) AS block, n_terms, first_term,
+             CAST(len(bytes) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(bytes, (h, x) -> (h * 31 + x) % 1000000007)
+               AS BIGINT) AS stream_hash,
+             CAST(1 AS BIGINT) AS decode_ok
+      FROM b ORDER BY block"""),
+    doc = "X111: front-coded term dictionary — sorted vocabulary in " +
+      "16-term restart blocks, each term as varint(lcp)+varint(suffix) " +
+      "(Lucene terms blocks / Managing Gigabytes front coding); oracle " +
+      "replays the byte stream via a window LCP replay and hashes it; " +
+      "decode_ok pins the strict roundtrip")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
-    q266)
+    q266, q268)
 }
