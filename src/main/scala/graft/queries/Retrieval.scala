@@ -716,6 +716,135 @@ object Retrieval {
       "never decoded; the exhaustive from-raw-text oracle proves the " +
       "pruned ranking is exact bit for bit")
 
+  /** q269 — hybrid retrieval SERVED OFF THE INDEX: block-max BM25 ∪
+    * vector search, fused by Reciprocal Rank Fusion (X112, r15).
+    * q143 already fuses a keyword-count scan with a cosine scan, both
+    * computed FROM RAW DATA — the demo shape. This is the serving
+    * shape a production RAG stack actually runs (Cormack/Clarke/
+    * Buettcher SIGIR'09; Elasticsearch/Vespa/Weaviate ship it): the
+    * lexical candidates come off the COMPRESSED INDEX through the
+    * q267 block-max pruned probe (real BM25, blocks below θ never
+    * decoded), the semantic side is the exact cosine ranking, and the
+    * fusion is rank-only — RRF(d) = Σ_lists 1/(C + rank_list(d)),
+    * C = 60 — so neither side's score scale needs calibrating against
+    * the other. The oracle computes BOTH sides from raw tables (the
+    * index never enters it), so the hash match gates the whole
+    * composition: encode → block-max prune → decode → rank → fuse.
+    *
+    * Exactness device: the textbook 1/(60+r) is irrational in the
+    * score domain; this implementation uses FIXED-POINT RRF —
+    * floor(10⁹ / (60 + rank)) per list, summed in BIGINT — which
+    * preserves the RRF ordering (the map r ↦ floor(10⁹/(60+r)) is
+    * strictly decreasing for r ≤ 30 ≪ √10⁹) and is replayable bit for
+    * bit by DuckDB. Semantic side: cosine against the vec_id-0 query
+    * embedding (FloatVectorDot's fixed fold order — the q50 device —
+    * so the double ranks identically cross-engine), top-30. Both rank
+    * assignments are windows over ALREADY-LIMITED 30-row frames
+    * (TakeOrdered first, rank second — never a corpus-sized window).
+    *
+    * Scale: the lexical side inherits q267's sub-linear probe (only
+    * surviving blocks decode); the semantic side is the q50 top-k
+    * reduction (an IVF probe at 100 TB — q69's posture); the fusion
+    * is a full outer join of two 30-row frames — constant work at any
+    * corpus size. */
+  val q269 = Q(
+    "q269_hybrid_rrf",
+    (s, dir) => {
+      import s.implicits._
+      val kCand = 30
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val qTerms = Seq("vector", "query", "index")
+      // ---- lexical: BM25 top-30 SERVED OFF THE COMPRESSED INDEX via
+      // the q267 block-max pruned probe (the index never enters the
+      // oracle — the hash match proves the served side == from-raw)
+      val lexTop = graft.operators.BlockMaxWand
+        .probe(docs, qTerms, kCand).ranked
+      val lex = lexTop.withColumn("lex_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"score_ppm".desc, $"doc_id"))) // 30-row frame
+        .select($"doc_id", $"lex_rank".cast(LongType).as("lex_rank"))
+      // ---- semantic: cosine vs the vec_id-0 query embedding, top-30
+      val qVec = emb.filter($"vec_id" === 0L)
+        .select($"embedding".as("q_vec"))
+      val semTop = emb.crossJoin(broadcast(qVec))
+        .withColumn("cos",
+          graft.functions.VectorOps.cosine($"q_vec", $"embedding"))
+        .orderBy($"cos".desc, $"vec_id").limit(kCand)
+      val sem = semTop.withColumn("sem_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"cos".desc, $"vec_id"))) // 30-row frame
+        .select($"vec_id".as("doc_id"),
+          $"sem_rank".cast(LongType).as("sem_rank"))
+      // ---- fixed-point RRF fusion over the two 30-row lists
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+          coalesce($"sem_rank", lit(0L)).as("sem_rank"))
+        .withColumn("rrf_fp", expr(
+          """CASE WHEN lex_rank > 0
+                  THEN 1000000000 DIV (60 + lex_rank) ELSE 0 END +
+             CASE WHEN sem_rank > 0
+                  THEN 1000000000 DIV (60 + sem_rank) ELSE 0 END"""))
+        .orderBy($"rrf_fp".desc, $"doc_id")
+        .limit(15)
+        .select($"doc_id", $"rrf_fp", $"lex_rank", $"sem_rank")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('vector', 'query', 'index')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents),
+      lexs AS (SELECT tf.doc_id,
+          CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+            // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1)))
+            AS BIGINT) AS score_ppm
+        FROM tf JOIN dfr USING (term) CROSS JOIN st
+        GROUP BY tf.doc_id),
+      lex AS (SELECT doc_id, CAST(row_number() OVER
+          (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM lexs QUALIFY lex_rank <= 30),
+      qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+      sems AS (SELECT e.vec_id AS doc_id,
+          ${graft.functions.VectorOps.dotSql("q.q_vec", "e.embedding")} /
+            (sqrt(${graft.functions.VectorOps.dotSql("q.q_vec", "q.q_vec")}) *
+             sqrt(${graft.functions.VectorOps.dotSql("e.embedding", "e.embedding")}))
+            AS cos
+        FROM embeddings e CROSS JOIN qv q),
+      sem AS (SELECT doc_id, CAST(row_number() OVER
+          (ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+        FROM sems QUALIFY sem_rank <= 30),
+      fused AS (SELECT doc_id,
+          COALESCE(lex_rank, 0) AS lex_rank,
+          COALESCE(sem_rank, 0) AS sem_rank
+        FROM lex FULL JOIN sem USING (doc_id))
+      SELECT doc_id,
+        CAST(CASE WHEN lex_rank > 0
+               THEN 1000000000 // (60 + lex_rank) ELSE 0 END +
+             CASE WHEN sem_rank > 0
+               THEN 1000000000 // (60 + sem_rank) ELSE 0 END
+          AS BIGINT) AS rrf_fp,
+        lex_rank, sem_rank
+      FROM fused
+      ORDER BY rrf_fp DESC, doc_id LIMIT 15"""),
+    doc = "X112: hybrid retrieval served off the index — block-max BM25 " +
+      "top-30 (q267's pruned probe, index-only read path) and exact " +
+      "cosine top-30 fused by FIXED-POINT Reciprocal Rank Fusion " +
+      "(floor(1e9/(60+r)), order-preserving for r ≤ 30, BIGINT-exact " +
+      "cross-engine); the from-raw oracle gates the whole " +
+      "encode→prune→decode→rank→fuse composition; q143 is the " +
+      "from-raw-scan demo twin")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
-    q265, q267)
+    q265, q267, q269)
 }
