@@ -2230,8 +2230,96 @@ object Text {
       "replays the byte stream via a window LCP replay and hashes it; " +
       "decode_ok pins the strict roundtrip")
 
+  /** q270 — term lookup SERVED through the front-coded dictionary
+    * (X111b, r15): the read path q268 left unexercised — the thing a
+    * query parser actually runs is "resolve this term to its ordinal",
+    * and with a front-coded dictionary that means: pick the candidate
+    * block from METADATA alone (the greatest first_term ≤ probe — the
+    * binary-search step, here a metadata argmax), decode ONLY that
+    * block (16 terms), and scan it. The dictionary survives only as
+    * the LEB128+suffix byte streams; the oracle computes each probe's
+    * global ordinal straight from the raw vocabulary (row_number over
+    * the sorted distinct terms — the dictionary never enters it), so
+    * the hash match proves block-pick + strict decode + in-block scan
+    * reproduce the uncompressed lookup exactly. Probes cover all
+    * three paths: present terms, an absent term that lands INSIDE a
+    * candidate block, and an absent term BELOW the whole dictionary
+    * (no candidate block at all).
+    *
+    * Scale: the block pick is an argmax over block METADATA
+    * (vocabulary/16 rows — the in-memory terms-index every IR engine
+    * keeps); exactly one block decodes per probe, 16 terms; nothing
+    * corpus-sized moves at probe time. The dictionary build is q268's
+    * ingest cost, amortized. */
+  val q270 = Q(
+    "q270_dict_lookup",
+    (s, dir) => {
+      import s.implicits._
+      val probeTerms = Seq("merge", "stream", "query", "qqq_absent",
+        "!below_all")
+      // ---- ingest: the q268 front-coded store (bytes only)
+      val vocab = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term")).distinct()
+        .withColumn("w", lit(1L))
+      val dict = graft.operators.PrefixScan.inclusive(
+        vocab, Nil, "term", Nil, "w",
+        c => ascii(c) * 256 + ascii(substring(c, 2, 1)), "rank")
+        .select($"term", expr("(rank - 1) DIV 16").as("block"))
+        .groupBy($"block")
+        .agg(sort_array(collect_list($"term")).as("terms"))
+        .as[(Long, Seq[String])]
+        .map { case (b, ts) =>
+          (b, ts.size.toLong, ts.head,
+            graft.operators.TermDictionary.encode(ts))
+        }
+        .toDF("block", "n_terms", "first_term", "bytes")
+      // ---- probe: block pick from metadata, decode ONE block, scan
+      val probes = probeTerms.toDF("pterm")
+      val best = probes.join(
+          broadcast(dict.select($"block", $"first_term")),
+          $"first_term" <= $"pterm", "left")
+        .groupBy($"pterm")
+        .agg(max(struct($"first_term", $"block")).as("c"))
+        .select($"pterm", $"c.block".as("block"))
+      val hits = best.filter($"block".isNotNull)
+        .join(dict, Seq("block"))
+        .select($"pterm", $"block", $"n_terms", $"bytes")
+        .as[(String, Long, Long, Array[Byte])]
+        .map { case (p, b, n, bytes) =>
+          val ts = graft.operators.TermDictionary.decode(bytes, n.toInt)
+            .getOrElse(throw new IllegalStateException(
+              s"q270: corrupt dictionary block $b"))
+          val i = ts.indexOf(p)
+          if (i >= 0) (p, 1L, b, b * 16 + i) else (p, 0L, -1L, -1L)
+        }
+        .toDF("term", "found", "block", "ordinal")
+      val misses = best.filter($"block".isNull)
+        .select($"pterm".as("term"), lit(0L).as("found"),
+          lit(-1L).as("block"), lit(-1L).as("ordinal"))
+      hits.unionByName(misses).orderBy($"term")
+    },
+    Some("""
+      WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      r AS (SELECT term, row_number() OVER (ORDER BY term) - 1 AS ord
+            FROM v),
+      p AS (SELECT unnest(['merge', 'stream', 'query', 'qqq_absent',
+                           '!below_all']) AS pterm)
+      SELECT pterm AS term,
+        CAST(CASE WHEN ord IS NULL THEN 0 ELSE 1 END AS BIGINT) AS found,
+        CAST(COALESCE(ord // 16, -1) AS BIGINT) AS block,
+        CAST(COALESCE(ord, -1) AS BIGINT) AS ordinal
+      FROM p LEFT JOIN r ON r.term = p.pterm
+      ORDER BY term"""),
+    doc = "X111b: term lookup through the front-coded dictionary — " +
+      "candidate block from metadata alone (greatest first_term ≤ " +
+      "probe), ONE 16-term block decoded per probe, in-block scan; " +
+      "hash match vs the raw-vocabulary ordinal proves the compressed " +
+      "read path is lossless; absent-in-block and below-all-blocks " +
+      "miss paths both pinned")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
-    q266, q268)
+    q266, q268, q270)
 }
