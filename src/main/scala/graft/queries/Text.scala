@@ -2318,8 +2318,104 @@ object Text {
       "read path is lossless; absent-in-block and below-all-blocks " +
       "miss paths both pinned")
 
+  /** q271 — best-passage extraction through the positional index
+    * (X109f, r15): the RAG chunking step that runs AFTER retrieval —
+    * given the documents a query matched, return the width-W token
+    * window holding the most query-term occurrences (the passage a
+    * generator actually gets as context; Lucene's highlighter /
+    * passage scorer runs exactly this over its .pos data). Windows are
+    * HIT-ANCHORED (a maximal window can always be shifted to start at
+    * a hit, so only hit positions are candidate starts — both engines
+    * implement this same declared semantics), tiebreak smallest start.
+    *
+    * The positions come off the q263 positional compressed store
+    * (decode-on-probe, canonical-strict); the window count is the
+    * q266 BANDED position join: both sides key on (doc_id,
+    * pos DIV W), a start probes its own band and the next (a width-W
+    * window spans ≤ 2 bands — losslessness is arithmetic), exact
+    * range verify inside the bounded candidates; per-doc argmax is
+    * one max(struct) aggregate. The oracle replays the whole thing
+    * from raw documents with a direct inequality self-join — a hash
+    * match proves positional decode + band-generate + verify + argmax
+    * reproduce it exactly.
+    *
+    * Scale: probe touches only the query terms' blocks; candidates
+    * per start are one doc's hits in ≤ 2 width-W bands (doc-length
+    * bounded, never corpus-shaped); the argmax is a per-doc
+    * aggregate; top-30 is a TakeOrdered reduction. */
+  val q271 = Q(
+    "q271_best_passage",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("table", "scan", "filter")
+      val W = 20L
+      val store = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+          $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(sort_array(collect_list($"pos")).as("ps"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
+          .as("block"))
+        .as[(String, Long, Seq[(Long, Seq[Long])])]
+        .map { case (t, b, blk) =>
+          (t, b, blk.size,
+            graft.operators.PostingCodec.encodePositional(blk))
+        }.toDF("term", "bucket", "df", "bytes")
+      val hits = store.filter($"term".isin(qTerms: _*))
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, df, bytes) =>
+          graft.operators.PostingCodec.decodePositional(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q271: corrupt positional block for term '$t'"))
+            .flatMap { case (doc, ps) => ps.map(p => (doc, p)) }
+        }.toDF("doc_id", "pos")
+      // banded window join: starts probe their own band and the next
+      val starts = hits
+        .select($"doc_id", $"pos".as("start"),
+          explode(array(($"pos" / W).cast("long"),
+            ($"pos" / W).cast("long") + 1)).as("band"))
+      val members = hits
+        .select($"doc_id", $"pos", ($"pos" / W).cast("long").as("band"))
+      val counted = starts.join(members, Seq("doc_id", "band"))
+        .filter($"pos" >= $"start" && $"pos" < $"start" + W)
+        .groupBy($"doc_id", $"start")
+        .agg(count(lit(1)).as("n_hits"))
+      counted
+        .groupBy($"doc_id")
+        .agg(max(struct($"n_hits", (-$"start").as("neg_start"))).as("b"))
+        .select($"doc_id", (-$"b.neg_start").as("win_start"),
+          $"b.n_hits".as("n_hits"))
+        .orderBy($"n_hits".desc, $"doc_id")
+        .limit(30)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM t
+            WHERE term IN ('table', 'scan', 'filter')),
+      w AS (SELECT h1.doc_id, h1.pos AS start,
+              CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM h h1 JOIN h h2 ON h1.doc_id = h2.doc_id
+              AND h2.pos >= h1.pos AND h2.pos < h1.pos + 20
+            GROUP BY h1.doc_id, h1.pos),
+      b AS (SELECT doc_id, start AS win_start, n_hits,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY n_hits DESC, start ASC) AS rn
+            FROM w)
+      SELECT doc_id, win_start, n_hits FROM b WHERE rn = 1
+      ORDER BY n_hits DESC, doc_id LIMIT 30"""),
+    doc = "X109f: best-passage extraction — hit-anchored width-20 window " +
+      "with the most query-term occurrences per doc, positions decoded " +
+      "from the q263 positional compressed store, window count via the " +
+      "q266 banded position join, per-doc max(struct) argmax; hash match " +
+      "vs the direct inequality self-join from raw documents")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
-    q266, q268, q270)
+    q266, q268, q270, q271)
 }
