@@ -845,6 +845,130 @@ object Retrieval {
       "encode→prune→decode→rank→fuse composition; q143 is the " +
       "from-raw-scan demo twin")
 
+  /** q272 — retrieve-then-rerank: block-max BM25 first phase, exact
+    * proximity second phase (X113, r15). THE production ranking shape
+    * (every search/RAG stack runs a cheap first-phase retriever over
+    * the whole corpus, then an expensive reranker over a fixed-size
+    * candidate set): phase 1 pulls the exact top-100 BM25 candidates
+    * off the compressed index through q267's pruned probe; phase 2
+    * decodes POSITIONS (q263's store) for those 100 docs only and
+    * boosts by term proximity — final = score_ppm +
+    * floor(10⁶/(1+min_gap)), where min_gap is the smallest distance
+    * between two DIFFERENT query terms in the doc. min_gap is exact
+    * via a per-doc sort: the closest different-term pair is always
+    * ADJACENT in position order (any hit strictly between two
+    * different-term hits forms a closer different-term pair with one
+    * end), so one lag() over the doc's own hits finds it — no pair
+    * join. The oracle replays both phases from raw documents
+    * (exhaustive BM25 top-100, same lag device, same integer boost),
+    * so the hash match gates the full two-stage stack.
+    *
+    * Scale: phase 1 inherits q267's sub-linear probe; phase 2 is
+    * candidate-bounded (100 docs — the whole point of two-stage
+    * ranking): its window partitions by doc_id over one doc's hits
+    * (doc-length bounded, the sanctioned class), and the candidate
+    * filter is a broadcast semi-join of 100 ids against the
+    * positional blocks. */
+  val q272 = Q(
+    "q272_retrieve_rerank",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("hash", "join", "group", "order")
+      val docs = Tables(s, dir, "documents")
+      // ---- phase 1: exact top-100 off the compressed index (pruned)
+      val cands = graft.operators.BlockMaxWand
+        .probe(docs, qTerms, k = 100).ranked
+      // ---- phase 2: positions for the candidates only
+      val posStore = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+          $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(sort_array(collect_list($"pos")).as("ps"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
+          .as("block"))
+        .as[(String, Long, Seq[(Long, Seq[Long])])]
+        .map { case (t, b, blk) =>
+          (t, b, blk.size,
+            graft.operators.PostingCodec.encodePositional(blk))
+        }.toDF("term", "bucket", "df", "bytes")
+      val hits = posStore.filter($"term".isin(qTerms: _*))
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, df, bytes) =>
+          graft.operators.PostingCodec.decodePositional(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q272: corrupt positional block for term '$t'"))
+            .flatMap { case (doc, ps) => ps.map(p => (doc, t, p)) }
+        }.toDF("doc_id", "term", "pos")
+        .join(broadcast(cands.select($"doc_id")), Seq("doc_id"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val gaps = hits
+        .withColumn("prev_term", lag($"term", 1).over(w))
+        .withColumn("prev_pos", lag($"pos", 1).over(w))
+        .filter($"prev_term".isNotNull && $"term" =!= $"prev_term")
+        .groupBy($"doc_id")
+        .agg(min($"pos" - $"prev_pos").as("min_gap"))
+      cands.join(gaps, Seq("doc_id"), "left")
+        .withColumn("final_ppm", expr(
+          """score_ppm + CASE WHEN min_gap IS NOT NULL
+             THEN 1000000 DIV (1 + min_gap) ELSE 0 END"""))
+        .select($"doc_id", $"final_ppm", $"score_ppm",
+          coalesce($"min_gap", lit(-1L)).as("min_gap"))
+        .orderBy($"final_ppm".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term,
+                   CAST(unnest(range(1, len(string_split(text, ' ')) + 1))
+                     AS BIGINT) AS pos
+                 FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('hash', 'join', 'group', 'order')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents),
+      sc AS (SELECT tf.doc_id,
+          CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+            // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1)))
+            AS BIGINT) AS score_ppm
+        FROM tf JOIN dfr USING (term) CROSS JOIN st
+        GROUP BY tf.doc_id),
+      cand AS (SELECT doc_id, score_ppm,
+          row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rn
+        FROM sc QUALIFY rn <= 100),
+      g AS (SELECT h.doc_id, h.term, h.pos,
+              lag(h.term) OVER (PARTITION BY h.doc_id ORDER BY h.pos)
+                AS prev_term,
+              lag(h.pos) OVER (PARTITION BY h.doc_id ORDER BY h.pos)
+                AS prev_pos
+            FROM h JOIN cand USING (doc_id)),
+      mg AS (SELECT doc_id, CAST(MIN(pos - prev_pos) AS BIGINT)
+               AS min_gap
+             FROM g WHERE prev_term IS NOT NULL AND term <> prev_term
+             GROUP BY doc_id)
+      SELECT cand.doc_id,
+        CAST(score_ppm + CASE WHEN min_gap IS NOT NULL
+          THEN 1000000 // (1 + min_gap) ELSE 0 END AS BIGINT)
+          AS final_ppm,
+        score_ppm,
+        CAST(COALESCE(min_gap, -1) AS BIGINT) AS min_gap
+      FROM cand LEFT JOIN mg USING (doc_id)
+      ORDER BY final_ppm DESC, doc_id LIMIT 20"""),
+    doc = "X113: retrieve-then-rerank — exact top-100 BM25 off the " +
+      "pruned compressed index (q267), then a candidate-bounded " +
+      "proximity rerank from decoded positions (closest different-term " +
+      "pair is adjacent in position order, so one lag() finds min_gap); " +
+      "integer boost 1e6 DIV (1+min_gap); oracle replays both phases " +
+      "from raw documents")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
-    q265, q267, q269)
+    q265, q267, q269, q272)
 }
