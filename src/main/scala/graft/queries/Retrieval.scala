@@ -969,6 +969,96 @@ object Retrieval {
       "integer boost 1e6 DIV (1+min_gap); oracle replays both phases " +
       "from raw documents")
 
+  /** q273 — the index survives a DISK roundtrip and serves (X114,
+    * r15): every in-memory serving law so far (q259/q265/q267) held
+    * the store as a DataFrame lineage; a production index is a FILE
+    * ASSET — built once, written out, mounted by serving nodes that
+    * never see the raw corpus. This query writes the two serving
+    * stores to parquet — the compressed posting blocks PARTITIONED BY
+    * TERM (so "fetch the query terms' blocks" becomes literal
+    * partition pruning: the scan reads only the probed terms'
+    * directories) and the 2-column doc-stats sidecar — then reads
+    * them back and runs the q265 BM25 serve off the FILES alone. The
+    * oracle is the from-raw-text ranking, so the hash match
+    * additionally gates the parquet BINARY roundtrip of the LEB128
+    * streams (a corrupted byte would throw at the strict decode; a
+    * silently reordered or dropped row would change the ranking).
+    *
+    * Scale: the write is the index build's amortized ingest cost; the
+    * probe-side scan is partition-pruned to |query terms| directories
+    * (PushedFilters on term — the physical form of the posting-list
+    * fetch); everything after is q265's probe posture. */
+  val q273 = Q(
+    "q273_persisted_index",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("small", "big", "fast", "slow")
+      val docs = Tables(s, dir, "documents")
+      val out = graft.queries.Sources.scratch("pidx")
+      // ---- ingest: build + WRITE the serving assets
+      graft.queries.Text.postingStore(docs)
+        .write.mode("overwrite").partitionBy("term")
+        .parquet(s"$out/postings")
+      docs.select($"doc_id",
+          size(split($"text", " ")).cast(LongType).as("dl"))
+        .write.mode("overwrite").parquet(s"$out/docstats")
+      // ---- serve: FILES only from here on
+      val store = s.read.parquet(s"$out/postings")
+        .filter($"term".isin(qTerms: _*)) // literal partition pruning
+      val dl = s.read.parquet(s"$out/docstats")
+      val stats = dl
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"dl").as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      val dfreq = store.groupBy($"term")
+        .agg(sum($"df").cast(LongType).as("df"))
+      val decoded = store
+        .select($"term", $"bucket", $"df", $"bytes")
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, b, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q273: corrupt persisted block '$t'/$b"))
+            .map { case (doc, tf, _) => (t, doc, tf) }
+        }.toDF("term", "doc_id", "tf")
+      decoded.join(dl, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('small', 'big', 'fast', 'slow')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents)
+      SELECT tf.doc_id,
+        CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+          // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))) AS BIGINT)
+          AS score_ppm
+      FROM tf JOIN dfr USING (term) CROSS JOIN st
+      GROUP BY tf.doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 20"""),
+    doc = "X114: persisted index — compressed postings written to parquet " +
+      "PARTITIONED BY TERM (the block fetch becomes literal partition " +
+      "pruning) + the doc-stats sidecar; serving reads the FILES only; " +
+      "the from-raw oracle additionally gates the parquet binary " +
+      "roundtrip of the LEB128 streams")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
-    q265, q267, q269, q272)
+    q265, q267, q269, q272, q273)
 }

@@ -452,6 +452,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p98.contains("TakeOrderedAndProject"), p98)
     assert(!p98.contains("CartesianProduct"), p98)
   }
+  test("q273 persisted index: the probe scan reads ONLY the query " +
+    "terms' partitions — the posting-list fetch is literal partition " +
+    "pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString +
+      "/postings"
+    val docs = (0L until 200L)
+      .map(i => (i, s"alpha beta gamma delta w${i % 11}"))
+      .toDF("doc_id", "text")
+    graft.queries.Text.postingStore(docs)
+      .write.partitionBy("term").parquet(dir)
+    val probed = s.read.parquet(dir)
+      .filter($"term".isin("alpha", "beta"))
+    assert(probed.collect().length === 4) // 2 terms x 2 buckets
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: FileSourceScanExec if f.metrics.contains("numPartitions") => f
+      }.get
+    assert(scan.metrics("numPartitions").value === 2,
+      s"partitions read: ${scan.metrics("numPartitions").value} " +
+        "(expected 2 of the 15-term dictionary)")
+  }
+
   test("EdJoin's physical plan has no quadratic pair generator") {
     import org.apache.spark.sql.functions._
     // 400 diverse strings: the probe path must be hash joins; the only
