@@ -2175,4 +2175,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(probe(st) === before, "a replayed wave changed the ranking")
     assert(probe(st) === exhaustive(delivered))
   }
+
+  test("T33: streaming cross-modal latent index — GRF1 payloads decode " +
+    "mid-stream, latents + grid keys append exactly-once, and the " +
+    "banded text→image probe off the maintained index equals the probe " +
+    "off an index rebuilt from scratch, after every batch") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    // fixed text queries (the q261 shape: every 20th doc's text)
+    import graft.core.Barriers._
+    val queries = StreamingLatentIndex.encodeQueries(
+      docs.filter(_._1 % 20 == 0).toDF("doc_id", "text")).barrier()
+    def probe(items: StreamingLatentIndex.LiState): Seq[(Long, Long, Long)] =
+      StreamingLatentIndex.serve(items, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val waves = docs.grouped(math.max(1, docs.length / 5)).toSeq
+    var st = StreamingLatentIndex.freeze(s)
+    var delivered = Seq.empty[(Long, String)]
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingLatentIndex.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      // maintained ≡ rebuilt: same probe off a from-scratch index
+      val rebuilt = StreamingLatentIndex.LiState(
+        StreamingLatentIndex.encodeImages(delivered.toDF("doc_id", "text")),
+        st.seenIds, st.batches)
+      assert(probe(st) === probe(rebuilt),
+        s"maintained index diverged from rebuilt after wave $i")
+      assert(st.items.count() === delivered.length.toLong,
+        s"index row count != delivered docs after wave $i")
+    }
+    // replay wave 1: exactly-once — no new rows, no answer moves
+    val before = probe(st)
+    val nBefore = st.items.count()
+    stream.addData(waves.head: _*); qy.processAllAvailable()
+    qy.stop()
+    assert(st.items.count() === nBefore,
+      "a replayed wave appended index rows — exactly-once broke")
+    assert(probe(st) === before, "a replayed wave changed an answer")
+    // the staggered-grid guarantee: once everything arrived, every
+    // query's own image is among its candidates (within-16 latent
+    // noise shares a cell in >= 1 grid), so top-1 distance is small
+    val own = probe(st)
+    assert(own.nonEmpty)
+    assert(own.forall(_._3 <= 16L * 16L),
+      s"a query's best candidate is far — own image missing: $own")
+  }
 }
