@@ -2414,8 +2414,89 @@ object Text {
       "q266 banded position join, per-doc max(struct) argmax; hash match " +
       "vs the direct inequality self-join from raw documents")
 
+  /** q274 — postings takedown: block-local delete from the compressed
+    * store (X109g, r15): the DELETE member the q258/q264/T31
+    * append-then-compact family was missing — the right-to-be-
+    * forgotten event (q233/q234/q245's reaper family) applied to the
+    * TEXT index's storage layer. Dead docs bucket by doc_id div 100,
+    * so the surgery touches exactly their buckets' blocks: each
+    * decodes (strict), drops the dead postings, re-encodes; an
+    * emptied block vanishes; every other block passes through
+    * byte-UNTOUCHED (no decode — PostingsTakedownSpec pins this at
+    * the object level). Gap coding has no layout freedom, so the
+    * maintained store equals a from-scratch build over the SURVIVING
+    * corpus byte for byte — and the oracle replays exactly that
+    * from-scratch build (q258's 4-tier varint expansion over
+    * `WHERE doc_id % 7 <> 3`; the takedown never enters the oracle).
+    *
+    * Scale: the dead set groups to bucket-keyed arrays (fan-in ≤
+    * bucket width); the store join is an equi-join on the compact
+    * bucket key with no forced broadcast (AQE decides — the r14
+    * ClusterTakedown lesson); re-encode cost = touched blocks only,
+    * never corpus-shaped. */
+  val q274 = Q(
+    "q274_postings_takedown",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val store = postingStore(docs)
+      val dead = docs.filter($"doc_id" % 7 === 3).select($"doc_id")
+      graft.operators.PostingsTakedown(store, dead)
+        .as[(String, Long, Int, Array[Byte])]
+        .map { case (term, bucket, df, bytes) =>
+          val ok = graft.operators.PostingCodec.decode(bytes, df).isDefined
+          val h = bytes.foldLeft(0L)((a, x) =>
+            (a * 31 + (x & 0xff)) % 1000000007L)
+          (term, bucket, df.toLong, bytes.length.toLong, h,
+            if (ok) 1L else 0L)
+        }
+        .toDF("term", "bucket", "df", "n_bytes", "stream_hash",
+          "decode_ok")
+        .orderBy($"term", $"bucket")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents WHERE doc_id % 7 <> 3)),
+      d AS (SELECT term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+            FROM t GROUP BY term, doc_id),
+      g AS (SELECT term, CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+              list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS ds,
+              list(CAST(tf AS BIGINT) ORDER BY doc_id) AS tfs,
+              list(CAST(first_pos AS BIGINT) ORDER BY doc_id) AS fps
+            FROM d GROUP BY term, bucket),
+      v AS (SELECT term, bucket, len(ds) AS df,
+              list_concat([ds[1]],
+                flatten(list_transform(range(1, len(ds) + 1), i ->
+                  CASE WHEN i = 1 THEN [tfs[1], fps[1]]
+                       ELSE [ds[i] - ds[i - 1], tfs[i], fps[i]] END)))
+                AS vals
+            FROM g),
+      b AS (SELECT term, bucket, df,
+              flatten(list_transform(vals, x -> CASE
+                WHEN x < 128 THEN [x]
+                WHEN x < 16384 THEN [x % 128 + 128, x // 128]
+                WHEN x < 2097152 THEN
+                  [x % 128 + 128, (x // 128) % 128 + 128, x // 16384]
+                ELSE [x % 128 + 128, (x // 128) % 128 + 128,
+                      (x // 16384) % 128 + 128, x // 2097152] END))
+                AS bytes
+            FROM v)
+      SELECT term, bucket, CAST(df AS BIGINT) AS df,
+             CAST(len(bytes) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(bytes, (h, x) -> (h * 31 + x) % 1000000007)
+               AS BIGINT) AS stream_hash,
+             CAST(1 AS BIGINT) AS decode_ok
+      FROM b ORDER BY term, bucket"""),
+    doc = "X109g: postings takedown — block-local delete from the " +
+      "compressed store (dead buckets' blocks decode, drop, re-encode; " +
+      "emptied blocks vanish; untouched blocks pass through byte-" +
+      "identical); maintained == from-scratch build over the survivors " +
+      "byte for byte, gated by q258's oracle over the filtered corpus")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
-    q266, q268, q270, q271)
+    q266, q268, q270, q271, q274)
 }
