@@ -2495,8 +2495,72 @@ object Text {
       "identical); maintained == from-scratch build over the survivors " +
       "byte for byte, gated by q258's oracle over the filtered corpus")
 
+  /** q275 — Boolean search through the compressed index (X109h, r15):
+    * the query-language layer over the IR family — after ranked (q259/
+    * q265/q267), phrase (q263), NEAR (q266) and passage (q271), the
+    * remaining classic is BOOLEAN set semantics: `(spark AND window)
+    * OR dup, AND NOT merge`. Each operator maps to the distributed
+    * set-algebra primitive a doc-id join IS: AND = inner equi-join,
+    * OR = distinct union, NOT = left-anti join — all on the compact
+    * doc_id key, all decoded on the probe's read path from the q258
+    * byte streams (only the four query terms' blocks). The oracle
+    * computes the same boolean sets straight from raw documents, so
+    * the hash match proves the decoded sets are exact.
+    *
+    * Scale: probe = query-term blocks only; every boolean operator is
+    * an equi/anti join or distinct on doc_id over Σ df(query terms)
+    * rows — never corpus-sized; no inequality, no window. Indicator
+    * columns in the output pin WHICH branch admitted each doc. */
+  val q275 = Q(
+    "q275_boolean_search",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val store = postingStore(docs)
+        .filter($"term".isin("spark", "window", "dup", "merge"))
+      val decoded = store.as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, b, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q275: corrupt postings block '$t'/$b"))
+            .map { case (doc, _, _) => (t, doc) }
+        }.toDF("term", "doc_id")
+      def docsOf(t: String) =
+        decoded.filter($"term" === t).select($"doc_id")
+      val ab = docsOf("spark").join(docsOf("window"), Seq("doc_id"))
+      val abc = ab.withColumn("in_ab", lit(1L))
+        .join(docsOf("dup").withColumn("in_c", lit(1L)),
+          Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          coalesce($"in_ab", lit(0L)).as("in_ab"),
+          coalesce($"in_c", lit(0L)).as("in_c"))
+      abc.join(docsOf("merge"), Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT DISTINCT doc_id,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      a AS (SELECT doc_id FROM t WHERE term = 'spark'),
+      b AS (SELECT doc_id FROM t WHERE term = 'window'),
+      c AS (SELECT doc_id FROM t WHERE term = 'dup'),
+      d AS (SELECT doc_id FROM t WHERE term = 'merge'),
+      ab AS (SELECT doc_id, CAST(1 AS BIGINT) AS in_ab
+             FROM a JOIN b USING (doc_id)),
+      cc AS (SELECT doc_id, CAST(1 AS BIGINT) AS in_c FROM c),
+      abc AS (SELECT doc_id,
+          COALESCE(in_ab, 0) AS in_ab, COALESCE(in_c, 0) AS in_c
+        FROM ab FULL JOIN cc USING (doc_id))
+      SELECT doc_id, in_ab, in_c FROM abc
+      WHERE doc_id NOT IN (SELECT doc_id FROM d)
+      ORDER BY doc_id"""),
+    doc = "X109h: Boolean search — (spark AND window) OR dup, AND NOT " +
+      "merge, as distributed set algebra over decoded posting sets " +
+      "(AND = equi-join, OR = full-outer indicators, NOT = anti-join, " +
+      "all on the compact doc_id key); hash match vs the raw-text sets")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
-    q266, q268, q270, q271, q274)
+    q266, q268, q270, q271, q274, q275)
 }
