@@ -130,6 +130,39 @@ object StreamingPostings {
       .limit(k)
   }
 
+  /** Apply a TAKEDOWN batch of doc ids mid-stream (T34, r15): the
+    * delete member of the streaming postings family. Each live
+    * segment gets q274's block-local surgery (only the dead buckets'
+    * blocks decode + re-encode; emptied segments drop from the list);
+    * the doc-stats sidecar anti-joins the dead ids (BM25's adl must
+    * reflect survivors); and the dead ids enter the SEEN set as
+    * tombstones-forever — a document taken down before its arrival
+    * never indexes, and a replay of a reaped doc stays a structural
+    * no-op, with no cross-generation dedup state beyond the seen set
+    * the T26 discipline already keeps.
+    *
+    * Laws (StreamingSpec T34): after every doc/takedown batch, the
+    * streamed serve equals the batch serve over delivered-minus-
+    * taken-down; the final compacted store equals the BATCH build
+    * over the survivors BYTE FOR BYTE; late-arriving dead docs and
+    * replays of reaped docs are both no-ops.
+    *
+    * Scale: per takedown O(|dead| grouping + touched blocks re-encode)
+    * per segment — segment count is bounded by the compaction cadence,
+    * so the surgery never scans the corpus. */
+  def applyTakedown(state: PsState, dead: DataFrame): PsState = {
+    val ids = dead
+      .select(col(dead.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .barrier()
+    val segs = state.segments
+      .map(seg => graft.operators.PostingsTakedown(seg, ids).barrier())
+      .filter(!_.isEmpty)
+    val seen = state.seenIds.unionByName(ids).distinct().barrier()
+    val dl = state.dl.join(ids, Seq("doc_id"), "left_anti").barrier()
+    PsState(segs, seen, dl, state.batches)
+  }
+
   /** Fold the whole segment list into one (the background merge; also
     * the spec's forced final compaction). */
   def compact(segments: List[DataFrame]): DataFrame = segments match {

@@ -2176,6 +2176,74 @@ class StreamingSpec extends SparkSpecBase {
     assert(probe(st) === exhaustive(delivered))
   }
 
+  test("T34: streaming postings takedown — deletes arrive mid-stream, " +
+    "segments get block-local surgery, tombstones hold forever (late " +
+    "arrivals and replays of reaped docs are no-ops), and the final " +
+    "compacted store equals the batch build over the survivors, byte " +
+    "for byte") {
+    val s = spark
+    import s.implicits._
+    val qTerms = Seq("spark", "merge", "window")
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    val waves = docs.grouped(math.max(1, docs.length / 5)).toSeq
+    // takedown after wave 2: some already-arrived ids (from wave 1)
+    // AND some ids that will only arrive in LATER waves (tombstone-
+    // before-arrival — those docs must never index)
+    val deadEarly = waves.head.map(_._1).filter(_ % 4 == 1)
+    val deadLate = waves.last.map(_._1).filter(_ % 4 == 1)
+    val dead = (deadEarly ++ deadLate).toSet
+    def survivors(delivered: Seq[(Long, String)]) =
+      delivered.filterNot(d => dead.contains(d._1))
+    def serveNow(st: StreamingPostings.PsState): Seq[(Long, Long)] =
+      StreamingPostings.serve(st, qTerms, 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def batchState(rows: Seq[(Long, String)]): StreamingPostings.PsState =
+      StreamingPostings.applyBatch(
+        StreamingPostings.freeze(s), rows.toDF("doc_id", "text"))
+    var st = StreamingPostings.freeze(s)
+    var delivered = Seq.empty[(Long, String)]
+    var takenDown = false
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingPostings.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      if (i == 1) {
+        st = StreamingPostings.applyTakedown(st, dead.toSeq.toDF("doc_id"))
+        takenDown = true
+      }
+      val expect = if (takenDown) survivors(delivered) else delivered
+      assert(serveNow(st) === serveNow(batchState(expect)),
+        s"streamed serve diverged from batch-over-survivors after wave $i")
+    }
+    // replay a REAPED doc's wave: tombstones hold, nothing resurrects
+    val before = serveNow(st)
+    stream.addData(waves.head: _*); qy.processAllAvailable()
+    qy.stop()
+    assert(serveNow(st) === before,
+      "a replayed wave resurrected a reaped doc")
+    // the byte law: compacted streamed store == batch build over
+    // survivors, byte for byte
+    val streamed = StreamingPostings.compact(st.segments)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(2), r.getAs[Array[Byte]]("bytes").toSeq)).toMap
+    val batch = graft.queries.Text
+      .postingStore(survivors(delivered).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(2), r.getAs[Array[Byte]]("bytes").toSeq)).toMap
+    assert(streamed === batch,
+      "streamed store after takedown != batch build over survivors")
+  }
+
   test("T33: streaming cross-modal latent index — GRF1 payloads decode " +
     "mid-stream, latents + grid keys append exactly-once, and the " +
     "banded text→image probe off the maintained index equals the probe " +
