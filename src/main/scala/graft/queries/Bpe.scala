@@ -724,6 +724,112 @@ object Bpe {
       "proven count-agnostic on the third tokenizer family; end-to-end " +
       "hash-checked composition")
 
+  /** q276 — the SUB-WORD index: compressed postings over BPE symbols
+    * (N37f, r15). Every index so far keys on whitespace words; an LLM
+    * serving/data system indexes what its TOKENIZER emits — sub-word
+    * units — so the same text is searchable at the grain the model
+    * reads (code search, tokenizer-drift audits, membership probes
+    * all run here). This composes the two families end to end: the
+    * q194-trained vocabulary segments the corpus (q195's join), each
+    * document becomes a SYMBOL stream with deterministic coordinates
+    * (pos = word_pos·64 + symbol_index — a declared stride both
+    * engines replay; engine-side require pins symbols-per-word < 64
+    * where a violation would alias coordinates), the stream builds a
+    * q258-layout compressed store keyed by symbol, and a 3-symbol
+    * probe (the md5-derived symbols of 'a'/'e'/'s' — computed, not
+    * hard-coded, so both engines derive them) ranks documents from
+    * the DECODED byte streams alone. The oracle replays training,
+    * segmentation, coordinates, and the search straight from raw
+    * documents — the index never enters it.
+    *
+    * Scale: training/segmentation are q194/q195's postures (word
+    * table is Heaps'-law-sized); the symbol stream is corpus-token-
+    * sized with compact (symbol, bucket) keys; probe cost =
+    * Σ df(query symbols) rows. */
+  val q276 = Q(
+    "q276_subword_index",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val words = BpeVocab.wordTable(docs, "text")
+      val (_, finalWords) = BpeVocab.train(words, Rounds)
+      // stride contract enforced in-plan: a word splitting into >= 64
+      // symbols would alias into the next word's coordinate range
+      val vocab = finalWords
+        .select($"w", BpeVocab.syms($"repr").as("sy"))
+        .withColumn("sy", when(size($"sy") <= 63, $"sy")
+          .otherwise(raise_error(lit(
+            "q276: word splits into >= 64 symbols - stride aliasing"))))
+      val qSyms = Seq("a", "e", "s").map(c =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(c).substring(0, 8))
+      val store = docs
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .select($"doc_id", ($"pos" + 1).as("wpos"), $"col".as("w"))
+        .filter(length($"w") > 0)
+        .join(vocab, "w")
+        .select($"doc_id", $"wpos", posexplode($"sy"))
+        .select($"doc_id", $"col".as("sym"),
+          ($"wpos" * 64 + $"pos" + 1).cast("long").as("spos"))
+        .groupBy($"sym", $"doc_id")
+        .agg(count(lit(1)).as("tf"), min($"spos").as("first_pos"))
+        .groupBy($"sym", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(
+          struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+        .as[(String, Long, Seq[(Long, Long, Long)])]
+        .map { case (sym, bucket, ps) =>
+          // q258's device: assert the oracle's 4-tier varint bound where
+          // a violation would start, not at an unexplained hash mismatch
+          require(ps.head._1 < (1L << 28) &&
+            ps.forall(p => p._2 < (1L << 28) && p._3 < (1L << 28)),
+            "q276: value exceeds the oracle's 4-tier varint bound")
+          (sym, bucket, ps.size,
+            graft.operators.PostingCodec.encode(ps))
+        }
+        .toDF("sym", "bucket", "df", "bytes")
+      store.filter($"sym".isin(qSyms: _*))
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, b, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q276: corrupt subword block '$t'/$b"))
+            .map { case (doc, tf, fp) => (t, doc, tf, fp) }
+        }.toDF("sym", "doc_id", "tf", "first_pos")
+        .groupBy($"doc_id")
+        .agg(count_distinct($"sym").as("n_syms"),
+          sum($"tf").as("tf_sum"), min($"first_pos").as("first_hit"))
+        .orderBy($"n_syms".desc, $"tf_sum".desc, $"doc_id")
+        .limit(50)
+    },
+    Some(s"""
+      WITH $trainCtes,
+      vocab AS (SELECT w, list_filter(string_split(repr, $sepSql),
+                  x -> x <> '') AS sy
+                FROM w$Rounds),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 CAST(unnest(range(1, len(string_split(text, ' ')) + 1))
+                   AS BIGINT) AS wpos
+               FROM documents),
+      j AS (SELECT doc_id, wpos, sy FROM toks JOIN vocab USING (w)
+            WHERE len(w) > 0),
+      sm AS (SELECT doc_id, unnest(sy) AS sym,
+               wpos * 64 + CAST(unnest(range(1, len(sy) + 1)) AS BIGINT)
+                 AS spos
+             FROM j),
+      h AS (SELECT doc_id, sym, spos FROM sm
+            WHERE sym IN (substr(md5('a'), 1, 8), substr(md5('e'), 1, 8),
+                          substr(md5('s'), 1, 8)))
+      SELECT doc_id, CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_syms,
+             CAST(COUNT(*) AS BIGINT) AS tf_sum,
+             CAST(MIN(spos) AS BIGINT) AS first_hit
+      FROM h GROUP BY doc_id
+      ORDER BY n_syms DESC, tf_sum DESC, doc_id LIMIT 50"""),
+    doc = "N37f: sub-word index — q258-layout compressed postings keyed " +
+      "by BPE SYMBOL (the grain the model reads), coordinates = " +
+      "word_pos*64 + symbol_index (declared stride, engine-side bound " +
+      "require); a 3-symbol probe ranks from decoded streams; the " +
+      "oracle replays training, segmentation, coordinates and search " +
+      "from raw documents")
+
   val all: Seq[Q] = Seq(q194, q195, q214, q219, q220, q221, q228, q229,
-    q235, q236, q237)
+    q235, q236, q237, q276)
 }
