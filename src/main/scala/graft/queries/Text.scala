@@ -2559,8 +2559,123 @@ object Text {
       "(AND = equi-join, OR = full-outer indicators, NOT = anti-join, " +
       "all on the compact doc_id key); hash match vs the raw-text sets")
 
+  /** q277 — prefix search through the front-coded dictionary (X111c,
+    * r15): the autocomplete/wildcard primitive ("s*") — and the query
+    * class front coding seems built to obstruct, since most terms in
+    * a block don't even STORE their first letter. The block range
+    * structure answers it from metadata: sorted blocks cover
+    * [first_term_i, first_term_{i+1}), so the candidate set is the
+    * blocks whose range intersects [p, p·MAX] — computed with one
+    * lead() over the vocabulary/16-row metadata frame (the sanctioned
+    * metadata-window class, PrefixScan's own device) — and ONLY those
+    * blocks decode; the lcp chain reconstructs every term in full, so
+    * the prefix filter runs on decoded terms. The oracle computes the
+    * same prefix scan from the raw vocabulary (the dictionary never
+    * enters it); ordinals must agree, which also pins that decode
+    * preserves in-block ORDER, not just membership.
+    *
+    * Scale: metadata window over vocab/16 rows; decode cost =
+    * intersecting blocks only (for a selective prefix: 1–2 blocks);
+    * nothing corpus-sized at probe time. */
+  val q277 = Q(
+    "q277_dict_prefix_search",
+    (s, dir) => {
+      import s.implicits._
+      val p = "s"
+      val vocab = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term")).distinct()
+        .withColumn("w", lit(1L))
+      val dict = graft.operators.PrefixScan.inclusive(
+        vocab, Nil, "term", Nil, "w",
+        c => ascii(c) * 256 + ascii(substring(c, 2, 1)), "rank")
+        .select($"term", expr("(rank - 1) DIV 16").as("block"))
+        .groupBy($"block")
+        .agg(sort_array(collect_list($"term")).as("terms"))
+        .as[(Long, Seq[String])]
+        .map { case (b, ts) =>
+          (b, ts.size.toLong, ts.head,
+            graft.operators.TermDictionary.encode(ts))
+        }
+        .toDF("block", "n_terms", "first_term", "bytes")
+      // candidate blocks from metadata alone: range [first, next_first)
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"first_term")
+      val cands = dict
+        .withColumn("next_first", lead($"first_term", 1).over(w))
+        .filter($"first_term" < lit(p + "\u007f") &&
+          ($"next_first".isNull || $"next_first" > lit(p)))
+      cands.select($"block", $"n_terms", $"bytes")
+        .as[(Long, Long, Array[Byte])]
+        .flatMap { case (b, n, bytes) =>
+          graft.operators.TermDictionary.decode(bytes, n.toInt)
+            .getOrElse(throw new IllegalStateException(
+              s"q277: corrupt dictionary block $b"))
+            .zipWithIndex
+            .collect { case (t, i) if t.startsWith(p) =>
+              (t, b, b * 16 + i) }
+        }
+        .toDF("term", "block", "ordinal")
+        .orderBy($"term")
+    },
+    Some("""
+      WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      r AS (SELECT term, row_number() OVER (ORDER BY term) - 1 AS ord
+            FROM v)
+      SELECT term, CAST(ord // 16 AS BIGINT) AS block,
+             CAST(ord AS BIGINT) AS ordinal
+      FROM r WHERE term LIKE 's%'
+      ORDER BY term"""),
+    doc = "X111c: prefix search ('s*') through the front-coded dictionary " +
+      "— candidate blocks from the metadata range structure (one lead() " +
+      "over vocab/16 rows), only intersecting blocks decode, lcp chains " +
+      "reconstruct full terms for the prefix filter; ordinal agreement " +
+      "also pins decode preserves in-block order")
+
+  /** q278 — index-only corpus statistics (X114b, r15): the covering-
+    * index property — df, posting counts and block occupancy are
+    * answerable from block METADATA alone, with ZERO decode (the
+    * `select count(*)`-class queries a corpus dashboard runs; serving
+    * them off metadata is why engines keep it). For the ten most
+    * document-frequent terms: df = Σ per-block df (blocks partition
+    * docs), block count, and max per-block occupancy. The oracle
+    * computes the same statistics from raw text; the engine never
+    * opens a byte stream — the bytes column is built and then
+    * provably ignored.
+    *
+    * Scale: one metadata aggregate over (term, bucket) rows —
+    * vocabulary × buckets-sized, never corpus-token-sized; the top-10
+    * is a TakeOrdered reduction. */
+  val q278 = Q(
+    "q278_index_only_stats",
+    (s, dir) => {
+      import s.implicits._
+      postingStore(Tables(s, dir, "documents"))
+        .groupBy($"term")
+        .agg(sum($"df").cast("long").as("df"),
+          count(lit(1)).as("n_blocks"),
+          max($"df").cast("long").as("max_block_df"))
+        .orderBy($"df".desc, $"term")
+        .limit(10)
+    },
+    Some("""
+      WITH t AS (SELECT DISTINCT doc_id,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      g AS (SELECT term, CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS bdf
+            FROM t GROUP BY term, bucket)
+      SELECT term, CAST(SUM(bdf) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(MAX(bdf) AS BIGINT) AS max_block_df
+      FROM g GROUP BY term
+      ORDER BY df DESC, term LIMIT 10"""),
+    doc = "X114b: index-only statistics — df, block count and max block " +
+      "occupancy for the top-10 terms from block METADATA alone, zero " +
+      "decode (the covering-index property); oracle recomputes from raw " +
+      "text")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
-    q266, q268, q270, q271, q274, q275)
+    q266, q268, q270, q271, q274, q275, q277, q278)
 }
