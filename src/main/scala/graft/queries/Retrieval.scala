@@ -1059,6 +1059,104 @@ object Retrieval {
       "the from-raw oracle additionally gates the parquet binary " +
       "roundtrip of the LEB128 streams")
 
+  /** q279 — impact-quantized postings (X110c, r15): the OTHER way
+    * production engines serve ranked queries fast (Anh & Moffat's
+    * impact-sorted indexes; Lucene's `impacts`): instead of storing
+    * (tf, dl) and computing BM25 per probe, the ingest FREEZES each
+    * posting's full BM25 contribution into the index — the probe then
+    * just decodes and SUMS, no doc-stats join, no per-probe
+    * arithmetic. Exactness holds because q170's contribution is
+    * already an integer (contrib_ppm), so freezing loses nothing:
+    * the served ranking equals the from-scratch ranking bit for bit,
+    * which the oracle (from raw text, the index never enters it)
+    * gates. The stored stream reuses the q258 codec with the triple
+    * (doc_id, contrib_ppm, 0) — impacts ride the varint layer
+    * unchanged.
+    *
+    * The trade this row documents: frozen impacts make the index
+    * QUERY-SET-SPECIFIC to its global stats (df, adl) — any corpus
+    * change invalidates them (the q245 reaper family's rollover is
+    * the refresh) — in exchange for a probe that touches nothing but
+    * the posting bytes. q265 (compute-at-probe) and q279 (freeze-at-
+    * ingest) are the two endpoints every engine picks between.
+    *
+    * Scale: probe = decode query-term blocks + one doc_id aggregate +
+    * top-k; NO join at all — the cheapest serving shape in the
+    * registry. Ingest pays the dl/df joins once. */
+  val q279 = Q(
+    "q279_impact_postings",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("line", "value", "key", "column")
+      val docs = Tables(s, dir, "documents")
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"))
+      val stats = dl
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"dl").as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      val toks = docs.select($"doc_id",
+        explode(split($"text", " ")).as("term"))
+      val tf = toks.groupBy($"term", $"doc_id")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      // ---- ingest: freeze the exact integer impact into the index
+      val store = tf.join(dl, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .select($"term", $"doc_id", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))""")
+          .as("impact_ppm"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(
+          struct($"doc_id", $"impact_ppm", lit(0L)))).as("ps"))
+        .as[(String, Long, Seq[(Long, Long, Long)])]
+        .map { case (term, bucket, ps) =>
+          (term, bucket, ps.size,
+            graft.operators.PostingCodec.encode(ps))
+        }.toDF("term", "bucket", "df", "bytes")
+      // ---- probe: decode + sum; no joins, no arithmetic
+      store.filter($"term".isin(qTerms: _*))
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, b, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q279: corrupt impact block '$t'/$b"))
+            .map { case (doc, impact, _) => (doc, impact) }
+        }.toDF("doc_id", "impact_ppm")
+        .groupBy($"doc_id").agg(sum($"impact_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('line', 'value', 'key', 'column')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents)
+      SELECT tf.doc_id,
+        CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+          // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))) AS BIGINT)
+          AS score_ppm
+      FROM tf JOIN dfr USING (term) CROSS JOIN st
+      GROUP BY tf.doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 20"""),
+    doc = "X110c: impact-quantized postings — the exact integer BM25 " +
+      "contribution frozen into the index at ingest (Anh & Moffat " +
+      "impact-sorted shape); the probe decodes and SUMS, no doc-stats " +
+      "join, no per-probe arithmetic; from-raw oracle proves freezing " +
+      "lost nothing; the q265 compute-at-probe twin documents the trade")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
-    q265, q267, q269, q272, q273)
+    q265, q267, q269, q272, q273, q279)
 }
