@@ -134,6 +134,21 @@ object GraphAnn {
   def beamSearch(vq: DataFrame, idCol: String, graph: DataFrame,
                  queries: DataFrame, entries: DataFrame,
                  beam: Int, rounds: Int, k: Int): DataFrame = {
+    // distinct enforces (not assumes) the fixed-small-entry-set
+    // contract: duplicate entry ids would otherwise occupy multiple
+    // beam slots in round 1, silently shrinking the effective beam
+    val ent = entries.select(col(entries.columns.head).as("id")).distinct()
+    val seeds = queries.select(col("q_id")).crossJoin(broadcast(ent))
+    beamSearchFrom(vq, idCol, graph, queries, seeds, beam, rounds, k)
+  }
+
+  /** [[beamSearch]] with PER-QUERY seed rows `(q_id, id)` instead of a
+    * global entry set — the lower-layer leg of a hierarchical search
+    * (q280): each query starts from the entry points its upper-layer
+    * descent chose for it. Same algebra from the seeds on. */
+  def beamSearchFrom(vq: DataFrame, idCol: String, graph: DataFrame,
+                     queries: DataFrame, seeds: DataFrame,
+                     beam: Int, rounds: Int, k: Int): DataFrame = {
     val sym = graph.select(col("v"), col("u"))
       .unionByName(graph.select(col("u").as("v"), col("v").as("u")))
       .filter(col("v") =!= col("u")).distinct().barrier()
@@ -147,11 +162,7 @@ object GraphAnn {
       .select(col("q_id"), col("id"),
         KMeansInt.sqDist(col("__qx"), col("__cx")).as("d"))
 
-    // distinct enforces (not assumes) the fixed-small-entry-set
-    // contract: duplicate entry ids would otherwise occupy multiple
-    // beam slots in round 1, silently shrinking the effective beam
-    val ent = entries.select(col(entries.columns.head).as("id")).distinct()
-    var seen = score(qx.select(col("q_id")).crossJoin(broadcast(ent)))
+    var seen = score(seeds.select(col("q_id"), col("id")).distinct())
       .barrier()
     var expanded: DataFrame = null // plain union of barriered leaves
     (1 to rounds).foreach { _ =>

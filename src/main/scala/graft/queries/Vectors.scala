@@ -586,28 +586,29 @@ object Vectors {
   /** One unrolled NN-Descent round: incident lists capped at 2k=8,
     * local-join pairs, union current edges, exact rescoring, top-k=4
     * per node. */
-  private def nndRound(eIn: String, r: Int): String = s"""
-      inc$r AS (SELECT node, nb, MIN(d) AS d FROM (
+  private def nndRound(eIn: String, r: Int, pfx: String = "",
+                       k: Int = 4): String = s"""
+      ${pfx}inc$r AS (SELECT node, nb, MIN(d) AS d FROM (
           SELECT v AS node, u AS nb, d FROM $eIn
           UNION ALL SELECT u, v, d FROM $eIn)
         GROUP BY node, nb),
-      it$r AS (SELECT node, nb FROM (
+      ${pfx}it$r AS (SELECT node, nb FROM (
           SELECT *, row_number() OVER (PARTITION BY node ORDER BY d, nb) AS rn
-          FROM inc$r) WHERE rn <= 8),
-      cp$r AS (SELECT a.nb AS v, b.nb AS u
-               FROM it$r a JOIN it$r b ON a.node = b.node AND a.nb < b.nb),
-      cd$r AS (SELECT DISTINCT v, u FROM (
-          SELECT v, u FROM cp$r
-          UNION ALL SELECT u AS v, v AS u FROM cp$r
+          FROM ${pfx}inc$r) WHERE rn <= ${2 * k}),
+      ${pfx}cp$r AS (SELECT a.nb AS v, b.nb AS u
+               FROM ${pfx}it$r a JOIN ${pfx}it$r b ON a.node = b.node AND a.nb < b.nb),
+      ${pfx}cd$r AS (SELECT DISTINCT v, u FROM (
+          SELECT v, u FROM ${pfx}cp$r
+          UNION ALL SELECT u AS v, v AS u FROM ${pfx}cp$r
           UNION ALL SELECT v, u FROM $eIn) WHERE v <> u),
-      sc$r AS (SELECT e.v, e.u,
+      ${pfx}sc$r AS (SELECT e.v, e.u,
                  CAST(list_sum(list_transform(range(1, 65),
                    i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
-               FROM cd$r e
+               FROM ${pfx}cd$r e
                JOIN vq a ON e.v = a.vec_id JOIN vq b ON e.u = b.vec_id),
-      e${r + 1} AS (SELECT v, u, d FROM (
+      ${pfx}e${r + 1} AS (SELECT v, u, d FROM (
           SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
-          FROM sc$r) WHERE rn <= 4)"""
+          FROM ${pfx}sc$r) WHERE rn <= $k)"""
 
   /** q201 — NN-Descent KNN-graph build (N41): Dong '11's local-join
     * iteration from a deliberately poor deterministic seed (each
@@ -1105,30 +1106,30 @@ object Vectors {
     * union ex$r, one-hop neighbors nb$r through the symmetrized graph,
     * fresh never-seen candidates fr$r, exact-grid scores sc$r, and the
     * folded seen set sn$r. */
-  private def gannRound(r: Int, beam: Int): String = {
-    val snPrev = s"sn${r - 1}"
+  private def gannRound(r: Int, beam: Int, pfx: String = ""): String = {
+    val snPrev = s"${pfx}sn${r - 1}"
     val anti =
       if (r == 1) snPrev
       else s"""(SELECT s.q_id, s.id, s.d FROM $snPrev s
-               ANTI JOIN ex${r - 1} e ON e.q_id = s.q_id AND e.id = s.id)"""
+               ANTI JOIN ${pfx}ex${r - 1} e ON e.q_id = s.q_id AND e.id = s.id)"""
     s"""
-      tx$r AS MATERIALIZED (SELECT q_id, id, d FROM (
+      ${pfx}tx$r AS MATERIALIZED (SELECT q_id, id, d FROM (
           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, id) AS rn
           FROM $anti) WHERE rn <= $beam),
-      ex$r AS MATERIALIZED (${
-        if (r == 1) "SELECT q_id, id FROM tx1"
-        else s"SELECT q_id, id FROM ex${r - 1} UNION ALL SELECT q_id, id FROM tx$r"}),
-      nb$r AS (SELECT DISTINCT t.q_id, g.u AS id
-               FROM tx$r t JOIN gsym g ON g.v = t.id),
-      fr$r AS (SELECT n.q_id, n.id FROM nb$r n
+      ${pfx}ex$r AS MATERIALIZED (${
+        if (r == 1) s"SELECT q_id, id FROM ${pfx}tx1"
+        else s"SELECT q_id, id FROM ${pfx}ex${r - 1} UNION ALL SELECT q_id, id FROM ${pfx}tx$r"}),
+      ${pfx}nb$r AS (SELECT DISTINCT t.q_id, g.u AS id
+               FROM ${pfx}tx$r t JOIN ${pfx}gsym g ON g.v = t.id),
+      ${pfx}fr$r AS (SELECT n.q_id, n.id FROM ${pfx}nb$r n
                ANTI JOIN $snPrev s ON s.q_id = n.q_id AND s.id = n.id),
-      gsc$r AS (SELECT f.q_id, f.id,
+      ${pfx}gsc$r AS (SELECT f.q_id, f.id,
           CAST(list_sum(list_transform(range(1, 65),
             i -> (q.xq[i] - a.xq[i]) * (q.xq[i] - a.xq[i]))) AS BIGINT) AS d
-        FROM fr$r f JOIN vq a ON a.vec_id = f.id JOIN qv q ON q.q_id = f.q_id),
-      sn$r AS MATERIALIZED (SELECT q_id, id, MIN(d) AS d FROM (
+        FROM ${pfx}fr$r f JOIN vq a ON a.vec_id = f.id JOIN qv q ON q.q_id = f.q_id),
+      ${pfx}sn$r AS MATERIALIZED (SELECT q_id, id, MIN(d) AS d FROM (
           SELECT q_id, id, d FROM $snPrev
-          UNION ALL SELECT q_id, id, d FROM gsc$r)
+          UNION ALL SELECT q_id, id, d FROM ${pfx}gsc$r)
         GROUP BY q_id, id)"""
   }
 
@@ -1428,6 +1429,153 @@ object Vectors {
       "cannot be maintained-equals-rebuilt); oracle unrolls the rebuild " +
       "rounds over the survivor set")
 
+  /** q280 — LAYERED graph ANN: hierarchical entry selection (N48b,
+    * r15; the HNSW idea, Malkov & Yashunin '18). q238's beam search
+    * starts every query from one FIXED entry set — at corpus scale
+    * that costs extra rounds just to travel from the entry to the
+    * query's neighborhood. The hierarchical fix: a sparse TOP LAYER
+    * (the deterministic 1-in-8 sample, its own NN-Descent graph with
+    * k = 3) is searched first from the single global entry (node 0,
+    * HNSW's top-of-tower entry); each query's top-2 winners there
+    * become its PERSONAL layer-0 entry points, and the full-corpus
+    * beam search starts already near the target — log-tower descent
+    * collapsed to two layers, the shape's whole point.
+    *
+    * Both legs run the same data-parallel beam algebra
+    * ([[graft.operators.GraphAnn.beamSearchFrom]] — the per-query-
+    * seed variant this row adds); everything is deterministic
+    * ((d, id) ties, exact grid distances), so the oracle unrolls BOTH
+    * layers' builds and BOTH descents as CTEs and the whole
+    * hierarchical search hash-matches at all 3 SFs.
+    *
+    * Scale: the top layer is corpus/8 nodes with k = 3 edges — its
+    * build and search cost a fraction of layer 0's; stage-2 seeds are
+    * 2 ids per query; every round is one equi-join expansion + fresh-
+    * only scoring (q238's posture). GraphAnnSpec pins layered recall
+    * ≥ fixed-entry recall at an equal layer-0 budget. */
+  val q280 = Q(
+    "q280_layered_graph_ann",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{GraphAnn, KMeansInt, NNDescent}
+      val emb = Tables(s, dir, "embeddings")
+      val vq = emb.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+        .persist()
+      val n = vq.count() // 1-scalar driver action: the init's mod base
+      val init0 = vq.select($"vec_id".as("v"),
+          explode(sequence(lit(1), lit(4))).as("i"))
+        .select($"v", (($"v" + $"i") % n).as("u"))
+      val g0 = NNDescent.build(vq, "vec_id", init0, k = 4, rounds = 2)
+        .select($"v", $"u")
+      // the sparse top layer: 1-in-8 sample. Its graph is k=3 KNN
+      // edges PLUS an exponential-stride ring (strides 1,2,4,… over
+      // the dense rank — Kleinberg's navigable-small-world links):
+      // pure KNN top layers DISCONNECT across far clusters, and the
+      // O(log m) stride edges are what make a single global entry
+      // reach any neighborhood in O(log m) hops — the property HNSW's
+      // layer tower exists to provide.
+      val top = vq.filter($"vec_id" % 8 === 0)
+      val m = top.count() // the subset init's mod base
+      val strides = (0 until 20).map(1L << _).filter(_ < m)
+      val ring = top.select($"vec_id".as("v"),
+          explode(lit(strides.toArray)).as("st"))
+        .select($"v", expr(s"((v DIV 8) + st) % $m * 8").as("u"))
+      val g1 = NNDescent.build(top, "vec_id", ring, k = 3, rounds = 2)
+        .select($"v", $"u")
+        .unionByName(ring.select($"v", $"u"))
+      // queries are never top-layer members (id % 8 = 0 and
+      // id % 100 = 7 have no common solution mod 4), so stage 1's
+      // self-exclusion can never eat a seed
+      val queries = vq.filter($"vec_id" % 100 === 7)
+        .select($"vec_id".as("q_id"), $"xq")
+      val entryTop = top.filter($"vec_id" === 0).select($"vec_id".as("id"))
+      val stage1 = GraphAnn.beamSearch(top, "vec_id", g1, queries,
+        entryTop, beam = 3, rounds = 2, k = 2)
+      val seeds = stage1.select($"q_id", $"id")
+      val out = GraphAnn
+        .beamSearchFrom(vq, "vec_id", g0, queries, seeds,
+          beam = 4, rounds = 3, k = 4)
+        .orderBy($"q_id", $"rn")
+        .barrier() // eager, BEFORE unpersist
+      vq.unpersist()
+      out
+    },
+    Some(s"""
+      WITH vq AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+        FROM embeddings),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vq),
+      e0r AS (SELECT vq.vec_id AS v, (vq.vec_id + g.i) % nt.n AS u
+              FROM vq CROSS JOIN nt
+              CROSS JOIN (SELECT unnest(range(1, 5)) AS i) g),
+      s0 AS (SELECT e.v, e.u,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+             FROM (SELECT DISTINCT v, u FROM e0r WHERE v <> u) e
+             JOIN vq a ON e.v = a.vec_id JOIN vq b ON e.u = b.vec_id),
+      e1 AS (SELECT v, u, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM s0) WHERE rn <= 4),
+      ${nndRound("e1", 1)},
+      ${nndRound("e2", 2)},
+      gg AS (SELECT v, u FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM e3) WHERE rn <= 4),
+      gsym AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+          SELECT v, u FROM gg UNION ALL SELECT u AS v, v AS u FROM gg)
+        WHERE v <> u),
+      tvq AS (SELECT vec_id, xq FROM vq WHERE vec_id % 8 = 0),
+      mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tvq),
+      te0r AS (SELECT tvq.vec_id AS v,
+                 ((tvq.vec_id // 8) + (CAST(1 AS BIGINT) << g.x)) % mt.m * 8
+                   AS u
+               FROM tvq CROSS JOIN mt
+               CROSS JOIN (SELECT unnest(range(0, 20)) AS x) g
+               WHERE (CAST(1 AS BIGINT) << g.x) < mt.m),
+      ts0 AS (SELECT e.v, e.u,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))) AS BIGINT) AS d
+             FROM (SELECT DISTINCT v, u FROM te0r WHERE v <> u) e
+             JOIN vq a ON e.v = a.vec_id JOIN vq b ON e.u = b.vec_id),
+      te1 AS (SELECT v, u, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM ts0) WHERE rn <= 3),
+      ${nndRound("te1", 1, "t", 3)},
+      ${nndRound("te2", 2, "t", 3)},
+      tgg AS (SELECT v, u FROM (
+          SELECT *, row_number() OVER (PARTITION BY v ORDER BY d, u) AS rn
+          FROM te3) WHERE rn <= 3),
+      tgsym AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+          SELECT v, u FROM tgg UNION ALL SELECT u AS v, v AS u FROM tgg
+          UNION ALL SELECT v, u FROM te0r
+          UNION ALL SELECT u AS v, v AS u FROM te0r)
+        WHERE v <> u),
+      qv AS MATERIALIZED (SELECT vec_id AS q_id, xq FROM vq
+                          WHERE vec_id % 100 = 7),
+      tsn0 AS MATERIALIZED (SELECT q.q_id, e.vec_id AS id,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> (q.xq[i] - e.xq[i]) * (q.xq[i] - e.xq[i]))) AS BIGINT) AS d
+        FROM qv q CROSS JOIN (SELECT vec_id, xq FROM vq WHERE vec_id = 0) e),
+      ${gannRound(1, 3, "t")},
+      ${gannRound(2, 3, "t")},
+      sn0 AS MATERIALIZED (SELECT q_id, id, d FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, id) AS rn
+          FROM tsn2 WHERE id <> q_id) WHERE rn <= 2),
+      ${gannRound(1, 4)},
+      ${gannRound(2, 4)},
+      ${gannRound(3, 4)}
+      SELECT q_id, CAST(rn AS INT) AS rn, id, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, id) AS rn
+        FROM sn3 WHERE id <> q_id) WHERE rn <= 4
+      ORDER BY q_id, rn"""),
+    doc = "N48b: layered graph ANN (the HNSW shape) — a 1-in-8 top layer " +
+      "with its own k=3 NN-Descent graph is searched from the single " +
+      "global entry; each query's top-2 winners seed the full-corpus " +
+      "beam search (per-query seeds via beamSearchFrom); both layers' " +
+      "builds and descents unroll as oracle CTEs and hash-match")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
-    q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250)
+    q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250,
+    q280)
 }

@@ -210,4 +210,64 @@ class GraphAnnSpec extends SparkSpecBase {
         s"$maxBudget (nprobe $nprobe)")
     assert(beamRecall >= 0.9, s"beam recall $beamRecall below floor")
   }
+
+  test("layered search (q280): beamSearchFrom with cross-joined seeds == " +
+    "beamSearch (the refactor is an identity), and hierarchical entry " +
+    "selection beats the single fixed entry at an equal layer-0 budget " +
+    "on the clustered corpus") {
+    val s = spark
+    import s.implicits._
+    val data = corpus()
+    val vq = data.toDF("vec_id", "xq")
+    val n = data.size.toLong
+    val init0 = vq.select($"vec_id".as("v"),
+        explode(sequence(lit(1), lit(6))).as("i"))
+      .select($"v", (($"v" + $"i") % n).as("u"))
+    val g0 = NNDescent.build(vq, "vec_id", init0, k = 6, rounds = 3)
+      .select($"v", $"u").barrier()
+    val queries = Seq(63L, 130L, 205L, 333L, 388L) // far from node 0
+    val qDf = vq.filter($"vec_id".isin(queries: _*))
+      .select($"vec_id".as("q_id"), $"xq").barrier()
+    val k = 6
+    def collectAns(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    // identity: entries-form == seeds-form with the same cross join
+    val entries = Seq(0L, 200L).toDF("id")
+    val viaEntries = collectAns(GraphAnn.beamSearch(
+      vq, "vec_id", g0, qDf, entries, beam = 4, rounds = 3, k = k))
+    val seedsCross = qDf.select($"q_id").crossJoin(entries)
+    val viaSeeds = collectAns(GraphAnn.beamSearchFrom(
+      vq, "vec_id", g0, qDf, seedsCross, beam = 4, rounds = 3, k = k))
+    assert(viaEntries === viaSeeds)
+    // hierarchical: 1-in-8 top layer (KNN + exponential-stride ring,
+    // q280's navigable construction) searched from node 0; top-2 seeds
+    val top = vq.filter($"vec_id" % 8 === 0)
+    val m = top.count()
+    val strides = (0 until 20).map(1L << _).filter(_ < m)
+    val ring = top.select($"vec_id".as("v"),
+        explode(lit(strides.toArray)).as("st"))
+      .select($"v", expr(s"((v DIV 8) + st) % $m * 8").as("u"))
+    val g1 = NNDescent.build(top, "vec_id", ring, k = 3, rounds = 2)
+      .select($"v", $"u").unionByName(ring.select($"v", $"u")).barrier()
+    val stage1 = GraphAnn.beamSearch(top, "vec_id", g1, qDf,
+      Seq(0L).toDF("id"), beam = 3, rounds = 3, k = 2)
+    val layered = collectAns(GraphAnn.beamSearchFrom(
+      vq, "vec_id", g0, qDf, stage1.select($"q_id", $"id"),
+      beam = 4, rounds = 3, k = k))
+    val fixed = collectAns(GraphAnn.beamSearch(
+      vq, "vec_id", g0, qDf, Seq(0L).toDF("id"), beam = 4, rounds = 3, k = k))
+    val vecs = data.toMap
+    def recall(ans: Map[Long, Seq[Long]]) = queries.map { q =>
+      val truth = data.filter(_._1 != q)
+        .sortBy { case (id, x) => (d2(vecs(q), x), id) }.take(k)
+        .map(_._1).toSet
+      ans.getOrElse(q, Nil).toSet.intersect(truth).size.toDouble / k
+    }.sum / queries.size
+    val (rl, rf) = (recall(layered), recall(fixed))
+    assert(rl >= rf,
+      s"layered recall $rl < fixed-entry recall $rf at equal budget")
+    assert(rl >= 0.9, s"layered recall $rl below floor")
+  }
 }
