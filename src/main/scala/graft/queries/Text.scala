@@ -2674,8 +2674,146 @@ object Text {
       "decode (the covering-index property); oracle recomputes from raw " +
       "text")
 
+  /** q281 — Frame-of-Reference bit-packed postings (X109i, r15): the
+    * storage tier ABOVE q258's varints. LEB128 spends a whole byte
+    * per small value; production engines pack each block's values at
+    * a FIXED bit width sized to the block's maximum (Lucene's
+    * FOR/PackedInts, the PForDelta ancestry) — and doc-aligned
+    * blocking pays twice, because a ≤100-doc block's gaps are not
+    * just small but UNIFORMLY small, so they pack at ~7 bits, not 8.
+    * Layout per block: varint(first doc) · varint(n) · per section
+    * (gaps, tfs, first_pos) one width byte + LSB-first packed values
+    * zero-padded to a byte. The oracle replays the ENTIRE bit stream
+    * — bit lengths via len(bin(x)) (pure string ops, no float log),
+    * per-value LSB-first bit lists, zero padding, byte folding — and
+    * hashes it byte for byte; it also emits the q258 LEB128 byte
+    * count for the same block, so the hash-gated output CONTAINS the
+    * measured compression win. [[graft.operators.ForCodec]] decode is
+    * canonical-strict (non-minimal widths, set padding bits,
+    * non-canonical varints, trailing bytes all reject — ForCodecSpec
+    * pins a hand-packed block and the rejection matrix).
+    *
+    * Scale: q258's posture — a per-block map over already-blocked
+    * rows, no new shuffle; decode is the dataloader's read path. */
+  val q281 = Q(
+    "q281_for_packed_postings",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(
+          struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+        .as[(String, Long, Seq[(Long, Long, Long)])]
+        .map { case (term, bucket, ps) =>
+          require(ps.head._1 < (1L << 28) &&
+            ps.forall(p => p._2 < (1L << 28) && p._3 < (1L << 28)),
+            "q281: value exceeds the oracle's 4-tier varint bound")
+          val bytes = graft.operators.ForCodec.encode(ps)
+          val ok = graft.operators.ForCodec.decode(bytes, ps.size)
+            .contains(ps)
+          val leb = graft.operators.PostingCodec.encode(ps).length
+          val h = bytes.foldLeft(0L)((a, x) =>
+            (a * 31 + (x & 0xff)) % 1000000007L)
+          (term, bucket, ps.size.toLong, bytes.length.toLong, h,
+            leb.toLong, if (ok) 1L else 0L)
+        }
+        .toDF("term", "bucket", "df", "n_bytes", "stream_hash",
+          "n_bytes_leb", "decode_ok")
+        .orderBy($"term", $"bucket")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      d AS (SELECT term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+            FROM t GROUP BY term, doc_id),
+      g AS (SELECT term, CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+              list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS ds,
+              list(CAST(tf AS BIGINT) ORDER BY doc_id) AS tfs,
+              list(CAST(first_pos AS BIGINT) ORDER BY doc_id) AS fps
+            FROM d GROUP BY term, bucket),
+      w AS (SELECT term, bucket, ds, tfs, fps,
+              list_transform(range(2, len(ds) + 1),
+                i -> ds[i] - ds[i - 1]) AS gaps
+            FROM g),
+      ww AS (SELECT *,
+              CASE WHEN len(gaps) = 0 THEN 1 ELSE
+                list_max(list_transform(gaps, x -> len(bin(x)))) END AS wg,
+              list_max(list_transform(tfs, x -> len(bin(x)))) AS wt,
+              list_max(list_transform(fps, x -> len(bin(x)))) AS wp
+            FROM w),
+      pk AS (SELECT term, bucket, ds, tfs, fps, gaps, wg, wt, wp,
+              flatten(list_transform(gaps, v ->
+                list_transform(range(0, wg), b -> (v >> b) & 1))) AS gbits,
+              flatten(list_transform(tfs, v ->
+                list_transform(range(0, wt), b -> (v >> b) & 1))) AS tbits,
+              flatten(list_transform(fps, v ->
+                list_transform(range(0, wp), b -> (v >> b) & 1))) AS pbits
+            FROM ww),
+      pd AS (SELECT term, bucket, ds, tfs, fps, gaps, wg, wt, wp,
+              list_concat(gbits, list_transform(
+                range(0, (8 - len(gbits) % 8) % 8), x -> CAST(0 AS BIGINT)))
+                AS gpad,
+              list_concat(tbits, list_transform(
+                range(0, (8 - len(tbits) % 8) % 8), x -> CAST(0 AS BIGINT)))
+                AS tpad,
+              list_concat(pbits, list_transform(
+                range(0, (8 - len(pbits) % 8) % 8), x -> CAST(0 AS BIGINT)))
+                AS ppad
+            FROM pk),
+      by AS (SELECT term, bucket, ds, tfs, fps, gaps, wg, wt, wp,
+              list_transform(range(0, len(gpad) // 8), k ->
+                CAST(list_sum(list_transform(range(0, 8), j ->
+                  gpad[CAST(k * 8 + j + 1 AS INT)] << j)) AS BIGINT)) AS gbytes,
+              list_transform(range(0, len(tpad) // 8), k ->
+                CAST(list_sum(list_transform(range(0, 8), j ->
+                  tpad[CAST(k * 8 + j + 1 AS INT)] << j)) AS BIGINT)) AS tbytes,
+              list_transform(range(0, len(ppad) // 8), k ->
+                CAST(list_sum(list_transform(range(0, 8), j ->
+                  ppad[CAST(k * 8 + j + 1 AS INT)] << j)) AS BIGINT)) AS pbytes
+            FROM pd),
+      v AS (SELECT term, bucket, len(ds) AS df,
+              list_concat(
+                list_transform([ds[1]], x -> CASE
+                  WHEN x < 128 THEN [x]
+                  WHEN x < 16384 THEN [x % 128 + 128, x // 128]
+                  WHEN x < 2097152 THEN
+                    [x % 128 + 128, (x // 128) % 128 + 128, x // 16384]
+                  ELSE [x % 128 + 128, (x // 128) % 128 + 128,
+                        (x // 16384) % 128 + 128, x // 2097152] END)[1],
+                list_concat([CAST(len(ds) AS BIGINT), CAST(wg AS BIGINT)],
+                  list_concat(gbytes,
+                    list_concat([CAST(wt AS BIGINT)],
+                      list_concat(tbytes,
+                        list_concat([CAST(wp AS BIGINT)], pbytes))))))
+                AS bytes,
+              list_sum(list_transform(
+                list_concat(gaps, list_concat(tfs, fps)), x -> CASE
+                  WHEN x < 128 THEN 1 WHEN x < 16384 THEN 2
+                  WHEN x < 2097152 THEN 3 ELSE 4 END)) +
+              CASE WHEN ds[1] < 128 THEN 1 WHEN ds[1] < 16384 THEN 2
+                   WHEN ds[1] < 2097152 THEN 3 ELSE 4 END AS n_leb
+            FROM by)
+      SELECT term, bucket, CAST(df AS BIGINT) AS df,
+             CAST(len(bytes) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(bytes, (h, x) -> (h * 31 + x) % 1000000007)
+               AS BIGINT) AS stream_hash,
+             CAST(n_leb AS BIGINT) AS n_bytes_leb,
+             CAST(1 AS BIGINT) AS decode_ok
+      FROM v ORDER BY term, bucket"""),
+    doc = "X109i: Frame-of-Reference bit-packed postings — per section " +
+      "one minimal width byte + LSB-first packed values (Lucene " +
+      "FOR/PackedInts); the oracle replays bit lengths (len(bin(x)) — " +
+      "no float log), packing, padding and byte folding, and the " +
+      "hash-gated output carries the measured win over q258's LEB128")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
-    q266, q268, q270, q271, q274, q275, q277, q278)
+    q266, q268, q270, q271, q274, q275, q277, q278, q281)
 }
