@@ -2812,8 +2812,73 @@ object Text {
       "no float log), packing, padding and byte folding, and the " +
       "hash-gated output carries the measured win over q258's LEB128")
 
+  /** q282 — search SERVED through the FOR-packed postings (X109j,
+    * r15): q281's read path — the q259 rule applied to the new
+    * storage tier (a storage layer nothing probes is unproven). The
+    * index survives ONLY as FOR bit-packed byte streams; the probe
+    * filters to the query terms' blocks, UNPACKS the fixed-width
+    * sections on the read path via the canonical-strict
+    * [[graft.operators.ForCodec.decode]] (a set padding bit or
+    * non-minimal width throws at the probe, never surfaces as a
+    * silent ranking change), and ranks documents from the decoded
+    * rows alone. The oracle computes the search straight from raw
+    * documents — the hash match proves bit-unpacking-on-probe is
+    * lossless.
+    *
+    * Scale: q259's posture — query-term blocks only, per-block
+    * bounded decode, Σ df(query terms) aggregate rows. */
+  val q282 = Q(
+    "q282_for_postings_serve",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("batch", "row", "scan", "group")
+      val store = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(
+          struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+        .as[(String, Long, Seq[(Long, Long, Long)])]
+        .map { case (term, bucket, ps) =>
+          (term, bucket, ps.size, graft.operators.ForCodec.encode(ps))
+        }.toDF("term", "bucket", "df", "bytes")
+      store.filter($"term".isin(qTerms: _*))
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, b, n, bytes) =>
+          graft.operators.ForCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q282: corrupt FOR block '$t'/$b"))
+            .map { case (doc, tf, fp) => (t, doc, tf, fp) }
+        }.toDF("term", "doc_id", "tf", "first_pos")
+        .groupBy($"doc_id")
+        .agg(count_distinct($"term").as("n_terms"),
+          sum($"tf").as("tf_sum"), min($"first_pos").as("first_hit"))
+        .orderBy($"n_terms".desc, $"tf_sum".desc, $"doc_id")
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      h AS (SELECT term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+            FROM t WHERE term IN ('batch', 'row', 'scan', 'group')
+            GROUP BY term, doc_id)
+      SELECT doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+             CAST(SUM(tf) AS BIGINT) AS tf_sum,
+             CAST(MIN(first_pos) AS BIGINT) AS first_hit
+      FROM h GROUP BY doc_id
+      ORDER BY n_terms DESC, tf_sum DESC, doc_id LIMIT 50"""),
+    doc = "X109j: search served through the FOR-packed postings — the " +
+      "store is bit-packed byte streams only, the probe unpacks fixed-" +
+      "width sections on the read path (canonical-strict; corrupt " +
+      "streams throw); hash match vs the from-documents oracle proves " +
+      "bit-unpacking-on-probe is lossless")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
-    q266, q268, q270, q271, q274, q275, q277, q278, q281)
+    q266, q268, q270, q271, q274, q275, q277, q278, q281, q282)
 }
