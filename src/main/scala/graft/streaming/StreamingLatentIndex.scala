@@ -105,6 +105,28 @@ object StreamingLatentIndex {
     LiState(items, seen, nBatches)
   }
 
+  /** Apply a TAKEDOWN batch of doc ids mid-stream (T35, r15): the
+    * delete member of the cross-modal family — a right-to-be-
+    * forgotten event must remove the doc's latent from the retrieval
+    * index (the media payload's derived representation is still the
+    * doc's data). Items anti-join the dead ids; the dead ids enter
+    * the seen set as tombstones-forever, so a doc taken down before
+    * its media ever arrives never indexes and replays of reaped docs
+    * stay structural no-ops. Grid keys are stateless per item, so no
+    * structure rebuilds — the delete is one anti-join. */
+  def applyTakedown(state: LiState, dead: DataFrame): LiState = {
+    val ids = dead
+      .select(col(dead.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .barrier()
+    val items = state.items
+      .join(ids.select(col("doc_id").as("img_id")), Seq("img_id"),
+        "left_anti")
+      .barrier()
+    val seen = state.seenIds.unionByName(ids).distinct().barrier()
+    LiState(items, seen, state.batches)
+  }
+
   /** The q261 banded cross-modal probe off the LIVE index: candidates
     * = the query's two grid cells, exact L1 verify, min-struct top-1.
     * Returns (q_id, nn_id, nn_d); queries with no candidate in either

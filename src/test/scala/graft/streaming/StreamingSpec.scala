@@ -2298,5 +2298,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(own.nonEmpty)
     assert(own.forall(_._3 <= 16L * 16L),
       s"a query's best candidate is far — own image missing: $own")
+    // T35: takedown mid-stream — reaped latents leave the index,
+    // tombstones hold against replays, maintained == rebuilt over
+    // the survivors
+    val deadIds = delivered.map(_._1).filter(_ % 5 == 2)
+    st = StreamingLatentIndex.applyTakedown(st, deadIds.toDF("doc_id"))
+    val surv = delivered.filterNot(d => deadIds.contains(d._1))
+    assert(st.items.count() === surv.length.toLong,
+      "takedown row count != survivors")
+    val rebuiltSurv = StreamingLatentIndex.LiState(
+      StreamingLatentIndex.encodeImages(surv.toDF("doc_id", "text")),
+      st.seenIds, st.batches)
+    assert(probe(st) === probe(rebuiltSurv),
+      "post-takedown probe != rebuilt-over-survivors probe")
+    val afterTakedown = probe(st)
+    val stream2 = MemoryStream[(Long, String)](s)
+    val qy2 = stream2.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingLatentIndex.applyBatch(st, b)
+        ()
+      }
+      .start()
+    stream2.addData(waves.head: _*); qy2.processAllAvailable()
+    qy2.stop()
+    assert(st.items.count() === surv.length.toLong,
+      "a replay resurrected a reaped latent")
+    assert(probe(st) === afterTakedown,
+      "a replay after takedown changed an answer")
   }
 }
