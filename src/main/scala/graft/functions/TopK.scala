@@ -81,3 +81,60 @@ class TopKScored(k: Int)
 object TopKScored {
   case class Entry(score: Double, id: Long, tag: Long)
 }
+
+/** The BIGINT twin of [[TopKScored]] — same bounded-buffer shape, same
+  * map-side-k shuffle bound, but the score compares as a Long so
+  * exact-integer ppm scores never round: a Double carries BM25 ppm
+  * exactly only below 2^53, and at 100 TB a rare term's idf ratio is
+  * ~2N ≈ 2·10⁹, putting a 4-term score near 1.8·10¹⁶ — past the Double
+  * boundary, where a cast could reorder near-ties at the k-boundary.
+  * Total order: score DESC (Long compare), then id ASC — a pure
+  * function of the input multiset, so partition/merge order cannot
+  * change the kept set (TopKScored's argument, minus the IEEE caveats
+  * its scaladoc has to carry).
+  */
+class TopKLong(k: Int)
+    extends Aggregator[(Long, Long, Long), Seq[TopKLong.EntryL], Seq[TopKLong.EntryL]] {
+  import TopKLong.EntryL
+
+  require(k > 0, s"TopKLong: k must be positive, got $k")
+
+  private val ord: Ordering[EntryL] = new Ordering[EntryL] {
+    def compare(a: EntryL, b: EntryL): Int = {
+      val c = java.lang.Long.compare(b.score, a.score) // score DESC
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
+
+  private def beats(s: Long, id: Long, e: EntryL): Boolean =
+    s > e.score || (s == e.score && id < e.id)
+
+  override def zero: Seq[EntryL] = Vector.empty
+
+  override def reduce(b: Seq[EntryL], a: (Long, Long, Long)): Seq[EntryL] = {
+    val (s, id, tag) = a
+    if (b.length == k && !beats(s, id, b(k - 1))) b
+    else {
+      val i = b.indexWhere(e => beats(s, id, e)) match {
+        case -1 => b.length
+        case x  => x
+      }
+      val inserted = (b.take(i) :+ EntryL(s, id, tag)) ++ b.drop(i)
+      if (inserted.length > k) inserted.take(k) else inserted
+    }
+  }
+
+  override def merge(x: Seq[EntryL], y: Seq[EntryL]): Seq[EntryL] =
+    (x ++ y).sorted(ord).take(k)
+
+  override def finish(r: Seq[EntryL]): Seq[EntryL] = r
+
+  override def bufferEncoder: Encoder[Seq[EntryL]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EntryL]]()
+  override def outputEncoder: Encoder[Seq[EntryL]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EntryL]]()
+}
+
+object TopKLong {
+  case class EntryL(score: Long, id: Long, tag: Long)
+}

@@ -1157,6 +1157,214 @@ object Retrieval {
       "join, no per-probe arithmetic; from-raw oracle proves freezing " +
       "lost nothing; the q265 compute-at-probe twin documents the trade")
 
+  /** q283 — SHARDED scatter-gather serving (X115, r15): every serving
+    * law so far (q259/q265/q267/q273) ran the probe over ONE index; a
+    * 100 TB index is doc-sharded across nodes, and the topology a real
+    * query executes is scatter (every shard probes its own sub-index)
+    * → local top-k per shard → gather (merge k·S rows). This query is
+    * [[graft.operators.ShardedIndex]] over 4 shards: per-shard q258
+    * sub-indexes, df summed across shards from block metadata BEFORE
+    * ranking (the dfs_query_then_fetch step — per-shard df skews
+    * cross-shard comparisons, the divergence ShardedIndexSpec pins on
+    * a planted corpus), per-shard top-20 via the exact-BIGINT bounded
+    * TopKLong aggregate, then one 80-row merge. Exact by containment:
+    * shards partition docs and scores use only global stats, so the
+    * global top-k survives its shard's local top-k. The oracle is the
+    * exhaustive from-raw-text ranking (q170's formula; shard = doc_id
+    * mod 4 recomputed, the index never enters it) — the hash match
+    * proves scatter-gather ≡ single-index exhaustive, bit for bit.
+    *
+    * Scale: each shard decodes only its query-term blocks; the
+    * per-shard reduction ships ≤ k rows per mapper (TopKLong map-side
+    * k — never the shard's hit set through one task); the gather is a
+    * k·S-row TakeOrdered; df/stats broadcast. */
+  val q283 = Q(
+    "q283_sharded_serve",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.operators.ShardedIndex
+        .serve(docs, Seq("spark", "sort", "query", "stream"), k = 20)
+        .merged
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('spark', 'sort', 'query', 'stream')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents)
+      SELECT tf.doc_id,
+        CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+          // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))) AS BIGINT)
+          AS score_ppm,
+        CAST(tf.doc_id % 4 AS BIGINT) AS shard
+      FROM tf JOIN dfr USING (term) CROSS JOIN st
+      GROUP BY tf.doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 20"""),
+    doc = "X115: sharded scatter-gather BM25 — 4 doc-sharded q258 " +
+      "sub-indexes, global df from cross-shard metadata (the " +
+      "dfs_query_then_fetch step), per-shard exact-BIGINT bounded top-k, " +
+      "k·S-row gather merge; the exhaustive from-raw oracle proves " +
+      "scatter-gather == single-index ranking bit for bit")
+
+  /** q287 — pseudo-relevance feedback / Rocchio query expansion
+    * (X116, r15): the classic relevance-feedback loop every search
+    * engine and RAG query-rewriter runs (Rocchio '71; Lavrenko &
+    * Croft's RM shape): retrieve with the user's terms, assume the
+    * top-R docs are relevant, mine THEM for the best expansion terms,
+    * re-retrieve with the widened weighted query. Three phases, all
+    * served off the q258 compressed store:
+    *
+    *   1. retrieve — BM25 top-10 for the original terms through the
+    *      q265 read path (decode only those terms' blocks);
+    *   2. feedback — FETCH the 10 winners' raw text (the doc-store
+    *      lookup every engine pays at this step), score every
+    *      candidate term by fb_tf · idf (exact integers; the product
+    *      rides DECIMAL(38,0) — fb_tf ≈ Σ 10 doc lengths times a
+    *      ~2N·10⁶ idf ppm passes Long.Max at the 100 TB design point,
+    *      the r15 ppm-overflow lesson), take the top-3 new terms
+    *      (originals anti-joined out; ties by spelling);
+    *   3. re-retrieve — Rocchio weights (original 2, expansion 1),
+    *      weighted BM25 sum per doc over the 5 terms' decoded blocks,
+    *      top-15, each row carrying the sorted expansion-term list as
+    *      provenance (so the hash gate pins term SELECTION, not just
+    *      the final ranking).
+    *
+    * The oracle replays all three phases from raw text (exhaustive
+    * retrieve, same integer expansion scoring, same weighted
+    * re-score) — hash-matched at all 3 SFs.
+    *
+    * Scale: phase 1 is q265's probe (query-term blocks only); the
+    * fetch is 10 rows joined against the doc store; expansion scoring
+    * is bounded by Σ feedback doc lengths, joined to the
+    * vocabulary-sized dictionary df on the term key; phase 2 decodes
+    * exactly 5 terms' blocks, df/stats broadcast after restriction to
+    * the query's terms. */
+  val q287 = Q(
+    "q287_prf_rocchio",
+    (s, dir) => {
+      import s.implicits._
+      val origTerms = Seq("merge", "stream")
+      val docs = Tables(s, dir, "documents")
+      // ---- index assets (amortized ingest): store + dictionary df +
+      // doc-length sidecar + corpus stats
+      val store = graft.queries.Text.postingStore(docs)
+      val dfAll = store.groupBy($"term").agg(sum($"df").cast(LongType).as("df"))
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"))
+      val stats = dl
+        .agg(count(lit(1)).cast(LongType).as("n_docs"), sum($"dl").as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      def decode(blocks: org.apache.spark.sql.DataFrame) = blocks
+        .select($"term", $"bucket", $"df", $"bytes")
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q287: corrupt postings block for term '$t'"))
+            .map { case (doc, tf, _) => (t, doc, tf) }
+        }.toDF("term", "doc_id", "tf")
+      def bm25(decoded: org.apache.spark.sql.DataFrame,
+          dfq: org.apache.spark.sql.DataFrame) = decoded
+        .join(dl, "doc_id").join(broadcast(dfq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+      // ---- phase 1: retrieve top-10 for the original terms
+      val dfOrig = dfAll.filter($"term".isin(origTerms: _*))
+      val fb = bm25(decode(store.filter($"term".isin(origTerms: _*))), dfOrig)
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id").limit(10)
+        .select($"doc_id")
+      // ---- phase 2: fetch the winners, mine expansion terms
+      val fbTerms = docs.join(fb, "doc_id")
+        .select(explode(split($"text", " ")).as("term"))
+        .filter(!$"term".isin(origTerms: _*))
+        .groupBy($"term").agg(count(lit(1)).as("fb_tf"))
+      val exps = fbTerms.join(dfAll, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("escore", expr(
+          """CAST(fb_tf AS DECIMAL(38,0)) *
+             CAST(((2 * n_docs - 2 * df + 1) * 1000000) DIV (2 * df + 1)
+                  AS DECIMAL(38,0))"""))
+        .orderBy($"escore".desc, $"term").limit(3)
+        .select($"term")
+      // ---- phase 3: Rocchio-weighted re-retrieval over the 5 terms
+      val weights = origTerms.toDF("term").withColumn("w", lit(2L))
+        .unionByName(exps.withColumn("w", lit(1L)))
+      val dfq = dfAll.join(weights, "term")
+        .select($"term", $"df", $"w")
+      val expList = exps.agg(
+        concat_ws(",", sort_array(collect_list($"term"))).as("exp_terms"))
+      bm25(decode(store.join(weights.select($"term"), "term")),
+          dfq.select($"term", $"df"))
+        .join(broadcast(weights), "term")
+        .groupBy($"doc_id")
+        .agg(sum($"w" * $"contrib_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id").limit(15)
+        .crossJoin(broadcast(expList))
+        .select($"doc_id", $"score_ppm", $"exp_terms")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents),
+      dfall AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM t GROUP BY 1),
+      h1 AS (SELECT * FROM t WHERE term IN ('merge', 'stream')),
+      tf1 AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM h1 GROUP BY 1, 2, 3),
+      s1 AS (SELECT tf1.doc_id,
+               CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+                 // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1)))
+                 AS BIGINT) AS score_ppm
+             FROM tf1 JOIN dfall USING (term) CROSS JOIN st GROUP BY 1),
+      fb AS (SELECT doc_id FROM s1
+             ORDER BY score_ppm DESC, doc_id LIMIT 10),
+      cand AS (SELECT t.term, CAST(COUNT(*) AS BIGINT) AS fb_tf
+               FROM t JOIN fb USING (doc_id)
+               WHERE t.term NOT IN ('merge', 'stream') GROUP BY 1),
+      exps AS (SELECT cand.term FROM cand
+               JOIN dfall USING (term) CROSS JOIN st
+               ORDER BY CAST(fb_tf AS DECIMAL(38,0)) *
+                 CAST(((2 * n_docs - 2 * df + 1) * 1000000)
+                      // (2 * df + 1) AS DECIMAL(38,0)) DESC, term
+               LIMIT 3),
+      w AS (SELECT unnest(['merge', 'stream']) AS term, CAST(2 AS BIGINT) AS w
+            UNION ALL SELECT term, CAST(1 AS BIGINT) AS w FROM exps),
+      h2 AS (SELECT t.doc_id, t.dl, t.term, w.w FROM t JOIN w USING (term)),
+      tf2 AS (SELECT doc_id, term, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM h2 GROUP BY 1, 2, 3, 4),
+      s2 AS (SELECT tf2.doc_id,
+               CAST(SUM(w * ((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+                 // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))))
+                 AS BIGINT) AS score_ppm
+             FROM tf2 JOIN dfall USING (term) CROSS JOIN st GROUP BY 1),
+      el AS (SELECT string_agg(term, ',' ORDER BY term) AS exp_terms
+             FROM exps)
+      SELECT s2.doc_id, s2.score_ppm, el.exp_terms
+      FROM s2 CROSS JOIN el
+      ORDER BY score_ppm DESC, doc_id LIMIT 15"""),
+    doc = "X116: Rocchio pseudo-relevance feedback — retrieve top-10 off " +
+      "the compressed store, fetch the winners, mine top-3 expansion " +
+      "terms by exact fb_tf x idf (DECIMAL(38,0) product — the 100 TB " +
+      "overflow lesson), re-retrieve with Rocchio weights 2/1; the " +
+      "from-raw three-phase oracle pins term selection and final ranking")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
-    q265, q267, q269, q272, q273, q279)
+    q265, q267, q269, q272, q273, q279, q283, q287)
 }
