@@ -1192,7 +1192,7 @@ object Mining {
 
   /** Ring positions for consistent hashing: `vnodes` virtual nodes per
     * shard at md5-derived 60-bit points (Karger et al. 1997). */
-  private def ringSql(shards: Int, vnodes: Int): String =
+  private[queries] def ringSql(shards: Int, vnodes: Int): String =
     s"""SELECT s AS shard, CAST(('0x' || substr(md5('shard' || s || ':' || v), 1, 15))
           AS BIGINT) AS pos
         FROM (SELECT unnest(range($shards)) AS s),

@@ -2877,8 +2877,398 @@ object Text {
       "streams throw); hash match vs the from-documents oracle proves " +
       "bit-unpacking-on-probe is lossless")
 
+  /** Character bigrams of `s` with the `$` boundary convention — the
+    * k-gram index's gram function, shared by ingest and probe so the
+    * two can never disagree on gram shape. */
+  private def bigrams(s: String): Seq[String] =
+    (0 until s.length - 1).map(i => s.substring(i, i + 2))
+
+  /** q284 — WILDCARD term search through a k-gram index (X111d, r15):
+    * the query class the dictionary family still lacked — `me*ge` —
+    * and the classic IR answer (Manning/Raghavan/Schütze ch. 3.2.2):
+    * index every vocabulary term under its character k-grams (k = 2,
+    * `$`-bounded), answer a wildcard by intersecting the pattern's
+    * gram posting lists, then POST-FILTER the candidates against the
+    * actual pattern — gram containment is necessary, never sufficient
+    * (the textbook `red*`→`retired` false positive, planted and pinned
+    * in KGramSpec). Matched terms then probe the q258 compressed text
+    * index through a JOIN (never an `isin` — the matched set is data,
+    * not literals) and docs rank by distinct matched terms / tf mass,
+    * each doc carrying its sorted matched-term list as provenance.
+    * The oracle answers the same wildcard DIRECTLY (`LIKE 'me%ge'`
+    * over the raw vocabulary — the gram index never enters it), so
+    * the hash match proves gram-intersect + post-filter ≡ the direct
+    * wildcard scan at all 3 SFs.
+    *
+    * Scale: the gram index is vocabulary-sized (Σ term length grams —
+    * Heaps-bounded, not corpus-bounded); the probe touches only the
+    * pattern's ≤4 gram posting lists; the LIKE post-filter runs on the
+    * candidate set alone; the doc ranking decodes only matched terms'
+    * blocks (q259's read path). */
+  val q284 = Q(
+    "q284_kgram_wildcard",
+    (s, dir) => {
+      import s.implicits._
+      val (pre, suf) = ("me", "ge") // the wildcard pattern me*ge
+      val patGrams = (bigrams("$" + pre) ++ bigrams(suf + "$")).distinct
+      val docs = Tables(s, dir, "documents")
+      val vocab = docs
+        .select(explode(split($"text", " ")).as("term")).distinct()
+      // ---- ingest: the k-gram index over the vocabulary
+      val grams = vocab
+        .select($"term", concat(lit("$"), $"term", lit("$")).as("p"))
+        .select($"term", explode(expr(
+          "transform(sequence(1, length(p) - 1), i -> substring(p, i, 2))"))
+          .as("gram"))
+        .distinct()
+      // ---- probe: intersect the pattern's gram posting lists
+      val cand = grams.filter($"gram".isin(patGrams: _*))
+        .groupBy($"term").agg(count(lit(1)).as("ng"))
+        .filter($"ng" === patGrams.size)
+      // candidate-bounded post-filter — the step the false positive needs
+      val matched = cand
+        .filter($"term".like(s"$pre%$suf") &&
+          length($"term") >= lit(pre.length + suf.length))
+        .select($"term")
+      // ---- doc ranking through the compressed index (decode-on-probe)
+      val store = postingStore(docs)
+      val decoded = store.join(matched, "term")
+        .select($"term", $"bucket", $"df", $"bytes")
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q284: corrupt postings block for term '$t'"))
+            .map { case (doc, tf, _) => (t, doc, tf) }
+        }.toDF("term", "doc_id", "tf")
+      decoded.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum($"tf").as("tf_sum"),
+          concat_ws(",", sort_array(collect_list($"term"))).as("terms"))
+        .orderBy($"n_terms".desc, $"tf_sum".desc, $"doc_id")
+        .limit(30)
+    },
+    Some("""
+      WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      m AS (SELECT term FROM v
+            WHERE term LIKE 'me%ge' AND len(term) >= 4),
+      t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+      g AS (SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM t JOIN m USING (term) GROUP BY 1, 2)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(tf) AS BIGINT) AS tf_sum,
+             string_agg(term, ',' ORDER BY term) AS terms
+      FROM g GROUP BY doc_id
+      ORDER BY n_terms DESC, tf_sum DESC, doc_id LIMIT 30"""),
+    doc = "X111d: wildcard search me*ge through a $-bounded bigram index " +
+      "— gram posting-list intersection, candidate-bounded LIKE " +
+      "post-filter (gram containment is necessary, not sufficient), " +
+      "matched terms probe the compressed index by join; the direct " +
+      "LIKE-over-vocabulary oracle proves the k-gram route exact")
+
+  /** q285 — FUZZY term resolution + spell-corrected search (N15b,
+    * r15): the query-time half of fuzzy matching — a misspelled query
+    * term must resolve to the vocabulary term it meant, WITHOUT a
+    * vocabulary scan per probe. SymSpell's device (Garbe 2012, the
+    * production spell-corrector shape): index every vocabulary term
+    * under its single-deletion variants (plus itself); a probe
+    * explodes into ITS deletion variants and equi-joins the index —
+    * any Levenshtein-≤1 pair shares a variant, so the join is the
+    * candidate generator and its output is candidate-bounded, never
+    * vocabulary × probes. The join also admits distance-2 pairs
+    * (`abc`/`bca` share variant `bc`), so an exact `levenshtein ≤ 1`
+    * verify runs ON THE CANDIDATES — load-bearing, pinned in
+    * KGramSpec. Resolution picks per probe the (lev ASC, corpus tf
+    * DESC, term ASC) argmin — closest first, most frequent among
+    * ties (the spell-corrector's language-model prior). Corrected
+    * terms then probe the q258 index and each returns its top-5 docs
+    * by tf via the bounded exact TopKLong aggregate (per-term map-side
+    * k — never a df-sized window partition). The oracle resolves each
+    * probe by brute force (vocabulary × 4 probes, DuckDB `levenshtein`
+    * — the deliberately different decomposition) and replays the
+    * ranking from raw text; hash-matched at all 3 SFs.
+    *
+    * Scale: the deletion index is Σ term-length rows over the
+    * Heaps-bounded vocabulary, built once at ingest; probes are
+    * constant-count; candidates per probe are the variants' bucket
+    * occupants (SymSpell's whole point); the doc probe decodes only
+    * the corrected terms' blocks. */
+  val q285 = Q(
+    "q285_fuzzy_resolve",
+    (s, dir) => {
+      import s.implicits._
+      val probes = Seq("sparc", "stram", "querry", "window")
+      val docs = Tables(s, dir, "documents")
+      val tfTab = docs
+        .select(explode(split($"text", " ")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("tf_total"))
+      // ---- ingest: the deletion-variant index (term + its del1 set;
+      // the identity entry carries exact matches and the ins/del
+      // directions of the variant join)
+      def delVariants(c: String) = expr(
+        s"""array_union(array($c),
+            transform(sequence(1, length($c)),
+              i -> concat(substring($c, 1, i - 1),
+                          substring($c, i + 1, length($c)))))""")
+      val vocabIdx = tfTab
+        .select($"term", $"tf_total", explode(delVariants("term")).as("v"))
+      val probeIdx = probes.toDF("probe")
+        .select($"probe", explode(delVariants("probe")).as("v"))
+      // ---- candidate generation: shared-variant equi-join, then the
+      // exact verify (the del-join admits distance-2 pairs)
+      val cand = probeIdx.join(vocabIdx, "v")
+        .select($"probe", $"term", $"tf_total").distinct()
+        .withColumn("lev", levenshtein($"probe", $"term"))
+        .filter($"lev" <= 1)
+      // ---- resolution: closest, then most frequent, then spelling
+      val resolved = cand
+        .groupBy($"probe")
+        .agg(min_by(struct($"term", $"lev", $"tf_total"),
+          struct($"lev", -$"tf_total", $"term")).as("r"))
+        .select($"probe", $"r.term".as("term"), $"r.lev".cast(LongType).as("lev"),
+          $"r.tf_total".as("tf_total"))
+      // ---- spell-corrected search: corrected terms probe the index,
+      // top-5 docs per term via the bounded exact aggregate
+      val store = postingStore(docs)
+      val decoded = store.join(resolved.select($"term").distinct(), "term")
+        .select($"term", $"bucket", $"df", $"bytes")
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q285: corrupt postings block for term '$t'"))
+            .map { case (doc, tf, _) => (t, doc, tf) }
+        }.toDF("term", "doc_id", "tf")
+      val top5 = udaf(new graft.functions.TopKLong(5))
+      val perTerm = decoded.groupBy($"term")
+        .agg(top5($"tf", $"doc_id", lit(0L)).as("tk"))
+        .select($"term", explode($"tk").as("e"))
+        .select($"term", $"e.id".as("doc_id"), $"e.score".as("tf"))
+      resolved.join(perTerm, "term")
+        .select($"probe", $"term", $"lev", $"tf_total", $"doc_id", $"tf")
+        .orderBy($"probe", $"tf".desc, $"doc_id")
+    },
+    Some("""
+      WITH tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_total
+                  FROM (SELECT unnest(string_split(text, ' ')) AS term
+                        FROM documents) GROUP BY 1),
+      p AS (SELECT unnest(['sparc', 'stram', 'querry', 'window']) AS probe),
+      cand AS (SELECT probe, term, tf_total,
+                 CAST(levenshtein(probe, term) AS BIGINT) AS lev
+               FROM p CROSS JOIN tf
+               WHERE levenshtein(probe, term) <= 1),
+      res AS (SELECT probe, term, lev, tf_total FROM cand
+              QUALIFY row_number() OVER (PARTITION BY probe
+                ORDER BY lev, tf_total DESC, term) = 1),
+      t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+      h AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tfd
+            FROM t WHERE term IN (SELECT term FROM res) GROUP BY 1, 2),
+      top5 AS (SELECT term, doc_id, tfd FROM h
+               QUALIFY row_number() OVER (PARTITION BY term
+                 ORDER BY tfd DESC, doc_id) <= 5)
+      SELECT probe, res.term AS term, lev, tf_total, doc_id,
+             tfd AS tf
+      FROM res JOIN top5 ON res.term = top5.term
+      ORDER BY probe, tf DESC, doc_id"""),
+    doc = "N15b: SymSpell fuzzy term resolution — deletion-variant " +
+      "equi-join candidate generation (never vocabulary × probes), " +
+      "exact levenshtein<=1 verify on candidates (the del-join admits " +
+      "distance-2 pairs), (lev, tf DESC, term) argmin resolution, then " +
+      "spell-corrected top-5-docs search through the compressed index; " +
+      "brute-force vocabulary-scan oracle proves the indexed route exact")
+
+  /** q288 — consistent-hash INDEX RESHARD (X115b, r15): the
+    * storage-growth operation the q283 sharded topology runs when a
+    * node joins. q162 audits the ring's movement matrix; this DOES the
+    * move on the index's storage layer via
+    * [[graft.operators.IndexReshard]]: 3 ring-assigned shards grow to
+    * 4, and the only work is block-local — moved docs' blocks on the
+    * old shards decode/drop/re-encode (q274's surgery, shard-keyed;
+    * emptied blocks vanish; unmoved blocks pass through
+    * byte-untouched), the new shard's sub-index builds from the
+    * movers alone. Consistent hashing guarantees movers go ONLY to
+    * the new shard (IndexReshardSpec pins it, wrap-around included),
+    * so ~1/(S+1) of the corpus rebuilds instead of the ~everything a
+    * modulo reshard would force. Gap coding has no layout freedom ⇒
+    * maintained ≡ from-scratch 4-ring build BYTE FOR BYTE — the
+    * oracle replays exactly that build (q162's ring SQL + q258's
+    * 4-tier varint expansion, shard-keyed; the surgery never enters
+    * it), hash-matched at all 3 SFs.
+    *
+    * Scale: ring broadcast (S·16 rows); assignment is q162's as-of
+    * device paid once; surgery cost = |movers' buckets| blocks + one
+    * delta build — never corpus-shaped. */
+  val q288 = Q(
+    "q288_index_reshard",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      graft.operators.IndexReshard.reshard(docs, oldShards = 3)
+        .newStore
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .map { case (shard, term, bucket, df, bytes) =>
+          val ok = graft.operators.PostingCodec.decode(bytes, df).isDefined
+          val h = bytes.foldLeft(0L)((a, x) =>
+            (a * 31 + (x & 0xff)) % 1000000007L)
+          (shard, term, bucket, df.toLong, bytes.length.toLong, h,
+            if (ok) 1L else 0L)
+        }
+        .toDF("shard", "term", "bucket", "df", "n_bytes", "stream_hash",
+          "decode_ok")
+        .orderBy($"shard", $"term", $"bucket")
+    },
+    Some(s"""
+      WITH r AS (${graft.queries.Mining.ringSql(4, 16)}),
+      w AS (SELECT shard FROM r ORDER BY pos, shard LIMIT 1),
+      d0 AS (SELECT doc_id, text,
+               CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM documents),
+      a AS (SELECT d0.doc_id, d0.text, COALESCE(
+              (SELECT r.shard FROM r WHERE r.pos >= d0.p
+               ORDER BY r.pos, r.shard LIMIT 1),
+              (SELECT shard FROM w)) AS shard
+            FROM d0),
+      t AS (SELECT shard, doc_id, unnest(l) AS term,
+              unnest(range(1, len(l) + 1)) AS pos
+            FROM (SELECT shard, doc_id, string_split(text, ' ') AS l
+                  FROM a)),
+      d AS (SELECT shard, term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+            FROM t GROUP BY 1, 2, 3),
+      g AS (SELECT shard, term,
+              CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+              list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS ds,
+              list(CAST(tf AS BIGINT) ORDER BY doc_id) AS tfs,
+              list(CAST(first_pos AS BIGINT) ORDER BY doc_id) AS fps
+            FROM d GROUP BY shard, term, bucket),
+      v AS (SELECT shard, term, bucket, len(ds) AS df,
+              list_concat([ds[1]],
+                flatten(list_transform(range(1, len(ds) + 1), i ->
+                  CASE WHEN i = 1 THEN [tfs[1], fps[1]]
+                       ELSE [ds[i] - ds[i - 1], tfs[i], fps[i]] END)))
+                AS vals
+            FROM g),
+      b AS (SELECT shard, term, bucket, df,
+              flatten(list_transform(vals, x -> CASE
+                WHEN x < 128 THEN [x]
+                WHEN x < 16384 THEN [x % 128 + 128, x // 128]
+                WHEN x < 2097152 THEN
+                  [x % 128 + 128, (x // 128) % 128 + 128, x // 16384]
+                ELSE [x % 128 + 128, (x // 128) % 128 + 128,
+                      (x // 16384) % 128 + 128, x // 2097152] END))
+                AS bytes
+            FROM v)
+      SELECT CAST(shard AS BIGINT) AS shard, term, bucket,
+             CAST(df AS BIGINT) AS df,
+             CAST(len(bytes) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(bytes, (h, x) -> (h * 31 + x) % 1000000007)
+               AS BIGINT) AS stream_hash,
+             CAST(1 AS BIGINT) AS decode_ok
+      FROM b ORDER BY shard, term, bucket"""),
+    doc = "X115b: consistent-hash index reshard 3→4 — ring-moved docs' " +
+      "blocks decode/drop/re-encode on their old shards, the new " +
+      "shard builds from the movers alone, unmoved blocks pass " +
+      "through byte-untouched; maintained == from-scratch 4-ring " +
+      "build byte for byte (the oracle replays that build; the " +
+      "surgery never enters it)")
+
+  /** q289 — TIERED posting storage, one read path (X109k, r15): the
+    * hot/cold split every large index runs (Elasticsearch hot-warm,
+    * Lucene's per-segment codec choice) applied to the q258/q281
+    * codec pair: a HOT term's blocks — dense posting lists whose
+    * uniformly small gaps are exactly where FOR bit-packing wins its
+    * measured 0.56× (q281) — store in the FOR tier; the long-tail
+    * COLD majority stays LEB128, where per-block width bytes wouldn't
+    * repay themselves. The tier decision is data-derived and
+    * deterministic (df·10 ≥ N off block metadata — both engines
+    * compute it), the probe ROUTES per block to the matching strict
+    * codec (a hot block through the cold decoder, or any corruption,
+    * THROWS — never a silent ranking change), and the query terms
+    * deliberately span both tiers so the oracle's hash gates BOTH
+    * routes plus the n_hot/n_cold routing evidence per doc.
+    *
+    * Scale: tiering is one metadata join at ingest; the probe is
+    * q259's posture (query-term blocks only, per-block bounded
+    * decode); nothing about the split adds a shuffle. */
+  val q289 = Q(
+    "q289_tiered_postings",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "window", "merge", "dup")
+      val docs = Tables(s, dir, "documents")
+      val blocks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(
+          struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+      // tier decision from block METADATA (blocks partition docs)
+      val nDocs = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+      val dfreq = blocks
+        .select($"term", size($"ps").cast(LongType).as("bdf"))
+        .groupBy($"term").agg(sum($"bdf").as("df"))
+      val tiered = blocks.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("hot", ($"df" * 10) >= $"n_docs")
+        .select($"term", $"bucket", $"hot", $"ps")
+        .as[(String, Long, Boolean, Seq[(Long, Long, Long)])]
+        .map { case (t, b, hot, ps) =>
+          val bytes =
+            if (hot) graft.operators.ForCodec.encode(ps)
+            else graft.operators.PostingCodec.encode(ps)
+          (t, b, hot, ps.size, bytes)
+        }.toDF("term", "bucket", "hot", "df", "bytes")
+      // probe: route each block to ITS tier's strict decoder
+      val decoded = tiered.filter($"term".isin(qTerms: _*))
+        .as[(String, Long, Boolean, Int, Array[Byte])]
+        .flatMap { case (t, b, hot, n, bytes) =>
+          val ps =
+            (if (hot) graft.operators.ForCodec.decode(bytes, n)
+             else graft.operators.PostingCodec.decode(bytes, n))
+              .getOrElse(throw new IllegalStateException(
+                s"q289: corrupt ${if (hot) "FOR" else "LEB128"} block '$t'/$b"))
+          ps.map { case (doc, tf, _) => (t, hot, doc, tf) }
+        }.toDF("term", "hot", "doc_id", "tf")
+      decoded.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum($"tf").as("tf_sum"),
+          sum(when($"hot", 1L).otherwise(0L)).as("n_hot"),
+          sum(when(!$"hot", 1L).otherwise(0L)).as("n_cold"))
+        .orderBy($"n_terms".desc, $"tf_sum".desc, $"doc_id")
+        .limit(50)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      h AS (SELECT doc_id, term FROM t
+            WHERE term IN ('spark', 'window', 'merge', 'dup')),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      x AS (SELECT tf.doc_id, tf.term, tf.tf,
+              (dfr.df * 10) >= n.n_docs AS hot
+            FROM tf JOIN dfr USING (term) CROSS JOIN n)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(tf) AS BIGINT) AS tf_sum,
+             CAST(SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+             CAST(SUM(CASE WHEN NOT hot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cold
+      FROM x GROUP BY doc_id
+      ORDER BY n_terms DESC, tf_sum DESC, doc_id LIMIT 50"""),
+    doc = "X109k: tiered posting storage — hot terms (df·10 >= N, off " +
+      "block metadata) FOR bit-packed, the cold long tail LEB128, ONE " +
+      "probe routing each block to its tier's canonical-strict decoder; " +
+      "query terms span both tiers so the from-raw oracle gates both " +
+      "routes and the per-doc n_hot/n_cold routing evidence")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
-    q266, q268, q270, q271, q274, q275, q277, q278, q281, q282)
+    q266, q268, q270, q271, q274, q275, q277, q278, q281, q282, q284,
+    q285, q288, q289)
 }
