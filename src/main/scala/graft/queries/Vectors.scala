@@ -1575,7 +1575,214 @@ object Vectors {
       "beam search (per-query seeds via beamSearchFrom); both layers' " +
       "builds and descents unroll as oracle CTEs and hash-match")
 
+  /** q286 — similarity search SERVED through the int8 codes (N21b,
+    * r15): the q259 rule applied to q106's storage tier — a 4×-smaller
+    * quantized corpus nothing probes is an unproven asset. This is the
+    * two-stage serving shape every SQ-compressed vector store runs
+    * (faiss `SQ8` + refine, Lucene's int8 HNSW): stage 1 ranks the
+    * WHOLE corpus on quantized codes only, stage 2 re-ranks the
+    * survivors exactly.
+    *
+    * Exactness device: with per-vector symmetric scales, the
+    * dequantized element is qᵢ·amax/127 — cross-vector comparisons in
+    * the shared /127 scale drop the divisor entirely (rank-invariant
+    * common factor), and amax enters as exact MILLIS (rint(amax·10³) —
+    * DuckDB's DECIMAL(18,3) half-even twin, the micros argument at 10³),
+    * so stage 1's distance is the all-BIGINT
+    *   Σᵢ (qqᵢ·q_am − qdᵢ·am)²
+    * — codes ≤ 127, corpus scales ~10³ millis ⇒ each square ≤ ~10¹⁷/64,
+    * the 64-dim sum stays far under Long.Max. Stage-1 top-50 per query
+    * rides the exact-BIGINT bounded TopKLong (map-side k; never a
+    * corpus-sized window partition). Stage 2 joins ONLY the 4×50
+    * candidates back to exact micro vectors and re-ranks by exact
+    * integer L2; rank windows run over ≤50-row frames. The oracle
+    * replays BOTH stages (quantize, millis, code distance, QUALIFY
+    * top-50, micros rerank) — hash-matched at all 3 SFs, so the entire
+    * quantized read path is gated, recall trade and all. Sq8ServeSpec
+    * pins the measured recall floor vs the unquantized exact top-10
+    * and the candidate-set wire bound.
+    *
+    * Scale: stage 1 streams the corpus CODES once per broadcast query
+    * set (q50's posture at a quarter the bytes — the whole point of
+    * SQ8); stage 2 is candidate-bounded; no shuffle of the corpus. */
+  val q286 = Q(
+    "q286_sq8_serve",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      // ---- ingest: the SQ8 store — codes + exact-millis scale ONLY
+      val codes = emb
+        .select($"vec_id", $"embedding", VectorOps.absMax($"embedding").as("amax"))
+        .select($"vec_id",
+          rint($"amax" * lit(1e3)).cast(LongType).as("am"),
+          VectorOps.quantize8($"embedding", $"amax").as("qv"))
+      val queries = codes.filter($"vec_id" < 4)
+        .select($"vec_id".as("q_id"), $"am".as("q_am"), $"qv".as("q_qv"))
+      // ---- stage 1: all-integer code-space distance over the corpus
+      val s1 = codes.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("adist", expr(
+          """aggregate(zip_with(q_qv, qv,
+               (x, y) -> (CAST(x AS BIGINT) * q_am - CAST(y AS BIGINT) * am) *
+                         (CAST(x AS BIGINT) * q_am - CAST(y AS BIGINT) * am)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+      val top50 = udaf(new graft.functions.TopKLong(50))
+      val cand = s1.groupBy($"q_id")
+        .agg(top50(-$"adist", $"vec_id", lit(0L)).as("tk"))
+        .select($"q_id", explode($"tk").as("e"))
+        .select($"q_id", $"e.id".as("vec_id"), (-$"e.score").as("adist"))
+      // ---- stage 2: exact integer-micros L2 on the candidates only
+      val mv = emb.select($"vec_id", VectorOps.microsVec($"embedding").as("mv"))
+      val w = Window.partitionBy($"q_id").orderBy($"edist".asc, $"vec_id".asc)
+      cand
+        .join(mv, "vec_id")
+        .join(broadcast(mv.filter($"vec_id" < 4)
+          .select($"vec_id".as("q_id"), $"mv".as("q_mv"))), "q_id")
+        .withColumn("edist", expr(
+          """aggregate(zip_with(q_mv, mv, (x, y) -> (x - y) * (x - y)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"rn", $"vec_id", $"adist", $"edist")
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH k AS (SELECT vec_id, embedding,
+                   ${VectorOps.absMaxSql("embedding")} AS amax
+                 FROM embeddings),
+      c AS (SELECT vec_id,
+              CAST(CAST(amax AS DECIMAL(18,3)) * 1000 AS BIGINT) AS am,
+              CASE WHEN amax = 0
+                   THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(embedding, x ->
+                     CAST(round(CAST(x AS DOUBLE) / amax * 127) AS BIGINT))
+              END AS qv
+            FROM k),
+      q AS (SELECT vec_id AS q_id, am AS q_am, qv AS q_qv
+            FROM c WHERE vec_id < 4),
+      s1 AS (SELECT q.q_id, e.vec_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 65), i ->
+                   (q.q_qv[CAST(i AS INT)] * q.q_am -
+                    e.qv[CAST(i AS INT)] * e.am) *
+                   (q.q_qv[CAST(i AS INT)] * q.q_am -
+                    e.qv[CAST(i AS INT)] * e.am))),
+                 (acc, v) -> acc + v) AS adist
+             FROM c e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      cand AS (SELECT q_id, vec_id, adist FROM s1
+               QUALIFY row_number() OVER (PARTITION BY q_id
+                 ORDER BY adist, vec_id) <= 50),
+      m AS (SELECT vec_id, list_transform(embedding, x ->
+              CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000
+                   AS BIGINT)) AS mv
+            FROM embeddings),
+      r AS (SELECT cand.q_id, cand.vec_id, cand.adist,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, 65), i ->
+                  (qm.mv[CAST(i AS INT)] - dm.mv[CAST(i AS INT)]) *
+                  (qm.mv[CAST(i AS INT)] - dm.mv[CAST(i AS INT)]))),
+                (acc, v) -> acc + v) AS edist
+            FROM cand JOIN m dm ON cand.vec_id = dm.vec_id
+                      JOIN m qm ON cand.q_id = qm.vec_id)
+      SELECT q_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY edist, vec_id) AS BIGINT) AS rn,
+             vec_id, adist, edist
+      FROM r
+      QUALIFY rn <= 10
+      ORDER BY q_id, rn"""),
+    doc = "N21b: ANN served through the int8-quantized store — stage 1 " +
+      "ranks the corpus on codes alone (all-BIGINT scaled-code distance, " +
+      "the /127 divisor dropped as a rank-invariant common factor), " +
+      "stage 2 re-ranks the 50 candidates by exact integer-micros L2; " +
+      "the oracle replays both stages, gating the quantized read path " +
+      "recall trade and all")
+
+  /** q290 — triplet hard-negative mining (X117, r15): the
+    * contrastive-training data op (FaceNet, Schroff '15; the hard-
+    * negative manifest every embedding-model trainer consumes) — for
+    * each anchor, the 5 NEAREST vectors with a DIFFERENT label (hard
+    * negatives: close in space, wrong by label — the pairs that carry
+    * gradient) and the FARTHEST vector with the SAME label (the hard
+    * positive). All distances exact integer-micros L2, ties by vec_id,
+    * so the manifest is byte-reproducible on rerun — the checkpoint-
+    * resume property q215 pins for text shards, here for triplets.
+    *
+    * Scale: anchors broadcast, ONE stream over the corpus, per-anchor
+    * k via the exact-BIGINT bounded TopKLong (map-side k — never an
+    * anchor-keyed window over corpus-sized partitions); for anchor
+    * sets beyond broadcast size the IVF-bucketed path (q69's posture)
+    * replaces the cartesian. The oracle replays distances and both
+    * QUALIFY ranks — hash-matched at all 3 SFs. */
+  val q290 = Q(
+    "q290_triplet_mining",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val mv = emb.select($"vec_id", $"label",
+        VectorOps.microsVec($"embedding").as("mv"))
+      val anchors = mv.filter($"vec_id" < 8)
+        .select($"vec_id".as("a_id"), $"label".as("a_label"),
+          $"mv".as("a_mv"))
+      val pairs = mv.crossJoin(broadcast(anchors))
+        .filter($"vec_id" =!= $"a_id")
+        .withColumn("dist", expr(
+          """aggregate(zip_with(a_mv, mv, (x, y) -> (x - y) * (x - y)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+      val top5 = udaf(new graft.functions.TopKLong(5))
+      val negs = pairs.filter($"label" =!= $"a_label")
+        .groupBy($"a_id")
+        .agg(top5(-$"dist", $"vec_id", lit(0L)).as("tk"))
+        .select($"a_id", posexplode($"tk"))
+        .select($"a_id", lit("neg").as("role"),
+          ($"pos" + 1).cast(LongType).as("rnk"),
+          $"col.id".as("vec_id"), (-$"col.score").as("dist"))
+      val top1 = udaf(new graft.functions.TopKLong(1))
+      val poss = pairs.filter($"label" === $"a_label")
+        .groupBy($"a_id")
+        .agg(top1($"dist", $"vec_id", lit(0L)).as("tk"))
+        .select($"a_id", explode($"tk").as("e"))
+        .select($"a_id", lit("pos").as("role"), lit(1L).as("rnk"),
+          $"e.id".as("vec_id"), $"e.score".as("dist"))
+      negs.unionByName(poss)
+        .orderBy($"a_id", $"role", $"rnk")
+    },
+    Some("""
+      WITH m AS (SELECT vec_id, label, list_transform(embedding, x ->
+                   CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000
+                        AS BIGINT)) AS mv
+                 FROM embeddings),
+      a AS (SELECT vec_id AS a_id, label AS a_label, mv AS a_mv
+            FROM m WHERE vec_id < 8),
+      p AS (SELECT a.a_id, a.a_label, m.vec_id, m.label,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, 65), i ->
+                  (a.a_mv[CAST(i AS INT)] - m.mv[CAST(i AS INT)]) *
+                  (a.a_mv[CAST(i AS INT)] - m.mv[CAST(i AS INT)]))),
+                (acc, v) -> acc + v) AS dist
+            FROM m CROSS JOIN a WHERE m.vec_id <> a.a_id),
+      negs AS (SELECT a_id, 'neg' AS role,
+                 CAST(row_number() OVER (PARTITION BY a_id
+                   ORDER BY dist, vec_id) AS BIGINT) AS rnk,
+                 vec_id, dist
+               FROM p WHERE label <> a_label
+               QUALIFY rnk <= 5),
+      poss AS (SELECT a_id, 'pos' AS role, CAST(1 AS BIGINT) AS rnk,
+                 vec_id, dist
+               FROM p WHERE label = a_label
+               QUALIFY row_number() OVER (PARTITION BY a_id
+                 ORDER BY dist DESC, vec_id) = 1)
+      SELECT a_id, role, rnk, vec_id, dist FROM negs
+      UNION ALL
+      SELECT a_id, role, rnk, vec_id, dist FROM poss
+      ORDER BY a_id, role, rnk"""),
+    doc = "X117: triplet hard-negative mining — per anchor the 5 nearest " +
+      "different-label vectors (hard negatives) + the farthest same-" +
+      "label vector (hard positive), exact integer-micros L2, bounded " +
+      "TopKLong per anchor; byte-reproducible triplet manifest for " +
+      "contrastive training, gated by the from-raw oracle")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
     q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250,
-    q280)
+    q280, q286, q290)
 }

@@ -2326,4 +2326,78 @@ class StreamingSpec extends SparkSpecBase {
     assert(probe(st) === afterTakedown,
       "a replay after takedown changed an answer")
   }
+
+  test("T36: streaming SQ8 index — arriving embeddings quantize " +
+    "statelessly, the served code store stays maintained == rebuilt " +
+    "EXACTLY (per-vector scales mean no frozen model, no caveat), " +
+    "replays are no-ops, takedowns tombstone forever") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingSq
+    val emb = graft.core.Tables(s, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    import graft.core.Barriers._
+    // frozen probe set: the first 4 vectors' own codes (q286's shape)
+    val queries = StreamingSq.encode(
+        emb.filter(_._1 < 4).toDF("vec_id", "embedding"))
+      .select($"vec_id".as("q_id"), $"am".as("q_am"), $"qv".as("q_qv"))
+      .barrier()
+    def probe(st: StreamingSq.SqState): Seq[(Long, Long, Long)] =
+      StreamingSq.serve(st, queries).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val waves = emb.grouped(math.max(1, emb.length / 5)).toSeq
+    var st = StreamingSq.freeze(s)
+    var delivered = Seq.empty[(Long, Array[Float])]
+    val stream = MemoryStream[(Long, Array[Float])](s)
+    val qy = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingSq.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      // maintained == rebuilt EXACTLY — per-vector scales are stateless
+      val rebuilt = StreamingSq.SqState(
+        StreamingSq.encode(delivered.toDF("vec_id", "embedding")),
+        st.seenIds, st.batches)
+      assert(probe(st) === probe(rebuilt),
+        s"maintained code store diverged from rebuilt after wave $i")
+      assert(st.codes.count() === delivered.length.toLong,
+        s"code-store row count != delivered vectors after wave $i")
+    }
+    // replay: exactly-once
+    val before = probe(st)
+    stream.addData(waves.head: _*); qy.processAllAvailable()
+    qy.stop()
+    assert(st.codes.count() === delivered.length.toLong,
+      "a replayed wave appended code rows — exactly-once broke")
+    assert(probe(st) === before, "a replayed wave changed an answer")
+    // takedown mid-stream: reaped codes leave, tombstones hold
+    val deadIds = delivered.map(_._1).filter(id => id % 6 == 5 && id >= 4)
+    st = StreamingSq.applyTakedown(st, deadIds.toDF("vec_id"))
+    val surv = delivered.filterNot(d => deadIds.contains(d._1))
+    assert(st.codes.count() === surv.length.toLong)
+    val rebuiltSurv = StreamingSq.SqState(
+      StreamingSq.encode(surv.toDF("vec_id", "embedding")),
+      st.seenIds, st.batches)
+    assert(probe(st) === probe(rebuiltSurv),
+      "post-takedown probe != rebuilt-over-survivors probe")
+    val afterTd = probe(st)
+    val stream2 = MemoryStream[(Long, Array[Float])](s)
+    val qy2 = stream2.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingSq.applyBatch(st, b)
+        ()
+      }
+      .start()
+    stream2.addData(waves.head: _*); qy2.processAllAvailable()
+    qy2.stop()
+    assert(st.codes.count() === surv.length.toLong,
+      "a replay resurrected a reaped code row")
+    assert(probe(st) === afterTd,
+      "a replay after takedown changed an answer")
+  }
 }
