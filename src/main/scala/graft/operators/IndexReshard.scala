@@ -12,32 +12,41 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * share one geometry), and rebuild ONLY what the ring says moved —
   * never the corpus, never the unmoved blocks.
   *
+  * The reshard is INDEX-ONLY: the movers' postings are extracted from
+  * the old shards' touched blocks during the delete pass and re-grouped
+  * into the new shard's blocks — raw documents are never re-read (at
+  * 100 TB the corpus may not even be mounted on the serving tier; the
+  * index must be self-sufficient, and with doc-aligned buckets plus
+  * canonical gap coding the regrouped movers are byte-identical to a
+  * from-scratch build over them).
+  *
   * The consistent-hashing guarantee does the heavy lifting: adding a
   * shard's vnodes can only REDIRECT a doc to the NEW shard (its
   * clockwise-next vnode either stays or becomes one of the new
   * vnodes — wrap-around included, since a changed wrap target is
-  * itself a new vnode), so the surgery is exactly two block-local
-  * passes:
+  * itself a new vnode), so the surgery is block-local:
   *
   *   - old shards: the moved docs' buckets' blocks decode (strict),
-  *     drop the movers, re-encode — q274's takedown surgery with the
-  *     shard in the block key; emptied blocks vanish; every other
-  *     block passes through byte-UNTOUCHED (no decode);
-  *   - new shard: its sub-index builds from the moved docs alone
-  *     (every doc assigned to it at S+1 is a mover, by the guarantee).
+  *     SPLIT into kept and moved postings, re-encode the kept side
+  *     (q274's takedown surgery with the shard in the block key);
+  *     emptied blocks vanish; every other block passes through
+  *     byte-UNTOUCHED (no decode);
+  *   - new shard: the extracted mover postings regroup by (term,
+  *     bucket) and encode — bucket keys ride along unchanged
+  *     (bucket = doc_id div 100 is shard-independent).
   *
   * Gap coding has no layout freedom, so maintained ≡ a from-scratch
   * S+1-ring build BYTE FOR BYTE — q288's oracle replays exactly that
   * build (ring assignment + q258 expansion; the surgery never enters
   * it), and IndexReshardSpec pins the only-to-new-shard law, the
-  * untouched-block object identity, and the ~1/(S+1) movement bound.
+  * byte law at two ring sizes, and the ~1/(S+1) movement bound.
   *
   * Scale: the ring is S·16 rows, broadcast; assignment is one
-  * as-of-shaped join per doc (q162's device) paid at ingest; the
-  * reshard touches |moved docs' buckets| blocks on the old shards
-  * plus one delta build over the movers — ~1/(S+1) of the corpus,
-  * the whole point of the ring (a modulo reshard re-keys ~all docs
-  * and would rebuild every block, q162's measured contrast). */
+  * as-of-shaped join per doc id (q162's device) over the ID LIST, not
+  * the corpus; the reshard touches |moved docs' buckets| blocks on
+  * the old shards plus a movers-sized regroup — ~1/(S+1) of the
+  * index, the whole point of the ring (a modulo reshard re-keys ~all
+  * docs and would rebuild every block, q162's measured contrast). */
 object IndexReshard {
 
   final case class Reshard(
@@ -56,10 +65,15 @@ object IndexReshard {
           .cast(LongType).as("pos"))
   }
 
+  /** The doc's ring position (q162's hash, verbatim). */
+  private[graft] def position(docId: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("doc"), docId.cast(StringType))),
+      1, 15), 16, 10).cast(LongType)
+
   /** Clockwise-next-vnode assignment (q162's as-of-shaped device):
     * smallest vnode pos ≥ the doc's pos, wrapping to the ring's
     * global minimum. Input needs a `p` position column. */
-  private def assign(docs: DataFrame, shards: Int,
+  private[graft] def assign(docs: DataFrame, shards: Int,
       outCol: String): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -76,45 +90,74 @@ object IndexReshard {
       .drop("wrap_shard")
   }
 
-  /** Reshard a ring-sharded q258 store from `oldShards` to
-    * `oldShards + 1` shards via block-local surgery. */
+  /** Grow an existing ring-sharded q258 store from `oldShards` to
+    * `oldShards + 1` shards, INDEX-ONLY: `docIds` is the 1-column id
+    * list of every indexed doc (the dl sidecar every serving index
+    * keeps); texts are never read. Returns (assignments, newStore). */
+  def grow(store: DataFrame, docIds: DataFrame,
+      oldShards: Int): (DataFrame, DataFrame) = {
+    val s = store.sparkSession
+    import s.implicits._
+    val positioned = docIds
+      .select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .withColumn("p", position($"doc_id"))
+    val a = assign(assign(positioned, oldShards, "shard_old"),
+      oldShards + 1, "shard_new")
+      .select($"doc_id", $"shard_old", $"shard_new")
+    val moved = a.filter($"shard_old" =!= $"shard_new")
+    val deadByBlock = moved
+      .groupBy($"shard_old".cast(LongType).as("shard"),
+        expr("doc_id DIV 100").as("bucket"))
+      .agg(sort_array(collect_list($"doc_id")).as("dead"))
+    // untouched blocks pass through byte-identical, never decoded
+    val untouched = store
+      .join(deadByBlock.select($"shard", $"bucket"),
+        Seq("shard", "bucket"), "left_anti")
+    val touched = store.join(deadByBlock, Seq("shard", "bucket"))
+      .select($"shard", $"term", $"bucket", $"df", $"bytes", $"dead")
+      .as[(Long, String, Long, Int, Array[Byte], Seq[Long])]
+    // pass 1: kept side re-encodes in place (emptied blocks vanish)
+    val kept = touched.flatMap { case (sh, t, b, n, bytes, dd) =>
+      val ps = PostingCodec.decode(bytes, n)
+        .getOrElse(throw new IllegalStateException(
+          s"index reshard: corrupt block $sh/'$t'/$b"))
+      val gone = dd.toSet
+      val k = ps.filterNot(p => gone.contains(p._1))
+      if (k.isEmpty) Iterator.empty
+      else Iterator.single((sh, t, b, k.size, PostingCodec.encode(k)))
+    }.toDF("shard", "term", "bucket", "df", "bytes")
+    // pass 2: the movers' postings extract FROM THE INDEX and regroup
+    // into the new shard's blocks (bucket keys are shard-independent)
+    val added = touched.flatMap { case (sh, t, b, n, bytes, dd) =>
+      val ps = PostingCodec.decode(bytes, n)
+        .getOrElse(throw new IllegalStateException(
+          s"index reshard: corrupt block $sh/'$t'/$b"))
+      val gone = dd.toSet
+      ps.filter(p => gone.contains(p._1)).map(p => (t, b, p._1, p._2, p._3))
+    }.toDF("term", "bucket", "doc_id", "tf", "first_pos")
+      .groupBy($"term", $"bucket")
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+      .as[(String, Long, Seq[(Long, Long, Long)])]
+      .map { case (t, b, ps) =>
+        (oldShards.toLong, t, b, ps.size, PostingCodec.encode(ps))
+      }
+      .toDF("shard", "term", "bucket", "df", "bytes")
+    (a, untouched.select($"shard", $"term", $"bucket", $"df", $"bytes")
+      .unionByName(kept).unionByName(added))
+  }
+
+  /** q288's end-to-end shape: build the S-ring store from documents,
+    * then grow it to S+1 — the grow itself never reads the texts. */
   def reshard(docs: DataFrame, oldShards: Int): Reshard = {
     val s = docs.sparkSession
     import s.implicits._
     val positioned = docs.select($"doc_id", $"text",
-      conv(substring(md5(concat(lit("doc"), $"doc_id".cast(StringType))),
-        1, 15), 16, 10).cast(LongType).as("p"))
-    val a = assign(assign(positioned, oldShards, "shard_old"),
-      oldShards + 1, "shard_new")
+      position($"doc_id").as("p"))
+    val a0 = assign(positioned, oldShards, "shard_old")
     val oldStore = ShardedIndex.buildStore(
-      a.select($"shard_old".as("shard"), $"doc_id", $"text"))
-    val moved = a.filter($"shard_old" =!= $"shard_new")
-    // ---- old-shard surgery: q274's block-local delete, shard-keyed
-    val deadByBlock = moved
-      .groupBy($"shard_old".as("shard"), expr("doc_id DIV 100").as("bucket"))
-      .agg(sort_array(collect_list($"doc_id")).as("dead"))
-    val survived = oldStore
-      .join(deadByBlock, Seq("shard", "bucket"), "left")
-      .select($"shard", $"term", $"bucket", $"df", $"bytes", $"dead")
-      .as[(Long, String, Long, Int, Array[Byte], Option[Seq[Long]])]
-      .flatMap {
-        case (sh, t, b, n, bytes, None) =>
-          // block untouched: bytes pass through, never re-coded
-          Iterator.single((sh, t, b, n, bytes))
-        case (sh, t, b, n, bytes, Some(dd)) =>
-          val ps = PostingCodec.decode(bytes, n)
-            .getOrElse(throw new IllegalStateException(
-              s"index reshard: corrupt block $sh/'$t'/$b"))
-          val gone = dd.toSet
-          val kept = ps.filterNot(p => gone.contains(p._1))
-          if (kept.isEmpty) Iterator.empty
-          else Iterator.single((sh, t, b, kept.size, PostingCodec.encode(kept)))
-      }
-      .toDF("shard", "term", "bucket", "df", "bytes")
-    // ---- new shard: delta build over the movers only
-    val added = ShardedIndex.buildStore(
-      moved.select($"shard_new".as("shard"), $"doc_id", $"text"))
-    Reshard(a.select($"doc_id", $"shard_old", $"shard_new"),
-      oldStore, survived.unionByName(added))
+      a0.select($"shard_old".as("shard"), $"doc_id", $"text"))
+    val (a, newStore) = grow(oldStore, docs.select($"doc_id"), oldShards)
+    Reshard(a, oldStore, newStore)
   }
 }

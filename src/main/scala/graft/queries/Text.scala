@@ -3084,11 +3084,12 @@ object Text {
     * node joins. q162 audits the ring's movement matrix; this DOES the
     * move on the index's storage layer via
     * [[graft.operators.IndexReshard]]: 3 ring-assigned shards grow to
-    * 4, and the only work is block-local — moved docs' blocks on the
-    * old shards decode/drop/re-encode (q274's surgery, shard-keyed;
-    * emptied blocks vanish; unmoved blocks pass through
-    * byte-untouched), the new shard's sub-index builds from the
-    * movers alone. Consistent hashing guarantees movers go ONLY to
+    * 4, and the only work is block-local AND INDEX-ONLY — moved docs'
+    * blocks on the old shards decode/SPLIT/re-encode (q274's surgery,
+    * shard-keyed; emptied blocks vanish; unmoved blocks pass through
+    * byte-untouched), and the new shard's blocks regroup from the
+    * postings EXTRACTED in that same pass — raw documents are never
+    * re-read. Consistent hashing guarantees movers go ONLY to
     * the new shard (IndexReshardSpec pins it, wrap-around included),
     * so ~1/(S+1) of the corpus rebuilds instead of the ~everything a
     * modulo reshard would force. Gap coding has no layout freedom ⇒
@@ -3167,9 +3168,10 @@ object Text {
                AS BIGINT) AS stream_hash,
              CAST(1 AS BIGINT) AS decode_ok
       FROM b ORDER BY shard, term, bucket"""),
-    doc = "X115b: consistent-hash index reshard 3→4 — ring-moved docs' " +
-      "blocks decode/drop/re-encode on their old shards, the new " +
-      "shard builds from the movers alone, unmoved blocks pass " +
+    doc = "X115b: consistent-hash index reshard 3→4, INDEX-ONLY — " +
+      "ring-moved docs' blocks decode/split/re-encode on their old " +
+      "shards, the new shard's blocks regroup from the extracted " +
+      "postings (raw documents never re-read), unmoved blocks pass " +
       "through byte-untouched; maintained == from-scratch 4-ring " +
       "build byte for byte (the oracle replays that build; the " +
       "surgery never enters it)")
