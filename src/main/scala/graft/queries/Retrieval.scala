@@ -1365,6 +1365,287 @@ object Retrieval {
       "overflow lesson), re-retrieve with Rocchio weights 2/1; the " +
       "from-raw three-phase oracle pins term selection and final ranking")
 
+  /** The 8 generated MMR round CTEs for q291's oracle — each round
+    * picks, over the not-yet-selected candidates, the argmax of
+    * rel_norm − max-sim-to-selected (ties by doc_id), appending to the
+    * selected set; prefix-parameterized chained CTEs, the q238 round-
+    * generator device. */
+  private def mmrRoundsSql(k: Int): String = {
+    def selUnion(r: Int): String =
+      (1 to r).map(i => s"SELECT doc_id FROM pick$i").mkString(" UNION ALL ")
+    (1 to k).map { r =>
+      val notSel =
+        if (r == 1) ""
+        else s"WHERE c.doc_id NOT IN (${selUnion(r - 1)})"
+      val maxSim =
+        if (r == 1) "CAST(0 AS BIGINT)"
+        else s"""COALESCE((SELECT MAX(s.sim_ppm) FROM sims s
+                 WHERE s.a = c.doc_id AND s.b IN (${selUnion(r - 1)})),
+                 CAST(0 AS BIGINT))"""
+      s"""pick$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS pick, c.doc_id,
+            c.rel_norm - $maxSim AS mmr_ppm
+          FROM cand c $notSel
+          ORDER BY mmr_ppm DESC, c.doc_id LIMIT 1)"""
+    }.mkString(",\n      ")
+  }
+
+  /** q291 — MMR result diversification (X118, r15): the serving-side
+    * reranker that keeps a results page from being ten near-copies of
+    * the same document — Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR '98), the diversity pass search engines and RAG
+    * context builders run AFTER retrieval (a context window stuffed
+    * with redundant passages wastes its token budget — the dedup
+    * thesis applied at query time). Greedy: from the BM25 top-20
+    * (served off the q258 store, q265's read path), pick 8 by
+    * mmr = rel_norm − max sim to the already-picked set, where
+    * rel_norm = (21 − rank)·10⁶ DIV 20 (rank-normalized relevance,
+    * exact) and sim = distinct-term Jaccard ppm between candidate
+    * docs (exact integers; both scales top out at 10⁶ — the λ = ½
+    * balance in integer form). Ties by doc_id; pick 1 is pure
+    * relevance by construction (empty picked set ⇒ max-sim 0).
+    *
+    * The greedy runs on the COORDINATOR over the 20 collected
+    * candidates (the sanctioned reduced-aggregate class — a
+    * candidate-bounded rerank is exactly what a serving head node
+    * does; the corpus-side work stays distributed: retrieval probe,
+    * 20-row fetch, per-doc term sets). The oracle replays retrieval,
+    * Jaccard sims, and all 8 greedy rounds as generated chained CTEs
+    * ([[mmrRoundsSql]]) — hash-matched at all 3 SFs, pinning pick
+    * ORDER and mmr values, not just membership.
+    *
+    * Scale: probe = query-term blocks; fetch = 20 rows; sims = 190
+    * candidate pairs; the greedy is O(k·20) on 20 rows — constant at
+    * any corpus size. */
+  val q291 = Q(
+    "q291_mmr_diversify",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "stream")
+      val kPick = 8
+      val docs = Tables(s, dir, "documents")
+      // ---- retrieve: BM25 top-20 off the compressed store
+      val store = graft.queries.Text.postingStore(docs)
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"))
+      val stats = dl
+        .agg(count(lit(1)).cast(LongType).as("n_docs"), sum($"dl").as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      val probed = store.filter($"term".isin(qTerms: _*))
+      val dfreq = probed.groupBy($"term")
+        .agg(sum($"df").cast(LongType).as("df"))
+      val decoded = probed.as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, df, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q291: corrupt postings block for term '$t'"))
+            .map { case (doc, tf, _) => (t, doc, tf) }
+        }.toDF("term", "doc_id", "tf")
+      val top20 = decoded.join(dl, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id").limit(20)
+      val ranked = top20.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"score_ppm".desc, $"doc_id"))) // 20-row frame
+        .select($"doc_id", $"rnk")
+      // ---- fetch the candidates' term sets (the doc-store lookup)
+      val termSets = docs.join(ranked, "doc_id")
+        .select($"doc_id", $"rnk",
+          array_distinct(split($"text", " ")).as("ts"))
+        .as[(Long, Int, Seq[String])].collect()
+      // ---- coordinator-side greedy over the 20 candidates
+      val cands = termSets.map { case (id, rnk, ts) =>
+        (id, ((21L - rnk) * 1000000L) / 20L, ts.toSet)
+      }.sortBy(_._1)
+      def simPpm(a: Set[String], b: Set[String]): Long = {
+        val inter = a.intersect(b).size.toLong
+        val union = a.size.toLong + b.size.toLong - inter
+        if (union == 0L) 0L else inter * 1000000L / union
+      }
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)] // (pick, doc_id, mmr_ppm)
+      val chosen = scala.collection.mutable.Set.empty[Long]
+      for (r <- 1 to kPick) {
+        val best = cands.filterNot(c => chosen.contains(c._1))
+          .map { case (id, rel, ts) =>
+            val maxSim =
+              if (chosen.isEmpty) 0L
+              else cands.filter(c => chosen.contains(c._1))
+                .map(c => simPpm(ts, c._3)).max
+            (rel - maxSim, id)
+          }
+          .reduceOption((x, y) =>
+            if (x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)) x else y)
+        best.foreach { case (mmr, id) =>
+          picked += ((r.toLong, id, mmr)); chosen += id
+        }
+      }
+      picked.toSeq.toDF("pick", "doc_id", "mmr_ppm").orderBy($"pick")
+    },
+    Some(s"""
+      WITH t0 AS MATERIALIZED (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                    unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+      h AS (SELECT * FROM t0 WHERE term IN ('spark', 'stream')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents),
+      s1 AS (SELECT tf.doc_id,
+               CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+                 // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1)))
+                 AS BIGINT) AS score_ppm
+             FROM tf JOIN dfr USING (term) CROSS JOIN st GROUP BY 1),
+      r AS MATERIALIZED (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+                AS BIGINT) AS rnk
+            FROM s1 ORDER BY score_ppm DESC, doc_id LIMIT 20),
+      cand AS MATERIALIZED (SELECT doc_id, ((21 - rnk) * 1000000) // 20 AS rel_norm
+               FROM r),
+      dt AS MATERIALIZED (SELECT DISTINCT t0.doc_id, t0.term FROM t0
+             JOIN r ON t0.doc_id = r.doc_id),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dt
+             GROUP BY 1),
+      inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                  CAST(COUNT(*) AS BIGINT) AS i
+                FROM dt x JOIN dt y ON x.term = y.term
+                  AND x.doc_id <> y.doc_id
+                GROUP BY 1, 2),
+      sims AS MATERIALIZED (SELECT ia.a, ia.b,
+                 ia.i * 1000000 // (sa.n + sb.n - ia.i) AS sim_ppm
+               FROM inter ia JOIN sz sa ON ia.a = sa.doc_id
+                             JOIN sz sb ON ia.b = sb.doc_id),
+      ${mmrRoundsSql(8)}
+      SELECT pick, doc_id, mmr_ppm FROM (
+        ${(1 to 8).map(i => s"SELECT * FROM pick$i").mkString(" UNION ALL ")}
+      ) ORDER BY pick"""),
+    doc = "X118: MMR result diversification — greedy rel_norm − " +
+      "max-Jaccard-to-picked over the BM25 top-20 served off the " +
+      "compressed store; exact integer scales (both top out at 10^6, " +
+      "the lambda=1/2 balance), ties by doc_id; the oracle replays " +
+      "retrieval, 190 pair sims, and all 8 greedy rounds as generated " +
+      "chained CTEs, pinning pick order and mmr values")
+
+  /** q293 — TERM-sharded serving (X115c, r15): the OTHER partitioning
+    * axis. q283 shards by DOCUMENT (every shard holds a slice of every
+    * posting list; a query scatters to ALL shards, each returns a
+    * bounded top-k). Term sharding is its dual (early Google's index
+    * servers, pipelined DAAT systems): each shard owns WHOLE posting
+    * lists for its slice of the vocabulary, a query routes ONLY to
+    * the shards owning its terms, and the gather must sum PER-DOC
+    * PARTIAL scores across shards before any top-k — a per-term
+    * contribution is complete on its shard, but a document's total
+    * spans every shard that owns one of the query's terms.
+    *
+    * The row documents the trade both ways: term sharding probes
+    * fewer nodes (|query-term shards| ≤ |terms|, vs ALL shards) and
+    * keeps df purely shard-local (the owning shard has the whole
+    * list — no dfs_query_then_fetch step at all), but its gather
+    * ships O(Σ df) partial rows where doc-sharding ships k·S, and a
+    * hot term cannot be split (the skew q283's axis absorbs for
+    * free). Exactness is algebra: BM25 is a sum of per-term
+    * contributions, and term shards partition the terms ⇒ summing
+    * partials per doc_id reproduces the single-index score exactly —
+    * the oracle (the exhaustive from-raw ranking, with each doc's
+    * contributing-shard count as routing evidence) pins it bit for
+    * bit at all 3 SFs.
+    *
+    * Scale: routing = one md5 on each query term (driver-side
+    * constant); each owning shard decodes only its own query-term
+    * blocks; the gather is one doc_id aggregate over Σ df(query
+    * terms) rows — the axis's documented wire cost — then a top-k
+    * reduction; df/stats broadcast. */
+  val q293 = Q(
+    "q293_term_sharded_serve",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "sort", "query", "stream")
+      val nShards = 3
+      val docs = Tables(s, dir, "documents")
+      // ---- ingest: whole posting lists assigned to term shards
+      val store = graft.queries.Text.postingStore(docs)
+        .withColumn("shard",
+          pmod(conv(substring(md5($"term"), 1, 15), 16, 10).cast(LongType),
+            lit(nShards.toLong)))
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"))
+      val stats = dl
+        .agg(count(lit(1)).cast(LongType).as("n_docs"), sum($"dl").as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      // ---- route: only the shards owning a query term are probed
+      val probed = store.filter($"term".isin(qTerms: _*))
+      // df is SHARD-LOCAL by construction: the owning shard holds the
+      // term's entire posting list (no cross-shard df step)
+      val dfreq = probed.groupBy($"shard", $"term")
+        .agg(sum($"df").cast(LongType).as("df"))
+      val decoded = probed
+        .select($"shard", $"term", $"bucket", $"df", $"bytes")
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (sh, t, _, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q293: corrupt postings block $sh/'$t'"))
+            .map { case (doc, tf, _) => (sh, t, doc, tf) }
+        }.toDF("shard", "term", "doc_id", "tf")
+      // per-shard PARTIAL scores (complete per term, partial per doc)
+      val partials = decoded
+        .join(dl, "doc_id")
+        .join(broadcast(dfreq), Seq("shard", "term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+        .groupBy($"shard", $"doc_id")
+        .agg(sum($"contrib_ppm").as("partial_ppm"))
+      // ---- gather: sum partials per doc ACROSS shards, then top-k
+      partials.groupBy($"doc_id")
+        .agg(sum($"partial_ppm").as("score_ppm"),
+          count(lit(1)).as("n_shards"))
+        .orderBy($"score_ppm".desc, $"doc_id")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('spark', 'sort', 'query', 'stream')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents),
+      c AS (SELECT tf.doc_id, tf.term,
+              (22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+                // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))
+                AS contrib_ppm,
+              CAST(('0x' || substr(md5(tf.term), 1, 15)) AS BIGINT) % 3
+                AS shard
+            FROM tf JOIN dfr USING (term) CROSS JOIN st)
+      SELECT doc_id, CAST(SUM(contrib_ppm) AS BIGINT) AS score_ppm,
+             CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+      FROM c GROUP BY doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 20"""),
+    doc = "X115c: term-sharded serving — whole posting lists owned by " +
+      "md5(term) shards, routing only to the query terms' owners, " +
+      "shard-local df (no cross-shard df step), per-doc partial scores " +
+      "summed across shards at the gather; the dual of q283's doc " +
+      "sharding with the trade documented both ways; exhaustive from-" +
+      "raw oracle with contributing-shard routing evidence")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
-    q265, q267, q269, q272, q273, q279, q283, q287)
+    q265, q267, q269, q272, q273, q279, q283, q287, q291, q293)
 }

@@ -3268,9 +3268,90 @@ object Text {
       "query terms span both tiers so the from-raw oracle gates both " +
       "routes and the per-doc n_hot/n_cold routing evidence")
 
+  /** q292 — type-ahead SUGGEST served off the dictionary (X111e,
+    * r15): the autocomplete endpoint every search box hits on every
+    * keystroke — and the reason it can answer in microseconds is that
+    * it never touches postings OR raw text: candidates come through
+    * q277's front-coded prefix route (metadata range → decode ONLY
+    * intersecting blocks → prefix filter on reconstructed terms), and
+    * the popularity signal is document frequency straight off the
+    * q258 block METADATA (q278's covering-index property — blocks
+    * partition docs, so Σ per-block df is exact df with zero decode).
+    * Top-8 by (df DESC, term ASC) — the standard suggest ranking with
+    * a deterministic tiebreak. The oracle computes the same
+    * suggestions from raw text (LIKE over the vocabulary + exact
+    * distinct-doc counts; neither the dictionary nor the index enters
+    * it) — hash-matched at all 3 SFs.
+    *
+    * Scale: the prefix probe decodes O(intersecting blocks) of a
+    * vocabulary/16-row dictionary; df is a metadata aggregate over
+    * the candidates' rows only; the top-8 is a TakeOrdered reduction.
+    * Zero corpus-sized work at query time — the property that makes
+    * per-keystroke serving viable. */
+  val q292 = Q(
+    "q292_suggest",
+    (s, dir) => {
+      import s.implicits._
+      val p = "s"
+      val docs = Tables(s, dir, "documents")
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("term")).distinct()
+        .withColumn("w", lit(1L))
+      val dict = graft.operators.PrefixScan.inclusive(
+        vocab, Nil, "term", Nil, "w",
+        c => ascii(c) * 256 + ascii(substring(c, 2, 1)), "rank")
+        .select($"term", expr("(rank - 1) DIV 16").as("block"))
+        .groupBy($"block")
+        .agg(sort_array(collect_list($"term")).as("terms"))
+        .as[(Long, Seq[String])]
+        .map { case (b, ts) =>
+          (b, ts.size.toLong, ts.head,
+            graft.operators.TermDictionary.encode(ts))
+        }
+        .toDF("block", "n_terms", "first_term", "bytes")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"first_term")
+      val cands = dict
+        .withColumn("next_first", lead($"first_term", 1).over(w))
+        .filter($"first_term" < lit(p + "\u007f") &&
+          ($"next_first".isNull || $"next_first" > lit(p)))
+        .select($"block", $"n_terms", $"bytes")
+        .as[(Long, Long, Array[Byte])]
+        .flatMap { case (b, n, bytes) =>
+          graft.operators.TermDictionary.decode(bytes, n.toInt)
+            .getOrElse(throw new IllegalStateException(
+              s"q292: corrupt dictionary block $b"))
+            .filter(_.startsWith(p))
+        }
+        .toDF("term")
+      // popularity = df off posting-block METADATA — zero decode
+      val dfreq = postingStore(docs)
+        .groupBy($"term").agg(sum($"df").cast(LongType).as("df"))
+      cands.join(dfreq, "term")
+        .orderBy($"df".desc, $"term").limit(8)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"df".desc, $"term")).cast(LongType)) // 8-row frame
+        .select($"rnk", $"term", $"df")
+        .orderBy($"rnk")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      d AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM t WHERE term LIKE 's%' GROUP BY 1),
+      r AS (SELECT term, df FROM d ORDER BY df DESC, term LIMIT 8)
+      SELECT CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT)
+               AS rnk, term, df
+      FROM r ORDER BY rnk"""),
+    doc = "X111e: type-ahead suggest — candidates through the front-coded " +
+      "dictionary's prefix route, popularity = exact df off posting-block " +
+      "metadata (q278's covering-index property), top-8 by (df, term); " +
+      "neither postings nor raw text touched at query time; from-raw " +
+      "oracle proves the dictionary+metadata route exact")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
     q266, q268, q270, q271, q274, q275, q277, q278, q281, q282, q284,
-    q285, q288, q289)
+    q285, q288, q289, q292)
 }
