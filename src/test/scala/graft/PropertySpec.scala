@@ -335,4 +335,69 @@ class PropertySpec extends SparkSpecBase {
         assert(got === want, s"m1=$m1 m2=$m2")
       }
   }
+
+  test("law: TopKLong == sort-take for ARBITRARY multisets (dup scores, " +
+    "values past the Double-exact boundary)") {
+    val entryGen = Gen.listOfN(40, Gen.zip(
+      Gen.oneOf(Gen.choose(-5L, 5L), Gen.choose((1L << 53) - 2, (1L << 53) + 2)),
+      Gen.choose(0L, 19L)))
+    samples(Gen.zip(entryGen, Gen.choose(1, 8)), 5).foreach { case (rows0, k) =>
+      // unique ids (the aggregate's documented precondition)
+      val rows = rows0.zipWithIndex.map { case ((s, _), i) => (s, i.toLong) }
+      val agg = udaf(new graft.functions.TopKLong(k))
+      val got = rows.toDF("s", "id").withColumn("t", lit(0L))
+        .agg(agg(col("s"), col("id"), col("t")).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.score"), col("e.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = rows.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("law: index reshard maintained == rebuilt, byte for byte, for " +
+    "ARBITRARY corpora and ring sizes; movers only reach the new shard") {
+    import graft.operators.{IndexReshard, ShardedIndex}
+    val docGen = Gen.listOfN(60, Gen.listOfN(6,
+      Gen.oneOf("a", "bb", "ccc", "dd", "e", "fff", "g")))
+    samples(Gen.zip(docGen, Gen.choose(2, 5)), 3).foreach { case (bodies, s0) =>
+      val docs = bodies.zipWithIndex
+        .map { case (ws, i) => (i.toLong * 3, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val r = IndexReshard.reshard(docs, s0)
+      val maintained = r.newStore.select("shard", "term", "bucket", "df", "bytes")
+        .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)) ->
+          (x.getInt(3), x.getAs[Array[Byte]](4).toSeq)).toMap
+      val rebuilt = ShardedIndex.buildStore(
+        r.assignments.join(docs, "doc_id")
+          .select(col("shard_new").as("shard"), col("doc_id"), col("text")))
+        .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)) ->
+          (x.getInt(3), x.getAs[Array[Byte]](4).toSeq)).toMap
+      assert(maintained === rebuilt, s"s0=$s0")
+      val moverTargets = r.assignments
+        .filter(col("shard_old") =!= col("shard_new"))
+        .select("shard_new").distinct().collect().map(_.getInt(0)).toSet
+      assert(moverTargets.subsetOf(Set(s0)), s"s0=$s0: $moverTargets")
+    }
+  }
+
+  test("law: any Levenshtein<=1 pair shares a deletion variant (the " +
+    "SymSpell candidate-generation completeness q285 rests on)") {
+    def del1(s: String): Set[String] =
+      Set(s) ++ (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    samples(Gen.zip(wordGen, wordGen), 200).foreach { case (x, y) =>
+      if (lev(x, y) <= 1)
+        assert(del1(x).intersect(del1(y)).nonEmpty, s"'$x' / '$y'")
+    }
+  }
 }
