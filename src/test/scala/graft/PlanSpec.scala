@@ -477,6 +477,37 @@ class PlanSpec extends SparkSpecBase {
         "(expected 2 of the 15-term dictionary)")
   }
 
+  test("sharded scatter-gather: per-shard top-k is a two-phase object " +
+    "aggregate (map-side k), and the merge is a TakeOrdered reduction") {
+    val docs = Tables(spark, sf, "documents")
+    val served = graft.operators.ShardedIndex
+      .serve(docs, Seq("spark", "sort"), k = 10)
+    val p = plan(served.merged)
+    // TopKLong partials run BEFORE the shard exchange — the wire bound
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_topklong") || p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("term-sharded gather is a two-phase sum; no cartesian anywhere " +
+    "in either sharding axis") {
+    val df = queries.Retrieval.q293.build(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("SQ8 stage 1 broadcasts the query codes — the corpus code store " +
+    "never shuffles for the scan") {
+    val df = queries.Vectors.q286.build(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("EdJoin's physical plan has no quadratic pair generator") {
     import org.apache.spark.sql.functions._
     // 400 diverse strings: the probe path must be hash joins; the only
