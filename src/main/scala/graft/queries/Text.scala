@@ -1891,6 +1891,52 @@ object Text {
       .toDF("term", "bucket", "df", "bytes")
   }
 
+  /** The front-coded term-dictionary STORE (block, n_terms, first_term,
+    * bytes) of a documents frame — q268's encode pass factored out and
+    * shared by q270 (lookup), q277 (prefix search) and q292 (suggest),
+    * so the build cannot drift between them (ADVICE r15: q292 had
+    * copied q277's ~35 build lines verbatim). Blocks survive only as
+    * front-coded byte streams; q268 keeps its own inline build because
+    * its map also emits the stream hash + decode_ok evidence. */
+  private[graft] def dictStore(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("term")).distinct()
+      .withColumn("w", lit(1L))
+    graft.operators.PrefixScan.inclusive(
+      vocab, Nil, "term", Nil, "w",
+      c => ascii(c) * 256 + ascii(substring(c, 2, 1)), "rank")
+      .select($"term", expr("(rank - 1) DIV 16").as("block"))
+      .groupBy($"block")
+      .agg(sort_array(collect_list($"term")).as("terms"))
+      .as[(Long, Seq[String])]
+      .map { case (b, ts) =>
+        (b, ts.size.toLong, ts.head,
+          graft.operators.TermDictionary.encode(ts))
+      }
+      .toDF("block", "n_terms", "first_term", "bytes")
+  }
+
+  /** q277's metadata prefix route over a [[dictStore]] frame: sorted
+    * blocks cover [first_term_i, first_term_{i+1}), so the candidate
+    * set for prefix `p` is the blocks whose range intersects
+    * [p, p·MAX] — one lead() over the vocab/16-row metadata frame (the
+    * sanctioned metadata-window class). Shared by q277 and q292. */
+  private[graft] def dictPrefixBlocks(
+      dict: org.apache.spark.sql.DataFrame, p: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = dict.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"first_term")
+    dict
+      .withColumn("next_first", lead($"first_term", 1).over(w))
+      .filter($"first_term" < lit(p + "\u007f") &&
+        ($"next_first".isNull || $"next_first" > lit(p)))
+  }
+
   val q259 = Q(
     "q259_postings_serve",
     (s, dir) => {
@@ -2258,21 +2304,7 @@ object Text {
       val probeTerms = Seq("merge", "stream", "query", "qqq_absent",
         "!below_all")
       // ---- ingest: the q268 front-coded store (bytes only)
-      val vocab = Tables(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("term")).distinct()
-        .withColumn("w", lit(1L))
-      val dict = graft.operators.PrefixScan.inclusive(
-        vocab, Nil, "term", Nil, "w",
-        c => ascii(c) * 256 + ascii(substring(c, 2, 1)), "rank")
-        .select($"term", expr("(rank - 1) DIV 16").as("block"))
-        .groupBy($"block")
-        .agg(sort_array(collect_list($"term")).as("terms"))
-        .as[(Long, Seq[String])]
-        .map { case (b, ts) =>
-          (b, ts.size.toLong, ts.head,
-            graft.operators.TermDictionary.encode(ts))
-        }
-        .toDF("block", "n_terms", "first_term", "bytes")
+      val dict = dictStore(Tables(s, dir, "documents"))
       // ---- probe: block pick from metadata, decode ONE block, scan
       val probes = probeTerms.toDF("pterm")
       val best = probes.join(
@@ -2582,28 +2614,9 @@ object Text {
     (s, dir) => {
       import s.implicits._
       val p = "s"
-      val vocab = Tables(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("term")).distinct()
-        .withColumn("w", lit(1L))
-      val dict = graft.operators.PrefixScan.inclusive(
-        vocab, Nil, "term", Nil, "w",
-        c => ascii(c) * 256 + ascii(substring(c, 2, 1)), "rank")
-        .select($"term", expr("(rank - 1) DIV 16").as("block"))
-        .groupBy($"block")
-        .agg(sort_array(collect_list($"term")).as("terms"))
-        .as[(Long, Seq[String])]
-        .map { case (b, ts) =>
-          (b, ts.size.toLong, ts.head,
-            graft.operators.TermDictionary.encode(ts))
-        }
-        .toDF("block", "n_terms", "first_term", "bytes")
+      val dict = dictStore(Tables(s, dir, "documents"))
       // candidate blocks from metadata alone: range [first, next_first)
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"first_term")
-      val cands = dict
-        .withColumn("next_first", lead($"first_term", 1).over(w))
-        .filter($"first_term" < lit(p + "\u007f") &&
-          ($"next_first".isNull || $"next_first" > lit(p)))
-      cands.select($"block", $"n_terms", $"bytes")
+      dictPrefixBlocks(dict, p).select($"block", $"n_terms", $"bytes")
         .as[(Long, Long, Array[Byte])]
         .flatMap { case (b, n, bytes) =>
           graft.operators.TermDictionary.decode(bytes, n.toInt)
@@ -3101,27 +3114,35 @@ object Text {
     * Scale: ring broadcast (S·16 rows); assignment is q162's as-of
     * device paid once; surgery cost = |movers' buckets| blocks + one
     * delta build — never corpus-shaped. */
-  val q288 = Q(
-    "q288_index_reshard",
-    (s, dir) => {
-      import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      graft.operators.IndexReshard.reshard(docs, oldShards = 3)
-        .newStore
-        .as[(Long, String, Long, Int, Array[Byte])]
-        .map { case (shard, term, bucket, df, bytes) =>
-          val ok = graft.operators.PostingCodec.decode(bytes, df).isDefined
-          val h = bytes.foldLeft(0L)((a, x) =>
-            (a * 31 + (x & 0xff)) % 1000000007L)
-          (shard, term, bucket, df.toLong, bytes.length.toLong, h,
-            if (ok) 1L else 0L)
-        }
-        .toDF("shard", "term", "bucket", "df", "n_bytes", "stream_hash",
-          "decode_ok")
-        .orderBy($"shard", $"term", $"bucket")
-    },
-    Some(s"""
-      WITH r AS (${graft.queries.Mining.ringSql(4, 16)}),
+  /** The stream-hash evidence map every reshard query emits over its
+    * maintained store: (shard, term, bucket, df, n_bytes, stream_hash,
+    * decode_ok) — shared by q288 (grow) and q295 (shrink). */
+  private def storeEvidence(store: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = store.sparkSession
+    import s.implicits._
+    store
+      .as[(Long, String, Long, Int, Array[Byte])]
+      .map { case (shard, term, bucket, df, bytes) =>
+        val ok = graft.operators.PostingCodec.decode(bytes, df).isDefined
+        val h = bytes.foldLeft(0L)((a, x) =>
+          (a * 31 + (x & 0xff)) % 1000000007L)
+        (shard, term, bucket, df.toLong, bytes.length.toLong, h,
+          if (ok) 1L else 0L)
+      }
+      .toDF("shard", "term", "bucket", "df", "n_bytes", "stream_hash",
+        "decode_ok")
+      .orderBy($"shard", $"term", $"bucket")
+  }
+
+  /** The from-scratch `shards`-ring build replay — q288/q295's oracle:
+    * q162's ring SQL assigns every doc, then q258's 4-tier varint
+    * expansion re-derives each block's byte stream and hashes it. The
+    * SURGERY never enters this SQL, which is the whole point: the
+    * engine's maintained store must hash-match a build that never saw
+    * the old ring. */
+  private def ringStoreOracleSql(shards: Int): String = s"""
+      WITH r AS (${graft.queries.Mining.ringSql(shards, 16)}),
       w AS (SELECT shard FROM r ORDER BY pos, shard LIMIT 1),
       d0 AS (SELECT doc_id, text,
                CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT)
@@ -3167,7 +3188,14 @@ object Text {
              CAST(list_reduce(bytes, (h, x) -> (h * 31 + x) % 1000000007)
                AS BIGINT) AS stream_hash,
              CAST(1 AS BIGINT) AS decode_ok
-      FROM b ORDER BY shard, term, bucket"""),
+      FROM b ORDER BY shard, term, bucket"""
+
+  val q288 = Q(
+    "q288_index_reshard",
+    (s, dir) => storeEvidence(
+      graft.operators.IndexReshard
+        .reshard(Tables(s, dir, "documents"), oldShards = 3).newStore),
+    Some(ringStoreOracleSql(4)),
     doc = "X115b: consistent-hash index reshard 3→4, INDEX-ONLY — " +
       "ring-moved docs' blocks decode/split/re-encode on their old " +
       "shards, the new shard's blocks regroup from the extracted " +
@@ -3294,26 +3322,8 @@ object Text {
       import s.implicits._
       val p = "s"
       val docs = Tables(s, dir, "documents")
-      val vocab = docs
-        .select(explode(split(col("text"), " ")).as("term")).distinct()
-        .withColumn("w", lit(1L))
-      val dict = graft.operators.PrefixScan.inclusive(
-        vocab, Nil, "term", Nil, "w",
-        c => ascii(c) * 256 + ascii(substring(c, 2, 1)), "rank")
-        .select($"term", expr("(rank - 1) DIV 16").as("block"))
-        .groupBy($"block")
-        .agg(sort_array(collect_list($"term")).as("terms"))
-        .as[(Long, Seq[String])]
-        .map { case (b, ts) =>
-          (b, ts.size.toLong, ts.head,
-            graft.operators.TermDictionary.encode(ts))
-        }
-        .toDF("block", "n_terms", "first_term", "bytes")
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"first_term")
-      val cands = dict
-        .withColumn("next_first", lead($"first_term", 1).over(w))
-        .filter($"first_term" < lit(p + "\u007f") &&
-          ($"next_first".isNull || $"next_first" > lit(p)))
+      val dict = dictStore(docs)
+      val cands = dictPrefixBlocks(dict, p)
         .select($"block", $"n_terms", $"bytes")
         .as[(Long, Long, Array[Byte])]
         .flatMap { case (b, n, bytes) =>
@@ -3349,9 +3359,176 @@ object Text {
       "neither postings nor raw text touched at query time; from-raw " +
       "oracle proves the dictionary+metadata route exact")
 
+  /** q295 — index reshard SHRINK / node drain (X115d, r16): the other
+    * half of the elastic lifecycle q288 opened — decommissioning a
+    * serving node (Elasticsearch relocation on node removal, the
+    * Dynamo ring's symmetric case). [[graft.operators.IndexReshard.shrink]]
+    * drains shard 3 of a 4-ring store INDEX-ONLY: the drained shard's
+    * blocks decode and their postings re-key onto each doc's
+    * clockwise-next SURVIVOR (which IS the doc's 3-ring owner — shard
+    * ids fix vnode positions, so ring(3) = ring(4) minus the drained
+    * vnodes, and removing vnodes can only reassign the drained
+    * shard's own docs); survivor blocks that receive movers decode,
+    * interleave and re-encode (q264's merge); survivor blocks that
+    * receive nothing pass through byte-UNTOUCHED. Raw documents are
+    * never re-read. Gap coding has no layout freedom ⇒ maintained ≡
+    * from-scratch 3-ring build BYTE FOR BYTE — the oracle replays
+    * exactly that build (the surgery never enters it), hash-matched
+    * at all 3 SFs. IndexReshardSpec pins the only-from-drained
+    * movement law and survivor-assignment invariance; T38 fires the
+    * same surgery MID-STREAM.
+    *
+    * Scale: assignment is the broadcast-ring device over the ID list;
+    * the surgery decodes the drained shard's blocks (~1/S of the
+    * index) plus the receiving blocks — block-local, never
+    * corpus-shaped; the mover re-key join is |drained postings|-sized
+    * on the compact doc_id key. */
+  val q295 = Q(
+    "q295_reshard_shrink",
+    (s, dir) => storeEvidence(
+      graft.operators.IndexReshard
+        .shrinkReshard(Tables(s, dir, "documents"), oldShards = 4)
+        .newStore),
+    Some(ringStoreOracleSql(3)),
+    doc = "X115d: consistent-hash index reshard SHRINK 4→3, INDEX-ONLY " +
+      "node drain — the drained shard's blocks re-key onto each doc's " +
+      "3-ring survivor, receiving blocks decode-interleave-re-encode, " +
+      "untouched survivors pass through byte-identical, raw text never " +
+      "re-read; maintained == from-scratch 3-ring build byte for byte " +
+      "(the oracle replays that build; the surgery never enters it)")
+
+  /** q297 — phrase search through TIERED FOR-packed POSITIONAL
+    * postings (X109l, r16): closes the r15 verdict's "missing #4" —
+    * q281/q289 bit-pack and tier the (doc, tf, first_pos) postings,
+    * but the position lists the PROXIMITY probes decode (q263/q266/
+    * q271/q272) stayed LEB128-only, so the hottest reads used the
+    * fattest encoding. Position deltas are small ascending gaps —
+    * FOR's best case. [[graft.operators.ForCodec.encodePositional]]
+    * packs each block's doc gaps / npos / first positions / position
+    * gaps at per-section minimal widths (canonical-strict like every
+    * codec here); the store TIERS by q289's metadata rule (df·10 ≥ N
+    * hot → FOR, cold → LEB128 positional), and the phrase probe
+    * ROUTES each block to its tier's strict decoder. The phrase
+    * ('big' hot, 'dup' cold) deliberately spans both tiers, so the
+    * from-raw oracle's hash gates BOTH decode routes; n_pos1/n_pos2
+    * pin full position-list losslessness (every position counted, not
+    * just the matched pairs) and hot1/hot2 pin the routing decision.
+    * ForCodecSpec extends the strict-parse rejection matrix to the
+    * positional layout and records the measured size ratio vs the
+    * LEB128 positional encoding.
+    *
+    * Scale: q263's posture — probe touches only the phrase terms'
+    * blocks, per-block bounded decode, adjacency as one (doc, pos)
+    * equi-join; tiering is one metadata join at ingest, no new
+    * shuffle. */
+  val q297 = Q(
+    "q297_for_positional_phrase",
+    (s, dir) => {
+      import s.implicits._
+      val phrase = Seq("big", "dup")
+      val docs = Tables(s, dir, "documents")
+      val blocks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+          $"col".as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(sort_array(collect_list($"pos")).as("ps"))
+        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
+          .as("block"))
+      // tier decision from block METADATA (blocks partition docs)
+      val nDocs = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+      val dfreq = blocks
+        .select($"term", size($"block").cast(LongType).as("bdf"))
+        .groupBy($"term").agg(sum($"bdf").as("df"))
+      val tiered = blocks.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("hot", ($"df" * 10) >= $"n_docs")
+        .select($"term", $"bucket", $"hot", $"block")
+        .as[(String, Long, Boolean, Seq[(Long, Seq[Long])])]
+        .map { case (t, b, hot, blk) =>
+          val bytes =
+            if (hot) graft.operators.ForCodec.encodePositional(blk)
+            else graft.operators.PostingCodec.encodePositional(blk)
+          (t, b, hot, blk.size, bytes)
+        }.toDF("term", "bucket", "hot", "df", "bytes")
+      // probe: route each block to ITS tier's strict positional decoder
+      val decoded = tiered.filter($"term".isin(phrase: _*))
+        .as[(String, Long, Boolean, Int, Array[Byte])]
+        .flatMap { case (t, b, hot, n, bytes) =>
+          val blk =
+            (if (hot) graft.operators.ForCodec.decodePositional(bytes, n)
+             else graft.operators.PostingCodec.decodePositional(bytes, n))
+              .getOrElse(throw new IllegalStateException(
+                s"q297: corrupt ${if (hot) "FOR" else "LEB128"} " +
+                  s"positional block '$t'/$b"))
+          blk.flatMap { case (doc, ps) => ps.map(p => (t, hot, doc, p)) }
+        }.toDF("term", "hot", "doc_id", "pos")
+      // routing evidence: each term's tier flag, off the probed rows
+      val hotFlags = decoded.groupBy()
+        .agg(
+          max(when($"term" === phrase.head && $"hot", 1L).otherwise(0L))
+            .as("hot1"),
+          max(when($"term" === phrase(1) && $"hot", 1L).otherwise(0L))
+            .as("hot2"))
+      // position-count evidence: EVERY decoded position, per doc
+      val posCounts = decoded.groupBy($"doc_id")
+        .agg(
+          sum(when($"term" === phrase.head, 1L).otherwise(0L)).as("n_pos1"),
+          sum(when($"term" === phrase(1), 1L).otherwise(0L)).as("n_pos2"))
+      val t1 = decoded.filter($"term" === phrase.head)
+        .select($"doc_id", $"pos")
+      val t2 = decoded.filter($"term" === phrase(1))
+        .select($"doc_id", ($"pos" - 1).as("pos"))
+      t1.join(t2, Seq("doc_id", "pos"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_phrase"), min($"pos").as("first_hit"))
+        .join(posCounts, "doc_id")
+        .crossJoin(broadcast(hotFlags))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM t WHERE term IN ('big', 'dup') GROUP BY 1),
+      hf AS (SELECT
+               MAX(CASE WHEN term = 'big' AND df * 10 >= n_docs
+                   THEN 1 ELSE 0 END) AS hot1,
+               MAX(CASE WHEN term = 'dup' AND df * 10 >= n_docs
+                   THEN 1 ELSE 0 END) AS hot2
+             FROM dfr CROSS JOIN n),
+      h1 AS (SELECT doc_id, pos FROM t WHERE term = 'big'),
+      h2 AS (SELECT doc_id, pos FROM t WHERE term = 'dup'),
+      ph AS (SELECT h1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase,
+               CAST(MIN(h1.pos) AS BIGINT) AS first_hit
+             FROM h1 JOIN h2 ON h1.doc_id = h2.doc_id
+               AND h2.pos = h1.pos + 1
+             GROUP BY h1.doc_id),
+      pc AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN term = 'big' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pos1,
+               CAST(SUM(CASE WHEN term = 'dup' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pos2
+             FROM t WHERE term IN ('big', 'dup') GROUP BY 1)
+      SELECT ph.doc_id, n_phrase, first_hit, n_pos1, n_pos2,
+             CAST(hot1 AS BIGINT) AS hot1, CAST(hot2 AS BIGINT) AS hot2
+      FROM ph JOIN pc USING (doc_id) CROSS JOIN hf
+      ORDER BY ph.doc_id"""),
+    doc = "X109l: phrase search through TIERED FOR-packed positional " +
+      "postings — position lists bit-packed at per-section minimal " +
+      "widths (doc gaps / npos / first positions / position gaps), " +
+      "hot terms FOR, cold LEB128, one probe routing per block; the " +
+      "phrase spans both tiers so the from-raw oracle gates both " +
+      "strict decode routes, with per-doc position counts pinning " +
+      "full-list losslessness and hot flags pinning the routing")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
     q266, q268, q270, q271, q274, q275, q277, q278, q281, q282, q284,
-    q285, q288, q289, q292)
+    q285, q288, q289, q292, q295, q297)
 }

@@ -1782,7 +1782,92 @@ object Vectors {
       "TopKLong per anchor; byte-reproducible triplet manifest for " +
       "contrastive training, gated by the from-raw oracle")
 
+  /** q296 — SHARDED ANN scatter-gather over the SQ8 code store (N21c,
+    * r16): the r15 verdict's "missing #3" — text serving got the
+    * scatter-gather treatment (q283/q293) but vector serving stayed
+    * single-topology: q286's stage 1 streams ONE code store. At 100 TB
+    * the code store is doc-sharded across serving nodes like the text
+    * index, and the q283 containment law applies VERBATIM: the
+    * code-space distance is a pure function of the (query, vector)
+    * pair — no corpus statistics at all, stronger than BM25's case —
+    * so the global stage-1 top-50 is contained in the union of
+    * per-shard top-50 lists and the merge is exact, not a recall
+    * trade. Topology: shard = vec_id mod 4; stage 1 ranks each shard's
+    * codes locally (all-BIGINT scaled-code distance, q286's device)
+    * with a bounded per-(shard, query) TopKLong — ≤ 50 rows per shard
+    * per query on the wire, never a shard's full scan through one
+    * task — then a second bounded TopKLong merges 4 × 50 candidates
+    * into the global 50; stage 2 re-ranks those exactly, unchanged
+    * from q286. The oracle is q286's VERBATIM (unsharded two-stage
+    * replay — the topology never enters it), so the hash match proves
+    * sharded scatter-gather ≡ single-store serving bit for bit, at
+    * all 3 SFs. ShardedAnnSpec pins the stage-1 candidate-set equality
+    * and the per-shard wire bound.
+    *
+    * Scale: each shard streams only ITS codes (corpus/S per node,
+    * embarrassingly parallel — the point of sharding a vector store);
+    * the gather is k·S rows per query; stage 2 is candidate-bounded;
+    * queries broadcast. */
+  val q296 = Q(
+    "q296_sharded_sq8_serve",
+    (s, dir) => {
+      import s.implicits._
+      val nShards = 4
+      val emb = Tables(s, dir, "embeddings")
+      // ---- ingest: the q286 SQ8 store, doc-sharded
+      val codes = emb
+        .select($"vec_id", $"embedding",
+          VectorOps.absMax($"embedding").as("amax"))
+        .select(pmod($"vec_id", lit(nShards.toLong)).as("shard"),
+          $"vec_id",
+          rint($"amax" * lit(1e3)).cast(LongType).as("am"),
+          VectorOps.quantize8($"embedding", $"amax").as("qv"))
+      val queries = codes.filter($"vec_id" < 4)
+        .select($"vec_id".as("q_id"), $"am".as("q_am"), $"qv".as("q_qv"))
+      // ---- stage 1 scatter: per-shard all-integer code distance,
+      // per-(shard, query) bounded top-50
+      val s1 = codes.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("adist", expr(
+          """aggregate(zip_with(q_qv, qv,
+               (x, y) -> (CAST(x AS BIGINT) * q_am - CAST(y AS BIGINT) * am) *
+                         (CAST(x AS BIGINT) * q_am - CAST(y AS BIGINT) * am)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+      val top50 = udaf(new graft.functions.TopKLong(50))
+      val perShard = s1.groupBy($"shard", $"q_id")
+        .agg(top50(-$"adist", $"vec_id", lit(0L)).as("tk"))
+        .select($"shard", $"q_id", explode($"tk").as("e"))
+        .select($"q_id", (-$"e.score").as("adist"), $"e.id".as("vec_id"))
+      // ---- gather: exact merge of k·S candidates per query
+      val cand = perShard.groupBy($"q_id")
+        .agg(top50(-$"adist", $"vec_id", lit(0L)).as("tk"))
+        .select($"q_id", explode($"tk").as("e"))
+        .select($"q_id", $"e.id".as("vec_id"), (-$"e.score").as("adist"))
+      // ---- stage 2: exact integer-micros L2 rerank (q286 verbatim)
+      val mv = emb.select($"vec_id", VectorOps.microsVec($"embedding").as("mv"))
+      val w = Window.partitionBy($"q_id").orderBy($"edist".asc, $"vec_id".asc)
+      cand
+        .join(mv, "vec_id")
+        .join(broadcast(mv.filter($"vec_id" < 4)
+          .select($"vec_id".as("q_id"), $"mv".as("q_mv"))), "q_id")
+        .withColumn("edist", expr(
+          """aggregate(zip_with(q_mv, mv, (x, y) -> (x - y) * (x - y)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"rn", $"vec_id", $"adist", $"edist")
+        .orderBy($"q_id", $"rn")
+    },
+    q286.oracle, // the unsharded two-stage replay — topology never enters
+    doc = "N21c: sharded SQ8 ANN scatter-gather — vec_id-mod-4 code " +
+      "shards, per-shard all-BIGINT code-distance top-50 via bounded " +
+      "TopKLong (≤ 50 rows per shard per query on the wire), exact " +
+      "k·S gather merge (code distance is per-pair, so the q283 " +
+      "containment law holds with no stats step at all), exact " +
+      "candidate-bounded rerank; q286's unsharded oracle proves " +
+      "scatter-gather == single-store serving bit for bit")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
     q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250,
-    q280, q286, q290)
+    q280, q286, q290, q296)
 }

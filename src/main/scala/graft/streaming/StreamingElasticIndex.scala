@@ -111,16 +111,47 @@ object StreamingElasticIndex {
   }
 
   /** A node joins: compact, run q288's index-only surgery, grow the
-    * ring. Later batches assign at the grown ring. */
-  def grow(state: EiState): EiState = {
-    val compacted =
-      if (state.segments.lengthCompare(1) > 0) mergeSharded(state.segments)
-      else state.segments.headOption.getOrElse(
-        return state.copy(nShards = state.nShards + 1))
-    val (_, newStore) = IndexReshard.grow(
-      compacted, state.dl.select(col("doc_id")), state.nShards)
-    EiState(List(newStore.barrier()), state.seenIds, state.dl,
-      state.nShards + 1, state.batches)
+    * ring. Later batches assign at the grown ring. Explicit match on
+    * the segment list (ADVICE r15): the old getOrElse(return ...) form
+    * relied on NonLocalReturnControl exception control flow, which
+    * breaks silently if the expression ever moves into a closure that
+    * crosses a Spark boundary. */
+  def grow(state: EiState): EiState = state.segments match {
+    case Nil =>
+      // nothing indexed yet: the ring just grows, no surgery to run
+      state.copy(nShards = state.nShards + 1)
+    case segs =>
+      val compacted =
+        if (segs.lengthCompare(1) > 0) mergeSharded(segs) else segs.head
+      val (_, newStore) = IndexReshard.grow(
+        compacted, state.dl.select(col("doc_id")), state.nShards)
+      EiState(List(newStore.barrier()), state.seenIds, state.dl,
+        state.nShards + 1, state.batches)
+  }
+
+  /** A node drains MID-STREAM (T38, r16): compact, run q295's
+    * index-only shrink surgery (the drained shard's blocks re-key onto
+    * their S−1-ring survivors; every survivor block that receives
+    * nothing passes byte-untouched; raw text never re-read — the same
+    * property that makes [[grow]] possible under a stream), shrink the
+    * ring. Later batches assign at the shrunk ring. Symmetric to
+    * [[grow]]; StreamingSpec's T38 member pins serving invariance
+    * across the shrink and the final byte law at the shrunk ring. */
+  def shrink(state: EiState): EiState = {
+    require(state.nShards >= 2,
+      s"streaming shrink needs >= 2 shards, got ${state.nShards}")
+    state.segments match {
+      case Nil =>
+        // nothing indexed yet: the ring just shrinks, no surgery
+        state.copy(nShards = state.nShards - 1)
+      case segs =>
+        val compacted =
+          if (segs.lengthCompare(1) > 0) mergeSharded(segs) else segs.head
+        val (_, newStore) = IndexReshard.shrink(
+          compacted, state.dl.select(col("doc_id")), state.nShards)
+        EiState(List(newStore.barrier()), state.seenIds, state.dl,
+          state.nShards - 1, state.batches)
+    }
   }
 
   /** T32's BM25 probe off the live elastic store: shards drop from

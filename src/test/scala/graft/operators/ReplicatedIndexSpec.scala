@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** X119 pins for [[ReplicatedIndex]] (q294):
+  *  - placement laws: primary equals the reshard ring's assignment
+  *    (replication composes with grow/shrink), and primary ≠ replica
+  *    for EVERY doc (the property failover rests on);
+  *  - the replica-copy byte law: decode-union-encode of one origin
+  *    shard's replica blocks across nodes equals that origin's primary
+  *    block byte for byte (canonical gap coding — the replica is a
+  *    reconstructible copy, not just a score-equivalent one);
+  *  - failover invariance for EVERY choice of failed node: same rows,
+  *    same scores as the primary serve;
+  *  - replica-routed serve ≡ primary serve (read shedding);
+  *  - failover routing: with node x down, no answer is served BY x,
+  *    and x's primaries are answered by their replica nodes.
+  */
+class ReplicatedIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = (0L until 300L).map { i =>
+    val body = Seq.fill(3 + (i % 7).toInt)(s"w${i % 19}") ++
+      (if (i % 3 == 0) Seq("alpha", "beta") else Seq(s"t${i % 5}"))
+    (i, body.mkString(" "))
+  }
+  private def docs = corpus.toDF("doc_id", "text")
+  private val qTerms = Seq("alpha", "w3", "t2")
+
+  test("placement: primary == the reshard ring's assignment and " +
+    "primary != replica for every doc") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val a = rep.assignments
+    assert(a.count() === corpus.size.toLong)
+    assert(a.filter($"primary" === $"replica").count() === 0L,
+      "a doc's two copies landed on one node")
+    val ringAssign = IndexReshard.assign(
+      docs.select($"doc_id")
+        .withColumn("p", IndexReshard.position($"doc_id")), 4, "shard")
+      .select($"doc_id", $"shard")
+    assert(a.join(ringAssign, "doc_id")
+      .filter($"primary" =!= $"shard").count() === 0L,
+      "primary diverged from IndexReshard.assign — grow/shrink compat broken")
+  }
+
+  test("replica copy byte law: an origin's replica blocks, decoded, " +
+    "unioned and re-encoded, equal its primary block byte for byte") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val prim = rep.primaryStore.collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        (r.getInt(3), r.getAs[Array[Byte]](4).toSeq)
+    }.toMap
+    val regrouped = rep.replicaStore.collect().flatMap { r =>
+      val key = (r.getLong(1), r.getString(2), r.getLong(3)) // (origin,…)
+      PostingCodec.decode(r.getAs[Array[Byte]](5), r.getInt(4))
+        .getOrElse(fail(s"corrupt replica block $key"))
+        .map(p => key -> p)
+    }.groupBy(_._1).map { case (k, ps) =>
+      val sorted = ps.map(_._2).sortBy(_._1).toSeq
+      k -> (sorted.size, PostingCodec.encode(sorted).toSeq)
+    }
+    assert(regrouped == prim, "replica copy is not byte-reconstructible")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("doc_id", "score_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("failover invariance: dropping ANY one node changes no answer") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val base = rows(ReplicatedIndex.servePrimary(rep, qTerms, 15))
+    assert(base.nonEmpty, "empty baseline serve")
+    for (x <- 0L until 4L)
+      assert(rows(ReplicatedIndex.serveFailover(rep, x, qTerms, 15)) == base,
+        s"failover of node $x changed the ranking")
+  }
+
+  test("replica-routed serve == primary serve (read shedding)") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    assert(rows(ReplicatedIndex.serveReplica(rep, qTerms, 15)) ==
+      rows(ReplicatedIndex.servePrimary(rep, qTerms, 15)))
+  }
+
+  test("failover routing: nothing serves FROM the dead node; its " +
+    "primaries answer from their replica nodes") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val failed = 2L
+    val served = ReplicatedIndex.serveFailover(rep, failed, qTerms, 15)
+      .join(rep.assignments, "doc_id")
+      .select($"doc_id", $"node", $"primary", $"replica").collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val (node, prim, repl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(node !== failed, s"doc ${r.getLong(0)} served by the dead node")
+      if (prim == failed)
+        assert(node === repl, s"doc ${r.getLong(0)}: failed primary not " +
+          "served by its replica")
+      else
+        assert(node === prim, s"doc ${r.getLong(0)}: healthy primary not " +
+          "used")
+    }
+  }
+}

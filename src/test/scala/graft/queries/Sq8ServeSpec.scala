@@ -107,6 +107,39 @@ class Sq8ServeSpec extends SparkSpecBase {
     assert(byCode == byDeq)
   }
 
+  test("q296 sharded scatter-gather equals unsharded q286 row for row " +
+    "(the containment law with no stats step at all)") {
+    val sharded = Vectors.q296.build(spark, sf).collect().map(_.toSeq).toSeq
+    val single = Vectors.q286.build(spark, sf).collect().map(_.toSeq).toSeq
+    assert(sharded.nonEmpty && sharded == single,
+      "sharded SQ8 serve diverged from the single-store serve")
+  }
+
+  test("q296 per-shard stage-1 wire bound: every (shard, query) ships " +
+    "at most 50 candidate rows to the gather") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val codes = emb
+      .select($"vec_id", $"embedding",
+        graft.functions.VectorOps.absMax($"embedding").as("amax"))
+      .select(pmod($"vec_id", lit(4L)).as("shard"), $"vec_id",
+        rint($"amax" * lit(1e3)).cast(LongType).as("am"),
+        graft.functions.VectorOps.quantize8($"embedding", $"amax").as("qv"))
+    val q = codes.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"am".as("q_am"), $"qv".as("q_qv"))
+    val top50 = udaf(new graft.functions.TopKLong(50))
+    val sizes = codes.crossJoin(broadcast(q)).filter($"vec_id" =!= $"q_id")
+      .withColumn("adist", expr(
+        """aggregate(zip_with(q_qv, qv,
+             (x, y) -> (CAST(x AS BIGINT) * q_am - CAST(y AS BIGINT) * am) *
+                       (CAST(x AS BIGINT) * q_am - CAST(y AS BIGINT) * am)),
+           CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+      .groupBy($"shard", $"q_id")
+      .agg(top50(-$"adist", $"vec_id", lit(0L)).as("tk"))
+      .select(size($"tk").as("n")).collect().map(_.getInt(0))
+    assert(sizes.length <= 16 && sizes.forall(_ <= 50),
+      s"per-(shard, query) candidate sizes: ${sizes.mkString(",")}")
+  }
+
   test("a zero vector quantizes to zero codes and serves without crashing") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f)),

@@ -2476,4 +2476,81 @@ class StreamingSpec extends SparkSpecBase {
       $"bytes")) === storeMap(expected),
       "final elastic store != from-scratch grown-ring build")
   }
+
+  test("T38: streaming elastic index — a node DRAINS mid-stream (q295's " +
+    "index-only shrink surgery under a live stream), serving invariant " +
+    "across the drain, ingest continues at the shrunk ring, and the " +
+    "final compacted store is byte-equal to a from-scratch shrunk-ring " +
+    "build") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingElasticIndex
+    import graft.operators.{IndexReshard, ShardedIndex}
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    val qTerms = Seq("spark", "window", "merge", "dup")
+    def probe(st: StreamingElasticIndex.EiState): Seq[(Long, Long)] =
+      StreamingElasticIndex.serve(st, qTerms, 20).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def fromScratch(delivered: Seq[(Long, String)]): Seq[(Long, Long)] = {
+      val df = delivered.toDF("doc_id", "text")
+      val dl = df.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("dl"))
+      StreamingPostings.serve(
+        StreamingPostings.PsState(
+          List(graft.queries.Text.postingStore(df)),
+          dl.select($"doc_id"), dl), qTerms, 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val waves = docs.grouped(math.max(1, docs.length / 5)).toSeq
+    var st = StreamingElasticIndex.freeze(s, nShards = 4)
+    var delivered = Seq.empty[(Long, String)]
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingElasticIndex.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      assert(probe(st) === fromScratch(delivered),
+        s"elastic serving diverged from from-scratch after wave $i")
+      if (i == 1) {
+        // a node drains MID-STREAM: the shrink must change no answer
+        val before = probe(st)
+        st = StreamingElasticIndex.shrink(st)
+        assert(st.nShards === 3)
+        assert(probe(st) === before,
+          "the mid-stream drain changed a served answer")
+      }
+    }
+    // replay: exactly-once across the topology change
+    val before = probe(st)
+    stream.addData(waves.head: _*); qy.processAllAvailable()
+    qy.stop()
+    assert(probe(st) === before, "a replayed wave changed an answer")
+    // byte law: final compacted store == from-scratch shrunk-ring build
+    // (pre-drain arrivals moved by the surgery, post-drain arrivals
+    // routed by the shrunk ring — one canonical store either way)
+    val fin =
+      if (st.segments.lengthCompare(1) > 0)
+        StreamingElasticIndex.mergeSharded(st.segments)
+      else st.segments.head
+    def storeMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)) ->
+          (r.getInt(3), r.getAs[Array[Byte]](4).toSeq)
+      }.toMap
+    val positioned = delivered.toDF("doc_id", "text")
+      .withColumn("p", IndexReshard.position($"doc_id"))
+    val expected = ShardedIndex.buildStore(
+      IndexReshard.assign(positioned, 3, "shard")
+        .select($"shard", $"doc_id", $"text"))
+    assert(storeMap(fin.select($"shard", $"term", $"bucket", $"df",
+      $"bytes")) === storeMap(expected),
+      "final elastic store != from-scratch shrunk-ring build")
+  }
 }
