@@ -87,7 +87,7 @@ object ReplicatedIndex {
     * with the (node, origin) compound key — blocks partition each
     * origin shard's docs by their replica node. Input: (node, origin,
     * doc_id, text). */
-  private def buildReplicaStore(assigned: DataFrame): DataFrame = {
+  private[graft] def buildReplicaStore(assigned: DataFrame): DataFrame = {
     val s = assigned.sparkSession
     import s.implicits._
     assigned
@@ -137,8 +137,8 @@ object ReplicatedIndex {
     * because the selection partitions docs), per-node local top-k via
     * the bounded TopKLong, k·|nodes|-row gather. Returns
     * (doc_id, score_ppm, node). */
-  private def serveBlocks(sel: DataFrame, dl: DataFrame, stats: DataFrame,
-      qTerms: Seq[String], k: Int): DataFrame = {
+  private[graft] def serveBlocks(sel: DataFrame, dl: DataFrame,
+      stats: DataFrame, qTerms: Seq[String], k: Int): DataFrame = {
     val s = sel.sparkSession
     import s.implicits._
     val probed = sel.filter($"term".isin(qTerms: _*))
@@ -185,6 +185,148 @@ object ReplicatedIndex {
       r.replicaStore.select(col("node"), col("term"), col("bucket"),
         col("df"), col("bytes")),
       r.dl, r.stats, qTerms, k)
+
+  /** (k1, k2, term, bucket)-keyed decode-merge: `incoming` blocks of
+    * raw postings (…, ps) fold into `existing` encoded blocks —
+    * receiving blocks decode, interleave and re-encode (q264's merge),
+    * non-receiving blocks pass through byte-UNTOUCHED. One helper for
+    * both stores: the primary store normalizes to k2 = −1. */
+  private def mergeBlocks(existing: DataFrame,
+      incoming: DataFrame): DataFrame = {
+    val s = existing.sparkSession
+    import s.implicits._
+    val keys = Seq("k1", "k2", "term", "bucket")
+    val untouched = existing
+      .join(incoming.select(keys.map(col): _*), keys, "left_anti")
+    val merged = existing.join(incoming, keys, "full_outer")
+      .filter($"ps".isNotNull)
+      .select($"k1", $"k2", $"term", $"bucket", $"df", $"bytes", $"ps")
+      .as[(Long, Long, String, Long, Option[Int], Option[Array[Byte]],
+        Seq[(Long, Long, Long)])]
+      .map { case (k1, k2, t, b, df, bytes, inc) =>
+        val old = (df, bytes) match {
+          case (Some(n), Some(bs)) =>
+            PostingCodec.decode(bs, n)
+              .getOrElse(throw new IllegalStateException(
+                s"replica recovery: corrupt block $k1/$k2/'$t'/$b"))
+          case _ => Seq.empty[(Long, Long, Long)]
+        }
+        val all = (old ++ inc).sortBy(_._1)
+        require(all.map(_._1).distinct.size == all.size,
+          s"replica recovery: overlapping doc ids in $k1/$k2/'$t'/$b")
+        (k1, k2, t, b, all.size, PostingCodec.encode(all))
+      }.toDF("k1", "k2", "term", "bucket", "df", "bytes")
+    untouched.select($"k1", $"k2", $"term", $"bucket", $"df", $"bytes")
+      .unionByName(merged)
+  }
+
+  /** PERMANENT loss of the highest node (X119b, q299): [[serveFailover]]
+    * keeps answering the moment a node dies, but a tier running on one
+    * copy of the dead node's docs is one more failure from data loss —
+    * production systems RE-REPLICATE (Elasticsearch re-allocates lost
+    * shard copies from survivors; Dynamo anti-entropy). This rebuilds a
+    * fully-replicated S−1-node topology FROM THE SURVIVING COPIES ONLY
+    * — raw text never re-read, the lost node's blocks never touched:
+    *
+    *   - PROMOTION: a doc whose primary died has, as its new S−1-ring
+    *     owner, exactly its OLD REPLICA node (the first surviving vnode
+    *     clockwise IS the first distinct-shard vnode when the primary's
+    *     vnodes all vanish — the Dynamo argument), so its replica
+    *     blocks (node r, origin = lost) re-key to primary blocks of
+    *     shard r wholesale, merging into r's existing primaries;
+    *   - RE-REPLICATION: those promoted docs get fresh replicas at the
+    *     S−1 ring, and docs whose REPLICA died re-extract from their
+    *     (intact) primary blocks — both regroup into the replica store,
+    *     merging where keys collide;
+    *   - every other block — primaries of survivors, replica blocks
+    *     with node ≠ lost and origin ≠ lost — passes through
+    *     byte-UNTOUCHED (placement is provably unchanged: a lost vnode
+    *     ahead of a doc's surviving primary/replica vnode would have
+    *     BEEN that doc's primary/replica).
+    *
+    * Gap coding has no layout freedom ⇒ recovered ≡ a from-scratch
+    * [[build]] at S−1 shards, BOTH stores BYTE FOR BYTE — q299's
+    * oracle replays exactly that build (primary AND replica streams;
+    * the recovery never enters it); ReplicatedIndexSpec pins the
+    * promotion law (new primary == old replica for every lost-primary
+    * doc), the byte law, and serve-invariance across the loss.
+    *
+    * Scale: the decode set is the lost node's hosted docs' blocks
+    * (~2/S of the index: its primaries' replica copies + its replicas'
+    * primary buckets), the re-key joins are |lost-hosted postings|-
+    * sized on compact keys, and the ring assignment is the broadcast
+    * doubled-ring device over the ID list. */
+  def recoverLost(rep: Replicated, oldShards: Int): Replicated = {
+    require(oldShards >= 3,
+      s"recovery needs >= 3 shards (>= 2 survive), got $oldShards")
+    val lost = (oldShards - 1).toLong
+    val s = rep.primaryStore.sparkSession
+    import s.implicits._
+    val ids = rep.dl.select($"doc_id")
+      .withColumn("p", IndexReshard.position($"doc_id"))
+    val a2 = assignPR(ids, oldShards - 1)
+      .select($"doc_id", $"primary", $"replica")
+    // ---- surviving, placement-unchanged blocks (never decoded)
+    val sp = rep.primaryStore.filter($"shard" =!= lost)
+    val keepRepl = rep.replicaStore
+      .filter($"node" =!= lost && $"origin" =!= lost)
+    // ---- decode the two surviving sources of lost-hosted data
+    // (a) the dead node's primaries live on as replica copies
+    val aPost = rep.replicaStore.filter($"origin" === lost)
+      .select($"node", $"term", $"bucket", $"df", $"bytes")
+      .as[(Long, String, Long, Int, Array[Byte])]
+      .flatMap { case (node, t, b, n, bytes) =>
+        PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"replica recovery: corrupt replica block $node/'$t'/$b"))
+          .map(p => (node, t, b, p._1, p._2, p._3))
+      }.toDF("node", "term", "bucket", "doc_id", "tf", "first_pos")
+    // (b) docs whose REPLICA died: extract from their primary buckets
+    val bDocs = rep.assignments
+      .filter($"replica" === lost && $"primary" =!= lost)
+      .select($"doc_id", $"primary")
+    val bKeys = bDocs
+      .select($"primary".as("shard"), expr("doc_id DIV 100").as("bucket"))
+      .distinct()
+    val bPost = sp.join(bKeys, Seq("shard", "bucket"))
+      .select($"shard", $"term", $"bucket", $"df", $"bytes")
+      .as[(Long, String, Long, Int, Array[Byte])]
+      .flatMap { case (sh, t, b, n, bytes) =>
+        PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"replica recovery: corrupt primary block $sh/'$t'/$b"))
+          .map(p => (t, b, p._1, p._2, p._3))
+      }.toDF("term", "bucket", "doc_id", "tf", "first_pos")
+      .join(bDocs.select($"doc_id"), "doc_id")
+    // ---- promotion: (node r, origin = lost) blocks become shard-r
+    // primaries (every member's S−1 owner IS r — the Dynamo argument)
+    val promoted = aPost
+      .groupBy($"node".as("k1"), lit(-1L).as("k2"), $"term", $"bucket")
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+    val newPrimary = mergeBlocks(
+      sp.select($"shard".as("k1"), lit(-1L).as("k2"), $"term", $"bucket",
+        $"df", $"bytes"),
+      promoted)
+      .select($"k1".as("shard"), $"term", $"bucket", $"df", $"bytes")
+    // ---- re-replication: fresh S−1-ring replicas for every doc the
+    // lost node hosted (either copy), placed by the NEW assignment
+    val reRepl = aPost
+      .select($"term", $"bucket", $"doc_id", $"tf", $"first_pos")
+      .unionByName(bPost)
+      .join(a2, "doc_id")
+      .groupBy($"replica".as("k1"), $"primary".as("k2"), $"term",
+        $"bucket")
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+    val newReplica = mergeBlocks(
+      keepRepl.select($"node".as("k1"), $"origin".as("k2"), $"term",
+        $"bucket", $"df", $"bytes"),
+      reRepl)
+      .select($"k1".as("node"), $"k2".as("origin"), $"term", $"bucket",
+        $"df", $"bytes")
+    Replicated(a2, newPrimary, newReplica, rep.dl, rep.stats)
+  }
 
   /** Node `failed` is down: its primaries serve from their replicas
     * (a key-space selection — origin = failed — on nodes that are all

@@ -1753,6 +1753,127 @@ object Retrieval {
       "selection; exhaustive from-raw oracle pins answer-invariance " +
       "AND the served_from/role routing evidence via a ring replay")
 
+  /** q299 — replica LOSS RECOVERY / re-replication (X119b, r16):
+    * q294's failover keeps answering the instant a node dies, but a
+    * tier running on ONE surviving copy of the dead node's docs is one
+    * more failure from data loss — production systems re-replicate
+    * (Elasticsearch re-allocates lost shard copies from survivors,
+    * Dynamo anti-entropy). [[graft.operators.ReplicatedIndex.recoverLost]]
+    * rebuilds a fully-replicated S−1-node topology from SURVIVING
+    * COPIES ONLY — the lost node's blocks are never read, raw text is
+    * never re-read: the dead node's primaries PROMOTE from their
+    * replica blocks wholesale (a doc's S−1-ring owner IS its old
+    * replica node when its primary's vnodes vanish — the Dynamo
+    * walk argument), and fresh replicas re-extract for every doc the
+    * dead node hosted (either copy); every placement-unchanged block
+    * passes through byte-UNTOUCHED. Gap coding has no layout freedom ⇒
+    * recovered ≡ a from-scratch replicated build at 3 shards, BOTH
+    * stores BYTE FOR BYTE — the oracle replays exactly that build
+    * (ring walk for primary AND replica per doc, then the q258
+    * expansion for both stores; the recovery never enters it),
+    * hash-matched at all 3 SFs. ReplicatedIndexSpec pins the promotion
+    * law and serve-invariance across the loss.
+    *
+    * Scale: decodes ~2/S of the index (the lost node's hosted docs'
+    * blocks: its primaries' replica copies + its replicas' primary
+    * buckets); re-key joins are |lost-hosted postings|-sized on
+    * compact keys; assignment is the broadcast doubled-ring device
+    * over the ID list; untouched blocks never decode. */
+  val q299 = Q(
+    "q299_replica_recovery",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
+      val rec = graft.operators.ReplicatedIndex.recoverLost(rep, 4)
+      rec.primaryStore
+        .select(lit("p").as("store"), $"shard".as("node"),
+          lit(-1L).as("origin"), $"term", $"bucket", $"df", $"bytes")
+        .unionByName(rec.replicaStore
+          .select(lit("r").as("store"), $"node", $"origin", $"term",
+            $"bucket", $"df", $"bytes"))
+        .as[(String, Long, Long, String, Long, Int, Array[Byte])]
+        .map { case (st, node, origin, term, bucket, df, bytes) =>
+          val ok = graft.operators.PostingCodec.decode(bytes, df).isDefined
+          val h = bytes.foldLeft(0L)((a, x) =>
+            (a * 31 + (x & 0xff)) % 1000000007L)
+          (st, node, origin, term, bucket, df.toLong, bytes.length.toLong,
+            h, if (ok) 1L else 0L)
+        }
+        .toDF("store", "node", "origin", "term", "bucket", "df",
+          "n_bytes", "stream_hash", "decode_ok")
+        .orderBy($"store", $"node", $"origin", $"term", $"bucket")
+    },
+    Some(s"""
+      WITH r AS (${graft.queries.Mining.ringSql(3, 16)}),
+      r2 AS (SELECT shard, pos FROM r
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM r),
+      d0 AS (SELECT doc_id, text,
+               CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM documents),
+      pa AS (SELECT d0.doc_id, d0.text, d0.p,
+               (SELECT r2.shard FROM r2 WHERE r2.pos >= d0.p
+                ORDER BY r2.pos, r2.shard LIMIT 1) AS prim
+             FROM d0),
+      pb AS MATERIALIZED (SELECT pa.doc_id, pa.text, pa.prim,
+               (SELECT r2.shard FROM r2
+                WHERE r2.pos >= pa.p AND r2.shard <> pa.prim
+                ORDER BY r2.pos, r2.shard LIMIT 1) AS repl
+             FROM pa),
+      t AS (SELECT prim, repl, doc_id, unnest(l) AS term,
+              unnest(range(1, len(l) + 1)) AS pos
+            FROM (SELECT prim, repl, doc_id, string_split(text, ' ') AS l
+                  FROM pb)),
+      d AS (SELECT prim, repl, term, doc_id, COUNT(*) AS tf,
+              MIN(pos) AS first_pos
+            FROM t GROUP BY 1, 2, 3, 4),
+      k AS (SELECT 'p' AS store, CAST(prim AS BIGINT) AS node,
+              CAST(-1 AS BIGINT) AS origin, term, doc_id, tf, first_pos
+            FROM d
+            UNION ALL
+            SELECT 'r', CAST(repl AS BIGINT), CAST(prim AS BIGINT),
+              term, doc_id, tf, first_pos
+            FROM d),
+      g AS (SELECT store, node, origin, term,
+              CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+              list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS ds,
+              list(CAST(tf AS BIGINT) ORDER BY doc_id) AS tfs,
+              list(CAST(first_pos AS BIGINT) ORDER BY doc_id) AS fps
+            FROM k GROUP BY store, node, origin, term, bucket),
+      v AS (SELECT store, node, origin, term, bucket, len(ds) AS df,
+              list_concat([ds[1]],
+                flatten(list_transform(range(1, len(ds) + 1), i ->
+                  CASE WHEN i = 1 THEN [tfs[1], fps[1]]
+                       ELSE [ds[i] - ds[i - 1], tfs[i], fps[i]] END)))
+                AS vals
+            FROM g),
+      b AS (SELECT store, node, origin, term, bucket, df,
+              flatten(list_transform(vals, x -> CASE
+                WHEN x < 128 THEN [x]
+                WHEN x < 16384 THEN [x % 128 + 128, x // 128]
+                WHEN x < 2097152 THEN
+                  [x % 128 + 128, (x // 128) % 128 + 128, x // 16384]
+                ELSE [x % 128 + 128, (x // 128) % 128 + 128,
+                      (x // 16384) % 128 + 128, x // 2097152] END))
+                AS bytes
+            FROM v)
+      SELECT store, node, origin, term, bucket,
+             CAST(df AS BIGINT) AS df,
+             CAST(len(bytes) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(bytes, (h, x) -> (h * 31 + x) % 1000000007)
+               AS BIGINT) AS stream_hash,
+             CAST(1 AS BIGINT) AS decode_ok
+      FROM b ORDER BY store, node, origin, term, bucket"""),
+    doc = "X119b: replica loss recovery — the dead node's primaries " +
+      "PROMOTE from their surviving replica blocks (a doc's S-1-ring " +
+      "owner IS its old replica when the primary's vnodes vanish), " +
+      "fresh replicas re-extract for every doc the dead node hosted, " +
+      "placement-unchanged blocks pass byte-untouched, raw text never " +
+      "re-read; recovered == from-scratch 3-shard replicated build, " +
+      "BOTH stores byte for byte (the oracle replays that build)")
+
   /** q298 — BM25F multi-field ranking (X110d, r16): real corpora score
     * fields differently — a title hit is worth more than a body hit —
     * and BM25F (Robertson, Zaragoza & Taylor, CIKM '04) is the
@@ -1883,5 +2004,5 @@ object Retrieval {
 
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
-    q298)
+    q298, q299)
 }

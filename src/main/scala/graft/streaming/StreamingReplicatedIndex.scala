@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Barriers._
+import graft.operators.{IndexReshard, PostingCodec, ReplicatedIndex, ShardedIndex}
+
+/** Streaming REPLICATED index (SURVEY.md §2.9 T39, r16): q294's
+  * two-copy topology maintained under a stream — every production
+  * ingest writes primaries AND replicas per commit (Elasticsearch
+  * indexes into both shard copies; Dynamo writes its preference list),
+  * so a node can die at ANY instant and serving routes around it with
+  * no answer changed. Per micro-batch:
+  *
+  *   - the T26 exactly-once discipline (dedup + anti-join against the
+  *     accumulated seen-id set);
+  *   - fresh docs place via [[ReplicatedIndex.assignPR]] (the Dynamo
+  *     preference list on the md5 ring) and mint TWO delta segments —
+  *     a primary q258 segment keyed (shard, term, bucket) and a
+  *     replica segment keyed (node, origin, term, bucket) — T31's
+  *     shape, both copies;
+  *   - every [[CompactEvery]] batches both segment lists fold to one
+  *     (q264's byte-exact merge on each store's key).
+  *
+  * Serving at any instant routes like q294: primary-only, or failover
+  * of ANY node x (primaries of nodes ≠ x ∪ replica blocks with
+  * origin = x, a corpus partition across the live segment lists —
+  * segments hold disjoint docs by the T26 discipline, so metadata df
+  * stays exact across segments AND copies). StreamingSpec T39 pins
+  * failover-serve ≡ the from-scratch exhaustive ranking for EVERY
+  * failed node after EVERY wave, replay no-ops, and the final
+  * compacted stores ≡ [[ReplicatedIndex.build]] over every delivered
+  * doc, BOTH copies BYTE FOR BYTE.
+  *
+  * Scale: per batch O(|delta|) twice (the 2× write amplification
+  * replication always costs); compaction on the cadence bounds the
+  * segment count and the plan; serving reads query-term blocks ×
+  * live segments of the routed selection only. */
+object StreamingReplicatedIndex {
+
+  val CompactEvery = 4
+
+  final case class RiState(primSegs: List[DataFrame],
+      replSegs: List[DataFrame], seenIds: DataFrame, dl: DataFrame,
+      nShards: Int, batches: Int = 0)
+
+  def freeze(spark: org.apache.spark.sql.SparkSession,
+      nShards: Int): RiState = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    def empty(fields: String*) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.map(StructField(_, LongType))))
+    RiState(Nil, Nil, empty("doc_id"), empty("doc_id", "dl"), nShards)
+  }
+
+  /** q264's merge with the replica store's (node, origin) compound key. */
+  private[graft] def mergeReplica(segs: Seq[DataFrame]): DataFrame = {
+    val s = segs.head.sparkSession
+    import s.implicits._
+    segs.reduce(_ unionByName _)
+      .select($"node", $"origin", $"term", $"bucket", $"df", $"bytes")
+      .as[(Long, Long, String, Long, Int, Array[Byte])]
+      .groupByKey(r => (r._1, r._2, r._3, r._4))
+      .mapGroups { (key: (Long, Long, String, Long),
+                    rows: Iterator[(Long, Long, String, Long, Int, Array[Byte])]) =>
+        val (node, origin, term, bucket) = key
+        val all = rows.flatMap { case (_, _, _, _, df, bytes) =>
+          PostingCodec.decode(bytes, df).getOrElse(sys.error(
+            s"replica merge: corrupt block $node/$origin/('$term', $bucket)"))
+        }.toVector.sortBy(_._1)
+        require(all.map(_._1).distinct.size == all.size,
+          s"replica merge: overlapping doc ids in $node/$origin/('$term', $bucket)")
+        (node, origin, term, bucket, all.size, PostingCodec.encode(all))
+      }
+      .toDF("node", "origin", "term", "bucket", "df", "bytes")
+  }
+
+  /** Apply one micro-batch of `(doc_id, text)` documents — BOTH copies'
+    * delta segments minted per batch. */
+  def applyBatch(state: RiState, delta: DataFrame): RiState = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val fresh = delta
+      .select(col(delta.columns.head).cast("long").as("doc_id"),
+        col(delta.columns(1)).as("text"))
+      .dropDuplicates("doc_id")
+      .join(state.seenIds, Seq("doc_id"), "left_anti")
+      .barrier()
+    val nBatches = state.batches + 1
+    val (pSegs, rSegs) =
+      if (fresh.isEmpty) (state.primSegs, state.replSegs)
+      else {
+        val positioned = fresh.withColumn("p",
+          IndexReshard.position($"doc_id"))
+        val a = ReplicatedIndex.assignPR(positioned, state.nShards)
+        val pSeg = ShardedIndex.buildStore(
+          a.select($"primary".as("shard"), $"doc_id", $"text")).barrier()
+        val rSeg = ReplicatedIndex.buildReplicaStore(
+          a.select($"replica".as("node"), $"primary".as("origin"),
+            $"doc_id", $"text")).barrier()
+        (pSeg :: state.primSegs, rSeg :: state.replSegs)
+      }
+    val seenUnion = state.seenIds.unionByName(fresh.select($"doc_id"))
+    val dlUnion = state.dl.unionByName(fresh.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("dl")))
+    if (nBatches % CompactEvery == 0)
+      RiState(
+        if (pSegs.lengthCompare(1) > 0)
+          List(StreamingElasticIndex.mergeSharded(pSegs).barrier())
+        else pSegs,
+        if (rSegs.lengthCompare(1) > 0) List(mergeReplica(rSegs).barrier())
+        else rSegs,
+        seenUnion.distinct().barrier(), dlUnion.barrier(),
+        state.nShards, nBatches)
+    else RiState(pSegs, rSegs, seenUnion, dlUnion, state.nShards, nBatches)
+  }
+
+  private def stats(dl: DataFrame): DataFrame = {
+    val s = dl.sparkSession
+    import s.implicits._
+    dl.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"dl").as("l_total"))
+      .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+  }
+
+  /** Serve off the PRIMARY copies of the live segment lists. */
+  def servePrimary(state: RiState, qTerms: Seq[String], k: Int): DataFrame = {
+    require(state.primSegs.nonEmpty, "nothing indexed yet")
+    val sel = state.primSegs
+      .map(_.select(col("shard").as("node"), col("term"), col("bucket"),
+        col("df"), col("bytes")))
+      .reduce(_ unionByName _)
+    ReplicatedIndex.serveBlocks(sel, state.dl, stats(state.dl), qTerms, k)
+  }
+
+  /** Node `failed` is down RIGHT NOW: q294's failover selection taken
+    * across the live segment lists. */
+  def serveFailover(state: RiState, failed: Long, qTerms: Seq[String],
+      k: Int): DataFrame = {
+    require(state.primSegs.nonEmpty, "nothing indexed yet")
+    val prim = state.primSegs
+      .map(_.filter(col("shard") =!= failed)
+        .select(col("shard").as("node"), col("term"), col("bucket"),
+          col("df"), col("bytes")))
+      .reduce(_ unionByName _)
+    val repl = state.replSegs
+      .map(_.filter(col("origin") === failed)
+        .select(col("node"), col("term"), col("bucket"), col("df"),
+          col("bytes")))
+      .reduceOption(_ unionByName _)
+    val sel = repl.map(prim.unionByName(_)).getOrElse(prim)
+    ReplicatedIndex.serveBlocks(sel, state.dl, stats(state.dl), qTerms, k)
+  }
+}

@@ -82,6 +82,61 @@ class ReplicatedIndexSpec extends SparkSpecBase {
       rows(ReplicatedIndex.servePrimary(rep, qTerms, 15)))
   }
 
+  test("loss recovery: recovered == from-scratch 3-shard replicated " +
+    "build, BOTH stores byte for byte, assignments included") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val rec = ReplicatedIndex.recoverLost(rep, 4)
+    val want = ReplicatedIndex.build(docs, 3)
+    def pMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)) ->
+          (r.getInt(3), r.getAs[Array[Byte]](4).toSeq)
+      }.toMap
+    def rMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)) ->
+          (r.getInt(4), r.getAs[Array[Byte]](5).toSeq)
+      }.toMap
+    assert(pMap(rec.primaryStore) == pMap(want.primaryStore),
+      "recovered primary store != from-scratch build")
+    assert(rMap(rec.replicaStore) == rMap(want.replicaStore),
+      "recovered replica store != from-scratch build")
+    def aMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(aMap(rec.assignments) == aMap(want.assignments))
+  }
+
+  test("promotion law: every lost-primary doc's new primary IS its old " +
+    "replica; every other doc's placement is untouched") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val rec = ReplicatedIndex.recoverLost(rep, 4)
+    val joined = rep.assignments
+      .select($"doc_id", $"primary".as("op"), $"replica".as("or"))
+      .join(rec.assignments, "doc_id").collect()
+    assert(joined.nonEmpty)
+    var lostSeen = 0
+    joined.foreach { r =>
+      val (op, or, np, nr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (op == 3L) { lostSeen += 1; assert(np === or, s"doc ${r.getLong(0)}") }
+      else {
+        assert(np === op, s"doc ${r.getLong(0)}: healthy primary moved")
+        if (or != 3L) assert(nr === or,
+          s"doc ${r.getLong(0)}: untouched replica moved")
+      }
+    }
+    assert(lostSeen > 0, "corpus missed the lost shard — weak fixture")
+  }
+
+  test("serve-invariance across the loss: recovered topology answers " +
+    "identically to the pre-loss one") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val rec = ReplicatedIndex.recoverLost(rep, 4)
+    assert(rows(ReplicatedIndex.servePrimary(rec, qTerms, 15)) ==
+      rows(ReplicatedIndex.servePrimary(rep, qTerms, 15)))
+  }
+
   test("failover routing: nothing serves FROM the dead node; its " +
     "primaries answer from their replica nodes") {
     val rep = ReplicatedIndex.build(docs, 4)
