@@ -355,6 +355,90 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("law: TopKStr == sort-take under UTF-8 byte order for ARBITRARY " +
+    "multisets (dup scores, dup-prone term strings)") {
+    val entryGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(-5L, 5L),
+      Gen.listOfN(3, Gen.oneOf("a", "b", "zz", "é")).map(_.mkString)))
+    samples(Gen.zip(entryGen, Gen.choose(1, 8)), 5).foreach { case (rows0, k) =>
+      // unique ids (the aggregate's documented precondition)
+      val rows = rows0.zipWithIndex
+        .map { case ((s, t), i) => (s, t + i.toString) }
+      def utf8Lt(a: String, b: String): Boolean = {
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          if ((x(i) & 0xff) != (y(i) & 0xff)) return (x(i) & 0xff) < (y(i) & 0xff)
+          i += 1
+        }
+        x.length < y.length
+      }
+      val agg = udaf(new graft.functions.TopKStr(k))
+      val got = rows.toDF("s", "id").withColumn("t", lit(0L))
+        .agg(agg(col("s"), col("id"), col("t")).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.score"), col("e.id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val want = rows.sortWith { case ((s1, i1), (s2, i2)) =>
+        s1 > s2 || (s1 == s2 && utf8Lt(i1, i2))
+      }.take(k)
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("law: positional FOR roundtrip for ARBITRARY valid blocks; " +
+    "truncation/trailing bytes reject; the LEB128 twin agrees") {
+    val blockGen: Gen[List[(Long, Seq[Long])]] = for {
+      docs0 <- Gen.nonEmptyListOf(Gen.choose(0L, 5000L))
+      seedm <- Gen.choose(1L, 6L)
+    } yield docs0.distinct.sorted.zipWithIndex.map { case (d, i) =>
+      val m = 1 + ((d + seedm + i) % 5).toInt
+      (d, (1L to 400L by (d % 7) + 3).take(m).toSeq)
+    }
+    samples(blockGen, 40).foreach { blk =>
+      val bytes = graft.operators.ForCodec.encodePositional(blk)
+      assert(graft.operators.ForCodec
+        .decodePositional(bytes, blk.size).contains(blk))
+      assert(graft.operators.ForCodec
+        .decodePositional(bytes.dropRight(1), blk.size).isEmpty)
+      assert(graft.operators.ForCodec
+        .decodePositional(bytes :+ 0.toByte, blk.size).isEmpty)
+      val leb = graft.operators.PostingCodec.encodePositional(blk)
+      assert(graft.operators.PostingCodec
+        .decodePositional(leb, blk.size).contains(blk),
+        "LEB128 positional twin diverged on the same block")
+    }
+  }
+
+  test("law: replica loss recovery == from-scratch S-1 replicated " +
+    "build, BOTH stores byte for byte, for ARBITRARY corpora and ring " +
+    "sizes") {
+    import graft.operators.ReplicatedIndex
+    val docGen = Gen.listOfN(50, Gen.listOfN(5,
+      Gen.oneOf("a", "bb", "ccc", "dd", "e")))
+    samples(Gen.zip(docGen, Gen.choose(3, 5)), 3).foreach { case (bodies, s0) =>
+      val docs = bodies.zipWithIndex
+        .map { case (ws, i) => (i.toLong * 7, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val rep = ReplicatedIndex.build(docs, s0)
+      val rec = ReplicatedIndex.recoverLost(rep, s0)
+      val want = ReplicatedIndex.build(docs, s0 - 1)
+      def pm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map { r =>
+          (r.getLong(0), r.getString(1), r.getLong(2)) ->
+            (r.getInt(3), r.getAs[Array[Byte]](4).toSeq)
+        }.toMap
+      def rm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map { r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)) ->
+            (r.getInt(4), r.getAs[Array[Byte]](5).toSeq)
+        }.toMap
+      assert(pm(rec.primaryStore) === pm(want.primaryStore), s"s0=$s0 primary")
+      assert(rm(rec.replicaStore) === rm(want.replicaStore), s"s0=$s0 replica")
+    }
+  }
+
   test("law: index reshard maintained == rebuilt, byte for byte, for " +
     "ARBITRARY corpora and ring sizes; movers only reach the new shard") {
     import graft.operators.{IndexReshard, ShardedIndex}
