@@ -2002,7 +2002,198 @@ object Retrieval {
       "field-blind df, all-BIGINT rational form; from-raw oracle " +
       "hash-gates the fold; Bm25fSpec pins title-beats-body dominance")
 
+  /** q300 — FACETED search off the index + doc-values sidecar (X120,
+    * r16): the other half of every search response — alongside the
+    * top-k hits, production engines return AGGREGATIONS over the FULL
+    * match set (Elasticsearch aggregations, Solr facets: "1,214 in
+    * 'web', 530 in 'books'…"), and the reason they can afford it is
+    * that facets never touch raw documents: they read a COLUMNAR
+    * doc-values sidecar (doc_id → field), built at ingest next to the
+    * postings. This query matches docs containing ANY of the query
+    * terms through the q258 store's read path (decode only those
+    * terms' blocks, distinct doc ids), joins the match set against the
+    * 3-column sidecar, and counts two facet dimensions — source, and a
+    * deterministic length bucket (dl DIV 20 capped at 5) — emitting
+    * (facet, key, n_docs) rows. The oracle recomputes both facets from
+    * raw text; the hash gates match-set construction AND both facet
+    * joins.
+    *
+    * Scale: the match set is Σ df(query terms) ids (never the corpus);
+    * the sidecar join is one equi-join on the compact doc_id key
+    * against a 3-column frame (the whole point of doc-values — at
+    * 100 TB the sidecar is columnar and mmap-able while raw docs are
+    * not); facet counts are low-cardinality aggregates. */
+  val q300 = Q(
+    "q300_faceted_search",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("merge", "dup", "vector")
+      val docs = Tables(s, dir, "documents")
+      val store = graft.queries.Text.postingStore(docs)
+      val matches = store.filter($"term".isin(qTerms: _*))
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, b, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q300: corrupt postings block '$t'/$b"))
+            .map(_._1)
+        }.toDF("doc_id").distinct()
+      // the doc-values sidecar: columnar stored fields, built at ingest
+      val sidecar = docs.select($"doc_id", $"source",
+        least(expr("size(split(text, ' ')) DIV 20"), lit(5))
+          .cast(LongType).as("len_bucket"))
+      val joined = matches.join(sidecar, "doc_id")
+      val bySource = joined.groupBy($"source".as("key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("source").as("facet"), $"key", $"n_docs")
+      val byLen = joined.groupBy($"len_bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("len").as("facet"),
+          $"len_bucket".cast(StringType).as("key"), $"n_docs")
+      bySource.unionByName(byLen).orderBy($"facet", $"key")
+    },
+    Some("""
+      WITH t AS (SELECT DISTINCT doc_id,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      m AS (SELECT DISTINCT doc_id FROM t
+            WHERE term IN ('merge', 'dup', 'vector')),
+      sc AS (SELECT doc_id, source,
+               LEAST(CAST(len(string_split(text, ' ')) AS BIGINT) // 20,
+                     5) AS len_bucket
+             FROM documents),
+      j AS (SELECT sc.source, sc.len_bucket FROM sc JOIN m USING (doc_id))
+      SELECT 'source' AS facet, source AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY 2
+      UNION ALL
+      SELECT 'len', CAST(len_bucket AS VARCHAR),
+             CAST(COUNT(*) AS BIGINT)
+      FROM j GROUP BY 2
+      ORDER BY facet, key"""),
+    doc = "X120: faceted search — match set through the compressed " +
+      "store's read path (ANY-of query terms, decode only their " +
+      "blocks), facet counts from a columnar doc-values sidecar " +
+      "(source + deterministic length bucket), never from raw text; " +
+      "from-raw oracle gates match-set construction and both facet " +
+      "dimensions")
+
+  /** q301's cursor device as a function of any (doc_id, score_ppm)
+    * frame — factored out so RetrievalSpec can pin the tie-boundary
+    * case on a planted frame. Returns (page, rnk, doc_id, score_ppm)
+    * for the first two pages. */
+  private[queries] def searchAfterPages(
+      scored: org.apache.spark.sql.DataFrame, pageSize: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val page1 = scored.orderBy($"score_ppm".desc, $"doc_id").limit(pageSize)
+    // the cursor: page 1's LAST row — a 1-row reduced aggregate (the
+    // sanctioned driver-side class; a real serving tier returns it to
+    // the CLIENT, which sends it back for page 2)
+    val cur = page1.orderBy($"score_ppm".asc, $"doc_id".desc).limit(1)
+      .collect()(0)
+    val (cDoc, cScore) = (cur.getLong(0), cur.getLong(1))
+    val page2 = scored
+      .filter($"score_ppm" < cScore ||
+        ($"score_ppm" === cScore && $"doc_id" > cDoc))
+      .orderBy($"score_ppm".desc, $"doc_id").limit(pageSize)
+    def paged(df: org.apache.spark.sql.DataFrame, page: Long) =
+      df.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"score_ppm".desc, $"doc_id")).cast(LongType))
+        .select(lit(page).as("page"), $"rnk", $"doc_id", $"score_ppm")
+    paged(page1, 1L).unionByName(paged(page2, 2L))
+      .orderBy($"page", $"rnk")
+  }
+
+  /** q301 — search_after DEEP PAGINATION (X121, r16): page N of a
+    * ranked result without recomputing or shipping pages 1..N−1 — the
+    * Elasticsearch `search_after` device (and the reason its classic
+    * `from + size` is capped at 10k: offset paging makes every shard
+    * ship from+size rows, O(N·k) wire for page N). The cursor is the
+    * LAST (score, doc_id) of the previous page — a total order, so
+    * "after the cursor" is the pure predicate
+    * score < s ∨ (score = s ∧ doc_id > d), and page 2 is an ordinary
+    * top-k over the filtered stream: O(k) wire at ANY depth. The
+    * ranking is q265's BM25 served off the compressed store; the
+    * oracle computes the global top-20 from raw text and splits it
+    * into pages arithmetically — the hash match proves
+    * cursor-filtered page 2 IS ranks 11–20, bit for bit, ties at the
+    * page boundary included (RetrievalSpec additionally pins the
+    * all-ties boundary on a planted frame).
+    *
+    * Scale: both pages probe only the query terms' blocks; the cursor
+    * predicate pushes below the top-k heap (TakeOrdered over the
+    * filtered stream — per-partition heaps of k, never a global
+    * sort); the cursor itself is one row returned to the client. */
+  val q301 = Q(
+    "q301_search_after",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "key", "dup")
+      val docs = Tables(s, dir, "documents")
+      val store = graft.queries.Text.postingStore(docs)
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"))
+      val stats = dl
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"dl").as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      val probed = store.filter($"term".isin(qTerms: _*))
+      val dfreq = probed.groupBy($"term")
+        .agg(sum($"df").cast(LongType).as("df"))
+      val scored = probed.as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, _, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q301: corrupt postings block for term '$t'"))
+            .map { case (doc, tf, _) => (t, doc, tf) }
+        }.toDF("term", "doc_id", "tf")
+        .join(dl, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+      searchAfterPages(scored, pageSize = 10)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT * FROM t WHERE term IN ('spark', 'key', 'dup')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents),
+      sc AS (SELECT tf.doc_id,
+               CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+                 // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1)))
+                 AS BIGINT) AS score_ppm
+             FROM tf JOIN dfr USING (term) CROSS JOIN st GROUP BY 1),
+      r AS (SELECT doc_id, score_ppm,
+              row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rn
+            FROM sc QUALIFY rn <= 20)
+      SELECT CAST((rn - 1) // 10 + 1 AS BIGINT) AS page,
+             CAST((rn - 1) % 10 + 1 AS BIGINT) AS rnk,
+             doc_id, score_ppm
+      FROM r ORDER BY page, rnk"""),
+    doc = "X121: search_after deep pagination — the cursor is the last " +
+      "(score, doc_id) of the previous page, 'after' is the pure total-" +
+      "order predicate, page 2 is a top-k over the filtered stream: " +
+      "O(k) wire at any depth vs offset paging's O(N*k); oracle splits " +
+      "the global from-raw top-20 arithmetically, so the hash proves " +
+      "cursor-filtered page 2 IS ranks 11-20 bit for bit, boundary " +
+      "ties included")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
-    q298, q299)
+    q298, q299, q300, q301)
 }

@@ -73,4 +73,22 @@ class RetrievalSpec extends SparkSpecBase {
     val one = Seq((1L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
     assert(Retrieval.covarianceMicro(spark, one).count() === 2080L)
   }
+
+  test("q301 cursor law: an ALL-TIES page boundary paginates by doc_id " +
+    "with no skip and no repeat (the case offset-free paging must get " +
+    "right)") {
+    import spark.implicits._
+    val scored = ((1L to 25L).map(i => (i, 5000L)) ++
+      Seq((100L, 9000L), (101L, 1000L))).toDF("doc_id", "score_ppm")
+    val pages = Retrieval.searchAfterPages(scored, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // global order: (100, 9000), then the 5000-ties by doc_id 1..25;
+    // the page boundary falls INSIDE the tie run
+    val want = ((100L, 9000L) +: (1L to 19L).map(i => (i, 5000L)))
+      .zipWithIndex.map { case ((d, s), i) =>
+        ((i / 10 + 1).toLong, (i % 10 + 1).toLong, d, s)
+      }
+    assert(pages == want, "cursor skipped or repeated a tied row")
+  }
 }
