@@ -328,6 +328,136 @@ object ReplicatedIndex {
     Replicated(a2, newPrimary, newReplica, rep.dl, rep.stats)
   }
 
+  /** GROW a replicated topology from S to S+1 nodes, INDEX-ONLY
+    * (X119c, q302): q288's elastic grow composed with q294's
+    * replication — when a node joins a replicated tier BOTH copies'
+    * placements can move, and the consistent-hash walk makes every
+    * move enumerable:
+    *
+    *   - PRIMARY moved (class A): the new shard's vnode is now first,
+    *     so the new primary is ALWAYS shard S — and the new REPLICA is
+    *     the doc's OLD PRIMARY (the first distinct-from-S vnode is the
+    *     old first vnode). The old primary copy changes ROLES in place
+    *     (same node, primary block → replica block keyed (op, S)), and
+    *     the new primary copy on S extracts from it.
+    *   - REPLICA moved, primary unchanged (class B): the new replica
+    *     is always shard S; the copy moves from its old node to S.
+    *   - Everything else is untouched — a new vnode ahead of an
+    *     unchanged placement would have captured it (the q288
+    *     argument, run per copy).
+    *
+    * All mover postings extract from TOUCHED OLD-PRIMARY blocks
+    * (strict decode); class-A docs drop from their old primary blocks
+    * and all movers drop from their old replica blocks (q274's
+    * surgery, emptied blocks vanish); the additions regroup at the new
+    * keys — which all involve shard S in one component, so they never
+    * collide with surviving blocks and no merge pass is needed. Gap
+    * coding has no layout freedom ⇒ grown ≡ a from-scratch [[build]]
+    * at S+1, BOTH stores BYTE FOR BYTE (q302's oracle replays that
+    * build; ReplicatedIndexSpec also pins grow∘recoverLost as a
+    * round-trip back to the S-ring build).
+    *
+    * Scale: q288's posture per copy — the decode set is the movers'
+    * touched blocks (~2/(S+1) of the index across both stores), re-key
+    * joins are mover-sized on compact keys, assignment is the
+    * broadcast doubled-ring device over the ID list; raw text never
+    * re-read (the property T40 needs to fire this mid-stream). */
+  def grow(rep: Replicated, oldShards: Int): Replicated = {
+    require(oldShards >= 2, s"grow needs >= 2 shards, got $oldShards")
+    val s = rep.primaryStore.sparkSession
+    import s.implicits._
+    val newShard = oldShards.toLong
+    val ids = rep.dl.select($"doc_id")
+      .withColumn("p", IndexReshard.position($"doc_id"))
+    val a2 = assignPR(ids, oldShards + 1)
+      .select($"doc_id", $"primary", $"replica")
+    val ch = rep.assignments
+      .select($"doc_id", $"primary".as("op"), $"replica".as("or"))
+      .join(a2, "doc_id")
+    val movers = ch.filter($"primary" =!= $"op" || $"replica" =!= $"or")
+    // ---- extract every mover's postings from its old primary blocks
+    val tKeys = movers
+      .select($"op".as("shard"), expr("doc_id DIV 100").as("bucket"))
+      .distinct()
+    val mPost = rep.primaryStore.join(tKeys, Seq("shard", "bucket"))
+      .select($"shard", $"term", $"bucket", $"df", $"bytes")
+      .as[(Long, String, Long, Int, Array[Byte])]
+      .flatMap { case (sh, t, b, n, bytes) =>
+        PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"replicated grow: corrupt primary block $sh/'$t'/$b"))
+          .map(p => (t, b, p._1, p._2, p._3))
+      }.toDF("term", "bucket", "doc_id", "tf", "first_pos")
+      .join(movers, "doc_id")
+    // ---- primary store: class-A docs leave their old blocks…
+    val deadP = movers.filter($"primary" === newShard)
+      .groupBy($"op".as("shard"), expr("doc_id DIV 100").as("bucket"))
+      .agg(collect_set($"doc_id").as("dead"))
+    val untouchedP = rep.primaryStore
+      .join(deadP.select($"shard", $"bucket"), Seq("shard", "bucket"),
+        "left_anti")
+    val keptP = rep.primaryStore.join(deadP, Seq("shard", "bucket"))
+      .select($"shard", $"term", $"bucket", $"df", $"bytes", $"dead")
+      .as[(Long, String, Long, Int, Array[Byte], Seq[Long])]
+      .flatMap { case (sh, t, b, n, bytes, dd) =>
+        val ps = PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"replicated grow: corrupt primary block $sh/'$t'/$b"))
+        val gone = dd.toSet
+        val k = ps.filterNot(p => gone.contains(p._1))
+        if (k.isEmpty) Iterator.empty
+        else Iterator.single((sh, t, b, k.size, PostingCodec.encode(k)))
+      }.toDF("shard", "term", "bucket", "df", "bytes")
+    // …and regroup on the new shard (keys disjoint from survivors)
+    val addP = mPost.filter($"primary" === newShard)
+      .groupBy($"term", $"bucket")
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+      .as[(String, Long, Seq[(Long, Long, Long)])]
+      .map { case (t, b, ps) =>
+        (newShard, t, b, ps.size, PostingCodec.encode(ps))
+      }.toDF("shard", "term", "bucket", "df", "bytes")
+    val newPrimary = untouchedP
+      .select($"shard", $"term", $"bucket", $"df", $"bytes")
+      .unionByName(keptP).unionByName(addP)
+    // ---- replica store: every mover leaves its old replica block…
+    val deadR = movers
+      .groupBy($"or".as("node"), $"op".as("origin"),
+        expr("doc_id DIV 100").as("bucket"))
+      .agg(collect_set($"doc_id").as("dead"))
+    val untouchedR = rep.replicaStore
+      .join(deadR.select($"node", $"origin", $"bucket"),
+        Seq("node", "origin", "bucket"), "left_anti")
+    val keptR = rep.replicaStore.join(deadR, Seq("node", "origin", "bucket"))
+      .select($"node", $"origin", $"term", $"bucket", $"df", $"bytes",
+        $"dead")
+      .as[(Long, Long, String, Long, Int, Array[Byte], Seq[Long])]
+      .flatMap { case (nd, og, t, b, n, bytes, dd) =>
+        val ps = PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"replicated grow: corrupt replica block $nd/$og/'$t'/$b"))
+        val gone = dd.toSet
+        val k = ps.filterNot(p => gone.contains(p._1))
+        if (k.isEmpty) Iterator.empty
+        else Iterator.single((nd, og, t, b, k.size, PostingCodec.encode(k)))
+      }.toDF("node", "origin", "term", "bucket", "df", "bytes")
+    // …and regroups at its new placement — class A at (old primary, S),
+    // class B at (S, primary): both keys carry S, so no survivor merge
+    val addR = mPost
+      .groupBy($"replica".as("node"), $"primary".as("origin"), $"term",
+        $"bucket")
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+      .as[(Long, Long, String, Long, Seq[(Long, Long, Long)])]
+      .map { case (nd, og, t, b, ps) =>
+        (nd, og, t, b, ps.size, PostingCodec.encode(ps))
+      }.toDF("node", "origin", "term", "bucket", "df", "bytes")
+    val newReplica = untouchedR
+      .select($"node", $"origin", $"term", $"bucket", $"df", $"bytes")
+      .unionByName(keptR).unionByName(addR)
+    Replicated(a2, newPrimary, newReplica, rep.dl, rep.stats)
+  }
+
   /** Node `failed` is down: its primaries serve from their replicas
     * (a key-space selection — origin = failed — on nodes that are all
     * ≠ failed by the placement law), everyone else serves primary.

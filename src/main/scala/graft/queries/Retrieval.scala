@@ -1779,33 +1779,39 @@ object Retrieval {
     * buckets); re-key joins are |lost-hosted postings|-sized on
     * compact keys; assignment is the broadcast doubled-ring device
     * over the ID list; untouched blocks never decode. */
-  val q299 = Q(
-    "q299_replica_recovery",
-    (s, dir) => {
-      import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
-      val rec = graft.operators.ReplicatedIndex.recoverLost(rep, 4)
-      rec.primaryStore
-        .select(lit("p").as("store"), $"shard".as("node"),
-          lit(-1L).as("origin"), $"term", $"bucket", $"df", $"bytes")
-        .unionByName(rec.replicaStore
-          .select(lit("r").as("store"), $"node", $"origin", $"term",
-            $"bucket", $"df", $"bytes"))
-        .as[(String, Long, Long, String, Long, Int, Array[Byte])]
-        .map { case (st, node, origin, term, bucket, df, bytes) =>
-          val ok = graft.operators.PostingCodec.decode(bytes, df).isDefined
-          val h = bytes.foldLeft(0L)((a, x) =>
-            (a * 31 + (x & 0xff)) % 1000000007L)
-          (st, node, origin, term, bucket, df.toLong, bytes.length.toLong,
-            h, if (ok) 1L else 0L)
-        }
-        .toDF("store", "node", "origin", "term", "bucket", "df",
-          "n_bytes", "stream_hash", "decode_ok")
-        .orderBy($"store", $"node", $"origin", $"term", $"bucket")
-    },
-    Some(s"""
-      WITH r AS (${graft.queries.Mining.ringSql(3, 16)}),
+  /** The stream-hash evidence map over BOTH stores of a Replicated
+    * topology — shared by q299 (loss recovery) and q302 (replicated
+    * grow). */
+  private def replicatedEvidence(
+      rec: graft.operators.ReplicatedIndex.Replicated)
+      : org.apache.spark.sql.DataFrame = {
+    val s = rec.primaryStore.sparkSession
+    import s.implicits._
+    rec.primaryStore
+      .select(lit("p").as("store"), $"shard".as("node"),
+        lit(-1L).as("origin"), $"term", $"bucket", $"df", $"bytes")
+      .unionByName(rec.replicaStore
+        .select(lit("r").as("store"), $"node", $"origin", $"term",
+          $"bucket", $"df", $"bytes"))
+      .as[(String, Long, Long, String, Long, Int, Array[Byte])]
+      .map { case (st, node, origin, term, bucket, df, bytes) =>
+        val ok = graft.operators.PostingCodec.decode(bytes, df).isDefined
+        val h = bytes.foldLeft(0L)((a, x) =>
+          (a * 31 + (x & 0xff)) % 1000000007L)
+        (st, node, origin, term, bucket, df.toLong, bytes.length.toLong,
+          h, if (ok) 1L else 0L)
+      }
+      .toDF("store", "node", "origin", "term", "bucket", "df",
+        "n_bytes", "stream_hash", "decode_ok")
+      .orderBy($"store", $"node", $"origin", $"term", $"bucket")
+  }
+
+  /** The from-scratch `shards`-ring REPLICATED build replay — q299/
+    * q302's oracle: ring walk for primary AND replica per doc, then
+    * the q258 expansion for BOTH stores. The surgery under test never
+    * enters this SQL. */
+  private def replicatedBuildOracleSql(shards: Int): String = s"""
+      WITH r AS (${graft.queries.Mining.ringSql(shards, 16)}),
       r2 AS (SELECT shard, pos FROM r
              UNION ALL
              SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM r),
@@ -1865,7 +1871,16 @@ object Retrieval {
              CAST(list_reduce(bytes, (h, x) -> (h * 31 + x) % 1000000007)
                AS BIGINT) AS stream_hash,
              CAST(1 AS BIGINT) AS decode_ok
-      FROM b ORDER BY store, node, origin, term, bucket"""),
+      FROM b ORDER BY store, node, origin, term, bucket"""
+
+  val q299 = Q(
+    "q299_replica_recovery",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
+      replicatedEvidence(graft.operators.ReplicatedIndex.recoverLost(rep, 4))
+    },
+    Some(replicatedBuildOracleSql(3)),
     doc = "X119b: replica loss recovery — the dead node's primaries " +
       "PROMOTE from their surviving replica blocks (a doc's S-1-ring " +
       "owner IS its old replica when the primary's vnodes vanish), " +
@@ -1873,6 +1888,44 @@ object Retrieval {
       "placement-unchanged blocks pass byte-untouched, raw text never " +
       "re-read; recovered == from-scratch 3-shard replicated build, " +
       "BOTH stores byte for byte (the oracle replays that build)")
+
+  /** q302 — GROW a REPLICATED topology, index-only (X119c, r16): the
+    * two elastic axes composed — q288's consistent-hash grow applied
+    * to q294's two-copy topology, the operation a replicated tier runs
+    * when a node joins (Elasticsearch allocates new-node shards AND
+    * rebalances replicas). The walk makes every move enumerable: a
+    * moved PRIMARY always lands on the new shard with the doc's OLD
+    * PRIMARY becoming its replica (the old copy changes roles in
+    * place); a moved REPLICA always lands on the new shard; everything
+    * else passes byte-untouched. All mover postings extract from the
+    * old primary blocks — raw text never re-read — and every new block
+    * key carries the new shard in one component, so additions never
+    * collide with survivors. Grown ≡ from-scratch replicated build at
+    * S+1, BOTH stores BYTE FOR BYTE — the oracle replays that build
+    * (primary + replica ring walk per doc, q258 expansion for both
+    * stores; the surgery never enters it), hash-matched at all 3 SFs.
+    * ReplicatedIndexSpec pins the class laws and the grow∘recoverLost
+    * round-trip back to the S-ring build; T40 fires this grow
+    * MID-STREAM.
+    *
+    * Scale: q288's posture per copy — decode set = the movers'
+    * touched blocks (~2/(S+1) of the index across both stores),
+    * mover-sized re-key joins on compact keys, broadcast doubled
+    * ring over the ID list. */
+  val q302 = Q(
+    "q302_replicated_grow",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 3)
+      replicatedEvidence(graft.operators.ReplicatedIndex.grow(rep, 3))
+    },
+    Some(replicatedBuildOracleSql(4)),
+    doc = "X119c: replicated-topology grow 3->4, INDEX-ONLY — moved " +
+      "primaries land on the new shard with the old primary copy " +
+      "changing roles to replica in place, moved replicas land on the " +
+      "new shard, untouched blocks pass byte-identical, raw text never " +
+      "re-read; grown == from-scratch 4-node replicated build, BOTH " +
+      "stores byte for byte (the oracle replays that build)")
 
   /** q298 — BM25F multi-field ranking (X110d, r16): real corpora score
     * fields differently — a title hit is worth more than a body hit —
@@ -2195,5 +2248,5 @@ object Retrieval {
 
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
-    q298, q299, q300, q301)
+    q298, q299, q300, q301, q302)
 }

@@ -115,6 +115,40 @@ object StreamingReplicatedIndex {
     else RiState(pSegs, rSegs, seenUnion, dlUnion, state.nShards, nBatches)
   }
 
+  /** A node joins MID-STREAM (T40, r16): compact both copies, run
+    * q302's index-only replicated grow (the old assignment recomputes
+    * deterministically from the dl sidecar's ids at the current ring —
+    * no assignment state is carried), grow the ring. Later batches
+    * place at the grown ring. Serving — including failover of ANY
+    * node — is invariant across the topology change (global-stats
+    * argument); StreamingSpec T40 pins it plus the final byte law at
+    * the grown ring. */
+  def grow(state: RiState): RiState = state.primSegs match {
+    case Nil =>
+      state.copy(nShards = state.nShards + 1)
+    case pSegs =>
+      val prim =
+        if (pSegs.lengthCompare(1) > 0)
+          StreamingElasticIndex.mergeSharded(pSegs)
+        else pSegs.head
+      val repl =
+        if (state.replSegs.lengthCompare(1) > 0) mergeReplica(state.replSegs)
+        else state.replSegs.head
+      val s = prim.sparkSession
+      import s.implicits._
+      val ids = state.dl.select($"doc_id")
+        .withColumn("p", IndexReshard.position($"doc_id"))
+      val aOld = ReplicatedIndex.assignPR(ids, state.nShards)
+        .select($"doc_id", $"primary", $"replica")
+      val grown = ReplicatedIndex.grow(
+        ReplicatedIndex.Replicated(aOld, prim, repl, state.dl,
+          stats(state.dl)),
+        state.nShards)
+      RiState(List(grown.primaryStore.barrier()),
+        List(grown.replicaStore.barrier()),
+        state.seenIds, state.dl, state.nShards + 1, state.batches)
+  }
+
   private def stats(dl: DataFrame): DataFrame = {
     val s = dl.sparkSession
     import s.implicits._

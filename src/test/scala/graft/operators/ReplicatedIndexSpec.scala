@@ -137,6 +137,60 @@ class ReplicatedIndexSpec extends SparkSpecBase {
       rows(ReplicatedIndex.servePrimary(rep, qTerms, 15)))
   }
 
+  private def pMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        (r.getInt(3), r.getAs[Array[Byte]](4).toSeq)
+    }.toMap
+  private def rMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)) ->
+        (r.getInt(4), r.getAs[Array[Byte]](5).toSeq)
+    }.toMap
+
+  test("replicated grow: grown == from-scratch S+1 replicated build, " +
+    "BOTH stores byte for byte, at two ring sizes") {
+    for (s0 <- Seq(2, 3)) {
+      val rep = ReplicatedIndex.build(docs, s0)
+      val grown = ReplicatedIndex.grow(rep, s0)
+      val want = ReplicatedIndex.build(docs, s0 + 1)
+      assert(pMap(grown.primaryStore) == pMap(want.primaryStore),
+        s"grow $s0 -> ${s0 + 1}: primary store diverged")
+      assert(rMap(grown.replicaStore) == rMap(want.replicaStore),
+        s"grow $s0 -> ${s0 + 1}: replica store diverged")
+    }
+  }
+
+  test("grow class laws: a moved primary lands on the NEW shard with " +
+    "its old primary as replica; a moved replica lands on the new shard") {
+    val rep = ReplicatedIndex.build(docs, 3)
+    val grown = ReplicatedIndex.grow(rep, 3)
+    val joined = rep.assignments
+      .select($"doc_id", $"primary".as("op"), $"replica".as("or"))
+      .join(grown.assignments, "doc_id").collect()
+    var (nA, nB) = (0, 0)
+    joined.foreach { r =>
+      val (op, or, np, nr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (np != op) {
+        nA += 1
+        assert(np === 3L, s"doc ${r.getLong(0)}: moved primary not on S")
+        assert(nr === op, s"doc ${r.getLong(0)}: class-A replica != old primary")
+      } else if (nr != or) {
+        nB += 1
+        assert(nr === 3L, s"doc ${r.getLong(0)}: moved replica not on S")
+      }
+    }
+    assert(nA > 0 && nB > 0, s"weak fixture: classes A=$nA B=$nB")
+  }
+
+  test("grow then recoverLost round-trips to the S-ring replicated build") {
+    val rep = ReplicatedIndex.build(docs, 3)
+    val back = ReplicatedIndex.recoverLost(ReplicatedIndex.grow(rep, 3), 4)
+    assert(pMap(back.primaryStore) == pMap(rep.primaryStore))
+    assert(rMap(back.replicaStore) == rMap(rep.replicaStore))
+  }
+
   test("failover routing: nothing serves FROM the dead node; its " +
     "primaries answer from their replica nodes") {
     val rep = ReplicatedIndex.build(docs, 4)

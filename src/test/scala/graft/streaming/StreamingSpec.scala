@@ -2634,4 +2634,91 @@ class StreamingSpec extends SparkSpecBase {
       $"bytes")) === rMap(want.replicaStore),
       "final replica store != batch replicated build")
   }
+
+  test("T40: streaming replicated index — a node JOINS mid-stream " +
+    "(q302's index-only replicated grow under a live stream), serving " +
+    "and failover invariant across the topology change, ingest " +
+    "continues at the grown ring, final stores byte-equal to the " +
+    "grown-ring replicated build") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingReplicatedIndex
+    import graft.operators.ReplicatedIndex
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    val qTerms = Seq("spark", "window", "merge", "dup")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("doc_id", "score_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def fromScratch(delivered: Seq[(Long, String)]): Seq[(Long, Long)] = {
+      val df = delivered.toDF("doc_id", "text")
+      val dl = df.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("dl"))
+      StreamingPostings.serve(
+        StreamingPostings.PsState(
+          List(graft.queries.Text.postingStore(df)),
+          dl.select($"doc_id"), dl), qTerms, 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val waves = docs.grouped(math.max(1, docs.length / 4)).toSeq
+    var st = StreamingReplicatedIndex.freeze(s, nShards = 3)
+    var delivered = Seq.empty[(Long, String)]
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingReplicatedIndex.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      val want = fromScratch(delivered)
+      assert(rows(StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+        === want, s"primary serving diverged after wave $i")
+      // failover of any CURRENT node must change nothing — before AND
+      // after the mid-stream grow
+      for (x <- 0L until st.nShards.toLong)
+        assert(rows(StreamingReplicatedIndex
+          .serveFailover(st, x, qTerms, 20)) === want,
+          s"failover of node $x diverged after wave $i (S=${st.nShards})")
+      if (i == 1) {
+        val before = rows(StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+        st = StreamingReplicatedIndex.grow(st)
+        assert(st.nShards === 4)
+        assert(rows(StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+          === before, "the mid-stream replicated grow changed an answer")
+      }
+    }
+    qy.stop()
+    // byte law: final stores == the batch replicated build at the
+    // grown ring (pre-grow arrivals moved by the surgery, post-grow
+    // arrivals placed by the grown ring — one canonical pair of stores)
+    val finP =
+      if (st.primSegs.lengthCompare(1) > 0)
+        StreamingElasticIndex.mergeSharded(st.primSegs)
+      else st.primSegs.head
+    val finR =
+      if (st.replSegs.lengthCompare(1) > 0)
+        StreamingReplicatedIndex.mergeReplica(st.replSegs)
+      else st.replSegs.head
+    val want = ReplicatedIndex.build(delivered.toDF("doc_id", "text"), 4)
+    def pMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)) ->
+          (r.getInt(3), r.getAs[Array[Byte]](4).toSeq)
+      }.toMap
+    def rMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)) ->
+          (r.getInt(4), r.getAs[Array[Byte]](5).toSeq)
+      }.toMap
+    assert(pMap(finP.select($"shard", $"term", $"bucket", $"df", $"bytes"))
+      === pMap(want.primaryStore),
+      "final primary store != grown-ring replicated build")
+    assert(rMap(finR.select($"node", $"origin", $"term", $"bucket", $"df",
+      $"bytes")) === rMap(want.replicaStore),
+      "final replica store != grown-ring replicated build")
+  }
 }
