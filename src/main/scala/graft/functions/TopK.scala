@@ -159,14 +159,21 @@ object TopKLong {
   * unambiguous, so partition/merge order cannot change the result.
   * `tag` is an opaque Long payload carried alongside. */
 class TopKStr(k: Int)
-    extends Aggregator[(Long, String, Long), Seq[TopKStr.EntryS], Seq[TopKStr.EntryS]] {
-  import TopKStr.EntryS
+    extends Aggregator[(Long, String, Long), Seq[TopKStr.EntryB], Seq[TopKStr.EntryS]] {
+  import TopKStr.{EntryB, EntryS}
 
   require(k > 0, s"TopKStr: k must be positive, got $k")
 
-  private def cmpUtf8(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  // The buffer caches each entry's UTF-8 bytes alongside the String
+  // (ADVICE r16): cmpUtf8 used to allocate TWO fresh byte arrays per
+  // comparison and reduce scanned the buffer linearly, so a hot group
+  // (q172's vocabulary-sized aggregate) paid O(k) encodings per input
+  // row. Now the candidate encodes ONCE per reduce call, buffer
+  // entries never re-encode, and the insertion point binary-searches
+  // — the hot path (candidate worse than the k-th) is one
+  // allocation-free compare. Semantics are unchanged: the order is
+  // still (score DESC, id ASC by unsigned UTF-8 bytes).
+  private def cmpBytes(x: Array[Byte], y: Array[Byte]): Int = {
     val n = math.min(x.length, y.length)
     var i = 0
     while (i < n) {
@@ -177,42 +184,69 @@ class TopKStr(k: Int)
     x.length - y.length
   }
 
-  private val ord: Ordering[EntryS] = new Ordering[EntryS] {
-    def compare(a: EntryS, b: EntryS): Int = {
-      val c = java.lang.Long.compare(b.score, a.score) // score DESC
-      if (c != 0) c else cmpUtf8(a.id, b.id)            // id ASC, utf-8
-    }
-  }
+  // candidate (s, bytes) vs entry e — true when the candidate ranks
+  // strictly better (score DESC, then id ASC by unsigned UTF-8 bytes)
+  private def beats(s: Long, idb: Array[Byte], e: EntryB): Boolean =
+    s > e.score || (s == e.score && cmpBytes(idb, e.idBytes) < 0)
 
-  private def beats(s: Long, id: String, e: EntryS): Boolean =
-    s > e.score || (s == e.score && cmpUtf8(id, e.id) < 0)
+  override def zero: Seq[EntryB] = Vector.empty
 
-  override def zero: Seq[EntryS] = Vector.empty
-
-  override def reduce(b: Seq[EntryS], a: (Long, String, Long)): Seq[EntryS] = {
+  override def reduce(b: Seq[EntryB], a: (Long, String, Long)): Seq[EntryB] = {
     val (s, id, tag) = a
-    if (b.length == k && !beats(s, id, b(k - 1))) b
+    // cheap pre-check on score alone before paying the one encode
+    if (b.length == k && s < b(k - 1).score) b
     else {
-      val i = b.indexWhere(e => beats(s, id, e)) match {
-        case -1 => b.length
-        case x  => x
+      val idb = id.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (b.length == k && !beats(s, idb, b(k - 1))) b
+      else {
+        // binary search: lowest index whose entry the candidate beats
+        var lo = 0
+        var hi = b.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (beats(s, idb, b(mid))) hi = mid else lo = mid + 1
+        }
+        val inserted = (b.take(lo) :+ EntryB(s, id, idb, tag)) ++ b.drop(lo)
+        if (inserted.length > k) inserted.take(k) else inserted
       }
-      val inserted = (b.take(i) :+ EntryS(s, id, tag)) ++ b.drop(i)
-      if (inserted.length > k) inserted.take(k) else inserted
     }
   }
 
-  override def merge(x: Seq[EntryS], y: Seq[EntryS]): Seq[EntryS] =
-    (x ++ y).sorted(ord).take(k)
+  override def merge(x: Seq[EntryB], y: Seq[EntryB]): Seq[EntryB] = {
+    // both sides are sorted best-first (the buffer invariant): one
+    // allocation-free linear merge, stop at k
+    val out = Vector.newBuilder[EntryB]
+    var i = 0
+    var j = 0
+    var n = 0
+    val lim = math.min(k, x.length + y.length)
+    while (n < lim) {
+      val takeX =
+        if (i == x.length) false
+        else if (j == y.length) true
+        else {
+          val a = x(i); val b = y(j)
+          val c = java.lang.Long.compare(b.score, a.score)
+          (if (c != 0) c else cmpBytes(a.idBytes, b.idBytes)) <= 0
+        }
+      if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
 
-  override def finish(r: Seq[EntryS]): Seq[EntryS] = r
+  override def finish(r: Seq[EntryB]): Seq[EntryS] =
+    r.map(e => EntryS(e.score, e.id, e.tag))
 
-  override def bufferEncoder: Encoder[Seq[EntryS]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EntryS]]()
+  override def bufferEncoder: Encoder[Seq[EntryB]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EntryB]]()
   override def outputEncoder: Encoder[Seq[EntryS]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[EntryS]]()
 }
 
 object TopKStr {
+  /** Buffer entry: the id's UTF-8 bytes ride alongside so comparisons
+    * never re-encode (ADVICE r16). */
+  case class EntryB(score: Long, id: String, idBytes: Array[Byte], tag: Long)
   case class EntryS(score: Long, id: String, tag: Long)
 }

@@ -101,13 +101,17 @@ object ForCodec {
       -1L
     }
     def unpack(count: Int): Option[Seq[Long]] = {
-      if (pos >= bytes.length) return None
+      if (count < 0 || pos >= bytes.length) return None
       val w = bytes(pos) & 0xff
       pos += 1
       if (w < 1 || w > 63) return None
       if (count == 0 && w != 1) return None // canonical empty-section width
-      val nbytes = (count * w + 7) / 8
-      if (pos + nbytes > bytes.length) return None
+      // width math in Long (ADVICE r16): `count * w` as Int overflows
+      // for counts near 2^31/w, making nbytes negative so the bounds
+      // check passes and the read loop walks off the array
+      val nbytesL = (count.toLong * w + 7) / 8
+      if (nbytesL > (bytes.length - pos).toLong) return None
+      val nbytes = nbytesL.toInt
       val vs = new Array[Long](count)
       var acc = 0L
       var nbits = 0
@@ -225,13 +229,15 @@ object ForCodec {
       -1L
     }
     def unpack(count: Int): Option[Seq[Long]] = {
-      if (pos >= bytes.length) return None
+      if (count < 0 || pos >= bytes.length) return None
       val w = bytes(pos) & 0xff
       pos += 1
       if (w < 1 || w > 63) return None
       if (count == 0 && w != 1) return None // canonical empty-section width
-      val nbytes = (count * w + 7) / 8
-      if (pos + nbytes > bytes.length) return None
+      // width math in Long (ADVICE r16): see [[decode]]'s unpack
+      val nbytesL = (count.toLong * w + 7) / 8
+      if (nbytesL > (bytes.length - pos).toLong) return None
+      val nbytes = nbytesL.toInt
       val vs = new Array[Long](count)
       var acc = 0L
       var nbits = 0
@@ -263,9 +269,15 @@ object ForCodec {
     if (cnt != n.toLong) return None
     val gaps = unpack(n - 1).getOrElse(return None)
     val nps = unpack(n).getOrElse(return None)
-    if (gaps.exists(_ < 1) || nps.exists(_ < 1)) return None
+    // reject npos values that can't fit an Int BEFORE any .toInt (a
+    // crafted block claiming npos = 2^31 used to wrap negative) and
+    // bound the claimed position-gap total by what the remaining bytes
+    // could possibly hold at the minimum 1-bit width (ADVICE r16)
+    if (gaps.exists(_ < 1) ||
+        nps.exists(v => v < 1 || v > Int.MaxValue.toLong)) return None
     val totalPg = nps.map(_ - 1).sum
-    if (totalPg > Int.MaxValue.toLong) return None
+    if (totalPg > Int.MaxValue.toLong ||
+        totalPg > (bytes.length - pos).toLong * 8) return None
     val fps = unpack(n).getOrElse(return None)
     val pgs = unpack(totalPg.toInt).getOrElse(return None)
     if (fps.exists(_ < 1) || pgs.exists(_ < 1)) return None

@@ -76,7 +76,14 @@ object IndexReshard {
 
   /** Clockwise-next-vnode assignment (q162's as-of-shaped device):
     * smallest vnode pos ≥ the doc's pos, wrapping to the ring's
-    * global minimum. Input needs a `p` position column. */
+    * global minimum. Input needs a `p` position column.
+    *
+    * Scale note (r16 verdict): the `pos >= p` join fans each doc to
+    * ~S·16 candidate vnode rows before the min-struct — always over
+    * the ID LIST, never the corpus, fine at tested shard counts. At
+    * hundreds of shards, replace with a broadcast SORTED positions
+    * array + one binary-search expression per doc (O(log S)); the
+    * walk semantics are identical. */
   private[graft] def assign(docs: DataFrame, shards: Int,
       outCol: String): DataFrame = {
     val s = docs.sparkSession

@@ -62,7 +62,19 @@ object ReplicatedIndex {
     * (doc_id, p); output adds (primary, replica). The ring is DOUBLED
     * (each vnode again at pos + 2⁶⁰, one past the 15-hex position
     * domain) so the clockwise walk from any p is a plain ORDER BY over
-    * rpos ≥ p — wrap-around included, no COALESCE branch. */
+    * rpos ≥ p — wrap-around included, no COALESCE branch.
+    *
+    * Duplicate doc_ids are dropped defensively (ADVICE r16, the same
+    * guard IndexReshard.grow/shrink carry): a duplicated id would mint
+    * duplicate assignment rows and non-strictly-ascending posting
+    * lists, failing much later with an opaque encode/merge error.
+    *
+    * Scale note (r16 verdict): the `rpos >= p` join fans each doc to
+    * ~S·16 candidate vnode rows before the min-struct — the q162
+    * device over the ID LIST (never the corpus), fine at tested shard
+    * counts. At hundreds of shards, replace with a broadcast SORTED
+    * positions array + one binary-search expression per doc (O(log S)
+    * candidates instead of O(S·16)); the walk semantics are identical. */
   private[graft] def assignPR(docs: DataFrame, shards: Int): DataFrame = {
     require(shards >= 2, s"replication needs >= 2 shards, got $shards")
     val s = docs.sparkSession
@@ -70,7 +82,7 @@ object ReplicatedIndex {
     val r = IndexReshard.ring(s, shards)
     val doubled = r.select($"shard", $"pos".as("rpos"))
       .unionByName(r.select($"shard", ($"pos" + lit(1L << 60)).as("rpos")))
-    val cands = docs.select($"doc_id", $"p")
+    val cands = docs.select($"doc_id", $"p").dropDuplicates("doc_id")
       .join(broadcast(doubled), $"rpos" >= $"p")
     val prim = cands.groupBy($"doc_id")
       .agg(min(struct($"rpos", $"shard")).as("m"))
@@ -109,12 +121,16 @@ object ReplicatedIndex {
   }
 
   /** Ingest: place every doc (primary + replica), build BOTH copies'
-    * stores and the serving sidecars. */
+    * stores and the serving sidecars. Duplicate doc_ids drop
+    * defensively at the boundary (ADVICE r16 — [[assignPR]]'s note);
+    * exact duplicates are harmless, ids duplicated with DIFFERENT text
+    * are the caller's bug and keep an arbitrary row. */
   def build(docs: DataFrame, nShards: Int): Replicated = {
     val s = docs.sparkSession
     import s.implicits._
-    val positioned = docs.select($"doc_id", $"text",
-      IndexReshard.position($"doc_id").as("p"))
+    val positioned = docs.dropDuplicates("doc_id")
+      .select($"doc_id", $"text",
+        IndexReshard.position($"doc_id").as("p"))
     val a = assignPR(positioned, nShards)
     val assignments = a.select($"doc_id", $"primary", $"replica")
     val primaryStore = ShardedIndex.buildStore(
@@ -122,7 +138,7 @@ object ReplicatedIndex {
     val replicaStore = buildReplicaStore(
       a.select($"replica".as("node"), $"primary".as("origin"),
         $"doc_id", $"text"))
-    val dl = docs.select($"doc_id",
+    val dl = positioned.select($"doc_id",
       size(split($"text", " ")).cast(LongType).as("dl"))
     val stats = dl
       .agg(count(lit(1)).cast(LongType).as("n_docs"),

@@ -2143,14 +2143,20 @@ object Retrieval {
     val page1 = scored.orderBy($"score_ppm".desc, $"doc_id").limit(pageSize)
     // the cursor: page 1's LAST row — a 1-row reduced aggregate (the
     // sanctioned driver-side class; a real serving tier returns it to
-    // the CLIENT, which sends it back for page 2)
-    val cur = page1.orderBy($"score_ppm".asc, $"doc_id".desc).limit(1)
-      .collect()(0)
-    val (cDoc, cScore) = (cur.getLong(0), cur.getLong(1))
-    val page2 = scored
-      .filter($"score_ppm" < cScore ||
-        ($"score_ppm" === cScore && $"doc_id" > cDoc))
-      .orderBy($"score_ppm".desc, $"doc_id").limit(pageSize)
+    // the CLIENT, which sends it back for page 2). headOption: an
+    // EMPTY scored frame (no query term matched — possible for spec
+    // callers on sparse corpora, ADVICE r16) has no cursor, and both
+    // pages are empty rather than a crash.
+    val page2 = page1.orderBy($"score_ppm".asc, $"doc_id".desc).limit(1)
+      .collect().headOption match {
+      case Some(cur) =>
+        val (cDoc, cScore) = (cur.getLong(0), cur.getLong(1))
+        scored
+          .filter($"score_ppm" < cScore ||
+            ($"score_ppm" === cScore && $"doc_id" > cDoc))
+          .orderBy($"score_ppm".desc, $"doc_id").limit(pageSize)
+      case None => scored.limit(0)
+    }
     def paged(df: org.apache.spark.sql.DataFrame, page: Long) =
       df.withColumn("rnk", row_number().over(
           org.apache.spark.sql.expressions.Window
