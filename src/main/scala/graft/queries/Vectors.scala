@@ -1867,7 +1867,156 @@ object Vectors {
       "candidate-bounded rerank; q286's unsharded oracle proves " +
       "scatter-gather == single-store serving bit for bit")
 
+  /** q303 — REPLICATED SQ8 ANN serving with FAILOVER (X122, r17): the
+    * r16 verdict's "missing #1" — the text tier survives a node loss
+    * with answers unchanged (q294/q299) but every vector store stayed
+    * single-copy; a node loss loses that shard's codes, which no
+    * production vector tier accepts (Milvus/Qdrant replica sets, ES
+    * dense-vector `number_of_replicas`).
+    * [[graft.operators.ReplicatedCodes]] applies q294's preference-
+    * list device VERBATIM to the q286 code rows — per-vec Dynamo
+    * placement on an independent md5 ring (positions from
+    * md5("vec" ‖ vec_id)), both copies emitted at ingest (primary
+    * keyed (shard, …), replica keyed (node, origin, …)) — and this
+    * query serves a 4-node topology WITH NODE 1 DOWN: node 1's vecs
+    * answer from their replica rows (all on nodes ≠ 1 by the placement
+    * law), everyone else serves primary. Strictly EASIER than text:
+    * code distance is a pure (query, vector) pair function — no df
+    * step to keep exact — so any corpus-partitioning selection yields
+    * the identical stage-1 candidate set and the q283 containment law
+    * closes with no stats argument at all. Stage 2 reranks the 50
+    * survivors by exact integer-micros L2, q286-verbatim. The oracle
+    * is q286's unsharded two-stage replay (the topology never enters
+    * it) EXTENDED with a ring-walk replay over the final top-10:
+    * score columns pin answer-invariance under failover bit for bit,
+    * served_from/role pin that the probe actually routed around the
+    * dead node. ReplicatedCodesSpec pins the remaining laws: failover
+    * candidate-invariance for EVERY choice of failed node, primary ≠
+    * replica everywhere, both copies carrying identical payloads, and
+    * recoverLost ≡ a from-scratch S−1 build (set equality, both
+    * stores).
+    *
+    * Scale: placement is one broadcast join against the doubled
+    * 2·S·16-row ring over the vec-ID list; ingest pays replication's
+    * 2× copy cost on 4×-compressed codes; the failover probe streams
+    * only the routed selection (corpus/S per surviving node,
+    * embarrassingly parallel) against the broadcast query set,
+    * per-(node, query) bounded TopKLong (≤ 50 rows on the wire), exact
+    * k·S gather, candidate-bounded rerank — q296's posture unchanged
+    * by replication. */
+  val q303 = Q(
+    "q303_replicated_sq8_failover",
+    (s, dir) => {
+      import s.implicits._
+      val failed = 1L
+      val emb = Tables(s, dir, "embeddings")
+      // ---- ingest: the q286 SQ8 store, replicated on the vec ring
+      val codes = emb
+        .select($"vec_id", $"embedding",
+          VectorOps.absMax($"embedding").as("amax"))
+        .select($"vec_id",
+          rint($"amax" * lit(1e3)).cast(LongType).as("am"),
+          VectorOps.quantize8($"embedding", $"amax").as("qv"))
+      val queries = codes.filter($"vec_id" < 4)
+        .select($"vec_id".as("q_id"), $"am".as("q_am"), $"qv".as("q_qv"))
+      val rep = graft.operators.ReplicatedCodes.build(codes, nShards = 4)
+      // ---- stage 1: failover scatter-gather (node 1 down)
+      val cand = graft.operators.ReplicatedCodes
+        .serveFailover(rep, failed, queries, k = 50)
+      // ---- stage 2: exact integer-micros L2 rerank (q286 verbatim)
+      val mv = emb.select($"vec_id",
+        VectorOps.microsVec($"embedding").as("mv"))
+      val w = Window.partitionBy($"q_id").orderBy($"edist".asc, $"vec_id".asc)
+      cand
+        .join(mv, "vec_id")
+        .join(broadcast(mv.filter($"vec_id" < 4)
+          .select($"vec_id".as("q_id"), $"mv".as("q_mv"))), "q_id")
+        .withColumn("edist", expr(
+          """aggregate(zip_with(q_mv, mv, (x, y) -> (x - y) * (x - y)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter($"rn" <= 10)
+        .join(rep.assignments, "vec_id")
+        .select($"q_id", $"rn", $"vec_id", $"adist", $"edist",
+          $"node".as("served_from"),
+          when($"primary" === failed, lit("r")).otherwise(lit("p"))
+            .as("role"))
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH k AS (SELECT vec_id, embedding,
+                   ${VectorOps.absMaxSql("embedding")} AS amax
+                 FROM embeddings),
+      c AS (SELECT vec_id,
+              CAST(CAST(amax AS DECIMAL(18,3)) * 1000 AS BIGINT) AS am,
+              CASE WHEN amax = 0
+                   THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(embedding, x ->
+                     CAST(round(CAST(x AS DOUBLE) / amax * 127) AS BIGINT))
+              END AS qv
+            FROM k),
+      q AS (SELECT vec_id AS q_id, am AS q_am, qv AS q_qv
+            FROM c WHERE vec_id < 4),
+      s1 AS (SELECT q.q_id, e.vec_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 65), i ->
+                   (q.q_qv[CAST(i AS INT)] * q.q_am -
+                    e.qv[CAST(i AS INT)] * e.am) *
+                   (q.q_qv[CAST(i AS INT)] * q.q_am -
+                    e.qv[CAST(i AS INT)] * e.am))),
+                 (acc, v) -> acc + v) AS adist
+             FROM c e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      cand AS (SELECT q_id, vec_id, adist FROM s1
+               QUALIFY row_number() OVER (PARTITION BY q_id
+                 ORDER BY adist, vec_id) <= 50),
+      m AS (SELECT vec_id, list_transform(embedding, x ->
+              CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000
+                   AS BIGINT)) AS mv
+            FROM embeddings),
+      r AS (SELECT cand.q_id, cand.vec_id, cand.adist,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, 65), i ->
+                  (qm.mv[CAST(i AS INT)] - dm.mv[CAST(i AS INT)]) *
+                  (qm.mv[CAST(i AS INT)] - dm.mv[CAST(i AS INT)]))),
+                (acc, v) -> acc + v) AS edist
+            FROM cand JOIN m dm ON cand.vec_id = dm.vec_id
+                      JOIN m qm ON cand.q_id = qm.vec_id),
+      top AS MATERIALIZED (SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY edist, vec_id) AS BIGINT) AS rn,
+               vec_id, adist, edist
+             FROM r QUALIFY rn <= 10),
+      rg AS (${graft.queries.Mining.ringSql(4, 16)}),
+      r2 AS (SELECT shard, pos FROM rg
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM rg),
+      pd AS (SELECT top.*,
+               CAST(('0x' || substr(md5('vec' || vec_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM top),
+      pr AS (SELECT pd.*,
+               (SELECT r2.shard FROM r2 WHERE r2.pos >= pd.p
+                ORDER BY r2.pos, r2.shard LIMIT 1) AS prim
+             FROM pd),
+      pr2 AS (SELECT pr.*,
+                (SELECT r2.shard FROM r2
+                 WHERE r2.pos >= pr.p AND r2.shard <> pr.prim
+                 ORDER BY r2.pos, r2.shard LIMIT 1) AS repl
+              FROM pr)
+      SELECT q_id, rn, vec_id, adist, edist,
+        CAST(CASE WHEN prim = 1 THEN repl ELSE prim END AS BIGINT)
+          AS served_from,
+        CASE WHEN prim = 1 THEN 'r' ELSE 'p' END AS role
+      FROM pr2 ORDER BY q_id, rn"""),
+    doc = "X122: replicated SQ8 ANN serving with node-1 failover — " +
+      "Dynamo preference-list placement on an independent vec ring, " +
+      "both code copies at ingest, the dead node's vecs served from " +
+      "replica rows by pure key-space selection; code distance is a " +
+      "per-pair function so failover is candidate-invariant with no " +
+      "stats step; q286's two-stage oracle extended with a ring replay " +
+      "pins answer-invariance AND the served_from/role routing evidence")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
     q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250,
-    q280, q286, q290, q296)
+    q280, q286, q290, q296, q303)
 }
