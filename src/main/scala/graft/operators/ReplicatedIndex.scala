@@ -236,6 +236,83 @@ object ReplicatedIndex {
       .unionByName(merged)
   }
 
+  /** q274's block-local takedown surgery generalized to any
+    * (k1, k2, term, bucket, df, bytes)-keyed store: blocks of buckets
+    * holding dead ids decode (strict), drop the dead postings and
+    * re-encode; blocks whose bucket holds no dead id pass through
+    * byte-UNTOUCHED (never decoded); emptied blocks vanish. `deadB` is
+    * the (bucket, dead ids) grouping. */
+  private[graft] def dropFromBlocks(store: DataFrame,
+      deadB: DataFrame): DataFrame = {
+    val s = store.sparkSession
+    import s.implicits._
+    store.join(deadB, Seq("bucket"), "left")
+      .select($"k1", $"k2", $"term", $"bucket", $"df", $"bytes", $"dead")
+      .as[(Long, Long, String, Long, Int, Array[Byte], Option[Seq[Long]])]
+      .flatMap {
+        case (k1, k2, t, b, n, bytes, None) =>
+          // bucket untouched: bytes pass through, never re-coded
+          Iterator.single((k1, k2, t, b, n, bytes))
+        case (k1, k2, t, b, n, bytes, Some(dd)) =>
+          val ps = PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"replicated takedown: corrupt block $k1/$k2/'$t'/$b"))
+          val gone = dd.toSet
+          val kept = ps.filterNot(p => gone.contains(p._1))
+          if (kept.isEmpty) Iterator.empty
+          else Iterator.single(
+            (k1, k2, t, b, kept.size, PostingCodec.encode(kept)))
+      }
+      .toDF("k1", "k2", "term", "bucket", "df", "bytes")
+  }
+
+  /** TAKEDOWN on the replicated topology (X119d, q304): the
+    * right-to-be-forgotten event against a TWO-COPY store — q274
+    * deletes from the single-copy postings store, but a replicated
+    * tier must run the same block surgery on BOTH copies or the dead
+    * doc keeps serving the moment any node fails over (the
+    * compliance hole: ES deletes propagate primary → replica before
+    * acking). One law, both stores: buckets holding dead ids decode,
+    * drop and re-encode; every other block passes byte-UNTOUCHED;
+    * emptied blocks vanish; the dl/assignment sidecars and global
+    * stats shrink to the survivors. Gap coding has no layout freedom
+    * ⇒ maintained ≡ a from-scratch [[build]] over the surviving
+    * corpus, BOTH stores BYTE FOR BYTE — q304's oracle replays
+    * exactly that build (the surgery never enters it).
+    *
+    * Scale: q274's posture twice — the dead set groups to
+    * bucket-count-bounded (bucket → ids) arrays; each store pays one
+    * equi-join on the compact bucket key (no forced broadcast — AQE
+    * decides at takedown scale); re-encode cost is |touched blocks| ×
+    * block width per copy, never corpus-shaped. */
+  def takedown(rep: Replicated, deadIds: DataFrame): Replicated = {
+    val s = rep.primaryStore.sparkSession
+    import s.implicits._
+    val dead = deadIds
+      .select(col(deadIds.columns.head).cast("long").as("doc_id"))
+      .distinct()
+    val deadB = dead
+      .groupBy(expr("doc_id DIV 100").as("bucket"))
+      .agg(sort_array(collect_list($"doc_id")).as("dead"))
+    val newPrimary = dropFromBlocks(
+      rep.primaryStore.select($"shard".as("k1"), lit(-1L).as("k2"),
+        $"term", $"bucket", $"df", $"bytes"), deadB)
+      .select($"k1".as("shard"), $"term", $"bucket", $"df", $"bytes")
+    val newReplica = dropFromBlocks(
+      rep.replicaStore.select($"node".as("k1"), $"origin".as("k2"),
+        $"term", $"bucket", $"df", $"bytes"), deadB)
+      .select($"k1".as("node"), $"k2".as("origin"), $"term", $"bucket",
+        $"df", $"bytes")
+    val dl = rep.dl.join(dead, Seq("doc_id"), "left_anti")
+    val stats = dl
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum($"dl").as("l_total"))
+      .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+    Replicated(
+      rep.assignments.join(dead, Seq("doc_id"), "left_anti"),
+      newPrimary, newReplica, dl, stats)
+  }
+
   /** PERMANENT loss of the highest node (X119b, q299): [[serveFailover]]
     * keeps answering the moment a node dies, but a tier running on one
     * copy of the dead node's docs is one more failure from data loss —

@@ -1807,10 +1807,12 @@ object Retrieval {
   }
 
   /** The from-scratch `shards`-ring REPLICATED build replay — q299/
-    * q302's oracle: ring walk for primary AND replica per doc, then
-    * the q258 expansion for BOTH stores. The surgery under test never
-    * enters this SQL. */
-  private def replicatedBuildOracleSql(shards: Int): String = s"""
+    * q302/q304's oracle: ring walk for primary AND replica per doc,
+    * then the q258 expansion for BOTH stores. The surgery under test
+    * never enters this SQL. `where` optionally restricts the corpus
+    * (q304 replays the build over the takedown's SURVIVORS). */
+  private def replicatedBuildOracleSql(shards: Int,
+      where: String = ""): String = s"""
       WITH r AS (${graft.queries.Mining.ringSql(shards, 16)}),
       r2 AS (SELECT shard, pos FROM r
              UNION ALL
@@ -1818,7 +1820,7 @@ object Retrieval {
       d0 AS (SELECT doc_id, text,
                CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT)
                  AS p
-             FROM documents),
+             FROM documents $where),
       pa AS (SELECT d0.doc_id, d0.text, d0.p,
                (SELECT r2.shard FROM r2 WHERE r2.pos >= d0.p
                 ORDER BY r2.pos, r2.shard LIMIT 1) AS prim
@@ -1926,6 +1928,51 @@ object Retrieval {
       "new shard, untouched blocks pass byte-identical, raw text never " +
       "re-read; grown == from-scratch 4-node replicated build, BOTH " +
       "stores byte for byte (the oracle replays that build)")
+
+  /** q304 — TAKEDOWN on the REPLICATED store (X119d, r17): the r16
+    * verdict's "missing #2" — q274/T26 delete from the single-copy
+    * postings store, but a right-to-be-forgotten event against q294's
+    * two-copy topology must run the block surgery on BOTH stores
+    * (primary (shard, …)-keyed and replica (node, origin, …)-keyed)
+    * under the same byte law, or the dead doc keeps serving the moment
+    * any node fails over — the compliance hole replication opens
+    * (Elasticsearch propagates deletes primary → replica before
+    * acking). [[graft.operators.ReplicatedIndex.takedown]] runs q274's
+    * bucket-grouped surgery once per copy: touched blocks decode,
+    * drop, re-encode; untouched blocks pass byte-UNTOUCHED; emptied
+    * blocks vanish; the dl/assignment sidecars and global stats shrink
+    * to survivors. Gap coding has no layout freedom ⇒ maintained ≡ a
+    * from-scratch replicated build over the surviving corpus, BOTH
+    * stores BYTE FOR BYTE — the oracle replays exactly that build over
+    * `documents WHERE doc_id % 7 <> 3` (the surgery never enters it),
+    * hash-matched at all 3 SFs. ReplicatedIndexSpec pins the
+    * failover-serve consequence (after takedown, EVERY failover
+    * selection ranks without the dead docs) and the untouched-block
+    * passthrough; T41 fires the same surgery MID-STREAM with
+    * tombstones covering not-yet-arrived ids.
+    *
+    * Scale: q274's posture twice — dead ids group to bucket-bounded
+    * arrays, one compact-key equi-join per copy, |touched blocks| ×
+    * block-width re-encode, never corpus-shaped; raw text never
+    * re-read. */
+  val q304 = Q(
+    "q304_replicated_takedown",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
+      val dead = docs.select($"doc_id").filter($"doc_id" % 7 === 3)
+      replicatedEvidence(
+        graft.operators.ReplicatedIndex.takedown(rep, dead))
+    },
+    Some(replicatedBuildOracleSql(4, "WHERE doc_id % 7 <> 3")),
+    doc = "X119d: takedown on the replicated store — q274's block-local " +
+      "surgery on BOTH copies (primary + (node, origin)-keyed replica) " +
+      "under one byte law: touched buckets decode-drop-re-encode, " +
+      "untouched blocks pass byte-identical, emptied blocks vanish, " +
+      "sidecars shrink; maintained == from-scratch replicated build " +
+      "over the survivors, BOTH stores byte for byte (the oracle " +
+      "replays that build over the surviving corpus)")
 
   /** q298 — BM25F multi-field ranking (X110d, r16): real corpora score
     * fields differently — a title hit is worth more than a body hit —
@@ -2254,5 +2301,5 @@ object Retrieval {
 
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
-    q298, q299, q300, q301, q302)
+    q298, q299, q300, q301, q302, q304)
 }

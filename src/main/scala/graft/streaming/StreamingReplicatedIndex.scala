@@ -42,7 +42,7 @@ object StreamingReplicatedIndex {
 
   final case class RiState(primSegs: List[DataFrame],
       replSegs: List[DataFrame], seenIds: DataFrame, dl: DataFrame,
-      nShards: Int, batches: Int = 0)
+      tombstones: DataFrame, nShards: Int, batches: Int = 0)
 
   def freeze(spark: org.apache.spark.sql.SparkSession,
       nShards: Int): RiState = {
@@ -50,7 +50,8 @@ object StreamingReplicatedIndex {
     def empty(fields: String*) = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(fields.map(StructField(_, LongType))))
-    RiState(Nil, Nil, empty("doc_id"), empty("doc_id", "dl"), nShards)
+    RiState(Nil, Nil, empty("doc_id"), empty("doc_id", "dl"),
+      empty("doc_id"), nShards)
   }
 
   /** q264's merge with the replica store's (node, origin) compound key. */
@@ -76,7 +77,8 @@ object StreamingReplicatedIndex {
   }
 
   /** Apply one micro-batch of `(doc_id, text)` documents — BOTH copies'
-    * delta segments minted per batch. */
+    * delta segments minted per batch. Tombstoned ids (T41 takedowns,
+    * arrived OR not-yet-arrived at takedown time) never index. */
   def applyBatch(state: RiState, delta: DataFrame): RiState = {
     val s = delta.sparkSession
     import s.implicits._
@@ -85,6 +87,7 @@ object StreamingReplicatedIndex {
         col(delta.columns(1)).as("text"))
       .dropDuplicates("doc_id")
       .join(state.seenIds, Seq("doc_id"), "left_anti")
+      .join(state.tombstones, Seq("doc_id"), "left_anti")
       .barrier()
     val nBatches = state.batches + 1
     val (pSegs, rSegs) =
@@ -104,15 +107,19 @@ object StreamingReplicatedIndex {
     val dlUnion = state.dl.unionByName(fresh.select($"doc_id",
       size(split($"text", " ")).cast("long").as("dl")))
     if (nBatches % CompactEvery == 0)
-      RiState(
-        if (pSegs.lengthCompare(1) > 0)
-          List(StreamingElasticIndex.mergeSharded(pSegs).barrier())
-        else pSegs,
-        if (rSegs.lengthCompare(1) > 0) List(mergeReplica(rSegs).barrier())
-        else rSegs,
-        seenUnion.distinct().barrier(), dlUnion.barrier(),
-        state.nShards, nBatches)
-    else RiState(pSegs, rSegs, seenUnion, dlUnion, state.nShards, nBatches)
+      state.copy(
+        primSegs =
+          if (pSegs.lengthCompare(1) > 0)
+            List(StreamingElasticIndex.mergeSharded(pSegs).barrier())
+          else pSegs,
+        replSegs =
+          if (rSegs.lengthCompare(1) > 0)
+            List(mergeReplica(rSegs).barrier())
+          else rSegs,
+        seenIds = seenUnion.distinct().barrier(),
+        dl = dlUnion.barrier(), batches = nBatches)
+    else state.copy(primSegs = pSegs, replSegs = rSegs,
+      seenIds = seenUnion, dl = dlUnion, batches = nBatches)
   }
 
   /** A node joins MID-STREAM (T40, r16): compact both copies, run
@@ -144,9 +151,57 @@ object StreamingReplicatedIndex {
         ReplicatedIndex.Replicated(aOld, prim, repl, state.dl,
           stats(state.dl)),
         state.nShards)
-      RiState(List(grown.primaryStore.barrier()),
-        List(grown.replicaStore.barrier()),
-        state.seenIds, state.dl, state.nShards + 1, state.batches)
+      state.copy(primSegs = List(grown.primaryStore.barrier()),
+        replSegs = List(grown.replicaStore.barrier()),
+        nShards = state.nShards + 1)
+  }
+
+  /** TAKEDOWN mid-stream (T41, r17): q304's two-copy block surgery run
+    * across every LIVE segment of both lists, plus a tombstone so ids
+    * named BEFORE they arrive never index — the right-to-be-forgotten
+    * contract a stream must honor for documents still in flight.
+    * Segments hold disjoint docs (the T26 discipline), so the per-
+    * segment surgery composes: afterwards the live lists hold exactly
+    * the delivered-minus-tombstoned corpus, and the final compacted
+    * stores equal [[ReplicatedIndex.build]] over that corpus BYTE FOR
+    * BYTE (StreamingSpec T41 pins it, plus failover-serve correctness
+    * after the takedown and the never-index law for late arrivals).
+    *
+    * Tombstones persist FOREVER (they must — a tombstone dropped after
+    * the surgery re-admits a replayed or late copy of the dead doc);
+    * each takedown event re-barriers the union, so the plan stays
+    * bounded by the (rare) takedown count, not the batch count.
+    *
+    * Scale: q304's posture per live segment — bucket-grouped dead
+    * arrays, compact-key equi-joins, |touched blocks| re-encode; the
+    * dl shrink is one anti-join on doc_id. */
+  def takedown(state: RiState, deadIds: DataFrame): RiState = {
+    val s = deadIds.sparkSession
+    import s.implicits._
+    val dead = deadIds
+      .select(col(deadIds.columns.head).cast("long").as("doc_id"))
+      .distinct().barrier()
+    val deadB = dead
+      .groupBy(expr("doc_id DIV 100").as("bucket"))
+      .agg(sort_array(collect_list($"doc_id")).as("dead"))
+    def surgery(seg: DataFrame, k1: String, k2: Option[String]) = {
+      val keyed = seg.select(col(k1).as("k1"),
+        k2.map(col).getOrElse(lit(-1L)).as("k2"),
+        col("term"), col("bucket"), col("df"), col("bytes"))
+      val cut = ReplicatedIndex.dropFromBlocks(keyed, deadB)
+      k2 match {
+        case Some(c2) => cut.select($"k1".as(k1), $"k2".as(c2), $"term",
+          $"bucket", $"df", $"bytes").barrier()
+        case None => cut.select($"k1".as(k1), $"term", $"bucket", $"df",
+          $"bytes").barrier()
+      }
+    }
+    state.copy(
+      primSegs = state.primSegs.map(surgery(_, "shard", None)),
+      replSegs = state.replSegs.map(surgery(_, "node", Some("origin"))),
+      dl = state.dl.join(dead, Seq("doc_id"), "left_anti").barrier(),
+      tombstones =
+        state.tombstones.unionByName(dead).distinct().barrier())
   }
 
   private def stats(dl: DataFrame): DataFrame = {

@@ -210,4 +210,52 @@ class ReplicatedIndexSpec extends SparkSpecBase {
           "used")
     }
   }
+
+  // ---- X119d (q304): takedown on BOTH copies ----
+
+  private def pBytes(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        (r.getInt(3), r.getAs[Array[Byte]](4).toSeq)
+    }.toMap
+  private def rBytes(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)) ->
+        (r.getInt(4), r.getAs[Array[Byte]](5).toSeq)
+    }.toMap
+
+  test("takedown: maintained == from-scratch build over survivors, " +
+    "BOTH stores byte for byte, sidecars shrunk") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val dead = corpus.map(_._1).filter(_ % 4 == 1)
+    val got = ReplicatedIndex.takedown(rep, dead.toDF("doc_id"))
+    val want = ReplicatedIndex.build(
+      corpus.filterNot(d => d._1 % 4 == 1).toDF("doc_id", "text"), 4)
+    assert(pBytes(got.primaryStore) == pBytes(want.primaryStore),
+      "takedown primary store != rebuild over survivors")
+    assert(rBytes(got.replicaStore) == rBytes(want.replicaStore),
+      "takedown replica store != rebuild over survivors")
+    assert(got.dl.count() === want.dl.count())
+    assert(got.assignments.filter($"doc_id" % 4 === 1).count() === 0L)
+    // unknown ids are no-ops
+    val noop = ReplicatedIndex.takedown(rep, Seq(99999L).toDF("doc_id"))
+    assert(pBytes(noop.primaryStore) == pBytes(rep.primaryStore))
+    assert(rBytes(noop.replicaStore) == rBytes(rep.replicaStore))
+  }
+
+  test("takedown consequence: EVERY failover selection ranks without " +
+    "the dead docs — the two-copy surgery closes the compliance hole") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val dead = corpus.map(_._1).filter(_ % 4 == 1)
+    val got = ReplicatedIndex.takedown(rep, dead.toDF("doc_id"))
+    val want = rows(ReplicatedIndex.servePrimary(
+      ReplicatedIndex.build(
+        corpus.filterNot(d => d._1 % 4 == 1).toDF("doc_id", "text"), 4),
+      qTerms, 15))
+    assert(want.nonEmpty)
+    assert(rows(ReplicatedIndex.servePrimary(got, qTerms, 15)) == want)
+    for (x <- 0L until 4L)
+      assert(rows(ReplicatedIndex.serveFailover(got, x, qTerms, 15))
+        == want, s"failover of node $x after takedown still serves dead docs")
+  }
 }

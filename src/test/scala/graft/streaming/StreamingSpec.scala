@@ -2721,4 +2721,104 @@ class StreamingSpec extends SparkSpecBase {
       $"bytes")) === rMap(want.replicaStore),
       "final replica store != grown-ring replicated build")
   }
+
+  test("T41: streaming replicated index — TAKEDOWN mid-stream naming " +
+    "arrived AND not-yet-arrived ids (q304's two-copy surgery + " +
+    "tombstones forever), serving and failover correct after the " +
+    "surgery, late copies of dead docs never index, final stores " +
+    "byte-equal to the batch replicated build over the survivors") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingReplicatedIndex
+    import graft.operators.ReplicatedIndex
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    // dead ids span the stream: % 5 == 2 hits every wave, so the
+    // takedown after wave 1 names arrived AND not-yet-arrived docs
+    val deadIds = docs.map(_._1).filter(_ % 5 == 2).toSet
+    val qTerms = Seq("spark", "window", "merge", "dup")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("doc_id", "score_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def fromScratch(live: Seq[(Long, String)]): Seq[(Long, Long)] = {
+      val df = live.toDF("doc_id", "text")
+      val dl = df.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("dl"))
+      StreamingPostings.serve(
+        StreamingPostings.PsState(
+          List(graft.queries.Text.postingStore(df)),
+          dl.select($"doc_id"), dl), qTerms, 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val waves = docs.grouped(math.max(1, docs.length / 4)).toSeq
+    var st = StreamingReplicatedIndex.freeze(s, nShards = 4)
+    var delivered = Seq.empty[(Long, String)]
+    var taken = false
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingReplicatedIndex.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      if (i == 1) {
+        // the takedown event: every dead id at once — wave-0/1 members
+        // are indexed (surgery must cut them), later members are still
+        // in flight (tombstones must reject them on arrival)
+        st = StreamingReplicatedIndex.takedown(st,
+          deadIds.toSeq.sorted.toDF("doc_id"))
+        taken = true
+      }
+      val live =
+        if (taken) delivered.filterNot(d => deadIds.contains(d._1))
+        else delivered
+      val want = fromScratch(live)
+      assert(rows(StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+        === want, s"primary serving diverged after wave $i")
+      for (x <- 0L until 4L)
+        assert(rows(StreamingReplicatedIndex
+          .serveFailover(st, x, qTerms, 20)) === want,
+          s"failover of node $x diverged after wave $i")
+    }
+    // a LATE COPY of a dead doc arrives after the takedown: the
+    // tombstone must reject it even though it was never in seenIds
+    val lateDead = docs.filter(d => deadIds.contains(d._1)).take(3)
+    val before = rows(StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+    stream.addData(lateDead: _*); qy.processAllAvailable()
+    qy.stop()
+    assert(rows(StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+      === before, "a late copy of a tombstoned doc was indexed")
+    // byte law: final compacted stores == the batch replicated build
+    // over delivered-minus-tombstoned docs, BOTH copies
+    val survivors = delivered.filterNot(d => deadIds.contains(d._1))
+    val finP =
+      if (st.primSegs.lengthCompare(1) > 0)
+        StreamingElasticIndex.mergeSharded(st.primSegs)
+      else st.primSegs.head
+    val finR =
+      if (st.replSegs.lengthCompare(1) > 0)
+        StreamingReplicatedIndex.mergeReplica(st.replSegs)
+      else st.replSegs.head
+    val want = ReplicatedIndex.build(survivors.toDF("doc_id", "text"), 4)
+    def pMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)) ->
+          (r.getInt(3), r.getAs[Array[Byte]](4).toSeq)
+      }.toMap
+    def rMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)) ->
+          (r.getInt(4), r.getAs[Array[Byte]](5).toSeq)
+      }.toMap
+    assert(pMap(finP.select($"shard", $"term", $"bucket", $"df", $"bytes"))
+      === pMap(want.primaryStore),
+      "final primary store != batch build over survivors")
+    assert(rMap(finR.select($"node", $"origin", $"term", $"bucket", $"df",
+      $"bytes")) === rMap(want.replicaStore),
+      "final replica store != batch build over survivors")
+  }
 }
