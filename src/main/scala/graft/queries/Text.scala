@@ -3526,9 +3526,100 @@ object Text {
       "strict decode routes, with per-doc position counts pinning " +
       "full-list losslessness and hot flags pinning the routing")
 
+  /** q305 — document UPDATE on the compressed store (X109m, r17): the
+    * r16 verdict's "missing #4" — the re-index verb (Elasticsearch's
+    * `index` over an existing id, the commonest write after append)
+    * closed for the q258 storage layer. q264 appends NEW docs, q274
+    * deletes, but re-indexing a CHANGED document existed only as S11's
+    * table-level upsert. [[graft.operators.PostingsUpdate]] composes
+    * delete+insert as one operation: the updated ids run q274's
+    * block-local surgery (old postings drop from exactly the touched
+    * buckets), the new text builds a q258 delta segment, and q264's
+    * merge folds it in (ids disjoint again after the surgery, so the
+    * overlap law holds by construction). A changed doc's buckets
+    * decode twice at worst — once to drop, once to merge; unchanged
+    * raw text is never re-read. Gap coding has no layout freedom ⇒
+    * updated ≡ a from-scratch build over the POST-UPDATE corpus BYTE
+    * FOR BYTE — the oracle replays exactly that build (q258's 4-tier
+    * expansion over `CASE WHEN doc_id % 9 = 5 THEN 'v2 edit ' ‖ text
+    * ELSE text END`; the update never enters it), hash-matched at all
+    * 3 SFs. PostingsUpdateSpec pins upsert-insert, idempotence and
+    * untouched-block passthrough; T42 fires the verb MID-STREAM.
+    *
+    * Scale: q274 + q264 postures composed — bucket-grouped dead
+    * arrays, |updated|-sized delta, compact-key joins, |touched
+    * blocks| × block-width re-encode, never corpus-shaped. */
+  val q305 = Q(
+    "q305_postings_update",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val store = postingStore(docs)
+      val updated = docs.filter($"doc_id" % 9 === 5)
+        .select($"doc_id", concat(lit("v2 edit "), $"text").as("text"))
+      graft.operators.PostingsUpdate(store, updated)
+        .as[(String, Long, Int, Array[Byte])]
+        .map { case (term, bucket, df, bytes) =>
+          val ok = graft.operators.PostingCodec.decode(bytes, df).isDefined
+          val h = bytes.foldLeft(0L)((a, b) =>
+            (a * 31 + (b & 0xff)) % 1000000007L)
+          (term, bucket, df.toLong, bytes.length.toLong, h,
+            if (ok) 1L else 0L)
+        }
+        .toDF("term", "bucket", "df", "n_bytes", "stream_hash",
+          "decode_ok")
+        .orderBy($"term", $"bucket")
+    },
+    Some("""
+      WITH d0 AS (SELECT doc_id,
+              CASE WHEN doc_id % 9 = 5 THEN 'v2 edit ' || text
+                   ELSE text END AS text
+            FROM documents),
+      t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM d0)),
+      d AS (SELECT term, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+            FROM t GROUP BY term, doc_id),
+      g AS (SELECT term, CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+              list(CAST(doc_id AS BIGINT) ORDER BY doc_id) AS ds,
+              list(CAST(tf AS BIGINT) ORDER BY doc_id) AS tfs,
+              list(CAST(first_pos AS BIGINT) ORDER BY doc_id) AS fps
+            FROM d GROUP BY term, bucket),
+      v AS (SELECT term, bucket, len(ds) AS df,
+              list_concat([ds[1]],
+                flatten(list_transform(range(1, len(ds) + 1), i ->
+                  CASE WHEN i = 1 THEN [tfs[1], fps[1]]
+                       ELSE [ds[i] - ds[i - 1], tfs[i], fps[i]] END)))
+                AS vals
+            FROM g),
+      b AS (SELECT term, bucket, df,
+              flatten(list_transform(vals, x -> CASE
+                WHEN x < 128 THEN [x]
+                WHEN x < 16384 THEN [x % 128 + 128, x // 128]
+                WHEN x < 2097152 THEN
+                  [x % 128 + 128, (x // 128) % 128 + 128, x // 16384]
+                ELSE [x % 128 + 128, (x // 128) % 128 + 128,
+                      (x // 16384) % 128 + 128, x // 2097152] END))
+                AS bytes
+            FROM v)
+      SELECT term, bucket, CAST(df AS BIGINT) AS df,
+             CAST(len(bytes) AS BIGINT) AS n_bytes,
+             CAST(list_reduce(bytes, (h, x) -> (h * 31 + x) % 1000000007)
+               AS BIGINT) AS stream_hash,
+             CAST(1 AS BIGINT) AS decode_ok
+      FROM b ORDER BY term, bucket"""),
+    doc = "X109m: document UPDATE on the compressed store — the " +
+      "re-index verb composed as delete+insert in one operation " +
+      "(q274's block surgery drops the old version, q264's merge folds " +
+      "the new delta in), changed docs' buckets decode twice at worst, " +
+      "unchanged text never re-read; updated == from-scratch build " +
+      "over the post-update corpus byte for byte (the oracle replays " +
+      "that build)")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
     q266, q268, q270, q271, q274, q275, q277, q278, q281, q282, q284,
-    q285, q288, q289, q292, q295, q297)
+    q285, q288, q289, q292, q295, q297, q305)
 }

@@ -163,6 +163,57 @@ object StreamingPostings {
     PsState(segs, seen, dl, state.batches)
   }
 
+  /** Apply an UPDATE batch of `(doc_id, text)` documents mid-stream
+    * (T42, r17): q305's re-index verb under a live stream — an updated
+    * doc REPLACES its postings the moment the event lands. Each live
+    * segment gets q274's surgery for the updated ids (old versions
+    * drop; emptied segments leave the list), then the NEW text mints a
+    * fresh delta segment — disjointness across the list is restored
+    * before the delta joins it, so q264's overlap law keeps holding
+    * and compaction stays byte-exact. Ids never seen before insert
+    * cleanly (the upsert half: surgery no-op, delta ingest); the dl
+    * sidecar swaps old rows for new. NOTE the deliberate contrast with
+    * [[applyTakedown]]: takedown ids become tombstones-forever, while
+    * an update is a LIVE write — callers mixing both must route
+    * updates of taken-down ids through their tombstone filter first
+    * (here an update unconditionally re-indexes, the ES `index` verb).
+    *
+    * Laws (StreamingSpec T42): after any interleaving of inserts and
+    * updates, serve ≡ the batch serve over the LATEST version of every
+    * delivered doc; the final compacted store ≡ the batch
+    * [[graft.queries.Text.postingStore]] over that latest-version
+    * corpus BYTE FOR BYTE; re-sending an identical update is
+    * idempotent.
+    *
+    * Scale: per update O(|updated| grouping + touched blocks re-encode)
+    * per live segment (bounded by the compaction cadence) + one
+    * |updated|-sized delta encode; never corpus-shaped. */
+  def applyUpdate(state: PsState, updated: DataFrame): PsState = {
+    val s = updated.sparkSession
+    import s.implicits._
+    val up = updated
+      .select(col(updated.columns.head).cast("long").as("doc_id"),
+        col(updated.columns(1)).as("text"))
+      .dropDuplicates("doc_id")
+      .barrier()
+    val ids = up.select($"doc_id")
+    val cutSegs = state.segments
+      .map(seg => graft.operators.PostingsTakedown(seg, ids).barrier())
+      .filter(!_.isEmpty)
+    val grown = graft.queries.Text.postingStore(up).barrier() :: cutSegs
+    // updates mint segments OFF the batch cadence — keep the T31
+    // segment-count bound by compacting when the list overflows
+    val segs =
+      if (grown.lengthCompare(CompactEvery) > 0) List(compact(grown))
+      else grown
+    val seen = state.seenIds.unionByName(ids).distinct().barrier()
+    val dl = state.dl.join(ids, Seq("doc_id"), "left_anti")
+      .unionByName(up.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("dl")))
+      .barrier()
+    PsState(segs, seen, dl, state.batches)
+  }
+
   /** Fold the whole segment list into one (the background merge; also
     * the spec's forced final compaction). */
   def compact(segments: List[DataFrame]): DataFrame = segments match {

@@ -2244,6 +2244,78 @@ class StreamingSpec extends SparkSpecBase {
       "streamed store after takedown != batch build over survivors")
   }
 
+  test("T42: streaming postings UPDATE — re-index events arrive " +
+    "mid-stream (changed text for arrived docs + a brand-new id), the " +
+    "updated docs replace their postings immediately, an identical " +
+    "re-send is idempotent, and the final compacted store equals the " +
+    "batch build over the LATEST version of every doc, byte for byte") {
+    val s = spark
+    import s.implicits._
+    val qTerms = Seq("spark", "merge", "window")
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    val waves = docs.grouped(math.max(1, docs.length / 5)).toSeq
+    // the update event: changed text for wave-0 arrivals (% 3 == 1)
+    // plus one id the stream never carries — the upsert half
+    val changed = waves.head.filter(_._1 % 3 == 1)
+      .map { case (i, t) => (i, s"spark edit $t") }
+    val upsertId = docs.map(_._1).max + 1000L
+    val update = changed :+ ((upsertId, "spark merge window fresh"))
+    val updateMap = update.toMap
+    def latest(delivered: Seq[(Long, String)], applied: Boolean) =
+      if (!applied) delivered
+      else delivered.map { case (i, t) => (i, updateMap.getOrElse(i, t)) } :+
+        ((upsertId, "spark merge window fresh"))
+    def serveNow(st: StreamingPostings.PsState): Seq[(Long, Long)] =
+      StreamingPostings.serve(st, qTerms, 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def batchState(rows: Seq[(Long, String)]): StreamingPostings.PsState =
+      StreamingPostings.applyBatch(
+        StreamingPostings.freeze(s), rows.toDF("doc_id", "text"))
+    var st = StreamingPostings.freeze(s)
+    var delivered = Seq.empty[(Long, String)]
+    var applied = false
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingPostings.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      if (i == 1) {
+        st = StreamingPostings.applyUpdate(st, update.toDF("doc_id", "text"))
+        applied = true
+      }
+      if (i == 2) {
+        // identical re-send: the verb is idempotent
+        val before = serveNow(st)
+        st = StreamingPostings.applyUpdate(st, update.toDF("doc_id", "text"))
+        assert(serveNow(st) === before,
+          "an identical update re-send changed an answer")
+      }
+      assert(serveNow(st) === serveNow(batchState(latest(delivered, applied))),
+        s"streamed serve diverged from batch-over-latest after wave $i")
+    }
+    qy.stop()
+    // byte law: compacted streamed store == batch build over the
+    // latest-version corpus
+    val streamed = StreamingPostings.compact(st.segments)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(2), r.getAs[Array[Byte]]("bytes").toSeq)).toMap
+    val batch = graft.queries.Text
+      .postingStore(latest(delivered, applied).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getInt(2), r.getAs[Array[Byte]]("bytes").toSeq)).toMap
+    assert(streamed === batch,
+      "streamed store after updates != batch build over latest versions")
+  }
+
   test("T33: streaming cross-modal latent index — GRF1 payloads decode " +
     "mid-stream, latents + grid keys append exactly-once, and the " +
     "banded text→image probe off the maintained index equals the probe " +
