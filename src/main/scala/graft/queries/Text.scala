@@ -3421,49 +3421,73 @@ object Text {
     * blocks, per-block bounded decode, adjacency as one (doc, pos)
     * equi-join; tiering is one metadata join at ingest, no new
     * shuffle. */
+  /** q297's TIERED positional store (term, bucket, hot, df, bytes) —
+    * hot terms (df·10 ≥ N, q289's metadata rule) FOR-packed, cold
+    * LEB128 — factored out so q308's k-term phrase probes the same
+    * storage tier (the q277/q292 dedup lesson). */
+  private[graft] def tieredPositionalStore(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val blocks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+        $"col".as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("ps"))
+      .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+      .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
+        .as("block"))
+    // tier decision from block METADATA (blocks partition docs)
+    val nDocs = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+    val dfreq = blocks
+      .select($"term", size($"block").cast(LongType).as("bdf"))
+      .groupBy($"term").agg(sum($"bdf").as("df"))
+    blocks.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("hot", ($"df" * 10) >= $"n_docs")
+      .select($"term", $"bucket", $"hot", $"block")
+      .as[(String, Long, Boolean, Seq[(Long, Seq[Long])])]
+      .map { case (t, b, hot, blk) =>
+        val bytes =
+          if (hot) graft.operators.ForCodec.encodePositional(blk)
+          else graft.operators.PostingCodec.encodePositional(blk)
+        (t, b, hot, blk.size, bytes)
+      }.toDF("term", "bucket", "hot", "df", "bytes")
+  }
+
+  /** The tier-routing decode of a [[tieredPositionalStore]] selection:
+    * each block decodes with ITS tier's strict positional decoder.
+    * Returns (term, hot, doc_id, pos) — every stored position. */
+  private[graft] def decodeTiered(
+      sel: org.apache.spark.sql.DataFrame, who: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = sel.sparkSession
+    import s.implicits._
+    sel.select($"term", $"bucket", $"hot", $"df", $"bytes")
+      .as[(String, Long, Boolean, Int, Array[Byte])]
+      .flatMap { case (t, b, hot, n, bytes) =>
+        val blk =
+          (if (hot) graft.operators.ForCodec.decodePositional(bytes, n)
+           else graft.operators.PostingCodec.decodePositional(bytes, n))
+            .getOrElse(throw new IllegalStateException(
+              s"$who: corrupt ${if (hot) "FOR" else "LEB128"} " +
+                s"positional block '$t'/$b"))
+        blk.flatMap { case (doc, ps) => ps.map(p => (t, hot, doc, p)) }
+      }.toDF("term", "hot", "doc_id", "pos")
+  }
+
   val q297 = Q(
     "q297_for_positional_phrase",
     (s, dir) => {
       import s.implicits._
       val phrase = Seq("big", "dup")
       val docs = Tables(s, dir, "documents")
-      val blocks = docs
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
-          $"col".as("term"))
-        .groupBy($"term", $"doc_id")
-        .agg(sort_array(collect_list($"pos")).as("ps"))
-        .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
-        .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
-          .as("block"))
-      // tier decision from block METADATA (blocks partition docs)
-      val nDocs = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
-      val dfreq = blocks
-        .select($"term", size($"block").cast(LongType).as("bdf"))
-        .groupBy($"term").agg(sum($"bdf").as("df"))
-      val tiered = blocks.join(dfreq, "term")
-        .crossJoin(broadcast(nDocs))
-        .withColumn("hot", ($"df" * 10) >= $"n_docs")
-        .select($"term", $"bucket", $"hot", $"block")
-        .as[(String, Long, Boolean, Seq[(Long, Seq[Long])])]
-        .map { case (t, b, hot, blk) =>
-          val bytes =
-            if (hot) graft.operators.ForCodec.encodePositional(blk)
-            else graft.operators.PostingCodec.encodePositional(blk)
-          (t, b, hot, blk.size, bytes)
-        }.toDF("term", "bucket", "hot", "df", "bytes")
+      val tiered = tieredPositionalStore(docs)
       // probe: route each block to ITS tier's strict positional decoder
-      val decoded = tiered.filter($"term".isin(phrase: _*))
-        .as[(String, Long, Boolean, Int, Array[Byte])]
-        .flatMap { case (t, b, hot, n, bytes) =>
-          val blk =
-            (if (hot) graft.operators.ForCodec.decodePositional(bytes, n)
-             else graft.operators.PostingCodec.decodePositional(bytes, n))
-              .getOrElse(throw new IllegalStateException(
-                s"q297: corrupt ${if (hot) "FOR" else "LEB128"} " +
-                  s"positional block '$t'/$b"))
-          blk.flatMap { case (doc, ps) => ps.map(p => (t, hot, doc, p)) }
-        }.toDF("term", "hot", "doc_id", "pos")
+      val decoded = decodeTiered(
+        tiered.filter($"term".isin(phrase: _*)), "q297")
       // routing evidence: each term's tier flag, off the probed rows
       val hotFlags = decoded.groupBy()
         .agg(
@@ -3617,9 +3641,151 @@ object Text {
       "over the post-update corpus byte for byte (the oracle replays " +
       "that build)")
 
+  /** q306 — PHRASE search through a DOC-SHARDED positional topology
+    * (X109n, r17): the r16 verdict's "missing #3" — proximity serving
+    * (q263/q266/q271/q272) ran on ONE index while the sharded/
+    * replicated topologies (q283/q293/q294) served tf-only BM25; a
+    * 100 TB proximity tier is doc-sharded like everything else.
+    * Positions are DOC-LOCAL, so the composition is exact by
+    * containment with no stats step at all: a doc's every position for
+    * every term lives in its own shard's blocks, per-shard adjacency
+    * matching ((doc, pos) equi-join WITHIN the shard) finds exactly
+    * that shard's phrase hits, and the gather is a plain union — docs
+    * partition across shards, so no merge logic, no recall trade. The
+    * store is q263's positional layout keyed (shard, term, bucket),
+    * shard = doc_id mod 4 (q283's topology); the probe decodes only
+    * the phrase terms' blocks in each shard, embarrassingly parallel.
+    * Output is q263's per-doc aggregate + the serving shard as routing
+    * evidence; the oracle replays the phrase match from raw text with
+    * shard = doc_id % 4 arithmetic — hash-matched at all 3 SFs.
+    * TextOpsSpec pins sharded ≡ single-index q263 row for row and
+    * that matching never crosses shards.
+    *
+    * Scale: q263's posture per shard — each shard decodes its own
+    * phrase-term blocks only (Σ tf/S rows per shard), the adjacency
+    * join keys on (shard, doc, pos) so candidates stay shard-local,
+    * and the gather ships only matched doc aggregates. */
+  val q306 = Q(
+    "q306_sharded_phrase",
+    (s, dir) => {
+      import s.implicits._
+      val phrase = Seq("table", "scan")
+      val nShards = 4
+      val store = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(pmod($"doc_id", lit(nShards.toLong)).as("shard"),
+          $"doc_id", ($"pos" + 1).cast("long").as("pos"),
+          $"col".as("term"))
+        .groupBy($"shard", $"term", $"doc_id")
+        .agg(sort_array(collect_list($"pos")).as("ps"))
+        .groupBy($"shard", $"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
+          .as("block"))
+        .as[(Long, String, Long, Seq[(Long, Seq[Long])])]
+        .map { case (sh, t, b, blk) =>
+          (sh, t, b, blk.size,
+            graft.operators.PostingCodec.encodePositional(blk))
+        }.toDF("shard", "term", "bucket", "df", "bytes")
+      // scatter: each shard decodes ITS phrase-term blocks only
+      val decoded = store.filter($"term".isin(phrase: _*))
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (sh, t, b, df, bytes) =>
+          graft.operators.PostingCodec.decodePositional(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q306: corrupt positional block $sh/'$t'/$b"))
+            .flatMap { case (doc, ps) => ps.map(p => (sh, t, doc, p)) }
+        }.toDF("shard", "term", "doc_id", "pos")
+      // per-shard adjacency: the (doc, pos) equi-join never leaves the
+      // shard (positions are doc-local; the shard key documents it)
+      val t1 = decoded.filter($"term" === phrase.head)
+        .select($"shard", $"doc_id", $"pos")
+      val t2 = decoded.filter($"term" === phrase(1))
+        .select($"shard", $"doc_id", ($"pos" - 1).as("pos"))
+      t1.join(t2, Seq("shard", "doc_id", "pos"))
+        .groupBy($"shard", $"doc_id")
+        .agg(count(lit(1)).as("n_phrase"), min($"pos").as("first_hit"))
+        .select($"doc_id", $"n_phrase", $"first_hit", $"shard")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      h1 AS (SELECT doc_id, pos FROM t WHERE term = 'table'),
+      h2 AS (SELECT doc_id, pos FROM t WHERE term = 'scan')
+      SELECT h1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase,
+             CAST(MIN(h1.pos) AS BIGINT) AS first_hit,
+             CAST(h1.doc_id % 4 AS BIGINT) AS shard
+      FROM h1 JOIN h2 ON h1.doc_id = h2.doc_id AND h2.pos = h1.pos + 1
+      GROUP BY h1.doc_id ORDER BY h1.doc_id"""),
+    doc = "X109n: phrase search through a doc-sharded positional " +
+      "topology — positions are doc-local, so per-shard (doc, pos) " +
+      "adjacency matching is exact by containment with no stats step " +
+      "and the gather is a plain union of matched-doc aggregates; " +
+      "hash-equal to single-index q263 plus the serving-shard routing " +
+      "evidence (oracle replays shard = doc_id % 4 arithmetically)")
+
+  /** q308 — K-TERM phrase search through the TIERED positional store
+    * (X109o, r17): q263/q297 match 2-term phrases with ONE shifted
+    * equi-join; real phrase queries run longer ("key scan sort"), and
+    * the generalization is k−1 shifts — term i's positions shift by
+    * −i, and a doc position p is a phrase start iff ALL k shifted
+    * streams contain (doc, p), i.e. a k-way (doc, pos) equi-join
+    * chain, each join shrinking the candidate stream (the rarest-term-
+    * first order a production matcher uses is a cost choice, not a
+    * correctness one — the chain is associative-commutative). The
+    * store is q297's TIERED layout (hot FOR / cold LEB128), every
+    * block routed to its tier's strict decoder, so the k-term probe
+    * exercises the same storage tier the 2-term one gates. The oracle
+    * replays the 3-way positional self-join from raw text —
+    * hash-matched at all 3 SFs ('key scan sort' occurs at every SF).
+    *
+    * Scale: q297's posture — only the k phrase terms' blocks decode;
+    * each join is an equi-join on compact (doc, pos) keys whose left
+    * stream only shrinks; never corpus-shaped. */
+  val q308 = Q(
+    "q308_kterm_phrase",
+    (s, dir) => {
+      import s.implicits._
+      val phrase = Seq("key", "scan", "sort")
+      val docs = Tables(s, dir, "documents")
+      val tiered = tieredPositionalStore(docs)
+      val decoded = decodeTiered(
+        tiered.filter($"term".isin(phrase: _*)), "q308")
+      // k−1 shifts: term i's positions move back by i, the phrase
+      // start is the k-way (doc, pos) intersection
+      val matched = phrase.zipWithIndex.map { case (t, i) =>
+        decoded.filter($"term" === t)
+          .select($"doc_id", ($"pos" - i.toLong).as("pos"))
+      }.reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
+      matched.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_phrase"), min($"pos").as("first_hit"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      h1 AS (SELECT doc_id, pos FROM t WHERE term = 'key'),
+      h2 AS (SELECT doc_id, pos FROM t WHERE term = 'scan'),
+      h3 AS (SELECT doc_id, pos FROM t WHERE term = 'sort')
+      SELECT h1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase,
+             CAST(MIN(h1.pos) AS BIGINT) AS first_hit
+      FROM h1
+      JOIN h2 ON h1.doc_id = h2.doc_id AND h2.pos = h1.pos + 1
+      JOIN h3 ON h1.doc_id = h3.doc_id AND h3.pos = h1.pos + 2
+      GROUP BY h1.doc_id ORDER BY h1.doc_id"""),
+    doc = "X109o: k-term phrase search through the tiered positional " +
+      "store — k-1 position shifts, a k-way (doc, pos) equi-join chain " +
+      "whose candidate stream only shrinks, every block routed to its " +
+      "tier's strict decoder (hot FOR / cold LEB128); hash match vs " +
+      "the 3-way positional self-join from raw text")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
     q266, q268, q270, q271, q274, q275, q277, q278, q281, q282, q284,
-    q285, q288, q289, q292, q295, q297, q305)
+    q285, q288, q289, q292, q295, q297, q305, q306, q308)
 }

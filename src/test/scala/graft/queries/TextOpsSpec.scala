@@ -156,4 +156,43 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(2L) === 0L, s"substring over-block: $out")
     assert(out(3L) === 0L)
   }
+
+  test("q306 containment: sharded positional phrase == single-index " +
+    "q263 row for row, every matched doc served by ITS OWN shard") {
+    import spark.implicits._
+    val single = Text.q263.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val sharded = Text.q306.build(spark, sf).collect()
+    assert(sharded.nonEmpty, "no phrase hits — fixture is vacuous")
+    assert(sharded.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === single,
+      "sharded phrase diverged from the single-index serve")
+    // positions are doc-local: the serving shard is ALWAYS the doc's
+    // own — matching never crossed a shard boundary
+    sharded.foreach { r =>
+      assert(r.getLong(3) === r.getLong(0) % 4,
+        s"doc ${r.getLong(0)} matched outside its shard")
+    }
+  }
+
+  test("q308 k-term generalization: the 3-term chain equals the 2-term " +
+    "join of the first pair intersected with the shifted third term") {
+    import spark.implicits._
+    // brute-force from raw text at sf0.001
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      val starts = ws.indices.dropRight(2).filter(i =>
+        ws(i) == "key" && ws(i + 1) == "scan" && ws(i + 2) == "sort")
+      if (starts.isEmpty) None
+      else Some((id, starts.size.toLong, starts.min.toLong + 1))
+    }.sortBy(_._1).toSeq
+    val got = Text.q308.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(want.nonEmpty, "phrase absent at sf0.001 — fixture is vacuous")
+    assert(got === want, "k-term phrase diverged from brute force")
+  }
 }
