@@ -117,4 +117,109 @@ object BlockMaxWand {
       .limit(k)
     Probe(sidecar, seeds, theta, survivors, ranked)
   }
+
+  /** q298's exact rational BM25F contribution at the DECLARED weights
+    * (w_title = 2, w_body = 1, title = first 5 tokens): the weighted
+    * tf/dl fold BEFORE the single k1 saturation, over columns
+    * tf_t/tf_b/lt/lb/df/n_docs/awdl. */
+  private val bm25fPpm =
+    """(22 * (2 * tf_t + tf_b) * awdl * (2 * n_docs - 2 * df + 1)
+         * 1000000)
+       DIV ((10 * (2 * tf_t + tf_b) * awdl + 3 * awdl
+             + 9 * (2 * lt + lb)) * (2 * df + 1))"""
+
+  /** Block-Max pruning for BM25F (X110e, q307): the r16 verdict's
+    * "missing #5" — q298's fielded serve decodes EVERY query-term
+    * block, because fielded per-block upper bounds are weight-
+    * dependent. But weights are FIXED at probe time (they are query
+    * knobs, not per-doc data), so the bound is sound at the declared
+    * weights: per (term, bucket) the exact max of the FOLDED wtf-form
+    * contribution over the block's postings; blocks are doc-aligned
+    * across terms, so Σ over query terms of a bucket's ub still
+    * upper-bounds every doc's total — [[probe]]'s two-phase argument
+    * verbatim, with the fielded contribution in place of the flat one.
+    * Changing weights invalidates the sidecar (rebuild it — the
+    * documented trade); the RANKING itself never needs an index
+    * rebuild (q298's property, unchanged).
+    *
+    * Scale: [[probe]]'s posture — sidecar at ingest, seedJ blocks for
+    * θ, only ub ≥ θ buckets decode in phase 2, survivor join on the
+    * compact bucket key with no forced broadcast. */
+  def probeFielded(docs: DataFrame, qTerms: Seq[String], k: Int,
+      seedJ: Int = 8): Probe = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val kTitle = 5
+    // ---- serving-side stores: the q298 fielded layout
+    val fielded = docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", ($"pos" + 1).cast(LongType).as("pos"),
+        $"col".as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(sum(when($"pos" <= kTitle, 1L).otherwise(0L)).as("tf_t"),
+        sum(when($"pos" > kTitle, 1L).otherwise(0L)).as("tf_b"))
+    val store = fielded
+      .groupBy($"term", floor($"doc_id" / 100).as("bucket"))
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf_t", $"tf_b"))).as("ps"))
+      .as[(String, Long, Seq[(Long, Long, Long)])]
+      .map { case (t, b, ps) =>
+        (t, b, ps.size, PostingCodec.encode(ps))
+      }.toDF("term", "bucket", "df", "bytes")
+    val flen = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"))
+      .select($"doc_id", least($"dl", lit(kTitle.toLong)).as("lt"),
+        ($"dl" - least($"dl", lit(kTitle.toLong))).as("lb"))
+    val stats = flen
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(lit(2L) * $"lt" + $"lb").as("wl_total"))
+      .select($"n_docs", expr("wl_total DIV n_docs").as("awdl"))
+    val probed = store.filter($"term".isin(qTerms: _*)).persist()
+    val dfreq = probed.groupBy($"term")
+      .agg(sum($"df").cast(LongType).as("df"))
+    def decodeBlocks(blocks: DataFrame): DataFrame =
+      blocks.select($"term", $"bucket", $"df", $"bytes")
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, b, n, bytes) =>
+          PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"fielded block-max probe: corrupt block '$t'/$b"))
+            .map { case (doc, tfT, tfB) => (t, doc, tfT, tfB) }
+        }.toDF("term", "doc_id", "tf_t", "tf_b")
+    def scored(decoded: DataFrame): DataFrame =
+      decoded.join(flen, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(bm25fPpm))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+    // ---- ingest: fielded block-max sidecar AT THE DECLARED WEIGHTS
+    val sidecar = decodeBlocks(probed)
+      .join(flen, "doc_id").join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select($"term", expr("doc_id DIV 100").as("bucket"),
+        expr(bm25fPpm).as("contrib_ppm"))
+      .groupBy($"term", $"bucket").agg(max($"contrib_ppm").as("ub_ppm"))
+      .groupBy($"bucket").agg(sum($"ub_ppm").as("ub_ppm"))
+    // ---- the two-phase pruned probe ([[probe]]'s argument verbatim)
+    val topJ = udaf(new graft.functions.TopKScored(seedJ))
+    val seeds = sidecar
+      .agg(topJ($"ub_ppm".cast("double"), $"bucket", lit(0L)).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.id".as("bucket"))
+    val phase1 = scored(decodeBlocks(
+      probed.join(broadcast(seeds), Seq("bucket"))))
+    val theta = phase1.orderBy($"score_ppm".desc, $"doc_id").limit(k)
+      .agg(count(lit(1)).as("c"), min($"score_ppm").as("m"))
+      .select(when($"c" === k, $"m")
+        .otherwise(lit(Long.MinValue)).as("theta"))
+    val survivors = sidecar
+      .join(broadcast(seeds), Seq("bucket"), "left_anti")
+      .crossJoin(broadcast(theta))
+      .filter($"ub_ppm" >= $"theta")
+      .select($"bucket")
+    val phase2 = scored(decodeBlocks(probed.join(survivors, Seq("bucket"))))
+    val ranked = phase1.unionByName(phase2)
+      .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(k)
+    Probe(sidecar, seeds, theta, survivors, ranked)
+  }
 }

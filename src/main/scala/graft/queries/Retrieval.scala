@@ -2102,6 +2102,39 @@ object Retrieval {
       "field-blind df, all-BIGINT rational form; from-raw oracle " +
       "hash-gates the fold; Bm25fSpec pins title-beats-body dominance")
 
+  /** q307 — BM25F × BLOCK-MAX (X110e, r17): the r16 verdict's
+    * "missing #5" — q298's fielded serve was exhaustive-decode because
+    * fielded per-block upper bounds are WEIGHT-dependent. Weights are
+    * fixed at probe time though (query knobs, not per-doc data), so
+    * the bound is sound at the declared (2, 1): per (term, bucket) the
+    * exact max of the FOLDED wtf-form contribution, summed across
+    * query terms per doc-aligned bucket — q267's two-phase pivot
+    * argument verbatim with the fielded contribution. Changing weights
+    * invalidates the SIDECAR only (rebuild it — the documented trade);
+    * the index itself still never rebuilds on reweighting (q298's
+    * property). [[graft.operators.BlockMaxWand.probeFielded]]; the
+    * oracle is q298's exhaustive from-raw replay — the hash match
+    * proves pruned ≡ exhaustive BM25F bit for bit at all 3 SFs.
+    * Bm25fSpec pins the skip law on the fielded sidecar (every skipped
+    * bucket's ub < θ, no skipped doc in the true top-k).
+    *
+    * Scale: q267's posture — sidecar at ingest, θ from seedJ buckets,
+    * only ub ≥ θ buckets decode in phase 2, survivor join on the
+    * compact bucket key, no forced broadcast of unbounded frames. */
+  val q307 = Q(
+    "q307_bm25f_blockmax",
+    (s, dir) => graft.operators.BlockMaxWand
+      .probeFielded(Tables(s, dir, "documents"),
+        Seq("table", "sort", "dup", "key"), k = 20)
+      .ranked,
+    q298.oracle, // exhaustive fielded replay — pruning never enters it
+    doc = "X110e: BM25F x block-max — per-block fielded upper bounds " +
+      "at the declared (2,1) weights (the folded-wtf max is sound " +
+      "because weights are fixed at probe time; reweighting rebuilds " +
+      "the sidecar, never the index), theta-seeded two-phase probe, " +
+      "ub < theta buckets never decoded; q298's exhaustive oracle " +
+      "proves pruned == exhaustive BM25F bit for bit")
+
   /** q300 — FACETED search off the index + doc-values sidecar (X120,
     * r16): the other half of every search response — alongside the
     * top-k hits, production engines return AGGREGATIONS over the FULL
@@ -2301,5 +2334,5 @@ object Retrieval {
 
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
-    q298, q299, q300, q301, q302, q304)
+    q298, q299, q300, q301, q302, q304, q307)
 }

@@ -54,4 +54,45 @@ class Bm25fSpec extends SparkSpecBase {
     assert(s.contains(0L) && s.contains(1L))
     assert(s(0L) > s(1L), "the all-title short doc must rank first")
   }
+
+  // ---- X110e (q307): BM25F x block-max ----
+
+  test("fielded block-max: pruned == exhaustive BM25F on a skewed " +
+    "corpus; every skipped bucket's ub < theta and no skipped doc " +
+    "belongs to the true top-k") {
+    // 600 docs / 6 buckets; bucket 0 is title-hit-rich (high ub),
+    // most others carry only weak body hits — the skew pruning needs
+    val docs = (0L until 600L).map { i =>
+      val t =
+        if (i < 80 && i % 2 == 0) s"apple w w w w w w w w w"  // title hit
+        else if (i % 7 == 0) s"w w w w w w apple w w w"       // body hit
+        else "w w w w w w w w w w"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val k = 10
+    val probe = graft.operators.BlockMaxWand
+      .probeFielded(docs, Seq("apple"), k, seedJ = 2)
+    val got = probe.ranked.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Retrieval.bm25fServe(docs, Seq("apple"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want, "pruned fielded ranking != exhaustive q298 serve")
+    // skip law: skipped = all buckets minus seeds minus survivors;
+    // each skipped ub < theta, and no true-top-k doc lives in one
+    val theta = probe.theta.collect()(0).getLong(0)
+    val seeds = probe.seeds.collect().map(_.getLong(0)).toSet
+    val survivors = probe.survivors.collect().map(_.getLong(0)).toSet
+    val skipped = probe.bucketUb.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(b => seeds.contains(b._1) || survivors.contains(b._1))
+    assert(skipped.nonEmpty, "nothing skipped — the pin is vacuous")
+    skipped.foreach { case (b, ub) =>
+      assert(ub < theta, s"bucket $b survived filtering with ub >= theta")
+    }
+    val skippedBuckets = skipped.map(_._1).toSet
+    want.foreach { case (doc, _) =>
+      assert(!skippedBuckets.contains(doc / 100),
+        s"true top-$k doc $doc lived in a skipped bucket")
+    }
+  }
 }
