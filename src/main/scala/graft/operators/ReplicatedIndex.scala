@@ -551,19 +551,28 @@ object ReplicatedIndex {
     Replicated(a2, newPrimary, newReplica, rep.dl, rep.stats)
   }
 
-  /** Node `failed` is down: its primaries serve from their replicas
-    * (a key-space selection — origin = failed — on nodes that are all
-    * ≠ failed by the placement law), everyone else serves primary.
-    * Answer-invariant vs [[servePrimary]] for EVERY choice of failed
-    * node (the spec pins all S). */
-  def serveFailover(r: Replicated, failed: Long, qTerms: Seq[String],
-      k: Int): DataFrame = {
+  /** The ROUTED block selection with node `failed` down: primaries of
+    * every node ≠ failed ∪ replica blocks with origin = failed (all on
+    * nodes ≠ failed by the placement law). PARTITIONS the corpus, so
+    * any read composed over it — ranking, facets, pagination — is
+    * answer-invariant vs the single-copy store. Returns (node, term,
+    * bucket, df, bytes). */
+  def failoverSelection(r: Replicated, failed: Long): DataFrame = {
     val prim = r.primaryStore.filter(col("shard") =!= failed)
       .select(col("shard").as("node"), col("term"), col("bucket"),
         col("df"), col("bytes"))
     val repl = r.replicaStore.filter(col("origin") === failed)
       .select(col("node"), col("term"), col("bucket"), col("df"),
         col("bytes"))
-    serveBlocks(prim.unionByName(repl), r.dl, r.stats, qTerms, k)
+    prim.unionByName(repl)
   }
+
+  /** Node `failed` is down: its primaries serve from their replicas
+    * (a key-space selection — origin = failed — on nodes that are all
+    * ≠ failed by the placement law), everyone else serves primary.
+    * Answer-invariant vs [[servePrimary]] for EVERY choice of failed
+    * node (the spec pins all S). */
+  def serveFailover(r: Replicated, failed: Long, qTerms: Seq[String],
+      k: Int): DataFrame =
+    serveBlocks(failoverSelection(r, failed), r.dl, r.stats, qTerms, k)
 }

@@ -2332,7 +2332,161 @@ object Retrieval {
       "cursor-filtered page 2 IS ranks 11-20 bit for bit, boundary " +
       "ties included")
 
+  /** q309 — FACETS on the FAILOVER selection (X120b, r17): the r16
+    * verdict's "missing" composition — q300's facets ran on the
+    * single-copy store while q294's topology served tf-only BM25. The
+    * match set is a pure function of WHICH DOCS the selection contains
+    * (never which copy serves them), and
+    * [[graft.operators.ReplicatedIndex.failoverSelection]] PARTITIONS
+    * the corpus — so facets over the routed selection with node 1 down
+    * are hash-equal to the single-index q300 answers, which the oracle
+    * (q300's from-raw replay) gates bit for bit. A third facet is the
+    * ROUTING evidence: matched docs counted by serving role (primary
+    * vs replica, from the assignment sidecar), which the oracle
+    * replays with the ring walk in closed form — the clockwise-first
+    * vnode as MIN over a HUGEINT (pos·4 + shard) encoding of the
+    * (pos, shard) lexicographic order, the same total order the
+    * engine's min-struct takes.
+    *
+    * Scale: q300's posture off the routed selection — Σ df(query
+    * terms) decode, one doc_id equi-join against the 3-column
+    * doc-values sidecar + one against the assignment sidecar,
+    * low-cardinality facet aggregates. */
+  val q309 = Q(
+    "q309_faceted_failover",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("merge", "dup", "vector")
+      val failed = 1L
+      val docs = Tables(s, dir, "documents")
+      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
+      val sel = graft.operators.ReplicatedIndex
+        .failoverSelection(rep, failed)
+      val matches = sel.filter($"term".isin(qTerms: _*))
+        .select($"node", $"term", $"bucket", $"df", $"bytes")
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (n, t, b, df, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q309: corrupt routed block $n/'$t'/$b"))
+            .map(_._1)
+        }.toDF("doc_id").distinct()
+      val sidecar = docs.select($"doc_id", $"source",
+        least(expr("size(split(text, ' ')) DIV 20"), lit(5))
+          .cast(LongType).as("len_bucket"))
+      val joined = matches.join(sidecar, "doc_id")
+      val bySource = joined.groupBy($"source".as("key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("source").as("facet"), $"key", $"n_docs")
+      val byLen = joined.groupBy($"len_bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("len").as("facet"),
+          $"len_bucket".cast(StringType).as("key"), $"n_docs")
+      // routing facet: matched docs by serving role under the failover
+      val byRole = matches.join(rep.assignments, "doc_id")
+        .groupBy(when($"primary" === failed, lit("r")).otherwise(lit("p"))
+          .as("key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("role").as("facet"), $"key", $"n_docs")
+      bySource.unionByName(byLen).unionByName(byRole)
+        .orderBy($"facet", $"key")
+    },
+    Some(s"""
+      WITH t AS (SELECT DISTINCT doc_id,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      m AS MATERIALIZED (SELECT DISTINCT doc_id FROM t
+            WHERE term IN ('merge', 'dup', 'vector')),
+      sc AS (SELECT doc_id, source,
+               LEAST(CAST(len(string_split(text, ' ')) AS BIGINT) // 20,
+                     5) AS len_bucket
+             FROM documents),
+      j AS (SELECT sc.source, sc.len_bucket FROM sc JOIN m USING (doc_id)),
+      rg AS (${graft.queries.Mining.ringSql(4, 16)}),
+      r2 AS (SELECT shard, pos FROM rg
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM rg),
+      md AS (SELECT doc_id,
+               CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM m),
+      pw AS (SELECT md.doc_id,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS prim
+             FROM md JOIN r2 ON r2.pos >= md.p GROUP BY md.doc_id)
+      SELECT 'source' AS facet, source AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY 2
+      UNION ALL
+      SELECT 'len', CAST(len_bucket AS VARCHAR),
+             CAST(COUNT(*) AS BIGINT)
+      FROM j GROUP BY 2
+      UNION ALL
+      SELECT 'role', CASE WHEN prim = 1 THEN 'r' ELSE 'p' END,
+             CAST(COUNT(*) AS BIGINT)
+      FROM pw GROUP BY 2
+      ORDER BY facet, key"""),
+    doc = "X120b: faceted search on the failover selection — the match " +
+      "set is a pure function of which docs the routed selection " +
+      "contains (a corpus partition), so facets with node 1 down are " +
+      "hash-equal to the single-index q300 answers; a third facet " +
+      "counts matched docs by serving role, gated by a closed-form " +
+      "ring replay (MIN over HUGEINT pos*4+shard — the engine's " +
+      "min-struct total order)")
+
+  /** q310 — search_after PAGINATION on the FAILOVER selection (X121b,
+    * r17): q301's cursor device composed over q294's routed blocks —
+    * the cursor predicate is a pure total-order filter on (score,
+    * doc_id) and the failover selection partitions the corpus with
+    * metadata-exact df, so both pages with node 1 down are hash-equal
+    * to the single-index q301 answers bit for bit: the oracle is
+    * q301's VERBATIM (from-raw global top-20 split arithmetically —
+    * neither the topology nor the cursor ever enters it).
+    *
+    * Scale: q301's posture off the routed selection — query-term
+    * blocks only, cursor predicate under the top-k heap, one 1-row
+    * cursor to the client. */
+  val q310 = Q(
+    "q310_search_after_failover",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "key", "dup")
+      val failed = 1L
+      val docs = Tables(s, dir, "documents")
+      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
+      val probed = graft.operators.ReplicatedIndex
+        .failoverSelection(rep, failed)
+        .filter($"term".isin(qTerms: _*))
+      // df from the routed selection's metadata — exact because the
+      // selection partitions the corpus (q294's law)
+      val dfreq = probed.groupBy($"term")
+        .agg(sum($"df").cast(LongType).as("df"))
+      val scored = probed
+        .select($"node", $"term", $"bucket", $"df", $"bytes")
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (n, t, b, df, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q310: corrupt routed block $n/'$t'/$b"))
+            .map { case (doc, tf, _) => (t, doc, tf) }
+        }.toDF("term", "doc_id", "tf")
+        .join(rep.dl, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(rep.stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+             DIV ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))"""))
+        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+      searchAfterPages(scored, pageSize = 10)
+    },
+    q301.oracle, // the single-index from-raw replay — topology never enters
+    doc = "X121b: search_after pagination on the failover selection — " +
+      "the cursor predicate is a pure total-order filter and the " +
+      "routed selection partitions the corpus with metadata-exact df, " +
+      "so both pages with node 1 down are hash-equal to single-index " +
+      "q301 bit for bit (its oracle verbatim)")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
-    q298, q299, q300, q301, q302, q304, q307)
+    q298, q299, q300, q301, q302, q304, q307, q309, q310)
 }

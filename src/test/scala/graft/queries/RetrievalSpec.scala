@@ -91,4 +91,35 @@ class RetrievalSpec extends SparkSpecBase {
       }
     assert(pages == want, "cursor skipped or repeated a tied row")
   }
+
+  test("q309/q310 composition law: the failover MATCH SET equals the " +
+    "single-store one for EVERY choice of failed node, and an empty " +
+    "cursor frame still pages") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
+    val qTerms = Seq("merge", "dup", "vector")
+    def matchSet(sel: org.apache.spark.sql.DataFrame): Set[Long] = {
+      import spark.implicits._
+      sel.filter($"term".isin(qTerms: _*))
+        .select($"term", $"df", $"bytes")
+        .as[(String, Int, Array[Byte])]
+        .flatMap { case (t, df, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, df)
+            .getOrElse(sys.error(s"corrupt block '$t'")).map(_._1)
+        }.collect().toSet
+    }
+    val single = matchSet(rep.primaryStore
+      .select(col("shard").as("node"), col("term"), col("bucket"),
+        col("df"), col("bytes")))
+    assert(single.nonEmpty)
+    for (x <- 0L until 4L)
+      assert(matchSet(graft.operators.ReplicatedIndex
+        .failoverSelection(rep, x)) === single,
+        s"failover of node $x changed the match set")
+    // the ADVICE-r16 guard: no hits -> two empty pages, no crash
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "score_ppm")
+    assert(Retrieval.searchAfterPages(empty, 10).count() === 0L)
+  }
 }
