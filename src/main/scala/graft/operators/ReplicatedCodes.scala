@@ -195,4 +195,49 @@ object ReplicatedCodes {
     val newReplica = keepRepl.unionByName(reRepl)
     ReplicatedC(a2, newPrimary, newReplica)
   }
+
+  /** GROW the replicated code store S → S+1, INDEX-ONLY (q302's
+    * classes, row store): a moved PRIMARY always lands on the new
+    * shard with the vec's OLD PRIMARY becoming its replica; a moved
+    * REPLICA always lands on the new shard; everything else passes
+    * key-untouched (the q288 argument per copy). Mover payloads come
+    * from their primary rows — raw vectors never re-quantized. Rows
+    * are atomic ⇒ grown ≡ a from-scratch [[build]] at S+1 as a SET
+    * (ReplicatedCodesSpec pins it plus the class laws and the
+    * grow∘recoverLost round-trip). Every replica-row KEY of a mover
+    * changes (origin = primary rides in it), so all movers' replica
+    * rows re-key; only primary-moved vecs touch the primary store. */
+  def grow(rep: ReplicatedC, oldShards: Int): ReplicatedC = {
+    require(oldShards >= 2, s"grow needs >= 2 shards, got $oldShards")
+    val s = rep.primaryStore.sparkSession
+    import s.implicits._
+    val ids = rep.assignments.select($"vec_id".as("doc_id"))
+      .withColumn("p", position($"doc_id"))
+    val a2 = ReplicatedIndex.assignPR(ids, oldShards + 1)
+      .select($"doc_id".as("vec_id"), $"primary", $"replica")
+    val movers = rep.assignments
+      .select($"vec_id", $"primary".as("op"), $"replica".as("or"))
+      .join(a2, "vec_id")
+      .filter($"primary" =!= $"op" || $"replica" =!= $"or")
+    val pMoved = movers.filter($"primary" =!= $"op")
+    val keepP = rep.primaryStore
+      .join(pMoved.select($"vec_id"), Seq("vec_id"), "left_anti")
+    val addP = rep.primaryStore.select($"vec_id", $"am", $"qv")
+      .join(pMoved.select($"vec_id", $"primary"), "vec_id")
+      .select($"primary".as("shard"), $"vec_id", $"am", $"qv")
+    val keepR = rep.replicaStore
+      .join(movers.select($"vec_id"), Seq("vec_id"), "left_anti")
+    val addR = rep.primaryStore.select($"vec_id", $"am", $"qv")
+      .join(movers.select($"vec_id", $"primary", $"replica"), "vec_id")
+      .select($"replica".as("node"), $"primary".as("origin"), $"vec_id",
+        $"am", $"qv")
+    // joins moved the vec_id key to the front of keepP/keepR — pin the
+    // canonical column ORDER so callers' positional reads line up with
+    // [[build]]'s stores
+    ReplicatedC(a2,
+      keepP.unionByName(addP)
+        .select($"shard", $"vec_id", $"am", $"qv"),
+      keepR.unionByName(addR)
+        .select($"node", $"origin", $"vec_id", $"am", $"qv"))
+  }
 }

@@ -2486,7 +2486,267 @@ object Retrieval {
       "so both pages with node 1 down are hash-equal to single-index " +
       "q301 bit for bit (its oracle verbatim)")
 
+  /** q311 — PHRASE search on the REPLICATED topology with FAILOVER
+    * (X109p, r17): q306 composed proximity with doc-SHARDING; this
+    * closes the remaining cell of the composition matrix — proximity ×
+    * REPLICATION. The store is q263's positional layout replicated by
+    * q294's preference-list placement (primary keyed (shard, term,
+    * bucket), replica keyed (node, origin, term, bucket) — both copies
+    * carry the FULL position lists), and the phrase probe runs over
+    * the routed selection with node 1 DOWN. Positions are doc-local
+    * and the failover selection contains every doc EXACTLY ONCE, so
+    * each doc's complete position lists for both terms arrive from
+    * whichever copy serves it and the (doc, pos) adjacency join is
+    * exact with no stats step and no dedup — the containment argument
+    * q306 used, now across copies. Output = q263's per-doc rows +
+    * served_from/role routing evidence; the oracle replays the phrase
+    * match from raw text and the ring walk in closed form (q309's
+    * HUGEINT min device, both preference-list slots) — hash-matched at
+    * all 3 SFs.
+    *
+    * Scale: q263's posture off the routed selection — only the phrase
+    * terms' blocks decode, once per serving copy selected (never
+    * both); ingest pays replication's 2× write cost; the adjacency
+    * join is Σ tf(phrase terms)-row-bounded. */
+  val q311 = Q(
+    "q311_replicated_phrase",
+    (s, dir) => {
+      import s.implicits._
+      val phrase = Seq("table", "scan")
+      val failed = 1L
+      val docs = Tables(s, dir, "documents")
+      val positioned = docs.select($"doc_id", $"text",
+        graft.operators.IndexReshard.position($"doc_id").as("p"))
+      val a = graft.operators.ReplicatedIndex.assignPR(positioned, 4)
+      val assignments = a.select($"doc_id", $"primary", $"replica")
+      // both copies' POSITIONAL stores (full position lists each)
+      def posStore(frame: org.apache.spark.sql.DataFrame,
+          k1: String, k2: Option[String]) = {
+        val keyCols = Seq(col(k1)) ++ k2.map(col)
+        frame
+          .select(keyCols :+ col("doc_id") :+
+            posexplode(split(col("text"), " ")): _*)
+          .select(keyCols :+ col("doc_id") :+
+            (col("pos") + 1).cast(LongType).as("pos") :+
+            col("col").as("term"): _*)
+          .groupBy(keyCols :+ col("term") :+ col("doc_id"): _*)
+          .agg(sort_array(collect_list($"pos")).as("ps"))
+          .groupBy(keyCols :+ col("term") :+
+            floor($"doc_id" / 100).as("bucket"): _*)
+          .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
+            .as("block"))
+      }
+      val prim = posStore(a.select($"primary".as("shard"), $"doc_id",
+          $"text"), "shard", None)
+        .as[(Long, String, Long, Seq[(Long, Seq[Long])])]
+        .map { case (sh, t, b, blk) => (sh, t, b, blk.size,
+          graft.operators.PostingCodec.encodePositional(blk)) }
+        .toDF("shard", "term", "bucket", "df", "bytes")
+      val repl = posStore(a.select($"replica".as("node"),
+          $"primary".as("origin"), $"doc_id", $"text"), "node",
+          Some("origin"))
+        .as[(Long, Long, String, Long, Seq[(Long, Seq[Long])])]
+        .map { case (nd, og, t, b, blk) => (nd, og, t, b, blk.size,
+          graft.operators.PostingCodec.encodePositional(blk)) }
+        .toDF("node", "origin", "term", "bucket", "df", "bytes")
+      // the routed selection with node `failed` down (q294's law)
+      val sel = prim.filter($"shard" =!= failed)
+        .select($"shard".as("node"), $"term", $"bucket", $"df", $"bytes")
+        .unionByName(repl.filter($"origin" === failed)
+          .select($"node", $"term", $"bucket", $"df", $"bytes"))
+      val decoded = sel.filter($"term".isin(phrase: _*))
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (n, t, b, df, bytes) =>
+          graft.operators.PostingCodec.decodePositional(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q311: corrupt routed positional block $n/'$t'/$b"))
+            .flatMap { case (doc, ps) => ps.map(p => (t, doc, p)) }
+        }.toDF("term", "doc_id", "pos")
+      val t1 = decoded.filter($"term" === phrase.head)
+        .select($"doc_id", $"pos")
+      val t2 = decoded.filter($"term" === phrase(1))
+        .select($"doc_id", ($"pos" - 1).as("pos"))
+      t1.join(t2, Seq("doc_id", "pos"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_phrase"), min($"pos").as("first_hit"))
+        .join(assignments, "doc_id")
+        .select($"doc_id", $"n_phrase", $"first_hit",
+          when($"primary" === failed, $"replica").otherwise($"primary")
+            .as("served_from"),
+          when($"primary" === failed, lit("r")).otherwise(lit("p"))
+            .as("role"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      h1 AS (SELECT doc_id, pos FROM t WHERE term = 'table'),
+      h2 AS (SELECT doc_id, pos FROM t WHERE term = 'scan'),
+      ph AS MATERIALIZED (SELECT h1.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_phrase,
+              CAST(MIN(h1.pos) AS BIGINT) AS first_hit
+            FROM h1 JOIN h2 ON h1.doc_id = h2.doc_id
+              AND h2.pos = h1.pos + 1
+            GROUP BY h1.doc_id),
+      rg AS (${graft.queries.Mining.ringSql(4, 16)}),
+      r2 AS (SELECT shard, pos FROM rg
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM rg),
+      md AS (SELECT doc_id,
+               CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM ph),
+      pw AS (SELECT md.doc_id,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS prim
+             FROM md JOIN r2 ON r2.pos >= md.p GROUP BY md.doc_id),
+      rw AS (SELECT md.doc_id, pw.prim,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS repl
+             FROM md JOIN pw USING (doc_id)
+                  JOIN r2 ON r2.pos >= md.p AND r2.shard <> pw.prim
+             GROUP BY md.doc_id, pw.prim)
+      SELECT ph.doc_id, n_phrase, first_hit,
+        CAST(CASE WHEN prim = 1 THEN repl ELSE prim END AS BIGINT)
+          AS served_from,
+        CASE WHEN prim = 1 THEN 'r' ELSE 'p' END AS role
+      FROM ph JOIN rw USING (doc_id)
+      ORDER BY ph.doc_id"""),
+    doc = "X109p: phrase search on the replicated topology with node-1 " +
+      "failover — both copies carry full position lists, the routed " +
+      "selection contains every doc exactly once, so the (doc, pos) " +
+      "adjacency join is exact across copies with no stats step and " +
+      "no dedup; hash-equal to single-index q263 plus served_from/role " +
+      "evidence gated by a closed-form ring replay of BOTH preference-" +
+      "list slots")
+
+  /** q312 — BM25F through the DOC-SHARDED topology (X110f, r17): the
+    * other half of the r16 note on q298 ("composes with neither q267's
+    * pruning nor the topologies") — q307 closed the pruning cell; this
+    * closes the topology cell. The fielded store shards like q283
+    * (shard = doc_id mod 4, sub-stores keyed (shard, term, bucket)
+    * holding the per-field tf triples), and the scatter-gather is
+    * exact by q283's containment argument unchanged: a doc's BM25F
+    * score is a pure function of its own (tf_t, tf_b, lt, lb) plus
+    * GLOBAL stats, the fielded df is the field-blind metadata sum
+    * ACROSS shards (the dfs_query_then_fetch step — per-shard df would
+    * skew idf exactly as q283 documents), so the global top-k is
+    * contained in the union of per-shard top-k lists. Per-shard
+    * reduction rides the bounded TopKLong (≤ k rows per shard per
+    * mapper); gather merges k·S rows. Output = q298's ranking + the
+    * serving shard; the oracle is q298's exhaustive fielded replay
+    * with shard = doc_id % 4 arithmetic — hash-matched at all 3 SFs.
+    *
+    * Scale: q283's posture with the fielded codec — each shard decodes
+    * only ITS query-term blocks, dl/flen joins stay shard-local,
+    * df/stats broadcast, k·S-row gather. */
+  val q312 = Q(
+    "q312_sharded_bm25f",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("table", "sort", "dup", "key")
+      val nShards = 4
+      val kTitle = 5
+      val docs = Tables(s, dir, "documents")
+      // ---- ingest: fielded sub-stores per shard
+      val fielded = docs
+        .select(pmod($"doc_id", lit(nShards.toLong)).as("shard"),
+          col("doc_id"), posexplode(split(col("text"), " ")))
+        .select($"shard", $"doc_id",
+          ($"pos" + 1).cast(LongType).as("pos"), $"col".as("term"))
+        .groupBy($"shard", $"term", $"doc_id")
+        .agg(sum(when($"pos" <= kTitle, 1L).otherwise(0L)).as("tf_t"),
+          sum(when($"pos" > kTitle, 1L).otherwise(0L)).as("tf_b"))
+      val store = fielded
+        .groupBy($"shard", $"term", floor($"doc_id" / 100).as("bucket"))
+        .agg(sort_array(collect_list(
+          struct($"doc_id", $"tf_t", $"tf_b"))).as("ps"))
+        .as[(Long, String, Long, Seq[(Long, Long, Long)])]
+        .map { case (sh, t, b, ps) =>
+          (sh, t, b, ps.size, graft.operators.PostingCodec.encode(ps))
+        }.toDF("shard", "term", "bucket", "df", "bytes")
+      val flen = docs.select($"doc_id",
+          size(split($"text", " ")).cast(LongType).as("dl"))
+        .select($"doc_id", least($"dl", lit(kTitle.toLong)).as("lt"),
+          ($"dl" - least($"dl", lit(kTitle.toLong))).as("lb"))
+      val stats = flen
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(lit(2L) * $"lt" + $"lb").as("wl_total"))
+        .select($"n_docs", expr("wl_total DIV n_docs").as("awdl"))
+      // ---- scatter: per-shard probe; df = field-blind metadata sum
+      // ACROSS shards (the dfs_query_then_fetch step)
+      val probed = store.filter($"term".isin(qTerms: _*))
+      val dfreq = probed.groupBy($"term")
+        .agg(sum($"df").cast(LongType).as("df"))
+      val decoded = probed
+        .select($"shard", $"term", $"bucket", $"df", $"bytes")
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (sh, t, b, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q312: corrupt fielded block $sh/'$t'/$b"))
+            .map { case (doc, tfT, tfB) => (sh, t, doc, tfT, tfB) }
+        }.toDF("shard", "term", "doc_id", "tf_t", "tf_b")
+      val scored = decoded.join(flen, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(
+          """(22 * (2 * tf_t + tf_b) * awdl * (2 * n_docs - 2 * df + 1)
+               * 1000000)
+             DIV ((10 * (2 * tf_t + tf_b) * awdl + 3 * awdl
+                   + 9 * (2 * lt + lb)) * (2 * df + 1))"""))
+        .groupBy($"shard", $"doc_id")
+        .agg(sum($"contrib_ppm").as("score_ppm"))
+      // ---- per-shard local top-k, then the k·S gather
+      val topK = udaf(new graft.functions.TopKLong(20))
+      scored.groupBy($"shard")
+        .agg(topK($"score_ppm", $"doc_id", lit(0L)).as("tk"))
+        .select($"shard", explode($"tk").as("e"))
+        .select($"e.id".as("doc_id"), $"e.score".as("score_ppm"), $"shard")
+        .orderBy($"score_ppm".desc, $"doc_id").limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos,
+                   CAST(len(l) AS BIGINT) AS dl
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      fl AS (SELECT doc_id, LEAST(dl, 5) AS lt, dl - LEAST(dl, 5) AS lb
+             FROM (SELECT DISTINCT doc_id, dl FROM t)),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(2 * lt + lb) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS awdl
+             FROM fl),
+      h AS (SELECT doc_id, term, pos FROM t
+            WHERE term IN ('table', 'sort', 'dup', 'key')),
+      tf AS (SELECT doc_id, term,
+               CAST(SUM(CASE WHEN pos <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tf_t,
+               CAST(SUM(CASE WHEN pos > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tf_b
+             FROM h GROUP BY 1, 2),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1)
+      SELECT tf.doc_id,
+        CAST(SUM((22 * (2 * tf_t + tf_b) * awdl
+                  * (2 * n_docs - 2 * df + 1) * 1000000)
+          // ((10 * (2 * tf_t + tf_b) * awdl + 3 * awdl
+              + 9 * (2 * lt + lb)) * (2 * df + 1))) AS BIGINT)
+          AS score_ppm,
+        CAST(tf.doc_id % 4 AS BIGINT) AS shard
+      FROM tf JOIN fl USING (doc_id) JOIN dfr USING (term) CROSS JOIN st
+      GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT 20"""),
+    doc = "X110f: BM25F through the doc-sharded scatter-gather topology " +
+      "— fielded sub-stores per shard, field-blind df summed across " +
+      "shards from block metadata (dfs_query_then_fetch), per-shard " +
+      "bounded TopKLong, exact k*S gather (the q283 containment " +
+      "argument — BM25F is a pure per-doc function given global " +
+      "stats); q298's exhaustive oracle + shard arithmetic proves the " +
+      "sharded serve exact bit for bit")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
-    q298, q299, q300, q301, q302, q304, q307, q309, q310)
+    q298, q299, q300, q301, q302, q304, q307, q309, q310, q311, q312)
 }

@@ -2016,7 +2016,104 @@ object Vectors {
       "stats step; q286's two-stage oracle extended with a ring replay " +
       "pins answer-invariance AND the served_from/role routing evidence")
 
+  /** q313 — replicated code store GROW, index-only (X122b, r17): q302's
+    * elastic-grow classes carried to the vector tier — when a node
+    * joins a replicated ANN tier, both copies' placements move by the
+    * q288 walk (moved primary → the new shard, old primary becomes the
+    * replica in place; moved replica → the new shard; everything else
+    * untouched), mover payloads come from their surviving primary rows,
+    * and raw vectors are NEVER re-quantized. Rows are atomic, so grown
+    * ≡ a from-scratch [[graft.operators.ReplicatedCodes.build]] at S+1
+    * — which this query gates ROW FOR ROW: the evidence frame is both
+    * stores' rows (code payload folded to a hash — the driver compare
+    * takes no array columns) and the oracle replays quantization
+    * (q286's c CTE) plus BOTH preference-list slots of the 4-ring walk
+    * in closed form (q309's HUGEINT min device); the grow surgery
+    * never enters it. ReplicatedCodesSpec additionally pins the class
+    * laws and the grow∘recoverLost round-trip; T43 fires the grow
+    * MID-STREAM.
+    *
+    * Scale: assignment is the broadcast doubled-ring device over the
+    * vec-ID list; the surgery touches mover rows only (~2/(S+1) of the
+    * store across both copies), payload joins are mover-sized on the
+    * compact vec_id key. */
+  val q313 = Q(
+    "q313_replicated_codes_grow",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val codes = emb
+        .select($"vec_id", $"embedding",
+          VectorOps.absMax($"embedding").as("amax"))
+        .select($"vec_id",
+          rint($"amax" * lit(1e3)).cast(LongType).as("am"),
+          VectorOps.quantize8($"embedding", $"amax").as("qv"))
+      val rep = graft.operators.ReplicatedCodes.build(codes, nShards = 3)
+      val grown = graft.operators.ReplicatedCodes.grow(rep, 3)
+      val p = grown.primaryStore.select(lit("p").as("store"),
+        $"shard".as("node"), lit(-1L).as("origin"), $"vec_id", $"am",
+        $"qv")
+      val r = grown.replicaStore.select(lit("r").as("store"), $"node",
+        $"origin", $"vec_id", $"am", $"qv")
+      p.unionByName(r)
+        .withColumn("qv_hash", expr(
+          """aggregate(qv, CAST(7 AS BIGINT),
+               (h, x) -> (h * 31 + CAST(x AS BIGINT) + 128) % 1000000007)"""))
+        .select($"store", $"node", $"origin", $"vec_id", $"am", $"qv_hash")
+        .orderBy($"store", $"node", $"origin", $"vec_id")
+    },
+    Some(s"""
+      WITH k AS (SELECT vec_id, embedding,
+                   ${VectorOps.absMaxSql("embedding")} AS amax
+                 FROM embeddings),
+      c AS (SELECT vec_id,
+              CAST(CAST(amax AS DECIMAL(18,3)) * 1000 AS BIGINT) AS am,
+              CASE WHEN amax = 0
+                   THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(embedding, x ->
+                     CAST(round(CAST(x AS DOUBLE) / amax * 127) AS BIGINT))
+              END AS qv
+            FROM k),
+      rg AS (${graft.queries.Mining.ringSql(4, 16)}),
+      r2 AS (SELECT shard, pos FROM rg
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM rg),
+      md AS (SELECT vec_id,
+               CAST(('0x' || substr(md5('vec' || vec_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM c),
+      pw AS (SELECT md.vec_id,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS prim
+             FROM md JOIN r2 ON r2.pos >= md.p GROUP BY md.vec_id),
+      rw AS (SELECT md.vec_id, pw.prim,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS repl
+             FROM md JOIN pw USING (vec_id)
+                  JOIN r2 ON r2.pos >= md.p AND r2.shard <> pw.prim
+             GROUP BY md.vec_id, pw.prim),
+      h AS (SELECT c.vec_id, c.am,
+              CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), c.qv),
+                (h, x) -> (h * 31 + x + 128) % 1000000007) AS BIGINT)
+                AS qv_hash,
+              rw.prim, rw.repl
+            FROM c JOIN rw USING (vec_id))
+      SELECT 'p' AS store, prim AS node, CAST(-1 AS BIGINT) AS origin,
+             vec_id, am, qv_hash
+      FROM h
+      UNION ALL
+      SELECT 'r', repl, prim, vec_id, am, qv_hash FROM h
+      ORDER BY store, node, origin, vec_id"""),
+    doc = "X122b: replicated code store GROW 3->4, index-only — q302's " +
+      "move classes on atomic rows (moved primary to the new shard " +
+      "with the old primary re-keyed to replica, moved replica to the " +
+      "new shard, untouched rows pass through), payloads from " +
+      "surviving primary rows, vectors never re-quantized; grown == " +
+      "from-scratch 4-ring build row for row (the oracle replays " +
+      "quantization + both ring slots in closed form; the surgery " +
+      "never enters it)")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
     q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250,
-    q280, q286, q290, q296, q303)
+    q280, q286, q290, q296, q303, q313)
 }

@@ -120,6 +120,58 @@ class ReplicatedCodesSpec extends SparkSpecBase {
         .select($"node", $"origin", $"vec_id", $"am", $"qv")))
   }
 
+  test("grow: grown == from-scratch S+1 build (set equality, both " +
+    "stores + assignments), at two ring sizes; grow then recoverLost " +
+    "round-trips") {
+    def pSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3).toSeq)).toSet
+    def rSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Int](4).toSeq)).toSet
+    for (s0 <- Seq(2, 3)) {
+      val rep = ReplicatedCodes.build(codes, s0)
+      val grown = ReplicatedCodes.grow(rep, s0)
+      val want = ReplicatedCodes.build(codes, s0 + 1)
+      assert(pSet(grown.primaryStore) == pSet(want.primaryStore),
+        s"grow $s0 -> ${s0 + 1}: primary rows diverged")
+      assert(rSet(grown.replicaStore) == rSet(want.replicaStore),
+        s"grow $s0 -> ${s0 + 1}: replica rows diverged")
+    }
+    // round-trip: grow 3->4 then lose node 3 recovers the 3-ring build
+    val rep3 = ReplicatedCodes.build(codes, 3)
+    val back = ReplicatedCodes.recoverLost(
+      ReplicatedCodes.grow(rep3, 3), 4)
+    assert(pSet(back.primaryStore) == pSet(rep3.primaryStore))
+    assert(rSet(back.replicaStore) == rSet(rep3.replicaStore))
+  }
+
+  test("grow class laws: a moved primary lands on the NEW shard with " +
+    "its old primary as replica; a moved replica lands on the new shard") {
+    val rep = ReplicatedCodes.build(codes, 3)
+    val grown = ReplicatedCodes.grow(rep, 3)
+    val joined = rep.assignments
+      .select($"vec_id", $"primary".as("op"), $"replica".as("or"))
+      .join(grown.assignments, "vec_id").collect()
+    var (nA, nB) = (0, 0)
+    joined.foreach { r =>
+      val (op, or, np, nr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (np != op) {
+        nA += 1
+        assert(np === 3L, s"vec ${r.getLong(0)}: moved primary not on " +
+          "the new shard")
+        assert(nr === op, s"vec ${r.getLong(0)}: old primary did not " +
+          "become the replica")
+      } else if (nr != or) {
+        nB += 1
+        assert(nr === 3L, s"vec ${r.getLong(0)}: moved replica not on " +
+          "the new shard")
+      }
+    }
+    assert(nA > 0 && nB > 0, s"fixture too weak: classes A=$nA B=$nB")
+  }
+
   test("promotion law: every lost-primary vec's new primary IS its old " +
     "replica") {
     val rep = ReplicatedCodes.build(codes, 4)

@@ -2794,6 +2794,81 @@ class StreamingSpec extends SparkSpecBase {
       "final replica store != grown-ring replicated build")
   }
 
+  test("T43: streaming replicated ANN code store — two-copy SQ8 ingest " +
+    "per batch (quantize mid-stream, stateless), failover of ANY node " +
+    "candidate-invariant after every wave, a node JOINS mid-stream " +
+    "with no answer changed, replays no-op, final stores set-equal to " +
+    "the batch build") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingReplicatedCodes
+    import graft.operators.ReplicatedCodes
+    val emb = graft.core.Tables(s, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toSeq.sortBy(_._1)
+    // the broadcastable query set: q286's shape off the full corpus
+    val codesAll = emb.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding",
+        graft.functions.VectorOps.absMax($"embedding").as("amax"))
+      .select($"vec_id",
+        rint($"amax" * lit(1e3)).cast("long").as("am"),
+        graft.functions.VectorOps.quantize8($"embedding", $"amax")
+          .as("qv"))
+    val queries = codesAll.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"am".as("q_am"), $"qv".as("q_qv"))
+      .cache()
+    def cands(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("q_id", "vec_id", "adist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val waves = emb.grouped(math.max(1, emb.length / 4)).toSeq
+    var st = StreamingReplicatedCodes.freeze(s, nShards = 3)
+    var delivered = Seq.empty[(Long, Seq[Float])]
+    val stream = MemoryStream[(Long, Seq[Float])](s)
+    val qy = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingReplicatedCodes.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      val base = cands(StreamingReplicatedCodes.servePrimary(st, queries, 8))
+      assert(base.nonEmpty, s"empty serve after wave $i")
+      for (x <- 0L until st.nShards.toLong)
+        assert(cands(StreamingReplicatedCodes
+          .serveFailover(st, x, queries, 8)) === base,
+          s"failover of node $x changed candidates after wave $i (S=${st.nShards})")
+      if (i == 1) {
+        st = StreamingReplicatedCodes.grow(st)
+        assert(st.nShards === 4)
+        assert(cands(StreamingReplicatedCodes
+          .servePrimary(st, queries, 8)) === base,
+          "the mid-stream grow changed an answer")
+      }
+    }
+    // replay: exactly-once
+    val before = cands(StreamingReplicatedCodes.servePrimary(st, queries, 8))
+    stream.addData(waves.head: _*); qy.processAllAvailable()
+    qy.stop()
+    assert(cands(StreamingReplicatedCodes.servePrimary(st, queries, 8))
+      === before, "a replayed wave changed an answer")
+    // final stores == the batch build at the grown ring, as sets
+    val want = ReplicatedCodes.build(codesAll, 4)
+    def pSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Byte](3).toSeq)).toSet
+    def rSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Byte](4).toSeq)).toSet
+    assert(pSet(st.primary) === pSet(want.primaryStore),
+      "final primary rows != batch build")
+    assert(rSet(st.replica) === rSet(want.replicaStore),
+      "final replica rows != batch build")
+    queries.unpersist()
+    ()
+  }
+
   test("T41: streaming replicated index — TAKEDOWN mid-stream naming " +
     "arrived AND not-yet-arrived ids (q304's two-copy surgery + " +
     "tombstones forever), serving and failover correct after the " +
