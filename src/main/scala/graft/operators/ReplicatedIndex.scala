@@ -147,6 +147,57 @@ object ReplicatedIndex {
     Replicated(assignments, primaryStore, replicaStore, dl, stats)
   }
 
+  /** RAISE THE REPLICATION FACTOR 1 → 2 on an EXISTING single-copy
+    * ring store (X119e, q315): the Elasticsearch
+    * `number_of_replicas: 0 → 1` settings change — a tier that ran
+    * single-copy (q288's shape) turns replication on WITHOUT re-reading
+    * raw text. The existing store IS the primary copy already (its ring
+    * assignment equals [[assignPR]]'s primary — the compat law
+    * ReplicatedIndexSpec pins), so it passes through byte-UNTOUCHED;
+    * the replica tier bootstraps FROM THE INDEX: every primary block
+    * decodes once, postings re-key by their doc's preference-list
+    * replica, and the (node, origin, term, bucket) blocks encode fresh.
+    * Gap coding has no layout freedom ⇒ the bootstrapped pair ≡ a
+    * from-scratch [[build]] at the same ring, BOTH stores BYTE FOR
+    * BYTE — q315's oracle replays that build.
+    *
+    * Scale: decodes the FULL index exactly once and writes one new
+    * copy — the inherent cost of raising the replication factor (ES
+    * peer recovery streams every primary's segments the same way); the
+    * re-key join is |postings|-sized on the compact doc_id key against
+    * the broadcast-ring-assigned ID list; raw text never re-read. */
+  def addReplicas(store: DataFrame, dl: DataFrame,
+      nShards: Int): Replicated = {
+    val s = store.sparkSession
+    import s.implicits._
+    val ids = dl.select($"doc_id")
+      .withColumn("p", IndexReshard.position($"doc_id"))
+    val a = assignPR(ids, nShards)
+      .select($"doc_id", $"primary", $"replica")
+    val replicaStore = store
+      .select($"shard", $"term", $"bucket", $"df", $"bytes")
+      .as[(Long, String, Long, Int, Array[Byte])]
+      .flatMap { case (sh, t, b, n, bytes) =>
+        PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"addReplicas: corrupt primary block $sh/'$t'/$b"))
+          .map(p => (sh, t, b, p._1, p._2, p._3))
+      }.toDF("origin", "term", "bucket", "doc_id", "tf", "first_pos")
+      .join(a.select($"doc_id", $"replica".as("node")), "doc_id")
+      .groupBy($"node", $"origin", $"term", $"bucket")
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+      .as[(Long, Long, String, Long, Seq[(Long, Long, Long)])]
+      .map { case (nd, og, t, b, ps) =>
+        (nd, og, t, b, ps.size, PostingCodec.encode(ps))
+      }.toDF("node", "origin", "term", "bucket", "df", "bytes")
+    val stats = dl
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum($"dl").as("l_total"))
+      .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+    Replicated(a, store, replicaStore, dl, stats)
+  }
+
   /** Scatter-gather over ANY block selection that partitions the
     * corpus — (node, term, bucket, df, bytes) rows where `node` is the
     * serving node. df sums from the selection's metadata (exact

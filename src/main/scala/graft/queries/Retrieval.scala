@@ -2746,7 +2746,54 @@ object Retrieval {
       "stats); q298's exhaustive oracle + shard arithmetic proves the " +
       "sharded serve exact bit for bit")
 
+  /** q315 — RAISE THE REPLICATION FACTOR 1 → 2 on an existing store
+    * (X119e, r17): the ES `number_of_replicas: 0 → 1` settings change.
+    * q294 builds both copies from raw text at ingest; a tier that ran
+    * single-copy (q288's ring store) must be able to turn replication
+    * ON without re-reading the corpus —
+    * [[graft.operators.ReplicatedIndex.addReplicas]] bootstraps the
+    * replica tier FROM THE INDEX: the existing store IS the primary
+    * copy (its ring assignment equals the preference list's primary —
+    * the pinned compat law) and passes through byte-UNTOUCHED; every
+    * primary block decodes once, postings re-key by their doc's
+    * preference-list replica, fresh (node, origin, term, bucket)
+    * blocks encode. Gap coding has no layout freedom ⇒ the
+    * bootstrapped pair ≡ a from-scratch replicated build, BOTH stores
+    * BYTE FOR BYTE — the oracle replays that build (it never sees the
+    * single-copy store or the bootstrap), hash-matched at all 3 SFs.
+    *
+    * Scale: decodes the full index exactly ONCE and writes one new
+    * copy — the inherent floor for raising the replication factor (ES
+    * peer recovery streams every primary segment the same way); the
+    * re-key join is |postings|-sized on compact keys; raw text never
+    * re-read. */
+  val q315 = Q(
+    "q315_add_replicas",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val positioned = docs.select($"doc_id", $"text",
+        graft.operators.IndexReshard.position($"doc_id").as("p"))
+      val a0 = graft.operators.IndexReshard
+        .assign(positioned, 4, "shard")
+      val single = graft.operators.ShardedIndex.buildStore(
+        a0.select($"shard", $"doc_id", $"text"))
+      val dl = docs.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl"))
+      replicatedEvidence(
+        graft.operators.ReplicatedIndex.addReplicas(single, dl, 4))
+    },
+    Some(replicatedBuildOracleSql(4)),
+    doc = "X119e: replication factor 1 -> 2 on an existing single-copy " +
+      "ring store — the replica tier bootstraps FROM THE INDEX (every " +
+      "primary block decodes once, postings re-key by the preference-" +
+      "list replica), the primary copy passes through byte-untouched, " +
+      "raw text never re-read; bootstrapped pair == from-scratch " +
+      "replicated build, BOTH stores byte for byte (the oracle replays " +
+      "that build)")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
-    q298, q299, q300, q301, q302, q304, q307, q309, q310, q311, q312)
+    q298, q299, q300, q301, q302, q304, q307, q309, q310, q311, q312,
+    q315)
 }

@@ -3783,9 +3783,99 @@ object Text {
       "tier's strict decoder (hot FOR / cold LEB128); hash match vs " +
       "the 3-way positional self-join from raw text")
 
+  /** q314 — CONJUNCTIVE (AND) search with bucket-metadata skipping
+    * (X110g, r17): the boolean-AND query class — docs containing ALL
+    * query terms — served from the compressed store with a ZONE-MAP
+    * intersection BEFORE any decode. Blocks are doc-aligned (bucket =
+    * doc_id DIV 100) and partition docs, so the (term, bucket) block
+    * LIST is an exact zone map: a doc in bucket b containing term t
+    * forces block (t, b) to exist — therefore only buckets where ALL
+    * k terms have a block can hold a conjunctive hit, and every other
+    * bucket's blocks are skipped UNDECODED (the metadata-first
+    * intersection production AND-engines run: Lucene's skip lists /
+    * postings intersection driven by the rarest term, here in its
+    * doc-aligned-block form). The probe decodes only the candidate
+    * buckets' blocks, verifies per doc (count distinct terms = k), and
+    * emits per-doc evidence plus the skip counts (blocks fetched from
+    * metadata vs blocks decoded). The oracle recomputes the hits AND
+    * both counts from raw text — pruning is gated exact, not assumed.
+    *
+    * Scale: the zone-map intersection is metadata-only (Σ_t |blocks(t)|
+    * rows, never a decode); decode cost is |candidate buckets| × k
+    * blocks — on selective conjunctions the skipped majority never
+    * leaves storage; the verify aggregate is keyed by doc over
+    * candidate-bucket rows only. */
+  /** q314's probe as a function of the documents frame — factored out
+    * so TextOpsSpec can pin an ACTUAL skip on a planted corpus (on the
+    * driver corpus the three common terms occupy every bucket, so the
+    * zone map prunes nothing there — the oracle gates the counts, the
+    * spec gates the pruning). */
+  private[queries] def conjunctiveSearch(
+      docs: org.apache.spark.sql.DataFrame, qTerms: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val store = postingStore(docs)
+    val probed = store.filter($"term".isin(qTerms: _*))
+    // zone-map intersection on block METADATA — zero decode
+    val cand = probed.groupBy($"bucket")
+      .agg(count_distinct($"term").as("nt"))
+      .filter($"nt" === qTerms.size).select($"bucket")
+    val evidence = probed
+      .join(cand.withColumn("c", lit(1L)), Seq("bucket"), "left")
+      .agg(count(lit(1)).as("n_blocks_meta"),
+        sum(when($"c".isNotNull, 1L).otherwise(0L))
+          .as("n_blocks_decoded"))
+    val decoded = probed.join(cand, Seq("bucket"))
+      .select($"term", $"bucket", $"df", $"bytes")
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, b, n, bytes) =>
+        graft.operators.PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"q314: corrupt postings block '$t'/$b"))
+          .map { case (doc, tf, _) => (t, doc, tf) }
+      }.toDF("term", "doc_id", "tf")
+    decoded.groupBy($"doc_id")
+      .agg(count_distinct($"term").as("nt"), sum($"tf").as("tf_sum"))
+      .filter($"nt" === qTerms.size)
+      .select($"doc_id", $"tf_sum")
+      .crossJoin(broadcast(evidence))
+      .orderBy($"doc_id")
+  }
+
+  val q314 = Q(
+    "q314_conjunctive_search",
+    (s, dir) => conjunctiveSearch(Tables(s, dir, "documents"),
+      Seq("table", "scan", "key")),
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT doc_id, term FROM t
+            WHERE term IN ('table', 'scan', 'key')),
+      blk AS (SELECT DISTINCT term,
+                CAST(doc_id // 100 AS BIGINT) AS bucket
+              FROM h),
+      cand AS (SELECT bucket FROM blk
+               GROUP BY bucket HAVING COUNT(DISTINCT term) = 3),
+      ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks_meta,
+               CAST(SUM(CASE WHEN bucket IN (SELECT bucket FROM cand)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_decoded
+             FROM blk),
+      hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf_sum
+               FROM h GROUP BY doc_id
+               HAVING COUNT(DISTINCT term) = 3)
+      SELECT doc_id, tf_sum, n_blocks_meta, n_blocks_decoded
+      FROM hits CROSS JOIN ev ORDER BY doc_id"""),
+    doc = "X110g: conjunctive AND search with zone-map skipping — " +
+      "doc-aligned blocks partition docs, so the (term, bucket) block " +
+      "list is an exact zone map: only buckets where ALL k terms have " +
+      "a block can hold a hit, every other block skips undecoded; the " +
+      "oracle recomputes hits AND both block counts from raw text, " +
+      "gating the pruning exact")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
     q266, q268, q270, q271, q274, q275, q277, q278, q281, q282, q284,
-    q285, q288, q289, q292, q295, q297, q305, q306, q308)
+    q285, q288, q289, q292, q295, q297, q305, q306, q308, q314)
 }

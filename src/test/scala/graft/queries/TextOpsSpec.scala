@@ -195,4 +195,32 @@ class TextOpsSpec extends SparkSpecBase {
     assert(want.nonEmpty, "phrase absent at sf0.001 — fixture is vacuous")
     assert(got === want, "k-term phrase diverged from brute force")
   }
+
+  test("q314 zone-map skip: on a skewed corpus the intersection prunes " +
+    "blocks UNDECODED and the hits still equal brute force") {
+    import spark.implicits._
+    // 600 docs / 6 buckets; 'rare' lives ONLY in bucket 1 — every other
+    // bucket's 'common'/'filler' blocks must skip
+    val docs = (0L until 600L).map { i =>
+      val t =
+        if (i >= 100 && i < 200 && i % 3 == 0) "common rare filler x"
+        else if (i % 2 == 0) "common filler x x"
+        else "filler common x x"
+      (i, t)
+    }
+    val out = Text.conjunctiveSearch(docs.toDF("doc_id", "text"),
+      Seq("common", "rare", "filler")).collect()
+    val want = docs.filter { case (_, t) =>
+      val ws = t.split(" ").toSet
+      ws("common") && ws("rare") && ws("filler")
+    }.map(_._1).toSeq.sorted
+    assert(out.map(_.getLong(0)).toSeq === want,
+      "conjunctive hits diverged from brute force")
+    val (meta, dec) = (out.head.getLong(2), out.head.getLong(3))
+    // 'common'/'filler' block in all 6 buckets, 'rare' only in bucket 1
+    // -> 13 metadata blocks, 3 decoded
+    assert(dec < meta, s"nothing skipped: meta=$meta decoded=$dec")
+    assert(dec === 3L && meta === 13L,
+      s"unexpected zone-map counts: meta=$meta decoded=$dec")
+  }
 }
