@@ -160,7 +160,13 @@ object ReplicatedCodes {
     *
     * Rows are atomic (no block layout), so recovered ≡ a from-scratch
     * [[build]] at S−1 as a SET — ReplicatedCodesSpec pins that
-    * equality for both stores plus the promotion law. */
+    * equality for both stores plus the promotion law.
+    *
+    * A planned node DRAIN (shrink S → S−1) is the SAME operation: the
+    * drained node's rows are exactly what a loss would lose, and the
+    * end state is identical — so this one member covers both the
+    * unplanned (loss) and planned (decommission) halves of the
+    * lifecycle for the row store. */
   def recoverLost(rep: ReplicatedC, oldShards: Int): ReplicatedC = {
     require(oldShards >= 3,
       s"recovery needs >= 3 shards (>= 2 survive), got $oldShards")
@@ -194,6 +200,66 @@ object ReplicatedCodes {
         $"am", $"qv")
     val newReplica = keepRepl.unionByName(reRepl)
     ReplicatedC(a2, newPrimary, newReplica)
+  }
+
+  /** TAKEDOWN on the replicated code store (X122c, q316): the
+    * right-to-be-forgotten event against both copies — rows are
+    * atomic, so the surgery is one anti-join per frame (q304's
+    * two-copy law without the block decode). Unknown ids are no-ops;
+    * maintained ≡ a from-scratch [[build]] over the survivors as a
+    * SET. */
+  def takedown(rep: ReplicatedC, deadIds: DataFrame): ReplicatedC = {
+    val s = rep.primaryStore.sparkSession
+    import s.implicits._
+    val dead = deadIds
+      .select(col(deadIds.columns.head).cast("long").as("vec_id"))
+      .distinct()
+    // anti-joins move the key column to the front — re-pin the
+    // canonical store order for positional readers
+    ReplicatedC(
+      rep.assignments.join(dead, Seq("vec_id"), "left_anti")
+        .select($"vec_id", $"primary", $"replica"),
+      rep.primaryStore.join(dead, Seq("vec_id"), "left_anti")
+        .select($"shard", $"vec_id", $"am", $"qv"),
+      rep.replicaStore.join(dead, Seq("vec_id"), "left_anti")
+        .select($"node", $"origin", $"vec_id", $"am", $"qv"))
+  }
+
+  /** UPDATE / re-embed on the replicated code store (X122c, q316): a
+    * document's embedding changes (the model re-encoded it) and both
+    * copies must serve the NEW codes. Placement is a pure function of
+    * vec_id (the ring hash), so a re-embed NEVER moves a vector — for
+    * existing ids the verb is a payload swap on both stores, keys and
+    * assignments untouched; ids not yet in the store insert cleanly
+    * via [[build]]'s placement (the upsert half — `nShards` names the
+    * current ring). Maintained ≡ a from-scratch [[build]] over the
+    * post-update corpus as a SET. Input: (vec_id, am, qv) — the new
+    * code rows. */
+  def update(rep: ReplicatedC, newCodes: DataFrame,
+      nShards: Int): ReplicatedC = {
+    val s = rep.primaryStore.sparkSession
+    import s.implicits._
+    val up = newCodes.dropDuplicates("vec_id")
+    val ids = up.select($"vec_id")
+    val existing = up.join(rep.assignments, "vec_id")
+    val swappedP = rep.primaryStore
+      .join(ids, Seq("vec_id"), "left_anti")
+      .select($"shard", $"vec_id", $"am", $"qv")
+      .unionByName(existing
+        .select($"primary".as("shard"), $"vec_id", $"am", $"qv"))
+    val swappedR = rep.replicaStore
+      .join(ids, Seq("vec_id"), "left_anti")
+      .select($"node", $"origin", $"vec_id", $"am", $"qv")
+      .unionByName(existing
+        .select($"replica".as("node"), $"primary".as("origin"),
+          $"vec_id", $"am", $"qv"))
+    // the upsert half: never-seen ids place fresh
+    val novel = up.join(rep.assignments, Seq("vec_id"), "left_anti")
+    val fresh = build(novel, nShards)
+    ReplicatedC(
+      rep.assignments.unionByName(fresh.assignments),
+      swappedP.unionByName(fresh.primaryStore),
+      swappedR.unionByName(fresh.replicaStore))
   }
 
   /** GROW the replicated code store S → S+1, INDEX-ONLY (q302's

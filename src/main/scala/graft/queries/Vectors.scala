@@ -2113,7 +2113,115 @@ object Vectors {
       "quantization + both ring slots in closed form; the surgery " +
       "never enters it)")
 
+  /** q316 — replicated code store WRITE VERBS: takedown + re-embed
+    * (X122c, r17): the vector tier's q304/q305 — a right-to-be-
+    * forgotten event and a model re-encode against the TWO-COPY code
+    * store, both index-only. Rows are atomic, so the takedown is one
+    * anti-join per frame (both copies at once — the compliance law
+    * q304 carries, without the block surgery), and the re-embed
+    * exploits the placement invariant: a vec's ring position is a pure
+    * function of vec_id, so NEW CODES NEVER MOVE A VECTOR — the verb
+    * is a payload swap on both stores with keys and assignments
+    * untouched. Maintained ≡ a from-scratch build over the
+    * post-maintenance corpus (survivors, updated vecs re-encoded from
+    * their new embeddings — here the deterministic `reverse`, which
+    * any SQL replays) ROW FOR ROW — the oracle replays quantization
+    * over the modified corpus + both ring slots in closed form; the
+    * verbs never enter it. Hash-matched at all 3 SFs.
+    * ReplicatedCodesSpec pins placement-never-moves, the upsert half,
+    * unknown-id no-ops, and failover invariance after maintenance.
+    *
+    * Scale: takedown = anti-joins on the compact vec_id key; update =
+    * |updated|-sized joins; both copies pay the same row count (the
+    * 2× replication always costs); raw vectors re-read only for the
+    * RE-EMBEDDED set — the verb's input by definition. */
+  val q316 = Q(
+    "q316_replicated_codes_maintenance",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      def codesOf(df: org.apache.spark.sql.DataFrame) = df
+        .select($"vec_id", $"embedding",
+          VectorOps.absMax($"embedding").as("amax"))
+        .select($"vec_id",
+          rint($"amax" * lit(1e3)).cast(LongType).as("am"),
+          VectorOps.quantize8($"embedding", $"amax").as("qv"))
+      val rep = graft.operators.ReplicatedCodes.build(codesOf(emb), 4)
+      val dead = emb.select($"vec_id").filter($"vec_id" % 11 === 4)
+      val upd = emb
+        .filter($"vec_id" % 13 === 2 && $"vec_id" % 11 =!= 4)
+        .select($"vec_id", reverse($"embedding").as("embedding"))
+      val maintained = graft.operators.ReplicatedCodes.update(
+        graft.operators.ReplicatedCodes.takedown(rep, dead),
+        codesOf(upd), nShards = 4)
+      val p = maintained.primaryStore.select(lit("p").as("store"),
+        $"shard".as("node"), lit(-1L).as("origin"), $"vec_id", $"am",
+        $"qv")
+      val r = maintained.replicaStore.select(lit("r").as("store"),
+        $"node", $"origin", $"vec_id", $"am", $"qv")
+      p.unionByName(r)
+        .withColumn("qv_hash", expr(
+          """aggregate(qv, CAST(7 AS BIGINT),
+               (h, x) -> (h * 31 + CAST(x AS BIGINT) + 128) % 1000000007)"""))
+        .select($"store", $"node", $"origin", $"vec_id", $"am", $"qv_hash")
+        .orderBy($"store", $"node", $"origin", $"vec_id")
+    },
+    Some(s"""
+      WITH base AS (SELECT vec_id,
+              CASE WHEN vec_id % 13 = 2 AND vec_id % 11 <> 4
+                   THEN list_reverse(embedding) ELSE embedding END
+                AS embedding
+            FROM embeddings WHERE vec_id % 11 <> 4),
+      k AS (SELECT vec_id, embedding,
+              ${VectorOps.absMaxSql("embedding")} AS amax
+            FROM base),
+      c AS (SELECT vec_id,
+              CAST(CAST(amax AS DECIMAL(18,3)) * 1000 AS BIGINT) AS am,
+              CASE WHEN amax = 0
+                   THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(embedding, x ->
+                     CAST(round(CAST(x AS DOUBLE) / amax * 127) AS BIGINT))
+              END AS qv
+            FROM k),
+      rg AS (${graft.queries.Mining.ringSql(4, 16)}),
+      r2 AS (SELECT shard, pos FROM rg
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM rg),
+      md AS (SELECT vec_id,
+               CAST(('0x' || substr(md5('vec' || vec_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM c),
+      pw AS (SELECT md.vec_id,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS prim
+             FROM md JOIN r2 ON r2.pos >= md.p GROUP BY md.vec_id),
+      rw AS (SELECT md.vec_id, pw.prim,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS repl
+             FROM md JOIN pw USING (vec_id)
+                  JOIN r2 ON r2.pos >= md.p AND r2.shard <> pw.prim
+             GROUP BY md.vec_id, pw.prim),
+      h AS (SELECT c.vec_id, c.am,
+              CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), c.qv),
+                (h, x) -> (h * 31 + x + 128) % 1000000007) AS BIGINT)
+                AS qv_hash,
+              rw.prim, rw.repl
+            FROM c JOIN rw USING (vec_id))
+      SELECT 'p' AS store, prim AS node, CAST(-1 AS BIGINT) AS origin,
+             vec_id, am, qv_hash
+      FROM h
+      UNION ALL
+      SELECT 'r', repl, prim, vec_id, am, qv_hash FROM h
+      ORDER BY store, node, origin, vec_id"""),
+    doc = "X122c: replicated code store write verbs — takedown on both " +
+      "copies (one anti-join per frame; rows are atomic) and re-embed " +
+      "as a pure payload swap (placement is a function of vec_id, so " +
+      "new codes never move a vector); maintained == from-scratch " +
+      "build over the post-maintenance corpus row for row (the oracle " +
+      "replays quantization over the modified corpus + both ring " +
+      "slots; the verbs never enter it)")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
     q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250,
-    q280, q286, q290, q296, q303, q313)
+    q280, q286, q290, q296, q303, q313, q316)
 }

@@ -172,6 +172,66 @@ class ReplicatedCodesSpec extends SparkSpecBase {
     assert(nA > 0 && nB > 0, s"fixture too weak: classes A=$nA B=$nB")
   }
 
+  test("write verbs: takedown anti-joins BOTH copies (unknown ids " +
+    "no-op), re-embed is a payload swap that never moves placement, " +
+    "upsert places fresh, failover stays invariant after maintenance") {
+    val rep = ReplicatedCodes.build(codes, 4)
+    val dead = corpus.map(_._1).filter(_ % 9 == 5)
+    val cut = ReplicatedCodes.takedown(rep, dead.toDF("vec_id"))
+    // takedown == rebuild over survivors, both stores
+    val survivors = corpus.filterNot(c => c._1 % 9 == 5)
+    def pSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3).toSeq)).toSet
+    assert(pSet(cut.primaryStore) ==
+      pSet(ReplicatedCodes.build(survivors.toDF("vec_id", "am", "qv"), 4)
+        .primaryStore))
+    // unknown ids are no-ops
+    val noop = ReplicatedCodes.takedown(rep, Seq(99999L).toDF("vec_id"))
+    assert(pSet(noop.primaryStore) == pSet(rep.primaryStore))
+    assert(pSet(noop.replicaStore
+      .select($"node", $"vec_id", $"am", $"qv")) ==
+      pSet(rep.replicaStore.select($"node", $"vec_id", $"am", $"qv")))
+    // re-embed: new payload, SAME placement; upsert id places fresh
+    val newCodes = (survivors.take(20).map { case (id, am, _) =>
+      (id, am + 1, Seq.tabulate(8)(d => (d * 3 + 1).toLong)) } :+
+      ((5000L, 1200L, Seq.tabulate(8)(d => (d + 1).toLong))))
+      .toDF("vec_id", "am", "qv")
+    val upd = ReplicatedCodes.update(cut, newCodes, 4)
+    def aMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val before = aMap(cut.assignments)
+    val after = aMap(upd.assignments)
+    before.foreach { case (id, pr) =>
+      assert(after(id) === pr, s"re-embed moved vec $id")
+    }
+    assert(after.contains(5000L) && !before.contains(5000L),
+      "upsert id not placed")
+    assert(after(5000L)._1 !== after(5000L)._2)
+    // maintained == rebuild over the post-maintenance corpus
+    val updatedIds = survivors.take(20).map(_._1).toSet
+    val postCorpus = (survivors.map { case (id, am, qv) =>
+      if (updatedIds.contains(id))
+        (id, am + 1, Seq.tabulate(8)(d => (d * 3 + 1).toLong))
+      else (id, am, qv)
+    } :+ ((5000L, 1200L, Seq.tabulate(8)(d => (d + 1).toLong))))
+    val want = ReplicatedCodes.build(
+      postCorpus.toDF("vec_id", "am", "qv"), 4)
+    assert(pSet(upd.primaryStore) == pSet(want.primaryStore),
+      "maintained primary != rebuild over post-maintenance corpus")
+    assert(pSet(upd.replicaStore
+      .select($"node", $"vec_id", $"am", $"qv")) ==
+      pSet(want.replicaStore.select($"node", $"vec_id", $"am", $"qv")),
+      "maintained replica != rebuild")
+    // failover still candidate-invariant after the verbs
+    val base = candSet(ReplicatedCodes.servePrimary(upd, queries, 10))
+    assert(base.nonEmpty)
+    for (x <- 0L until 4L)
+      assert(candSet(ReplicatedCodes.serveFailover(upd, x, queries, 10))
+        == base, s"failover of node $x diverged after maintenance")
+  }
+
   test("promotion law: every lost-primary vec's new primary IS its old " +
     "replica") {
     val rep = ReplicatedCodes.build(codes, 4)
