@@ -519,6 +519,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  // q317 (sharded IVF-PQ) ends in a lineage barrier (the q196 eager-
+  // barrier-before-unpersist posture), which truncates its executed
+  // plan to an ExistingRDD scan — its wire shape is the q296 device
+  // pinned above (bounded TopKLong both stages) plus the broadcast
+  // probed-cell join, and its exactness is oracle-gated at 3 SFs.
+
   test("SQ8 stage 1 broadcasts the query codes — the corpus code store " +
     "never shuffles for the scan") {
     val df = queries.Vectors.q286.build(spark, sf)
