@@ -2305,7 +2305,89 @@ object Vectors {
       "stats step); q196's unsharded oracle proves sharded == " +
       "single-store bit for bit")
 
+  /** q318 — REPLICATED navigable-graph ANN with FAILOVER (X122d, r17):
+    * the last named store of the r16 verdict's "missing #1" — SQ8 got
+    * q303/q316, IVF-PQ got q317, and the q280 graph tier was still
+    * single-copy: a node loss loses its vertices' adjacency rows AND
+    * codes, and a beam search is ITERATIVE — one lost row changes
+    * paths, so the invariance is a real claim about the traversal, not
+    * a tautology about one scan. [[graft.operators.ReplicatedRows]]
+    * places all three row stores (quantized vectors, dense-layer
+    * edges, top-layer edges) on TWO nodes each, CO-PLACED on the same
+    * vec ring as the codes (a traversal that lands on a vertex needs
+    * its vector and its neighbors together — the locality every real
+    * graph index engineers for); with node 1 down the failover
+    * selection returns the exact original row SETS (a partition, every
+    * row from a surviving copy), so the layered beam search — q280
+    * VERBATIM from there on — answers identically, which the oracle
+    * (q280's from-raw two-layer replay; the topology never enters it)
+    * gates bit for bit at all 3 SFs. ReplicatedRowsSpec pins the
+    * row-set partition law and traversal invariance for EVERY failed
+    * node on a planted graph.
+    *
+    * Scale: placement is one broadcast doubled-ring join per store
+    * over the distinct id list; ingest pays replication's 2× row cost;
+    * failover is filter + union (never a payload shuffle); the serve
+    * is q280's posture unchanged — per-hop candidate frontiers, exact
+    * integer distances, bounded beams. */
+  val q318 = Q(
+    "q318_replicated_graph_ann",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{GraphAnn, KMeansInt, NNDescent, ReplicatedRows}
+      val failed = 1L
+      val emb = Tables(s, dir, "embeddings")
+      val vq0 = emb.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+        .persist()
+      val n = vq0.count() // 1-scalar driver action: the init's mod base
+      val init0 = vq0.select($"vec_id".as("v"),
+          explode(sequence(lit(1), lit(4))).as("i"))
+        .select($"v", (($"v" + $"i") % n).as("u"))
+      val g0full = NNDescent.build(vq0, "vec_id", init0, k = 4, rounds = 2)
+        .select($"v", $"u")
+      val top0 = vq0.filter($"vec_id" % 8 === 0)
+      val m = top0.count() // the subset init's mod base
+      val strides = (0 until 20).map(1L << _).filter(_ < m)
+      val ring = top0.select($"vec_id".as("v"),
+          explode(lit(strides.toArray)).as("st"))
+        .select($"v", expr(s"((v DIV 8) + st) % $m * 8").as("u"))
+      val g1full = NNDescent.build(top0, "vec_id", ring, k = 3, rounds = 2)
+        .select($"v", $"u")
+        .unionByName(ring.select($"v", $"u"))
+      // ---- ingest: BOTH copies of all three row stores, co-placed on
+      // the vec ring (a vertex's codes and adjacency share a home)
+      val (vqP, vqR) = ReplicatedRows.build(vq0, "vec_id", nShards = 4)
+      val (g0P, g0R) = ReplicatedRows.build(g0full, "v", nShards = 4)
+      val (g1P, g1R) = ReplicatedRows.build(g1full, "v", nShards = 4)
+      // ---- node 1 is DOWN: the traversal serves off the routed sets
+      val vq = ReplicatedRows.failover(vqP, vqR, failed)
+      val g0 = ReplicatedRows.failover(g0P, g0R, failed)
+      val g1 = ReplicatedRows.failover(g1P, g1R, failed)
+      val top = vq.filter($"vec_id" % 8 === 0)
+      val queries = vq.filter($"vec_id" % 100 === 7)
+        .select($"vec_id".as("q_id"), $"xq")
+      val entryTop = top.filter($"vec_id" === 0).select($"vec_id".as("id"))
+      val stage1 = GraphAnn.beamSearch(top, "vec_id", g1, queries,
+        entryTop, beam = 3, rounds = 2, k = 2)
+      val seeds = stage1.select($"q_id", $"id")
+      val out = GraphAnn
+        .beamSearchFrom(vq, "vec_id", g0, queries, seeds,
+          beam = 4, rounds = 3, k = 4)
+        .orderBy($"q_id", $"rn")
+        .barrier() // eager, BEFORE unpersist (q280's posture)
+      vq0.unpersist()
+      out
+    },
+    q280.oracle, // the single-copy two-layer replay — topology never enters
+    doc = "X122d: replicated navigable-graph ANN with node-1 failover — " +
+      "all three row stores (quantized vectors, dense edges, top-layer " +
+      "edges) placed on two nodes each, CO-PLACED on the codes' vec " +
+      "ring; the failover selection is a row-set partition, so the " +
+      "layered beam search (iterative — one lost row changes paths) " +
+      "answers identically with any node down; q280's oracle gates it " +
+      "bit for bit")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
     q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250,
-    q280, q286, q290, q296, q303, q313, q316, q317)
+    q280, q286, q290, q296, q303, q313, q316, q317, q318)
 }
