@@ -139,6 +139,45 @@ class ForCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ForCodec.decodePositional(badPad, 2).isEmpty)
   }
 
+  test("crafted-count overflow blocks reject to None, never throw " +
+    "(ADVICE r16: Int width math wrapped negative on huge claimed " +
+    "counts)") {
+    // a block claiming one doc with npos = 2^31: varint(doc=0),
+    // varint(n=1), gaps section (count 0, w=1), npos section packing
+    // the single value 2^31 at w=32, then whatever follows — the old
+    // Int math made nbytes negative in the pgs unpack and walked off
+    // the array. Build it byte by byte.
+    val out = new java.io.ByteArrayOutputStream()
+    def vi(v0: Long): Unit = {
+      var v = v0
+      while (v >= 0x80) { out.write(((v & 0x7f) | 0x80).toInt); v >>= 7 }
+      out.write(v.toInt)
+    }
+    vi(0L); vi(1L)     // first doc 0, n = 1
+    out.write(1)       // w_gap = 1, zero gap values (n-1 = 0)
+    out.write(32)      // w_np = 32
+    // the single npos value 2^31, LSB-first over 4 bytes
+    out.write(0); out.write(0); out.write(0); out.write(0x80)
+    out.write(1); out.write(1) // w_fp = 1; first position 1
+    out.write(1)       // w_pg = 1, then too few bytes for 2^31-1 gaps
+    out.write(0xFF)
+    val crafted = out.toByteArray
+    assert(ForCodec.decodePositional(crafted, 1).isEmpty,
+      "huge-npos block must reject, not throw")
+    // and the fuzz net: arbitrary byte soup never throws for ANY
+    // (bytes, n) — the strict decoders' total contract
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3000) {
+      val len = rnd.nextInt(40)
+      val bs = Array.fill(len)(rnd.nextInt(256).toByte)
+      val n = rnd.nextInt(6)
+      ForCodec.decodePositional(bs, n) // Option or bust
+      ForCodec.decode(bs, n)
+      PostingCodec.decodePositional(bs, n)
+      PostingCodec.decode(bs, n): Unit
+    }
+  }
+
   test("positional encoder preconditions throw: empty block, empty or " +
     "non-ascending or 0-based positions, descending docs") {
     intercept[IllegalArgumentException](ForCodec.encodePositional(Nil))
