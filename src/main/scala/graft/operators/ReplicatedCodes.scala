@@ -50,10 +50,15 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * posture, unchanged by replication. */
 object ReplicatedCodes {
 
+  /** `nShards` is the ring the assignments were built at — carried in
+    * the store (ADVICE r17) so [[update]]'s upsert half can never
+    * place novel ids on a DIFFERENT ring than the existing rows, and
+    * [[grow]]/[[recoverLost]] fail loudly on a mismatched claim. */
   final case class ReplicatedC(
       assignments: DataFrame,  // (vec_id, primary, replica), primary != replica
       primaryStore: DataFrame, // (shard, vec_id, am, qv)
-      replicaStore: DataFrame) // (node, origin, vec_id, am, qv)
+      replicaStore: DataFrame, // (node, origin, vec_id, am, qv)
+      nShards: Int)            // the ring size the placement used
 
   /** The vec's ring position: q162's hash with the "vec" prefix, so
     * the vector ring is independent of the text ring's "doc" one. */
@@ -78,7 +83,7 @@ object ReplicatedCodes {
       $"am", $"qv")
     val replicaStore = a.select($"replica".as("node"),
       $"primary".as("origin"), $"vec_id", $"am", $"qv")
-    ReplicatedC(assignments, primaryStore, replicaStore)
+    ReplicatedC(assignments, primaryStore, replicaStore, nShards)
   }
 
   /** Stage-1 scatter-gather over ANY row selection that partitions the
@@ -168,6 +173,8 @@ object ReplicatedCodes {
     * unplanned (loss) and planned (decommission) halves of the
     * lifecycle for the row store. */
   def recoverLost(rep: ReplicatedC, oldShards: Int): ReplicatedC = {
+    require(oldShards == rep.nShards,
+      s"recoverLost at $oldShards on a ${rep.nShards}-ring store")
     require(oldShards >= 3,
       s"recovery needs >= 3 shards (>= 2 survive), got $oldShards")
     val lost = (oldShards - 1).toLong
@@ -199,7 +206,7 @@ object ReplicatedCodes {
       .select($"replica".as("node"), $"primary".as("origin"), $"vec_id",
         $"am", $"qv")
     val newReplica = keepRepl.unionByName(reRepl)
-    ReplicatedC(a2, newPrimary, newReplica)
+    ReplicatedC(a2, newPrimary, newReplica, oldShards - 1)
   }
 
   /** TAKEDOWN on the replicated code store (X122c, q316): the
@@ -222,7 +229,8 @@ object ReplicatedCodes {
       rep.primaryStore.join(dead, Seq("vec_id"), "left_anti")
         .select($"shard", $"vec_id", $"am", $"qv"),
       rep.replicaStore.join(dead, Seq("vec_id"), "left_anti")
-        .select($"node", $"origin", $"vec_id", $"am", $"qv"))
+        .select($"node", $"origin", $"vec_id", $"am", $"qv"),
+      rep.nShards)
   }
 
   /** UPDATE / re-embed on the replicated code store (X122c, q316): a
@@ -231,12 +239,12 @@ object ReplicatedCodes {
     * vec_id (the ring hash), so a re-embed NEVER moves a vector — for
     * existing ids the verb is a payload swap on both stores, keys and
     * assignments untouched; ids not yet in the store insert cleanly
-    * via [[build]]'s placement (the upsert half — `nShards` names the
-    * current ring). Maintained ≡ a from-scratch [[build]] over the
-    * post-update corpus as a SET. Input: (vec_id, am, qv) — the new
-    * code rows. */
-  def update(rep: ReplicatedC, newCodes: DataFrame,
-      nShards: Int): ReplicatedC = {
+    * via [[build]]'s placement at the store's OWN carried ring (the
+    * upsert half — the ring size rides in [[ReplicatedC]], so a caller
+    * cannot place novel ids on a mismatched ring; ADVICE r17).
+    * Maintained ≡ a from-scratch [[build]] over the post-update corpus
+    * as a SET. Input: (vec_id, am, qv) — the new code rows. */
+  def update(rep: ReplicatedC, newCodes: DataFrame): ReplicatedC = {
     val s = rep.primaryStore.sparkSession
     import s.implicits._
     val up = newCodes.dropDuplicates("vec_id")
@@ -253,13 +261,14 @@ object ReplicatedCodes {
       .unionByName(existing
         .select($"replica".as("node"), $"primary".as("origin"),
           $"vec_id", $"am", $"qv"))
-    // the upsert half: never-seen ids place fresh
+    // the upsert half: never-seen ids place fresh, on the SAME ring
     val novel = up.join(rep.assignments, Seq("vec_id"), "left_anti")
-    val fresh = build(novel, nShards)
+    val fresh = build(novel, rep.nShards)
     ReplicatedC(
       rep.assignments.unionByName(fresh.assignments),
       swappedP.unionByName(fresh.primaryStore),
-      swappedR.unionByName(fresh.replicaStore))
+      swappedR.unionByName(fresh.replicaStore),
+      rep.nShards)
   }
 
   /** GROW the replicated code store S → S+1, INDEX-ONLY (q302's
@@ -274,6 +283,8 @@ object ReplicatedCodes {
     * changes (origin = primary rides in it), so all movers' replica
     * rows re-key; only primary-moved vecs touch the primary store. */
   def grow(rep: ReplicatedC, oldShards: Int): ReplicatedC = {
+    require(oldShards == rep.nShards,
+      s"grow at $oldShards on a ${rep.nShards}-ring store")
     require(oldShards >= 2, s"grow needs >= 2 shards, got $oldShards")
     val s = rep.primaryStore.sparkSession
     import s.implicits._
@@ -304,6 +315,7 @@ object ReplicatedCodes {
       keepP.unionByName(addP)
         .select($"shard", $"vec_id", $"am", $"qv"),
       keepR.unionByName(addR)
-        .select($"node", $"origin", $"vec_id", $"am", $"qv"))
+        .select($"node", $"origin", $"vec_id", $"am", $"qv"),
+      oldShards + 1)
   }
 }

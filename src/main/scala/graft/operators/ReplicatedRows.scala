@@ -33,8 +33,17 @@ object ReplicatedRows {
 
   /** Both copies of `rows`, placed by `idCol` on the vec ring.
     * Returns (primary with `shard`, replica with `node`/`origin`). */
+  /** Placement/key column names the payload frame must not use — the
+    * build join and the copies' keys would become ambiguous or
+    * silently wrong (ADVICE r17). */
+  private val Reserved = Set("primary", "replica", "shard", "node", "origin")
+
   def build(rows: DataFrame, idCol: String,
       nShards: Int): (DataFrame, DataFrame) = {
+    val clash = rows.columns.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"ReplicatedRows.build: payload columns ${clash.mkString(", ")} " +
+        "collide with placement keys (primary/replica/shard/node/origin)")
     val s = rows.sparkSession
     import s.implicits._
     val ids = rows.select(col(idCol).as("doc_id")).distinct()

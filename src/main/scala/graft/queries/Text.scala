@@ -3397,30 +3397,6 @@ object Text {
       "re-read; maintained == from-scratch 3-ring build byte for byte " +
       "(the oracle replays that build; the surgery never enters it)")
 
-  /** q297 — phrase search through TIERED FOR-packed POSITIONAL
-    * postings (X109l, r16): closes the r15 verdict's "missing #4" —
-    * q281/q289 bit-pack and tier the (doc, tf, first_pos) postings,
-    * but the position lists the PROXIMITY probes decode (q263/q266/
-    * q271/q272) stayed LEB128-only, so the hottest reads used the
-    * fattest encoding. Position deltas are small ascending gaps —
-    * FOR's best case. [[graft.operators.ForCodec.encodePositional]]
-    * packs each block's doc gaps / npos / first positions / position
-    * gaps at per-section minimal widths (canonical-strict like every
-    * codec here); the store TIERS by q289's metadata rule (df·10 ≥ N
-    * hot → FOR, cold → LEB128 positional), and the phrase probe
-    * ROUTES each block to its tier's strict decoder. The phrase
-    * ('big' hot, 'dup' cold) deliberately spans both tiers, so the
-    * from-raw oracle's hash gates BOTH decode routes; n_pos1/n_pos2
-    * pin full position-list losslessness (every position counted, not
-    * just the matched pairs) and hot1/hot2 pin the routing decision.
-    * ForCodecSpec extends the strict-parse rejection matrix to the
-    * positional layout and records the measured size ratio vs the
-    * LEB128 positional encoding.
-    *
-    * Scale: q263's posture — probe touches only the phrase terms'
-    * blocks, per-block bounded decode, adjacency as one (doc, pos)
-    * equi-join; tiering is one metadata join at ingest, no new
-    * shuffle. */
   /** q297's TIERED positional store (term, bucket, hot, df, bytes) —
     * hot terms (df·10 ≥ N, q289's metadata rule) FOR-packed, cold
     * LEB128 — factored out so q308's k-term phrase probes the same
@@ -3478,6 +3454,30 @@ object Text {
       }.toDF("term", "hot", "doc_id", "pos")
   }
 
+  /** q297 — phrase search through TIERED FOR-packed POSITIONAL
+    * postings (X109l, r16): closes the r15 verdict's "missing #4" —
+    * q281/q289 bit-pack and tier the (doc, tf, first_pos) postings,
+    * but the position lists the PROXIMITY probes decode (q263/q266/
+    * q271/q272) stayed LEB128-only, so the hottest reads used the
+    * fattest encoding. Position deltas are small ascending gaps —
+    * FOR's best case. [[graft.operators.ForCodec.encodePositional]]
+    * packs each block's doc gaps / npos / first positions / position
+    * gaps at per-section minimal widths (canonical-strict like every
+    * codec here); the store TIERS by q289's metadata rule (df·10 ≥ N
+    * hot → FOR, cold → LEB128 positional), and the phrase probe
+    * ROUTES each block to its tier's strict decoder. The phrase
+    * ('big' hot, 'dup' cold) deliberately spans both tiers, so the
+    * from-raw oracle's hash gates BOTH decode routes; n_pos1/n_pos2
+    * pin full position-list losslessness (every position counted, not
+    * just the matched pairs) and hot1/hot2 pin the routing decision.
+    * ForCodecSpec extends the strict-parse rejection matrix to the
+    * positional layout and records the measured size ratio vs the
+    * LEB128 positional encoding.
+    *
+    * Scale: q263's posture — probe touches only the phrase terms'
+    * blocks, per-block bounded decode, adjacency as one (doc, pos)
+    * equi-join; tiering is one metadata join at ingest, no new
+    * shuffle. */
   val q297 = Q(
     "q297_for_positional_phrase",
     (s, dir) => {
@@ -3783,28 +3783,6 @@ object Text {
       "tier's strict decoder (hot FOR / cold LEB128); hash match vs " +
       "the 3-way positional self-join from raw text")
 
-  /** q314 — CONJUNCTIVE (AND) search with bucket-metadata skipping
-    * (X110g, r17): the boolean-AND query class — docs containing ALL
-    * query terms — served from the compressed store with a ZONE-MAP
-    * intersection BEFORE any decode. Blocks are doc-aligned (bucket =
-    * doc_id DIV 100) and partition docs, so the (term, bucket) block
-    * LIST is an exact zone map: a doc in bucket b containing term t
-    * forces block (t, b) to exist — therefore only buckets where ALL
-    * k terms have a block can hold a conjunctive hit, and every other
-    * bucket's blocks are skipped UNDECODED (the metadata-first
-    * intersection production AND-engines run: Lucene's skip lists /
-    * postings intersection driven by the rarest term, here in its
-    * doc-aligned-block form). The probe decodes only the candidate
-    * buckets' blocks, verifies per doc (count distinct terms = k), and
-    * emits per-doc evidence plus the skip counts (blocks fetched from
-    * metadata vs blocks decoded). The oracle recomputes the hits AND
-    * both counts from raw text — pruning is gated exact, not assumed.
-    *
-    * Scale: the zone-map intersection is metadata-only (Σ_t |blocks(t)|
-    * rows, never a decode); decode cost is |candidate buckets| × k
-    * blocks — on selective conjunctions the skipped majority never
-    * leaves storage; the verify aggregate is keyed by doc over
-    * candidate-bucket rows only. */
   /** q314's probe as a function of the documents frame — factored out
     * so TextOpsSpec can pin an ACTUAL skip on a planted corpus (on the
     * driver corpus the three common terms occupy every bucket, so the
@@ -3843,6 +3821,28 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** q314 — CONJUNCTIVE (AND) search with bucket-metadata skipping
+    * (X110g, r17): the boolean-AND query class — docs containing ALL
+    * query terms — served from the compressed store with a ZONE-MAP
+    * intersection BEFORE any decode. Blocks are doc-aligned (bucket =
+    * doc_id DIV 100) and partition docs, so the (term, bucket) block
+    * LIST is an exact zone map: a doc in bucket b containing term t
+    * forces block (t, b) to exist — therefore only buckets where ALL
+    * k terms have a block can hold a conjunctive hit, and every other
+    * bucket's blocks are skipped UNDECODED (the metadata-first
+    * intersection production AND-engines run: Lucene's skip lists /
+    * postings intersection driven by the rarest term, here in its
+    * doc-aligned-block form). The probe decodes only the candidate
+    * buckets' blocks, verifies per doc (count distinct terms = k), and
+    * emits per-doc evidence plus the skip counts (blocks fetched from
+    * metadata vs blocks decoded). The oracle recomputes the hits AND
+    * both counts from raw text — pruning is gated exact, not assumed.
+    *
+    * Scale: the zone-map intersection is metadata-only (Σ_t |blocks(t)|
+    * rows, never a decode); decode cost is |candidate buckets| × k
+    * blocks — on selective conjunctions the skipped majority never
+    * leaves storage; the verify aggregate is keyed by doc over
+    * candidate-bucket rows only. */
   val q314 = Q(
     "q314_conjunctive_search",
     (s, dir) => conjunctiveSearch(Tables(s, dir, "documents"),

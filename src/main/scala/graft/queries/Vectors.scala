@@ -2153,7 +2153,7 @@ object Vectors {
         .select($"vec_id", reverse($"embedding").as("embedding"))
       val maintained = graft.operators.ReplicatedCodes.update(
         graft.operators.ReplicatedCodes.takedown(rep, dead),
-        codesOf(upd), nShards = 4)
+        codesOf(upd))
       val p = maintained.primaryStore.select(lit("p").as("store"),
         $"shard".as("node"), lit(-1L).as("origin"), $"vec_id", $"am",
         $"qv")

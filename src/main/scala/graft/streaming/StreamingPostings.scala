@@ -41,9 +41,16 @@ object StreamingPostings {
     * needs (q265's dl/adl store), maintained in-stream next to the
     * segments — appended from fresh rows only (disjoint by the seen
     * discipline, so no dedup pass), re-barriered on the compaction
-    * cadence so its plan stays bounded (T32, r15). */
+    * cadence so its plan stays bounded (T32, r15). `tombstones` is the
+    * taken-down id set (ADVICE r17): kept SEPARATE from `seenIds`
+    * (which also holds live docs) so [[applyUpdate]] can enforce the
+    * right-to-be-forgotten invariant structurally — an update of a
+    * reaped id must NOT resurrect it, and before r18 that discipline
+    * was the caller's job. None ⇔ no takedown ever ran (states built
+    * by hand for batch-equivalence replays stay source-compatible). */
   final case class PsState(segments: List[DataFrame], seenIds: DataFrame,
-                           dl: DataFrame, batches: Int = 0)
+                           dl: DataFrame, batches: Int = 0,
+                           tombstones: Option[DataFrame] = None)
 
   def freeze(spark: org.apache.spark.sql.SparkSession): PsState = {
     import org.apache.spark.sql.types.{StructType, StructField, LongType}
@@ -80,7 +87,7 @@ object StreamingPostings {
       if (segs.lengthCompare(1) > 0 && nBatches % CompactEvery == 0)
         List(compact(segs))
       else segs
-    PsState(compacted, seen, dl, nBatches)
+    PsState(compacted, seen, dl, nBatches, state.tombstones)
   }
 
   /** Serve a ranked BM25 probe from the LIVE segment list (T32, r15):
@@ -160,7 +167,9 @@ object StreamingPostings {
       .filter(!_.isEmpty)
     val seen = state.seenIds.unionByName(ids).distinct().barrier()
     val dl = state.dl.join(ids, Seq("doc_id"), "left_anti").barrier()
-    PsState(segs, seen, dl, state.batches)
+    val tombs = state.tombstones
+      .fold(ids)(_.unionByName(ids).distinct().barrier())
+    PsState(segs, seen, dl, state.batches, Some(tombs))
   }
 
   /** Apply an UPDATE batch of `(doc_id, text)` documents mid-stream
@@ -174,16 +183,19 @@ object StreamingPostings {
     * cleanly (the upsert half: surgery no-op, delta ingest); the dl
     * sidecar swaps old rows for new. NOTE the deliberate contrast with
     * [[applyTakedown]]: takedown ids become tombstones-forever, while
-    * an update is a LIVE write — callers mixing both must route
-    * updates of taken-down ids through their tombstone filter first
-    * (here an update unconditionally re-indexes, the ES `index` verb).
+    * an update is a LIVE write — and the tombstone set now rides in
+    * [[PsState]] (ADVICE r17), so an update of a reaped id is REJECTED
+    * here (anti-join before the surgery) instead of each caller
+    * carrying its own filter: the compliance invariant is enforced in
+    * one place, and a right-to-be-forgotten doc can never be
+    * resurrected by a late `index` verb.
     *
     * Laws (StreamingSpec T42): after any interleaving of inserts and
     * updates, serve ≡ the batch serve over the LATEST version of every
     * delivered doc; the final compacted store ≡ the batch
     * [[graft.queries.Text.postingStore]] over that latest-version
     * corpus BYTE FOR BYTE; re-sending an identical update is
-    * idempotent.
+    * idempotent; an update of a tombstoned id is a structural no-op.
     *
     * Scale: per update O(|updated| grouping + touched blocks re-encode)
     * per live segment (bounded by the compaction cadence) + one
@@ -191,10 +203,13 @@ object StreamingPostings {
   def applyUpdate(state: PsState, updated: DataFrame): PsState = {
     val s = updated.sparkSession
     import s.implicits._
-    val up = updated
+    val up0 = updated
       .select(col(updated.columns.head).cast("long").as("doc_id"),
         col(updated.columns(1)).as("text"))
       .dropDuplicates("doc_id")
+    // tombstones-forever beat the index verb: reaped ids never re-index
+    val up = state.tombstones
+      .fold(up0)(tb => up0.join(tb, Seq("doc_id"), "left_anti"))
       .barrier()
     val ids = up.select($"doc_id")
     val cutSegs = state.segments
@@ -211,7 +226,7 @@ object StreamingPostings {
       .unionByName(up.select($"doc_id",
         size(split($"text", " ")).cast("long").as("dl")))
       .barrier()
-    PsState(segs, seen, dl, state.batches)
+    PsState(segs, seen, dl, state.batches, state.tombstones)
   }
 
   /** Fold the whole segment list into one (the background merge; also

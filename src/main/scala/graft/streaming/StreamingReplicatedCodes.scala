@@ -107,7 +107,8 @@ object StreamingReplicatedCodes {
       .assignPR(ids, state.nShards)
       .select($"doc_id".as("vec_id"), $"primary", $"replica")
     val grown = ReplicatedCodes.grow(
-      ReplicatedCodes.ReplicatedC(aOld, state.primary, state.replica),
+      ReplicatedCodes.ReplicatedC(aOld, state.primary, state.replica,
+        state.nShards),
       state.nShards)
     RcState(grown.primaryStore.barrier(), grown.replicaStore.barrier(),
       state.seenIds, state.nShards + 1, state.batches)
@@ -121,7 +122,8 @@ object StreamingReplicatedCodes {
     val a = state.primary.select($"vec_id", $"shard".as("primary"))
       .join(state.replica.select($"vec_id", $"node".as("replica")),
         "vec_id")
-    ReplicatedCodes.ReplicatedC(a, state.primary, state.replica)
+    ReplicatedCodes.ReplicatedC(a, state.primary, state.replica,
+      state.nShards)
   }
 
   /** Stage-1 candidates off the PRIMARY copies. `queries` is the

@@ -197,7 +197,7 @@ class ReplicatedCodesSpec extends SparkSpecBase {
       (id, am + 1, Seq.tabulate(8)(d => (d * 3 + 1).toLong)) } :+
       ((5000L, 1200L, Seq.tabulate(8)(d => (d + 1).toLong))))
       .toDF("vec_id", "am", "qv")
-    val upd = ReplicatedCodes.update(cut, newCodes, 4)
+    val upd = ReplicatedCodes.update(cut, newCodes)
     def aMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>
         r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

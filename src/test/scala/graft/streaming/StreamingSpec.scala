@@ -2263,10 +2263,14 @@ class StreamingSpec extends SparkSpecBase {
     val upsertId = docs.map(_._1).max + 1000L
     val update = changed :+ ((upsertId, "spark merge window fresh"))
     val updateMap = update.toMap
-    def latest(delivered: Seq[(Long, String)], applied: Boolean) =
-      if (!applied) delivered
-      else delivered.map { case (i, t) => (i, updateMap.getOrElse(i, t)) } :+
-        ((upsertId, "spark merge window fresh"))
+    var reaped = Set.empty[Long]
+    def latest(delivered: Seq[(Long, String)], applied: Boolean) = {
+      val live =
+        if (!applied) delivered
+        else delivered.map { case (i, t) => (i, updateMap.getOrElse(i, t)) } :+
+          ((upsertId, "spark merge window fresh"))
+      live.filterNot(d => reaped.contains(d._1))
+    }
     def serveNow(st: StreamingPostings.PsState): Seq[(Long, Long)] =
       StreamingPostings.serve(st, qTerms, 15)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -2296,6 +2300,21 @@ class StreamingSpec extends SparkSpecBase {
         st = StreamingPostings.applyUpdate(st, update.toDF("doc_id", "text"))
         assert(serveNow(st) === before,
           "an identical update re-send changed an answer")
+      }
+      if (i == 3) {
+        // tombstones beat the index verb (ADVICE r17): after a
+        // takedown, an UPDATE of the reaped id is a structural no-op —
+        // the right-to-be-forgotten doc never resurrects, enforced in
+        // applyUpdate itself rather than by each caller's filter
+        val victim = waves.head.head._1
+        st = StreamingPostings.applyTakedown(st, Seq(victim).toDF("doc_id"))
+        reaped += victim
+        val before = serveNow(st)
+        st = StreamingPostings.applyUpdate(st,
+          Seq((victim, "spark spark spark merge window"))
+            .toDF("doc_id", "text"))
+        assert(serveNow(st) === before,
+          "an update resurrected a tombstoned doc")
       }
       assert(serveNow(st) === serveNow(batchState(latest(delivered, applied))),
         s"streamed serve diverged from batch-over-latest after wave $i")
