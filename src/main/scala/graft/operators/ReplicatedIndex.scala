@@ -51,12 +51,17 @@ import org.apache.spark.sql.types.LongType
   * posture, unchanged by replication. */
 object ReplicatedIndex {
 
+  /** `nShards` is the ring the assignments were built at — carried in
+    * the store (the ReplicatedC device, r18) so [[update]]'s upsert
+    * half places novel docs on the store's OWN ring and
+    * [[grow]]/[[recoverLost]] fail loudly on a mismatched claim. */
   final case class Replicated(
       assignments: DataFrame,  // (doc_id, primary, replica), primary != replica
       primaryStore: DataFrame, // (shard, term, bucket, df, bytes)
       replicaStore: DataFrame, // (node, origin, term, bucket, df, bytes)
       dl: DataFrame,           // (doc_id, dl) — the doc-stats sidecar
-      stats: DataFrame)        // (n_docs, adl) — global corpus stats
+      stats: DataFrame,        // (n_docs, adl) — global corpus stats
+      nShards: Int)            // the ring size the placement used
 
   /** Dynamo preference list of length 2 on the md5 ring: input needs
     * (doc_id, p); output adds (primary, replica). The ring is DOUBLED
@@ -150,7 +155,8 @@ object ReplicatedIndex {
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum($"dl").as("l_total"))
       .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
-    Replicated(assignments, primaryStore, replicaStore, dl, stats)
+    Replicated(assignments, primaryStore, replicaStore, dl, stats,
+      nShards)
   }
 
   /** RAISE THE REPLICATION FACTOR 1 → 2 on an EXISTING single-copy
@@ -204,7 +210,7 @@ object ReplicatedIndex {
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum($"dl").as("l_total"))
       .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
-    Replicated(a, store, replicaStore, dl, stats)
+    Replicated(a, store, replicaStore, dl, stats, nShards)
   }
 
   /** Scatter-gather over ANY block selection that partitions the
@@ -370,7 +376,110 @@ object ReplicatedIndex {
       .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
     Replicated(
       rep.assignments.join(dead, Seq("doc_id"), "left_anti"),
-      newPrimary, newReplica, dl, stats)
+      newPrimary, newReplica, dl, stats, rep.nShards)
+  }
+
+  /** Document UPDATE / re-index on the REPLICATED topology (X109q,
+    * q319): the r17 verdict's "missing #1" and the LAST open cell of
+    * the write-verb matrix — q305's re-index verb (Elasticsearch's
+    * `index` over an existing id, the commonest write after append) ran
+    * on the single-copy q258 store, while the replicated topology had
+    * append (T39), takedown (q304) and the lifecycle verbs but not the
+    * verb a production tier runs most. Like a delete, an update must
+    * reach BOTH copies before acking (ES propagates the `index` verb
+    * primary → replica) or a failover serves the STALE version — the
+    * same compliance hole q304 closed for deletes, this time serving
+    * outdated text rather than reaped text. One law, both stores:
+    *
+    *   - the updated ids run q304's two-copy block surgery
+    *     ([[dropFromBlocks]]) — old versions drop from exactly the
+    *     touched buckets of BOTH stores;
+    *   - the NEW text builds per-copy delta blocks keyed by each doc's
+    *     assignment — EXISTING docs keep their placement (the ring is a
+    *     pure function of doc_id, so an update never moves a document:
+    *     the verb is block surgery, not a re-shard), novel ids place
+    *     fresh at the store's OWN carried ring (the upsert half);
+    *   - [[mergeBlocks]] folds each delta in per store — ids are
+    *     disjoint again after the surgery, so q264's overlap law holds
+    *     by construction; non-receiving blocks pass byte-UNTOUCHED;
+    *   - the dl sidecar swaps old rows for new, global stats recompute
+    *     (an edit changes dl, hence adl, hence every BM25 score — the
+    *     stats sidecar is why the verb must own the dl swap).
+    *
+    * Gap coding has no layout freedom ⇒ updated ≡ a from-scratch
+    * [[build]] over the POST-UPDATE corpus, BOTH stores BYTE FOR BYTE —
+    * q319's oracle replays exactly that build (the verb never enters
+    * it), hash-matched at all 3 SFs. ReplicatedIndexSpec pins upsert,
+    * idempotence, untouched-block passthrough on both stores, and
+    * placement-never-moves; T44 fires the verb MID-STREAM against the
+    * two-copy T39 state (tombstones-forever still beat it).
+    *
+    * Scale: q305's posture twice — updated ids group to bucket-bounded
+    * arrays, one compact-key equi-join per copy for the surgery, the
+    * delta is |updated docs|-sized and its merge decodes only receiving
+    * blocks; the ring join runs over the UPDATED id list only; raw
+    * unchanged text never re-read; never corpus-shaped. */
+  def update(rep: Replicated, updated: DataFrame): Replicated = {
+    val s = rep.primaryStore.sparkSession
+    import s.implicits._
+    val up = updated
+      .select(col(updated.columns.head).cast("long").as("doc_id"),
+        col(updated.columns(1)).as("text"))
+      .dropDuplicates("doc_id")
+    val ids = up.select($"doc_id")
+    // ---- surgery: both copies drop the updated ids' OLD postings
+    val deadB = ids
+      .groupBy(expr("doc_id DIV 100").as("bucket"))
+      .agg(sort_array(collect_list($"doc_id")).as("dead"))
+    val cutP = dropFromBlocks(
+      rep.primaryStore.select($"shard".as("k1"), lit(-1L).as("k2"),
+        $"term", $"bucket", $"df", $"bytes"), deadB)
+    val cutR = dropFromBlocks(
+      rep.replicaStore.select($"node".as("k1"), $"origin".as("k2"),
+        $"term", $"bucket", $"df", $"bytes"), deadB)
+    // ---- placement: existing docs KEEP theirs; novel ids place fresh
+    // on the store's carried ring (the upsert half)
+    val novel = up.join(rep.assignments, Seq("doc_id"), "left_anti")
+    val novelA = assignPR(
+      novel.select($"doc_id", IndexReshard.position($"doc_id").as("p")),
+      rep.nShards)
+      .select($"doc_id", $"primary", $"replica")
+    val aUp = rep.assignments.join(ids, "doc_id")
+      .select($"doc_id", $"primary", $"replica")
+      .unionByName(novelA)
+    // ---- delta blocks for both stores from the NEW text
+    val d = up.join(aUp, "doc_id")
+      .select($"primary", $"replica", $"doc_id",
+        posexplode(split($"text", " ")))
+      .select($"primary", $"replica", $"doc_id", ($"pos" + 1).as("pos"),
+        $"col".as("term"))
+      .groupBy($"primary", $"replica", $"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"), min($"pos").as("first_pos"))
+    val deltaP = d
+      .groupBy($"primary".as("k1"), lit(-1L).as("k2"), $"term",
+        floor($"doc_id" / 100).as("bucket"))
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+    val deltaR = d
+      .groupBy($"replica".as("k1"), $"primary".as("k2"), $"term",
+        floor($"doc_id" / 100).as("bucket"))
+      .agg(sort_array(collect_list(
+        struct($"doc_id", $"tf", $"first_pos"))).as("ps"))
+    val newPrimary = mergeBlocks(cutP, deltaP)
+      .select($"k1".as("shard"), $"term", $"bucket", $"df", $"bytes")
+    val newReplica = mergeBlocks(cutR, deltaR)
+      .select($"k1".as("node"), $"k2".as("origin"), $"term", $"bucket",
+        $"df", $"bytes")
+    // ---- sidecars: dl swaps old for new; stats follow the swap
+    val dl = rep.dl.join(ids, Seq("doc_id"), "left_anti")
+      .unionByName(up.select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("dl")))
+    val stats = dl
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum($"dl").as("l_total"))
+      .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+    Replicated(rep.assignments.unionByName(novelA), newPrimary,
+      newReplica, dl, stats, rep.nShards)
   }
 
   /** PERMANENT loss of the highest node (X119b, q299): [[serveFailover]]
@@ -410,6 +519,8 @@ object ReplicatedIndex {
     * sized on compact keys, and the ring assignment is the broadcast
     * doubled-ring device over the ID list. */
   def recoverLost(rep: Replicated, oldShards: Int): Replicated = {
+    require(oldShards == rep.nShards,
+      s"recoverLost at $oldShards on a ${rep.nShards}-ring store")
     require(oldShards >= 3,
       s"recovery needs >= 3 shards (>= 2 survive), got $oldShards")
     val lost = (oldShards - 1).toLong
@@ -478,7 +589,8 @@ object ReplicatedIndex {
       reRepl)
       .select($"k1".as("node"), $"k2".as("origin"), $"term", $"bucket",
         $"df", $"bytes")
-    Replicated(a2, newPrimary, newReplica, rep.dl, rep.stats)
+    Replicated(a2, newPrimary, newReplica, rep.dl, rep.stats,
+      oldShards - 1)
   }
 
   /** GROW a replicated topology from S to S+1 nodes, INDEX-ONLY
@@ -516,6 +628,8 @@ object ReplicatedIndex {
     * broadcast doubled-ring device over the ID list; raw text never
     * re-read (the property T40 needs to fire this mid-stream). */
   def grow(rep: Replicated, oldShards: Int): Replicated = {
+    require(oldShards == rep.nShards,
+      s"grow at $oldShards on a ${rep.nShards}-ring store")
     require(oldShards >= 2, s"grow needs >= 2 shards, got $oldShards")
     val s = rep.primaryStore.sparkSession
     import s.implicits._
@@ -608,7 +722,8 @@ object ReplicatedIndex {
     val newReplica = untouchedR
       .select($"node", $"origin", $"term", $"bucket", $"df", $"bytes")
       .unionByName(keptR).unionByName(addR)
-    Replicated(a2, newPrimary, newReplica, rep.dl, rep.stats)
+    Replicated(a2, newPrimary, newReplica, rep.dl, rep.stats,
+      oldShards + 1)
   }
 
   /** The ROUTED block selection with node `failed` down: primaries of

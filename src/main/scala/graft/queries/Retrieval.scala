@@ -1810,14 +1810,16 @@ object Retrieval {
     * q302/q304's oracle: ring walk for primary AND replica per doc,
     * then the q258 expansion for BOTH stores. The surgery under test
     * never enters this SQL. `where` optionally restricts the corpus
-    * (q304 replays the build over the takedown's SURVIVORS). */
+    * (q304 replays the build over the takedown's SURVIVORS);
+    * `textExpr` optionally rewrites it (q319 replays the build over
+    * the POST-UPDATE text). */
   private def replicatedBuildOracleSql(shards: Int,
-      where: String = ""): String = s"""
+      where: String = "", textExpr: String = "text"): String = s"""
       WITH r AS (${graft.queries.Mining.ringSql(shards, 16)}),
       r2 AS (SELECT shard, pos FROM r
              UNION ALL
              SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM r),
-      d0 AS (SELECT doc_id, text,
+      d0 AS (SELECT doc_id, $textExpr AS text,
                CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT)
                  AS p
              FROM documents $where),
@@ -2792,8 +2794,64 @@ object Retrieval {
       "replicated build, BOTH stores byte for byte (the oracle replays " +
       "that build)")
 
+  /** q319 — document UPDATE / re-index on the REPLICATED topology
+    * (X109q, r18): the r17 verdict's "missing #1" — the LAST open cell
+    * of the write-verb matrix. q305 re-indexes on the single-copy
+    * store; a replicated tier must run the verb on BOTH copies before
+    * acking (Elasticsearch propagates `index` primary → replica) or a
+    * failover serves the STALE version — q304's compliance argument
+    * with staleness in place of resurrection.
+    * [[graft.operators.ReplicatedIndex.update]] composes q304's
+    * two-copy surgery with q264's merge per store: old versions drop
+    * from exactly the touched buckets of both stores, the new text
+    * builds per-copy delta blocks keyed by each doc's UNCHANGED
+    * assignment (placement is a pure ring function — an update never
+    * moves a document), novel ids place fresh at the carried ring (the
+    * upsert half: doc_id % 11 = 4 docs are withheld from the initial
+    * build and arrive first through the verb), and the dl/stats
+    * sidecars swap old rows for new. Gap coding has no layout freedom
+    * ⇒ updated ≡ a from-scratch replicated build over the POST-UPDATE
+    * corpus, BOTH stores BYTE FOR BYTE — the oracle replays exactly
+    * that build over `CASE WHEN doc_id % 9 = 5 THEN 'v2 edit ' ‖ text
+    * ELSE text END` (the verb never enters it), hash-matched at all 3
+    * SFs. ReplicatedIndexSpec pins upsert/idempotence/passthrough/
+    * placement-never-moves; T44 fires the verb MID-STREAM on the
+    * two-copy state.
+    *
+    * Scale: q305's posture twice — bucket-grouped id arrays, one
+    * compact-key equi-join per copy, |updated|-sized delta whose merge
+    * decodes only receiving blocks, ring join over the updated ID list
+    * only; raw unchanged text never re-read. */
+  val q319 = Q(
+    "q319_replicated_update",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      // initial tier: % 11 = 4 docs withheld (they arrive via the verb)
+      val rep = graft.operators.ReplicatedIndex.build(
+        docs.filter($"doc_id" % 11 =!= 4), nShards = 4)
+      // the update event: v2 text for % 9 = 5 docs (changed) + the
+      // withheld docs at their v1/v2 text (novel — the upsert half)
+      val updated = docs
+        .filter($"doc_id" % 9 === 5 || $"doc_id" % 11 === 4)
+        .select($"doc_id",
+          when($"doc_id" % 9 === 5, concat(lit("v2 edit "), $"text"))
+            .otherwise($"text").as("text"))
+      replicatedEvidence(
+        graft.operators.ReplicatedIndex.update(rep, updated))
+    },
+    Some(replicatedBuildOracleSql(4, textExpr =
+      "CASE WHEN doc_id % 9 = 5 THEN 'v2 edit ' || text ELSE text END")),
+    doc = "X109q: document UPDATE on the replicated store — the " +
+      "re-index verb composed with q304's two-copy law: old versions " +
+      "drop from touched buckets of BOTH stores, per-copy deltas merge " +
+      "in at each doc's unchanged placement (updates never move docs), " +
+      "novel ids upsert at the carried ring, dl/stats swap; updated == " +
+      "from-scratch replicated build over the post-update corpus, both " +
+      "stores byte for byte (the oracle replays that build)")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
     q298, q299, q300, q301, q302, q304, q307, q309, q310, q311, q312,
-    q315)
+    q315, q319)
 }

@@ -149,7 +149,7 @@ object StreamingReplicatedIndex {
         .select($"doc_id", $"primary", $"replica")
       val grown = ReplicatedIndex.grow(
         ReplicatedIndex.Replicated(aOld, prim, repl, state.dl,
-          stats(state.dl)),
+          stats(state.dl), state.nShards),
         state.nShards)
       state.copy(primSegs = List(grown.primaryStore.barrier()),
         replSegs = List(grown.replicaStore.barrier()),
@@ -184,24 +184,97 @@ object StreamingReplicatedIndex {
     val deadB = dead
       .groupBy(expr("doc_id DIV 100").as("bucket"))
       .agg(sort_array(collect_list($"doc_id")).as("dead"))
-    def surgery(seg: DataFrame, k1: String, k2: Option[String]) = {
-      val keyed = seg.select(col(k1).as("k1"),
-        k2.map(col).getOrElse(lit(-1L)).as("k2"),
-        col("term"), col("bucket"), col("df"), col("bytes"))
-      val cut = ReplicatedIndex.dropFromBlocks(keyed, deadB)
-      k2 match {
-        case Some(c2) => cut.select($"k1".as(k1), $"k2".as(c2), $"term",
-          $"bucket", $"df", $"bytes").barrier()
-        case None => cut.select($"k1".as(k1), $"term", $"bucket", $"df",
-          $"bytes").barrier()
-      }
-    }
     state.copy(
-      primSegs = state.primSegs.map(surgery(_, "shard", None)),
-      replSegs = state.replSegs.map(surgery(_, "node", Some("origin"))),
+      primSegs = state.primSegs.map(surgery(_, "shard", None, deadB)),
+      replSegs =
+        state.replSegs.map(surgery(_, "node", Some("origin"), deadB)),
       dl = state.dl.join(dead, Seq("doc_id"), "left_anti").barrier(),
       tombstones =
         state.tombstones.unionByName(dead).distinct().barrier())
+  }
+
+  /** q304's block surgery on one live segment of either store —
+    * shared by [[takedown]] and [[applyUpdate]] (both verbs start by
+    * dropping the named ids' old postings). `deadB` is the (bucket →
+    * ids) grouping. */
+  private def surgery(seg: DataFrame, k1: String, k2: Option[String],
+      deadB: DataFrame): DataFrame = {
+    val s = seg.sparkSession
+    import s.implicits._
+    val keyed = seg.select(col(k1).as("k1"),
+      k2.map(col).getOrElse(lit(-1L)).as("k2"),
+      col("term"), col("bucket"), col("df"), col("bytes"))
+    val cut = ReplicatedIndex.dropFromBlocks(keyed, deadB)
+    k2 match {
+      case Some(c2) => cut.select($"k1".as(k1), $"k2".as(c2), $"term",
+        $"bucket", $"df", $"bytes").barrier()
+      case None => cut.select($"k1".as(k1), $"term", $"bucket", $"df",
+        $"bytes").barrier()
+    }
+  }
+
+  /** Apply an UPDATE batch of `(doc_id, text)` documents mid-stream
+    * (T44, r18): q319's re-index verb under a live stream, against the
+    * TWO-COPY state — an updated doc replaces its postings in BOTH
+    * copies the moment the event lands, so a failover at ANY instant
+    * serves the new version (q319's staleness argument, live). Every
+    * live segment of both lists gets the id surgery, then the new text
+    * mints BOTH delta segments at each doc's ring placement (placement
+    * is a pure function of doc_id — existing docs re-derive their
+    * unchanged homes, novel ids place fresh: the upsert half).
+    * Tombstoned ids are REJECTED before the surgery (the T41
+    * tombstones-forever discipline beats the `index` verb — the
+    * StreamingPostings ADVICE fix, same device); updated ids enter the
+    * seen set so a LATER stream arrival of an upserted doc cannot
+    * double-index. Off-cadence segments compact when the list
+    * overflows (T31's bound).
+    *
+    * Laws (StreamingSpec T44): after any interleaving of inserts,
+    * updates and a takedown, primary serve AND every failover serve ≡
+    * the batch build over latest-live versions; final compacted stores
+    * ≡ [[ReplicatedIndex.build]] over that corpus BYTE FOR BYTE;
+    * identical re-sends idempotent; tombstoned updates are no-ops.
+    *
+    * Scale: per update O(|updated| grouping + touched blocks
+    * re-encode) × live segments (cadence-bounded) × 2 copies + one
+    * |updated|-sized two-copy delta encode; never corpus-shaped. */
+  def applyUpdate(state: RiState, updated: DataFrame): RiState = {
+    val s = updated.sparkSession
+    import s.implicits._
+    val up = updated
+      .select(col(updated.columns.head).cast("long").as("doc_id"),
+        col(updated.columns(1)).as("text"))
+      .dropDuplicates("doc_id")
+      .join(state.tombstones, Seq("doc_id"), "left_anti")
+      .barrier()
+    val ids = up.select($"doc_id")
+    val idB = ids
+      .groupBy(expr("doc_id DIV 100").as("bucket"))
+      .agg(sort_array(collect_list($"doc_id")).as("dead"))
+    val cutP = state.primSegs.map(surgery(_, "shard", None, idB))
+    val cutR = state.replSegs.map(surgery(_, "node", Some("origin"), idB))
+    val positioned = up.withColumn("p", IndexReshard.position($"doc_id"))
+    val a = ReplicatedIndex.assignPR(positioned, state.nShards)
+    val pGrown = ShardedIndex.buildStore(
+      a.select($"primary".as("shard"), $"doc_id", $"text")).barrier() ::
+      cutP
+    val rGrown = ReplicatedIndex.buildReplicaStore(
+      a.select($"replica".as("node"), $"primary".as("origin"),
+        $"doc_id", $"text")).barrier() :: cutR
+    state.copy(
+      primSegs =
+        if (pGrown.lengthCompare(CompactEvery) > 0)
+          List(StreamingElasticIndex.mergeSharded(pGrown).barrier())
+        else pGrown,
+      replSegs =
+        if (rGrown.lengthCompare(CompactEvery) > 0)
+          List(mergeReplica(rGrown).barrier())
+        else rGrown,
+      seenIds = state.seenIds.unionByName(ids).distinct().barrier(),
+      dl = state.dl.join(ids, Seq("doc_id"), "left_anti")
+        .unionByName(up.select($"doc_id",
+          size(split($"text", " ")).cast("long").as("dl")))
+        .barrier())
   }
 
   private def stats(dl: DataFrame): DataFrame = {

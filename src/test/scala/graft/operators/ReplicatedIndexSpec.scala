@@ -258,4 +258,93 @@ class ReplicatedIndexSpec extends SparkSpecBase {
       assert(rows(ReplicatedIndex.serveFailover(got, x, qTerms, 15))
         == want, s"failover of node $x after takedown still serves dead docs")
   }
+
+  test("update (q319): maintained == from-scratch build over the " +
+    "post-update corpus, BOTH stores byte for byte, dl/stats swapped, " +
+    "and an update never moves a document") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val upd = corpus.filter(_._1 % 5 == 2)
+      .map { case (i, t) => (i, s"edit $t") }
+    val got = ReplicatedIndex.update(rep, upd.toDF("doc_id", "text"))
+    val post = corpus.map { case (i, t) =>
+      (i, if (i % 5 == 2) s"edit $t" else t) }
+    val want = ReplicatedIndex.build(post.toDF("doc_id", "text"), 4)
+    assert(pBytes(got.primaryStore) == pBytes(want.primaryStore),
+      "updated primary store != rebuild over post-update corpus")
+    assert(rBytes(got.replicaStore) == rBytes(want.replicaStore),
+      "updated replica store != rebuild over post-update corpus")
+    // placement never moves: assignments unchanged row for row
+    val before = rep.assignments.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val after = got.assignments.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after == before, "an update moved a document's placement")
+    // the dl sidecar swapped old rows for new (edit adds one token)
+    val dlAfter = got.dl.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dlWant = want.dl.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dlAfter == dlWant, "dl sidecar not swapped")
+  }
+
+  test("update upsert half: a novel id inserts at the carried ring; " +
+    "idempotence: updating to identical text changes no block") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    // upsert: an id the store has never seen
+    val novel = Seq((9999L, "alpha beta w3 fresh"))
+    val got = ReplicatedIndex.update(rep, novel.toDF("doc_id", "text"))
+    val want = ReplicatedIndex.build(
+      (corpus ++ novel).toDF("doc_id", "text"), 4)
+    assert(pBytes(got.primaryStore) == pBytes(want.primaryStore),
+      "upsert primary store != rebuild with the novel doc")
+    assert(rBytes(got.replicaStore) == rBytes(want.replicaStore),
+      "upsert replica store != rebuild with the novel doc")
+    assert(got.assignments.filter($"doc_id" === 9999L).count() === 1L)
+    // idempotence: re-sending CURRENT text is a byte no-op
+    val same = corpus.filter(_._1 % 5 == 2)
+    val noop = ReplicatedIndex.update(rep, same.toDF("doc_id", "text"))
+    assert(pBytes(noop.primaryStore) == pBytes(rep.primaryStore),
+      "identical update changed a primary block")
+    assert(rBytes(noop.replicaStore) == rBytes(rep.replicaStore),
+      "identical update changed a replica block")
+  }
+
+  test("update passthrough: blocks of buckets holding no updated id " +
+    "pass through byte-identical (never re-coded)") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    // one updated doc -> exactly one touched bucket (doc_id DIV 100)
+    val upd = Seq((42L, "alpha beta w3 w3 edit"))
+    val got = ReplicatedIndex.update(rep, upd.toDF("doc_id", "text"))
+    val beforeP = pBytes(rep.primaryStore)
+    val afterP = pBytes(got.primaryStore)
+    val untouched = beforeP.keys.filter(_._3 != 0L) // bucket != 42/100
+    assert(untouched.nonEmpty)
+    untouched.foreach { k =>
+      assert(afterP.get(k).contains(beforeP(k)),
+        s"untouched primary block $k was re-coded")
+    }
+    val beforeR = rBytes(rep.replicaStore)
+    val afterR = rBytes(got.replicaStore)
+    beforeR.keys.filter(_._4 != 0L).foreach { k =>
+      assert(afterR.get(k).contains(beforeR(k)),
+        s"untouched replica block $k was re-coded")
+    }
+  }
+
+  test("update consequence: EVERY failover selection serves the NEW " +
+    "version — no copy can serve stale text") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val upd = corpus.filter(_._1 % 5 == 2)
+      .map { case (i, _) => (i, "alpha alpha alpha w3 t2") }
+    val got = ReplicatedIndex.update(rep, upd.toDF("doc_id", "text"))
+    val post = corpus.map { case (i, t) =>
+      (i, if (i % 5 == 2) "alpha alpha alpha w3 t2" else t) }
+    val want = rows(ReplicatedIndex.servePrimary(
+      ReplicatedIndex.build(post.toDF("doc_id", "text"), 4), qTerms, 15))
+    assert(want.nonEmpty)
+    assert(rows(ReplicatedIndex.servePrimary(got, qTerms, 15)) == want)
+    for (x <- 0L until 4L)
+      assert(rows(ReplicatedIndex.serveFailover(got, x, qTerms, 15))
+        == want, s"failover of node $x served a stale version")
+  }
 }

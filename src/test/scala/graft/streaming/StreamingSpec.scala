@@ -2987,4 +2987,126 @@ class StreamingSpec extends SparkSpecBase {
       $"bytes")) === rMap(want.replicaStore),
       "final replica store != batch build over survivors")
   }
+
+  test("T44: streaming replicated index — UPDATE mid-stream against " +
+    "the two-copy state (changed text + an upsert id), both copies " +
+    "replaced the moment the event lands so primary AND every failover " +
+    "serve the new version, identical re-sends idempotent, tombstoned " +
+    "updates rejected, final stores byte-equal to the batch replicated " +
+    "build over the latest live versions") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingReplicatedIndex
+    import graft.operators.ReplicatedIndex
+    val docs = graft.core.Tables(s, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    val qTerms = Seq("spark", "window", "merge", "dup")
+    val waves = docs.grouped(math.max(1, docs.length / 4)).toSeq
+    // the update event: changed text for wave-0 arrivals (% 3 == 1)
+    // plus one id the stream never carries — the upsert half
+    val changed = waves.head.filter(_._1 % 3 == 1)
+      .map { case (i, t) => (i, s"spark edit $t") }
+    val upsertId = docs.map(_._1).max + 1000L
+    val update = changed :+ ((upsertId, "spark merge window fresh"))
+    val updateMap = update.toMap
+    val victim = waves.head.find(d => !updateMap.contains(d._1)).get._1
+    var applied = false
+    var reaped = Set.empty[Long]
+    def latest(delivered: Seq[(Long, String)]) = {
+      val base =
+        if (!applied) delivered
+        else delivered.map { case (i, t) =>
+          (i, updateMap.getOrElse(i, t)) } :+
+          ((upsertId, "spark merge window fresh"))
+      base.filterNot(d => reaped.contains(d._1))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("doc_id", "score_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def fromScratch(live: Seq[(Long, String)]): Seq[(Long, Long)] = {
+      val df = live.toDF("doc_id", "text")
+      val dl = df.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("dl"))
+      StreamingPostings.serve(
+        StreamingPostings.PsState(
+          List(graft.queries.Text.postingStore(df)),
+          dl.select($"doc_id"), dl), qTerms, 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    var st = StreamingReplicatedIndex.freeze(s, nShards = 4)
+    var delivered = Seq.empty[(Long, String)]
+    val stream = MemoryStream[(Long, String)](s)
+    val qy = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingReplicatedIndex.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      if (i == 1) {
+        st = StreamingReplicatedIndex.applyUpdate(st,
+          update.toDF("doc_id", "text"))
+        applied = true
+      }
+      if (i == 2) {
+        // identical re-send: the verb is idempotent on the 2-copy state
+        val before = rows(
+          StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+        st = StreamingReplicatedIndex.applyUpdate(st,
+          update.toDF("doc_id", "text"))
+        assert(rows(StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+          === before, "an identical update re-send changed an answer")
+        // tombstones-forever beat the index verb (q319's T41 contrast)
+        st = StreamingReplicatedIndex.takedown(st,
+          Seq(victim).toDF("doc_id"))
+        reaped += victim
+        val after = rows(
+          StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+        st = StreamingReplicatedIndex.applyUpdate(st,
+          Seq((victim, "spark spark spark merge window"))
+            .toDF("doc_id", "text"))
+        assert(rows(StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+          === after, "an update resurrected a tombstoned doc")
+      }
+      val want = fromScratch(latest(delivered))
+      assert(rows(StreamingReplicatedIndex.servePrimary(st, qTerms, 20))
+        === want, s"primary serving diverged after wave $i")
+      for (x <- 0L until 4L)
+        assert(rows(StreamingReplicatedIndex
+          .serveFailover(st, x, qTerms, 20)) === want,
+          s"failover of node $x diverged after wave $i")
+    }
+    qy.stop()
+    // byte law: final compacted stores == the batch replicated build
+    // over the latest live versions, BOTH copies
+    val finP =
+      if (st.primSegs.lengthCompare(1) > 0)
+        StreamingElasticIndex.mergeSharded(st.primSegs)
+      else st.primSegs.head
+    val finR =
+      if (st.replSegs.lengthCompare(1) > 0)
+        StreamingReplicatedIndex.mergeReplica(st.replSegs)
+      else st.replSegs.head
+    val want = ReplicatedIndex.build(
+      latest(delivered).toDF("doc_id", "text"), 4)
+    def pMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)) ->
+          (r.getInt(3), r.getAs[Array[Byte]](4).toSeq)
+      }.toMap
+    def rMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)) ->
+          (r.getInt(4), r.getAs[Array[Byte]](5).toSeq)
+      }.toMap
+    assert(pMap(finP.select($"shard", $"term", $"bucket", $"df", $"bytes"))
+      === pMap(want.primaryStore),
+      "final primary store != batch build over latest versions")
+    assert(rMap(finR.select($"node", $"origin", $"term", $"bucket", $"df",
+      $"bytes")) === rMap(want.replicaStore),
+      "final replica store != batch build over latest versions")
+  }
 }
