@@ -67,4 +67,148 @@ object ReplicatedRows {
       .unionByName(replica.filter(col("origin") === failed)
         .select(payload: _*))
   }
+
+  /** The routed selection with the SERVING node retained — (node,
+    * payload…) rows, node ≠ failed everywhere (q322's shape: a
+    * per-node bounded reduction needs to know WHO serves each row;
+    * [[failover]] is the key-free variant for pure row-set reads). */
+  def failoverServing(primary: DataFrame, replica: DataFrame,
+      failed: Long): DataFrame = {
+    val payload = primary.columns.filterNot(_ == "shard").map(col)
+    primary.filter(col("shard") =!= failed)
+      .select(col("shard").as("node") +: payload: _*)
+      .unionByName(replica.filter(col("origin") === failed)
+        .select(col("node") +: payload: _*))
+  }
+
+  /** APPEND rows to an existing placement (X123b, q321): new rows
+    * place by [[build]]'s ring at the CURRENT `nShards` and union in.
+    * Placement is a pure function of the id, so appended rows of an
+    * EXISTING id land on its established homes (an edge appended to a
+    * known vertex co-locates with it — the graph-append case, q240
+    * composed onto the placement) and genuinely novel ids place fresh;
+    * either way appended ≡ from-scratch build over the grown row set
+    * as a SET. Scale: [[build]] over the |delta| rows only. */
+  def append(primary: DataFrame, replica: DataFrame, newRows: DataFrame,
+      idCol: String, nShards: Int): (DataFrame, DataFrame) = {
+    val (p2, r2) = build(newRows, idCol, nShards)
+    (primary.unionByName(p2), replica.unionByName(r2))
+  }
+
+  /** TAKEDOWN on the replicated row placement (X123b, q321): rows are
+    * atomic, so the right-to-be-forgotten surgery is one anti-join per
+    * copy (ReplicatedCodes.takedown without the struct — the SAME law
+    * on the generic frames). Unknown ids are no-ops; maintained ≡ a
+    * from-scratch [[build]] over the survivors as a SET. */
+  def takedown(primary: DataFrame, replica: DataFrame, idCol: String,
+      deadIds: DataFrame): (DataFrame, DataFrame) = {
+    val dead = deadIds
+      .select(col(deadIds.columns.head).cast("long").as(idCol))
+      .distinct()
+    // anti-joins move the key to the front — re-pin canonical order
+    (primary.join(dead, Seq(idCol), "left_anti")
+       .select(primary.columns.map(col): _*),
+     replica.join(dead, Seq(idCol), "left_anti")
+       .select(replica.columns.map(col): _*))
+  }
+
+  /** PERMANENT loss of the highest node (X123a, q320):
+    * [[ReplicatedCodes.recoverLost]]'s promotion/re-replication laws
+    * carried VERBATIM to the generic row placement — same ring, same
+    * walk, so the argument transfers wholesale:
+    *
+    *   - PROMOTION: replica rows with origin = lost re-key to primary
+    *     rows of their node (an id's S−1-ring owner IS its old replica
+    *     when the primary's vnodes vanish — the Dynamo argument);
+    *   - RE-REPLICATION: every id the lost node hosted (either copy)
+    *     gets a fresh S−1-ring replica, payload from a surviving copy;
+    *   - everything else passes key-UNTOUCHED (a lost vnode ahead of a
+    *     surviving placement would have BEEN that placement).
+    *
+    * Rows are atomic ⇒ recovered ≡ a from-scratch [[build]] at S−1 as
+    * a SET (ReplicatedRowsSpec pins both stores + the promotion law),
+    * and — the q320 point — the recovered topology survives a SECOND
+    * node loss with the traversal answer unchanged, which the q280
+    * oracle gates end to end. A planned node DRAIN (S → S−1) is the
+    * same operation (the q299/X122 argument).
+    *
+    * Scale: one broadcast ring join over the lost node's hosted id
+    * list (never the corpus); promotion and pass-through are filters;
+    * the re-replication union is |hosted rows|-sized. */
+  def recoverLost(primary: DataFrame, replica: DataFrame, idCol: String,
+      oldShards: Int): (DataFrame, DataFrame) = {
+    require(oldShards >= 3,
+      s"recovery needs >= 3 shards (>= 2 survive), got $oldShards")
+    val lost = (oldShards - 1).toLong
+    val payload = primary.columns.filterNot(_ == "shard")
+    // ---- surviving, placement-unchanged rows (never re-keyed)
+    val keepPrim = primary.filter(col("shard") =!= lost)
+    val keepRepl = replica.filter(col("node") =!= lost &&
+      col("origin") =!= lost)
+    // ---- promotion: (node r, origin = lost) rows become shard-r rows
+    val promoted = replica.filter(col("origin") === lost)
+      .select(col("node").as("shard") +: payload.map(col): _*)
+    val newPrimary = keepPrim.unionByName(promoted)
+    // ---- re-replication: fresh S−1 replicas for every id the lost
+    // node hosted (either copy), payload from a SURVIVING copy
+    val replicaLostIds = replica.filter(col("node") === lost &&
+        col("origin") =!= lost)
+      .select(col(idCol)).distinct()
+    val hostedData = promoted.select(payload.map(col): _*)
+      .unionByName(primary.join(replicaLostIds, Seq(idCol))
+        .select(payload.map(col): _*))
+    val ids = hostedData.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("p", ReplicatedCodes.position(col("doc_id")))
+    val a2 = ReplicatedIndex.assignPR(ids, oldShards - 1)
+      .select(col("doc_id").as(idCol), col("primary"), col("replica"))
+    val reRepl = hostedData.join(a2, Seq(idCol))
+      .select(col("replica").as("node") +:
+        col("primary").as("origin") +: payload.map(col): _*)
+    (newPrimary, keepRepl.unionByName(reRepl))
+  }
+
+  /** GROW the placement S → S+1, INDEX-ONLY (X123b, q321):
+    * [[ReplicatedCodes.grow]]'s move classes on the generic frames — a
+    * moved PRIMARY always lands on the new shard with the id's old
+    * primary becoming its replica, a moved REPLICA always lands on the
+    * new shard, everything else passes key-untouched; mover payloads
+    * come from their primary rows. Rows are atomic ⇒ grown ≡ a
+    * from-scratch [[build]] at S+1 as a SET. Scale: the ring join runs
+    * over the DISTINCT id list; mover re-keys are mover-row-sized;
+    * pass-through is an anti-join on the compact id key. */
+  def grow(primary: DataFrame, replica: DataFrame, idCol: String,
+      oldShards: Int): (DataFrame, DataFrame) = {
+    require(oldShards >= 2, s"grow needs >= 2 shards, got $oldShards")
+    val payload = primary.columns.filterNot(_ == "shard")
+    val oldA = primary.select(col(idCol), col("shard").as("op"))
+      .distinct()
+      .join(replica.select(col(idCol), col("node").as("or")).distinct(),
+        Seq(idCol))
+    val ids = oldA.select(col(idCol).as("doc_id"))
+      .withColumn("p", ReplicatedCodes.position(col("doc_id")))
+    val a2 = ReplicatedIndex.assignPR(ids, oldShards + 1)
+      .select(col("doc_id").as(idCol), col("primary"), col("replica"))
+    val movers = oldA.join(a2, Seq(idCol))
+      .filter(col("primary") =!= col("op") ||
+        col("replica") =!= col("or"))
+    val pMoved = movers.filter(col("primary") =!= col("op"))
+    val keepP = primary
+      .join(pMoved.select(col(idCol)), Seq(idCol), "left_anti")
+    val addP = primary.select(payload.map(col): _*)
+      .join(pMoved.select(col(idCol), col("primary")), Seq(idCol))
+      .select(col("primary").as("shard") +: payload.map(col): _*)
+    val keepR = replica
+      .join(movers.select(col(idCol)), Seq(idCol), "left_anti")
+    val addR = primary.select(payload.map(col): _*)
+      .join(movers.select(col(idCol), col("primary"), col("replica")),
+        Seq(idCol))
+      .select(col("replica").as("node") +:
+        col("primary").as("origin") +: payload.map(col): _*)
+    // joins moved idCol to the front of keepP/keepR — re-pin the
+    // canonical column ORDER (the r17 using-join trap)
+    (keepP.unionByName(addP)
+       .select(primary.columns.map(col): _*),
+     keepR.unionByName(addR)
+       .select(replica.columns.map(col): _*))
+  }
 }

@@ -2387,7 +2387,410 @@ object Vectors {
       "answers identically with any node down; q280's oracle gates it " +
       "bit for bit")
 
+  /** q320 — replicated graph ANN: node LOSS → RE-REPLICATION → a
+    * SECOND failover (X123a, r18): the r17 verdict's "missing #2" —
+    * q318 gave the graph tier a failover but no way to RE-REPLICATE: a
+    * lost node permanently halved those rows' redundancy, one more
+    * failure from data loss. [[graft.operators.ReplicatedRows.recoverLost]]
+    * carries ReplicatedCodes' promotion/re-replication laws VERBATIM to
+    * the generic row placement (same vec ring, same walk): replica rows
+    * of the lost node's primaries PROMOTE wholesale, every id the lost
+    * node hosted re-replicates at the S−1 ring from a surviving copy,
+    * everything else passes key-untouched — run across ALL THREE
+    * co-placed row stores (quantized vectors, dense edges, top-layer
+    * edges). The query then fails over a SECOND node (0) on the
+    * recovered 3-ring topology and runs the layered beam search — the
+    * end-to-end claim a replica set exists for: lose a node, heal,
+    * lose another, and the ITERATIVE traversal still answers
+    * identically, which q280's from-raw oracle gates bit for bit at
+    * all 3 SFs (neither the topology nor either loss enters it).
+    * ReplicatedRowsSpec pins recovered ≡ from-scratch S−1 build (both
+    * stores, as sets), the promotion law, and the second-failover
+    * partition law.
+    *
+    * Scale: recovery touches the lost node's hosted rows only (~2/S of
+    * each store: filters + one broadcast ring join over the hosted id
+    * list + |hosted|-sized unions); the serve is q280's posture
+    * unchanged. */
+  val q320 = Q(
+    "q320_replicated_graph_recovery",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{GraphAnn, KMeansInt, NNDescent, ReplicatedRows}
+      val emb = Tables(s, dir, "embeddings")
+      val vq0 = emb.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+        .persist()
+      val n = vq0.count() // 1-scalar driver action: the init's mod base
+      val init0 = vq0.select($"vec_id".as("v"),
+          explode(sequence(lit(1), lit(4))).as("i"))
+        .select($"v", (($"v" + $"i") % n).as("u"))
+      val g0full = NNDescent.build(vq0, "vec_id", init0, k = 4, rounds = 2)
+        .select($"v", $"u")
+      val top0 = vq0.filter($"vec_id" % 8 === 0)
+      val m = top0.count() // the subset init's mod base
+      val strides = (0 until 20).map(1L << _).filter(_ < m)
+      val ring = top0.select($"vec_id".as("v"),
+          explode(lit(strides.toArray)).as("st"))
+        .select($"v", expr(s"((v DIV 8) + st) % $m * 8").as("u"))
+      val g1full = NNDescent.build(top0, "vec_id", ring, k = 3, rounds = 2)
+        .select($"v", $"u")
+        .unionByName(ring.select($"v", $"u"))
+      // ---- ingest at S = 4 (q318's placement, all three stores)
+      val (vqP, vqR) = ReplicatedRows.build(vq0, "vec_id", nShards = 4)
+      val (g0P, g0R) = ReplicatedRows.build(g0full, "v", nShards = 4)
+      val (g1P, g1R) = ReplicatedRows.build(g1full, "v", nShards = 4)
+      // ---- node 3 is LOST; the tier re-replicates onto the 3-ring
+      val (vqP2, vqR2) = ReplicatedRows.recoverLost(vqP, vqR, "vec_id", 4)
+      val (g0P2, g0R2) = ReplicatedRows.recoverLost(g0P, g0R, "v", 4)
+      val (g1P2, g1R2) = ReplicatedRows.recoverLost(g1P, g1R, "v", 4)
+      // ---- a SECOND node (0) goes down: serve off the routed sets
+      val vq = ReplicatedRows.failover(vqP2, vqR2, 0L)
+      val g0 = ReplicatedRows.failover(g0P2, g0R2, 0L)
+      val g1 = ReplicatedRows.failover(g1P2, g1R2, 0L)
+      val top = vq.filter($"vec_id" % 8 === 0)
+      val queries = vq.filter($"vec_id" % 100 === 7)
+        .select($"vec_id".as("q_id"), $"xq")
+      val entryTop = top.filter($"vec_id" === 0).select($"vec_id".as("id"))
+      val stage1 = GraphAnn.beamSearch(top, "vec_id", g1, queries,
+        entryTop, beam = 3, rounds = 2, k = 2)
+      val seeds = stage1.select($"q_id", $"id")
+      val out = GraphAnn
+        .beamSearchFrom(vq, "vec_id", g0, queries, seeds,
+          beam = 4, rounds = 3, k = 4)
+        .orderBy($"q_id", $"rn")
+        .barrier() // eager, BEFORE unpersist (q280's posture)
+      vq0.unpersist()
+      out
+    },
+    q280.oracle, // the single-copy two-layer replay — neither loss enters
+    doc = "X123a: replicated graph ANN loss -> re-replication -> second " +
+      "failover — ReplicatedCodes' promotion/re-replication laws " +
+      "carried to the generic row placement across all three co-placed " +
+      "stores; the recovered 3-ring tier fails over ANOTHER node and " +
+      "the iterative layered beam search still answers identically " +
+      "(q280's oracle gates it bit for bit; neither loss enters it)")
+
+  /** q321 — ReplicatedRows LIFECYCLE on the vector row store:
+    * append ∘ grow ∘ takedown (X123b, r18): the generic placement's
+    * write-verb batch — q320 heals losses; this closes the PLANNED
+    * maintenance verbs on the same frames. The chain: build at S = 3
+    * over a WITHHELD corpus (vec_id % 10 ≠ 7), [[ReplicatedRows.append]]
+    * the withheld rows (placement is a pure ring function, so appended
+    * rows of existing ids land on established homes — the graph-append
+    * composition, q240's verb on the placement), [[ReplicatedRows.grow]]
+    * 3 → 4 index-only (ReplicatedCodes' move classes on generic
+    * frames), then [[ReplicatedRows.takedown]] of % 7 = 3 (one
+    * anti-join per copy). Rows are atomic ⇒ the maintained pair ≡ a
+    * from-scratch build at the final ring over the post-maintenance
+    * row set — the oracle replays the quantization and BOTH
+    * preference-list slots in CLOSED FORM (the HUGEINT pos·S + shard
+    * min device) over `embeddings WHERE vec_id % 7 <> 3`; none of the
+    * three verbs enters it. Hash-matched at all 3 SFs.
+    * ReplicatedRowsSpec pins each verb's set law, the move classes,
+    * the grow∘recoverLost round trip and append co-location.
+    *
+    * Scale: append = build over the |delta| only; grow = broadcast
+    * ring join over the distinct id list + mover-sized re-keys;
+    * takedown = anti-joins on the compact id key; payload arrays ride
+    * untouched (never re-quantized). */
+  val q321 = Q(
+    "q321_replicated_rows_lifecycle",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{KMeansInt, ReplicatedRows}
+      val emb = Tables(s, dir, "embeddings")
+      val vq = emb.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+      val (p0, r0) = ReplicatedRows.build(
+        vq.filter($"vec_id" % 10 =!= 7), "vec_id", nShards = 3)
+      val (p1, r1) = ReplicatedRows.append(p0, r0,
+        vq.filter($"vec_id" % 10 === 7), "vec_id", nShards = 3)
+      val (p2, r2) = ReplicatedRows.grow(p1, r1, "vec_id", 3)
+      val (p3, r3) = ReplicatedRows.takedown(p2, r2, "vec_id",
+        vq.filter($"vec_id" % 7 === 3).select($"vec_id"))
+      val p = p3.select(lit("p").as("store"), $"shard".as("node"),
+        lit(-1L).as("origin"), $"vec_id", $"xq")
+      val r = r3.select(lit("r").as("store"), $"node", $"origin",
+        $"vec_id", $"xq")
+      p.unionByName(r)
+        .withColumn("xq_hash", expr(
+          """aggregate(xq, CAST(7 AS BIGINT),
+               (h, x) -> (h * 31 + x) % 1000000007)"""))
+        .select($"store", $"node", $"origin", $"vec_id", $"xq_hash")
+        .orderBy($"store", $"node", $"origin", $"vec_id")
+    },
+    Some(s"""
+      WITH c AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                   + 10000) AS xq
+            FROM embeddings WHERE vec_id % 7 <> 3),
+      rg AS (${graft.queries.Mining.ringSql(4, 16)}),
+      r2 AS (SELECT shard, pos FROM rg
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM rg),
+      md AS (SELECT vec_id,
+               CAST(('0x' || substr(md5('vec' || vec_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM c),
+      pw AS (SELECT md.vec_id,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS prim
+             FROM md JOIN r2 ON r2.pos >= md.p GROUP BY md.vec_id),
+      rw AS (SELECT md.vec_id, pw.prim,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS repl
+             FROM md JOIN pw USING (vec_id)
+                  JOIN r2 ON r2.pos >= md.p AND r2.shard <> pw.prim
+             GROUP BY md.vec_id, pw.prim),
+      h AS (SELECT c.vec_id,
+              CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), c.xq),
+                (h, x) -> (h * 31 + x) % 1000000007) AS BIGINT)
+                AS xq_hash,
+              rw.prim, rw.repl
+            FROM c JOIN rw USING (vec_id))
+      SELECT 'p' AS store, prim AS node, CAST(-1 AS BIGINT) AS origin,
+             vec_id, xq_hash
+      FROM h
+      UNION ALL
+      SELECT 'r', repl, prim, vec_id, xq_hash FROM h
+      ORDER BY store, node, origin, vec_id"""),
+    doc = "X123b: ReplicatedRows lifecycle — append (withheld rows " +
+      "place at established ring homes), grow 3->4 index-only " +
+      "(ReplicatedCodes' move classes on generic frames), takedown " +
+      "(one anti-join per copy); maintained == from-scratch 4-ring " +
+      "build over the post-maintenance rows, row for row (the oracle " +
+      "replays quantization + both ring slots in closed form; none of " +
+      "the verbs enters it)")
+
+  /** q322 — REPLICATED sharded IVF-PQ with FAILOVER (N35e, r18): the
+    * r17 verdict's "missing #3" — q317 sharded the IVF-PQ read path
+    * but a node loss lost its cells' codes; the SQ8 store survives
+    * losses (q303) and now the IVF-PQ store does too.
+    * [[graft.operators.ReplicatedRows]] places the (cell, codes) rows
+    * on TWO nodes each (the codes' vec ring — co-placed with every
+    * other vector store), and the serve runs q317's scatter-gather off
+    * [[graft.operators.ReplicatedRows.failoverServing]] with node 1
+    * DOWN: the routed selection partitions the corpus with the serving
+    * node retained, each surviving node scans only ITS probed-cell
+    * rows, reduces per-(node, query) with the bounded TopKLong, and
+    * the exact gather merges — ADC distance is per-pair given the
+    * broadcast LUT, so the q283 containment law closes with no stats
+    * step and the ranking is invariant for EVERY failed node (spec).
+    * The oracle is q196's VERBATIM (unsharded, unreplicated, the
+    * topology and the loss never enter it) — the hash match proves
+    * failover serve ≡ single-store IVF-PQ bit for bit at all 3 SFs.
+    *
+    * Scale: q317's posture + replication's 2× row cost at ingest;
+    * failover selection is filter + union (never a payload shuffle);
+    * ≤ 5 rows per (node, query) on the wire; broadcasts stay
+    * frozen-model-sized. */
+  val q322 = Q(
+    "q322_replicated_ivfpq_failover",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{KMeansInt, ProductQuantizer, ReplicatedRows}
+      val failed = 1L
+      val emb = Tables(s, dir, "embeddings")
+      val (coarse, coarseCents) =
+        KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2)
+      val sub = ProductQuantizer
+        .subVectors(emb, "vec_id", "embedding", m = 8, subDims = 8)
+        .persist()
+      val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      val codes = ProductQuantizer.encode(sub, "vec_id", cents)
+      // ---- ingest: BOTH copies of the (cell, codes) rows on the ring
+      val rows = coarse.select($"vec_id", $"cluster".as("cell"))
+        .join(codes, "vec_id")
+        .select($"vec_id", $"cell", $"codes")
+      val (rP, rR) = ReplicatedRows.build(rows, "vec_id", nShards = 4)
+      val qv = emb.filter($"vec_id" < 4)
+        .select($"vec_id".as("q_id"), KMeansInt.quantize($"embedding").as("qx"))
+      val wP = Window.partitionBy($"q_id").orderBy($"__d", $"cluster")
+      val probes = qv.crossJoin(broadcast(coarseCents))
+        .withColumn("__d", KMeansInt.sqDist($"qx", $"cq"))
+        .withColumn("__rn", row_number().over(wP))
+        .filter($"__rn" <= 2)
+        .select($"q_id", $"cluster".as("cell"))
+      val luts = ProductQuantizer
+        .buildLuts(sub.filter($"vec_id" < 4), "vec_id", cents, m = 8, k = 4)
+      // ---- node 1 is DOWN: scatter over the routed selection, the
+      // serving node retained for the per-node bounded reduction
+      val sel = ReplicatedRows.failoverServing(rP, rR, failed)
+      val scored = sel.join(broadcast(probes), "cell")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"node", $"q_id", $"vec_id",
+          ProductQuantizer.adcExpr(luts, $"q_id", $"codes", m = 8, k = 4)
+            .as("adist"))
+      val top5 = udaf(new graft.functions.TopKLong(5))
+      val perNode = scored.groupBy($"node", $"q_id")
+        .agg(top5(-$"adist", $"vec_id", lit(0L)).as("tk"))
+        .select($"q_id", explode($"tk").as("e"))
+        .select($"q_id", $"e.id".as("vec_id"), (-$"e.score").as("adist"))
+      val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+      val out = perNode.groupBy($"q_id")
+        .agg(top5(-$"adist", $"vec_id", lit(0L)).as("tk"))
+        .select($"q_id", explode($"tk").as("e"))
+        .select($"q_id", $"e.id".as("vec_id"), (-$"e.score").as("adist"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .select($"q_id", $"rn", $"vec_id", $"adist")
+        .orderBy($"q_id", $"rn")
+        .barrier()
+      sub.unpersist()
+      out
+    },
+    q196.oracle, // the unsharded single-copy replay — the loss never enters
+    doc = "N35e: replicated sharded IVF-PQ with node-1 failover — both " +
+      "copies of the (cell, codes) rows on the vec ring, the routed " +
+      "selection partitions the corpus with the serving node retained, " +
+      "per-node bounded TopKLong + exact gather (ADC is per-pair given " +
+      "the broadcast LUT — containment with no stats step); q196's " +
+      "oracle proves failover serve == single-store IVF-PQ bit for bit")
+
+  /** q323 — REPLICATED IVF-PQ store MAINTENANCE: frozen-model append +
+    * takedown (N35f, r18): the r17 verdict's "missing #3" second half —
+    * q222/q234's maintenance devices operated on the UNSHARDED IVF
+    * store only; the serving tier that survives losses (q322) must
+    * also take writes. The chain: coarse cells + PQ codebooks train on
+    * the FROZEN prefix (vec_id < 384, q222's split), the prefix's
+    * (cell, codes) rows place on BOTH copies at S = 3
+    * ([[graft.operators.ReplicatedRows.build]]), the delta (vec_id ≥
+    * 384) assigns + encodes under the frozen model
+    * ([[graft.operators.IvfPqIndex.appendToIndex]] — O(|delta|),
+    * nothing re-read) and APPENDS through the placement (pure ring
+    * function ⇒ appended rows land exactly where a from-scratch build
+    * puts them), then a takedown (% 13 = 5) anti-joins both copies.
+    * Maintained ≡ a from-scratch placement of the rebuilt-then-
+    * restricted store ROW FOR ROW — the oracle trains the same frozen
+    * model in SQL (q222's CTEs), encodes base + delta under it,
+    * restricts to survivors and replays BOTH ring slots in closed
+    * form; none of the verbs enters it. Hash-matched at all 3 SFs.
+    *
+    * Scale: training is the q222 cost at ingest; append = |delta|
+    * pointwise encodes + the ring join over the delta id list;
+    * takedown = anti-joins on the compact vec_id key; the 2× row cost
+    * is replication's constant. */
+  val q323 = Q(
+    "q323_replicated_ivfpq_maintenance",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{IvfPqIndex, KMeansInt, ProductQuantizer, ReplicatedRows}
+      val emb = Tables(s, dir, "embeddings")
+      val frozen = emb.filter($"vec_id" < 384)
+      val delta = emb.filter($"vec_id" >= 384)
+      val (coarse, coarseCents) =
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
+      val sub = ProductQuantizer
+        .subVectors(frozen, "vec_id", "embedding", m = 8, subDims = 8)
+        .persist()
+      val books = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      val baseRows = coarse.select($"vec_id", $"cluster".as("cell"))
+        .join(ProductQuantizer.encode(sub, "vec_id", books), "vec_id")
+        .select($"vec_id", $"cell".cast(LongType).as("cell"), $"codes")
+      val (p0, r0) = ReplicatedRows.build(baseRows, "vec_id", nShards = 3)
+      // ---- frozen-model append through the placement
+      val deltaRows = IvfPqIndex
+        .appendToIndex(delta, "vec_id", "embedding", coarseCents, books,
+          m = 8, subDims = 8)
+        .select($"vec_id", $"cell".cast(LongType).as("cell"), $"codes")
+      val (p1, r1) = ReplicatedRows.append(p0, r0, deltaRows, "vec_id", 3)
+      // ---- right-to-be-forgotten against both copies
+      val dead = emb.select($"vec_id").filter($"vec_id" % 13 === 5)
+      val (p2, r2) = ReplicatedRows.takedown(p1, r1, "vec_id", dead)
+      val p = p2.select(lit("p").as("store"), $"shard".as("node"),
+        lit(-1L).as("origin"), $"vec_id", $"cell", $"codes")
+      val r = r2.select(lit("r").as("store"), $"node", $"origin",
+        $"vec_id", $"cell", $"codes")
+      val out = p.unionByName(r)
+        .withColumn("codes_hash", expr(
+          """aggregate(codes, CAST(7 AS BIGINT),
+               (h, x) -> (h * 31 + CAST(x AS BIGINT)) % 1000000007)"""))
+        .select($"store", $"node", $"origin", $"vec_id", $"cell",
+          $"codes_hash")
+        .orderBy($"store", $"node", $"origin", $"vec_id")
+        .barrier()
+      sub.unpersist()
+      out
+    },
+    Some(s"""
+      WITH ${Curation.kmeansCtes8x2From(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 384")},
+      $pqCoreCtes,
+      dvq AS (SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 10000) AS xq
+              FROM embeddings WHERE vec_id >= 384),
+      dcell AS (SELECT vec_id, cluster AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT dvq.vec_id, c.cluster,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (xq[i] - cq[i]) * (xq[i] - cq[i]))) AS BIGINT) AS d
+              FROM dvq CROSS JOIN c2 c))
+        WHERE rn = 1),
+      dsv AS (SELECT vec_id, CAST(s.sub AS INT) AS sub,
+                list_slice(xq, CAST(s.sub AS INT) * 8 + 1,
+                               CAST(s.sub AS INT) * 8 + 8) AS sxq
+              FROM dvq CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      dcode AS (SELECT vec_id, sub, cluster AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) AS rn
+        FROM (SELECT dsv.vec_id, dsv.sub, c.cluster,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> (sxq[i] - cq[i]) * (sxq[i] - cq[i]))) AS BIGINT) AS d
+              FROM dsv JOIN pc2 c ON dsv.sub = c.sub))
+        WHERE rn = 1),
+      bch AS (SELECT vec_id,
+                CAST(list_reduce(list_prepend(CAST(7 AS BIGINT),
+                  list(CAST(cluster AS BIGINT) ORDER BY sub)),
+                  (h, x) -> (h * 31 + x) % 1000000007) AS BIGINT)
+                  AS codes_hash
+              FROM paf GROUP BY vec_id),
+      dch AS (SELECT vec_id,
+                CAST(list_reduce(list_prepend(CAST(7 AS BIGINT),
+                  list(CAST(code AS BIGINT) ORDER BY sub)),
+                  (h, x) -> (h * 31 + x) % 1000000007) AS BIGINT)
+                  AS codes_hash
+              FROM dcode GROUP BY vec_id),
+      allrows AS (
+        SELECT a3.vec_id, CAST(a3.cluster AS BIGINT) AS cell,
+               bch.codes_hash
+        FROM a3 JOIN bch USING (vec_id)
+        UNION ALL
+        SELECT dcell.vec_id, CAST(dcell.cell AS BIGINT), dch.codes_hash
+        FROM dcell JOIN dch USING (vec_id)),
+      live AS MATERIALIZED (SELECT * FROM allrows WHERE vec_id % 13 <> 5),
+      rg AS (${graft.queries.Mining.ringSql(3, 16)}),
+      rr2 AS (SELECT shard, pos FROM rg
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM rg),
+      md AS (SELECT vec_id,
+               CAST(('0x' || substr(md5('vec' || vec_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM live),
+      pw AS (SELECT md.vec_id,
+               CAST(MIN(CAST(rr2.pos AS HUGEINT) * 3 + rr2.shard) % 3
+                 AS BIGINT) AS prim
+             FROM md JOIN rr2 ON rr2.pos >= md.p GROUP BY md.vec_id),
+      rw AS (SELECT md.vec_id, pw.prim,
+               CAST(MIN(CAST(rr2.pos AS HUGEINT) * 3 + rr2.shard) % 3
+                 AS BIGINT) AS repl
+             FROM md JOIN pw USING (vec_id)
+                  JOIN rr2 ON rr2.pos >= md.p AND rr2.shard <> pw.prim
+             GROUP BY md.vec_id, pw.prim),
+      h AS (SELECT live.vec_id, live.cell, live.codes_hash,
+              rw.prim, rw.repl
+            FROM live JOIN rw USING (vec_id))
+      SELECT 'p' AS store, prim AS node, CAST(-1 AS BIGINT) AS origin,
+             vec_id, cell, codes_hash
+      FROM h
+      UNION ALL
+      SELECT 'r', repl, prim, vec_id, cell, codes_hash FROM h
+      ORDER BY store, node, origin, vec_id"""),
+    doc = "N35f: replicated IVF-PQ store maintenance — frozen-model " +
+      "append (q222's device) through the ring placement + takedown on " +
+      "both copies; maintained == rebuilt-then-restricted placed from " +
+      "scratch, row for row (the oracle trains the frozen model in " +
+      "SQL, encodes base + delta, restricts to survivors and replays " +
+      "both ring slots in closed form; no verb enters it)")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
     q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250,
-    q280, q286, q290, q296, q303, q313, q316, q317, q318)
+    q280, q286, q290, q296, q303, q313, q316, q317, q318, q320, q321,
+    q322, q323)
 }

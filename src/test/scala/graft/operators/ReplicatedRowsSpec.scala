@@ -76,4 +76,103 @@ class ReplicatedRowsSpec extends SparkSpecBase {
       assert(got === base, s"failover of node $x changed the traversal")
     }
   }
+
+  private def pSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+  private def idHome(df: org.apache.spark.sql.DataFrame, id: String,
+      key: String) =
+    df.select(col(id), col(key)).distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("recoverLost (q320): recovered == from-scratch build at S-1 as " +
+    "a SET, both stores; promotion law; the recovered topology " +
+    "survives a SECOND failover") {
+    val (p, r) = ReplicatedRows.build(edges, "v", 4)
+    val (p2, r2) = ReplicatedRows.recoverLost(p, r, "v", 4)
+    val (wp, wr) = ReplicatedRows.build(edges, "v", 3)
+    assert(pSet(p2) === pSet(wp),
+      "recovered primary store != from-scratch 3-ring build")
+    assert(pSet(r2) === pSet(wr),
+      "recovered replica store != from-scratch 3-ring build")
+    // promotion law: every lost-primary id's new primary IS its old
+    // replica node
+    val oldRepl = idHome(r, "v", "node")
+    val lostIds = idHome(p, "v", "shard").filter(_._2 == 3L).keySet
+    val newPrim = idHome(p2, "v", "shard")
+    lostIds.foreach { id =>
+      assert(newPrim(id) === oldRepl(id),
+        s"id $id did not promote to its old replica node")
+    }
+    // redundancy restored: a SECOND loss still partitions the rows
+    val want = edgeRows.sorted
+    for (x <- 0L until 3L) {
+      val got = ReplicatedRows.failover(p2, r2, x)
+        .collect().map(row => (row.getLong(0), row.getLong(1)))
+        .toSeq.sorted
+      assert(got === want,
+        s"second failover of node $x lost or duplicated rows")
+    }
+  }
+
+  test("grow (q321): grown == from-scratch build at S+1 as a SET; the " +
+    "move classes hold; grow then recoverLost round-trips") {
+    val (p, r) = ReplicatedRows.build(edges, "v", 4)
+    val (p2, r2) = ReplicatedRows.grow(p, r, "v", 4)
+    val (wp, wr) = ReplicatedRows.build(edges, "v", 5)
+    assert(pSet(p2) === pSet(wp),
+      "grown primary store != from-scratch 5-ring build")
+    assert(pSet(r2) === pSet(wr),
+      "grown replica store != from-scratch 5-ring build")
+    // class laws: a moved primary lands on the NEW shard and its old
+    // primary becomes its replica; a moved replica lands on the new shard
+    val oldP = idHome(p, "v", "shard"); val newP = idHome(p2, "v", "shard")
+    val oldR = idHome(r, "v", "node");  val newR = idHome(r2, "v", "node")
+    oldP.keys.foreach { id =>
+      if (newP(id) != oldP(id)) {
+        assert(newP(id) === 4L, s"moved primary of $id not on new shard")
+        assert(newR(id) === oldP(id),
+          s"moved-primary id $id's replica is not its old primary")
+      } else if (newR(id) != oldR(id))
+        assert(newR(id) === 4L, s"moved replica of $id not on new shard")
+    }
+    // round trip: grow(4->5) then recoverLost(5->4) == the 4-ring build
+    val (p3, r3) = ReplicatedRows.recoverLost(p2, r2, "v", 5)
+    assert(pSet(p3) === pSet(p) && pSet(r3) === pSet(r),
+      "grow then recoverLost did not round-trip to the 4-ring build")
+  }
+
+  test("takedown + append (q321): maintained == from-scratch build " +
+    "over the post-maintenance row set; unknown ids are no-ops; " +
+    "appended rows of an existing id land on its established homes") {
+    val (p, r) = ReplicatedRows.build(edges, "v", 4)
+    val dead = Seq(5L, 17L, 40L)
+    val (p2, r2) = ReplicatedRows.takedown(p, r, "v", dead.toDF("v"))
+    val survivors = edgeRows.filterNot(e => dead.contains(e._1))
+    val (wp, wr) = ReplicatedRows.build(survivors.toDF("v", "u"), "v", 4)
+    assert(pSet(p2) === pSet(wp) && pSet(r2) === pSet(wr),
+      "takedown != from-scratch build over survivors")
+    val (pN, rN) = ReplicatedRows.takedown(p, r, "v", Seq(999L).toDF("v"))
+    assert(pSet(pN) === pSet(p) && pSet(rN) === pSet(r),
+      "unknown-id takedown was not a no-op")
+    // append: extra edges for existing vertices + a novel vertex
+    val extra = Seq((3L, 30L), (3L, 31L), (77L, 2L))
+    val (p3, r3) = ReplicatedRows.append(p, r, extra.toDF("v", "u"), "v", 4)
+    val (wp3, wr3) = ReplicatedRows.build(
+      (edgeRows ++ extra).toDF("v", "u"), "v", 4)
+    assert(pSet(p3) === pSet(wp3) && pSet(r3) === pSet(wr3),
+      "append != from-scratch build over the grown row set")
+    val home = idHome(p, "v", "shard")
+    val homeAfter = idHome(p3, "v", "shard")
+    assert(homeAfter(3L) === home(3L),
+      "an appended edge moved an existing vertex's home")
+  }
+
+  test("build fails fast on payload columns colliding with placement " +
+    "keys") {
+    val bad = Seq((1L, 2L)).toDF("v", "shard")
+    val e = intercept[IllegalArgumentException] {
+      ReplicatedRows.build(bad, "v", 4)
+    }
+    assert(e.getMessage.contains("collide"))
+  }
 }
