@@ -167,6 +167,26 @@ class ReplicatedRowsSpec extends SparkSpecBase {
       "an appended edge moved an existing vertex's home")
   }
 
+  test("failoverServing (q322): the routed selection partitions the " +
+    "rows with the serving node retained — node != failed everywhere, " +
+    "and a failed primary's rows serve from its replica node") {
+    val (p, r) = ReplicatedRows.build(edges, "v", 4)
+    val prim = idHome(p, "v", "shard")
+    val repl = idHome(r, "v", "node")
+    val want = edgeRows.sorted
+    for (x <- 0L until 4L) {
+      val sel = ReplicatedRows.failoverServing(p, r, x).collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+      assert(sel.map(t => (t._2, t._3)).toSeq.sorted === want,
+        s"failoverServing of node $x lost or duplicated rows")
+      sel.foreach { case (node, v, _) =>
+        assert(node !== x, s"node $x still served a row with $x down")
+        assert(node === (if (prim(v) == x) repl(v) else prim(v)),
+          s"row of vertex $v served from the wrong node with $x down")
+      }
+    }
+  }
+
   test("build fails fast on payload columns colliding with placement " +
     "keys") {
     val bad = Seq((1L, 2L)).toDF("v", "shard")
