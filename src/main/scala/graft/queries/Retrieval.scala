@@ -2850,8 +2850,142 @@ object Retrieval {
       "from-scratch replicated build over the post-update corpus, both " +
       "stores byte for byte (the oracle replays that build)")
 
+  /** q325 — K-TERM phrase on the REPLICATED topology with FAILOVER
+    * (X109s, r18): the r17 verdict's "missing #4" second half — q324
+    * routes the k-term chain through the shards; this routes it
+    * through q311's two-copy positional topology with node 1 DOWN.
+    * Both copies carry FULL position lists, the failover selection
+    * contains every doc exactly once, so each doc's complete −i-shifted
+    * streams for all k terms arrive from whichever copy serves it and
+    * the k-way (doc, pos) chain is exact across copies — q311's
+    * containment argument at any k, with no stats step and no dedup.
+    * Output = q308's per-doc rows + served_from/role routing evidence;
+    * the oracle replays the 3-way positional self-join from raw text
+    * and BOTH preference-list slots in closed form (the HUGEINT ring
+    * device) — hash-matched at all 3 SFs.
+    *
+    * Scale: q311's posture at k terms — only the k phrase terms'
+    * blocks decode, once per serving copy selected (never both);
+    * ingest pays replication's 2×; the chain joins shrink on compact
+    * (doc, pos) keys. */
+  val q325 = Q(
+    "q325_replicated_kterm_phrase",
+    (s, dir) => {
+      import s.implicits._
+      val phrase = Seq("key", "scan", "sort")
+      val failed = 1L
+      val docs = Tables(s, dir, "documents")
+      val positioned = docs.select($"doc_id", $"text",
+        graft.operators.IndexReshard.position($"doc_id").as("p"))
+      val a = graft.operators.ReplicatedIndex.assignPR(positioned, 4)
+      val assignments = a.select($"doc_id", $"primary", $"replica")
+      // both copies' POSITIONAL stores (full position lists each —
+      // q311's device)
+      def posStore(frame: org.apache.spark.sql.DataFrame,
+          k1: String, k2: Option[String]) = {
+        val keyCols = Seq(col(k1)) ++ k2.map(col)
+        frame
+          .select(keyCols :+ col("doc_id") :+
+            posexplode(split(col("text"), " ")): _*)
+          .select(keyCols :+ col("doc_id") :+
+            (col("pos") + 1).cast(LongType).as("pos") :+
+            col("col").as("term"): _*)
+          .groupBy(keyCols :+ col("term") :+ col("doc_id"): _*)
+          .agg(sort_array(collect_list($"pos")).as("ps"))
+          .groupBy(keyCols :+ col("term") :+
+            floor($"doc_id" / 100).as("bucket"): _*)
+          .agg(sort_array(collect_list(struct($"doc_id", $"ps")))
+            .as("block"))
+      }
+      val prim = posStore(a.select($"primary".as("shard"), $"doc_id",
+          $"text"), "shard", None)
+        .as[(Long, String, Long, Seq[(Long, Seq[Long])])]
+        .map { case (sh, t, b, blk) => (sh, t, b, blk.size,
+          graft.operators.PostingCodec.encodePositional(blk)) }
+        .toDF("shard", "term", "bucket", "df", "bytes")
+      val repl = posStore(a.select($"replica".as("node"),
+          $"primary".as("origin"), $"doc_id", $"text"), "node",
+          Some("origin"))
+        .as[(Long, Long, String, Long, Seq[(Long, Seq[Long])])]
+        .map { case (nd, og, t, b, blk) => (nd, og, t, b, blk.size,
+          graft.operators.PostingCodec.encodePositional(blk)) }
+        .toDF("node", "origin", "term", "bucket", "df", "bytes")
+      // the routed selection with node `failed` down (q294's law)
+      val sel = prim.filter($"shard" =!= failed)
+        .select($"shard".as("node"), $"term", $"bucket", $"df", $"bytes")
+        .unionByName(repl.filter($"origin" === failed)
+          .select($"node", $"term", $"bucket", $"df", $"bytes"))
+      val decoded = sel.filter($"term".isin(phrase: _*))
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (n, t, b, df, bytes) =>
+          graft.operators.PostingCodec.decodePositional(bytes, df)
+            .getOrElse(throw new IllegalStateException(
+              s"q325: corrupt routed positional block $n/'$t'/$b"))
+            .flatMap { case (doc, ps) => ps.map(p => (t, doc, p)) }
+        }.toDF("term", "doc_id", "pos")
+      // k−1 shifts; each join shrinks the candidate stream (q308)
+      val matched = phrase.zipWithIndex.map { case (t, i) =>
+        decoded.filter($"term" === t)
+          .select($"doc_id", ($"pos" - i.toLong).as("pos"))
+      }.reduce((a2, b2) => a2.join(b2, Seq("doc_id", "pos")))
+      matched.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_phrase"), min($"pos").as("first_hit"))
+        .join(assignments, "doc_id")
+        .select($"doc_id", $"n_phrase", $"first_hit",
+          when($"primary" === failed, $"replica").otherwise($"primary")
+            .as("served_from"),
+          when($"primary" === failed, lit("r")).otherwise(lit("p"))
+            .as("role"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+                 FROM (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents)),
+      h1 AS (SELECT doc_id, pos FROM t WHERE term = 'key'),
+      h2 AS (SELECT doc_id, pos FROM t WHERE term = 'scan'),
+      h3 AS (SELECT doc_id, pos FROM t WHERE term = 'sort'),
+      ph AS MATERIALIZED (SELECT h1.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_phrase,
+              CAST(MIN(h1.pos) AS BIGINT) AS first_hit
+            FROM h1
+            JOIN h2 ON h1.doc_id = h2.doc_id AND h2.pos = h1.pos + 1
+            JOIN h3 ON h1.doc_id = h3.doc_id AND h3.pos = h1.pos + 2
+            GROUP BY h1.doc_id),
+      rg AS (${graft.queries.Mining.ringSql(4, 16)}),
+      r2 AS (SELECT shard, pos FROM rg
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM rg),
+      md AS (SELECT doc_id,
+               CAST(('0x' || substr(md5('doc' || doc_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM ph),
+      pw AS (SELECT md.doc_id,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS prim
+             FROM md JOIN r2 ON r2.pos >= md.p GROUP BY md.doc_id),
+      rw AS (SELECT md.doc_id, pw.prim,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS repl
+             FROM md JOIN pw USING (doc_id)
+                  JOIN r2 ON r2.pos >= md.p AND r2.shard <> pw.prim
+             GROUP BY md.doc_id, pw.prim)
+      SELECT ph.doc_id, n_phrase, first_hit,
+        CAST(CASE WHEN prim = 1 THEN repl ELSE prim END AS BIGINT)
+          AS served_from,
+        CASE WHEN prim = 1 THEN 'r' ELSE 'p' END AS role
+      FROM ph JOIN rw USING (doc_id)
+      ORDER BY ph.doc_id"""),
+    doc = "X109s: k-term phrase on the replicated topology with node-1 " +
+      "failover — both copies carry full position lists, the routed " +
+      "selection holds every doc exactly once, the k-way (doc, pos) " +
+      "chain is exact across copies with no stats step and no dedup; " +
+      "hash-equal to single-index q308 plus served_from/role evidence " +
+      "gated by the closed-form two-slot ring replay")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
     q298, q299, q300, q301, q302, q304, q307, q309, q310, q311, q312,
-    q315, q319)
+    q315, q319, q325)
 }
