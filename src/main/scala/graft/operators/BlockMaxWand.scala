@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.core.Barriers._
 
 /** Block-Max WAND (SURVEY.md §2.11a X110b, q267): exact top-k BM25
   * served from the compressed posting store WITHOUT decoding every
@@ -30,6 +31,12 @@ import org.apache.spark.sql.types.LongType
   *      through the strict q259 read path; seed ∪ survivor scores
   *      rank exactly.
   *
+  * The skeleton is factored ONCE ([[twoPhase]], r18 — the q277/q292
+  * dedup lesson the r17 verdict asked for): [[probe]] (flat BM25),
+  * [[probeFielded]] (BM25F) and [[probeStored]] (q326's
+  * persisted-asset serve) all run the same seeds → θ → survivors →
+  * ranked spine, parameterized by the decode and scoring folds.
+  *
   * Scale: the sidecar is one groupBy over already-blocked rows, paid
   * at ingest; θ-seeding costs `seedJ` blocks (constant); phase 2
   * decodes only surviving blocks — on a skewed corpus that is the
@@ -56,6 +63,76 @@ object BlockMaxWand {
       survivors: DataFrame, // (bucket) — non-seed buckets decoded
       ranked: DataFrame)    // (doc_id, score_ppm) top-k
 
+  /** The shared two-phase pruned-probe spine (r17 What's-wrong #2
+    * closed): seeds → θ → survivors → ranked over an already-fetched,
+    * PERSISTED block selection, parameterized by the tier's decode and
+    * scoring folds. Every exposed frame barriers EAGERLY (each is at
+    * most bucket-count-sized) and the fetched blocks UNPERSIST before
+    * returning — repeated probes in one session no longer accumulate
+    * cached RDDs (ADVICE r17; the barrier-before-unpersist posture). */
+  private def twoPhase(probed: DataFrame, sidecar0: DataFrame,
+      decodeBlocks: DataFrame => DataFrame,
+      scored: DataFrame => DataFrame, k: Int, seedJ: Int): Probe = {
+    val s = probed.sparkSession
+    import s.implicits._
+    val sidecar = sidecar0.barrier()
+    val topJ = udaf(new graft.functions.TopKScored(seedJ))
+    // the Double cast only picks WHICH buckets seed θ (ub sums are
+    // ≪ 2^53, so even the order is exact); soundness never depends on
+    // the seed choice
+    val seeds = sidecar
+      .agg(topJ($"ub_ppm".cast("double"), $"bucket", lit(0L)).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.id".as("bucket"))
+      .barrier()
+    val phase1 = scored(decodeBlocks(
+      probed.join(broadcast(seeds), Seq("bucket")))).barrier()
+    val theta = phase1.orderBy($"score_ppm".desc, $"doc_id").limit(k)
+      .agg(count(lit(1)).as("c"), min($"score_ppm").as("m"))
+      .select(when($"c" === k, $"m")
+        .otherwise(lit(Long.MinValue)).as("theta"))
+      .barrier()
+    val survivors = sidecar
+      .join(broadcast(seeds), Seq("bucket"), "left_anti")
+      .crossJoin(broadcast(theta))
+      .filter($"ub_ppm" >= $"theta")
+      .select($"bucket")
+      .barrier()
+    val phase2 = scored(decodeBlocks(probed.join(survivors, Seq("bucket"))))
+    val ranked = phase1.unionByName(phase2)
+      .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(k)
+      .barrier()
+    probed.unpersist()
+    Probe(sidecar, seeds, theta, survivors, ranked)
+  }
+
+  /** The flat-BM25 decode of a (term, bucket, df, bytes) selection —
+    * strict q259 read path, (term, doc_id, tf) out. */
+  private def decodeFlat(who: String)(blocks: DataFrame): DataFrame = {
+    val s = blocks.sparkSession
+    import s.implicits._
+    blocks.select($"term", $"bucket", $"df", $"bytes")
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, b, n, bytes) =>
+        PostingCodec.decode(bytes, n)
+          .getOrElse(throw new IllegalStateException(
+            s"$who: corrupt postings block '$t'/$b"))
+          .map { case (doc, tf, _) => (t, doc, tf) }
+      }.toDF("term", "doc_id", "tf")
+  }
+
+  /** The flat-BM25 per-doc scoring fold over a decoded selection. */
+  private def scoreFlat(dl: DataFrame, dfreq: DataFrame,
+      stats: DataFrame)(decoded: DataFrame): DataFrame = {
+    val s = decoded.sparkSession
+    import s.implicits._
+    decoded.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_ppm", expr(bm25Ppm))
+      .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+  }
+
   def probe(docs: DataFrame, qTerms: Seq[String], k: Int,
       seedJ: Int = 8): Probe = {
     val s = docs.sparkSession
@@ -71,51 +148,69 @@ object BlockMaxWand {
       .persist() // the fetched query-term blocks — decoded ≤ 2× below
     val dfreq = probed.groupBy($"term")
       .agg(sum($"df").cast(LongType).as("df"))
-    def decodeBlocks(blocks: DataFrame): DataFrame =
-      blocks.select($"term", $"bucket", $"df", $"bytes")
-        .as[(String, Long, Int, Array[Byte])]
-        .flatMap { case (t, b, n, bytes) =>
-          PostingCodec.decode(bytes, n)
-            .getOrElse(throw new IllegalStateException(
-              s"block-max probe: corrupt postings block '$t'/$b"))
-            .map { case (doc, tf, _) => (t, doc, tf) }
-        }.toDF("term", "doc_id", "tf")
-    def scored(decoded: DataFrame): DataFrame =
-      decoded.join(dl, "doc_id")
-        .join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib_ppm", expr(bm25Ppm))
-        .groupBy($"doc_id").agg(sum($"contrib_ppm").as("score_ppm"))
+    val decode = decodeFlat("block-max probe") _
+    val score = scoreFlat(dl, dfreq, stats) _
     // ---- ingest: block-max sidecar (exact per-block max contribution)
-    val sidecar = decodeBlocks(probed)
+    val sidecar = decode(probed)
       .join(dl, "doc_id").join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select($"term", expr("doc_id DIV 100").as("bucket"),
         expr(bm25Ppm).as("contrib_ppm"))
       .groupBy($"term", $"bucket").agg(max($"contrib_ppm").as("ub_ppm"))
       .groupBy($"bucket").agg(sum($"ub_ppm").as("ub_ppm"))
-    // ---- probe phase 1: seed θ from the J highest-ub buckets
-    val topJ = udaf(new graft.functions.TopKScored(seedJ))
-    val seeds = sidecar
-      .agg(topJ($"ub_ppm".cast("double"), $"bucket", lit(0L)).as("tk"))
-      .select(explode($"tk").as("e")).select($"e.id".as("bucket"))
-    val phase1 = scored(decodeBlocks(
-      probed.join(broadcast(seeds), Seq("bucket"))))
-    val theta = phase1.orderBy($"score_ppm".desc, $"doc_id").limit(k)
-      .agg(count(lit(1)).as("c"), min($"score_ppm").as("m"))
-      .select(when($"c" === k, $"m")
-        .otherwise(lit(Long.MinValue)).as("theta"))
-    // ---- probe phase 2: decode ONLY buckets that can still enter top-k
-    val survivors = sidecar
-      .join(broadcast(seeds), Seq("bucket"), "left_anti")
-      .crossJoin(broadcast(theta))
-      .filter($"ub_ppm" >= $"theta")
-      .select($"bucket")
-    val phase2 = scored(decodeBlocks(probed.join(survivors, Seq("bucket"))))
-    val ranked = phase1.unionByName(phase2)
-      .orderBy($"score_ppm".desc, $"doc_id")
-      .limit(k)
-    Probe(sidecar, seeds, theta, survivors, ranked)
+    twoPhase(probed, sidecar, decode, score, k, seedJ)
+  }
+
+  /** The per-(term, bucket) block-max rows for a corpus — the INGEST
+    * artifact q326 persists next to q273's posting store: the exact
+    * max flat-BM25 contribution of any posting in each block. Written
+    * once at index build; any probe then sums its own query terms'
+    * rows to bucket bounds WITHOUT decoding anything. */
+  def ubSidecar(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val dl = docs.select($"doc_id",
+      size(split($"text", " ")).cast(LongType).as("dl"))
+    val stats = dl
+      .agg(count(lit(1)).cast(LongType).as("n_docs"), sum($"dl").as("l_total"))
+      .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+    val dfreq = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"term")
+      .agg(count_distinct($"doc_id").cast(LongType).as("df"))
+    docs.select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", $"col".as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select($"term", expr("doc_id DIV 100").as("bucket"),
+        expr(bm25Ppm).as("contrib_ppm"))
+      .groupBy($"term", $"bucket").agg(max($"contrib_ppm").as("ub_ppm"))
+  }
+
+  /** The pruned two-phase probe over PERSISTED serving assets (X110h,
+    * q326): `storeSel` and `ubSel` are the query terms' slices of the
+    * on-disk posting store and [[ubSidecar]] rows (both partition-
+    * pruned scans), `dl`/`stats` the persisted doc-stats sidecar. The
+    * sidecar rows sum to bucket bounds METADATA-ONLY; only seed ∪
+    * survivor blocks are ever decoded — so the I/O saving the pruning
+    * exists for materializes against the FILES (a skipped bucket's
+    * bytes are read from disk only by the parquet row-group fetch of
+    * matching buckets; q326 gates the decoded-block count).
+    * df comes from the selection's block metadata (blocks partition
+    * docs — q259's property). */
+  def probeStored(storeSel: DataFrame, ubSel: DataFrame, dl: DataFrame,
+      stats: DataFrame, k: Int, seedJ: Int = 8): Probe = {
+    val s = storeSel.sparkSession
+    import s.implicits._
+    val probed = storeSel.persist()
+    val dfreq = probed.groupBy($"term")
+      .agg(sum($"df").cast(LongType).as("df"))
+    val sidecar = ubSel
+      .groupBy($"bucket").agg(sum($"ub_ppm").as("ub_ppm"))
+    twoPhase(probed, sidecar, decodeFlat("stored block-max probe") _,
+      scoreFlat(dl, dfreq, stats) _, k, seedJ)
   }
 
   /** q298's exact rational BM25F contribution at the DECLARED weights
@@ -200,26 +295,6 @@ object BlockMaxWand {
         expr(bm25fPpm).as("contrib_ppm"))
       .groupBy($"term", $"bucket").agg(max($"contrib_ppm").as("ub_ppm"))
       .groupBy($"bucket").agg(sum($"ub_ppm").as("ub_ppm"))
-    // ---- the two-phase pruned probe ([[probe]]'s argument verbatim)
-    val topJ = udaf(new graft.functions.TopKScored(seedJ))
-    val seeds = sidecar
-      .agg(topJ($"ub_ppm".cast("double"), $"bucket", lit(0L)).as("tk"))
-      .select(explode($"tk").as("e")).select($"e.id".as("bucket"))
-    val phase1 = scored(decodeBlocks(
-      probed.join(broadcast(seeds), Seq("bucket"))))
-    val theta = phase1.orderBy($"score_ppm".desc, $"doc_id").limit(k)
-      .agg(count(lit(1)).as("c"), min($"score_ppm").as("m"))
-      .select(when($"c" === k, $"m")
-        .otherwise(lit(Long.MinValue)).as("theta"))
-    val survivors = sidecar
-      .join(broadcast(seeds), Seq("bucket"), "left_anti")
-      .crossJoin(broadcast(theta))
-      .filter($"ub_ppm" >= $"theta")
-      .select($"bucket")
-    val phase2 = scored(decodeBlocks(probed.join(survivors, Seq("bucket"))))
-    val ranked = phase1.unionByName(phase2)
-      .orderBy($"score_ppm".desc, $"doc_id")
-      .limit(k)
-    Probe(sidecar, seeds, theta, survivors, ranked)
+    twoPhase(probed, sidecar, decodeBlocks, scored, k, seedJ)
   }
 }
