@@ -213,6 +213,21 @@ object ReplicatedIndex {
     Replicated(a, store, replicaStore, dl, stats, nShards)
   }
 
+  /** LOWER THE REPLICATION FACTOR 2 → 1 (X119f, q329): the inverse of
+    * [[addReplicas]] — the ES `number_of_replicas: 1 → 0` settings
+    * change (a tier shedding storage cost, or staging data down before
+    * a migration). The primary store IS the single-copy ring store
+    * already (its assignment equals [[IndexReshard.assign]]'s — the
+    * compat law the spec pins), so the verb is pure selection: the
+    * primary copy and the dl sidecar pass through BYTE-UNTOUCHED and
+    * the replica tier is simply dropped. Returns (store, dl) — q288's
+    * single-copy shape, ready for [[IndexReshard]] maintenance or a
+    * later [[addReplicas]] round trip (which the spec pins byte for
+    * byte). Scale: zero data movement — the cheapest verb in the
+    * matrix, listed for the completeness of the RF pair. */
+  def dropReplicas(rep: Replicated): (DataFrame, DataFrame) =
+    (rep.primaryStore, rep.dl)
+
   /** Scatter-gather over ANY block selection that partitions the
     * corpus — (node, term, bucket, df, bytes) rows where `node` is the
     * serving node. df sums from the selection's metadata (exact

@@ -3117,8 +3117,126 @@ object Retrieval {
       "two-phase (seed choice, theta, survivors, both block counts, " +
       "ranking) from raw text, gating the pruning exact")
 
+  /** q328 — FACETED search over the DOC-SHARDED topology (X120c, r18):
+    * the r17 verdict's "missing #5" tail — q300 facets the single
+    * index, q309 facets the failover selection; a sharded tier
+    * aggregates facets ACROSS shard responses (the Elasticsearch
+    * cross-shard aggregation step). The match set is a pure function
+    * of which docs the selection contains and shards partition docs,
+    * so per-shard matching + a plain union yields exactly the
+    * single-index match set — facet counts over the doc-values sidecar
+    * are then hash-equal to q300's answers, plus a SHARD facet (matched
+    * docs by serving shard — the per-shard response sizes the
+    * coordinator actually merges), gated by shard arithmetic in the
+    * oracle. Hash-matched at all 3 SFs.
+    *
+    * Scale: q300's posture per shard — each shard decodes only ITS
+    * query-term blocks and ships distinct matched ids; the sidecar
+    * join keys on the compact doc_id; facet counts are
+    * low-cardinality aggregates over the match set. */
+  val q328 = Q(
+    "q328_sharded_facets",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("merge", "dup", "vector")
+      val docs = Tables(s, dir, "documents")
+      val store = graft.operators.ShardedIndex.buildStore(
+        docs.select(pmod($"doc_id", lit(4L)).as("shard"), $"doc_id",
+          $"text"))
+      // per-shard match: decode only that shard's query-term blocks
+      val matches = store.filter($"term".isin(qTerms: _*))
+        .select($"shard", $"term", $"bucket", $"df", $"bytes")
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (sh, t, b, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q328: corrupt postings block $sh/'$t'/$b"))
+            .map(p => (sh, p._1))
+        }.toDF("shard", "doc_id").distinct()
+      val sidecar = docs.select($"doc_id", $"source",
+        least(expr("size(split(text, ' ')) DIV 20"), lit(5))
+          .cast(LongType).as("len_bucket"))
+      val joined = matches.join(sidecar, "doc_id")
+      val bySource = joined.groupBy($"source".as("key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("source").as("facet"), $"key", $"n_docs")
+      val byLen = joined.groupBy($"len_bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("len").as("facet"),
+          $"len_bucket".cast(StringType).as("key"), $"n_docs")
+      // the cross-shard response ledger: matched docs per serving shard
+      val byShard = matches.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("shard").as("facet"),
+          $"shard".cast(StringType).as("key"), $"n_docs")
+      bySource.unionByName(byLen).unionByName(byShard)
+        .orderBy($"facet", $"key")
+    },
+    Some("""
+      WITH t AS (SELECT DISTINCT doc_id,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      m AS MATERIALIZED (SELECT DISTINCT doc_id FROM t
+            WHERE term IN ('merge', 'dup', 'vector')),
+      sc AS (SELECT doc_id, source,
+               LEAST(CAST(len(string_split(text, ' ')) AS BIGINT) // 20,
+                     5) AS len_bucket
+             FROM documents),
+      j AS (SELECT sc.source, sc.len_bucket FROM sc JOIN m USING (doc_id))
+      SELECT 'source' AS facet, source AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY 2
+      UNION ALL
+      SELECT 'len', CAST(len_bucket AS VARCHAR),
+             CAST(COUNT(*) AS BIGINT)
+      FROM j GROUP BY 2
+      UNION ALL
+      SELECT 'shard', CAST(doc_id % 4 AS VARCHAR),
+             CAST(COUNT(*) AS BIGINT)
+      FROM m GROUP BY 2
+      ORDER BY facet, key"""),
+    doc = "X120c: faceted search over the doc-sharded topology — " +
+      "per-shard match sets union to exactly the single-index match " +
+      "set (shards partition docs), facet counts over the doc-values " +
+      "sidecar hash-equal to q300, plus a shard facet (the per-shard " +
+      "response sizes the coordinator merges) gated by shard " +
+      "arithmetic in the oracle")
+
+  /** q329 — LOWER THE REPLICATION FACTOR 2 → 1 (X119f, r18): the
+    * inverse of q315 — the ES `number_of_replicas: 1 → 0` change,
+    * closing the RF verb PAIR. The two-copy topology's primary store
+    * IS the single-copy ring store (the q294 compat law: assignPR's
+    * primary ≡ IndexReshard.assign), so
+    * [[graft.operators.ReplicatedIndex.dropReplicas]] passes it and
+    * the dl sidecar through byte-UNTOUCHED and drops the replica tier
+    * — zero data movement. The oracle replays the from-scratch
+    * SINGLE-COPY 4-ring build (q288's expansion; neither replication
+    * nor the drop enters it), so the hash match proves the demoted
+    * store ≡ a store that never had replicas, BYTE FOR BYTE at all 3
+    * SFs. ReplicatedIndexSpec pins the addReplicas round trip
+    * (drop ∘ add ≡ identity on both frames).
+    *
+    * Scale: pure selection — no decode, no shuffle, no write beyond
+    * dropping a reference; the verb exists so RF changes are closed
+    * in BOTH directions (q315 up, q329 down). */
+  val q329 = Q(
+    "q329_drop_replicas",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
+      val (store, _) = graft.operators.ReplicatedIndex.dropReplicas(rep)
+      graft.queries.Text.storeEvidence(store)
+    },
+    Some(graft.queries.Text.ringStoreOracleSql(4)),
+    doc = "X119f: replication factor 2 -> 1 — the primary copy IS the " +
+      "single-copy ring store (the compat law), so the verb is pure " +
+      "selection: store + dl pass byte-untouched, the replica tier " +
+      "drops; demoted == a from-scratch single-copy 4-ring build byte " +
+      "for byte (the oracle replays that build), closing the RF verb " +
+      "pair with q315")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
     q298, q299, q300, q301, q302, q304, q307, q309, q310, q311, q312,
-    q315, q319, q325, q326)
+    q315, q319, q325, q326, q328, q329)
 }

@@ -3117,7 +3117,7 @@ object Text {
   /** The stream-hash evidence map every reshard query emits over its
     * maintained store: (shard, term, bucket, df, n_bytes, stream_hash,
     * decode_ok) — shared by q288 (grow) and q295 (shrink). */
-  private def storeEvidence(store: org.apache.spark.sql.DataFrame)
+  private[queries] def storeEvidence(store: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val s = store.sparkSession
     import s.implicits._
@@ -3141,7 +3141,7 @@ object Text {
     * SURGERY never enters this SQL, which is the whole point: the
     * engine's maintained store must hash-match a build that never saw
     * the old ring. */
-  private def ringStoreOracleSql(shards: Int): String = s"""
+  private[queries] def ringStoreOracleSql(shards: Int): String = s"""
       WITH r AS (${graft.queries.Mining.ringSql(shards, 16)}),
       w AS (SELECT shard FROM r ORDER BY pos, shard LIMIT 1),
       d0 AS (SELECT doc_id, text,
@@ -3958,9 +3958,97 @@ object Text {
       "single-index q308 plus the serving-shard routing evidence " +
       "(oracle replays shard = doc_id % 4 arithmetically)")
 
+  /** q327 — CONJUNCTIVE (AND) search with zone-map skipping on the
+    * DOC-SHARDED topology (X110i, r18): the r17 verdict's "missing #5"
+    * tail — q314's metadata-first intersection ran single-index; a
+    * sharded AND-tier intersects zone maps PER SHARD. The argument is
+    * q314's with one more key component: (shard, bucket) pairs
+    * partition docs (shard = doc_id mod 4, bucket = doc_id DIV 100),
+    * so the (term, shard, bucket) block list is still an exact zone
+    * map — only (shard, bucket) cells where ALL k terms have a block
+    * can hold a hit, every other block skips UNDECODED, and the
+    * per-shard verify never crosses shards (docs are shard-local).
+    * The probe emits per-doc evidence + the serving shard + the skip
+    * counts; the oracle recomputes hits AND both counts from raw text
+    * with the shard arithmetic — pruning gated exact at all 3 SFs.
+    * Note the counts DIFFER from q314's (a (term, bucket) block splits
+    * into up to S per-shard blocks — finer zone maps, sharper skips on
+    * selective conjunctions): the composition is re-gated, not
+    * assumed.
+    *
+    * Scale: q314's posture per shard — the intersection is
+    * metadata-only over Σ_t |blocks(t)| rows; decode cost is
+    * |candidate cells| × k blocks; the verify aggregate keys on
+    * (shard, doc) over candidate-cell rows only. */
+  val q327 = Q(
+    "q327_sharded_conjunctive",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("table", "scan", "key")
+      val docs = Tables(s, dir, "documents")
+      val store = graft.operators.ShardedIndex.buildStore(
+        docs.select(pmod($"doc_id", lit(4L)).as("shard"), $"doc_id",
+          $"text"))
+      val probed = store.filter($"term".isin(qTerms: _*))
+      // zone-map intersection on (shard, bucket) METADATA — zero decode
+      val cand = probed.groupBy($"shard", $"bucket")
+        .agg(count_distinct($"term").as("nt"))
+        .filter($"nt" === qTerms.size).select($"shard", $"bucket")
+      val evidence = probed
+        .join(cand.withColumn("c", lit(1L)), Seq("shard", "bucket"),
+          "left")
+        .agg(count(lit(1)).as("n_blocks_meta"),
+          sum(when($"c".isNotNull, 1L).otherwise(0L))
+            .as("n_blocks_decoded"))
+      val decoded = probed.join(cand, Seq("shard", "bucket"))
+        .select($"shard", $"term", $"bucket", $"df", $"bytes")
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (sh, t, b, n, bytes) =>
+          graft.operators.PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"q327: corrupt postings block $sh/'$t'/$b"))
+            .map { case (doc, tf, _) => (sh, t, doc, tf) }
+        }.toDF("shard", "term", "doc_id", "tf")
+      decoded.groupBy($"shard", $"doc_id")
+        .agg(count_distinct($"term").as("nt"), sum($"tf").as("tf_sum"))
+        .filter($"nt" === qTerms.size)
+        .select($"doc_id", $"tf_sum", $"shard")
+        .crossJoin(broadcast(evidence))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT doc_id, term FROM t
+            WHERE term IN ('table', 'scan', 'key')),
+      blk AS (SELECT DISTINCT term,
+                CAST(doc_id % 4 AS BIGINT) AS shard,
+                CAST(doc_id // 100 AS BIGINT) AS bucket
+              FROM h),
+      cand AS (SELECT shard, bucket FROM blk
+               GROUP BY shard, bucket HAVING COUNT(DISTINCT term) = 3),
+      ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks_meta,
+               CAST(SUM(CASE WHEN cand.shard IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_decoded
+             FROM blk LEFT JOIN cand
+               ON blk.shard = cand.shard AND blk.bucket = cand.bucket),
+      hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf_sum,
+                 CAST(doc_id % 4 AS BIGINT) AS shard
+               FROM h GROUP BY doc_id
+               HAVING COUNT(DISTINCT term) = 3)
+      SELECT doc_id, tf_sum, shard, n_blocks_meta, n_blocks_decoded
+      FROM hits CROSS JOIN ev ORDER BY doc_id"""),
+    doc = "X110i: conjunctive AND with zone-map skipping on the " +
+      "doc-sharded topology — (shard, bucket) cells partition docs, so " +
+      "the per-shard block list stays an exact zone map (finer than " +
+      "q314's: blocks split per shard, sharper skips), matching never " +
+      "crosses shards; the oracle recomputes hits AND both block " +
+      "counts with the shard arithmetic, gating the pruning exact")
+
   val all: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q62, q63,
     q91, q92, q95, q141, q199, q203, q209, q210, q213, q215, q223, q225,
     q233, q239, q245, q246, q247, q251, q254, q258, q259, q263, q264,
     q266, q268, q270, q271, q274, q275, q277, q278, q281, q282, q284,
-    q285, q288, q289, q292, q295, q297, q305, q306, q308, q314, q324)
+    q285, q288, q289, q292, q295, q297, q305, q306, q308, q314, q324,
+    q327)
 }

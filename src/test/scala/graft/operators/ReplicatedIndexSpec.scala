@@ -347,4 +347,17 @@ class ReplicatedIndexSpec extends SparkSpecBase {
       assert(rows(ReplicatedIndex.serveFailover(got, x, qTerms, 15))
         == want, s"failover of node $x served a stale version")
   }
+
+  test("dropReplicas (q329): the demoted store and dl pass through " +
+    "byte-untouched, and addReplicas round-trips both frames") {
+    val rep = ReplicatedIndex.build(docs, 4)
+    val (store, dl) = ReplicatedIndex.dropReplicas(rep)
+    assert(pBytes(store) == pBytes(rep.primaryStore),
+      "dropReplicas changed a primary byte")
+    val back = ReplicatedIndex.addReplicas(store, dl, 4)
+    assert(pBytes(back.primaryStore) == pBytes(rep.primaryStore),
+      "round trip changed the primary store")
+    assert(rBytes(back.replicaStore) == rBytes(rep.replicaStore),
+      "round trip changed the replica store")
+  }
 }
