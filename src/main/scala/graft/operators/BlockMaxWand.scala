@@ -213,6 +213,111 @@ object BlockMaxWand {
       scoreFlat(dl, dfreq, stats) _, k, seedJ)
   }
 
+  /** Every frame of the SHARDED pruned probe (X110j, q330) — the
+    * per-shard keys ride in each frame so the spec can pin the
+    * per-shard skip law. */
+  final case class ShardedProbe(
+      bucketUb: DataFrame,  // (shard, bucket, ub_ppm)
+      seeds: DataFrame,     // (shard, bucket)
+      theta: DataFrame,     // (shard, theta)
+      survivors: DataFrame, // (shard, bucket)
+      ranked: DataFrame)    // (doc_id, score_ppm, shard) — global top-k
+
+  /** Block-Max WAND × DOC-SHARDING (X110j, q330): [[probe]]'s
+    * two-phase pruning run PER SHARD — each shard owns its docs'
+    * blocks (q283's topology), builds its own (shard, bucket) ub
+    * sidecar, seeds its own θ_s from its `seedJ` best buckets, and
+    * skips its own ub < θ_s buckets; the gather merges per-shard
+    * bounded top-k lists. Sound shard-locally by [[probe]]'s argument
+    * verbatim (a doc's postings live entirely in its own shard's own
+    * bucket, so per-shard pruned top-k ≡ per-shard exhaustive top-k),
+    * and globally by q283's containment (scores use GLOBAL df — summed
+    * across shards from metadata, the dfs_query_then_fetch step — so
+    * the global top-k is contained in the union of per-shard top-k
+    * lists). A per-shard θ is WEAKER than the global θ would be (a
+    * shard poor in good docs prunes less), but needs NO cross-shard
+    * coordination round before phase 2 — the trade a real distributed
+    * WAND makes (per-shard impacts in ES/Lucene).
+    *
+    * Scale: [[probe]]'s posture per shard, embarrassingly parallel —
+    * sidecars/seeds/θ/survivors all key on (shard, bucket); the only
+    * cross-shard data is the broadcast global df/stats and the k·S-row
+    * gather. */
+  def probeSharded(docs: DataFrame, qTerms: Seq[String], k: Int,
+      nShards: Int = 4, seedJ: Int = 8): ShardedProbe = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val dl = docs.select($"doc_id",
+      size(split($"text", " ")).cast(LongType).as("dl"))
+    val stats = dl
+      .agg(count(lit(1)).cast(LongType).as("n_docs"), sum($"dl").as("l_total"))
+      .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+    val probed = ShardedIndex.buildStore(
+        docs.select(pmod($"doc_id", lit(nShards.toLong)).as("shard"),
+          $"doc_id", $"text"))
+      .filter($"term".isin(qTerms: _*))
+      .persist()
+    // GLOBAL df: summed across shards from block metadata (q283's
+    // dfs_query_then_fetch — per-shard df would skew idf)
+    val dfreq = probed.groupBy($"term")
+      .agg(sum($"df").cast(LongType).as("df"))
+    def decode(blocks: DataFrame): DataFrame =
+      blocks.select($"shard", $"term", $"bucket", $"df", $"bytes")
+        .as[(Long, String, Long, Int, Array[Byte])]
+        .flatMap { case (sh, t, b, n, bytes) =>
+          PostingCodec.decode(bytes, n)
+            .getOrElse(throw new IllegalStateException(
+              s"sharded block-max probe: corrupt block $sh/'$t'/$b"))
+            .map { case (doc, tf, _) => (sh, t, doc, tf) }
+        }.toDF("shard", "term", "doc_id", "tf")
+    def score(decoded: DataFrame): DataFrame =
+      decoded.join(dl, "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib_ppm", expr(bm25Ppm))
+        .groupBy($"shard", $"doc_id")
+        .agg(sum($"contrib_ppm").as("score_ppm"))
+    val sidecar = decode(probed)
+      .join(dl, "doc_id").join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select($"shard", expr("doc_id DIV 100").as("bucket"),
+        expr(bm25Ppm).as("contrib_ppm"))
+      .groupBy($"shard", $"bucket").agg(max($"contrib_ppm").as("ub_ppm"))
+      .barrier()
+    val topJ = udaf(new graft.functions.TopKScored(seedJ))
+    val seeds = sidecar.groupBy($"shard")
+      .agg(topJ($"ub_ppm".cast("double"), $"bucket", lit(0L)).as("tk"))
+      .select($"shard", explode($"tk").as("e"))
+      .select($"shard", $"e.id".as("bucket"))
+      .barrier()
+    val phase1 = score(decode(
+      probed.join(seeds, Seq("shard", "bucket")))).barrier()
+    val topK = udaf(new graft.functions.TopKLong(k))
+    val theta = phase1.groupBy($"shard")
+      .agg(topK($"score_ppm", $"doc_id", lit(0L)).as("tk"))
+      .select($"shard", explode($"tk").as("e"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("c"), min($"e.score").as("m"))
+      .select($"shard", when($"c" === k, $"m")
+        .otherwise(lit(Long.MinValue)).as("theta"))
+      .barrier()
+    val survivors = sidecar.join(seeds, Seq("shard", "bucket"), "left_anti")
+      .join(broadcast(theta), "shard") // ≤ S rows
+      .filter($"ub_ppm" >= $"theta")
+      .select($"shard", $"bucket")
+      .barrier()
+    val phase2 = score(decode(probed.join(survivors, Seq("shard", "bucket"))))
+    val ranked = phase1.unionByName(phase2)
+      .groupBy($"shard")
+      .agg(topK($"score_ppm", $"doc_id", lit(0L)).as("tk"))
+      .select($"shard", explode($"tk").as("e"))
+      .select($"e.id".as("doc_id"), $"e.score".as("score_ppm"), $"shard")
+      .orderBy($"score_ppm".desc, $"doc_id").limit(k)
+      .barrier()
+    probed.unpersist()
+    ShardedProbe(sidecar, seeds, theta, survivors, ranked)
+  }
+
   /** q298's exact rational BM25F contribution at the DECLARED weights
     * (w_title = 2, w_body = 1, title = first 5 tokens): the weighted
     * tf/dl fold BEFORE the single k1 saturation, over columns

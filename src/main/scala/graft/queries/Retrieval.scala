@@ -3235,8 +3235,134 @@ object Retrieval {
       "for byte (the oracle replays that build), closing the RF verb " +
       "pair with q315")
 
+  /** q330 — Block-Max WAND × DOC-SHARDING (X110j, r18): the pruning ×
+    * topology cell — q267 prunes one index, q283 shards exhaustive
+    * BM25, q307/q312 composed BM25F with each separately; a 100 TB
+    * WAND tier prunes PER SHARD.
+    * [[graft.operators.BlockMaxWand.probeSharded]] runs the two-phase
+    * argument per shard (own sidecar, own θ_s, own skips — sound
+    * shard-locally because a doc's postings live entirely in its own
+    * shard's own bucket) with GLOBAL df summed across shards from
+    * metadata (dfs_query_then_fetch), and gathers per-shard bounded
+    * top-k lists — exact globally by q283's containment. A per-shard θ
+    * is weaker than a global θ but needs no cross-shard coordination
+    * round before phase 2 — the trade a real distributed WAND makes
+    * (per-shard impacts in Lucene/ES). The oracle is the exhaustive
+    * from-raw ranking + shard arithmetic (neither the sharding nor the
+    * pruning enters it) — pruned sharded serve ≡ exhaustive
+    * single-index ranking bit for bit at all 3 SFs; BlockMaxSpec pins
+    * the per-shard skip law on the planted skewed corpus.
+    *
+    * Scale: q267's posture per shard, embarrassingly parallel; the
+    * only cross-shard data is broadcast df/stats and the k·S gather. */
+  val q330 = Q(
+    "q330_sharded_blockmax",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.BlockMaxWand
+        .probeSharded(Tables(s, dir, "documents"),
+          Seq("hash", "sort", "dup", "query"), k = 20)
+        .ranked
+        .orderBy($"score_ppm".desc, $"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      h AS (SELECT * FROM t
+            WHERE term IN ('hash', 'sort', 'dup', 'query')),
+      tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM h GROUP BY 1, 2, 3),
+      dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM h GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT) AS adl
+             FROM documents)
+      SELECT tf.doc_id,
+        CAST(SUM((22 * tf * adl * (2 * n_docs - 2 * df + 1) * 1000000)
+          // ((10 * tf * adl + 3 * adl + 9 * dl) * (2 * df + 1))) AS BIGINT)
+          AS score_ppm,
+        CAST(tf.doc_id % 4 AS BIGINT) AS shard
+      FROM tf JOIN dfr USING (term) CROSS JOIN st
+      GROUP BY tf.doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 20"""),
+    doc = "X110j: Block-Max WAND x doc-sharding — per-shard sidecars, " +
+      "per-shard theta and skips (sound shard-locally: a doc's " +
+      "postings live in its own shard's bucket), global df from " +
+      "metadata across shards, bounded per-shard top-k gather; the " +
+      "exhaustive from-raw oracle + shard arithmetic proves the " +
+      "pruned sharded serve exact bit for bit")
+
+  /** q331 — the REPLICATED index survives a DISK roundtrip and serves
+    * failover (X114c, r18): q273 persisted the single-copy store; a
+    * production replica TIER is also a file asset — both copies built
+    * once, written out, MOUNTED by serving nodes, and a node can die
+    * while everything lives on disk. This writes all four serving
+    * assets to parquet — the primary store and the replica store
+    * PARTITIONED BY TERM (the block fetch stays literal partition
+    * pruning on both copies), the 2-column doc-stats sidecar, and the
+    * ROUTING TABLE (the assignments — the thing a coordinator actually
+    * persists) — then reads them back and serves the node-1 FAILOVER
+    * off the FILES alone, q294's routed selection over parquet-loaded
+    * blocks. The oracle is q294's VERBATIM (from-raw ranking + the
+    * ring walk; neither the files nor the failover enter it), so the
+    * hash match additionally gates the parquet binary roundtrip of
+    * BOTH copies' LEB128 streams and the persisted routing table —
+    * at all 3 SFs.
+    *
+    * Scale: the writes are replication's amortized 2× ingest; both
+    * probe-side scans partition-prune to |query terms| directories;
+    * everything after is q294's failover posture. */
+  val q331 = Q(
+    "q331_persisted_replicated_index",
+    (s, dir) => {
+      import s.implicits._
+      val qTerms = Seq("spark", "merge", "key", "dup")
+      val failed = 1L
+      val docs = Tables(s, dir, "documents")
+      val out = graft.queries.Sources.scratch("prepl")
+      // ---- ingest: build + WRITE all four serving assets
+      val rep = graft.operators.ReplicatedIndex.build(docs, nShards = 4)
+      rep.primaryStore.write.mode("overwrite").partitionBy("term")
+        .parquet(s"$out/primary")
+      rep.replicaStore.write.mode("overwrite").partitionBy("term")
+        .parquet(s"$out/replica")
+      rep.dl.write.mode("overwrite").parquet(s"$out/docstats")
+      rep.assignments.write.mode("overwrite").parquet(s"$out/routing")
+      // ---- serve: FILES only from here on
+      val dl = s.read.parquet(s"$out/docstats")
+      val stats = dl
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum($"dl").as("l_total"))
+        .select($"n_docs", expr("l_total DIV n_docs").as("adl"))
+      val assignments = s.read.parquet(s"$out/routing")
+      val mounted = graft.operators.ReplicatedIndex.Replicated(
+        assignments,
+        s.read.parquet(s"$out/primary")
+          .filter($"term".isin(qTerms: _*)), // partition pruning
+        s.read.parquet(s"$out/replica")
+          .filter($"term".isin(qTerms: _*)),
+        dl, stats, 4)
+      graft.operators.ReplicatedIndex
+        .serveFailover(mounted, failed, qTerms, k = 20)
+        .join(assignments, "doc_id")
+        .select($"doc_id", $"score_ppm", $"node".as("served_from"),
+          when($"primary" === failed, lit("r")).otherwise(lit("p"))
+            .as("role"))
+        .orderBy($"score_ppm".desc, $"doc_id")
+    },
+    q294.oracle, // from-raw + ring walk — files and failover never enter
+    doc = "X114c: the replicated index as a FILE asset — both copies + " +
+      "doc stats + the routing table written to parquet (stores " +
+      "partitioned by term: the block fetch stays literal partition " +
+      "pruning on both copies), node-1 failover served off the files " +
+      "alone; q294's oracle gates the binary roundtrip of both copies' " +
+      "streams and the persisted routing table bit for bit")
+
   val all: Seq[Q] = Seq(q170, q171, q172, q173, q174, q175, q176, q177,
     q265, q267, q269, q272, q273, q279, q283, q287, q291, q293, q294,
     q298, q299, q300, q301, q302, q304, q307, q309, q310, q311, q312,
-    q315, q319, q325, q326, q328, q329)
+    q315, q319, q325, q326, q328, q329, q330, q331)
 }

@@ -89,4 +89,29 @@ class BlockMaxSpec extends SparkSpecBase {
     val got = p.ranked.collect().map(_.getLong(0)).toSeq
     assert(got.size === 7)
   }
+
+  test("sharded probe (q330): per-shard skips happen, every skipped " +
+    "cell's ub < its own shard's θ, and the pruned sharded ranking " +
+    "equals the exhaustive single-index ranking") {
+    val p = BlockMaxWand.probeSharded(
+      corpus.toDF("doc_id", "text"), qTerms, k = 20, nShards = 4)
+    val total = p.bucketUb.count()
+    val decoded = p.seeds.count() + p.survivors.count()
+    assert(decoded < total,
+      s"expected per-shard skips, decoded $decoded of $total cells")
+    val skipped = p.bucketUb
+      .join(p.seeds, Seq("shard", "bucket"), "left_anti")
+      .join(p.survivors, Seq("shard", "bucket"), "left_anti")
+      .join(p.theta, "shard")
+    assert(skipped.count() > 0L, "no cell was skipped")
+    assert(skipped.filter($"ub_ppm" >= $"theta").count() === 0L,
+      "a skipped cell's ub reached its shard's θ")
+    val rows = p.ranked.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (doc, _, sh) =>
+      assert(sh === doc % 4, s"doc $doc served from the wrong shard")
+    }
+    assert(rows.map(t => (t._1, t._2)).toSeq === exhaustive(20),
+      "sharded pruned ranking != exhaustive")
+  }
 }

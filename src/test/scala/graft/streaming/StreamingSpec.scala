@@ -3109,4 +3109,76 @@ class StreamingSpec extends SparkSpecBase {
       $"bytes")) === rMap(want.replicaStore),
       "final replica store != batch build over latest versions")
   }
+  test("T45: streaming replicated ROW placement — payload-agnostic " +
+    "two-copy ingest per batch, failover of ANY node returns the " +
+    "delivered row multiset after every wave, a node joins mid-stream " +
+    "with nothing changed, a mid-stream takedown names arrived AND " +
+    "in-flight ids, replays and late copies no-op, final stores " +
+    "set-equal to the batch build at the grown ring") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingReplicatedRows
+    import graft.operators.ReplicatedRows
+    val edgeRows = (0L until 60L).flatMap { v =>
+      Seq((v, (v + 1) % 60), (v, (v + 7) % 60), (v, (v + 19) % 60))
+    }
+    // dead ids span the stream: 5/17/40 arrived by the wave-2
+    // takedown, 52 still in flight (wave 3)
+    val deadIds = Set(5L, 17L, 40L, 52L)
+    val waves = edgeRows.grouped(45).toSeq // 4 waves, 15 vertices each
+    def rowSet(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    var st = StreamingReplicatedRows.freeze(
+      edgeRows.take(1).toDF("v", "u"), "v", nShards = 3)
+    var delivered = Seq.empty[(Long, Long)]
+    var taken = false
+    val stream = MemoryStream[(Long, Long)](s)
+    val qy = stream.toDF().toDF("v", "u").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = StreamingReplicatedRows.applyBatch(st, b)
+        ()
+      }
+      .start()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      stream.addData(w: _*); qy.processAllAvailable()
+      delivered = delivered ++ w
+      if (i == 1) {
+        val before = rowSet(StreamingReplicatedRows.failover(st, 0L))
+        st = StreamingReplicatedRows.grow(st)
+        assert(st.nShards === 4)
+        assert(rowSet(StreamingReplicatedRows.failover(st, 0L)) === before,
+          "the mid-stream grow changed the served row set")
+      }
+      if (i == 2) {
+        st = StreamingReplicatedRows.takedown(st,
+          deadIds.toSeq.sorted.toDF("v"))
+        taken = true
+      }
+      val live =
+        if (taken) delivered.filterNot(d => deadIds.contains(d._1))
+        else delivered
+      for (x <- 0L until st.nShards.toLong)
+        assert(rowSet(StreamingReplicatedRows.failover(st, x))
+          === live.sorted,
+          s"failover of node $x lost or duplicated rows after wave $i")
+    }
+    // replay + a late copy of a tombstoned id: both structural no-ops
+    val before = rowSet(StreamingReplicatedRows.failover(st, 1L))
+    stream.addData(waves.head: _*)
+    stream.addData(edgeRows.filter(e => deadIds.contains(e._1)).take(3): _*)
+    qy.processAllAvailable()
+    qy.stop()
+    assert(rowSet(StreamingReplicatedRows.failover(st, 1L)) === before,
+      "a replay or late tombstoned copy changed the row set")
+    // final stores == the batch build at the grown ring, as sets
+    val survivors = delivered.filterNot(d => deadIds.contains(d._1))
+    val (wp, wr) = ReplicatedRows.build(
+      survivors.toDF("v", "u"), "v", 4)
+    def fSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(fSet(st.primary) === fSet(wp),
+      "final primary rows != batch build over survivors")
+    assert(fSet(st.replica) === fSet(wr),
+      "final replica rows != batch build over survivors")
+  }
 }
