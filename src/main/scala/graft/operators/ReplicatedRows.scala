@@ -112,6 +112,23 @@ object ReplicatedRows {
        .select(replica.columns.map(col): _*))
   }
 
+  /** UPDATE / re-key-free re-index on the replicated row placement
+    * (X123c, q332): replace EVERY row of the named ids with `newRows`'
+    * rows — the generic form of ReplicatedCodes.update's payload swap
+    * (a re-embedded vector, a re-built adjacency list). Placement is a
+    * pure function of the id, so the verb composes [[takedown]] ∘
+    * [[append]] and the new rows land on the ids' ESTABLISHED homes —
+    * an update never moves an id; ids not yet placed insert cleanly
+    * (the upsert half). Rows are atomic ⇒ updated ≡ a from-scratch
+    * [[build]] over the post-update row set as a SET. Scale: one
+    * anti-join per copy + [[build]] over the |delta| rows. */
+  def update(primary: DataFrame, replica: DataFrame, newRows: DataFrame,
+      idCol: String, nShards: Int): (DataFrame, DataFrame) = {
+    val (p, r) = takedown(primary, replica, idCol,
+      newRows.select(col(idCol)).distinct())
+    append(p, r, newRows, idCol, nShards)
+  }
+
   /** PERMANENT loss of the highest node (X123a, q320):
     * [[ReplicatedCodes.recoverLost]]'s promotion/re-replication laws
     * carried VERBATIM to the generic row placement — same ring, same

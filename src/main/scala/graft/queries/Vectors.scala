@@ -2789,8 +2789,97 @@ object Vectors {
       "SQL, encodes base + delta, restricts to survivors and replays " +
       "both ring slots in closed form; no verb enters it)")
 
+  /** q332 — UPDATE on the replicated row placement (X123c, r18): the
+    * generic verb matrix's last member — build/append/grow/takedown/
+    * recoverLost/failover existed (q318–q321); the UPDATE verb (a
+    * re-embedded vector's new payload, a vertex's rebuilt adjacency)
+    * is [[graft.operators.ReplicatedRows.update]]: takedown ∘ append
+    * composed, and because placement is a pure ring function the new
+    * rows land on the ids' ESTABLISHED homes — an update never moves
+    * an id; withheld ids (vec_id % 17 = 6) arrive FIRST through the
+    * verb (the upsert half). Updated ≡ a from-scratch build over the
+    * post-update row set — the oracle replays quantization over the
+    * CASE-modified corpus (% 13 = 2 vecs re-embedded as the
+    * deterministic `reverse`) and BOTH ring slots in closed form; the
+    * verb never enters it. Hash-matched at all 3 SFs.
+    *
+    * Scale: one anti-join per copy + the ring projection over the
+    * |delta| rows; payloads of untouched ids never move or re-read. */
+  val q332 = Q(
+    "q332_replicated_rows_update",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{KMeansInt, ReplicatedRows}
+      val emb = Tables(s, dir, "embeddings")
+      def vqOf(df: org.apache.spark.sql.DataFrame) =
+        df.select($"vec_id", KMeansInt.quantize($"embedding").as("xq"))
+      val (p0, r0) = ReplicatedRows.build(
+        vqOf(emb.filter($"vec_id" % 17 =!= 6)), "vec_id", nShards = 4)
+      // the update event: re-embedded (% 13 = 2) + withheld upserts
+      val upd = vqOf(emb
+        .filter($"vec_id" % 13 === 2 || $"vec_id" % 17 === 6)
+        .select($"vec_id",
+          when($"vec_id" % 13 === 2, reverse($"embedding"))
+            .otherwise($"embedding").as("embedding")))
+      val (p1, r1) = ReplicatedRows.update(p0, r0, upd, "vec_id", 4)
+      val p = p1.select(lit("p").as("store"), $"shard".as("node"),
+        lit(-1L).as("origin"), $"vec_id", $"xq")
+      val r = r1.select(lit("r").as("store"), $"node", $"origin",
+        $"vec_id", $"xq")
+      p.unionByName(r)
+        .withColumn("xq_hash", expr(
+          """aggregate(xq, CAST(7 AS BIGINT),
+               (h, x) -> (h * 31 + x) % 1000000007)"""))
+        .select($"store", $"node", $"origin", $"vec_id", $"xq_hash")
+        .orderBy($"store", $"node", $"origin", $"vec_id")
+    },
+    Some(s"""
+      WITH c AS (SELECT vec_id, list_transform(
+              CASE WHEN vec_id % 13 = 2 THEN list_reverse(embedding)
+                   ELSE embedding END,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                   + 10000) AS xq
+            FROM embeddings),
+      rg AS (${graft.queries.Mining.ringSql(4, 16)}),
+      r2 AS (SELECT shard, pos FROM rg
+             UNION ALL
+             SELECT shard, pos + (CAST(1 AS BIGINT) << 60) FROM rg),
+      md AS (SELECT vec_id,
+               CAST(('0x' || substr(md5('vec' || vec_id), 1, 15)) AS BIGINT)
+                 AS p
+             FROM c),
+      pw AS (SELECT md.vec_id,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS prim
+             FROM md JOIN r2 ON r2.pos >= md.p GROUP BY md.vec_id),
+      rw AS (SELECT md.vec_id, pw.prim,
+               CAST(MIN(CAST(r2.pos AS HUGEINT) * 4 + r2.shard) % 4
+                 AS BIGINT) AS repl
+             FROM md JOIN pw USING (vec_id)
+                  JOIN r2 ON r2.pos >= md.p AND r2.shard <> pw.prim
+             GROUP BY md.vec_id, pw.prim),
+      h AS (SELECT c.vec_id,
+              CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), c.xq),
+                (h, x) -> (h * 31 + x) % 1000000007) AS BIGINT)
+                AS xq_hash,
+              rw.prim, rw.repl
+            FROM c JOIN rw USING (vec_id))
+      SELECT 'p' AS store, prim AS node, CAST(-1 AS BIGINT) AS origin,
+             vec_id, xq_hash
+      FROM h
+      UNION ALL
+      SELECT 'r', repl, prim, vec_id, xq_hash FROM h
+      ORDER BY store, node, origin, vec_id"""),
+    doc = "X123c: UPDATE on the replicated row placement — takedown o " +
+      "append composed (placement is a pure ring function, so new " +
+      "payloads land on the ids' established homes; updates never move " +
+      "an id), withheld ids upsert through the verb; updated == " +
+      "from-scratch build over the post-update rows, row for row (the " +
+      "oracle replays quantization over the CASE-modified corpus + " +
+      "both ring slots in closed form)")
+
   val all: Seq[Q] = Seq(q50, q51, q52, q53, q64, q106, q193, q196, q198,
     q200, q201, q222, q224, q227, q234, q238, q240, q241, q249, q250,
     q280, q286, q290, q296, q303, q313, q316, q317, q318, q320, q321,
-    q322, q323)
+    q322, q323, q332)
 }

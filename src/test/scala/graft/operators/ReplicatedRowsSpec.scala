@@ -187,6 +187,22 @@ class ReplicatedRowsSpec extends SparkSpecBase {
     }
   }
 
+  test("update (q332): updated == from-scratch build over the " +
+    "post-update rows; payloads swap at established homes; upsert " +
+    "ids place fresh") {
+    val (p, r) = ReplicatedRows.build(edges, "v", 4)
+    // replace vertex 7's adjacency wholesale + upsert a novel vertex
+    val newRows = Seq((7L, 50L), (7L, 51L), (88L, 3L)).toDF("v", "u")
+    val (p2, r2) = ReplicatedRows.update(p, r, newRows, "v", 4)
+    val post = edgeRows.filterNot(_._1 == 7L) ++
+      Seq((7L, 50L), (7L, 51L), (88L, 3L))
+    val (wp, wr) = ReplicatedRows.build(post.toDF("v", "u"), "v", 4)
+    assert(pSet(p2) === pSet(wp) && pSet(r2) === pSet(wr),
+      "update != from-scratch build over post-update rows")
+    assert(idHome(p2, "v", "shard")(7L) === idHome(p, "v", "shard")(7L),
+      "an update moved vertex 7's home")
+  }
+
   test("build fails fast on payload columns colliding with placement " +
     "keys") {
     val bad = Seq((1L, 2L)).toDF("v", "shard")
