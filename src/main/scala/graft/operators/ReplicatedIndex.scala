@@ -80,36 +80,65 @@ object ReplicatedIndex {
     * code-attributable regression of r17 (VERDICT r17 What's-wrong #1
     * — the guard was correct, the per-call cost avoidable).
     *
-    * Scale (rewritten r18, closing the r16 scale note): the ring is
-    * MODEL-SIZED (2·S·16 vnodes), so the walk is a pure PROJECTION —
-    * the vnode positions compute driver-side (the same md5 the SQL
-    * replays), sort once, and ride into the plan as a LITERAL array of
-    * (rpos, shard) structs; each doc's primary is the FIRST qualifying
-    * element of the sorted array (filter + element_at — identical to
-    * ORDER BY rpos, shard LIMIT 1), the replica the first with a
-    * different shard. ZERO joins, zero shuffles, zero aggregations —
-    * the previous implementation fanned each doc to ~S·16 candidate
-    * rows through a broadcast join and two min-struct aggregations
-    * (two exchanges per call, the q299 cost class). The literal scan
-    * is branch-free codegen over 2·S·16 entries — fine to hundreds of
-    * shards; at THOUSANDS, swap the linear filter for a binary-search
-    * expression over the same sorted literal (the semantics are
-    * already "first ≥ p in sorted order"). */
+    * Scale (r18, closing the r16 scale note; REWRITTEN in the r18
+    * optimization pass): the ring is MODEL-SIZED (2·S·16 vnodes), so
+    * the ENTIRE preference-list function precomputes DRIVER-SIDE —
+    * the vnode positions (the same md5 the SQL replays) sort once,
+    * and the step function p → (primary, replica) materializes as a
+    * 2·S·16-row (lo, hi, primary, replica) INTERVAL table: row i
+    * covers p ∈ (rpos_{i-1}, rpos_i], its primary is vnode i's shard
+    * and its replica the first later vnode with a different shard —
+    * identical to "first (rpos, shard) ≥ p in sorted order" with the
+    * wrap-around unrolled by the doubling. Placement is then ONE
+    * broadcast non-equi join (lo < p AND p ≤ hi): intervals partition
+    * the 60-bit position domain, so the join is 1:1 and row-preserving.
+    * Zero exchanges, zero aggregations; the per-row cost is ≤ 2·S·16
+    * codegen'd long comparisons against the broadcast table.
+    *
+    * WHY NOT a lambda projection (the first r18 attempt, reverted in
+    * the optimization round): `filter(ringLiteral, x → x.rpos ≥ p)`
+    * composed with a second filter referencing `primary` LOOKS like a
+    * pure projection, but higher-order functions are CodegenFallback
+    * (interpreted), and CollapseProject inlines both `p` (an md5
+    * expression) and `primary` (the first 2·S·16-element filter) into
+    * the replica lambda — interpreted eval then re-computes the md5
+    * and the whole primary scan PER RING ELEMENT: ~(2·S·16)² ≈ 16k
+    * md5 evaluations per row at S=4. Measured: single bench tasks sat
+    * 10+ minutes in ArrayFilter/Md5 stacks at sf0.1 (jstack evidence
+    * in OPTIMIZATION_r18.md). A join boundary materializes `p` once
+    * per row by construction — the property the projection lacked. */
   private[graft] def assignPR(docs: DataFrame, shards: Int): DataFrame = {
     require(shards >= 2, s"replication needs >= 2 shards, got $shards")
+    val s = docs.sparkSession
+    import s.implicits._
     val ring = ringPositions(shards)
     val doubled =
       (ring ++ ring.map { case (p, sh) => (p + (1L << 60), sh) }).sorted
-    val arr = array(doubled.map { case (rp, sh) =>
-      struct(lit(rp).as("rpos"), lit(sh).as("shard")) }: _*)
-    docs
-      .withColumn("primary", element_at(
-        filter(arr, x => x.getField("rpos") >= col("p")), 1)
-        .getField("shard"))
-      .withColumn("replica", element_at(
-        filter(arr, x => x.getField("rpos") >= col("p") &&
-          x.getField("shard") =!= col("primary")), 1)
-        .getField("shard"))
+    // step-function intervals: entry i serves p in (rpos_{i-1}, rpos_i]
+    // (ties on rpos leave the later entry's interval empty — the
+    // (rpos, shard) sort order already picked the winner); replica_i =
+    // first entry at index >= i whose shard differs from primary_i.
+    // p is 15 hex digits, so p ≤ 2⁶⁰ − 1: intervals whose lo is at or
+    // past that bound can never match and are dropped — which also
+    // guarantees every KEPT interval's suffix still spans all shards
+    // (a kept upper-half entry is the first one, so the whole mirrored
+    // ring follows it), making the replica search total.
+    val maxP = (1L << 60) - 1
+    val intervals = doubled.zipWithIndex.flatMap { case ((hi, prim), i) =>
+      val lo = if (i == 0) -1L else doubled(i - 1)._1
+      if (lo >= maxP) None
+      else {
+        val repl = doubled.drop(i).collectFirst {
+          case (_, sh) if sh != prim => sh
+        }.getOrElse(sys.error(
+          s"ring with $shards shards has no distinct replica after vnode $i"))
+        Some((lo, hi, prim, repl))
+      }
+    }
+    val iv = s.createDataFrame(intervals)
+      .toDF("__lo", "__hi", "primary", "replica")
+    docs.join(broadcast(iv), $"p" > $"__lo" && $"p" <= $"__hi")
+      .drop("__lo", "__hi")
   }
 
   /** The ring's vnode positions computed DRIVER-SIDE — exactly
