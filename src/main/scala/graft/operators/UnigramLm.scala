@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Barriers._
 
@@ -40,25 +39,31 @@ import graft.core.Barriers._
   *
   * ENCODING (Viterbi, exact): the suffix DP
   * `suf(pos) = max over pieces u matching at pos of sc(u)·suf(pos+|u|)`
-  * runs as Bellman rounds over the distinct-word position table —
-  * every product is built RIGHT-TO-LEFT in both engines, and IEEE
+  * runs PER WORD as one catalyst `aggregate` over the word's own
+  * match list (r18 — the DP and walk used to run as ~2·maxLen Bellman
+  * join+aggregate rounds over a (w, pos) table; same values, same
+  * fixpoint, a fraction of the jobs — see [[segmentExpr]]) — every
+  * product is built RIGHT-TO-LEFT in both engines, and IEEE
   * multiplication is correctly rounded, so the DP table is
   * bit-identical cross-engine; the best segmentation is then walked
-  * left-to-right with q220's bounded join-walk device, stepping on the
-  * deterministic argmax piece (`sc(u)·suf(pos+|u|) = suf(pos)`, ties
+  * left-to-right in the same aggregate, stepping on the deterministic
+  * argmax piece (`sc(u)·suf(pos+|u|) = suf(pos)`, ties
   * longest-then-lexicographic). Equality on identically-computed
   * doubles is engine-consistent, so the walk — and with it the piece
-  * counts AND the per-piece usage — hash-matches the DuckDB twin.
+  * counts AND the per-piece usage — hash-matches the DuckDB twin
+  * (whose CTEs still unroll the Bellman rounds — the two formulations
+  * reach the identical table; the equivalence argument is on
+  * [[segmentExpr]]).
   *
   * Scale shape: one corpus pass to the word table; the seed explode,
-  * match table, DP rounds and walk all run over the DISTINCT-word
-  * table (Heaps: ~√corpus) with positions bounded by max word length;
-  * the match table is `maxPieceLen` equi-joins on the substring key
+  * match table and per-word DP all run over the DISTINCT-word table
+  * (Heaps: ~√corpus) with positions bounded by max word length; the
+  * match table is one substring equi-join over the (pos, len) grid
   * (never a crossJoin — the vocabulary stays distributed); the corpus
   * only ever joins the finished `(w, n_up)` table on the word key
-  * (q195/q220's posture). Driver-side collects: the 1-row max word
-  * length, the 1-row score total, and the `pruneK`-row prune set per
-  * round — all in the sanctioned reduced-aggregate class.
+  * (q195/q220's posture). Driver-side collects: the 1-row score total
+  * and the `pruneK`-row prune set per round — all in the sanctioned
+  * reduced-aggregate class.
   */
 object UnigramLm {
 
@@ -91,91 +96,91 @@ object UnigramLm {
   }
 
   /** Match table `(w, pos, sl, spell, sc)` over the distinct-word
-    * position grid: one substring equi-join per piece length. */
+    * position grid: ONE substring equi-join for all piece lengths
+    * (r18 optimization — was one join + union per length; the (pos,
+    * sl) grid is exploded first and `substring(w, pos, sl)` has exact
+    * length sl by construction, so a vocabulary piece can only match
+    * the grid row of its own length — sl needs no explicit equality). */
   private def matchTable(dw: DataFrame, vocab: DataFrame,
-                         maxPieceLen: Int): DataFrame = {
-    val pos = dw.select(col("w"),
-      explode(sequence(lit(1), col("len"))).as("pos"))
-    (1 to maxPieceLen).map { l =>
-      pos.select(col("w"), col("pos"),
-          expr(s"substring(w, pos, $l)").as("spell"))
-        .join(vocab.filter(col("sl") === l)
-          .select(col("spell"), col("sl"), col("sc")), Seq("spell"))
-        .select(col("w"), col("pos"), col("sl"), col("spell"), col("sc"))
-    }.reduce(_ unionByName _)
-  }
+                         maxPieceLen: Int): DataFrame =
+    dw.select(col("w"), col("len"),
+        explode(sequence(lit(1), col("len"))).as("pos"))
+      .select(col("w"), col("pos"), explode(sequence(lit(1),
+        least(lit(maxPieceLen), col("len") - col("pos") + 1))).as("sl"))
+      .select(col("w"), col("pos"), col("sl"),
+        expr("substring(w, pos, sl)").as("spell"))
+      .join(vocab.select(col("spell"), col("sc")), Seq("spell"))
+      .select(col("w"), col("pos"), col("sl"), col("spell"), col("sc"))
 
-  /** Bellman suffix DP to convergence: `(w, pos, f)` with
-    * `f = suf(pos)` — the best achievable product from pos to the end.
-    * `maxLen` rounds (a segmentation has ≤ len pieces). */
-  private def suffixDp(dw: DataFrame, m: DataFrame, maxLen: Int): DataFrame = {
-    var reached = dw.select(col("w"), (col("len") + 1).as("pos"),
-      lit(1.0).as("f"))
-    (1 to maxLen).foreach { r =>
-      val cand = m.join(reached.select(col("w").as("w2"),
-          col("pos").as("npos"), col("f").as("nf")),
-          col("w") === col("w2") && (col("pos") + col("sl")) === col("npos"))
-        .select(col("w"), col("pos"), (col("sc") * col("nf")).as("f"))
-      reached = reached.unionByName(cand)
-        .groupBy(col("w"), col("pos")).agg(max(col("f")).as("f"))
-      // aggregate-topped, never a bare Union (the r9 bug); barrier
-      // every SECOND round — one un-cut round nests a single extra
-      // join in the plan (analysis stays linear) and halves the
-      // job-count floor that dominates these tiny-state rounds
-      if (r % 2 == 0 || r == maxLen) reached = reached.barrier()
-    }
-    reached
-  }
-
-  /** Deterministic best step per `(w, pos)`: the piece achieving
-    * `sc·suf(pos+sl) = suf(pos)`, ties longest-then-lexicographic.
-    * Double equality is engine-consistent because both sides computed
-    * the identical doubles. */
-  private def bestStep(m: DataFrame, suf: DataFrame): DataFrame = {
-    val withNext = m.join(suf.select(col("w").as("w2"),
-        col("pos").as("npos"), col("f").as("nf")),
-        col("w") === col("w2") && (col("pos") + col("sl")) === col("npos"))
-      .select(col("w"), col("pos"), col("sl"), col("spell"),
-        (col("sc") * col("nf")).as("cf"))
-    withNext.join(suf, Seq("w", "pos"))
-      .filter(col("cf") === col("f"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("w"), col("pos"))
-          .orderBy(col("sl").desc, col("spell"))))
-      .filter(col("rn") === 1)
-      .select(col("w"), col("pos"), col("sl"), col("spell"))
-  }
-
-  /** Viterbi walk over the distinct-word table: `(w, n_up, used)` —
-    * piece count and the ordered used-piece list (length-bounded).
-    * Raises on a stall (impossible while single chars stay in the
-    * vocabulary — documented contract, enforced loudly). */
-  private def walk(dw: DataFrame, bs: DataFrame, maxLen: Int): DataFrame = {
-    var state = dw.select(col("w"), col("len"), lit(1).as("pos"),
-      lit(0L).as("n_up"), array().cast("array<string>").as("used"))
-    (1 to maxLen).foreach { r =>
-      state = state.join(bs, Seq("w", "pos"), "left_outer")
-        .select(col("w"), col("len"),
-          when(col("sl").isNull, col("pos"))
-            .otherwise(col("pos") + col("sl")).as("pos"),
-          when(col("sl").isNull, col("n_up"))
-            .otherwise(col("n_up") + 1L).as("n_up"),
-          when(col("sl").isNull, col("used"))
-            .otherwise(concat(col("used"), array(col("spell")))).as("used"))
-      // barrier every second round (see suffixDp) — the walk state is
-      // distinct-word-sized, so the job floor, not the data, is the cost
-      if (r % 2 == 0 || r == maxLen) state = state.barrier()
-    }
-    state.select(col("w"), col("len"), col("pos"), col("n_up"), col("used"))
-      .select(col("w"),
-        when(col("pos") <= col("len"),
-          raise_error(concat(
-            lit("UnigramLm Viterbi stalled (out-of-vocabulary): word '"),
-            col("w"), lit("' has no piece at position "),
-            col("pos").cast("string"))))
-          .otherwise(col("n_up")).as("n_up"),
-        col("used"))
-  }
+  /** The per-word Viterbi: suffix DP + deterministic walk, collapsed
+    * into ONE catalyst `aggregate` over the word's own match list
+    * (r18 optimization; was ~2·maxLen Bellman join+aggregate rounds
+    * with a localCheckpoint every second round — the job-count floor
+    * that dominated q235–q237; see OPTIMIZATION_r18.md).
+    *
+    * Iterations 1..len build `suf` RIGHT-TO-LEFT (iteration i fills
+    * position len−i+1): suf(pos) = max over pieces at pos with
+    * reachable suf(pos+sl) of sc·suf(pos+sl), null = unreachable.
+    * Every candidate is the identical right-associated IEEE product
+    * the Bellman rounds built (stale partial values there were always
+    * ≤ the final ones and the final products were regenerated each
+    * round, so the round max equals this direct DP — same doubles,
+    * same max set), keeping the cross-engine bit-identity argument.
+    * Iterations len+1..2·len walk LEFT-TO-RIGHT on the finished suf:
+    * at pos the step piece is the (sl DESC, spell ASC)-least match
+    * with sc·suf(pos+sl) = suf(pos) (struct-min on (−sl, spell) — the
+    * exact tie rule the old row_number used); a position with no
+    * qualifying piece stalls (pos stays put) and raises after the
+    * loop, the documented out-of-vocabulary contract.
+    *
+    * The walk reads `suf` ONLY through the aggregate's accumulator —
+    * the one structure projection collapse cannot inline — so the DP
+    * is computed exactly once per word (the assignPR lesson: HOFs are
+    * interpreted and naively chaining suf → walk as separate columns
+    * re-evaluates the whole DP per walk candidate). Per-word cost is
+    * O(len² + len·|matches|) scalar ops on ≤ UgDpRounds-char words —
+    * trivia next to one Spark job, and it runs over the DISTINCT-word
+    * table (Heaps: ~√corpus), embarrassingly parallel. */
+  private def segmentExpr: org.apache.spark.sql.Column = expr("""
+    aggregate(
+      sequence(1, len + len),
+      named_struct(
+        'suf', concat(array_repeat(CAST(NULL AS DOUBLE), len),
+                      array(CAST(1.0 AS DOUBLE))),
+        'pos', 1, 'n', CAST(0 AS BIGINT),
+        'used', CAST(array() AS array<string>)),
+      (st, i) -> IF(i <= len,
+        named_struct(
+          'suf', transform(st.suf, (v, j) ->
+            IF(j + 1 = len - i + 1,
+               array_max(transform(
+                 filter(ms, m -> m.pos = len - i + 1
+                   AND element_at(st.suf, m.pos + m.sl) IS NOT NULL),
+                 m -> m.sc * element_at(st.suf, m.pos + m.sl))),
+               v)),
+          'pos', st.pos, 'n', st.n, 'used', st.used),
+        IF(st.pos > len
+             OR size(filter(ms, m -> m.pos = st.pos
+                 AND element_at(st.suf, m.pos + m.sl) IS NOT NULL
+                 AND m.sc * element_at(st.suf, m.pos + m.sl)
+                     = element_at(st.suf, st.pos))) = 0,
+           st,
+           named_struct(
+             'suf', st.suf,
+             'pos', st.pos + array_min(transform(
+               filter(ms, m -> m.pos = st.pos
+                 AND element_at(st.suf, m.pos + m.sl) IS NOT NULL
+                 AND m.sc * element_at(st.suf, m.pos + m.sl)
+                     = element_at(st.suf, st.pos)),
+               m -> named_struct('nsl', -m.sl, 'spell', m.spell))).nsl * -1,
+             'n', st.n + CAST(1 AS BIGINT),
+             'used', concat(st.used, array(array_min(transform(
+               filter(ms, m -> m.pos = st.pos
+                 AND element_at(st.suf, m.pos + m.sl) IS NOT NULL
+                 AND m.sc * element_at(st.suf, m.pos + m.sl)
+                     = element_at(st.suf, st.pos)),
+               m -> named_struct('nsl', -m.sl, 'spell', m.spell))).spell))))))
+  """)
 
   /** Per-distinct-word Viterbi piece counts and used pieces under
     * `vocab`: `(w, n_up, used)`. */
@@ -183,10 +188,23 @@ object UnigramLm {
                       maxPieceLen: Int): DataFrame = {
     val dw = words.select(col("w")).distinct()
       .withColumn("len", length(col("w")).cast("int"))
-    val maxLen = dw.agg(coalesce(max(col("len")), lit(0))).head().getInt(0)
-    val m = matchTable(dw, vocab, maxPieceLen).barrier()
-    val suf = suffixDp(dw, m, maxLen)
-    walk(dw, bestStep(m, suf).barrier(), maxLen)
+    val perWord = matchTable(dw, vocab, maxPieceLen)
+      .groupBy(col("w"))
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("sl"), col("spell"), col("sc")))).as("ms"))
+    dw.join(perWord, Seq("w"), "left_outer")
+      .select(col("w"), col("len"),
+        coalesce(col("ms"), array().cast(
+          "array<struct<pos:int,sl:int,spell:string,sc:double>>")).as("ms"))
+      .select(col("w"), col("len"), segmentExpr.as("seg"))
+      .select(col("w"),
+        when(col("seg.pos") <= col("len"),
+          raise_error(concat(
+            lit("UnigramLm Viterbi stalled (out-of-vocabulary): word '"),
+            col("w"), lit("' has no piece at position "),
+            col("seg.pos").cast("string"))))
+          .otherwise(col("seg.n")).as("n_up"),
+        col("seg.used").as("used"))
   }
 
   /** Corpus-weighted per-piece Viterbi usage under `vocab`. */
