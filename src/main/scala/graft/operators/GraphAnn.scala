@@ -153,6 +153,13 @@ object GraphAnn {
       .unionByName(graph.select(col("u").as("v"), col("v").as("u")))
       .filter(col("v") =!= col("u")).distinct().barrier()
     val qx = queries.select(col("q_id"), col("xq").as("__qx")).barrier()
+    // NOT barriered (r18 optimization note): score() joins the corpus
+    // once per round, so an EXPENSIVE vq lineage replays rounds+1
+    // times — but the fix belongs at the call site (q318/q320 barrier
+    // their failover-routed vq once), because most callers pass a
+    // select off an already-persisted frame and an unconditional
+    // corpus checkpoint here measured ~1-1.5 s SLOWER per query
+    // (q201/q238/q240/q250/q280, sf0.1) than the cheap replays.
     val corpus = vq.select(col(idCol).as("id"), col("xq").as("__cx"))
 
     // exact grid distances for (q_id, id) candidate rows

@@ -2360,7 +2360,10 @@ object Vectors {
       val (g0P, g0R) = ReplicatedRows.build(g0full, "v", nShards = 4)
       val (g1P, g1R) = ReplicatedRows.build(g1full, "v", nShards = 4)
       // ---- node 1 is DOWN: the traversal serves off the routed sets
-      val vq = ReplicatedRows.failover(vqP, vqR, failed)
+      // (vq barriered once: five consumers below — top/queries/entry
+      // plus both searches' corpus — would each replay the placement
+      // chain; g0/g1 feed only the searches' own sym barrier)
+      val vq = ReplicatedRows.failover(vqP, vqR, failed).barrier()
       val g0 = ReplicatedRows.failover(g0P, g0R, failed)
       val g1 = ReplicatedRows.failover(g1P, g1R, failed)
       val top = vq.filter($"vec_id" % 8 === 0)
@@ -2444,7 +2447,10 @@ object Vectors {
       val (g0P2, g0R2) = ReplicatedRows.recoverLost(g0P, g0R, "v", 4)
       val (g1P2, g1R2) = ReplicatedRows.recoverLost(g1P, g1R, "v", 4)
       // ---- a SECOND node (0) goes down: serve off the routed sets
-      val vq = ReplicatedRows.failover(vqP2, vqR2, 0L)
+      // (vq barriered once — q318's note; here the replayed chain is
+      // build -> recoverLost -> failover, the most expensive of the
+      // family)
+      val vq = ReplicatedRows.failover(vqP2, vqR2, 0L).barrier()
       val g0 = ReplicatedRows.failover(g0P2, g0R2, 0L)
       val g1 = ReplicatedRows.failover(g1P2, g1R2, 0L)
       val top = vq.filter($"vec_id" % 8 === 0)
