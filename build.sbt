@@ -11,6 +11,37 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ---- parallel test groups (r19, verdict item 2) ----
+// The suite outgrew the driver's single-JVM `sbt test` budget (929
+// tests ≈ 22 min sequential; the r18 driver run was killed mid-suite
+// with no summary line). Suites are split round-robin into N forked
+// JVM groups run CONCURRENTLY — each group gets its own JVM and its
+// own SparkSession (SparkSpecBase is per-JVM), so there is no shared
+// mutable session state across groups; within a group suites still
+// run sequentially, exactly as before. N × local[4] = 16 Spark
+// threads + JVM overhead fits the 32-core/128 GiB box with headroom.
+// SPARK_GRAFT_TEST_GROUPS=1 restores the old single-JVM behavior.
+val testGroupN = sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "4").toInt
+Test / testGrouping := {
+  val opts = ForkOptions(
+    javaHome = (Test / javaHome).value,
+    outputStrategy = (Test / outputStrategy).value,
+    bootJars = Vector.empty,
+    workingDirectory = Some((Test / baseDirectory).value),
+    runJVMOptions = (Test / javaOptions).value.toVector,
+    connectInput = false,
+    envVars = (Test / envVars).value)
+  (Test / definedTests).value.sortBy(_.name).zipWithIndex
+    .groupBy(_._2 % testGroupN).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"group-$i", ts.map(_._1), Tests.SubProcess(opts))
+    }
+}
+// sbt's default restrictions cap concurrent forked test groups at 1;
+// raise exactly that cap, keep the global task parallelism default.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()),
+  Tags.limit(Tags.ForkedTestGroup, testGroupN))
 // Relay forked runMain output (Bench/Verify) STRAIGHT to stdout, no
 // "[info] " logger prefix: the per-round driver machine-parses the last
 // stdout line of graft.Bench, and the prefix breaks strict JSON parsing

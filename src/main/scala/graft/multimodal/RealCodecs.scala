@@ -457,6 +457,19 @@ object RealCodecs {
     * Pixel plane = seed bytes repeated row-major across the image, the
     * same arithmetic the q189 DuckDB twin recomputes. */
   object PngCodec {
+    // zlib state is NATIVE memory: a fresh Deflater/Inflater per tiny
+    // image (q244: 4500 images/run) pays native init+teardown and GC
+    // cleaner pressure per call. One instance per task thread, reset()
+    // between uses — reset restores as-constructed state (same level/
+    // strategy), so the emitted bytes are bit-identical (r19, guide
+    // §4.5 "initialise heavyweight state once per task").
+    private val deflaters =
+      ThreadLocal.withInitial[java.util.zip.Deflater](
+        () => new java.util.zip.Deflater())
+    private val inflaters =
+      ThreadLocal.withInitial[java.util.zip.Inflater](
+        () => new java.util.zip.Inflater())
+
     private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
       val buf = ByteBuffer.allocate(12 + body.length) // PNG is big-endian
       buf.putInt(body.length)
@@ -505,13 +518,13 @@ object RealCodecs {
         }
         y += 1
       }
-      val deflater = new java.util.zip.Deflater()
+      val deflater = deflaters.get()
+      deflater.reset()
       deflater.setInput(raw)
       deflater.finish()
       val out = new java.io.ByteArrayOutputStream()
       val tmp = new Array[Byte](512)
       while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
-      deflater.end()
       sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", out.toByteArray) ++
         chunk("IEND", Array.emptyByteArray)
     }
@@ -569,7 +582,8 @@ object RealCodecs {
       if (!sawIhdr || !sawIend) return None
       val stride = w * 3
       val raw = new Array[Byte](h * (1 + stride))
-      val inf = new java.util.zip.Inflater()
+      val inf = inflaters.get()
+      inf.reset()
       inf.setInput(idat.toByteArray)
       try {
         var got = 0
@@ -588,7 +602,7 @@ object RealCodecs {
         if (got != raw.length) return None
       } catch {
         case _: java.util.zip.DataFormatException => return None
-      } finally inf.end()
+      } finally inf.reset()
       // unfilter in place into the component plane (RFC 2083 §6.1.3+)
       val comps = new Array[Int](w * h * 3)
       val prev = new Array[Int](stride)          // reconstructed prior row

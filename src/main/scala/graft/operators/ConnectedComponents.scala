@@ -182,8 +182,12 @@ object ConnectedComponents {
         .select(when(col("v") =!= col("m"), col("v")).otherwise(col("u")).as("u"),
           col("m").as("v"))
         .distinct() // no self-edges possible: m ≤ v < u on every row
+      // LAZY checkpoint: sig()'s head() — which touches every partition
+      // — is the materializing action, so each round runs ONE job, not
+      // an eager-checkpoint job plus the signature job (r19; the same
+      // one-job-per-round discipline label() gets from observe())
       val next =
-        if ((round + 1) % checkpointInterval == 0) small.barrier()
+        if ((round + 1) % checkpointInterval == 0) small.barrier(eager = false)
         else small.persist()
       val nextSig = sig(next)
       e.unpersist()

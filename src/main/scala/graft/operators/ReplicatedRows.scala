@@ -189,43 +189,39 @@ object ReplicatedRows {
     * moved PRIMARY always lands on the new shard with the id's old
     * primary becoming its replica, a moved REPLICA always lands on the
     * new shard, everything else passes key-untouched; mover payloads
-    * come from their primary rows. Rows are atomic ⇒ grown ≡ a
-    * from-scratch [[build]] at S+1 as a SET. Scale: the ring join runs
-    * over the DISTINCT id list; mover re-keys are mover-row-sized;
-    * pass-through is an anti-join on the compact id key. */
+    * come from their primary rows (both copies carry the same per-id
+    * payload multiset — [[build]] creates them from one joined frame
+    * and every verb preserves that, which is also why [[failover]]'s
+    * partition law holds).
+    *
+    * Implementation (r19, guide §2.4): because placement is a pure
+    * ring function of the id and non-movers' new slots EQUAL their old
+    * ones, the grown pair is one S+1 ring join over the primary
+    * payload — exactly [[build]]'s shape. The r18 move-class form
+    * (old-assignment distincts + movers join + one anti-join and one
+    * re-key join PER COPY + unions) produced the same row sets through
+    * ~3 payload-carrying exchanges; this is one, and the q321 chain's
+    * AQE stage count drops with it. The move classes are now theorems
+    * about the ring (spec-pinned in ReplicatedRowsSpec), not code
+    * paths. Rows are atomic ⇒ grown ≡ a from-scratch [[build]] at S+1
+    * as a SET — unchanged, and the oracle still gates it. Scale: the
+    * ring join runs over the DISTINCT id list; the single payload
+    * shuffle replaces the old pass-through anti-join + mover re-key
+    * (each of which already moved the full payload once). */
   def grow(primary: DataFrame, replica: DataFrame, idCol: String,
       oldShards: Int): (DataFrame, DataFrame) = {
     require(oldShards >= 2, s"grow needs >= 2 shards, got $oldShards")
     val payload = primary.columns.filterNot(_ == "shard")
-    val oldA = primary.select(col(idCol), col("shard").as("op"))
-      .distinct()
-      .join(replica.select(col(idCol), col("node").as("or")).distinct(),
-        Seq(idCol))
-    val ids = oldA.select(col(idCol).as("doc_id"))
+    val ids = primary.select(col(idCol).as("doc_id")).distinct()
       .withColumn("p", ReplicatedCodes.position(col("doc_id")))
     val a2 = ReplicatedIndex.assignPR(ids, oldShards + 1)
       .select(col("doc_id").as(idCol), col("primary"), col("replica"))
-    val movers = oldA.join(a2, Seq(idCol))
-      .filter(col("primary") =!= col("op") ||
-        col("replica") =!= col("or"))
-    val pMoved = movers.filter(col("primary") =!= col("op"))
-    val keepP = primary
-      .join(pMoved.select(col(idCol)), Seq(idCol), "left_anti")
-    val addP = primary.select(payload.map(col): _*)
-      .join(pMoved.select(col(idCol), col("primary")), Seq(idCol))
-      .select(col("primary").as("shard") +: payload.map(col): _*)
-    val keepR = replica
-      .join(movers.select(col(idCol)), Seq(idCol), "left_anti")
-    val addR = primary.select(payload.map(col): _*)
-      .join(movers.select(col(idCol), col("primary"), col("replica")),
-        Seq(idCol))
-      .select(col("replica").as("node") +:
-        col("primary").as("origin") +: payload.map(col): _*)
-    // joins moved idCol to the front of keepP/keepR — re-pin the
-    // canonical column ORDER (the r17 using-join trap)
-    (keepP.unionByName(addP)
+    val joined = primary.select(payload.map(col): _*).join(a2, Seq(idCol))
+    // re-pin the canonical column ORDER (the r17 using-join trap)
+    (joined.select(col("primary").as("shard") +: payload.map(col): _*)
        .select(primary.columns.map(col): _*),
-     keepR.unionByName(addR)
+     joined.select(col("replica").as("node") +:
+         col("primary").as("origin") +: payload.map(col): _*)
        .select(replica.columns.map(col): _*))
   }
 }

@@ -37,10 +37,12 @@ import graft.core.Barriers._
   *      broadcast vocabulary; every position matches (single chars
   *      are always in the vocabulary), so the walk can never stall;
   *   3. the walk itself — pos ← pos + lm(w, pos) — is inherently
-  *      sequential PER WORD but runs over the distinct-word table
-  *      for ≤ max-word-length rounds of one broadcast-ish equi-join
-  *      each (BpeVocab's round posture; rounds are character-bounded,
-  *      not corpus-bounded).
+  *      sequential PER WORD and word-LOCAL, so it runs as ONE
+  *      catalyst `aggregate` per word over the word's own lm list
+  *      (r19 — UnigramLm's segmentExpr device; it used to run as
+  *      ≤ max-word-length join rounds over the whole distinct-word
+  *      table, the job-count floor that dominated the encode
+  *      queries — see [[walkExpr]] for the equivalence argument).
   * The corpus only ever joins the finished `(w, n_wp)` table on the
   * word key — the same Heaps-sized equi-join as q195.
   *
@@ -185,23 +187,7 @@ object WordPieceVocab {
         "substring(w, pos, sl) = spell AND (pos = 1) = (cont = 0)"))
       .groupBy(col("w"), col("pos"))
       .agg(max(col("sl")).as("L"))
-    val maxLen = dw.agg(coalesce(max(col("len")), lit(0))).head().getInt(0)
-    var state = dw.select(col("w"), col("len"), lit(1).as("pos"),
-      lit(0L).as("n_wp"))
-    (1 to maxLen).foreach { r =>
-      state = state.join(lm, Seq("w", "pos"), "left_outer")
-        .select(col("w"), col("len"),
-          when(col("L").isNull, col("pos"))
-            .otherwise(col("pos") + col("L")).as("pos"),
-          when(col("L").isNull, col("n_wp"))
-            .otherwise(col("n_wp") + 1L).as("n_wp"))
-      // barrier every SECOND round (r13, A/B-measured ~20% on the
-      // UnigramLm walks): one un-cut round nests a single extra join —
-      // analysis stays linear — and halves the job-count floor that
-      // dominates these distinct-word-sized rounds
-      if (r % 2 == 0 || r == maxLen) state = state.barrier()
-    }
-    finishedOrRaise(state)
+    walkCounts(dw, lm)
   }
 
   /** Walk epilogue: a word whose walk did not reach past its end has a
@@ -217,6 +203,52 @@ object WordPieceVocab {
           col("w"), lit("' has no matching unit at position "),
           col("pos").cast("string"))))
         .otherwise(col("n_wp")).as("n_wp"))
+
+  /** The MaxMatch walk `pos ← pos + lm(w, pos)`, collapsed into ONE
+    * catalyst `aggregate` per word over the word's own longest-match
+    * list (r19 — the UnigramLm `segmentExpr` device ported to the
+    * greedy walk; was ≤ max-word-length rounds of one left-join each
+    * with a localCheckpoint every second round, plus a 1-row maxLen
+    * collect — the job-count floor that dominated q220/q221/q229).
+    *
+    * Iteration i of the aggregate performs exactly round i's step for
+    * this word: finished (pos > len) or stalled (no lm entry at pos)
+    * states pass through untouched — the old rounds' `L IS NULL`
+    * no-op — otherwise pos advances by the unique L at pos and the
+    * piece count increments. Every quantity is exact-integer
+    * arithmetic on the SAME lm table the rounds consumed (lm has one
+    * row per (w, pos) by construction — groupBy(w, pos).max), so
+    * after ≤ len iterations the (pos, n_wp) pair is identical to the
+    * round formulation's fixpoint row for row, and the stall→raise
+    * contract ([[finishedOrRaise]]) is preserved verbatim. The walk
+    * reads lm only through the aggregate's accumulator-captured `ms`
+    * array — the assignPR lesson: per-word lists keep the interpreted
+    * HOF over O(len) elements, never over a re-inlined subtree. */
+  private def walkExpr: org.apache.spark.sql.Column = expr("""
+    aggregate(
+      sequence(1, len),
+      named_struct('pos', 1, 'n_wp', CAST(0 AS BIGINT)),
+      (st, i) -> IF(st.pos > len
+           OR size(filter(ms, m -> m.pos = st.pos)) = 0,
+         st,
+         named_struct(
+           'pos', st.pos + element_at(filter(ms, m -> m.pos = st.pos), 1).L,
+           'n_wp', st.n_wp + CAST(1 AS BIGINT))))""")
+
+  /** Per-distinct-word MaxMatch counts from a longest-match table
+    * `(w, pos, L)`: one aggregate per word, then the stall check. */
+  private def walkCounts(dw: DataFrame, lm: DataFrame): DataFrame = {
+    val perWord = lm.groupBy(col("w"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("L")))).as("ms"))
+    dw.join(perWord, Seq("w"), "left_outer")
+      .select(col("w"), col("len"),
+        coalesce(col("ms"),
+          array().cast("array<struct<pos:int,L:int>>")).as("ms"))
+      .select(col("w"), col("len"), walkExpr.as("seg"))
+      .select(col("w"), col("len"),
+        col("seg.pos").as("pos"), col("seg.n_wp").as("n_wp"))
+      .transform(finishedOrRaise)
+  }
 
   /** Vocabulary SPELLINGS for greedy matching: every distinct corpus
     * character plus each merge's spelled-out unit (resolved by folding
@@ -253,21 +285,6 @@ object WordPieceVocab {
       .filter(expr("substring(w, pos, sl) = spell"))
       .groupBy(col("w"), col("pos"))
       .agg(max(col("sl")).as("L"))
-    // the walk: ≤ max-word-length rounds (1-row collect), each one
-    // left-join against lm; finished words (pos > len) pass through
-    val maxLen = dw.agg(coalesce(max(col("len")), lit(0))).head().getInt(0)
-    var state = dw.select(col("w"), col("len"), lit(1).as("pos"),
-      lit(0L).as("n_wp"))
-    (1 to maxLen).foreach { r =>
-      state = state.join(lm, Seq("w", "pos"), "left_outer")
-        .select(col("w"), col("len"),
-          when(col("L").isNull, col("pos"))
-            .otherwise(col("pos") + col("L")).as("pos"),
-          when(col("L").isNull, col("n_wp"))
-            .otherwise(col("n_wp") + 1L).as("n_wp"))
-      // barrier every second round (see wordPieceCounts)
-      if (r % 2 == 0 || r == maxLen) state = state.barrier()
-    }
-    finishedOrRaise(state)
+    walkCounts(dw, lm)
   }
 }

@@ -1195,10 +1195,15 @@ object Multimodal {
       }
       val tclus = bundles.groupBy($"thash")
         .agg(min($"bundle_id").as("thash_c"))
+      // the image and audio collapses are independent iterative chains
+      // (HammingJoin + star-CC each) over the barriered decode pass —
+      // overlap them (guide §2.6, r19)
+      val (iclus, aclus) = graft.core.Par.join2(
+        cluster("ihash"), cluster("asig"))
       val labeled = bundles
         .join(tclus, "thash")
-        .join(cluster("ihash"), "bundle_id")
-        .join(cluster("asig"), "bundle_id")
+        .join(iclus, "bundle_id")
+        .join(aclus, "bundle_id")
       val groups = labeled
         .groupBy($"thash_c", $"ihash_c", $"asig_c")
         .agg(min($"bundle_id").as("cluster"),

@@ -428,11 +428,14 @@ object Pipeline {
     import s.implicits._
     import graft.operators.{KMeansInt, ProductQuantizer}
     val cv = chunkVectors(s, dir)
-    val (coarse, coarseCents) =
-      KMeansInt.clusterWithCentsQ(cv, "vec_id", k = 8, rounds = 2)
     val sub = ProductQuantizer.subVectorsQ(cv, "vec_id", m = 8, subDims = 2)
       .persist()
-    val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+    // the coarse-cell and PQ-codebook trainings are independent eager
+    // chains over the same persisted chunk vectors — overlap them
+    // (guide §2.6, r19)
+    val ((coarse, coarseCents), cents) = graft.core.Par.join2(
+      KMeansInt.clusterWithCentsQ(cv, "vec_id", k = 8, rounds = 2),
+      ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2))
     val codes = ProductQuantizer.encode(sub, "vec_id", cents)
     val wP = Window.partitionBy($"q_id").orderBy($"__d", $"cluster")
     val probes = cv.filter($"vec_id".isInCollection(ragQueryIds))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.{Q, Tables}
+import graft.core.{Par, Q, Tables}
 import graft.functions.VectorOps
 import graft.core.Barriers._
 
@@ -359,12 +359,14 @@ object Vectors {
       import s.implicits._
       import graft.operators.{KMeansInt, ProductQuantizer}
       val emb = Tables(s, dir, "embeddings")
-      val (coarse, coarseCents) =
-        KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2)
       val sub = ProductQuantizer
         .subVectors(emb, "vec_id", "embedding", m = 8, subDims = 8)
         .persist()
-      val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      // the coarse-quantizer and PQ-codebook trainings are pairwise
+      // independent eager chains — overlap them (guide §2.6, r19)
+      val ((coarse, coarseCents), cents) = Par.join2(
+        KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2),
+        ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2))
       val codes = ProductQuantizer.encode(sub, "vec_id", cents)
       val qv = emb.filter($"vec_id" < 4)
         .select($"vec_id".as("q_id"), KMeansInt.quantize($"embedding").as("qx"))
@@ -688,12 +690,13 @@ object Vectors {
       val emb = Tables(s, dir, "embeddings")
       val frozen = emb.filter($"vec_id" < 384)
       val delta = emb.filter($"vec_id" >= 384)
-      val (_, coarseCents) =
-        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
       val sub = ProductQuantizer
         .subVectors(frozen, "vec_id", "embedding", m = 8, subDims = 8)
         .persist()
-      val books = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      // independent eager trainings, overlapped (guide §2.6, r19)
+      val ((_, coarseCents), books) = Par.join2(
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2),
+        ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2))
       val appended = IvfPqIndex
         .appendToIndex(delta, "vec_id", "embedding", coarseCents, books,
           m = 8, subDims = 8)
@@ -921,12 +924,13 @@ object Vectors {
       import graft.operators.{IvfPqIndex, KMeansInt, ProductQuantizer}
       val emb = Tables(s, dir, "embeddings")
       val frozen = emb.filter($"vec_id" < 384)
-      val (_, coarseCents) =
-        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
       val sub = ProductQuantizer
         .subVectors(frozen, "vec_id", "embedding", m = 8, subDims = 8)
         .persist()
-      val books = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      // independent eager trainings, overlapped (guide §2.6, r19)
+      val ((_, coarseCents), books) = Par.join2(
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2),
+        ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2))
       // the full index under the frozen model (appendToIndex over the
       // whole corpus IS the build — pointwise, q222's law)
       val index = IvfPqIndex
@@ -1025,12 +1029,13 @@ object Vectors {
       import graft.operators.{IvfPqIndex, KMeansInt, ProductQuantizer}
       val emb = Tables(s, dir, "embeddings")
       val frozen = emb.filter($"vec_id" < 384)
-      val (_, coarseCents) =
-        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
       val sub = ProductQuantizer
         .subVectors(frozen, "vec_id", "embedding", m = 8, subDims = 8)
         .persist()
-      val books = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      // independent eager trainings, overlapped (guide §2.6, r19)
+      val ((_, coarseCents), books) = Par.join2(
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2),
+        ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2))
       val index = IvfPqIndex
         .appendToIndex(emb, "vec_id", "embedding", coarseCents, books,
           m = 8, subDims = 8)
@@ -1385,17 +1390,22 @@ object Vectors {
         nodes.select($"vec_id".as("v"),
             explode(sequence(lit(1), lit(4))).as("i"))
           .select($"v", (($"v" + $"i") % n).as("u"))
-      val graph = NNDescent.build(vq, "vec_id", initOf(vq), k = 4, rounds = 2)
       val deleted = emb.select($"vec_id").filter($"vec_id" % 3 === 0)
+      val liveVq = vq.join(deleted, Seq("vec_id"), "left_anti").persist()
+      // generation G's build (the serving store the trigger audits) and
+      // generation G+1's survivor rebuild are independent eager chains
+      // — overlap them (guide §2.6, r19); the threshold gate still runs
+      // before anything is returned.
+      val (graph, g1) = Par.join2(
+        NNDescent.build(vq, "vec_id", initOf(vq), k = 4, rounds = 2),
+        NNDescent.build(liveVq, "vec_id", initOf(liveVq),
+            k = 4, rounds = 2)
+          .orderBy($"v", $"rn")
+          .barrier()) // eager, BEFORE unpersist
       val (_, ledger) = GraphAnn.removeNodes(graph, deleted)
       val ppm = GraphAnn.lostFractionPpm(ledger)
       require(ppm >= graft.operators.GenerationRollover.ThresholdPpm,
         s"graph rollover not due: lost fraction $ppm ppm")
-      val liveVq = vq.join(deleted, Seq("vec_id"), "left_anti").persist()
-      val g1 = NNDescent.build(liveVq, "vec_id", initOf(liveVq),
-          k = 4, rounds = 2)
-        .orderBy($"v", $"rn")
-        .barrier() // eager, BEFORE unpersist
       vq.unpersist(); liveVq.unpersist()
       g1
     },
@@ -1465,8 +1475,6 @@ object Vectors {
       val init0 = vq.select($"vec_id".as("v"),
           explode(sequence(lit(1), lit(4))).as("i"))
         .select($"v", (($"v" + $"i") % n).as("u"))
-      val g0 = NNDescent.build(vq, "vec_id", init0, k = 4, rounds = 2)
-        .select($"v", $"u")
       // the sparse top layer: 1-in-8 sample. Its graph is k=3 KNN
       // edges PLUS an exponential-stride ring (strides 1,2,4,… over
       // the dense rank — Kleinberg's navigable-small-world links):
@@ -1480,9 +1488,14 @@ object Vectors {
       val ring = top.select($"vec_id".as("v"),
           explode(lit(strides.toArray)).as("st"))
         .select($"v", expr(s"((v DIV 8) + st) % $m * 8").as("u"))
-      val g1 = NNDescent.build(top, "vec_id", ring, k = 3, rounds = 2)
-        .select($"v", $"u")
-        .unionByName(ring.select($"v", $"u"))
+      // the two layer graphs are independent eager NN-Descent chains
+      // over the same persisted corpus — overlap them (guide §2.6, r19)
+      val (g0, g1) = Par.join2(
+        NNDescent.build(vq, "vec_id", init0, k = 4, rounds = 2)
+          .select($"v", $"u"),
+        NNDescent.build(top, "vec_id", ring, k = 3, rounds = 2)
+          .select($"v", $"u")
+          .unionByName(ring.select($"v", $"u")))
       // queries are never top-layer members (id % 8 = 0 and
       // id % 100 = 7 have no common solution mod 4), so stage 1's
       // self-exclusion can never eat a seed
@@ -2250,12 +2263,13 @@ object Vectors {
       import graft.operators.{KMeansInt, ProductQuantizer}
       val nShards = 4
       val emb = Tables(s, dir, "embeddings")
-      val (coarse, coarseCents) =
-        KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2)
       val sub = ProductQuantizer
         .subVectors(emb, "vec_id", "embedding", m = 8, subDims = 8)
         .persist()
-      val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      // independent eager trainings, overlapped (guide §2.6, r19)
+      val ((coarse, coarseCents), cents) = Par.join2(
+        KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2),
+        ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2))
       val codes = ProductQuantizer.encode(sub, "vec_id", cents)
       // ---- the sharded serving store: each node owns its vecs' rows
       val store = coarse.select($"vec_id", $"cluster".as("cell"))
@@ -2343,27 +2357,33 @@ object Vectors {
       val init0 = vq0.select($"vec_id".as("v"),
           explode(sequence(lit(1), lit(4))).as("i"))
         .select($"v", (($"v" + $"i") % n).as("u"))
-      val g0full = NNDescent.build(vq0, "vec_id", init0, k = 4, rounds = 2)
-        .select($"v", $"u")
       val top0 = vq0.filter($"vec_id" % 8 === 0)
       val m = top0.count() // the subset init's mod base
       val strides = (0 until 20).map(1L << _).filter(_ < m)
       val ring = top0.select($"vec_id".as("v"),
           explode(lit(strides.toArray)).as("st"))
         .select($"v", expr(s"((v DIV 8) + st) % $m * 8").as("u"))
-      val g1full = NNDescent.build(top0, "vec_id", ring, k = 3, rounds = 2)
-        .select($"v", $"u")
-        .unionByName(ring.select($"v", $"u"))
-      // ---- ingest: BOTH copies of all three row stores, co-placed on
+      // the two layer-graph builds and the routed-vq placement barrier
+      // are pairwise independent eager chains over the same persisted
+      // corpus — overlap them (guide §2.6, r19). The vq leg keeps the
+      // r18 posture: barriered once, five consumers below —
+      // top/queries/entry plus both searches' corpus — would each
+      // replay the placement chain; g0/g1 feed only the searches' own
+      // sym barrier.
+      val (g0full, g1full, vq) = Par.join3(
+        NNDescent.build(vq0, "vec_id", init0, k = 4, rounds = 2)
+          .select($"v", $"u"),
+        NNDescent.build(top0, "vec_id", ring, k = 3, rounds = 2)
+          .select($"v", $"u")
+          .unionByName(ring.select($"v", $"u")),
+        { // ---- ingest + node-1 failover of the vector row store
+          val (vqP, vqR) = ReplicatedRows.build(vq0, "vec_id", nShards = 4)
+          ReplicatedRows.failover(vqP, vqR, failed).barrier() })
+      // ---- ingest: BOTH copies of the two edge stores, co-placed on
       // the vec ring (a vertex's codes and adjacency share a home)
-      val (vqP, vqR) = ReplicatedRows.build(vq0, "vec_id", nShards = 4)
       val (g0P, g0R) = ReplicatedRows.build(g0full, "v", nShards = 4)
       val (g1P, g1R) = ReplicatedRows.build(g1full, "v", nShards = 4)
       // ---- node 1 is DOWN: the traversal serves off the routed sets
-      // (vq barriered once: five consumers below — top/queries/entry
-      // plus both searches' corpus — would each replay the placement
-      // chain; g0/g1 feed only the searches' own sym barrier)
-      val vq = ReplicatedRows.failover(vqP, vqR, failed).barrier()
       val g0 = ReplicatedRows.failover(g0P, g0R, failed)
       val g1 = ReplicatedRows.failover(g1P, g1R, failed)
       val top = vq.filter($"vec_id" % 8 === 0)
@@ -2427,30 +2447,33 @@ object Vectors {
       val init0 = vq0.select($"vec_id".as("v"),
           explode(sequence(lit(1), lit(4))).as("i"))
         .select($"v", (($"v" + $"i") % n).as("u"))
-      val g0full = NNDescent.build(vq0, "vec_id", init0, k = 4, rounds = 2)
-        .select($"v", $"u")
       val top0 = vq0.filter($"vec_id" % 8 === 0)
       val m = top0.count() // the subset init's mod base
       val strides = (0 until 20).map(1L << _).filter(_ < m)
       val ring = top0.select($"vec_id".as("v"),
           explode(lit(strides.toArray)).as("st"))
         .select($"v", expr(s"((v DIV 8) + st) % $m * 8").as("u"))
-      val g1full = NNDescent.build(top0, "vec_id", ring, k = 3, rounds = 2)
-        .select($"v", $"u")
-        .unionByName(ring.select($"v", $"u"))
-      // ---- ingest at S = 4 (q318's placement, all three stores)
-      val (vqP, vqR) = ReplicatedRows.build(vq0, "vec_id", nShards = 4)
+      // the two layer-graph builds and the vq store's full lifecycle
+      // chain (build → lose node 3 → re-replicate → lose node 0 →
+      // failover, barriered once — q318's note; the most expensive
+      // replayed chain of the family) are pairwise independent eager
+      // chains — overlap them (guide §2.6, r19)
+      val (g0full, g1full, vq) = Par.join3(
+        NNDescent.build(vq0, "vec_id", init0, k = 4, rounds = 2)
+          .select($"v", $"u"),
+        NNDescent.build(top0, "vec_id", ring, k = 3, rounds = 2)
+          .select($"v", $"u")
+          .unionByName(ring.select($"v", $"u")),
+        { val (vqP, vqR) = ReplicatedRows.build(vq0, "vec_id", nShards = 4)
+          val (vqP2, vqR2) = ReplicatedRows.recoverLost(vqP, vqR, "vec_id", 4)
+          ReplicatedRows.failover(vqP2, vqR2, 0L).barrier() })
+      // ---- ingest at S = 4 (q318's placement, both edge stores)
       val (g0P, g0R) = ReplicatedRows.build(g0full, "v", nShards = 4)
       val (g1P, g1R) = ReplicatedRows.build(g1full, "v", nShards = 4)
       // ---- node 3 is LOST; the tier re-replicates onto the 3-ring
-      val (vqP2, vqR2) = ReplicatedRows.recoverLost(vqP, vqR, "vec_id", 4)
       val (g0P2, g0R2) = ReplicatedRows.recoverLost(g0P, g0R, "v", 4)
       val (g1P2, g1R2) = ReplicatedRows.recoverLost(g1P, g1R, "v", 4)
       // ---- a SECOND node (0) goes down: serve off the routed sets
-      // (vq barriered once — q318's note; here the replayed chain is
-      // build -> recoverLost -> failover, the most expensive of the
-      // family)
-      val vq = ReplicatedRows.failover(vqP2, vqR2, 0L).barrier()
       val g0 = ReplicatedRows.failover(g0P2, g0R2, 0L)
       val g1 = ReplicatedRows.failover(g1P2, g1R2, 0L)
       val top = vq.filter($"vec_id" % 8 === 0)
@@ -2596,12 +2619,13 @@ object Vectors {
       import graft.operators.{KMeansInt, ProductQuantizer, ReplicatedRows}
       val failed = 1L
       val emb = Tables(s, dir, "embeddings")
-      val (coarse, coarseCents) =
-        KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2)
       val sub = ProductQuantizer
         .subVectors(emb, "vec_id", "embedding", m = 8, subDims = 8)
         .persist()
-      val cents = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      // independent eager trainings, overlapped (guide §2.6, r19)
+      val ((coarse, coarseCents), cents) = Par.join2(
+        KMeansInt.clusterWithCents(emb, "vec_id", "embedding", k = 8, rounds = 2),
+        ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2))
       val codes = ProductQuantizer.encode(sub, "vec_id", cents)
       // ---- ingest: BOTH copies of the (cell, codes) rows on the ring
       val rows = coarse.select($"vec_id", $"cluster".as("cell"))
@@ -2682,12 +2706,13 @@ object Vectors {
       val emb = Tables(s, dir, "embeddings")
       val frozen = emb.filter($"vec_id" < 384)
       val delta = emb.filter($"vec_id" >= 384)
-      val (coarse, coarseCents) =
-        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2)
       val sub = ProductQuantizer
         .subVectors(frozen, "vec_id", "embedding", m = 8, subDims = 8)
         .persist()
-      val books = ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2)
+      // independent eager trainings, overlapped (guide §2.6, r19)
+      val ((coarse, coarseCents), books) = Par.join2(
+        KMeansInt.clusterWithCents(frozen, "vec_id", "embedding", k = 8, rounds = 2),
+        ProductQuantizer.trainCodebooks(sub, "vec_id", k = 4, rounds = 2))
       val baseRows = coarse.select($"vec_id", $"cluster".as("cell"))
         .join(ProductQuantizer.encode(sub, "vec_id", books), "vec_id")
         .select($"vec_id", $"cell".cast(LongType).as("cell"), $"codes")

@@ -24,6 +24,10 @@ object SparkSpecBase {
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the limit-k/metadata-frame windows warn per task; across 929
+    // tests that is thousands of log lines of pure I/O (r19, verdict
+    // item 2 — the same flood ate the driver's test-output tail)
+    Bench.silenceKnownBenignWarnings()
     s
   }
 }
