@@ -149,10 +149,6 @@ object GraphAnn {
   def beamSearchFrom(vq: DataFrame, idCol: String, graph: DataFrame,
                      queries: DataFrame, seeds: DataFrame,
                      beam: Int, rounds: Int, k: Int): DataFrame = {
-    val sym = graph.select(col("v"), col("u"))
-      .unionByName(graph.select(col("u").as("v"), col("v").as("u")))
-      .filter(col("v") =!= col("u")).distinct().barrier()
-    val qx = queries.select(col("q_id"), col("xq").as("__qx")).barrier()
     // NOT barriered (r18 optimization note): score() joins the corpus
     // once per round, so an EXPENSIVE vq lineage replays rounds+1
     // times — but the fix belongs at the call site (q318/q320 barrier
@@ -163,20 +159,36 @@ object GraphAnn {
     val corpus = vq.select(col(idCol).as("id"), col("xq").as("__cx"))
 
     // exact grid distances for (q_id, id) candidate rows
-    def score(cand: DataFrame): DataFrame = cand
+    def score(cand: DataFrame, qx: DataFrame): DataFrame = cand
       .join(corpus, "id")
       .join(qx, "q_id")
       .select(col("q_id"), col("id"),
         KMeansInt.sqDist(col("__qx"), col("__cx")).as("d"))
 
-    var seen = score(seeds.select(col("q_id"), col("id")).distinct())
-      .barrier()
+    // the edge symmetrization and the query-vector + seed-scoring
+    // chains are independent eager stages — overlap them (guide §2.6,
+    // r19); seed scoring needs qx, so it rides qx's leg
+    val (sym, (qx, seen0)) = graft.core.Par.join2(
+      graph.select(col("v"), col("u"))
+        .unionByName(graph.select(col("u").as("v"), col("v").as("u")))
+        .filter(col("v") =!= col("u")).distinct().barrier(),
+      { val q = queries.select(col("q_id"), col("xq").as("__qx")).barrier()
+        (q, score(seeds.select(col("q_id"), col("id")).distinct(), q)
+          .barrier()) })
+
+    var seen = seen0
     var expanded: DataFrame = null // plain union of barriered leaves
     (1 to rounds).foreach { _ =>
       val unexpanded =
         if (expanded == null) seen
         else seen.join(expanded, Seq("q_id", "id"), "left_anti")
-      val toExpand = topPerQ(unexpanded, beam).barrier()
+      // LAZY round barriers (r19): under AQE the checkpoint's shuffle
+      // stages already run at construction; eager only adds a separate
+      // result-write job per barrier. Lazy folds that write into the
+      // consumer's job — same plans, same truncation, one job less per
+      // round. (toExpand's two consumers both live in the seen-barrier
+      // job; seen's consumer is the next round's construction.)
+      val toExpand = topPerQ(unexpanded, beam).barrier(eager = false)
       val exp = toExpand.select(col("q_id"), col("id"))
       expanded = if (expanded == null) exp else expanded.unionByName(exp)
       val nbrs = toExpand.select(col("q_id"), col("id").as("v"))
@@ -185,9 +197,9 @@ object GraphAnn {
       val fresh = nbrs
         .join(seen.select(col("q_id"), col("id")), Seq("q_id", "id"),
           "left_anti")
-      seen = seen.unionByName(score(fresh))
+      seen = seen.unionByName(score(fresh, qx))
         .groupBy(col("q_id"), col("id")).agg(min(col("d")).as("d"))
-        .barrier() // aggregate-topped, never a bare Union
+        .barrier(eager = false) // aggregate-topped, never a bare Union
     }
     implicit val inEnc = org.apache.spark.sql.catalyst.encoders
       .ExpressionEncoder[(Double, Long, Long)]()

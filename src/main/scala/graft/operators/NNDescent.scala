@@ -92,9 +92,15 @@ object NNDescent {
     * (d ASC, u ASC)). */
   def build(vq: DataFrame, idCol: String, initEdges: DataFrame,
             k: Int, rounds: Int): DataFrame = {
+    // LAZY round barriers (r19, GraphAnn's device): under AQE the
+    // checkpoint's shuffle stages run at construction anyway; lazy
+    // folds each round's result-write job into the next round's
+    // construction — same plans, same lineage truncation, one job
+    // less per round.
     var e = score(vq, idCol,
-      initEdges.filter(col("v") =!= col("u")).distinct(), k).barrier()
-    for (_ <- 1 to rounds) e = round(vq, idCol, e, k).barrier()
+      initEdges.filter(col("v") =!= col("u")).distinct(), k)
+      .barrier(eager = false)
+    for (_ <- 1 to rounds) e = round(vq, idCol, e, k).barrier(eager = false)
     // final ranked emission (e is already per-node top-k; re-ranking
     // is a cheap bounded aggregate that restores the rank order)
     implicit val inEnc = org.apache.spark.sql.catalyst.encoders
