@@ -21,7 +21,13 @@ run / fork := true
 // run sequentially, exactly as before. N × local[4] = 16 Spark
 // threads + JVM overhead fits the 32-core/128 GiB box with headroom.
 // SPARK_GRAFT_TEST_GROUPS=1 restores the old single-JVM behavior.
-val testGroupN = sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "4").toInt
+val testGroupN = sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "6").toInt
+// Measured long pole (r19): StreamingSpec alone runs ~7 min (69
+// micro-batch tests, inherently sequential within the suite) — it gets
+// a group of its own so the suite wall-clock is bounded by it, not by
+// whichever round-robin group it lands in (4 even groups measured
+// 18.5 min wall vs ~22 min single-JVM; the pinned split targets ~8).
+val pinnedAloneSuites = Set("graft.streaming.StreamingSpec")
 Test / testGrouping := {
   val opts = ForkOptions(
     javaHome = (Test / javaHome).value,
@@ -31,11 +37,20 @@ Test / testGrouping := {
     runJVMOptions = (Test / javaOptions).value.toVector,
     connectInput = false,
     envVars = (Test / envVars).value)
-  (Test / definedTests).value.sortBy(_.name).zipWithIndex
-    .groupBy(_._2 % testGroupN).toSeq.sortBy(_._1)
+  val defs = (Test / definedTests).value.sortBy(_.name)
+  val (pinned, rest) =
+    if (testGroupN <= 1) (Nil, defs)
+    else defs.partition(t => pinnedAloneSuites(t.name))
+  val spread = (testGroupN - pinned.size) max 1
+  val restGroups = rest.zipWithIndex
+    .groupBy(_._2 % spread).toSeq.sortBy(_._1)
     .map { case (i, ts) =>
       Tests.Group(s"group-$i", ts.map(_._1), Tests.SubProcess(opts))
     }
+  val pinnedGroups = pinned.zipWithIndex.map { case (t, i) =>
+    Tests.Group(s"pinned-$i-${t.name}", Seq(t), Tests.SubProcess(opts))
+  }
+  pinnedGroups ++ restGroups
 }
 // sbt's default restrictions cap concurrent forked test groups at 1;
 // raise exactly that cap, keep the global task parallelism default.
